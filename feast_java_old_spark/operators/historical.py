@@ -1,0 +1,203 @@
+"""Historical (point-in-time / as-of) retrieval — J3's historical form.
+
+The reference declares the semantics (``max_age`` + event-timestamp
+metadata, ``OnlineServingServiceV2.checkOutsideMaxAge:358-371``) but
+delegates historical retrieval to feast-spark; it is the natural
+Spark-side win, implemented here as a first-class operator.
+
+Semantics: for each entity row ``(keys..., request_ts)``, return the
+feature values of the **latest source row with the same keys and
+``event_ts <= request_ts``**, provided ``request_ts − event_ts <=
+max_age`` (``max_age=0`` → no bound). Missing → nulls (NOT_FOUND).
+
+Scale design — two physical strategies:
+
+- ``strategy="union"`` (default): tag feature rows and request rows, union
+  them, and run a single ``last(payload, ignoreNulls) over (partition by
+  keys order by ts, is_request)`` pass. **One shuffle of (history +
+  requests), no join blow-up** — per-key cost is linear in history length
+  even when one hot key has millions of events and thousands of requests
+  (the join strategy would produce their cross product before ranking).
+  This is the classic distributed as-of-join formulation.
+- ``strategy="join"``: range-join + ``row_number() == 1``. Cheaper only
+  when requests are few and histories are short; kept for comparison and
+  as the shape Catalyst can broadcast when the request side is tiny.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from feast_java_old_spark.operators.retrieval import (
+    STATUS_NOT_FOUND,
+    STATUS_OUTSIDE_MAX_AGE,
+    STATUS_PRESENT,
+    STATUS_NULL_VALUE,
+)
+
+
+def asof_join(
+    requests: DataFrame,
+    history: DataFrame,
+    keys: Sequence[str],
+    request_ts_col: str = "request_ts",
+    event_ts_col: str = "event_timestamp",
+    feature_cols: Optional[Sequence[str]] = None,
+    max_age_secs: int = 0,
+    strategy: str = "union",
+) -> DataFrame:
+    """As-of join ``requests`` to the latest ``history`` row per key.
+
+    Returns ``requests``'s columns plus one ``event_timestamp`` column
+    (the matched row's event time, null when unmatched) and the feature
+    columns (null when unmatched or outside ``max_age_secs``).
+    """
+    keys = list(keys)
+    if feature_cols is None:
+        feature_cols = [
+            c for c in history.columns if c not in keys and c != event_ts_col
+        ]
+    feature_cols = list(feature_cols)
+
+    if strategy == "union":
+        out = _asof_union(
+            requests, history, keys, request_ts_col, event_ts_col, feature_cols
+        )
+    elif strategy == "join":
+        out = _asof_range_join(
+            requests, history, keys, request_ts_col, event_ts_col, feature_cols
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    if max_age_secs and max_age_secs > 0:
+        age = F.col(request_ts_col).cast("long") - F.col(event_ts_col).cast("long")
+        stale = F.col(event_ts_col).isNotNull() & (age > F.lit(max_age_secs))
+        for c in feature_cols:
+            out = out.withColumn(c, F.when(~stale, F.col(c)))
+        out = out.withColumn(event_ts_col, F.when(~stale, F.col(event_ts_col)))
+    return out
+
+
+def _asof_union(
+    requests: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    request_ts_col: str,
+    event_ts_col: str,
+    feature_cols: list[str],
+) -> DataFrame:
+    req_cols = [c for c in requests.columns]
+    payload = F.struct(
+        F.col(event_ts_col).alias("__ts"), *[F.col(c) for c in feature_cols]
+    )
+    h = history.select(
+        *keys,
+        F.col(event_ts_col).alias("__t"),
+        F.lit(0).alias("__is_req"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(requests.schema[c].dataType).alias(f"__r_{c}")
+          for c in req_cols if c not in keys],
+    )
+    r = requests.select(
+        *keys,
+        F.col(request_ts_col).alias("__t"),
+        F.lit(1).alias("__is_req"),
+        F.lit(None).cast(h.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c).alias(f"__r_{c}") for c in req_cols if c not in keys],
+    )
+    # Feature rows sort before request rows at equal ts → `<=` inclusivity.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__is_req").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = h.unionByName(r).withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = u.where(F.col("__is_req") == 1).select(
+        *keys,
+        *[F.col(f"__r_{c}").alias(c) for c in req_cols if c not in keys],
+        F.col("__match.__ts").alias(event_ts_col),
+        *[F.col(f"__match.{c}").alias(c) for c in feature_cols],
+    )
+    return out
+
+
+def _asof_range_join(
+    requests: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    request_ts_col: str,
+    event_ts_col: str,
+    feature_cols: list[str],
+) -> DataFrame:
+    req = requests.withColumn("__req_id", F.monotonically_increasing_id())
+    h = history.select(
+        *keys, F.col(event_ts_col), *[F.col(c) for c in feature_cols]
+    )
+    joined = req.join(
+        h,
+        on=[req[k] == h[k] for k in keys]
+        + [h[event_ts_col] <= req[request_ts_col]],
+        how="left",
+    ).drop(*[h[k] for k in keys])
+    w = Window.partitionBy("__req_id").orderBy(F.col(event_ts_col).desc())
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__req_id")
+    )
+
+
+def get_historical_features(
+    requests: DataFrame,
+    history: DataFrame,
+    keys: Sequence[str],
+    request_ts_col: str = "request_ts",
+    event_ts_col: str = "event_timestamp",
+    feature_cols: Optional[Sequence[str]] = None,
+    max_age_secs: int = 0,
+    include_statuses: bool = False,
+    strategy: str = "union",
+) -> DataFrame:
+    """As-of join + the reference's per-field status vocabulary."""
+    keys = list(keys)
+    if feature_cols is None:
+        feature_cols = [
+            c for c in history.columns if c not in keys and c != event_ts_col
+        ]
+    feature_cols = list(feature_cols)
+
+    # Statuses need the pre-max-age match info; apply max_age here instead.
+    out = asof_join(
+        requests,
+        history,
+        keys,
+        request_ts_col,
+        event_ts_col,
+        feature_cols,
+        max_age_secs=0,
+        strategy=strategy,
+    )
+    found = F.col(event_ts_col).isNotNull()
+    if max_age_secs and max_age_secs > 0:
+        age = F.col(request_ts_col).cast("long") - F.col(event_ts_col).cast("long")
+        outside = found & (age > F.lit(max_age_secs))
+    else:
+        outside = F.lit(False)
+    for c in feature_cols:
+        status = (
+            F.when(~found, F.lit(STATUS_NOT_FOUND))
+            .when(outside, F.lit(STATUS_OUTSIDE_MAX_AGE))
+            .when(F.col(c).isNull(), F.lit(STATUS_NULL_VALUE))
+            .otherwise(F.lit(STATUS_PRESENT))
+        )
+        out = out.withColumn(c, F.when(found & ~outside, F.col(c)))
+        if include_statuses:
+            out = out.withColumn(f"{c}__status", status)
+    return out

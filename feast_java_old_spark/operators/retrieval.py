@@ -1,0 +1,225 @@
+"""Online retrieval — the ``GetOnlineFeaturesV2`` query shape (J1/J2/J3 +
+P1/P5 + status semantics).
+
+Parity targets:
+- the overall pipeline: ``serving/src/main/java/feast/serving/service/
+  OnlineServingServiceV2.java:82-320``,
+- left-outer point-lookup semantics (missing key → NOT_FOUND row):
+  ``storage/connectors/redis/.../OnlineRetriever.java:48-59`` +
+  ``OnlineServingServiceTest.shouldReturnResponseWithUnsetValuesAndMetadataIfKeysNotPresent:205-265``,
+- composite keys (J2): ``RedisKeyGenerator.java:47-61``,
+- staleness (J3): ``OnlineServingServiceV2.checkOutsideMaxAge:358-371``
+  (``max_age=0 → no check``; ``entity_ts`` defaults to *now* — made an
+  explicit ``request_ts`` parameter here for determinism),
+- field statuses PRESENT / NOT_FOUND / NULL_VALUE / OUTSIDE_MAX_AGE:
+  ``OnlineServingServiceV2.getMetadata:336-347``,
+- type conformance nulling (P5): ``ProtoFeature.java:46-52`` — a stored
+  value whose type does not match the declared ValueType reads as NULL,
+- response rows in input order: ``OnlineServingServiceV2.java:307-319``.
+
+Scale design: the reference answers this with N pipelined Redis HMGETs
+(one RTT amortized over N keys, ``OnlineRetriever.java:89-99``). The
+Spark-native equivalent is **two broadcast hash joins, zero wide
+shuffles**:
+
+1. ``online ⋈ broadcast(distinct request keys)`` — *inner* BHJ with the
+   tiny key set as the build side. The 100 TB online table is only
+   scanned (distributed, with column pruning down to the requested
+   features), never shuffled; at most one row per requested key survives.
+2. ``request ⋈ broadcast(step-1 result)`` — left BHJ of two tiny frames,
+   preserving every request row for NOT_FOUND semantics.
+
+A plain ``request.join(online, keys, "left")`` would force Spark to
+shuffle the online table (a left join cannot broadcast its preserved
+side); this formulation cannot.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feast_java_old_spark.functions.refs import FeatureRef, parse_feature_ref
+from feast_java_old_spark.operators.materialize import online_table_path
+from feast_java_old_spark.registry.model import FeatureTable
+from feast_java_old_spark.registry.registry import Registry
+from feast_java_old_spark.registry.validation import validate_online_request
+
+STATUS_PRESENT = "PRESENT"
+STATUS_NOT_FOUND = "NOT_FOUND"
+STATUS_NULL_VALUE = "NULL_VALUE"
+STATUS_OUTSIDE_MAX_AGE = "OUTSIDE_MAX_AGE"
+
+ROW_IDX = "__row_idx"
+
+
+def _entity_rows_df(
+    spark: SparkSession, entity_rows: Union[Sequence[dict], DataFrame]
+) -> DataFrame:
+    """Request rows + an order-preserving index (the reference guarantees
+    output order == input order)."""
+    if isinstance(entity_rows, DataFrame):
+        if ROW_IDX in entity_rows.columns:
+            return entity_rows
+        return entity_rows.withColumn(ROW_IDX, F.monotonically_increasing_id())
+    rows = [dict(r, **{ROW_IDX: i}) for i, r in enumerate(entity_rows)]
+    return spark.createDataFrame(rows)
+
+
+def _conform_type(col: Column, actual, declared) -> Column:
+    """P5: value whose stored type mismatches the declared type → NULL."""
+    if actual == declared:
+        return col
+    return col.try_cast(declared)
+
+
+def get_online_features(
+    spark: SparkSession,
+    registry: Registry,
+    entity_rows: Union[Sequence[dict], DataFrame],
+    feature_refs: Sequence[str],
+    store_path: str,
+    project: str = "default",
+    request_ts: Optional[dt.datetime] = None,
+    full_feature_names: bool = True,
+    include_statuses: bool = True,
+) -> DataFrame:
+    """Batch point-lookup of the latest feature values for N entity rows.
+
+    ``entity_rows`` may carry a per-row ``event_timestamp`` (the
+    reference's EntityRow timestamp); otherwise ``request_ts`` applies to
+    all rows; otherwise *now* (``OnlineServingServiceV2.java:366-368``).
+    Returns one row per input row, in input order, with a value column and
+    (optionally) a status column per requested feature.
+    """
+    refs = [parse_feature_ref(r) if isinstance(r, str) else r for r in feature_refs]
+    validate_online_request(
+        entity_rows if not isinstance(entity_rows, DataFrame) else [None],
+        [str(r) for r in refs],
+    )
+
+    request = _entity_rows_df(spark, entity_rows)
+
+    # Per-row request timestamp (J3 input).
+    if "event_timestamp" in request.columns:
+        req_ts = F.col("event_timestamp")
+    elif request_ts is not None:
+        req_ts = F.lit(request_ts).cast("timestamp")
+    else:
+        req_ts = F.current_timestamp()
+    request = request.withColumn("__req_ts", req_ts)
+
+    # Group refs per table, preserving request order for output columns
+    # (P1 projection; dedup of refs mirrors the reference's distinct()).
+    by_table: dict[str, list[FeatureRef]] = {}
+    for r in refs:
+        by_table.setdefault(r.table, [])
+        if r not in by_table[r.table]:
+            by_table[r.table].append(r)
+
+    out = request
+    out_cols: list[tuple[FeatureRef, str]] = []
+
+    for table_name, trefs in by_table.items():
+        spec: FeatureTable = registry.get_feature_table(table_name, project)
+        keys = list(spec.entities)
+        missing = [k for k in keys if k not in request.columns]
+        if missing:
+            raise ValueError(
+                f"entity rows missing join keys {missing} for table {table_name!r}"
+            )
+
+        ts_alias = f"__ts__{table_name}"
+        known = [r for r in trefs if spec.feature(r.name) is not None]
+        path = online_table_path(store_path, project, table_name)
+        try:
+            online = spark.read.parquet(path)
+        except Exception:
+            online = None  # never materialized → every field NOT_FOUND
+
+        if online is not None and known:
+            actual_types = dict(online.dtypes)
+            feat_cols = []
+            for r in known:
+                declared = spec.feature(r.name).value_type.to_spark()
+                if r.name in online.columns:
+                    col = _conform_type(
+                        F.col(r.name),
+                        online.schema[r.name].dataType,
+                        declared,
+                    )
+                else:
+                    col = F.lit(None).cast(declared)
+                feat_cols.append(col.alias(f"__v__{table_name}__{r.name}"))
+            pruned = online.select(
+                *keys,
+                F.col("event_timestamp").alias(ts_alias),
+                *feat_cols,
+            )
+            # Join 1: distributed scan ⋈ broadcast tiny key set (inner BHJ).
+            req_keys = request.select(*keys).distinct()
+            matched = pruned.join(F.broadcast(req_keys), on=keys, how="inner")
+            # Join 2: request ⋈ broadcast matched rows (left BHJ, keeps all
+            # request rows so missing keys surface as NOT_FOUND).
+            out = out.join(F.broadcast(matched), on=keys, how="left")
+        else:
+            out = out.withColumn(ts_alias, F.lit(None).cast("timestamp"))
+            for r in known:
+                declared = spec.feature(r.name).value_type.to_spark()
+                out = out.withColumn(
+                    f"__v__{table_name}__{r.name}", F.lit(None).cast(declared)
+                )
+
+        found = F.col(ts_alias).isNotNull()
+        if spec.max_age_secs and spec.max_age_secs > 0:
+            # Seconds arithmetic, matching the reference's
+            # Timestamp.getSeconds math (OnlineServingServiceV2.java:365-370).
+            age = F.col("__req_ts").cast("long") - F.col(ts_alias).cast("long")
+            outside = found & (age > F.lit(spec.max_age_secs))
+        else:
+            outside = F.lit(False)
+
+        for r in trefs:
+            vname = (
+                f"{r.table}__{r.name}" if full_feature_names else r.name
+            )
+            if spec.feature(r.name) is None:
+                # Requested but unregistered feature → NOT_FOUND
+                # (ServingServiceBigTableIT.shouldReturnCorrectRowCount).
+                out = out.withColumn(vname, F.lit(None).cast("string"))
+                if include_statuses:
+                    out = out.withColumn(
+                        f"{vname}__status", F.lit(STATUS_NOT_FOUND)
+                    )
+                out_cols.append((r, vname))
+                continue
+            raw = F.col(f"__v__{table_name}__{r.name}")
+            value = F.when(found & ~outside, raw)
+            status = (
+                F.when(~found, F.lit(STATUS_NOT_FOUND))
+                .when(outside, F.lit(STATUS_OUTSIDE_MAX_AGE))
+                .when(raw.isNull(), F.lit(STATUS_NULL_VALUE))
+                .otherwise(F.lit(STATUS_PRESENT))
+            )
+            out = out.withColumn(vname, value)
+            if include_statuses:
+                out = out.withColumn(f"{vname}__status", status)
+            out_cols.append((r, vname))
+
+        drop = [ts_alias] + [f"__v__{table_name}__{r.name}" for r in known]
+        out = out.drop(*drop)
+
+    entity_cols = [
+        c
+        for c in request.columns
+        if c not in (ROW_IDX, "__req_ts")
+    ]
+    value_cols = []
+    for _, vname in out_cols:
+        value_cols.append(vname)
+        if include_statuses:
+            value_cols.append(f"{vname}__status")
+    return out.orderBy(ROW_IDX).select(*entity_cols, *value_cols)

@@ -1,0 +1,63 @@
+"""Batch source readers (S1, S2) + the shared source-conformance pipeline.
+
+Parity targets:
+- S1 parquet file source: ``core/.../model/DataSource.java:97-100``
+  (+ parquet-only validation ``DataSourceValidator.java:34-43``),
+- S2 BigQuery source: ``DataSource.java:101-103``,
+- P4 field-mapping rename: ``DataSource.java:64-67,126,192``,
+- partition pruning hook (``date_partition_column``,
+  ``DataSource.java:75-76,131``) — with directory-partitioned parquet the
+  filter reaches the scan as a partition filter for free via Catalyst.
+
+Scale notes: the reader stays fully declarative — `spark.read.parquet`
+gives pushdown/pruning; renames and casts are Catalyst projections that
+fuse into the scan's whole-stage-codegen span. Nothing here materializes
+or collects.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from feast_java_old_spark.registry.model import (
+    BigQuerySource,
+    DataSource,
+    FileSource,
+)
+
+
+def apply_field_mapping(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """P4: source column -> feature column rename map."""
+    if not mapping:
+        return df
+    return df.withColumnsRenamed(mapping)
+
+
+def read_batch_source(
+    spark: SparkSession,
+    source: DataSource,
+    where: Optional[Column] = None,
+) -> DataFrame:
+    """Read a batch source into a DataFrame with field mapping applied.
+
+    ``where`` is pushed before the rename so that predicates on raw
+    source columns can reach the parquet scan (Catalyst pushes it down
+    regardless, but keeping the plan shallow helps `.explain` clarity).
+    """
+    if isinstance(source, FileSource):
+        df = spark.read.parquet(source.file_url)
+    elif isinstance(source, BigQuerySource):
+        # The BigQuery DSv2 connector is not present in this environment;
+        # the standard OSS wiring would be
+        # spark.read.format("bigquery").option("table", ref).load().
+        # A parquet stand-in keyed by the table ref lets tests exercise the
+        # source abstraction end-to-end.
+        stand_in = source.table_ref.replace(":", "/").replace(".", "/")
+        df = spark.read.parquet(stand_in)
+    else:
+        raise TypeError(f"not a batch source: {type(source).__name__}")
+    if where is not None:
+        df = df.where(where)
+    return apply_field_mapping(df, source.field_mapping)

@@ -1,0 +1,279 @@
+"""Online retrieval golden tests.
+
+Mirrors the reference suites (SURVEY §5 / FIXTURES F1-F4):
+- OnlineServingServiceTest.java: PRESENT (:137-202), NOT_FOUND (:205-265),
+  OUTSIDE_MAX_AGE (:268-346), compound keys (:367-393).
+- ServingServiceBigTableIT.java: wrong-type nulling (:108-109),
+  all 14 value types (:691-801), unregistered feature → NOT_FOUND.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import types as T
+
+from feast_java_old_spark.operators.materialize import materialize
+from feast_java_old_spark.operators.retrieval import get_online_features
+from feast_java_old_spark.registry.model import (
+    Entity,
+    Feature,
+    FeatureTable,
+    FileSource,
+    ValueType,
+)
+from feast_java_old_spark.registry.registry import Registry
+
+TS = dt.datetime(2024, 1, 15, 12, 0, 0)
+
+
+def ts(secs_ago: int) -> dt.datetime:
+    return TS - dt.timedelta(seconds=secs_ago)
+
+
+@pytest.fixture()
+def rides_env(spark, tmp_path, tmp_store):
+    """F1: rides table, driver_id entity, 4 features, max_age 7200."""
+    src = str(tmp_path / "rides_src")
+    schema = T.StructType(
+        [
+            T.StructField("driver_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("trip_cost", T.LongType()),
+            T.StructField("trip_distance", T.DoubleType()),
+            T.StructField("trip_empty", T.DoubleType()),
+            T.StructField("trip_wrong_type", T.StringType()),
+        ]
+    )
+    rows = [
+        # driver 1: two rows — latest (ts-100) must win
+        (1, ts(100), 5, 3.5, None, "test"),
+        (1, ts(5000), 99, 99.9, 1.0, "old"),
+        # driver 3: only a stale row (older than max_age 7200)
+        (3, ts(10_000), 7, 1.2, None, "x"),
+    ]
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    reg = Registry()
+    reg.apply_entity(Entity("driver_id", ValueType.INT64))
+    reg.apply_feature_table(
+        FeatureTable(
+            name="rides",
+            entities=["driver_id"],
+            features=[
+                Feature("trip_cost", ValueType.INT64),
+                Feature("trip_distance", ValueType.DOUBLE),
+                Feature("trip_empty", ValueType.DOUBLE),
+                # declared DOUBLE but stored STRING → P5 type-conformance null
+                Feature("trip_wrong_type", ValueType.DOUBLE),
+            ],
+            max_age_secs=7200,
+            batch_source=FileSource(file_url=src, event_timestamp_column="ts"),
+        )
+    )
+    materialize(spark, reg, "rides", tmp_store)
+    return reg, tmp_store
+
+
+def fetch(spark, reg, store, rows, refs, **kw):
+    df = get_online_features(spark, reg, rows, refs, store, request_ts=TS, **kw)
+    return [r.asDict() for r in df.collect()]
+
+
+def test_present_and_latest_wins(spark, rides_env):
+    reg, store = rides_env
+    out = fetch(
+        spark, reg, store, [{"driver_id": 1}],
+        ["rides:trip_cost", "rides:trip_distance"],
+    )
+    assert out[0]["rides__trip_cost"] == 5  # not the older 99
+    assert out[0]["rides__trip_cost__status"] == "PRESENT"
+    assert out[0]["rides__trip_distance"] == 3.5
+
+
+def test_not_found_missing_key(spark, rides_env):
+    reg, store = rides_env
+    out = fetch(spark, reg, store, [{"driver_id": 2}], ["rides:trip_cost"])
+    assert out[0]["rides__trip_cost"] is None
+    assert out[0]["rides__trip_cost__status"] == "NOT_FOUND"
+
+
+def test_null_value_status(spark, rides_env):
+    reg, store = rides_env
+    out = fetch(spark, reg, store, [{"driver_id": 1}], ["rides:trip_empty"])
+    assert out[0]["rides__trip_empty"] is None
+    assert out[0]["rides__trip_empty__status"] == "NULL_VALUE"
+
+
+def test_outside_max_age(spark, rides_env):
+    reg, store = rides_env
+    out = fetch(spark, reg, store, [{"driver_id": 3}], ["rides:trip_cost"])
+    assert out[0]["rides__trip_cost"] is None
+    assert out[0]["rides__trip_cost__status"] == "OUTSIDE_MAX_AGE"
+
+
+def test_wrong_type_nulled(spark, rides_env):
+    reg, store = rides_env
+    out = fetch(spark, reg, store, [{"driver_id": 1}], ["rides:trip_wrong_type"])
+    assert out[0]["rides__trip_wrong_type"] is None
+    assert out[0]["rides__trip_wrong_type__status"] == "NULL_VALUE"
+
+
+def test_unregistered_feature_not_found(spark, rides_env):
+    reg, store = rides_env
+    out = fetch(spark, reg, store, [{"driver_id": 1}], ["rides:trip_transaction"])
+    assert out[0]["rides__trip_transaction__status"] == "NOT_FOUND"
+
+
+def test_row_order_preserved(spark, rides_env):
+    reg, store = rides_env
+    rows = [{"driver_id": d} for d in (3, 1, 2, 1)]
+    out = fetch(spark, reg, store, rows, ["rides:trip_cost"])
+    assert [r["driver_id"] for r in out] == [3, 1, 2, 1]
+    assert [r["rides__trip_cost__status"] for r in out] == [
+        "OUTSIDE_MAX_AGE", "PRESENT", "NOT_FOUND", "PRESENT",
+    ]
+
+
+def test_per_row_request_timestamp(spark, rides_env):
+    """F2: per-row entity timestamps drive staleness individually."""
+    reg, store = rides_env
+    rows = [
+        {"driver_id": 1, "event_timestamp": TS},                        # fresh
+        {"driver_id": 1, "event_timestamp": TS + dt.timedelta(9999)},   # stale
+    ]
+    out = fetch(spark, reg, store, rows, ["rides:trip_cost"])
+    assert out[0]["rides__trip_cost__status"] == "PRESENT"
+    assert out[1]["rides__trip_cost__status"] == "OUTSIDE_MAX_AGE"
+
+
+def test_max_age_zero_no_staleness(spark, tmp_path, tmp_store):
+    """max_age=0 → no check (OnlineServingServiceV2.java:361-363)."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, ts(10_000_000), 5)], "driver_id long, ts timestamp, f long"
+    ).write.parquet(src)
+    reg = Registry()
+    reg.apply_entity(Entity("driver_id", ValueType.INT64))
+    reg.apply_feature_table(
+        FeatureTable(
+            "ancient", ["driver_id"], [Feature("f", ValueType.INT64)],
+            max_age_secs=0,
+            batch_source=FileSource(file_url=src, event_timestamp_column="ts"),
+        )
+    )
+    materialize(spark, reg, "ancient", tmp_store)
+    out = fetch(spark, reg, tmp_store, [{"driver_id": 1}], ["ancient:f"])
+    assert out[0]["ancient__f__status"] == "PRESENT"
+
+
+def test_compound_entity_key(spark, tmp_path, tmp_store):
+    """F4: rides_merchant keyed by (driver_id, merchant_id)."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 1234, ts(100), 5), (1, 5678, ts(100), 9)],
+        "driver_id long, merchant_id long, ts timestamp, trip_cost long",
+    ).write.parquet(src)
+    reg = Registry()
+    reg.apply_entity(Entity("driver_id", ValueType.INT64))
+    reg.apply_entity(Entity("merchant_id", ValueType.INT64))
+    reg.apply_feature_table(
+        FeatureTable(
+            "rides_merchant", ["driver_id", "merchant_id"],
+            [Feature("trip_cost", ValueType.INT64)],
+            max_age_secs=7200,
+            batch_source=FileSource(file_url=src, event_timestamp_column="ts"),
+        )
+    )
+    materialize(spark, reg, "rides_merchant", tmp_store)
+    rows = [
+        {"driver_id": 1, "merchant_id": 1234},
+        {"driver_id": 1, "merchant_id": 9999},
+    ]
+    out = fetch(spark, reg, tmp_store, rows, ["rides_merchant:trip_cost"])
+    assert out[0]["rides_merchant__trip_cost"] == 5
+    assert out[0]["rides_merchant__trip_cost__status"] == "PRESENT"
+    assert out[1]["rides_merchant__trip_cost__status"] == "NOT_FOUND"
+
+
+def test_all_fourteen_value_types(spark, tmp_path, tmp_store):
+    """F3: all_types table — every Feast value type returns PRESENT with
+    the exact stored value (ServingServiceBigTableIT:691-801)."""
+    src = str(tmp_path / "src")
+    schema = T.StructType(
+        [
+            T.StructField("entity", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("f_int64", T.LongType()),
+            T.StructField("f_int32", T.IntegerType()),
+            T.StructField("f_float", T.FloatType()),
+            T.StructField("f_double", T.DoubleType()),
+            T.StructField("f_string", T.StringType()),
+            T.StructField("f_bytes", T.BinaryType()),
+            T.StructField("f_bool", T.BooleanType()),
+            T.StructField("f_int64_list", T.ArrayType(T.LongType())),
+            T.StructField("f_int32_list", T.ArrayType(T.IntegerType())),
+            T.StructField("f_float_list", T.ArrayType(T.FloatType())),
+            T.StructField("f_double_list", T.ArrayType(T.DoubleType())),
+            T.StructField("f_string_list", T.ArrayType(T.StringType())),
+            T.StructField("f_bytes_list", T.ArrayType(T.BinaryType())),
+            T.StructField("f_bool_list", T.ArrayType(T.BooleanType())),
+        ]
+    )
+    row = (
+        "key", ts(100), 10, 10, 10.0, 10.0, "test", bytearray(b"test"), True,
+        [10], [10], [10.0], [10.0], ["test"], [bytearray(b"test")], [True],
+    )
+    spark.createDataFrame([row], schema).write.parquet(src)
+    reg = Registry()
+    reg.apply_entity(Entity("entity", ValueType.STRING))
+    feats = [
+        Feature(f.name, ValueType.from_spark(f.dataType))
+        for f in schema.fields
+        if f.name.startswith("f_")
+    ]
+    reg.apply_feature_table(
+        FeatureTable(
+            "all_types", ["entity"], feats, max_age_secs=7200,
+            batch_source=FileSource(file_url=src, event_timestamp_column="ts"),
+        )
+    )
+    materialize(spark, reg, "all_types", tmp_store)
+    refs = [f"all_types:{f.name}" for f in feats]
+    out = fetch(spark, reg, tmp_store, [{"entity": "key"}], refs)
+    r = out[0]
+    for f in feats:
+        assert r[f"all_types__{f.name}__status"] == "PRESENT", f.name
+    assert r["all_types__f_int64"] == 10
+    assert r["all_types__f_string"] == "test"
+    assert bytes(r["all_types__f_bytes"]) == b"test"
+    assert r["all_types__f_bool"] is True
+    assert r["all_types__f_int64_list"] == [10]
+    assert r["all_types__f_string_list"] == ["test"]
+    assert [bytes(b) for b in r["all_types__f_bytes_list"]] == [b"test"]
+
+
+def test_multiple_tables_one_request(spark, rides_env, tmp_path):
+    reg, store = rides_env
+    src = str(tmp_path / "src2")
+    sp = next(iter([]), None)  # noqa: keep simple
+    import pyspark.sql.functions as F  # local import for clarity
+
+    spark_df = spark.createDataFrame(
+        [(1, ts(50), 42.0)], "driver_id long, ts timestamp, rating double"
+    )
+    spark_df.write.parquet(src)
+    reg.apply_feature_table(
+        FeatureTable(
+            "driver_stats", ["driver_id"], [Feature("rating", ValueType.DOUBLE)],
+            batch_source=FileSource(file_url=src, event_timestamp_column="ts"),
+        )
+    )
+    materialize(spark, reg, "driver_stats", store)
+    out = fetch(
+        spark, reg, store, [{"driver_id": 1}, {"driver_id": 2}],
+        ["rides:trip_cost", "driver_stats:rating"],
+    )
+    assert out[0]["rides__trip_cost"] == 5
+    assert out[0]["driver_stats__rating"] == 42.0
+    assert out[1]["rides__trip_cost__status"] == "NOT_FOUND"
+    assert out[1]["driver_stats__rating__status"] == "NOT_FOUND"
