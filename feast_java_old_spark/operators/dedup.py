@@ -1,0 +1,245 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each as a DataFrame transformation designed for the 100 TB
+case:
+
+- **exact**: hash-groupBy on content fingerprint — map-side partial
+  aggregation, one shuffle of (hash, doc_id) pairs only (never the text).
+- **MinHash + LSH**: shingle → k md5-minhashes → band buckets →
+  bucket-equi-join for candidate pairs. Signatures are computed with
+  built-in array expressions (``transform``/``array_min``/``md5``) —
+  JVM-side, no UDF. The candidate join shuffles only
+  (band, bucket, doc_id) triples; pair verification re-joins shingle sets
+  by doc_id. This is the standard sub-quadratic near-dup pipeline.
+- **SimHash**: per-token hex-digit votes folded into a 32-bit signature via
+  ``aggregate``/``zip_with`` — a pure projection (zero shuffles); banded
+  matching for candidates.
+- **n-gram Jaccard**: exact pairwise similarity via shingle inverted index
+  (explode → self-join on shingle → group by pair) — the verifier for the
+  approximate families; same plan shape as a document-similarity join.
+
+Determinism: all hashes are md5-based so the DuckDB oracle can reproduce
+values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from feast_java_old_spark.operators.text import tokens
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lowercased text (built-in
+    ``transform`` over an index sequence; no UDF)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dedup_exact(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: one row per distinct content hash.
+
+    Keeps the minimum id as the canonical representative and counts
+    duplicates. Shuffle carries only (hash, id) — at 100 TB the text never
+    moves.
+    """
+    h = F.md5(F.col(content_col)).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(text: Column, k: int = 12, n: int = 3) -> Column:
+    """k md5-minhashes over word-n-gram shingles.
+
+    ``hash_i(s) = md5(i || '|' || s)``; the signature element is the
+    lexicographic minimum — identical in any engine with md5.
+    """
+    sh = shingles(text, n)
+
+    def min_hash(i: int):
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        )
+
+    return F.array(*[min_hash(i) for i in range(k)])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing any band bucket.
+
+    Plan: project signatures (no shuffle) → explode k/bands band buckets →
+    self-join on (band, bucket) → distinct (a, b) with a < b. The join key
+    is a 32-char md5; skew only arises from genuinely identical bands.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signature(F.col(text_col), k, n)
+    with_sig = df.select(F.col(id_col).alias("doc_id"), sig.alias("sig")).where(
+        F.col("sig")[0].isNotNull()
+    )
+    band_cols = []
+    for b in range(bands):
+        part = [F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *part)).alias("bucket"))
+        )
+    buckets = with_sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.doc_id") < F.col("r.doc_id"),
+            ],
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs above ``threshold``.
+
+    Inverted-index join: |A∩B| from the shingle self-join, |A∪B| from
+    per-doc distinct counts. Emits (doc_a, doc_b, jaccard). Quadratic only
+    within shingle groups — the classic exact verifier for LSH candidates.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return jac
+
+
+def simhash_bits(text: Column, bits: int = 32) -> Column:
+    """SimHash bit vector: bit j votes by the j-th hex digit of each
+    token's md5 (>= '8' → +1 else −1); sign of the folded sum sets the bit.
+
+    Pure array expressions (``aggregate`` + ``zip_with``) — per-row
+    compute, zero shuffles, and digit-for-digit reproducible in SQL.
+    """
+    toks = tokens(text)
+    zero = F.array_repeat(F.lit(0), bits)
+
+    def votes(t: Column) -> Column:
+        h = F.md5(t)
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda j: F.when(
+                F.substr(h, j, F.lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+
+    summed = F.aggregate(
+        toks, zero, lambda acc, t: F.zip_with(acc, votes(t), lambda x, y: x + y)
+    )
+    return F.transform(summed, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Per-doc SimHash as a bit string (portable across engines — no
+    signed-int pitfalls)."""
+    bitvec = simhash_bits(F.col(text_col), bits)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat_ws("", bitvec).alias("simhash"),
+    )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidates: docs agreeing on any SimHash band (Hamming-
+    distance-bounded matches without a pairwise scan)."""
+    width = bits // bands
+    sh = simhash(df, text_col, id_col, bits)
+    bandrows = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[F.substring("simhash", b * width + 1, width) for b in range(bands)]
+            )
+        ).alias("band", "chunk"),
+    )
+    l, r = bandrows.alias("l"), bandrows.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.doc_id") < F.col("r.doc_id"),
+            ],
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )

@@ -1,0 +1,146 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images / audio / video ride through the engine as ``BinaryType`` columns
+with a metadata struct; decode / feature-extraction / resize /
+frame-sampling run as Arrow-batched Pandas functions over ``mapInPandas``
+(the Spark-native replacement for the reference's Arrow-over-gRPC
+transform hop, ``OnlineTransformationService.java:313-411``).
+
+The actual codecs (Pillow / ffmpeg / torchaudio) are not installed in
+this environment, so the decode kernels are **deterministic stubs** behind
+``try``-imports: the Spark-side contract — schema, batch iteration, UDF
+signatures, partitioning — is real and tested; swapping in a real decoder
+changes only the marked inner function.
+
+Scale notes: ``mapInPandas`` streams Arrow batches (no per-row Python
+overhead, bounded memory via ``spark.sql.execution.arrow.maxRecordsPerBatch``);
+binary payloads stay in their partition — decode is shuffle-free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Model a multimodal table: id + opaque binary payload + metadata.
+
+    (The synthetic corpus has no real image bytes; UTF-8 text bytes stand
+    in. Real pipelines read payloads via ``spark.read.format("binaryFile")``
+    — same downstream shape.)
+    """
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(content_col), "UTF-8").alias("payload"),
+    )
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decoder. REAL DECODER GOES HERE:
+
+    .. code-block:: python
+
+        from PIL import Image           # not installed in this container
+        img = Image.open(io.BytesIO(payload))
+        return img.width, img.height, len(img.getbands())
+    """
+    n = len(payload)
+    return (n % 640) + 1, ((n * 7) % 480) + 1, 3
+
+
+try:  # pragma: no cover - the real decoder path
+    import PIL.Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+def decode_image_metadata(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode of binary payloads → typed image metadata.
+
+    ``mapInPandas``: one Python worker per partition, Arrow batches in and
+    out, vectorized pandas ops inside.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            if HAVE_PIL:
+                raise NotImplementedError(
+                    "real decoder intentionally stubbed in this environment"
+                )
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int32"),
+                    "width": ((n % 640) + 1).astype("int32"),
+                    "height": (((n * 7) % 480) + 1).astype("int32"),
+                    "channels": 3,
+                }
+            )
+            out["channels"] = out["channels"].astype("int32")
+            yield out
+
+    return df.mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame, every_n: int = 10, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame sampling for video-like payloads: one output row per sampled
+    frame index. The frame count derives deterministically from payload
+    size (stub); ``posexplode`` of a ``sequence`` keeps it JVM-side —
+    a real pipeline swaps the count for the container's metadata and
+    decodes the frame bytes in a follow-up ``mapInPandas``.
+    """
+    n_frames = (F.octet_length("payload") % 100) + 1
+    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+    return df.select(
+        F.col(id_col),
+        n_frames.alias("n_frames"),
+        F.explode(idx).alias("frame_idx"),
+    )
+
+
+def extract_embedding_stub(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature-extraction stub: payload → deterministic pseudo-embedding
+    (md5-seeded), as a Pandas UDF over Arrow batches — the exact plumbing
+    a real encoder (CLIP/wav2vec) plugs into."""
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def emb(payload: bytes) -> list[float]:
+                h = hashlib.md5(payload).digest()
+                return [h[i] / 255.0 for i in range(dim)]
+
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "embedding": pdf["payload"].map(emb)}
+            )
+
+    return df.mapInPandas(extract, out_schema)

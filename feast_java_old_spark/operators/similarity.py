@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, both pure DataFrame plans:
+
+- :func:`cosine_topk` — **brute-force baseline**: broadcast the (small)
+  query set against the corpus, dot products via ``zip_with`` +
+  ``aggregate`` (built-in higher-order functions — JVM-side, codegen'd,
+  no Python), top-k per query by window rank. The corpus is scanned once,
+  never shuffled (the broadcast join is map-side); only the
+  (n_queries × corpus) similarity rows shuffle for ranking, and with AQE
+  those partitions coalesce. At 100 TB, cost is one pass over the corpus
+  — the right baseline.
+- :func:`ann_sign_lsh` — **scale path**: axis-aligned random-hyperplane
+  LSH. Bucket = sign bits of the first ``b`` dimensions; queries join only
+  their bucket (expected corpus/2^b candidates each). Deterministic and
+  oracle-reproducible; swapping in learned IVF centroids keeps the same
+  plan shape (bucket column + equi-join).
+
+Near-duplicate detection by embedding (cosine >= threshold over a sample
+of pairs) reuses the same kernels.
+
+Float determinism: vectors are cast to double before any arithmetic, dot
+products accumulate sequentially in index order, and outputs are rounded
+— so an ANSI-SQL oracle (DuckDB) reproduces values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double-precision dot product via built-ins."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` must be small enough to broadcast (it is, by construction:
+    a query batch). Self-matches (same id) are excluded. Ties broken by
+    neighbor id ascending for full determinism.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__cnorm", norm(F.col("__cv")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    ).withColumn("__qnorm", norm(F.col("__qv")))
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot(F.col("__cv"), F.col("__qv")) / (F.col("__cnorm") * F.col("__qnorm")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 8) -> Column:
+    """LSH bucket id: sign bits of the first ``bits`` dimensions,
+    rendered as a bit string (axis-aligned hyperplanes — deterministic,
+    no RNG state to ship to an oracle)."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.slice(vec, 1, bits),
+            lambda v: F.when(v >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+    )
+
+
+def ann_sign_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's sign-LSH
+    bucket, then exact cosine rank within.
+
+    The corpus is bucketed by a projection (no shuffle); the candidate
+    join is an equi-join on the bucket string, so each query touches
+    ~corpus/2^bits rows instead of all of them.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("bucket", sign_bucket(F.col("__cv"), bits))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    ).withColumn("bucket", sign_bucket(F.col("__qv"), bits))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    Pairs are only compared within a sign-LSH bucket (sub-quadratic);
+    emits (id_a, id_b, cosine >= threshold). High-cosine pairs agree on
+    most sign bits, so recall stays high while the self-join stays small.
+    """
+    v = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("bucket", sign_bucket(F.col("__v"), bits))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

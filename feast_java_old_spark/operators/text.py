@@ -1,0 +1,118 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (per the build brief): language ID, quality
+scoring, token counting, document fingerprinting — each expressed with
+built-in ``pyspark.sql.functions`` only (JVM-side, whole-stage-codegen'd;
+no Python in the per-row path), so they scale linearly with no shuffle:
+every operator here is a pure projection over the documents table.
+
+Determinism contract: every function is reproducible and expressible in
+ANSI SQL (the DuckDB oracles in ``__spark_entry__.py`` mirror them
+term-for-term).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny built-in stopword lists for the language-ID heuristic. Real
+# pipelines plug in their own dictionaries; the operator shape (per-token
+# dictionary hits, argmax with deterministic tie-break) is what matters.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "en", "por", "que"],
+}
+
+DEFAULT_STOPWORDS = LANG_STOPWORDS["en"]
+
+# BPE-ish token pattern: letter runs, single digits, single punctuation.
+TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text (split on single spaces,
+    matching SQL ``string_split(lower(text), ' ')``)."""
+    return F.split(F.lower(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    """Regex token count with the BPE-ish pattern (F.regexp_count is
+    JVM-side; no UDF)."""
+    return F.regexp_count(text, F.lit(TOKEN_PATTERN))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+
+    Any rolling/content-defined hash slots in here; md5 keeps the oracle
+    trivially portable.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality statistics + a composite quality score.
+
+    All built-in expressions — one codegen stage, zero shuffles.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in DEFAULT_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_alnum_space = F.length(F.regexp_replace(F.lower(t), r"[^a-z0-9 ]", ""))
+    punct_ratio = (n_chars - n_alnum_space) / n_chars
+    avg_token_len = (n_chars - (n_tokens - F.lit(1))) / n_tokens
+    stopword_ratio = n_stop / n_tokens
+    # Monotone, bounded score: long-enough docs with some stopwords and
+    # little punctuation score high.
+    quality = (
+        F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * F.lit(0.5)
+        + F.least(stopword_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.3)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_token_len, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID.
+
+    Per-language score = tokens found in that language's dictionary
+    (duplicates count); prediction = argmax, ties broken alphabetically
+    (via ``max(struct(score, lang DESC-by-name))`` — fully deterministic).
+    """
+    toks = tokens(F.col(text_col))
+
+    def hit_count(words: list[str]):
+        arr = F.array(*[F.lit(s) for s in words])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = [
+        hit_count(LANG_STOPWORDS[lang]).alias(f"score_{lang}")
+        for lang in sorted(LANG_STOPWORDS)
+    ]
+    scored = df.select("doc_id", *scores)
+    langs = sorted(LANG_STOPWORDS)
+    # argmax with alphabetical tie-break: fold left, strictly-greater wins.
+    best = F.struct(F.col(f"score_{langs[0]}").alias("s"), F.lit(langs[0]).alias("l"))
+    for lang in langs[1:]:
+        cand_s = F.col(f"score_{lang}")
+        best = F.when(cand_s > best["s"], F.struct(cand_s.alias("s"), F.lit(lang).alias("l"))).otherwise(best)
+    return scored.select(
+        "doc_id",
+        *[F.col(f"score_{lang}") for lang in langs],
+        best["l"].alias("predicted_lang"),
+    )

@@ -1,0 +1,80 @@
+"""Multimodal plumbing + ODFV transform tests."""
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from feast_java_old_spark.operators import multimodal
+from feast_java_old_spark.operators.odfv import OnDemandFeatureView, apply_odfv
+from feast_java_old_spark.sources.tables import load_table
+
+
+def test_binary_payload_and_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    payloads = multimodal.attach_binary_payload(docs)
+    assert dict(payloads.dtypes)["payload"] == "binary"
+    meta = multimodal.decode_image_metadata(payloads).collect()
+    assert len(meta) == 20
+    for r in meta:
+        assert 1 <= r.width <= 640 and 1 <= r.height <= 480 and r.channels == 3
+        assert r.n_bytes > 0
+
+
+def test_frame_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    payloads = multimodal.attach_binary_payload(docs)
+    frames = multimodal.frame_sample(payloads, every_n=10).collect()
+    assert all(r.frame_idx % 10 == 0 for r in frames)
+    assert all(r.frame_idx < r.n_frames for r in frames)
+
+
+def test_extract_embedding_stub(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    payloads = multimodal.attach_binary_payload(docs)
+    out = multimodal.extract_embedding_stub(payloads, dim=8).collect()
+    assert all(len(r.embedding) == 8 for r in out)
+    # deterministic
+    again = multimodal.extract_embedding_stub(payloads, dim=8).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_odfv_pandas_transform(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 2.0), (2, 20.0, 4.0)],
+        "user_id long, rides__trip_cost double, surge double",
+    )
+    view = OnDemandFeatureView(
+        name="adjusted_cost",
+        inputs=["rides:trip_cost", "surge"],
+        output_schema=T.StructType([T.StructField("adjusted", T.DoubleType())]),
+        transform=lambda pdf: pd.DataFrame(
+            {"adjusted": pdf["rides:trip_cost"] * pdf["surge"]}
+        ),
+    )
+    out = apply_odfv(df, view).orderBy("user_id").collect()
+    assert [r.adjusted for r in out] == [20.0, 80.0]
+    assert all(r.adjusted__status == "PRESENT" for r in out)
+    # helper feature input dropped, request-data column kept
+    assert "rides__trip_cost" not in out[0].asDict()
+    assert "surge" in out[0].asDict()
+
+
+def test_odfv_expression_mode_stays_jvm_side(spark):
+    df = spark.createDataFrame([(1, 3.0, 4.0)], "id long, a double, b double")
+    view = OnDemandFeatureView.from_expressions(
+        "hyp", ["a", "b"], {"hyp": F.sqrt(F.col("a") ** 2 + F.col("b") ** 2)}
+    )
+    out = apply_odfv(df, view).collect()
+    assert out[0].hyp == 5.0
+    # expression mode must not introduce a Python worker stage
+    plan = apply_odfv(df, view)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+
+
+def test_odfv_unrequested_outputs_dropped(spark):
+    df = spark.createDataFrame([(1, 2.0)], "id long, a double")
+    view = OnDemandFeatureView.from_expressions(
+        "multi", ["a"], {"x2": F.col("a") * 2, "x3": F.col("a") * 3}
+    )
+    out = apply_odfv(df, view, requested_outputs=["x2"])
+    assert "x2" in out.columns and "x3" not in out.columns

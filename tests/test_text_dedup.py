@@ -1,0 +1,103 @@
+"""Text analysis + deduplication operator tests on the synthetic corpus."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from feast_java_old_spark.operators import dedup, text
+from feast_java_old_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_text_stats_shape_and_ranges(docs):
+    out = text.text_stats(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:50]:
+        assert r.n_tokens > 0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 times")], "doc_id long, text string")
+    out = df.select(text.token_count(F.col("text")).alias("n")).collect()
+    # hello | , | world | ! | 4 | 2 | times
+    assert out[0].n == 7
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b\tc"), (2, "A B C"), (3, "totally different")],
+        "doc_id long, text string",
+    )
+    fps = [r.fp for r in df.select(text.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_lang_id_deterministic(docs):
+    out = text.lang_id(docs)
+    assert out.count() == docs.count()
+    langs = {r.predicted_lang for r in out.collect()}
+    assert langs <= {"de", "en", "es", "fr"}
+
+
+def test_dedup_exact_finds_planted_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {r.canonical_id: r.n_copies for r in dedup.dedup_exact(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "x y")], "doc_id long, text string")
+    rows = df.select(dedup.shingles(F.col("text"), 3).alias("s")).collect()
+    assert rows[0].s == ["a b c", "b c d"]
+    assert rows[1].s == []  # too short
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely unrelated words about spark catalyst optimizer internals"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_candidates(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c x y")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()}
+    assert out[(1, 2)] == 1.0
+    # doc1 shingles {abc,bcd,cde}, doc3 {abc,bcx,cxy}: |∩|=1,|∪|=5
+    assert out[(1, 3)] == pytest.approx(0.2)
+
+
+def test_simhash_similar_docs_share_bands(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    df = spark.createDataFrame([(1, base), (2, near)], "doc_id long, text string")
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    assert len(sh[1]) == 32 and set(sh[1]) <= {"0", "1"}
+    hamming = sum(a != b for a, b in zip(sh[1], sh[2]))
+    assert hamming <= 8  # near-dup → small Hamming distance
+    cands = {(r.doc_a, r.doc_b) for r in dedup.simhash_candidates(df).collect()}
+    assert (1, 2) in cands
+
+
+def test_simhash_stability(docs):
+    a = dedup.simhash(docs).orderBy("doc_id").collect()
+    b = dedup.simhash(docs).orderBy("doc_id").collect()
+    assert a == b
