@@ -1,38 +1,851 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus
+the training-data-pipeline extensions) as (spark, sf_dir) -> DataFrame
+callables; ``oracle_sql()`` carries the equivalent ANSI SQL for DuckDB.
+
+Cross-engine determinism rules used throughout:
+- timestamps are emitted as unix microseconds (``unix_micros`` /
+  ``epoch_us``) — no tz or ns/µs ambiguity;
+- double aggregates are either integer-exact (cents) or rounded after
+  identical operation order;
+- every ranking has an explicit unique tie-break column.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from feast_java_old_spark.operators import dedup, multimodal, similarity, text
+from feast_java_old_spark.operators.historical import get_historical_features
+from feast_java_old_spark.operators.materialize import latest_per_key
+from feast_java_old_spark.operators.odfv import OnDemandFeatureView, apply_odfv
+from feast_java_old_spark.operators.retrieval import get_online_features
+from feast_java_old_spark.registry.model import (
+    Entity,
+    Feature,
+    FeatureTable,
+    FileSource,
+    ValueType,
+)
+from feast_java_old_spark.registry.registry import Registry
+from feast_java_old_spark.sources.batch import read_batch_source
+from feast_java_old_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------- S1/P1/P4
+
+
+def q_s1_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 parquet source + P4 field mapping + P1 projection + pushed filter."""
+    src = FileSource(
+        file_url=f"{sf_dir}/events.parquet",
+        event_timestamp_column="ts",
+        field_mapping={"value": "feature_value"},
+    )
+    df = read_batch_source(spark, src)
+    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.where(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "feature_value",
+    )
+
+
+SQL_S1 = """
+SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       value AS feature_value
+FROM events WHERE event_type = 'click'
+"""
+
+# ------------------------------------------------------------------------- A1
+
+
+def q_a1_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 latest-value-per-entity-key (the materialization kernel)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    latest = latest_per_key(events, ["user_id"], "event_timestamp")
+    return latest.select(
+        "user_id",
+        F.unix_micros("event_timestamp").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+
+
+SQL_A1 = """
+SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+       event_type, value
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+# --------------------------------------------------------------- J1 + statuses
+
+
+def _customer_orders_env(spark: SparkSession, sf_dir: str, max_age: int = 0):
+    reg = Registry()
+    reg.apply_entity(Entity("c_custkey", ValueType.INT64))
+    reg.apply_feature_table(
+        FeatureTable(
+            name="customer_orders",
+            entities=["c_custkey"],
+            features=[
+                Feature("total_price", ValueType.DOUBLE),
+                Feature("order_status", ValueType.STRING),
+            ],
+            max_age_secs=max_age,
+            batch_source=FileSource(
+                file_url=f"{sf_dir}/orders.parquet",
+                event_timestamp_column="o_orderdate",
+            ),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderdate").alias("event_timestamp"),
+        "o_orderkey",
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_orderstatus").alias("order_status"),
+    )
+    online = latest_per_key(orders, ["c_custkey"], "event_timestamp")
+    entities = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey")
+    )
+    return reg, online, entities
+
+
+def q_j1_entity_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the core entity-lookup query (broadcast point lookups +
+    PRESENT/NOT_FOUND/NULL_VALUE statuses)."""
+    reg, online, entities = _customer_orders_env(spark, sf_dir, max_age=0)
+    return get_online_features(
+        spark,
+        reg,
+        entities,
+        ["customer_orders:total_price", "customer_orders:order_status"],
+        request_ts=dt.datetime(1998, 12, 1),
+        full_feature_names=False,
+        online_frames={"customer_orders": online},
+    )
+
+
+def _sql_j1(status_of: str = "o_custkey") -> str:
+    return f"""
+WITH latest AS (
+  SELECT o_custkey, o_totalprice AS total_price, o_orderstatus AS order_status,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders),
+l1 AS (SELECT * FROM latest WHERE rn = 1)
+SELECT c.c_custkey,
+       l1.total_price,
+       CASE WHEN l1.o_custkey IS NULL THEN 'NOT_FOUND'
+            WHEN l1.total_price IS NULL THEN 'NULL_VALUE'
+            ELSE 'PRESENT' END AS total_price__status,
+       l1.order_status,
+       CASE WHEN l1.o_custkey IS NULL THEN 'NOT_FOUND'
+            WHEN l1.order_status IS NULL THEN 'NULL_VALUE'
+            ELSE 'PRESENT' END AS order_status__status
+FROM customer c LEFT JOIN l1 ON l1.o_custkey = c.c_custkey
+WHERE c.c_custkey % 7 = 0
+"""
+
+
+SQL_J1 = _sql_j1()
+
+# ----------------------------------------------------------------- J3 max_age
+
+MAX_AGE_1Y = 365 * 24 * 3600
+REQ_TS_J3 = dt.datetime(1998, 10, 1)
+
+
+def q_j3_max_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: staleness — values older than max_age are emptied with
+    OUTSIDE_MAX_AGE status."""
+    reg, online, entities = _customer_orders_env(spark, sf_dir, max_age=MAX_AGE_1Y)
+    return get_online_features(
+        spark,
+        reg,
+        entities,
+        ["customer_orders:total_price", "customer_orders:order_status"],
+        request_ts=REQ_TS_J3,
+        full_feature_names=False,
+        online_frames={"customer_orders": online},
+    )
+
+
+SQL_J3 = f"""
+WITH latest AS (
+  SELECT o_custkey, o_orderdate, o_totalprice AS total_price,
+         o_orderstatus AS order_status,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders),
+l1 AS (SELECT *,
+         (CAST(epoch(TIMESTAMP '1998-10-01 00:00:00') AS BIGINT)
+          - CAST(epoch(o_orderdate) AS BIGINT)) > {MAX_AGE_1Y} AS outside
+       FROM latest WHERE rn = 1)
+SELECT c.c_custkey,
+       CASE WHEN l1.outside THEN NULL ELSE l1.total_price END AS total_price,
+       CASE WHEN l1.o_custkey IS NULL THEN 'NOT_FOUND'
+            WHEN l1.outside THEN 'OUTSIDE_MAX_AGE'
+            WHEN l1.total_price IS NULL THEN 'NULL_VALUE'
+            ELSE 'PRESENT' END AS total_price__status,
+       CASE WHEN l1.outside THEN NULL ELSE l1.order_status END AS order_status,
+       CASE WHEN l1.o_custkey IS NULL THEN 'NOT_FOUND'
+            WHEN l1.outside THEN 'OUTSIDE_MAX_AGE'
+            WHEN l1.order_status IS NULL THEN 'NULL_VALUE'
+            ELSE 'PRESENT' END AS order_status__status
+FROM customer c LEFT JOIN l1 ON l1.o_custkey = c.c_custkey
+WHERE c.c_custkey % 7 = 0
+"""
+
+# ------------------------------------------------------------ J2 compound key
+
+
+def q_j2_compound_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: composite-entity-key lookup ((l_suppkey, l_partkey) pairs)."""
+    reg = Registry()
+    reg.apply_entity(Entity("l_suppkey", ValueType.INT64))
+    reg.apply_entity(Entity("l_partkey", ValueType.INT64))
+    reg.apply_feature_table(
+        FeatureTable(
+            name="supplier_part",
+            entities=["l_suppkey", "l_partkey"],
+            features=[
+                Feature("quantity", ValueType.DOUBLE),
+                Feature("extended_price", ValueType.DOUBLE),
+            ],
+            batch_source=FileSource(
+                file_url=f"{sf_dir}/lineitem.parquet",
+                event_timestamp_column="l_shipdate",
+            ),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_partkey",
+        F.col("l_shipdate").alias("event_timestamp"),
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extended_price"),
+    )
+    online = latest_per_key(li, ["l_suppkey", "l_partkey"], "event_timestamp")
+    entities = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") % 50 == 0)
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+        .unionByName(
+            spark.createDataFrame([(-1, -1)], "l_suppkey long, l_partkey long")
+        )
+    )
+    return get_online_features(
+        spark,
+        reg,
+        entities,
+        ["supplier_part:quantity", "supplier_part:extended_price"],
+        request_ts=dt.datetime(1998, 12, 1),
+        full_feature_names=False,
+        online_frames={"supplier_part": online},
+    )
+
+
+SQL_J2 = """
+WITH latest AS (
+  SELECT l_suppkey, l_partkey, l_quantity AS quantity,
+         l_extendedprice AS extended_price,
+         row_number() OVER (PARTITION BY l_suppkey, l_partkey
+                            ORDER BY l_shipdate DESC, l_orderkey DESC,
+                                     l_linenumber DESC) AS rn
+  FROM lineitem),
+l1 AS (SELECT * FROM latest WHERE rn = 1),
+ent AS (
+  SELECT DISTINCT l_suppkey, l_partkey FROM lineitem WHERE l_partkey % 50 = 0
+  UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT))
+SELECT e.l_suppkey, e.l_partkey,
+       l1.quantity,
+       CASE WHEN l1.l_suppkey IS NULL THEN 'NOT_FOUND'
+            WHEN l1.quantity IS NULL THEN 'NULL_VALUE'
+            ELSE 'PRESENT' END AS quantity__status,
+       l1.extended_price,
+       CASE WHEN l1.l_suppkey IS NULL THEN 'NOT_FOUND'
+            WHEN l1.extended_price IS NULL THEN 'NULL_VALUE'
+            ELSE 'PRESENT' END AS extended_price__status
+FROM ent e LEFT JOIN l1
+  ON l1.l_suppkey = e.l_suppkey AND l1.l_partkey = e.l_partkey
+"""
+
+# -------------------------------------------------------- historical (as-of)
+
+ASOF_MAX_AGE = 7 * 24 * 3600
+
+
+def q_historical_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time retrieval: latest event per (user, request_ts) with
+    event_ts <= request_ts, max_age 7 days, full status vocabulary."""
+    events = load_table(spark, sf_dir, "events")
+    history = events.select(
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+        "event_id",
+        "value",
+        "event_type",
+    )
+    stamps = [dt.datetime(2024, 1, 15), dt.datetime(2024, 1, 5)]
+    requests = (
+        events.select("user_id")
+        .distinct()
+        .crossJoin(
+            spark.createDataFrame([(s,) for s in stamps], "request_ts timestamp")
+        )
+    )
+    out = get_historical_features(
+        requests,
+        history,
+        ["user_id"],
+        feature_cols=["value", "event_type"],
+        max_age_secs=ASOF_MAX_AGE,
+        include_statuses=True,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("request_ts").alias("request_ts_us"),
+        F.unix_micros("event_timestamp").alias("event_ts_us"),
+        "value",
+        "value__status",
+        "event_type",
+        "event_type__status",
+    )
+
+
+SQL_ASOF = f"""
+WITH req AS (
+  SELECT u.user_id, t.request_ts
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT unnest([TIMESTAMP '2024-01-15 00:00:00',
+                             TIMESTAMP '2024-01-05 00:00:00']) AS request_ts) t),
+j AS (
+  SELECT r.user_id, r.request_ts, CAST(e.ts AS TIMESTAMP) AS ets,
+         e.value, e.event_type,
+         row_number() OVER (PARTITION BY r.user_id, r.request_ts
+                            ORDER BY CAST(e.ts AS TIMESTAMP) DESC,
+                                     e.event_id DESC) AS rn
+  FROM req r LEFT JOIN events e
+    ON e.user_id = r.user_id AND CAST(e.ts AS TIMESTAMP) <= r.request_ts),
+m AS (
+  SELECT *, ets IS NOT NULL AND
+         (CAST(epoch(request_ts) AS BIGINT) - CAST(epoch(ets) AS BIGINT))
+           > {ASOF_MAX_AGE} AS outside
+  FROM j WHERE rn = 1)
+SELECT user_id, epoch_us(request_ts) AS request_ts_us,
+       epoch_us(ets) AS event_ts_us,
+       CASE WHEN outside THEN NULL ELSE value END AS value,
+       CASE WHEN ets IS NULL THEN 'NOT_FOUND'
+            WHEN outside THEN 'OUTSIDE_MAX_AGE'
+            WHEN value IS NULL THEN 'NULL_VALUE'
+            ELSE 'PRESENT' END AS value__status,
+       CASE WHEN outside THEN NULL ELSE event_type END AS event_type,
+       CASE WHEN ets IS NULL THEN 'NOT_FOUND'
+            WHEN outside THEN 'OUTSIDE_MAX_AGE'
+            WHEN event_type IS NULL THEN 'NULL_VALUE'
+            ELSE 'PRESENT' END AS event_type__status
+FROM m
+"""
+
+# ------------------------------------------------------------------ A2 metrics
+
+
+def q_a2_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: request-metrics aggregation shape (count / count-distinct /
+    integer-exact sum)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_value_cents"),
+    )
+
+
+SQL_A2 = """
+SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_value_cents
+FROM events GROUP BY event_type
+"""
+
+# --------------------------------------------------------- P5 type conformance
+
+
+def q_p5_type_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: value whose stored type mismatches the declared type → NULL
+    (try_cast), value round-trips preserved."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.col("props").try_cast("double").alias("props_as_double"),
+        F.col("value").cast("string").try_cast("double").alias("value_roundtrip"),
+    )
+
+
+SQL_P5 = """
+SELECT event_id, TRY_CAST(props AS DOUBLE) AS props_as_double,
+       TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value_roundtrip
+FROM events
+"""
+
+# ------------------------------------------------------------------ dedup ops
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs)
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+MINHASH_K = 12
+MINHASH_BANDS = 4
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(
+        docs, k=MINHASH_K, bands=MINHASH_BANDS, n=3
+    )
+
+
+def _sql_minhash() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    mins = ",\n    ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{i}|' || x)), 'min') AS m{i}"
+        for i in range(MINHASH_K)
+    )
+    bands = ",\n    ".join(
+        "md5(" + " || '|' || ".join(f"m{b * rows + j}" for j in range(rows)) + f") AS b{b}"
+        for b in range(MINHASH_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, b{b} AS bucket FROM sig" for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       FOR i IN range(1, len(t) - 1)]) AS s
+       FROM toks WHERE len(t) >= 3),
+sigm AS (SELECT doc_id,
+    {mins}
+  FROM sh),
+sig AS (SELECT doc_id,
+    {bands}
+  FROM sigm),
+bkt AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bkt a JOIN bkt b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, bits=32)
+
+
+def _sql_simhash(bits: int = 32) -> str:
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN substr(md5(tok), {j}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(1, bits + 1)
+    )
+    concat = " || ".join(
+        f"(CASE WHEN s{j} > 0 THEN '1' ELSE '0' END)" for j in range(1, bits + 1)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents),
+agg AS (SELECT doc_id,
+    {sums}
+  FROM toks GROUP BY doc_id)
+SELECT doc_id, {concat} AS simhash FROM agg
+"""
+
+
+JACCARD_THRESHOLD = 0.5
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=JACCARD_THRESHOLD)
+
+
+SQL_JACCARD = f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       FOR i IN range(1, len(t) - 1)]) AS s
+       FROM toks WHERE len(t) >= 3),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.doc_a, i.doc_b,
+       round(i.ni / (sa.n + sb.n - i.ni), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.ni / (sa.n + sb.n - i.ni), 6) >= {JACCARD_THRESHOLD}
+"""
+
+# ------------------------------------------------------------------- text ops
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.text_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+_STOPLIST_SQL = "['the','a','of','and','to','in','is','it','that','for']"
+
+SQL_TEXT_STATS = f"""
+WITH b AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains({_STOPLIST_SQL}, t))) AS n_stop,
+         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+           AS n_alnum_space
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+       round((n_chars - (n_tokens - 1)) / n_tokens, 6) AS avg_token_len,
+       round((n_chars - n_alnum_space) / n_chars, 6) AS punct_ratio,
+       round(n_stop / n_tokens, 6) AS stopword_ratio,
+       round(least(n_tokens / 50.0, 1.0) * 0.5
+             + least((n_stop / n_tokens) * 5.0, 1.0) * 0.3
+             + (1.0 - least(((n_chars - n_alnum_space) / n_chars) * 10.0, 1.0))
+               * 0.2, 6) AS quality_score
+FROM b
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.lang_id(docs)
+    return out.select(
+        "doc_id",
+        *[F.col(f"score_{lang}").cast("long").alias(f"score_{lang}")
+          for lang in sorted(text.LANG_STOPWORDS)],
+        "predicted_lang",
+    )
+
+
+def _sql_lang_id() -> str:
+    langs = sorted(text.LANG_STOPWORDS)
+    scores = ",\n    ".join(
+        "len(list_filter(string_split(lower(text), ' '), t -> list_contains(["
+        + ",".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang])
+        + f"], t))) AS score_{lang}"
+        for lang in langs
+    )
+    # mirror the fold: start at langs[0], strictly-greater candidate wins
+    best_s, best_l = f"score_{langs[0]}", f"'{langs[0]}'"
+    for lang in langs[1:]:
+        cond = f"score_{lang} > ({best_s})"
+        best_s = f"CASE WHEN {cond} THEN score_{lang} ELSE ({best_s}) END"
+        best_l = f"CASE WHEN {cond} THEN '{lang}' ELSE ({best_l}) END"
+    cols = ", ".join(f"score_{lang}" for lang in langs)
+    return f"""
+WITH s AS (SELECT doc_id,
+    {scores}
+  FROM documents)
+SELECT doc_id, {cols}, {best_l} AS predicted_lang FROM s
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = (
+    "SELECT doc_id, len(regexp_extract_all(text, "
+    r"'[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_tokens FROM documents"
+)
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+SQL_FINGERPRINT = (
+    "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) "
+    "AS fingerprint FROM documents"
+)
+
+# ------------------------------------------------------------- similarity ops
+
+TOPK_K = 5
+ANN_BITS = 6
+ANN_K = 3
+NEAR_DUP_THRESHOLD = 0.3
+NEAR_DUP_BITS = 4
+
+_DOT = "list_dot_product"
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(emb, queries, k=TOPK_K).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine"
+    )
+
+
+SQL_TOPK = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round({_DOT}(v.e, q.qe)
+               / (sqrt({_DOT}(v.e, v.e)) * sqrt({_DOT}(q.qe, q.qe))), 6)
+           AS cosine
+  FROM v CROSS JOIN q WHERE v.vec_id != q.query_id)
+SELECT query_id, rank, neighbor_id, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+WHERE rank <= {TOPK_K}
+"""
+
+
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ann_sign_lsh(emb, queries, k=ANN_K, bits=ANN_BITS).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine"
+    )
+
+
+SQL_ANN = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+    array_to_string([CASE WHEN e >= 0 THEN '1' ELSE '0' END
+                     FOR e IN (embedding::DOUBLE[])[1:{ANN_BITS}]], '') AS bucket
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM v WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round({_DOT}(v.e, q.qe)
+               / (sqrt({_DOT}(v.e, v.e)) * sqrt({_DOT}(q.qe, q.qe))), 6)
+           AS cosine
+  FROM v JOIN q ON v.bucket = q.bucket WHERE v.vec_id != q.query_id)
+SELECT query_id, rank, neighbor_id, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+WHERE rank <= {ANN_K}
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(
+        emb, threshold=NEAR_DUP_THRESHOLD, bits=NEAR_DUP_BITS
+    )
+
+
+SQL_NEAR_DUPS = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+    array_to_string([CASE WHEN e >= 0 THEN '1' ELSE '0' END
+                     FOR e IN (embedding::DOUBLE[])[1:{NEAR_DUP_BITS}]], '')
+      AS bucket
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_DOT}(a.e, b.e)
+             / (sqrt({_DOT}(a.e, a.e)) * sqrt({_DOT}(b.e, b.e))), 6) AS cosine
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_DOT}(a.e, b.e)
+            / (sqrt({_DOT}(a.e, a.e)) * sqrt({_DOT}(b.e, b.e))), 6)
+      >= {NEAR_DUP_THRESHOLD}
+"""
+
+# ------------------------------------------------------------- multimodal ops
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_binary_payload(docs)
+    meta = multimodal.decode_image_metadata(payloads)
+    return meta.select(
+        "doc_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+    )
+
+
+SQL_MM_DECODE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+       CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels
+FROM documents
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_binary_payload(docs)
+    frames = multimodal.frame_sample(payloads, every_n=10)
+    return frames.select(
+        "doc_id",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+    )
+
+
+SQL_MM_FRAMES = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) % 100 + 1 AS BIGINT) AS n_frames,
+       unnest(range(0, octet_length(encode(text)) % 100 + 1, 10)) AS frame_idx
+FROM documents
+"""
+
+# ------------------------------------------------------------------- ODFV
+
+
+def q_odfv_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODFV: Arrow-batched pandas transform over retrieved features
+    (the in-process replacement for the reference's gRPC transform hop)."""
+    import pandas as pd
+
+    latest = q_a1_latest_per_key(spark, sf_dir)
+    view = OnDemandFeatureView(
+        name="scored_user",
+        inputs=["value", "event_type"],
+        output_schema=T.StructType([T.StructField("score", T.DoubleType())]),
+        transform=lambda pdf: pd.DataFrame(
+            {"score": pdf["value"] * 2 + pdf["event_type"].str.len()}
+        ),
+    )
+    out = apply_odfv(latest, view)
+    return out.select("user_id", "score", "score__status")
+
+
+SQL_ODFV = """
+WITH latest AS (
+  SELECT user_id, event_type, value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events)
+  WHERE rn = 1)
+SELECT user_id, value * 2 + length(event_type) AS score,
+       'PRESENT' AS score__status
+FROM latest
+"""
+
+# ---------------------------------------------------------------- the contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the J1 entity-lookup —
+    the reference's hot path — over the synthetic star schema."""
+    return q_j1_entity_lookup(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "s1_scan_projection": q_s1_scan_projection,
+        "a1_latest_per_key": q_a1_latest_per_key,
+        "j1_entity_lookup": q_j1_entity_lookup,
+        "j2_compound_key": q_j2_compound_key,
+        "j3_max_age": q_j3_max_age,
+        "historical_asof": q_historical_asof,
+        "a2_metrics_rollup": q_a2_metrics_rollup,
+        "p5_type_conformance": q_p5_type_conformance,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann_lsh": q_similarity_ann_lsh,
+        "embedding_near_dups": q_embedding_near_dups,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
+        "odfv_transform": q_odfv_transform,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "s1_scan_projection": SQL_S1,
+        "a1_latest_per_key": SQL_A1,
+        "j1_entity_lookup": SQL_J1,
+        "j2_compound_key": SQL_J2,
+        "j3_max_age": SQL_J3,
+        "historical_asof": SQL_ASOF,
+        "a2_metrics_rollup": SQL_A2,
+        "p5_type_conformance": SQL_P5,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_minhash_lsh": _sql_minhash(),
+        "dedup_simhash": _sql_simhash(),
+        "dedup_ngram_jaccard": SQL_JACCARD,
+        "text_stats": SQL_TEXT_STATS,
+        "lang_id": _sql_lang_id(),
+        "token_count": SQL_TOKEN_COUNT,
+        "doc_fingerprint": SQL_FINGERPRINT,
+        "similarity_topk": SQL_TOPK,
+        "similarity_ann_lsh": SQL_ANN,
+        "embedding_near_dups": SQL_NEAR_DUPS,
+        "multimodal_decode": SQL_MM_DECODE,
+        "multimodal_frames": SQL_MM_FRAMES,
+        "odfv_transform": SQL_ODFV,
+    }

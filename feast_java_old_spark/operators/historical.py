@@ -49,12 +49,15 @@ def asof_join(
     feature_cols: Optional[Sequence[str]] = None,
     max_age_secs: int = 0,
     strategy: str = "union",
+    tiebreak_col: Optional[str] = None,
 ) -> DataFrame:
     """As-of join ``requests`` to the latest ``history`` row per key.
 
     Returns ``requests``'s columns plus one ``event_timestamp`` column
     (the matched row's event time, null when unmatched) and the feature
     columns (null when unmatched or outside ``max_age_secs``).
+    ``tiebreak_col`` (a unique history column, e.g. an event id) makes the
+    winner among equal-timestamp history rows deterministic: highest wins.
     """
     keys = list(keys)
     if feature_cols is None:
@@ -65,17 +68,22 @@ def asof_join(
 
     if strategy == "union":
         out = _asof_union(
-            requests, history, keys, request_ts_col, event_ts_col, feature_cols
+            requests, history, keys, request_ts_col, event_ts_col, feature_cols,
+            tiebreak_col,
         )
     elif strategy == "join":
         out = _asof_range_join(
-            requests, history, keys, request_ts_col, event_ts_col, feature_cols
+            requests, history, keys, request_ts_col, event_ts_col, feature_cols,
+            tiebreak_col,
         )
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
     if max_age_secs and max_age_secs > 0:
-        age = F.col(request_ts_col).cast("long") - F.col(event_ts_col).cast("long")
+        age = (
+            F.col(request_ts_col).cast("timestamp").cast("long")
+            - F.col(event_ts_col).cast("timestamp").cast("long")
+        )
         stale = F.col(event_ts_col).isNotNull() & (age > F.lit(max_age_secs))
         for c in feature_cols:
             out = out.withColumn(c, F.when(~stale, F.col(c)))
@@ -90,15 +98,22 @@ def _asof_union(
     request_ts_col: str,
     event_ts_col: str,
     feature_cols: list[str],
+    tiebreak_col: Optional[str] = None,
 ) -> DataFrame:
     req_cols = [c for c in requests.columns]
     payload = F.struct(
         F.col(event_ts_col).alias("__ts"), *[F.col(c) for c in feature_cols]
     )
+    tb = (
+        F.col(tiebreak_col)
+        if tiebreak_col
+        else F.lit(0).cast("long")
+    )
     h = history.select(
         *keys,
         F.col(event_ts_col).alias("__t"),
         F.lit(0).alias("__is_req"),
+        tb.alias("__tb"),
         payload.alias("__payload"),
         *[F.lit(None).cast(requests.schema[c].dataType).alias(f"__r_{c}")
           for c in req_cols if c not in keys],
@@ -107,13 +122,19 @@ def _asof_union(
         *keys,
         F.col(request_ts_col).alias("__t"),
         F.lit(1).alias("__is_req"),
+        F.lit(None).cast(h.schema["__tb"].dataType).alias("__tb"),
         F.lit(None).cast(h.schema["__payload"].dataType).alias("__payload"),
         *[F.col(c).alias(f"__r_{c}") for c in req_cols if c not in keys],
     )
-    # Feature rows sort before request rows at equal ts → `<=` inclusivity.
+    # Feature rows sort before request rows at equal ts → `<=` inclusivity;
+    # among equal-ts feature rows the highest tiebreak lands last → wins.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__is_req").asc())
+        .orderBy(
+            F.col("__t").asc(),
+            F.col("__is_req").asc(),
+            F.col("__tb").asc_nulls_last(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = h.unionByName(r).withColumn(
@@ -135,10 +156,12 @@ def _asof_range_join(
     request_ts_col: str,
     event_ts_col: str,
     feature_cols: list[str],
+    tiebreak_col: Optional[str] = None,
 ) -> DataFrame:
     req = requests.withColumn("__req_id", F.monotonically_increasing_id())
+    extra = [tiebreak_col] if tiebreak_col and tiebreak_col not in feature_cols else []
     h = history.select(
-        *keys, F.col(event_ts_col), *[F.col(c) for c in feature_cols]
+        *keys, F.col(event_ts_col), *[F.col(c) for c in feature_cols + extra]
     )
     joined = req.join(
         h,
@@ -146,12 +169,16 @@ def _asof_range_join(
         + [h[event_ts_col] <= req[request_ts_col]],
         how="left",
     ).drop(*[h[k] for k in keys])
-    w = Window.partitionBy("__req_id").orderBy(F.col(event_ts_col).desc())
-    return (
+    order = [F.col(event_ts_col).desc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).desc_nulls_last())
+    w = Window.partitionBy("__req_id").orderBy(*order)
+    out = (
         joined.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn", "__req_id")
     )
+    return out.drop(*extra) if extra else out
 
 
 def get_historical_features(
@@ -164,6 +191,7 @@ def get_historical_features(
     max_age_secs: int = 0,
     include_statuses: bool = False,
     strategy: str = "union",
+    tiebreak_col: Optional[str] = None,
 ) -> DataFrame:
     """As-of join + the reference's per-field status vocabulary."""
     keys = list(keys)
@@ -183,10 +211,14 @@ def get_historical_features(
         feature_cols,
         max_age_secs=0,
         strategy=strategy,
+        tiebreak_col=tiebreak_col,
     )
     found = F.col(event_ts_col).isNotNull()
     if max_age_secs and max_age_secs > 0:
-        age = F.col(request_ts_col).cast("long") - F.col(event_ts_col).cast("long")
+        age = (
+            F.col(request_ts_col).cast("timestamp").cast("long")
+            - F.col(event_ts_col).cast("timestamp").cast("long")
+        )
         outside = found & (age > F.lit(max_age_secs))
     else:
         outside = F.lit(False)

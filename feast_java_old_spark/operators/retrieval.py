@@ -81,11 +81,12 @@ def get_online_features(
     registry: Registry,
     entity_rows: Union[Sequence[dict], DataFrame],
     feature_refs: Sequence[str],
-    store_path: str,
+    store_path: Optional[str] = None,
     project: str = "default",
     request_ts: Optional[dt.datetime] = None,
     full_feature_names: bool = True,
     include_statuses: bool = True,
+    online_frames: Optional[dict[str, DataFrame]] = None,
 ) -> DataFrame:
     """Batch point-lookup of the latest feature values for N entity rows.
 
@@ -134,11 +135,18 @@ def get_online_features(
 
         ts_alias = f"__ts__{table_name}"
         known = [r for r in trefs if spec.feature(r.name) is not None]
-        path = online_table_path(store_path, project, table_name)
-        try:
-            online = spark.read.parquet(path)
-        except Exception:
-            online = None  # never materialized → every field NOT_FOUND
+        if online_frames is not None and table_name in online_frames:
+            # In-memory online view (e.g. freshly materialized this session)
+            # — same plan, no parquet round-trip.
+            online = online_frames[table_name]
+        elif store_path is not None:
+            path = online_table_path(store_path, project, table_name)
+            try:
+                online = spark.read.parquet(path)
+            except Exception:
+                online = None  # never materialized → every field NOT_FOUND
+        else:
+            online = None
 
         if online is not None and known:
             actual_types = dict(online.dtypes)
@@ -177,7 +185,10 @@ def get_online_features(
         if spec.max_age_secs and spec.max_age_secs > 0:
             # Seconds arithmetic, matching the reference's
             # Timestamp.getSeconds math (OnlineServingServiceV2.java:365-370).
-            age = F.col("__req_ts").cast("long") - F.col(ts_alias).cast("long")
+            age = (
+                F.col("__req_ts").cast("timestamp").cast("long")
+                - F.col(ts_alias).cast("timestamp").cast("long")
+            )
             outside = found & (age > F.lit(spec.max_age_secs))
         else:
             outside = F.lit(False)

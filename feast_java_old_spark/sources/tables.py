@@ -43,8 +43,13 @@ def session_builder(app: str, master: str | None = None, **conf):
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # Nano-timestamp normalization (events.ts): LONG nanos → µs timestamp.
     for field in df.schema.fields:
+        # Nano-timestamp normalization (events.ts): LONG nanos → µs timestamp.
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Parquet TIMESTAMP(isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ;
+        # with the session pinned to UTC the instant is identical — keep one
+        # timestamp type engine-wide so epoch arithmetic stays castable.
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df

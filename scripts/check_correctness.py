@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Local emulation of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same sf dir, then compares row count, schema (column
+names), and an order-insensitive value hash (columns sorted by name, rows
+sorted by all columns).
+
+Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v
+            )
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("int64")
+        if df[c].dtype == np.float32:
+            df[c] = df[c].astype("float64")
+        # unify nullable ints
+        if str(df[c].dtype) in ("Int64", "Int32", "int32"):
+            df[c] = df[c].astype("float64") if df[c].isna().any() else df[c].astype("int64")
+        if str(df[c].dtype) == "int64" and df[c].isna().any():
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns), na_position="first").reset_index(
+        drop=True
+    )
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = norm_frame(df)
+    payload = df.to_csv(index=False, float_format="%.9g").encode()
+    return hashlib.md5(payload).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from feast_java_old_spark.sources.tables import session_builder
+
+    spark = session_builder(
+        "check-correctness",
+        master="local[8]",
+        **{
+            "spark.sql.shuffle.partitions": "16",
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "8g",
+        },
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {ex}")
+            failures.append(name)
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"rows  {name}: {len(sdf)} rows (no oracle)")
+            continue
+        try:
+            odf = con.sql(sql).df()
+        except Exception as ex:
+            print(f"FAIL  {name}: duckdb error: {str(ex)[:200]}")
+            failures.append(name)
+            continue
+        dt_s = time.time() - t0
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount {len(sdf)} != {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"columns {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        if not problems:
+            hs, ho = value_hash(sdf), value_hash(odf)
+            if hs != ho:
+                problems.append("value-hash mismatch")
+                a, b = norm_frame(sdf), norm_frame(odf)
+                neq = (a != b) & ~(a.isna() & b.isna())
+                bad_cols = [c for c in a.columns if neq[c].any()]
+                problems.append(f"differing columns: {bad_cols[:5]}")
+                for c in bad_cols[:2]:
+                    i = neq[c].idxmax()
+                    problems.append(f"  {c}[{i}]: spark={a[c][i]!r} oracle={b[c][i]!r}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            failures.append(name)
+        else:
+            print(f"ok    {name}: {len(sdf)} rows, {dt_s:.1f}s")
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        return 1
+    print("ALL PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
