@@ -439,13 +439,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash() -> str:
+    # Mirrors dedup.minhash_lsh_candidates: 28-bit md5 base hash +
+    # universal-hash family (A_i*h + B_i) mod P, per-band md5 buckets.
+    P = 2147483647
     rows = MINHASH_K // MINHASH_BANDS
     mins = ",\n    ".join(
-        f"list_aggregate(list_transform(s, x -> md5('{i}|' || x)), 'min') AS m{i}"
+        f"min((h * {1000003 + 2 * i} + {12345 + 7919 * i}) % {P}) AS m{i}"
         for i in range(MINHASH_K)
     )
     bands = ",\n    ".join(
-        "md5(" + " || '|' || ".join(f"m{b * rows + j}" for j in range(rows)) + f") AS b{b}"
+        "md5(concat_ws('|', "
+        + ", ".join(f"m{b * rows + j}" for j in range(rows))
+        + f")) AS b{b}"
         for b in range(MINHASH_BANDS)
     )
     band_rows = " UNION ALL ".join(
@@ -457,9 +462,12 @@ sh AS (SELECT doc_id,
         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                        FOR i IN range(1, len(t) - 1)]) AS s
        FROM toks WHERE len(t) >= 3),
+ex AS (SELECT doc_id,
+        ('0x' || substr(unnest(s), 1, 7))::BIGINT AS h
+       FROM (SELECT doc_id, list_transform(s, x -> md5(x)) AS s FROM sh)),
 sigm AS (SELECT doc_id,
     {mins}
-  FROM sh),
+  FROM ex GROUP BY doc_id),
 sig AS (SELECT doc_id,
     {bands}
   FROM sigm),

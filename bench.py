@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced to full execution with a noop sink (no driver-side
+collect cost, no result materialization skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+HEADLINE = [
+    "s1_scan_projection",
+    "a1_latest_per_key",
+    "j1_entity_lookup",
+    "j2_compound_key",
+    "j3_max_age",
+    "historical_asof",
+    "a2_metrics_rollup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_stats",
+    "lang_id",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "embedding_near_dups",
+    "multimodal_decode",
+    "odfv_transform",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    import __spark_entry__ as e
+    from feast_java_old_spark.sources.tables import session_builder
+
+    spark = session_builder(
+        "bench",
+        master=f"local[{cpus}]",
+        **{
+            "spark.sql.shuffle.partitions": str(max(int(cpus), 16)),
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+            "spark.ui.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "64MB",
+        },
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = e.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

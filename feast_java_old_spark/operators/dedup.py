@@ -43,6 +43,40 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def exploded_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = False,
+) -> DataFrame:
+    """(doc_id, shingle) rows via ``posexplode`` + window ``lead`` —
+    fully codegen'd, unlike the per-row higher-order-function form of
+    :func:`shingles` (interpreted, measured ~10x slower per doc). This is
+    the shape the heavy pipelines use; the per-row form remains for
+    expression-level composition.
+
+    ``distinct=False`` skips per-doc dedup — correct for MinHash (a
+    duplicate shingle cannot change a min) and one shuffle cheaper.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    sep = F.lit(" ")
+    glued = parts[0]
+    for p in parts[1:]:
+        glued = F.concat(glued, sep, p)  # concat → NULL when any lead is NULL
+    sh = toks.select("doc_id", glued.alias("shingle")).where(
+        F.col("shingle").isNotNull()
+    )
+    return sh.dropDuplicates(["doc_id", "shingle"]) if distinct else sh
+
+
 def dedup_exact(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -63,18 +97,38 @@ def dedup_exact(
     )
 
 
-def minhash_signature(text: Column, k: int = 12, n: int = 3) -> Column:
-    """k md5-minhashes over word-n-gram shingles.
+# Universal-hash family for MinHash: one md5 per shingle gives a 28-bit
+# base integer h; hash_i(s) = (A_i*h + B_i) mod P. Bounds keep every
+# intermediate < 2^58, so the arithmetic is portable to engines that
+# error on 64-bit overflow (DuckDB) while Spark computes identically.
+MINHASH_P = 2147483647  # 2^31 - 1
+_MINHASH_A = lambda i: 1000003 + 2 * i  # noqa: E731
+_MINHASH_B = lambda i: 12345 + 7919 * i  # noqa: E731
 
-    ``hash_i(s) = md5(i || '|' || s)``; the signature element is the
-    lexicographic minimum — identical in any engine with md5.
+
+def shingle_base_hash(col: Column) -> Column:
+    """28-bit integer hash of a shingle: first 7 hex chars of md5.
+
+    Identical in SQL as ``('0x' || substr(md5(s),1,7))::BIGINT``.
     """
-    sh = shingles(text, n)
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def minhash_hash(i: int, base: Column) -> Column:
+    return (base * F.lit(_MINHASH_A(i)) + F.lit(_MINHASH_B(i))) % F.lit(MINHASH_P)
+
+
+def minhash_signature(text: Column, k: int = 12, n: int = 3) -> Column:
+    """Per-row k-minhash signature over word-n-gram shingles.
+
+    One md5 per shingle; the k permutations are integer linear hashes of
+    the shared base (classic universal-hash MinHash — ~k× cheaper than
+    k independent digests).
+    """
+    bases = F.transform(shingles(text, n), lambda s: shingle_base_hash(s))
 
     def min_hash(i: int):
-        return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
-        )
+        return F.array_min(F.transform(bases, lambda b: minhash_hash(i, b)))
 
     return F.array(*[min_hash(i) for i in range(k)])
 
@@ -94,17 +148,25 @@ def minhash_lsh_candidates(
     is a 32-char md5; skew only arises from genuinely identical bands.
     """
     rows_per_band = k // bands
-    sig = minhash_signature(F.col(text_col), k, n)
-    with_sig = df.select(F.col(id_col).alias("doc_id"), sig.alias("sig")).where(
-        F.col("sig")[0].isNotNull()
+    # Explode shingles once, then compute all k minhashes as partial
+    # (map-side-combining) MIN aggregates. A single per-row array
+    # expression would re-evaluate the whole shingle subtree k times —
+    # higher-order functions are interpreted (no codegen, no CSE), which
+    # measured ~30x slower; the explode+agg form is also the shape that
+    # scales (shuffle carries one signature row per doc).
+    ex = exploded_shingles(df, text_col, id_col, n, distinct=False).select(
+        "doc_id", shingle_base_hash(F.col("shingle")).alias("h")
+    )
+    sig = ex.groupBy("doc_id").agg(
+        *[F.min(minhash_hash(i, F.col("h"))).alias(f"m{i}") for i in range(k)]
     )
     band_cols = []
     for b in range(bands):
-        part = [F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        part = [F.col(f"m{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *part)).alias("bucket"))
         )
-    buckets = with_sig.select(
+    buckets = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     left = buckets.alias("l")
@@ -136,10 +198,7 @@ def ngram_jaccard_pairs(
     per-doc distinct counts. Emits (doc_a, doc_b, jaccard). Quadratic only
     within shingle groups — the classic exact verifier for LSH candidates.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-    )
+    sh = exploded_shingles(df, text_col, id_col, n, distinct=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -203,12 +262,34 @@ def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
     """Per-doc SimHash as a bit string (portable across engines — no
-    signed-int pitfalls)."""
-    bitvec = simhash_bits(F.col(text_col), bits)
-    return df.select(
+    signed-int pitfalls).
+
+    Relational formulation: explode tokens, md5 once per token, then
+    ``bits`` SUM aggregates of ±1 hex-digit votes — fully codegen'd with
+    map-side partial aggregation (the per-row ``aggregate``/``zip_with``
+    form in :func:`simhash_bits` is interpreted and ~10x slower; it
+    remains for expression-level composition).
+    """
+    hexes = "89abcdef"
+    toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.concat_ws("", bitvec).alias("simhash"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select("doc_id", F.md5("tok").alias("hh"))
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("hh", j, 1).isin(*hexes), 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(1, bits + 1)
+        ]
     )
+    bitstr = F.concat(
+        *[
+            F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(1, bits + 1)
+        ]
+    )
+    return sums.select("doc_id", bitstr.alias("simhash"))
 
 
 def simhash_candidates(

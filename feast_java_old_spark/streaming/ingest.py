@@ -1,0 +1,165 @@
+"""Streaming materialization (SURVEY §2.6).
+
+The reference *declares* stream sources per feature table
+(``FeatureTable.java:94-97,147-150``; Kafka/Kinesis specs,
+``DataSource.java:104-116``) but ingestion lived in feast-spark. Here it
+is Structured Streaming:
+
+``readStream`` → (decode) → ``withWatermark`` → ``foreachBatch`` merge
+that keeps the max-event_timestamp row per entity key — the late-data
+rule implied by the online stores' latest-cell-wins layout (A1,
+``BigTableOnlineRetriever.java:100``): **a late row older than the stored
+one must not win**, and with latest-wins merge it structurally cannot.
+
+Sink notes: the online table is plain parquet swapped atomically via a
+version pointer (local/exactly-once-enough for a single writer). On a
+production lake the ``foreachBatch`` body becomes a Delta/Iceberg MERGE
+INTO keyed on the entity columns — same dataflow, transactional swap for
+free. The merge itself is the same map-side-combining aggregate as batch
+materialization, so per-batch cost is O(batch + current-table), not
+O(history).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feast_java_old_spark.operators.materialize import (
+    latest_per_key,
+    online_table_path,
+)
+
+_POINTER = "_LATEST"
+
+
+def _current_version_dir(path: str) -> Optional[str]:
+    ptr = os.path.join(path, _POINTER)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        v = f.read().strip()
+    vdir = os.path.join(path, v)
+    return vdir if os.path.isdir(vdir) else None
+
+
+def read_online_table(spark: SparkSession, path: str) -> Optional[DataFrame]:
+    """Read an online table written by either batch ``materialize`` (bare
+    parquet dir) or the streaming merge (versioned dir + pointer)."""
+    vdir = _current_version_dir(path)
+    try:
+        return spark.read.parquet(vdir if vdir else path)
+    except Exception:
+        return None
+
+
+def merge_latest_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    batch_id: int,
+    event_ts_col: str = "event_timestamp",
+) -> None:
+    """Latest-wins upsert of one micro-batch into the online table.
+
+    union(current, batch-latest) → latest-per-key → write new version →
+    flip pointer → GC old versions. Idempotent per batch id (re-running a
+    batch converges to the same state — latest-wins is commutative and
+    idempotent), which is what makes foreachBatch's at-least-once
+    delivery exactly-once in effect.
+    """
+    keys = list(keys)
+    batch_latest = latest_per_key(batch, keys, event_ts_col)
+    current = read_online_table(spark, path)
+    merged = (
+        latest_per_key(
+            current.unionByName(batch_latest, allowMissingColumns=True),
+            keys,
+            event_ts_col,
+        )
+        if current is not None
+        else batch_latest
+    )
+    os.makedirs(path, exist_ok=True)
+    vname = f"v{batch_id:012d}"
+    vdir = os.path.join(path, vname)
+    merged.repartition(*[F.col(k) for k in keys]).write.mode("overwrite").parquet(vdir)
+    tmp = os.path.join(path, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(vname)
+    os.replace(tmp, os.path.join(path, _POINTER))
+    for d in os.listdir(path):
+        if d.startswith("v") and d != vname and os.path.isdir(os.path.join(path, d)):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
+def stream_materialize(
+    spark: SparkSession,
+    stream: DataFrame,
+    store_path: str,
+    table_name: str,
+    keys: Sequence[str],
+    project: str = "default",
+    event_ts_col: str = "event_timestamp",
+    watermark: str = "1 hour",
+    checkpoint: Optional[str] = None,
+    trigger_once: bool = False,
+):
+    """Run latest-wins streaming materialization of ``stream`` into the
+    online store. Returns the StreamingQuery.
+
+    The watermark bounds state for any upstream stateful stage; the merge
+    itself is stateless across batches (state lives in the online table).
+    """
+    path = online_table_path(store_path, project, table_name)
+    wm = stream.withWatermark(event_ts_col, watermark)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merge_latest_batch(spark, batch, path, keys, batch_id, event_ts_col)
+
+    writer = wm.writeStream.foreachBatch(sink).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_window_features(
+    stream: DataFrame,
+    keys: Sequence[str],
+    agg_exprs: dict[str, F.Column],
+    event_ts_col: str = "event_timestamp",
+    window_duration: str = "10 minutes",
+    slide: Optional[str] = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling/sliding window feature view over a stream.
+
+    ``withWatermark`` + ``window`` groupBy: late rows beyond the watermark
+    are dropped by Spark's state store; the emitted feature row's
+    ``event_timestamp`` is the window end, so downstream latest-wins
+    materialization composes naturally.
+    """
+    win = (
+        F.window(F.col(event_ts_col), window_duration, slide)
+        if slide
+        else F.window(F.col(event_ts_col), window_duration)
+    )
+    out = (
+        stream.withWatermark(event_ts_col, watermark)
+        .groupBy(*[F.col(k) for k in keys], win.alias("__w"))
+        .agg(*[expr.alias(name) for name, expr in agg_exprs.items()])
+    )
+    return out.select(
+        *keys,
+        F.col("__w.end").alias("event_timestamp"),
+        *[F.col(name) for name in agg_exprs],
+    )

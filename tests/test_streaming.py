@@ -1,0 +1,162 @@
+"""Streaming materialization tests (SURVEY §2.6).
+
+File-stream transport (each parquet file = one micro-batch) drives the
+foreachBatch latest-wins merge; the critical semantic is the late-data
+rule implied by the reference's latest-cell-wins stores: a late row older
+than the stored one must NOT win.
+"""
+
+import datetime as dt
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_java_old_spark.streaming.ingest import (
+    read_online_table,
+    stream_materialize,
+    stream_window_features,
+)
+from feast_java_old_spark.operators.materialize import online_table_path
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def t(mins):
+    return T0 + dt.timedelta(minutes=mins)
+
+
+def _write_batch(spark, src_dir, rows, n):
+    df = spark.createDataFrame(
+        rows, "user_id long, event_timestamp timestamp, value double"
+    )
+    df.coalesce(1).write.mode("append").parquet(src_dir)
+    # wait for the file to land
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        files = [f for f in os.listdir(src_dir) if f.endswith(".parquet")]
+        if len(files) >= n:
+            return
+        time.sleep(0.1)
+
+
+def _run_until(query, path, spark, predicate, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        query.processAllAvailable()
+        df = read_online_table(spark, path)
+        if df is not None and predicate(df):
+            return df
+        time.sleep(0.5)
+    raise AssertionError("stream did not converge in time")
+
+
+def test_latest_wins_merge_with_late_data(spark, tmp_path):
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    _write_batch(spark, src, [(1, t(10), 1.0), (2, t(10), 2.0)], 1)
+
+    stream = spark.readStream.schema(
+        "user_id long, event_timestamp timestamp, value double"
+    ).parquet(src)
+    q = stream_materialize(
+        spark, stream, store, "user_events", ["user_id"],
+        checkpoint=ckpt, watermark="2 hours",
+    )
+    path = online_table_path(store, "default", "user_events")
+    try:
+        df = _run_until(q, path, spark, lambda d: d.count() == 2)
+        state = {r.user_id: r.value for r in df.collect()}
+        assert state == {1: 1.0, 2: 2.0}
+
+        # batch 2: newer row for user 1, LATE OLDER row for user 2 (must not win)
+        _write_batch(spark, src, [(1, t(30), 10.0), (2, t(5), 99.0)], 2)
+        df = _run_until(
+            q, path, spark,
+            lambda d: {r.user_id: r.value for r in d.collect()} == {1: 10.0, 2: 2.0},
+        )
+        ts = {r.user_id: r.event_timestamp for r in df.collect()}
+        assert ts[1] == t(30) and ts[2] == t(10)
+
+        # batch 3: brand-new key
+        _write_batch(spark, src, [(3, t(40), 3.0)], 3)
+        df = _run_until(q, path, spark, lambda d: d.count() == 3)
+    finally:
+        q.stop()
+
+
+def test_stream_then_serve(spark, tmp_path):
+    """Streamed online table is readable by the serving path."""
+    import feast_java_old_spark as fs
+    from feast_java_old_spark.operators.retrieval import get_online_features
+    from feast_java_old_spark.registry.model import FileSource
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    os.makedirs(src)
+    _write_batch(spark, src, [(7, t(10), 7.5)], 1)
+    stream = spark.readStream.schema(
+        "user_id long, event_timestamp timestamp, value double"
+    ).parquet(src)
+    q = stream_materialize(
+        spark, stream, store, "user_events", ["user_id"],
+        checkpoint=str(tmp_path / "ckpt"), trigger_once=True,
+    )
+    q.awaitTermination(60)
+
+    reg = fs.Registry()
+    reg.apply_entity(fs.Entity("user_id", fs.ValueType.INT64))
+    reg.apply_feature_table(
+        fs.FeatureTable(
+            "user_events", ["user_id"],
+            [fs.Feature("value", fs.ValueType.DOUBLE)],
+            batch_source=FileSource(file_url=src, event_timestamp_column="event_timestamp"),
+        )
+    )
+    path = online_table_path(store, "default", "user_events")
+    online = read_online_table(spark, path)
+    out = get_online_features(
+        spark, reg, [{"user_id": 7}, {"user_id": 8}], ["user_events:value"],
+        request_ts=t(60), online_frames={"user_events": online},
+    ).collect()
+    assert out[0].user_events__value == 7.5
+    assert out[1].user_events__value__status == "NOT_FOUND"
+
+
+def test_stream_window_features(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(
+        spark, src,
+        [(1, t(1), 1.0), (1, t(5), 3.0), (1, t(12), 5.0), (2, t(2), 7.0)],
+        1,
+    )
+    stream = spark.readStream.schema(
+        "user_id long, event_timestamp timestamp, value double"
+    ).parquet(src)
+    feats = stream_window_features(
+        stream,
+        ["user_id"],
+        {"sum_value": F.sum("value"), "n": F.count(F.lit(1))},
+        window_duration="10 minutes",
+        watermark="1 hour",
+    )
+    q = (
+        feats.writeStream.format("memory")
+        .queryName("winfeats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {
+        (r.user_id, r.event_timestamp): (r.sum_value, r.n)
+        for r in spark.sql("select * from winfeats").collect()
+    }
+    assert rows[(1, t(10))] == (4.0, 2)   # events at t1, t5
+    assert rows[(1, t(20))] == (5.0, 1)   # event at t12
+    assert rows[(2, t(10))] == (7.0, 1)
