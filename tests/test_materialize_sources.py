@@ -1,0 +1,115 @@
+"""Materialization options + source-layer tests (S1/S2, P4, F5)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+import feast_java_old_spark as fs
+from feast_java_old_spark.functions import conversions as cv
+from feast_java_old_spark.operators.materialize import (
+    latest_per_key,
+    materialize,
+    online_table_path,
+)
+from feast_java_old_spark.registry.model import BigQuerySource, FileSource
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def t(h):
+    return T0 + dt.timedelta(hours=h)
+
+
+def test_materialize_time_range_and_field_mapping(spark, tmp_path, tmp_store):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, t(1), 1.0), (1, t(5), 5.0), (1, t(9), 9.0)],
+        "uid long, event_time timestamp, v double",
+    ).write.parquet(src)
+    reg = fs.Registry()
+    reg.apply_entity(fs.Entity("user_id", fs.ValueType.INT64))
+    reg.apply_feature_table(
+        fs.FeatureTable(
+            "views", ["user_id"], [fs.Feature("score", fs.ValueType.DOUBLE)],
+            batch_source=FileSource(
+                file_url=src,
+                event_timestamp_column="event_time",
+                field_mapping={"uid": "user_id", "v": "score"},
+            ),
+        )
+    )
+    # end_ts excludes the t(9) row → latest within range is t(5)
+    materialize(spark, reg, "views", tmp_store, end_ts=t(6))
+    online = spark.read.parquet(online_table_path(tmp_store, "default", "views"))
+    row = online.collect()[0]
+    assert row.user_id == 1 and row.score == 5.0 and row.event_timestamp == t(5)
+
+
+def test_created_timestamp_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, t(1), t(1), 1.0), (1, t(1), t(3), 3.0)],
+        "k long, event_timestamp timestamp, created timestamp, v double",
+    )
+    for strategy in ("agg", "window"):
+        out = latest_per_key(
+            df, ["k"], "event_timestamp", created_ts_col="created",
+            strategy=strategy,
+        ).collect()
+        assert out[0].v == 3.0, strategy  # later created wins the ts tie
+
+
+def test_agg_and_window_strategies_agree(spark, sf_dir):
+    from feast_java_old_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "ts as event_timestamp", "event_id", "value"
+    )
+    a = latest_per_key(ev, ["user_id"], strategy="agg")
+    # window needs the same tiebreak: order by ts desc only is ambiguous,
+    # so compare on key+ts which both strategies must agree on
+    b = latest_per_key(ev, ["user_id"], strategy="window")
+    cols = ["user_id", "event_timestamp"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+
+
+def test_bigquery_source_stand_in(spark, tmp_path):
+    """S2: BigQuery ref resolves through the parquet stand-in path."""
+    base = tmp_path / "proj" / "dataset" / "tbl"
+    base.parent.mkdir(parents=True)
+    spark.createDataFrame([(1, 2.0)], "a long, b double").write.parquet(str(base))
+    from feast_java_old_spark.sources.batch import read_batch_source
+
+    src = BigQuerySource(table_ref="proj:dataset.tbl")
+    # stand-in maps proj:dataset.tbl → proj/dataset/tbl relative path;
+    # make it absolute for the test
+    src.table_ref = str(tmp_path / "proj") + ":dataset.tbl"
+    df = read_batch_source(spark, src)
+    assert df.count() == 1
+
+
+def test_json_map_conversions():
+    assert cv.json_to_map('{"a": 1, "b": "x"}') == {"a": "1", "b": "x"}
+    assert cv.json_to_map(None) == {} and cv.json_to_map("{}") == {}
+    assert cv.map_to_json({"b": "2", "a": "1"}) == '{"a":"1","b":"2"}'
+    assert cv.tag_string_to_list(" a, b ,,c ") == ["a", "b", "c"]
+    assert cv.tag_string_to_list(None) == []
+
+
+def test_col_json_conversions(spark):
+    df = spark.createDataFrame([('{"k":"v"}',)], "j string")
+    out = df.select(cv.col_json_to_map(F.col("j")).alias("m")).collect()
+    assert out[0].m == {"k": "v"}
+
+
+def test_python_value_to_spark_type():
+    from pyspark.sql import types as T
+
+    assert cv.python_value_to_spark_type(True) == T.BooleanType()
+    assert cv.python_value_to_spark_type(1) == T.LongType()
+    assert cv.python_value_to_spark_type(1.5) == T.DoubleType()
+    assert cv.python_value_to_spark_type("s") == T.StringType()
+    assert cv.python_value_to_spark_type(b"x") == T.BinaryType()
+    assert cv.python_value_to_spark_type([1, 2]) == T.ArrayType(T.LongType())
+    with pytest.raises(TypeError):
+        cv.python_value_to_spark_type(object())
