@@ -722,6 +722,18 @@ WHERE round({_DOT}(a.e, b.e)
 # ------------------------------------------------------------- multimodal ops
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dedup groups over MinHash-LSH candidate pairs.
+
+    Iterative min-label propagation — genuinely non-SQL-expressible
+    (unbounded iteration), so no oracle entry: the driver records a
+    rows-only check.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(docs, k=MINHASH_K, bands=MINHASH_BANDS, n=3)
+    return dedup.dedup_components(pairs, docs.select("doc_id"))
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_binary_payload(docs)
@@ -819,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "token_count": q_token_count,

@@ -59,6 +59,12 @@ def main() -> None:
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the JVM (codegen, parquet footer caches) so the first timed
+    # query doesn't absorb session fixed costs.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in ("events", "documents", "embeddings", "orders", "lineitem", "customer"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+
     qs = e.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -292,6 +292,68 @@ def simhash(
     return sums.select("doc_id", bitstr.alias("simhash"))
 
 
+def dedup_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected-components over near-dup candidate pairs → dedup groups.
+
+    Given ``pairs`` (doc_a, doc_b) from any candidate generator
+    (MinHash-LSH, SimHash bands, embedding buckets) and the universe of
+    ``ids``, assigns every doc the **minimum doc id of its connected
+    component** — the canonical representative to keep.
+
+    Algorithm: iterative min-label propagation (the standard large-graph
+    CC approach when a full Pregel framework is overkill): each round,
+    every node adopts the smallest label among itself and its neighbors;
+    converges in O(component diameter) rounds. Near-dup components are
+    shallow (cliques/chains of copies), so a handful of rounds suffices;
+    each round is two shuffles (join + groupBy-min) over the edge list —
+    at 100 TB this is edges-sized, never corpus-squared. Early-exits when
+    a round changes nothing.
+    """
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .distinct()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("group_id")
+    )
+
+
 def simhash_candidates(
     df: DataFrame,
     text_col: str = "text",

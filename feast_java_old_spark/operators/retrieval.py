@@ -87,6 +87,7 @@ def get_online_features(
     full_feature_names: bool = True,
     include_statuses: bool = True,
     online_frames: Optional[dict[str, DataFrame]] = None,
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """Batch point-lookup of the latest feature values for N entity rows.
 
@@ -167,12 +168,20 @@ def get_online_features(
                 F.col("event_timestamp").alias(ts_alias),
                 *feat_cols,
             )
-            # Join 1: distributed scan ⋈ broadcast tiny key set (inner BHJ).
-            req_keys = request.select(*keys).distinct()
-            matched = pruned.join(F.broadcast(req_keys), on=keys, how="inner")
-            # Join 2: request ⋈ broadcast matched rows (left BHJ, keeps all
-            # request rows so missing keys surface as NOT_FOUND).
-            out = out.join(F.broadcast(matched), on=keys, how="left")
+            if strategy == "broadcast":
+                # Join 1: distributed scan ⋈ broadcast tiny key set
+                # (inner BHJ) — the online table never shuffles.
+                req_keys = request.select(*keys).distinct()
+                matched = pruned.join(F.broadcast(req_keys), on=keys, how="inner")
+                # Join 2: request ⋈ broadcast matched rows (left BHJ, keeps
+                # all request rows so missing keys surface as NOT_FOUND).
+                out = out.join(F.broadcast(matched), on=keys, how="left")
+            elif strategy == "shuffle":
+                # Backfill-scale requests (too large to broadcast): plain
+                # shuffled left join; AQE picks SMJ/SHJ and handles skew.
+                out = out.join(pruned, on=keys, how="left")
+            else:
+                raise ValueError(f"unknown retrieval strategy {strategy!r}")
         else:
             out = out.withColumn(ts_alias, F.lit(None).cast("timestamp"))
             for r in known:

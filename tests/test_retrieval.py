@@ -277,3 +277,13 @@ def test_multiple_tables_one_request(spark, rides_env, tmp_path):
     assert out[0]["driver_stats__rating"] == 42.0
     assert out[1]["rides__trip_cost__status"] == "NOT_FOUND"
     assert out[1]["driver_stats__rating__status"] == "NOT_FOUND"
+
+
+def test_shuffle_strategy_agrees_with_broadcast(spark, rides_env):
+    """Backfill-scale strategy produces identical results to the
+    broadcast plan."""
+    reg, store = rides_env
+    rows = [{"driver_id": d} for d in (1, 2, 3)]
+    a = fetch(spark, reg, store, rows, ["rides:trip_cost"])
+    b = fetch(spark, reg, store, rows, ["rides:trip_cost"], strategy="shuffle")
+    assert a == b

@@ -101,3 +101,23 @@ def test_simhash_stability(docs):
     a = dedup.simhash(docs).orderBy("doc_id").collect()
     b = dedup.simhash(docs).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_dedup_components(spark):
+    # components: {1,2,3} (chain), {4,5}, {6} isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    out = {r.doc_id: r.group_id for r in dedup.dedup_components(pairs, ids).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_dedup_components_long_chain(spark):
+    # chain 10→…→1 requires multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "doc_a long, doc_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    out = {r.doc_id: r.group_id for r in dedup.dedup_components(pairs, ids).collect()}
+    assert set(out.values()) == {1}
