@@ -393,6 +393,44 @@ SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
 FROM events GROUP BY event_type
 """
 
+
+def q_a3_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: tumbling-window event rollup — the batch form of the
+    streaming windowed feature views (SURVEY §2.6 extension).
+
+    ``F.window`` buckets land on hour boundaries, so the DuckDB oracle is
+    ``date_trunc('hour', ts)``. Grouped map-side partial aggregation;
+    one shuffle keyed by (window, event_type).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "sum_value_cents",
+        )
+    )
+
+
+SQL_A3 = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+       count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_value_cents
+FROM events GROUP BY 1, 2
+"""
+
 # --------------------------------------------------------- P5 type conformance
 
 
@@ -697,6 +735,60 @@ WHERE rank <= {ANN_K}
 """
 
 
+IVF_STEP = 50
+IVF_NPROBE = 2
+
+
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ann_ivf(
+        emb, queries, k=ANN_K, centroid_step=IVF_STEP, nprobe=IVF_NPROBE
+    ).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine"
+    )
+
+
+_COS = (
+    "round({d}({a}, {b}) / (sqrt({d}({a}, {a})) * sqrt({d}({b}, {b}))), 6)"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return _COS.format(d=_DOT, a=a, b=b)
+
+
+SQL_ANN_IVF = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % {IVF_STEP} = 0),
+asg AS (
+  SELECT vec_id, cid, e FROM (
+    SELECT vec_id, cid, e,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY sim DESC, cid ASC) AS rn
+    FROM (SELECT v.vec_id, cent.cid, v.e, {_cos('v.e', 'cent.ce')} AS sim
+          FROM v CROSS JOIN cent)) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 100 = 0),
+probes AS (
+  SELECT query_id, cid, qe FROM (
+    SELECT query_id, cid, qe,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, cid ASC) AS rn
+    FROM (SELECT q.query_id, cent.cid, q.qe, {_cos('q.qe', 'cent.ce')} AS sim
+          FROM q CROSS JOIN cent)) WHERE rn <= {IVF_NPROBE}),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {_cos('a.e', 'p.qe')} AS cosine
+  FROM probes p JOIN asg a ON a.cid = p.cid
+  WHERE a.vec_id != p.query_id)
+SELECT query_id, rank, neighbor_id, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+WHERE rank <= {ANN_K}
+"""
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dups(
@@ -826,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_max_age": q_j3_max_age,
         "historical_asof": q_historical_asof,
         "a2_metrics_rollup": q_a2_metrics_rollup,
+        "a3_window_rollup": q_a3_window_rollup,
         "p5_type_conformance": q_p5_type_conformance,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -838,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
+        "similarity_ann_ivf": q_similarity_ann_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
@@ -854,6 +948,7 @@ def oracle_sql() -> dict[str, str]:
         "j3_max_age": SQL_J3,
         "historical_asof": SQL_ASOF,
         "a2_metrics_rollup": SQL_A2,
+        "a3_window_rollup": SQL_A3,
         "p5_type_conformance": SQL_P5,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
@@ -865,6 +960,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_FINGERPRINT,
         "similarity_topk": SQL_TOPK,
         "similarity_ann_lsh": SQL_ANN,
+        "similarity_ann_ivf": SQL_ANN_IVF,
         "embedding_near_dups": SQL_NEAR_DUPS,
         "multimodal_decode": SQL_MM_DECODE,
         "multimodal_frames": SQL_MM_FRAMES,

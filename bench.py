@@ -25,6 +25,7 @@ HEADLINE = [
     "j3_max_age",
     "historical_asof",
     "a2_metrics_rollup",
+    "a3_window_rollup",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -33,6 +34,7 @@ HEADLINE = [
     "lang_id",
     "similarity_topk",
     "similarity_ann_lsh",
+    "similarity_ann_ivf",
     "embedding_near_dups",
     "multimodal_decode",
     "odfv_transform",

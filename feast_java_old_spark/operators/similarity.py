@@ -147,6 +147,126 @@ def ann_sign_lsh(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "id",
+    vec_col: str = "__v",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "__cv",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by cosine.
+
+    ``centroids`` is small (~√N lists for N vectors) and broadcast; the
+    corpus is scanned once and never shuffled for scoring. For
+    ``nprobe=1`` (index build) the argmax is a ``max(struct(...))``
+    aggregate — map-side partial, one row per vector crosses the wire.
+    For ``nprobe>1`` (query probing, tiny input) a window rank is used.
+    Cosines are rounded to 6 places before comparison and ties broken by
+    centroid id ascending, so an ANSI-SQL oracle reproduces assignments
+    exactly.
+    """
+    other = [c for c in corpus.columns if c != id_col]
+    sim = F.round(
+        dot(F.col(vec_col), F.col(centroid_vec_col))
+        / (norm(F.col(vec_col)) * norm(F.col(centroid_vec_col))),
+        6,
+    ).alias("__sim")
+    scored = corpus.join(F.broadcast(centroids)).select(
+        id_col, *other, F.col(centroid_id_col), sim
+    )
+    if nprobe == 1:
+        # struct compares (sim asc, -cid asc) → max = best sim, lowest cid.
+        packed = F.max(
+            F.struct(
+                F.col("__sim"),
+                (-F.col(centroid_id_col)).alias("__ncid"),
+                *other,
+            )
+        ).alias("__best")
+        return (
+            scored.groupBy(id_col)
+            .agg(packed)
+            .select(
+                id_col,
+                (-F.col("__best.__ncid")).alias(centroid_id_col),
+                *[F.col(f"__best.{c}").alias(c) for c in other],
+            )
+        )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col(centroid_id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= nprobe)
+        .select(id_col, centroid_id_col, *other)
+    )
+
+
+def ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_step: int = 50,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: inverted-file search over centroid buckets.
+
+    The scale path for ANN beyond sign-LSH: the corpus is partitioned
+    into inverted lists by nearest centroid (one equi-join key), and each
+    query probes only its ``nprobe`` nearest lists — expected cost
+    ``nprobe/C`` of the corpus per query instead of a full scan.
+
+    Centroids here are a deterministic sample (every ``centroid_step``-th
+    vector by id) so the oracle can reproduce the index bit-for-bit; a
+    production deployment trains k-means centroids instead — every plan
+    shape downstream (assign, probe, bucket equi-join, rank) is
+    unchanged, which is the point: swapping the coarse quantizer does not
+    touch the distributed query plan.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    )
+    cent = corpus.where(F.col(id_col) % centroid_step == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        _as_double(F.col(vec_col)).alias("__ev"),
+    )
+    lists = ivf_assign(
+        c, cent, nprobe=1, id_col="neighbor_id", vec_col="__cv",
+        centroid_vec_col="__ev",
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    )
+    probes = ivf_assign(
+        q, cent, nprobe=nprobe, id_col="query_id", vec_col="__qv",
+        centroid_vec_col="__ev",
+    )
+    scored = (
+        lists.join(F.broadcast(probes), on="centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.9,

@@ -76,3 +76,61 @@ def test_near_dups_threshold(emb):
     for r in out:
         assert r.cosine >= 0.5
         assert r.id_a < r.id_b
+
+
+def test_ivf_assignment_is_nearest_centroid(emb):
+    """Every vector's inverted-list assignment is its true argmax-cosine
+    centroid (rounded, ties by lowest centroid id)."""
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("__cv"),
+    )
+    cent = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("__ev"),
+    )
+    assigned = {
+        r.neighbor_id: r.centroid_id
+        for r in similarity.ivf_assign(
+            c, cent, nprobe=1, id_col="neighbor_id", vec_col="__cv",
+            centroid_vec_col="__ev",
+        ).collect()
+    }
+    # brute-force oracle via the exact scorer
+    brute = (
+        c.join(F.broadcast(cent))
+        .select(
+            "neighbor_id",
+            "centroid_id",
+            F.round(similarity.cosine(F.col("__cv"), F.col("__ev")), 6).alias("s"),
+        )
+        .collect()
+    )
+    best = {}
+    for r in brute:
+        cur = best.get(r.neighbor_id)
+        if cur is None or (r.s, -r.centroid_id) > (cur[0], -cur[1]):
+            best[r.neighbor_id] = (r.s, r.centroid_id)
+    assert assigned == {k: v[1] for k, v in best.items()}
+
+
+def test_ivf_topk_matches_bruteforce_within_probed_lists(emb, queries):
+    """IVF results rank correctly and, with nprobe == n_centroids, equal
+    the exact brute-force top-k (full-probe IVF degenerates to exact)."""
+    n_cent = emb.where(F.col("vec_id") % 100 == 0).count()
+    exact = similarity.cosine_topk(emb, queries, k=3).collect()
+    full_probe = similarity.ann_ivf(
+        emb, queries, k=3, centroid_step=100, nprobe=n_cent
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(((r.query_id, r.rank, r.neighbor_id) for r in full_probe)) == sorted(
+        ((r.query_id, r.rank, r.neighbor_id) for r in exact)
+    )
+
+
+def test_ivf_partial_probe_is_subset_shape(emb, queries):
+    out = similarity.ann_ivf(emb, queries, k=5, centroid_step=50, nprobe=2).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        assert -1.0 <= r.cosine <= 1.0
