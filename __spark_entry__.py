@@ -21,7 +21,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from feast_java_old_spark.operators import dedup, multimodal, similarity, text
+from feast_java_old_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+    windows,
+)
 from feast_java_old_spark.operators.historical import get_historical_features
 from feast_java_old_spark.operators.materialize import latest_per_key
 from feast_java_old_spark.operators.odfv import OnDemandFeatureView, apply_odfv
@@ -429,6 +435,58 @@ SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
        count(*) AS n_events, count(DISTINCT user_id) AS n_users,
        sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_value_cents
 FROM events GROUP BY 1, 2
+"""
+
+
+def q_a4_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: sliding-window rollup (1 h window, 30 min slide) — each event
+    lands in two overlapping hour windows."""
+    events = load_table(spark, sf_dir, "events")
+    return windows.sliding_rollup(
+        events, ["event_type"], duration="1 hour", slide="30 minutes"
+    )
+
+
+# Spark aligns slide buckets to the epoch: start ∈ {floor_S(t), floor_S(t)−S}
+# for D = 2S — both shifts always contain t, so the oracle is a plain
+# 2-way expansion, no validity filter needed.
+SQL_A4 = """
+SELECT (epoch_us(ts) // 1800000000 - i) * 1800000000 AS window_start_us,
+       event_type, count(*) AS n_events,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_value_cents
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
+GROUP BY 1, 2
+"""
+
+
+def q_a5_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: gap-based sessionization (30 min inactivity gap) via native
+    ``session_window`` — the same aggregate runs under a stream with a
+    watermark."""
+    events = load_table(spark, sf_dir, "events")
+    return windows.session_rollup(events, ["user_id"], gap="30 minutes")
+
+
+# Session identity reproduced with the standard lag/cumsum formulation.
+# Spark merges an event at exactly last_ts + gap into the session (closed
+# end, verified empirically), so a new session starts strictly past it.
+SQL_A5 = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+m AS (
+  SELECT user_id, ts, value,
+         sum(CASE WHEN prev IS NULL
+                  OR epoch_us(ts) - epoch_us(prev) > 1800000000
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+  FROM o)
+SELECT epoch_us(min(ts)) AS session_start_us, user_id,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_value_cents,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+FROM m GROUP BY user_id, sess
 """
 
 # --------------------------------------------------------- P5 type conformance
@@ -919,6 +977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "historical_asof": q_historical_asof,
         "a2_metrics_rollup": q_a2_metrics_rollup,
         "a3_window_rollup": q_a3_window_rollup,
+        "a4_sliding_rollup": q_a4_sliding_rollup,
+        "a5_sessions": q_a5_sessions,
         "p5_type_conformance": q_p5_type_conformance,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -949,6 +1009,8 @@ def oracle_sql() -> dict[str, str]:
         "historical_asof": SQL_ASOF,
         "a2_metrics_rollup": SQL_A2,
         "a3_window_rollup": SQL_A3,
+        "a4_sliding_rollup": SQL_A4,
+        "a5_sessions": SQL_A5,
         "p5_type_conformance": SQL_P5,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),

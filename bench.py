@@ -26,6 +26,8 @@ HEADLINE = [
     "historical_asof",
     "a2_metrics_rollup",
     "a3_window_rollup",
+    "a4_sliding_rollup",
+    "a5_sessions",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
