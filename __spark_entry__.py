@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 from feast_java_old_spark.operators import (
     dedup,
     multimodal,
+    pipeline,
     similarity,
     text,
     windows,
@@ -727,6 +728,62 @@ SQL_FINGERPRINT = (
     "AS fingerprint FROM documents"
 )
 
+CLEAN_MIN_QUALITY = 0.55
+CLEAN_LANG = "en"
+
+
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed clean-corpus pipeline: exact dedup (canonical = min id
+    per content fingerprint) + quality gate + language gate — one scan,
+    one shuffle (all signals ride through the dedup group-by)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.clean_corpus(
+        docs, min_quality=CLEAN_MIN_QUALITY, lang=CLEAN_LANG
+    )
+
+
+def _sql_clean_corpus() -> str:
+    langs = sorted(text.LANG_STOPWORDS)
+    score_exprs = ",\n    ".join(
+        "len(list_filter(string_split(lower(text), ' '), t -> list_contains(["
+        + ",".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang])
+        + f"], t))) AS score_{lang}"
+        for lang in langs
+    )
+    best_s, best_l = f"score_{langs[0]}", f"'{langs[0]}'"
+    for lang in langs[1:]:
+        cond = f"score_{lang} > ({best_s})"
+        best_s = f"CASE WHEN {cond} THEN score_{lang} ELSE ({best_s}) END"
+        best_l = f"CASE WHEN {cond} THEN '{lang}' ELSE ({best_l}) END"
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         length(text) AS n_chars,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains({_STOPLIST_SQL}, t))) AS n_stop,
+         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+           AS n_alnum_space,
+         {score_exprs}
+  FROM documents),
+s AS (
+  SELECT doc_id, fp, n_tokens,
+         round(least(n_tokens / 50.0, 1.0) * 0.5
+               + least((n_stop / n_tokens) * 5.0, 1.0) * 0.3
+               + (1.0 - least(((n_chars - n_alnum_space) / n_chars) * 10.0,
+                              1.0)) * 0.2, 6) AS quality_score,
+         {best_l} AS predicted_lang,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM b)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score,
+       predicted_lang
+FROM s
+WHERE rn = 1 AND quality_score >= {CLEAN_MIN_QUALITY}
+      AND predicted_lang = '{CLEAN_LANG}'
+"""
+
+
 # ------------------------------------------------------------- similarity ops
 
 TOPK_K = 5
@@ -989,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
@@ -1020,6 +1078,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "token_count": SQL_TOKEN_COUNT,
         "doc_fingerprint": SQL_FINGERPRINT,
+        "pipeline_clean_corpus": _sql_clean_corpus(),
         "similarity_topk": SQL_TOPK,
         "similarity_ann_lsh": SQL_ANN,
         "similarity_ann_ivf": SQL_ANN_IVF,

@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "text_stats",
     "lang_id",
+    "pipeline_clean_corpus",
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ann_ivf",

@@ -1,0 +1,77 @@
+"""Composed training-data pipelines.
+
+The individual operators (dedup, text quality, language ID) are designed
+as *projections and aggregates over the same scan* precisely so that
+composing them doesn't multiply passes: a full clean-corpus pass — exact
+dedup + quality filter + language filter — is **one scan and one
+shuffle** at any scale, because every per-document signal is computed in
+the projection and the dedup group-by carries the already-computed
+signals through ``min(struct(...))`` instead of re-joining the corpus.
+
+This is the batch shape of the standard LLM-pretraining data pipeline
+(fingerprint → dedup → quality gate → language gate); near-duplicate
+removal composes on top by anti-joining ``dedup.dedup_components`` group
+non-representatives (an edges-sized join, still corpus-linear).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feast_java_old_spark.operators import text
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.55,
+    lang: str = "en",
+) -> DataFrame:
+    """Exact-dedup + quality + language gate in one scan, one shuffle.
+
+    Dedup-then-filter semantics: the canonical copy (minimum id per
+    normalized-content fingerprint) represents the group, then the
+    quality/language gates judge the canonical copy. All quality signals
+    ride through the group-by inside ``min(struct(id, signals...))`` —
+    the text column itself never shuffles, and no join ever happens:
+    stats, language scores, and the fingerprint are Column expressions
+    evaluated in one projection over one ``FileScan``.
+    """
+    stats = text.text_stat_cols(text_col)
+    scores = text.lang_score_cols(text_col)
+    # phase 1: all per-doc signals in a single projection (one scan).
+    proj = df.select(
+        F.col(id_col),
+        text.fingerprint(F.col(text_col)).alias("__fp"),
+        stats["n_tokens"].alias("n_tokens"),
+        stats["quality_score"].alias("quality_score"),
+        *[c.alias(n) for n, c in scores.items()],
+    )
+    # phase 2: argmax over materialized score columns (CSE-safe).
+    proj = proj.select(
+        id_col,
+        "__fp",
+        "n_tokens",
+        "quality_score",
+        text.predicted_lang_col().alias("predicted_lang"),
+    )
+    canon = (
+        proj.groupBy("__fp")
+        .agg(
+            F.min(
+                F.struct(id_col, "n_tokens", "quality_score", "predicted_lang")
+            ).alias("__c")
+        )
+        .select("__c.*")
+    )
+    return canon.where(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("predicted_lang") == lang)
+    ).select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality_score",
+        "predicted_lang",
+    )

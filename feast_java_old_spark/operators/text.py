@@ -54,11 +54,10 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
-def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document quality statistics + a composite quality score.
-
-    All built-in expressions — one codegen stage, zero shuffles.
-    """
+def text_stat_cols(text_col: str = "text") -> dict[str, Column]:
+    """Quality-statistic expressions keyed by output name — exposed at
+    the Column level so composed pipelines can evaluate them inside a
+    single projection instead of joining DataFrames."""
     t = F.col(text_col)
     toks = tokens(t)
     n_chars = F.length(t)
@@ -76,43 +75,66 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.least(stopword_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.3)
         + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
     )
-    return df.select(
-        "doc_id",
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        F.round(avg_token_len, 6).alias("avg_token_len"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stopword_ratio, 6).alias("stopword_ratio"),
-        F.round(quality, 6).alias("quality_score"),
-    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.round(avg_token_len, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "stopword_ratio": F.round(stopword_ratio, 6),
+        "quality_score": F.round(quality, 6),
+    }
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-hit language ID.
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality statistics + a composite quality score.
 
-    Per-language score = tokens found in that language's dictionary
-    (duplicates count); prediction = argmax, ties broken alphabetically
-    (via ``max(struct(score, lang DESC-by-name))`` — fully deterministic).
+    All built-in expressions — one codegen stage, zero shuffles.
     """
+    cols = text_stat_cols(text_col)
+    return df.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def lang_score_cols(text_col: str = "text") -> dict[str, Column]:
+    """Per-language stopword-hit scores, Column-level."""
     toks = tokens(F.col(text_col))
 
     def hit_count(words: list[str]):
         arr = F.array(*[F.lit(s) for s in words])
         return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
 
-    scores = [
-        hit_count(LANG_STOPWORDS[lang]).alias(f"score_{lang}")
+    return {
+        f"score_{lang}": hit_count(LANG_STOPWORDS[lang])
         for lang in sorted(LANG_STOPWORDS)
-    ]
-    scored = df.select("doc_id", *scores)
+    }
+
+
+def predicted_lang_col() -> Column:
+    """Argmax language over already-materialized ``score_<lang>`` columns
+    (two-phase on purpose: the score expressions are interpreted
+    higher-order functions, which defeat codegen CSE — materialize them
+    in a prior projection, then fold over plain column refs). Ties broken
+    alphabetically: fold left, strictly-greater candidate wins — fully
+    deterministic."""
     langs = sorted(LANG_STOPWORDS)
-    # argmax with alphabetical tie-break: fold left, strictly-greater wins.
     best = F.struct(F.col(f"score_{langs[0]}").alias("s"), F.lit(langs[0]).alias("l"))
     for lang in langs[1:]:
         cand_s = F.col(f"score_{lang}")
-        best = F.when(cand_s > best["s"], F.struct(cand_s.alias("s"), F.lit(lang).alias("l"))).otherwise(best)
+        best = F.when(
+            cand_s > best["s"], F.struct(cand_s.alias("s"), F.lit(lang).alias("l"))
+        ).otherwise(best)
+    return best["l"]
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID.
+
+    Per-language score = tokens found in that language's dictionary
+    (duplicates count); prediction = argmax, ties broken alphabetically.
+    """
+    scores = lang_score_cols(text_col)
+    scored = df.select("doc_id", *[c.alias(n) for n, c in scores.items()])
     return scored.select(
         "doc_id",
-        *[F.col(f"score_{lang}") for lang in langs],
-        best["l"].alias("predicted_lang"),
+        *[F.col(n) for n in scores],
+        predicted_lang_col().alias("predicted_lang"),
     )

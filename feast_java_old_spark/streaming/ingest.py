@@ -163,3 +163,35 @@ def stream_window_features(
         F.col("__w.end").alias("event_timestamp"),
         *[F.col(name) for name in agg_exprs],
     )
+
+
+def stream_session_features(
+    stream: DataFrame,
+    keys: Sequence[str],
+    agg_exprs: dict[str, F.Column],
+    event_ts_col: str = "event_timestamp",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session-window feature view over a stream (gap-based, the
+    streaming twin of ``operators.windows.session_rollup``).
+
+    ``session_window`` is Spark's native data-dependent window: sessions
+    merge in the state store as events arrive and are finalized once the
+    watermark passes ``last_event + gap``. The emitted feature row's
+    ``event_timestamp`` is the session end, so latest-wins
+    materialization composes downstream exactly as with time windows.
+    """
+    out = (
+        stream.withWatermark(event_ts_col, watermark)
+        .groupBy(
+            *[F.col(k) for k in keys],
+            F.session_window(F.col(event_ts_col), gap).alias("__w"),
+        )
+        .agg(*[expr.alias(name) for name, expr in agg_exprs.items()])
+    )
+    return out.select(
+        *keys,
+        F.col("__w.end").alias("event_timestamp"),
+        *[F.col(name) for name in agg_exprs],
+    )

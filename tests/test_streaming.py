@@ -160,3 +160,45 @@ def test_stream_window_features(spark, tmp_path):
     assert rows[(1, t(10))] == (4.0, 2)   # events at t1, t5
     assert rows[(1, t(20))] == (5.0, 1)   # event at t12
     assert rows[(2, t(10))] == (7.0, 1)
+
+
+def test_stream_session_features_match_batch_kernel(spark, tmp_path):
+    """Session windows under readStream agree with the batch
+    session_rollup kernel on the same data."""
+    from feast_java_old_spark.operators import windows
+    from feast_java_old_spark.streaming.ingest import stream_session_features
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [
+        (1, t(0), 1.0), (1, t(10), 2.0),   # session A (gap 10 < 30)
+        (1, t(55), 4.0),                   # session B (gap 45 > 30)
+        (2, t(50), 8.0), (2, t(70), 16.0), # session C
+    ]
+    _write_batch(spark, src, rows, 1)
+    stream = spark.readStream.schema(
+        "user_id long, event_timestamp timestamp, value double"
+    ).parquet(src)
+    feats = stream_session_features(
+        stream, ["user_id"],
+        {"sum_value": F.sum("value"), "n": F.count(F.lit(1))},
+        gap="30 minutes",
+    )
+    q = (
+        feats.writeStream.format("memory")
+        .queryName("sessfeats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r.user_id, r.sum_value, r.n)
+        for r in spark.sql("select * from sessfeats").collect()
+    }
+    batch = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    want = {
+        (r.user_id, r.sum_value_cents / 100.0, r.n_events)
+        for r in windows.session_rollup(batch, ["user_id"]).collect()
+    }
+    assert got == want
