@@ -148,3 +148,30 @@ def materialize(
         "overwrite"
     ).parquet(path)
     return path
+
+
+def materialize_store(
+    spark: SparkSession,
+    registry: Registry,
+    store_name: str,
+    store_path: str,
+    end_ts=None,
+    start_ts=None,
+) -> dict[str, str]:
+    """Materialize every feature table a store subscribes to.
+
+    The reference's store ``subscriptions`` (project:name:exclude triples
+    with ``*`` wildcards, ``common/models/Store.java:83-144``) decide
+    which tables a store materializes; this is the driver loop the
+    reference delegates to feast-spark. Returns {project/table: path}.
+    Tables materialize independently — on a cluster these are separate
+    jobs and can run concurrently; each is one scan + one shuffle.
+    """
+    out: dict[str, str] = {}
+    for project, table in registry.subscribed_tables(store_name):
+        path = materialize(
+            spark, registry, table.name, store_path,
+            project=project, end_ts=end_ts, start_ts=start_ts,
+        )
+        out[f"{project}/{table.name}"] = path
+    return out

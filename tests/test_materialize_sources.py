@@ -113,3 +113,43 @@ def test_python_value_to_spark_type():
     assert cv.python_value_to_spark_type([1, 2]) == T.ArrayType(T.LongType())
     with pytest.raises(TypeError):
         cv.python_value_to_spark_type(object())
+
+
+def test_materialize_store_follows_subscriptions(spark, tmp_path):
+    """Store-level materialization honors subscription wildcards and
+    exclusions."""
+    import feast_java_old_spark as fs
+    from feast_java_old_spark.operators.materialize import materialize_store
+    from feast_java_old_spark.registry.model import FileSource, Store, Subscription
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)],
+        "user_id long, event_timestamp timestamp, value double",
+    ).write.parquet(src)
+
+    reg = fs.Registry()
+    reg.apply_entity(fs.Entity("user_id", fs.ValueType.INT64))
+    for name in ("clicks", "views", "internal_tmp"):
+        reg.apply_feature_table(
+            fs.FeatureTable(
+                name, ["user_id"], [fs.Feature("value", fs.ValueType.DOUBLE)],
+                batch_source=FileSource(
+                    file_url=src, event_timestamp_column="event_timestamp"
+                ),
+            )
+        )
+    reg.update_store(
+        Store(
+            name="online",
+            store_type="REDIS",
+            subscriptions=[
+                Subscription(project="default", name="*"),
+                Subscription(project="default", name="internal_*", exclude=True),
+            ],
+        )
+    )
+    done = materialize_store(spark, reg, "online", str(tmp_path / "store"))
+    assert set(done) == {"default/clicks", "default/views"}
+    for p in done.values():
+        assert spark.read.parquet(p).count() == 1
