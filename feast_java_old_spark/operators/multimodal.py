@@ -144,3 +144,55 @@ def extract_embedding_stub(df: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return df.mapInPandas(extract, out_schema)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_stub(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize-to-fixed-shape stub over Arrow batches.
+
+    The stub maps each payload deterministically onto ``width*height``
+    bytes (truncate / cycle-pad) so downstream batch shapes are exactly
+    what a real resize produces. REAL RESIZER GOES HERE:
+
+    .. code-block:: python
+
+        img = Image.open(io.BytesIO(payload)).resize((width, height))
+        buf = io.BytesIO(); img.save(buf, "PNG"); return buf.getvalue()
+
+    Shuffle-free: payloads are transformed in place in their partition;
+    output batch size is bounded by Arrow batching regardless of input
+    payload skew.
+    """
+    target = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def fit(payload: bytes) -> bytes:
+                if HAVE_PIL:
+                    raise NotImplementedError(
+                        "real resizer intentionally stubbed in this environment"
+                    )
+                if len(payload) >= target:
+                    return bytes(payload[:target])
+                reps = -(-target // max(len(payload), 1))
+                return bytes((payload * reps)[:target])
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(fit),
+                    "width": width,
+                    "height": height,
+                }
+            ).astype({"width": "int32", "height": "int32"})
+
+    return df.mapInPandas(resize, RESIZED_SCHEMA)

@@ -78,3 +78,18 @@ def test_odfv_unrequested_outputs_dropped(spark):
     )
     out = apply_odfv(df, view, requested_outputs=["x2"])
     assert "x2" in out.columns and "x3" not in out.columns
+
+
+def test_resize_stub_fixed_shape(spark, sf_dir):
+    from feast_java_old_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_stub,
+    )
+    from feast_java_old_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = resize_stub(attach_binary_payload(docs), width=16, height=8).collect()
+    assert len(out) == 20
+    for r in out:
+        assert (r.width, r.height) == (16, 8)
+        assert len(r.payload) == 16 * 8
