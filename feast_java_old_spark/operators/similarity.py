@@ -120,21 +120,32 @@ def ann_sign_lsh(
     join is an equi-join on the bucket string, so each query touches
     ~corpus/2^bits rows instead of all of them.
     """
+    # Norms are hoisted into the pre-join projections: the dot/sqrt
+    # kernels are interpreted higher-order functions, so computing them
+    # once per vector instead of once per candidate pair is a ~3x win.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__cv"),
-    ).withColumn("bucket", sign_bucket(F.col("__cv"), bits))
+    ).withColumn("bucket", sign_bucket(F.col("__cv"), bits)).withColumn(
+        "__cnorm", norm(F.col("__cv"))
+    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("__qv"),
-    ).withColumn("bucket", sign_bucket(F.col("__qv"), bits))
+    ).withColumn("bucket", sign_bucket(F.col("__qv"), bits)).withColumn(
+        "__qnorm", norm(F.col("__qv"))
+    )
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("__cv"), F.col("__qv"))
+                / (F.col("__cnorm") * F.col("__qnorm")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -168,9 +179,13 @@ def ivf_assign(
     exactly.
     """
     other = [c for c in corpus.columns if c != id_col]
+    # Hoist norms out of the n_vectors x n_centroids scoring (the
+    # dot/sqrt kernels are interpreted HOFs — once per row, not per pair).
+    corpus = corpus.withColumn("__vn", norm(F.col(vec_col)))
+    centroids = centroids.withColumn("__cn", norm(F.col(centroid_vec_col)))
     sim = F.round(
         dot(F.col(vec_col), F.col(centroid_vec_col))
-        / (norm(F.col(vec_col)) * norm(F.col(centroid_vec_col))),
+        / (F.col("__vn") * F.col("__cn")),
         6,
     ).alias("__sim")
     scored = corpus.join(F.broadcast(centroids)).select(
@@ -280,9 +295,15 @@ def embedding_near_dups(
     emits (id_a, id_b, cosine >= threshold). High-cosine pairs agree on
     most sign bits, so recall stays high while the self-join stays small.
     """
-    v = df.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("bucket", sign_bucket(F.col("__v"), bits))
+    # Norm hoisted pre-join (interpreted HOF — once per vector, not per
+    # pair; the self-join side is evaluated twice otherwise).
+    v = (
+        df.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v")
+        )
+        .withColumn("bucket", sign_bucket(F.col("__v"), bits))
+        .withColumn("__n", norm(F.col("__v")))
+    )
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(
@@ -295,7 +316,11 @@ def embedding_near_dups(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("a.__v"), F.col("b.__v"))
+                / (F.col("a.__n") * F.col("b.__n")),
+                6,
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
