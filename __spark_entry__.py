@@ -728,6 +728,78 @@ SQL_FINGERPRINT = (
     "AS fingerprint FROM documents"
 )
 
+def q_a6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: exact per-group percentiles (feature-pipeline distribution
+    stats). ``F.percentile`` (exact, linear interpolation) == DuckDB
+    ``quantile_cont``; one grouped aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    pcts = events.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("__p50"),
+        F.percentile(F.col("value"), F.lit(0.95)).alias("__p95"),
+        F.min("value").alias("__vmin"),
+        F.max("value").alias("__vmax"),
+    )
+    return pcts.select(
+        "event_type",
+        F.round(F.col("__p50"), 6).alias("p50"),
+        F.round(F.col("__p95"), 6).alias("p95"),
+        F.round(F.col("__vmin"), 6).alias("vmin"),
+        F.round(F.col("__vmax"), 6).alias("vmax"),
+    )
+
+
+SQL_A6 = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
+def q_a7_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: ROLLUP revenue over the region→nation dimension chain.
+
+    Plan shape at 100 TB: orders (fact) joins customer / nation / region
+    via **broadcast hash joins** (dims are small); the rollup is one
+    grouped aggregate with map-side partials — the fact table shuffles
+    only (grouping keys, partial sums)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+        .select("r_name", "n_name", "n_orders", "revenue_cents")
+    )
+
+
+SQL_A7 = """
+SELECT r_name, n_name, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 CLEAN_MIN_QUALITY = 0.55
 CLEAN_LANG = "en"
 
@@ -1036,6 +1108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_window_rollup": q_a3_window_rollup,
         "a4_sliding_rollup": q_a4_sliding_rollup,
         "a5_sessions": q_a5_sessions,
+        "a6_percentiles": q_a6_percentiles,
+        "a7_rollup_revenue": q_a7_rollup_revenue,
         "p5_type_conformance": q_p5_type_conformance,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1069,6 +1143,8 @@ def oracle_sql() -> dict[str, str]:
         "a3_window_rollup": SQL_A3,
         "a4_sliding_rollup": SQL_A4,
         "a5_sessions": SQL_A5,
+        "a6_percentiles": SQL_A6,
+        "a7_rollup_revenue": SQL_A7,
         "p5_type_conformance": SQL_P5,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),

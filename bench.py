@@ -28,6 +28,8 @@ HEADLINE = [
     "a3_window_rollup",
     "a4_sliding_rollup",
     "a5_sessions",
+    "a6_percentiles",
+    "a7_rollup_revenue",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
