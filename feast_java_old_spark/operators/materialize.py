@@ -175,3 +175,44 @@ def materialize_store(
         )
         out[f"{project}/{table.name}"] = path
     return out
+
+
+def materialize_bucketed(
+    spark: SparkSession,
+    registry: Registry,
+    table_name: str,
+    n_buckets: int = 32,
+    project: str = "default",
+    end_ts=None,
+    start_ts=None,
+) -> str:
+    """Materialize into a **bucketed** managed table for co-located joins.
+
+    For backfill-scale retrieval (``strategy="shuffle"``), a parquet
+    online table forces both join sides to shuffle. Writing with
+    ``bucketBy(entity keys)`` persists the hash partitioning in the table
+    metadata, so every later join on the entity key shuffles *only the
+    request side* — the online table (the big side, at 100 TB) is read
+    already co-located, query after query. This is the standard Spark
+    answer to the reference's "key-partitioned KV store" layout.
+
+    Returns the managed table name (read it back with ``spark.table``).
+    """
+    table = registry.get_feature_table(table_name, project)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        materialize(
+            spark, registry, table_name, tmp,
+            project=project, end_ts=end_ts, start_ts=start_ts,
+        )
+        latest = spark.read.parquet(online_table_path(tmp, project, table_name))
+        managed = f"online_{project}__{table_name}"
+        spark.sql(f"DROP TABLE IF EXISTS {managed}")
+        (
+            latest.write.bucketBy(n_buckets, *table.entities)
+            .sortBy(*table.entities)
+            .mode("overwrite")
+            .saveAsTable(managed)
+        )
+    return managed

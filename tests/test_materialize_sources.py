@@ -153,3 +153,40 @@ def test_materialize_store_follows_subscriptions(spark, tmp_path):
     assert set(done) == {"default/clicks", "default/views"}
     for p in done.values():
         assert spark.read.parquet(p).count() == 1
+
+
+def test_bucketed_online_table_joins_without_shuffling_online_side(
+    spark, tmp_path
+):
+    """A bucketed online table persists its hash partitioning: the
+    backfill-scale (shuffle-strategy) lookup join reads it co-located —
+    no Exchange appears above the online-table scan."""
+    import feast_java_old_spark as fs
+    from feast_java_old_spark.operators.materialize import materialize_bucketed
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1), float(i)) for i in range(100)],
+        "user_id long, event_timestamp timestamp, value double",
+    ).write.parquet(src)
+
+    reg = fs.Registry()
+    reg.apply_entity(fs.Entity("user_id", fs.ValueType.INT64))
+    reg.apply_feature_table(
+        fs.FeatureTable(
+            "bk", ["user_id"], [fs.Feature("value", fs.ValueType.DOUBLE)],
+            batch_source=FileSource(
+                file_url=src, event_timestamp_column="event_timestamp"
+            ),
+        )
+    )
+    managed = materialize_bucketed(spark, reg, "bk", n_buckets=8)
+    online = spark.table(managed)
+    req = spark.range(0, 200).select(F.col("id").alias("user_id"))
+    joined = req.join(online.hint("shuffle_merge"), on="user_id", how="left")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # exactly one Exchange (the request side); the bucketed scan has none
+    assert plan.count("Exchange") == 1
+    scan_part = plan[plan.index("FileScan") :] if "FileScan" in plan else plan
+    assert "Bucketed: true" in plan
+    assert joined.count() == 200
