@@ -233,3 +233,81 @@ def get_historical_features(
         if include_statuses:
             out = out.withColumn(f"{c}__status", status)
     return out
+
+
+def get_training_dataset(
+    spark,
+    registry,
+    entity_df: DataFrame,
+    feature_refs: Sequence[str],
+    request_ts_col: str = "event_timestamp",
+    project: str = "default",
+    full_feature_names: bool = True,
+    include_statuses: bool = False,
+    strategy: str = "union",
+    end_ts=None,
+    start_ts=None,
+) -> DataFrame:
+    """Multi-table point-in-time training-set export (the feast
+    ``get_historical_features(entity_df, features)`` API).
+
+    For each referenced feature table: read its batch source conformed to
+    the declared schema, as-of join against the entity frame on that
+    table's entity keys, then merge the feature columns back by row
+    index. Scale shape: one as-of shuffle per table, sized by that
+    table's history + the entity frame; the merge-back joins are keyed on
+    the entity frame's row index and the entity frame is typically the
+    small side (broadcast). Independent tables are independent Spark
+    jobs — on a cluster they pipeline concurrently.
+    """
+    from feast_java_old_spark.functions.refs import parse_feature_ref
+    from feast_java_old_spark.operators.materialize import conform_batch_source
+
+    refs = [parse_feature_ref(r) for r in feature_refs]
+    by_table: dict[str, list] = {}
+    for r in refs:
+        by_table.setdefault(r.table, []).append(r)
+
+    out = entity_df.withColumn("__row_idx", F.monotonically_increasing_id())
+    base_cols = [c for c in entity_df.columns]
+    for table_name, trefs in by_table.items():
+        spec = registry.get_feature_table(table_name, project)
+        history = conform_batch_source(
+            spark, spec, end_ts=end_ts, start_ts=start_ts
+        )
+        keys = list(spec.entities)
+        wanted = [r.name for r in trefs if spec.feature(r.name) is not None]
+        req = out.select("__row_idx", *keys, F.col(request_ts_col).alias("__req_ts"))
+        joined = get_historical_features(
+            req,
+            history,
+            keys,
+            request_ts_col="__req_ts",
+            event_ts_col="event_timestamp",
+            feature_cols=wanted,
+            max_age_secs=spec.max_age_secs or 0,
+            include_statuses=include_statuses,
+            strategy=strategy,
+            tiebreak_col=(
+                spec.batch_source.created_timestamp_column or None
+            ),
+        )
+        picks = ["__row_idx"]
+        renames = []
+        for r in trefs:
+            vname = f"{r.table}__{r.name}" if full_feature_names else r.name
+            if spec.feature(r.name) is None:
+                continue
+            renames.append((r.name, vname))
+            picks.append(r.name)
+            if include_statuses:
+                picks.append(f"{r.name}__status")
+        feat = joined.select(*picks)
+        for src_name, vname in renames:
+            feat = feat.withColumnRenamed(src_name, vname)
+            if include_statuses:
+                feat = feat.withColumnRenamed(
+                    f"{src_name}__status", f"{vname}__status"
+                )
+        out = out.join(feat, on="__row_idx", how="left")
+    return out.orderBy("__row_idx").drop("__row_idx")

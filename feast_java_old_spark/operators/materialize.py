@@ -79,27 +79,17 @@ def online_table_path(store_path: str, project: str, table: str) -> str:
     return os.path.join(store_path, project, table)
 
 
-def materialize(
+def conform_batch_source(
     spark: SparkSession,
-    registry: Registry,
-    table_name: str,
-    store_path: str,
-    project: str = "default",
+    table: FeatureTable,
     end_ts=None,
     start_ts=None,
-    strategy: str = "agg",
-) -> str:
-    """Materialize a feature table's batch source into its online table.
-
-    Pipeline: read batch source (S1/S2, with field mapping P4) → optional
-    event-time range filter (pushed to the parquet scan) → conform to the
-    declared schema (entities + event_timestamp + features, dropping
-    unrelated source columns) → latest-per-key (A1) → overwrite the online
-    table as parquet.
-
-    Returns the online table path.
-    """
-    table: FeatureTable = registry.get_feature_table(table_name, project)
+) -> DataFrame:
+    """Read a feature table's batch source conformed to its declared
+    schema: field mapping (P4), optional event-time range filter (pushed
+    to the parquet scan), ``event_timestamp`` normalization, and column
+    pruning to entities + event_timestamp + declared features
+    (+ created-timestamp tiebreak column when present)."""
     src = table.batch_source
     df = read_batch_source(spark, src)
 
@@ -129,7 +119,32 @@ def materialize(
     cols += [f.name for f in table.features if f.name in df.columns]
     if created_col and created_col in df.columns:
         cols.append(created_col)
-    df = df.select(*cols)
+    return df.select(*cols)
+
+
+def materialize(
+    spark: SparkSession,
+    registry: Registry,
+    table_name: str,
+    store_path: str,
+    project: str = "default",
+    end_ts=None,
+    start_ts=None,
+    strategy: str = "agg",
+) -> str:
+    """Materialize a feature table's batch source into its online table.
+
+    Pipeline: read batch source (S1/S2, with field mapping P4) → optional
+    event-time range filter (pushed to the parquet scan) → conform to the
+    declared schema (entities + event_timestamp + features, dropping
+    unrelated source columns) → latest-per-key (A1) → overwrite the online
+    table as parquet.
+
+    Returns the online table path.
+    """
+    table: FeatureTable = registry.get_feature_table(table_name, project)
+    df = conform_batch_source(spark, table, end_ts=end_ts, start_ts=start_ts)
+    created_col = table.batch_source.created_timestamp_column or None
 
     latest = latest_per_key(
         df,

@@ -99,3 +99,48 @@ def test_strategies_agree_on_real_data(spark, sf_dir):
     cols = sorted(a.columns)
     assert a.select(*cols).exceptAll(b.select(*cols)).count() == 0
     assert b.select(*cols).exceptAll(a.select(*cols)).count() == 0
+
+
+def test_get_training_dataset_multi_table(spark, tmp_path):
+    """Registry-driven multi-table point-in-time export (the feast
+    get_historical_features(entity_df, features) API)."""
+    import feast_java_old_spark as fs
+    from feast_java_old_spark.operators.historical import get_training_dataset
+    from feast_java_old_spark.registry.model import FileSource
+
+    clicks = str(tmp_path / "clicks")
+    spark.createDataFrame(
+        [(1, t(0), 10.0), (1, t(2), 20.0), (2, t(1), 5.0)],
+        "user_id long, event_timestamp timestamp, n_clicks double",
+    ).write.parquet(clicks)
+    spend = str(tmp_path / "spend")
+    spark.createDataFrame(
+        [(1, t(1), 100.0), (2, t(3), 50.0)],
+        "user_id long, event_timestamp timestamp, total double",
+    ).write.parquet(spend)
+
+    reg = fs.Registry()
+    reg.apply_entity(fs.Entity("user_id", fs.ValueType.INT64))
+    for name, src, feat in (
+        ("clicks", clicks, "n_clicks"),
+        ("spend", spend, "total"),
+    ):
+        reg.apply_feature_table(
+            fs.FeatureTable(
+                name, ["user_id"], [fs.Feature(feat, fs.ValueType.DOUBLE)],
+                batch_source=FileSource(
+                    file_url=src, event_timestamp_column="event_timestamp"
+                ),
+            )
+        )
+
+    entity_df = spark.createDataFrame(
+        [(1, t(1)), (1, t(3)), (2, t(2)), (3, t(5))],
+        "user_id long, event_timestamp timestamp",
+    )
+    out = get_training_dataset(
+        spark, reg, entity_df, ["clicks:n_clicks", "spend:total"]
+    ).collect()
+    assert [r.user_id for r in out] == [1, 1, 2, 3]
+    assert [r.clicks__n_clicks for r in out] == [10.0, 20.0, 5.0, None]
+    assert [r.spend__total for r in out] == [100.0, 100.0, None, None]
