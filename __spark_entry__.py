@@ -29,7 +29,10 @@ from feast_java_old_spark.operators import (
     text,
     windows,
 )
-from feast_java_old_spark.operators.historical import get_historical_features
+from feast_java_old_spark.operators.historical import (
+    get_historical_features,
+    get_training_dataset,
+)
 from feast_java_old_spark.operators.materialize import latest_per_key
 from feast_java_old_spark.operators.odfv import OnDemandFeatureView, apply_odfv
 from feast_java_old_spark.operators.retrieval import get_online_features
@@ -381,6 +384,74 @@ FROM m
 """
 
 # ------------------------------------------------------------------ A2 metrics
+
+
+def q_historical_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table point-in-time training-set export: two orders-derived
+    feature tables as-of joined to a customer entity frame at two cutoff
+    dates, features merged back by row index (the feast
+    get_historical_features(entity_df, features) API)."""
+    reg = Registry()
+    reg.apply_entity(Entity("c_custkey", ValueType.INT64))
+    for tname, feats in (
+        ("cust_orders_price", [Feature("o_totalprice", ValueType.DOUBLE)]),
+        ("cust_orders_status", [Feature("o_orderstatus", ValueType.STRING)]),
+    ):
+        reg.apply_feature_table(
+            FeatureTable(
+                name=tname,
+                entities=["c_custkey"],
+                features=feats,
+                batch_source=FileSource(
+                    file_url=f"{sf_dir}/orders.parquet",
+                    event_timestamp_column="o_orderdate",
+                    created_timestamp_column="o_orderkey",  # unique tiebreak
+                    field_mapping={"o_custkey": "c_custkey"},
+                ),
+            )
+        )
+    stamps = [dt.datetime(1996, 1, 1), dt.datetime(1998, 1, 1)]
+    entity_df = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey")
+        .crossJoin(
+            spark.createDataFrame(
+                [(s,) for s in stamps], "event_timestamp timestamp"
+            )
+        )
+    )
+    out = get_training_dataset(
+        spark,
+        reg,
+        entity_df,
+        ["cust_orders_price:o_totalprice", "cust_orders_status:o_orderstatus"],
+    )
+    return out.select(
+        "c_custkey",
+        F.unix_micros("event_timestamp").alias("request_ts_us"),
+        F.col("cust_orders_price__o_totalprice").alias("total_price"),
+        F.col("cust_orders_status__o_orderstatus").alias("order_status"),
+    )
+
+
+SQL_TRAINING_SET = """
+WITH req AS (
+  SELECT c_custkey, request_ts
+  FROM (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
+  CROSS JOIN (SELECT unnest([TIMESTAMP '1996-01-01 00:00:00',
+                             TIMESTAMP '1998-01-01 00:00:00']) AS request_ts)),
+j AS (
+  SELECT req.c_custkey, req.request_ts, o.o_totalprice, o.o_orderstatus,
+         row_number() OVER (PARTITION BY req.c_custkey, req.request_ts
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+           AS rn
+  FROM req LEFT JOIN orders o
+    ON o.o_custkey = req.c_custkey AND o.o_orderdate <= req.request_ts)
+SELECT c_custkey, epoch_us(request_ts) AS request_ts_us,
+       o_totalprice AS total_price, o_orderstatus AS order_status
+FROM j WHERE rn = 1
+"""
 
 
 def q_a2_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_compound_key": q_j2_compound_key,
         "j3_max_age": q_j3_max_age,
         "historical_asof": q_historical_asof,
+        "historical_training_set": q_historical_training_set,
         "a2_metrics_rollup": q_a2_metrics_rollup,
         "a3_window_rollup": q_a3_window_rollup,
         "a4_sliding_rollup": q_a4_sliding_rollup,
@@ -1139,6 +1211,7 @@ def oracle_sql() -> dict[str, str]:
         "j2_compound_key": SQL_J2,
         "j3_max_age": SQL_J3,
         "historical_asof": SQL_ASOF,
+        "historical_training_set": SQL_TRAINING_SET,
         "a2_metrics_rollup": SQL_A2,
         "a3_window_rollup": SQL_A3,
         "a4_sliding_rollup": SQL_A4,
