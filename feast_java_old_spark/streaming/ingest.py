@@ -165,6 +165,112 @@ def stream_window_features(
     )
 
 
+def stream_running_features(
+    stream: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    event_ts_col: str = "event_timestamp",
+    watermark: str = "1 hour",
+    idle_timeout_ms: Optional[int] = None,
+) -> DataFrame:
+    """Custom stateful feature view via ``applyInPandasWithState``:
+    per-entity **lifetime running aggregates** (event count, running sum,
+    last event time) emitted as an updated feature row every micro-batch
+    the key appears in.
+
+    This is the operator shape time/session windows cannot express —
+    unbounded per-key state with incremental emission — the Structured
+    Streaming twin of the reference's "online value evolves per key as
+    events arrive" model (A1, ``BigTableOnlineRetriever.java:100``),
+    generalized from latest-value to arbitrary running state.
+
+    Scale design:
+
+    - State per key is **three scalars** (count, sum, last-event µs) in
+      Spark's state store — independent of history length; the stream is
+      hash-partitioned by key, so state updates never shuffle twice.
+    - Arrow-batched pandas transfer: one python invocation per key per
+      batch, not per event.
+    - **Bounded state**: with ``idle_timeout_ms`` set, keys idle past the
+      event-time timeout are evicted (a final row with ``evicted=true``
+      is emitted so downstream sinks can tombstone); at 100 TB this keeps
+      the state store proportional to *active* entities, not all-time
+      entities.
+
+    Output ``event_timestamp`` is the key's last event time, so
+    latest-wins materialization composes downstream unchanged.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    keys = list(keys)
+    key_fields = [stream.schema[k] for k in keys]
+    out_schema = StructType(
+        list(key_fields)
+        + [
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("event_timestamp", TimestampType()),
+            StructField("evicted", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+            StructField("last_us", LongType()),
+        ]
+    )
+
+    def _row(key, n, s, last_us, evicted):
+        data = {k: [v] for k, v in zip(keys, key)}
+        data["n_events"] = [n]
+        data["sum_value"] = [s]
+        data["event_timestamp"] = [pd.to_datetime(last_us, unit="us")]
+        data["evicted"] = [evicted]
+        return pd.DataFrame(data)
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            n, s, last_us = state.get
+            state.remove()
+            yield _row(key, n, s, last_us, True)
+            return
+        n, s, last_us = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+            m = int(
+                pdf[event_ts_col].values.astype("datetime64[us]").astype("int64").max()
+            )
+            last_us = m if last_us is None else max(last_us, m)
+        if last_us is None:
+            return
+        state.update((n, s, last_us))
+        if idle_timeout_ms is not None:
+            # Timeout must sit strictly past the current watermark.
+            state.setTimeoutTimestamp(
+                max(last_us // 1000 + idle_timeout_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        yield _row(key, n, s, last_us, False)
+
+    timeout = "EventTimeTimeout" if idle_timeout_ms is not None else "NoTimeout"
+    return (
+        stream.withWatermark(event_ts_col, watermark)
+        .groupBy(*[F.col(k) for k in keys])
+        .applyInPandasWithState(update, out_schema, state_schema, "update", timeout)
+    )
+
+
 def stream_session_features(
     stream: DataFrame,
     keys: Sequence[str],

@@ -162,6 +162,114 @@ def test_stream_window_features(spark, tmp_path):
     assert rows[(2, t(10))] == (7.0, 1)
 
 
+def test_stream_running_features_match_batch_aggregate(spark, tmp_path):
+    """applyInPandasWithState running aggregates: the last emitted row per
+    key equals the batch groupBy over all events, and each batch a key
+    appears in emits an updated row."""
+    from feast_java_old_spark.streaming.ingest import stream_running_features
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = [(1, t(1), 1.0), (1, t(5), 2.0), (2, t(2), 10.0)]
+    b2 = [(1, t(20), 4.0), (3, t(21), 100.0)]
+    _write_batch(spark, src, b1, 1)
+
+    stream = spark.readStream.schema(
+        "user_id long, event_timestamp timestamp, value double"
+    ).parquet(src)
+    feats = stream_running_features(stream, ["user_id"], "value")
+    q = (
+        feats.writeStream.format("memory")
+        .queryName("runfeats")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, src, b2, 2)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.sql("select * from runfeats").count() >= 5:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    rows = spark.sql("select * from runfeats").collect()
+    # one emission per (key, batch containing it): keys 1,2 in b1; 1,3 in b2
+    assert len(rows) == 4
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+    batch = spark.createDataFrame(
+        b1 + b2, "user_id long, event_timestamp timestamp, value double"
+    )
+    want = {
+        r.user_id: r
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.max("event_timestamp").alias("ts"),
+        )
+        .collect()
+    }
+    for uid, w in want.items():
+        g = final[uid]
+        assert (g.n_events, g.sum_value, g.event_timestamp) == (w.n, w.s, w.ts)
+        assert g.evicted is False
+    # intermediate emission for key 1 after batch 1 (n=2) precedes final n=3
+    assert sorted(r.n_events for r in rows if r.user_id == 1) == [2, 3]
+
+
+def test_stream_running_features_evicts_idle_keys(spark, tmp_path):
+    """EventTimeTimeout: a key idle past the timeout is evicted with a
+    final evicted=true row once the watermark passes."""
+    from feast_java_old_spark.streaming.ingest import stream_running_features
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(spark, src, [(1, t(0), 1.0), (2, t(0), 2.0)], 1)
+    stream = spark.readStream.schema(
+        "user_id long, event_timestamp timestamp, value double"
+    ).parquet(src)
+    feats = stream_running_features(
+        stream, ["user_id"], "value",
+        watermark="1 minute", idle_timeout_ms=10 * 60 * 1000,
+    )
+    q = (
+        feats.writeStream.format("memory")
+        .queryName("evictfeats")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance event time far past key 2's timeout; only key 1 active
+        _write_batch(spark, src, [(1, t(60), 1.0)], 2)
+        q.processAllAvailable()
+        # one more batch so the watermark from batch 2 triggers the timeout
+        _write_batch(spark, src, [(1, t(120), 1.0)], 3)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            evicted = [
+                r
+                for r in spark.sql("select * from evictfeats").collect()
+                if r.evicted
+            ]
+            if evicted:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(evicted) == 1
+    e = evicted[0]
+    assert (e.user_id, e.n_events, e.sum_value) == (2, 1, 2.0)
+
+
 def test_stream_session_features_match_batch_kernel(spark, tmp_path):
     """Session windows under readStream agree with the batch
     session_rollup kernel on the same data."""
