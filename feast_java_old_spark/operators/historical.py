@@ -22,6 +22,17 @@ Scale design — two physical strategies:
 - ``strategy="join"``: range-join + ``row_number() == 1``. Cheaper only
   when requests are few and histories are short; kept for comparison and
   as the shape Catalyst can broadcast when the request side is tiny.
+- ``strategy="bucketed"``: the **skew-resistant** union variant. The plain
+  union strategy partitions its window by entity key alone, so one hot
+  entity (a key with 10^9 events at 100 TB) serializes onto a single
+  task. Bucketing salts the window partition with a time bucket:
+  within-bucket rows window over ``(keys, bucket)``, and a per-(key,
+  bucket) ``max(struct(...))`` summary (partial-aggregating, skew-immune)
+  provides each request bucket's carry-in — the latest event from any
+  earlier bucket. Max task size drops from |hot key's history| to |hot
+  key's events per bucket|, tunable via ``bucket_duration``. Bonus: only
+  buckets that contain requests are scanned at all (semi-join prune), so
+  sparse request sets skip most of the history.
 """
 
 from __future__ import annotations
@@ -50,6 +61,7 @@ def asof_join(
     max_age_secs: int = 0,
     strategy: str = "union",
     tiebreak_col: Optional[str] = None,
+    bucket_duration_secs: int = 7 * 86400,
 ) -> DataFrame:
     """As-of join ``requests`` to the latest ``history`` row per key.
 
@@ -75,6 +87,11 @@ def asof_join(
         out = _asof_range_join(
             requests, history, keys, request_ts_col, event_ts_col, feature_cols,
             tiebreak_col,
+        )
+    elif strategy == "bucketed":
+        out = _asof_bucketed(
+            requests, history, keys, request_ts_col, event_ts_col, feature_cols,
+            tiebreak_col, bucket_duration_secs,
         )
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -147,6 +164,129 @@ def _asof_union(
         *[F.col(f"__match.{c}").alias(c) for c in feature_cols],
     )
     return out
+
+
+def _asof_bucketed(
+    requests: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    request_ts_col: str,
+    event_ts_col: str,
+    feature_cols: list[str],
+    tiebreak_col: Optional[str],
+    bucket_secs: int,
+) -> DataFrame:
+    """Skew-resistant as-of: window partitions salted with a time bucket.
+
+    Three pieces, all skew-bounded:
+
+    1. per-(key, bucket) ``max(struct(ts, tiebreak, payload))`` summaries —
+       hash aggregate with map-side partial combine, so a hot key's events
+       reduce before they shuffle;
+    2. carry-in per request bucket — a mini as-of over the summaries
+       (rows per key = number of buckets, not number of events);
+    3. within-bucket tagged-union window over ``(keys, bucket)`` — the
+       hot key's history is split across its buckets instead of one task.
+
+    History buckets with no requests are dropped by a semi-join before
+    the window — the dominant saving when requests cover a narrow time
+    range of a long history.
+    """
+    req_cols = list(requests.columns)
+    payload = F.struct(
+        F.col(event_ts_col).alias("__ts"), *[F.col(c) for c in feature_cols]
+    )
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0).cast("long")
+
+    def bkt(c: str) -> F.Column:
+        return F.floor(F.col(c).cast("timestamp").cast("long") / F.lit(bucket_secs))
+
+    h = history.select(
+        *keys,
+        bkt(event_ts_col).alias("__bkt"),
+        F.col(event_ts_col).alias("__t"),
+        tb.alias("__tb"),
+        payload.alias("__payload"),
+    )
+    r_extra = [c for c in req_cols if c not in keys]
+    r = requests.select(
+        *keys,
+        bkt(request_ts_col).alias("__bkt"),
+        F.col(request_ts_col).alias("__t"),
+        *[F.col(c).alias(f"__r_{c}") for c in r_extra],
+    )
+    req_buckets = r.select(*keys, "__bkt").distinct()
+
+    best = F.struct(F.col("__t"), F.col("__tb"), F.col("__payload"))
+    summ = h.groupBy(*keys, "__bkt").agg(F.max(best).alias("__best"))
+
+    su = summ.select(*keys, "__bkt", F.lit(0).alias("__is_req"), "__best")
+    ru = req_buckets.select(
+        *keys,
+        "__bkt",
+        F.lit(1).alias("__is_req"),
+        F.lit(None).cast(su.schema["__best"].dataType).alias("__best"),
+    )
+    # Request sorts BEFORE the same bucket's summary: carry-in must come
+    # from strictly earlier buckets (same-bucket rows are in the window
+    # below).
+    wc = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__bkt").asc(), F.col("__is_req").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = (
+        su.unionByName(ru)
+        .withColumn("__carry", F.last("__best", ignorenulls=True).over(wc))
+        .where((F.col("__is_req") == 1) & F.col("__carry").isNotNull())
+        .select(
+            *keys,
+            "__bkt",
+            F.col("__carry.__t").alias("__t"),
+            F.lit(0).alias("__is_req"),
+            F.col("__carry.__tb").alias("__tb"),
+            F.col("__carry.__payload").alias("__payload"),
+        )
+    )
+
+    null_reqs = [
+        F.lit(None).cast(requests.schema[c].dataType).alias(f"__r_{c}")
+        for c in r_extra
+    ]
+    h_in = h.join(req_buckets, on=keys + ["__bkt"], how="left_semi").select(
+        *keys, "__bkt", "__t", F.lit(0).alias("__is_req"), "__tb", "__payload",
+        *null_reqs,
+    )
+    carry_in = carry.select(
+        *keys, "__bkt", "__t", "__is_req", "__tb", "__payload", *null_reqs
+    )
+    r_in = r.select(
+        *keys,
+        "__bkt",
+        "__t",
+        F.lit(1).alias("__is_req"),
+        F.lit(None).cast(h.schema["__tb"].dataType).alias("__tb"),
+        F.lit(None).cast(h.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(f"__r_{c}") for c in r_extra],
+    )
+    w = (
+        Window.partitionBy(*keys, "__bkt")
+        .orderBy(
+            F.col("__t").asc(),
+            F.col("__is_req").asc(),
+            F.col("__tb").asc_nulls_last(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = h_in.unionByName(carry_in).unionByName(r_in).withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    return u.where(F.col("__is_req") == 1).select(
+        *keys,
+        *[F.col(f"__r_{c}").alias(c) for c in r_extra],
+        F.col("__match.__ts").alias(event_ts_col),
+        *[F.col(f"__match.{c}").alias(c) for c in feature_cols],
+    )
 
 
 def _asof_range_join(

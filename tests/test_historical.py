@@ -41,11 +41,12 @@ def frames(spark):
     return history, requests
 
 
-@pytest.mark.parametrize("strategy", ["union", "join"])
+@pytest.mark.parametrize("strategy", ["union", "join", "bucketed"])
 def test_asof_semantics(spark, frames, strategy):
     history, requests = frames
     out = asof_join(
-        requests, history, ["user_id"], strategy=strategy
+        requests, history, ["user_id"], strategy=strategy,
+        bucket_duration_secs=3600,
     ).orderBy("user_id", "request_ts")
     rows = [r.asDict() for r in out.collect()]
     assert [r["score"] for r in rows] == [10.0, 20.0, None, None, None]
@@ -54,11 +55,12 @@ def test_asof_semantics(spark, frames, strategy):
     assert rows[4]["event_timestamp"] is None  # unknown key
 
 
-@pytest.mark.parametrize("strategy", ["union", "join"])
+@pytest.mark.parametrize("strategy", ["union", "join", "bucketed"])
 def test_asof_max_age(spark, frames, strategy):
     history, requests = frames
     out = asof_join(
-        requests, history, ["user_id"], max_age_secs=3600, strategy=strategy
+        requests, history, ["user_id"], max_age_secs=3600, strategy=strategy,
+        bucket_duration_secs=3600,
     ).orderBy("user_id", "request_ts")
     rows = [r.asDict() for r in out.collect()]
     # request t1 ← event t0: age exactly 3600 → within (inclusive)
@@ -96,9 +98,43 @@ def test_strategies_agree_on_real_data(spark, sf_dir):
     )
     a = asof_join(requests, history, ["user_id"], strategy="union")
     b = asof_join(requests, history, ["user_id"], strategy="join")
+    c = asof_join(
+        requests, history, ["user_id"], strategy="bucketed",
+        bucket_duration_secs=86400,
+    )
     cols = sorted(a.columns)
-    assert a.select(*cols).exceptAll(b.select(*cols)).count() == 0
-    assert b.select(*cols).exceptAll(a.select(*cols)).count() == 0
+    for other in (b, c):
+        assert a.select(*cols).exceptAll(other.select(*cols)).count() == 0
+        assert other.select(*cols).exceptAll(a.select(*cols)).count() == 0
+
+
+def test_tiebreak_agrees_across_strategies(spark):
+    """Equal-timestamp history rows: highest tiebreak wins identically in
+    the window path (union/bucketed carry-in) and the max(struct) path."""
+    history = spark.createDataFrame(
+        [(1, t(0), 100, 1.0), (1, t(0), 200, 2.0), (1, t(2), 50, 3.0),
+         (1, t(2), 60, 4.0), (2, t(1), 7, 5.0)],
+        "user_id long, event_timestamp timestamp, created long, score double",
+    )
+    requests = spark.createDataFrame(
+        [(1, t(0)), (1, t(3)), (2, t(6))],
+        "user_id long, request_ts timestamp",
+    )
+    outs = {}
+    for strategy in ("union", "join", "bucketed"):
+        rows = (
+            asof_join(
+                requests, history, ["user_id"], strategy=strategy,
+                feature_cols=["score"], tiebreak_col="created",
+                bucket_duration_secs=3600,
+            )
+            .orderBy("user_id", "request_ts")
+            .collect()
+        )
+        outs[strategy] = [(r.user_id, r.score) for r in rows]
+    assert outs["union"] == [(1, 2.0), (1, 4.0), (2, 5.0)]
+    assert outs["join"] == outs["union"]
+    assert outs["bucketed"] == outs["union"]
 
 
 def test_get_training_dataset_multi_table(spark, tmp_path):
