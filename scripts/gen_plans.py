@@ -14,6 +14,7 @@ PICKS = [
     ("j1_entity_lookup", "Online lookup (J1): the online table is scanned and column-pruned, never shuffled — request keys broadcast in (inner BHJ), matched rows broadcast back (left BHJ)."),
     ("a1_latest_per_key", "Materialization (A1): max(struct) aggregate — partial_max runs map-side, so the shuffle carries one row per (key, map partition), not the history."),
     ("historical_asof", "Point-in-time as-of join: union-window form — one shuffle of history+requests; per-key cost stays linear on hot keys."),
+    ("historical_asof_bucketed", "Skew-resistant as-of: window partitions salted with a time bucket; per-(key,bucket) partial_max summaries feed the carry-in, and a LeftSemi join prunes history buckets with no requests."),
     ("pipeline_clean_corpus", "Composed clean-corpus pipeline: 1 FileScan + 1 Exchange; every quality signal is computed in the map-side projection and rides the dedup group-by inside min(struct(...)) — the text column never crosses the shuffle."),
     ("a7_rollup_revenue", "Star-schema ROLLUP: every dimension joins via BroadcastHashJoin; the fact table shuffles only grouping keys + partial sums."),
     ("similarity_ann_ivf", "IVF ANN: centroid assignment is a broadcast join + map-side argmax aggregate; probing is a bucket equi-join on centroid_id."),
