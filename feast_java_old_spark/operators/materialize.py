@@ -100,6 +100,17 @@ def conform_batch_source(
     if end_ts is not None:
         cond = F.col(ts_col) <= F.lit(end_ts)
         where = cond if where is None else (where & cond)
+    # datePartitionColumn (DataSource.java:75-76,131): redundant day-level
+    # bounds on the partition column so Catalyst prunes whole partition
+    # directories before listing files — at 100 TB this is the difference
+    # between scanning a date range and scanning the table. The exact
+    # row-level event-ts filter above still applies within kept partitions.
+    dp = getattr(src, "date_partition_column", "") or None
+    if dp is not None and dp in df.columns:
+        if start_ts is not None:
+            where = where & (F.col(dp) >= F.to_date(F.lit(start_ts)))
+        if end_ts is not None:
+            where = where & (F.col(dp) <= F.to_date(F.lit(end_ts)))
     if where is not None:
         df = df.where(where)
 

@@ -46,6 +46,46 @@ def test_materialize_time_range_and_field_mapping(spark, tmp_path, tmp_store):
     assert row.user_id == 1 and row.score == 5.0 and row.event_timestamp == t(5)
 
 
+def test_date_partition_column_prunes_partitions(spark, tmp_path):
+    """datePartitionColumn (DataSource.java:75-76,131): the time-range
+    filter must reach the partition column so whole directories are
+    pruned, and results must match the row-level filter exactly."""
+    from feast_java_old_spark.operators.materialize import conform_batch_source
+
+    src = str(tmp_path / "psrc")
+    rows = [
+        (1, dt.datetime(2024, 1, d, h), float(d * 10 + h))
+        for d in (1, 2, 3, 4)
+        for h in (0, 12)
+    ]
+    (
+        spark.createDataFrame(rows, "uid long, event_time timestamp, v double")
+        .withColumn("ds", F.to_date("event_time"))
+        .write.partitionBy("ds")
+        .parquet(src)
+    )
+    table = fs.FeatureTable(
+        "pviews", ["uid"], [fs.Feature("v", fs.ValueType.DOUBLE)],
+        batch_source=FileSource(
+            file_url=src,
+            event_timestamp_column="event_time",
+            date_partition_column="ds",
+        ),
+    )
+    df = conform_batch_source(
+        spark, table,
+        start_ts=dt.datetime(2024, 1, 2),
+        end_ts=dt.datetime(2024, 1, 3, 23),
+    )
+    got = sorted((r.uid, r.event_timestamp, r.v) for r in df.collect())
+    want = sorted((u, ts, v) for u, ts, v in rows if 2 <= ts.day <= 3)
+    assert got == want
+    # directory-level pruning: the scan carries PartitionFilters on ds
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "ds" in pf[0] and ">=" in pf[0] and "<=" in pf[0]
+
+
 def test_created_timestamp_tiebreak(spark):
     df = spark.createDataFrame(
         [(1, t(1), t(1), 1.0), (1, t(1), t(3), 3.0)],
