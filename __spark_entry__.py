@@ -739,6 +739,49 @@ JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE round(i.ni / (sa.n + sb.n - i.ni), 6) >= {JACCARD_THRESHOLD}
 """
 
+
+VERIFY_THRESHOLD = 0.4
+
+
+def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path dedup composition: MinHash-LSH candidate generation
+    followed by exact-Jaccard verification restricted to the candidates
+    (cost bounded by |candidates| x shingles-per-doc, not the full
+    inverted-index blow-up)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(
+        docs, k=MINHASH_K, bands=MINHASH_BANDS, n=3
+    )
+    return dedup.verify_candidate_pairs(
+        docs, cands, n=3, threshold=VERIFY_THRESHOLD
+    )
+
+
+def _sql_dedup_verified() -> str:
+    return f"""
+WITH cand AS ({_sql_minhash()}),
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+shv AS (SELECT doc_id,
+        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       FOR i IN range(1, len(t) - 1)]) AS s
+       FROM toks WHERE len(t) >= 3),
+exv AS (SELECT doc_id, unnest(s) AS shingle FROM shv),
+sizes AS (SELECT doc_id, count(*) AS n FROM exv GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM cand c
+  JOIN exv a ON a.doc_id = c.doc_a
+  JOIN exv b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       round(i.ni / (sa.n + sb.n - i.ni), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.ni / (sa.n + sb.n - i.ni), 6) >= {VERIFY_THRESHOLD}
+"""
+
+
 # ------------------------------------------------------------------- text ops
 
 
@@ -1229,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_verified": q_dedup_verified,
         "dedup_components": q_dedup_components,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1266,6 +1310,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_simhash": _sql_simhash(),
         "dedup_ngram_jaccard": SQL_JACCARD,
+        "dedup_verified": _sql_dedup_verified(),
         "text_stats": SQL_TEXT_STATS,
         "lang_id": _sql_lang_id(),
         "token_count": SQL_TOKEN_COUNT,

@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_verified",
     "text_stats",
     "lang_id",
     "pipeline_clean_corpus",

@@ -228,6 +228,57 @@ def ngram_jaccard_pairs(
     return jac
 
 
+def verify_candidate_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard **restricted to candidate pairs** — the scale
+    path for near-dup verification.
+
+    :func:`ngram_jaccard_pairs` builds the full inverted index; its cost
+    is sum over shingles of (docs-per-shingle choose 2), which a
+    stop-word shingle can blow up at corpus scale. Verifying only the
+    candidates an LSH stage emitted bounds the work by |candidates| x
+    |shingles per doc| instead: two equi-joins of the candidate list
+    against per-doc shingle sets, one count per pair. This is the
+    composition a 100 TB dedup actually runs (MinHash-LSH generate ->
+    exact verify -> connected components).
+
+    Emits (doc_a, doc_b, jaccard) for candidates at or above ``threshold``.
+    """
+    sh = exploded_shingles(df, text_col, id_col, n, distinct=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    p = pairs.select("doc_a", "doc_b")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        p.join(a, "doc_a")               # (doc_a, doc_b, shingle of A)
+        .join(b, ["doc_b", "shingle"])   # keep shingles B also has
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def simhash_bits(text: Column, bits: int = 32) -> Column:
     """SimHash bit vector: bit j votes by the j-th hex digit of each
     token's md5 (>= '8' → +1 else −1); sign of the folded sum sets the bit.

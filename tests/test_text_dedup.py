@@ -85,6 +85,25 @@ def test_ngram_jaccard_exact_values(spark):
     assert out[(1, 3)] == pytest.approx(0.2)
 
 
+def test_verify_candidate_pairs_matches_full_jaccard(spark, sf_dir):
+    """LSH-candidate verification equals the full inverted-index Jaccard
+    restricted to the candidate set (the 100 TB composition: generate ->
+    verify)."""
+    from feast_java_old_spark.operators import dedup
+    from feast_java_old_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = dedup.minhash_lsh_candidates(docs)
+    verified = dedup.verify_candidate_pairs(docs, cands, threshold=0.4)
+    full = dedup.ngram_jaccard_pairs(docs, threshold=0.4).join(
+        cands, ["doc_a", "doc_b"]
+    )
+    cols = ["doc_a", "doc_b", "jaccard"]
+    assert verified.select(cols).exceptAll(full.select(cols)).count() == 0
+    assert full.select(cols).exceptAll(verified.select(cols)).count() == 0
+    assert verified.count() > 0  # planted near-dups survive verification
+
+
 def test_simhash_similar_docs_share_bands(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     near = base.replace("today", "tomorrow")
