@@ -1159,13 +1159,26 @@ WHERE round({_DOT}(a.e, b.e)
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components dedup groups over MinHash-LSH candidate pairs.
 
-    Iterative min-label propagation — genuinely non-SQL-expressible
-    (unbounded iteration), so no oracle entry: the driver records a
-    rows-only check.
+    Spark side: iterative min-label propagation (bounded by component
+    diameter). Oracle side: DuckDB recursive-CTE transitive closure +
+    min per node — different algorithm, same fixpoint, hash-matched.
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_candidates(docs, k=MINHASH_K, bands=MINHASH_BANDS, n=3)
     return dedup.dedup_components(pairs, docs.select("doc_id"))
+
+
+def _sql_dedup_components() -> str:
+    return f"""
+WITH RECURSIVE cand AS ({_sql_minhash()}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+          UNION SELECT doc_b AS src, doc_a AS dst FROM cand),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst)
+SELECT node AS doc_id, min(lbl) AS group_id FROM reach GROUP BY node
+"""
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1311,6 +1324,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _sql_simhash(),
         "dedup_ngram_jaccard": SQL_JACCARD,
         "dedup_verified": _sql_dedup_verified(),
+        "dedup_components": _sql_dedup_components(),
         "text_stats": SQL_TEXT_STATS,
         "lang_id": _sql_lang_id(),
         "token_count": SQL_TOKEN_COUNT,
