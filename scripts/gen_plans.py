@@ -18,6 +18,7 @@ PICKS = [
     ("pipeline_clean_corpus", "Composed clean-corpus pipeline: 1 FileScan + 1 Exchange; every quality signal is computed in the map-side projection and rides the dedup group-by inside min(struct(...)) — the text column never crosses the shuffle."),
     ("a7_rollup_revenue", "Star-schema ROLLUP: every dimension joins via BroadcastHashJoin; the fact table shuffles only grouping keys + partial sums."),
     ("similarity_ann_ivf", "IVF ANN: centroid assignment is a broadcast join + map-side argmax aggregate; probing is a bucket equi-join on centroid_id."),
+    ("dedup_verified", "LSH generate -> exact verify: the Jaccard joins are bounded by the candidate list, not the inverted index — no hot-shingle blow-up at corpus scale."),
 ]
 
 out = io.StringIO()
