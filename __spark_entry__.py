@@ -1255,6 +1255,130 @@ SELECT user_id, value * 2 + length(event_type) AS score,
 FROM latest
 """
 
+
+# ------------------------------------------------------- streaming (bounded)
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """The file-stream source requires a *directory*; stage the single
+    events.parquet behind a symlink in a temp dir."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="fjos_stream_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(d, "events.parquet"),
+    )
+    return d
+
+
+def q_stream_latest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Structured Streaming run inside the driver gate: file-stream
+    the events table (availableNow), foreachBatch latest-wins merge into a
+    versioned online table, then read the result back. Hash-matches the
+    *batch* A1 oracle — the streaming and batch materialization kernels
+    are the same latest-wins fixpoint."""
+    import tempfile
+
+    from feast_java_old_spark.streaming.ingest import (
+        read_online_table,
+        stream_materialize,
+    )
+    from feast_java_old_spark.operators.materialize import online_table_path
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(_events_stream_dir(sf_dir))
+        .select(
+            "user_id",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("event_timestamp"),
+            "event_id",
+            "event_type",
+            "value",
+        )
+    )
+    work = tempfile.mkdtemp(prefix="fjos_stream_")
+    q = stream_materialize(
+        spark, stream, f"{work}/store", "events_latest", ["user_id"],
+        checkpoint=f"{work}/ckpt", trigger_once=True,
+    )
+    q.awaitTermination(600)
+    online = read_online_table(
+        spark, online_table_path(f"{work}/store", "default", "events_latest")
+    )
+    return online.select(
+        "user_id",
+        F.unix_micros("event_timestamp").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+
+
+def q_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window feature view executed as a bounded
+    stream (availableNow, complete mode into a memory sink); the oracle is
+    plain batch SQL — streaming window semantics equal batch semantics on
+    bounded input."""
+    import uuid
+
+    from feast_java_old_spark.streaming.ingest import stream_window_features
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(_events_stream_dir(sf_dir))
+        .select(
+            "event_type",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("event_timestamp"),
+            F.col("value"),
+        )
+    )
+    feats = stream_window_features(
+        stream,
+        ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value_cents": F.sum(
+                F.round(F.col("value") * 100, 0).cast("long")
+            ),
+        },
+        window_duration="1 hour",
+        watermark="1 hour",
+    )
+    name = f"swr_{uuid.uuid4().hex[:8]}"
+    q = (
+        feats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name).select(
+        "event_type",
+        F.unix_micros("event_timestamp").alias("window_end_us"),
+        "n_events",
+        "sum_value_cents",
+    )
+
+
+SQL_STREAM_WIN = """
+SELECT event_type,
+       epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR)
+         AS window_end_us,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_value_cents
+FROM events
+GROUP BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+"""
+
+
 # ---------------------------------------------------------------- the contract
 
 
@@ -1299,6 +1423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         "odfv_transform": q_odfv_transform,
+        "stream_latest_merge": q_stream_latest_merge,
+        "stream_window_rollup": q_stream_window_rollup,
     }
 
 
@@ -1337,4 +1463,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": SQL_MM_DECODE,
         "multimodal_frames": SQL_MM_FRAMES,
         "odfv_transform": SQL_ODFV,
+        "stream_latest_merge": SQL_A1,
+        "stream_window_rollup": SQL_STREAM_WIN,
     }
