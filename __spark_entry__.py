@@ -1292,6 +1292,9 @@ def q_stream_latest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from feast_java_old_spark.operators.materialize import online_table_path
 
+    from feast_java_old_spark.sources.tables import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .parquet(_events_stream_dir(sf_dir))
@@ -1330,6 +1333,9 @@ def q_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from feast_java_old_spark.streaming.ingest import stream_window_features
 
+    from feast_java_old_spark.sources.tables import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .parquet(_events_stream_dir(sf_dir))

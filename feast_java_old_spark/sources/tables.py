@@ -41,7 +41,18 @@ def session_builder(app: str, master: str | None = None, **conf):
     return b
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """Make any session able to read the nano-timestamp events table —
+    the conf is runtime-settable, so sessions built outside
+    :func:`session_builder` (e.g. the round driver's) work too."""
+    try:
+        spark.conf.set(NANOS_CONF, "true")
+    except Exception:
+        pass  # conf locked down → session_builder already set it or read fails loudly
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         # Nano-timestamp normalization (events.ts): LONG nanos → µs timestamp.
