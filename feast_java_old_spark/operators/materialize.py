@@ -168,11 +168,13 @@ def materialize(
         latest = latest.drop(created_col)
 
     path = online_table_path(store_path, project, table_name)
-    # Keyed layout: repartition by entity key so each output file covers a
-    # hash bucket of keys; lookups join against a key-clustered table.
-    latest.repartition(*[F.col(k) for k in table.entities]).write.mode(
-        "overwrite"
-    ).parquet(path)
+    # Keyed layout: repartition by entity key (each output file covers one
+    # hash bucket of keys) and sort within partitions by key — parquet
+    # row-group min/max statistics on the key columns then let point
+    # lookups skip row groups inside each file, the poor-man's Z-ORDER.
+    latest.repartition(*[F.col(k) for k in table.entities]).sortWithinPartitions(
+        *table.entities
+    ).write.mode("overwrite").parquet(path)
     return path
 
 

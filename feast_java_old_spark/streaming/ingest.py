@@ -88,7 +88,9 @@ def merge_latest_batch(
     os.makedirs(path, exist_ok=True)
     vname = f"v{batch_id:012d}"
     vdir = os.path.join(path, vname)
-    merged.repartition(*[F.col(k) for k in keys]).write.mode("overwrite").parquet(vdir)
+    merged.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(
+        *keys
+    ).write.mode("overwrite").parquet(vdir)
     tmp = os.path.join(path, _POINTER + ".tmp")
     with open(tmp, "w") as f:
         f.write(vname)
