@@ -58,7 +58,6 @@ def q_s1_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         field_mapping={"value": "feature_value"},
     )
     df = read_batch_source(spark, src)
-    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df.where(F.col("event_type") == "click").select(
         "event_id",
         "user_id",
@@ -508,7 +507,7 @@ def q_a2_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_A2 = """
 SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
-       sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY event_type
 """
 
@@ -546,7 +545,7 @@ def q_a3_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_A3 = """
 SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
        count(*) AS n_events, count(DISTINCT user_id) AS n_users,
-       sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -566,7 +565,7 @@ def q_a4_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_A4 = """
 SELECT (epoch_us(ts) // 1800000000 - i) * 1800000000 AS window_start_us,
        event_type, count(*) AS n_events,
-       sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
 GROUP BY 1, 2
 """
@@ -597,7 +596,7 @@ m AS (
   FROM o)
 SELECT epoch_us(min(ts)) AS session_start_us, user_id,
        count(*) AS n_events,
-       sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_value_cents,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents,
        epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
 FROM m GROUP BY user_id, sess
 """
@@ -1379,7 +1378,7 @@ SELECT event_type,
        epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR)
          AS window_end_us,
        count(*) AS n_events,
-       sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events
 GROUP BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
 """

@@ -116,14 +116,6 @@ def conform_batch_source(
 
     if ts_col != "event_timestamp":
         df = df.withColumnRenamed(ts_col, "event_timestamp")
-    # Parquet TIMESTAMP(NANOS) columns arrive as LONG nanos under the
-    # mandatory spark.sql.legacy.parquet.nanosAsLong config — normalize to
-    # a microsecond timestamp (integer division: no precision loss).
-    if isinstance(df.schema["event_timestamp"].dataType, T.LongType):
-        df = df.withColumn(
-            "event_timestamp",
-            F.timestamp_micros(F.expr("event_timestamp div 1000")),
-        )
     created_col = src.created_timestamp_column or None
 
     cols = list(table.entities) + ["event_timestamp"]

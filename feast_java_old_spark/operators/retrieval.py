@@ -88,6 +88,7 @@ def get_online_features(
     include_statuses: bool = True,
     online_frames: Optional[dict[str, DataFrame]] = None,
     strategy: str = "broadcast",
+    preserve_order: bool = True,
 ) -> DataFrame:
     """Batch point-lookup of the latest feature values for N entity rows.
 
@@ -96,6 +97,10 @@ def get_online_features(
     all rows; otherwise *now* (``OnlineServingServiceV2.java:366-368``).
     Returns one row per input row, in input order, with a value column and
     (optionally) a status column per requested feature.
+
+    ``preserve_order=False`` skips the final global sort — for the
+    backfill-scale ``strategy="shuffle"`` path the input-order guarantee
+    costs a whole range exchange that a bulk consumer rarely wants.
     """
     refs = [parse_feature_ref(r) if isinstance(r, str) else r for r in feature_refs]
     validate_online_request(
@@ -141,11 +146,14 @@ def get_online_features(
             # — same plan, no parquet round-trip.
             online = online_frames[table_name]
         elif store_path is not None:
+            # read_online_table handles both the bare-parquet batch layout
+            # and the versioned (vNNN + _LATEST pointer) streaming layout;
+            # it returns None only for a never-materialized path and lets
+            # real read errors (corruption, permissions) propagate.
+            from feast_java_old_spark.streaming.ingest import read_online_table
+
             path = online_table_path(store_path, project, table_name)
-            try:
-                online = spark.read.parquet(path)
-            except Exception:
-                online = None  # never materialized → every field NOT_FOUND
+            online = read_online_table(spark, path)
         else:
             online = None
 
@@ -242,4 +250,6 @@ def get_online_features(
         value_cols.append(vname)
         if include_statuses:
             value_cols.append(f"{vname}__status")
-    return out.orderBy(ROW_IDX).select(*entity_cols, *value_cols)
+    if preserve_order:
+        out = out.orderBy(ROW_IDX)
+    return out.select(*entity_cols, *value_cols)

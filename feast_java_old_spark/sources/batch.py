@@ -26,6 +26,10 @@ from feast_java_old_spark.registry.model import (
     DataSource,
     FileSource,
 )
+from feast_java_old_spark.sources.tables import (
+    ensure_nanos_conf,
+    normalize_timestamp_cols,
+)
 
 
 def apply_field_mapping(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
@@ -46,6 +50,7 @@ def read_batch_source(
     source columns can reach the parquet scan (Catalyst pushes it down
     regardless, but keeping the plan shallow helps `.explain` clarity).
     """
+    ensure_nanos_conf(spark)
     if isinstance(source, FileSource):
         df = spark.read.parquet(source.file_url)
     elif isinstance(source, BigQuerySource):
@@ -60,4 +65,12 @@ def read_batch_source(
         raise TypeError(f"not a batch source: {type(source).__name__}")
     if where is not None:
         df = df.where(where)
-    return apply_field_mapping(df, source.field_mapping)
+    # The source's declared timestamp columns may arrive as LONG nanos
+    # (nanosAsLong) or TIMESTAMP_NTZ — normalize to µs TimestampType here so
+    # every downstream path sees one timestamp type. Checked on both the raw
+    # and mapped names (field_mapping may rename the timestamp column).
+    ts_cols = (source.event_timestamp_column, source.created_timestamp_column)
+    df = normalize_timestamp_cols(df, *ts_cols)
+    df = apply_field_mapping(df, source.field_mapping)
+    mapped = [source.field_mapping.get(c, c) for c in ts_cols if c]
+    return normalize_timestamp_cols(df, *mapped)

@@ -42,25 +42,53 @@ def session_builder(app: str, master: str | None = None, **conf):
 
 
 def ensure_nanos_conf(spark: SparkSession) -> None:
-    """Make any session able to read the nano-timestamp events table —
-    the conf is runtime-settable, so sessions built outside
-    :func:`session_builder` (e.g. the round driver's) work too."""
+    """Make any session able to read the nano-timestamp events table and
+    interpret naive timestamps deterministically — both confs are
+    runtime-settable, so sessions built outside :func:`session_builder`
+    (e.g. the round driver's) work too."""
     try:
         spark.conf.set(NANOS_CONF, "true")
+        # NTZ→TIMESTAMP casts and naive datetime literals are interpreted in
+        # the session timezone; pin UTC so results don't depend on host TZ.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # conf locked down → session_builder already set it or read fails loudly
+
+
+def normalize_timestamp_cols(df: DataFrame, *names: str) -> DataFrame:
+    """Normalize declared timestamp columns to microsecond TimestampType.
+
+    - LONG nanos (the nanosAsLong representation of parquet
+      TIMESTAMP(NANOS)) → µs timestamp via integer division (``div 1000``,
+      no double round-trip → no precision loss), matching DuckDB's ns→µs
+      truncation bit-for-bit.
+    - TIMESTAMP_NTZ (parquet isAdjustedToUTC=false) → TIMESTAMP; with the
+      session pinned to UTC the instant is identical.
+
+    No-op for absent columns or columns already TimestampType.
+    """
+    for name in names:
+        if not name or name not in df.columns:
+            continue
+        dt = df.schema[name].dataType
+        if isinstance(dt, T.LongType):
+            df = df.withColumn(
+                name, F.timestamp_micros(F.expr(f"`{name}` div 1000"))
+            )
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for field in df.schema.fields:
-        # Nano-timestamp normalization (events.ts): LONG nanos → µs timestamp.
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        # Parquet TIMESTAMP(isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ;
-        # with the session pinned to UTC the instant is identical — keep one
-        # timestamp type engine-wide so epoch arithmetic stays castable.
-        elif isinstance(field.dataType, T.TimestampNTZType):
-            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
-    return df
+    # Nano-timestamp normalization (events.ts) + NTZ → TIMESTAMP engine-wide
+    # so epoch arithmetic stays castable.
+    ts_like = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+        or (f.name == "ts" and isinstance(f.dataType, T.LongType))
+    ]
+    return normalize_timestamp_cols(df, *ts_like)

@@ -49,12 +49,22 @@ def _current_version_dir(path: str) -> Optional[str]:
 
 def read_online_table(spark: SparkSession, path: str) -> Optional[DataFrame]:
     """Read an online table written by either batch ``materialize`` (bare
-    parquet dir) or the streaming merge (versioned dir + pointer)."""
+    parquet dir) or the streaming merge (versioned dir + pointer).
+
+    Returns ``None`` only for a never-materialized table (missing path /
+    empty dir) — real read errors (corrupt files, permissions) propagate
+    rather than silently degrading to all-NOT_FOUND results.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     vdir = _current_version_dir(path)
     try:
         return spark.read.parquet(vdir if vdir else path)
-    except Exception:
-        return None
+    except AnalysisException as ex:
+        cond = getattr(ex, "getCondition", lambda: None)() or str(ex)
+        if "PATH_NOT_FOUND" in cond or "UNABLE_TO_INFER_SCHEMA" in cond:
+            return None
+        raise
 
 
 def merge_latest_batch(

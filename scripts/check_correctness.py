@@ -6,7 +6,14 @@ DuckDB over the same sf dir, then compares row count, schema (column
 names), and an order-insensitive value hash (columns sorted by name, rows
 sorted by all columns).
 
-Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+Usage: python scripts/check_correctness.py [--driver] [sf_dir] [query ...]
+
+``--driver`` emulates the round driver's environment: a plain
+``SparkSession`` built WITHOUT ``session_builder`` (so no pre-set
+nanosAsLong/UTC confs — queries must self-provision), plus a strict
+dtype-kind gate (an integer Spark column vs a float oracle column is a
+failure even when the %.9g hash would collide — DuckDB's HUGEINT→float64
+conversion burned round 1 exactly this way).
 """
 
 from __future__ import annotations
@@ -55,22 +62,74 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.md5(payload).hexdigest()
 
 
+def dtype_kind(dtype) -> str:
+    s = str(dtype)
+    if s.startswith(("int", "Int", "uint", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("datetime"):
+        return "datetime"
+    if s == "bool" or s.startswith("boolean"):
+        return "bool"
+    return "other"
+
+
+def kind_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Columns whose dtype *kind* differs between Spark and the oracle.
+
+    The driver hashes raw values — int64 `5` and float64 `5.0` format
+    differently there even though the local %.9g hash collides. NaN-bearing
+    int results legitimately arrive as float on one side, so only flag
+    int-vs-float splits with no NULLs involved."""
+    bad = []
+    for c in sdf.columns:
+        if c not in odf.columns:
+            continue
+        ks, ko = dtype_kind(sdf[c].dtype), dtype_kind(odf[c].dtype)
+        if ks == ko:
+            continue
+        if {ks, ko} == {"int", "float"} and (
+            sdf[c].isna().any() or odf[c].isna().any()
+        ):
+            continue
+        bad.append(f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
+    return bad
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    driver_like = "--driver" in argv
+    argv = [a for a in argv if a != "--driver"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
-    from feast_java_old_spark.sources.tables import session_builder
 
-    spark = session_builder(
-        "check-correctness",
-        master="local[8]",
-        **{
-            "spark.sql.shuffle.partitions": "16",
-            "spark.ui.enabled": "false",
-            "spark.driver.memory": "8g",
-        },
-    ).getOrCreate()
+    if driver_like:
+        # The round driver builds its own session with default confs — no
+        # nanosAsLong, no UTC pin. Every queries() entry must survive that.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("check-correctness-driver")
+            .master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "8g")
+            .getOrCreate()
+        )
+    else:
+        from feast_java_old_spark.sources.tables import session_builder
+
+        spark = session_builder(
+            "check-correctness",
+            master="local[8]",
+            **{
+                "spark.sql.shuffle.partitions": "16",
+                "spark.ui.enabled": "false",
+                "spark.driver.memory": "8g",
+            },
+        ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
@@ -107,6 +166,10 @@ def main() -> int:
             problems.append(f"rowcount {len(sdf)} != {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"columns {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        if not problems:
+            kinds = kind_mismatches(sdf, odf)
+            if kinds:
+                problems.append(f"dtype-kind mismatch: {kinds[:5]}")
         if not problems:
             hs, ho = value_hash(sdf), value_hash(odf)
             if hs != ho:

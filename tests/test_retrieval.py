@@ -287,3 +287,53 @@ def test_shuffle_strategy_agrees_with_broadcast(spark, rides_env):
     a = fetch(spark, reg, store, rows, ["rides:trip_cost"])
     b = fetch(spark, reg, store, rows, ["rides:trip_cost"], strategy="shuffle")
     assert a == b
+
+
+def test_preserve_order_false_skips_range_exchange(spark, rides_env):
+    """preserve_order=False drops the global orderBy — no range exchange
+    in the plan (the bulk/backfill latency fix); values are unchanged."""
+    reg, store = rides_env
+    rows = [{"driver_id": d} for d in (3, 1, 2)]
+
+    ordered = get_online_features(
+        spark, reg, rows, ["rides:trip_cost"], store, request_ts=TS,
+        strategy="shuffle",
+    )
+    unordered = get_online_features(
+        spark, reg, rows, ["rides:trip_cost"], store, request_ts=TS,
+        strategy="shuffle", preserve_order=False,
+    )
+    plan_o = ordered._jdf.queryExecution().executedPlan().toString()
+    plan_u = unordered._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan_o
+    assert "rangepartitioning" not in plan_u
+
+    key = lambda r: r["driver_id"]  # noqa: E731
+    a = sorted((r.asDict() for r in ordered.collect()), key=key)
+    b = sorted((r.asDict() for r in unordered.collect()), key=key)
+    assert a == b
+
+
+def test_store_path_reads_streaming_versioned_layout(spark, rides_env, tmp_path):
+    """A streaming-materialized online table (vNNN dirs + _LATEST pointer)
+    is served through the same store_path lookup as batch layouts."""
+    import shutil
+
+    from feast_java_old_spark.operators.materialize import online_table_path
+    from feast_java_old_spark.streaming.ingest import merge_latest_batch
+
+    reg, store = rides_env
+    # Rebuild the rides online table in the versioned streaming layout.
+    batch_path = online_table_path(store, "default", "rides")
+    current = spark.read.parquet(batch_path)
+    vpath = str(tmp_path / "vstore" / "default" / "rides")
+    merge_latest_batch(spark, current, vpath, ["driver_id"], batch_id=0)
+    shutil.rmtree(batch_path)
+    spark.read.parquet(vpath + "/v000000000000")  # sanity: versioned layout
+
+    out = fetch(
+        spark, reg, str(tmp_path / "vstore"), [{"driver_id": 1}],
+        ["rides:trip_cost"],
+    )
+    assert out[0]["rides__trip_cost"] == 5
+    assert out[0]["rides__trip_cost__status"] == "PRESENT"
