@@ -183,3 +183,86 @@ def test_murmur3_parity():
     long = "x" * 80
     trimmed = trim_and_hash(long, 50)
     assert len(trimmed) == 50 and trimmed != long
+
+
+# --------------------------------------------------- A4 bounded spec cache
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def advance(self, secs):
+        self.t += secs
+
+    def __call__(self):
+        return self.t
+
+
+def _cache_env(tmp_path, n_tables=5, **kw):
+    from feast_java_old_spark.registry.cache import CachedSpecService
+
+    path = str(tmp_path / "registry.json")
+    reg = Registry(path)
+    reg.apply_entity(Entity("driver_id", ValueType.INT64))
+    for i in range(n_tables):
+        reg.apply_feature_table(make_table(name=f"t{i}"))
+    clock = FakeClock()
+    cache = CachedSpecService(path=path, clock=clock, **kw)
+    return reg, cache, clock, path
+
+
+def test_spec_cache_bounded_lru_eviction(tmp_path):
+    """Parity: MAX_SPEC_COUNT bound (CachedSpecService.java:43,75)."""
+    reg, cache, clock, _ = _cache_env(tmp_path, n_tables=5, max_spec_count=3)
+    for i in range(5):
+        cache.get_feature_table(f"t{i}")
+    assert len(cache) == 3  # t0, t1 evicted
+    cache.get_feature_table("t2")  # refresh recency of t2
+    cache.get_feature_table("t0")  # reload t0 -> evicts t3 (oldest)
+    assert len(cache) == 3
+    keys = {k[1] for k in cache._cache}
+    assert keys == {"t2", "t4", "t0"}
+
+
+def test_spec_cache_serves_stale_within_interval_then_refreshes(tmp_path):
+    """Reads between refresh ticks may be up to refresh_interval stale —
+    the reference's scheduled populateCache contract."""
+    reg, cache, clock, path = _cache_env(tmp_path)
+    t0 = cache.get_feature_table("t0")
+    assert t0.max_age_secs == 0
+
+    updated = make_table(name="t0")
+    updated.max_age_secs = 3600
+    reg.apply_feature_table(updated)
+
+    clock.advance(5)  # < interval: stale spec still served
+    assert cache.get_feature_table("t0").max_age_secs == 0
+    clock.advance(6)  # past interval: mtime change -> reload
+    assert cache.get_feature_table("t0").max_age_secs == 3600
+    assert cache.refresh_count == 1
+
+
+def test_spec_cache_no_reload_when_file_unchanged(tmp_path):
+    reg, cache, clock, _ = _cache_env(tmp_path)
+    cache.get_feature_table("t0")
+    clock.advance(60)
+    cache.get_feature_table("t0")
+    assert cache.refresh_count == 0  # stat'ed, mtime unchanged, no reload
+
+
+def test_spec_cache_populate_and_registry_stand_in(tmp_path):
+    from feast_java_old_spark.registry.cache import CachedSpecService
+
+    reg, cache, clock, path = _cache_env(tmp_path, n_tables=4)
+    assert cache.populate_cache() == 4
+    assert len(cache) == 4
+    # Unknown / deleted tables raise like Registry
+    with pytest.raises(KeyError):
+        cache.get_feature_table("nope")
+    # Read-side delegation (retrieval paths use list_*/get_* too)
+    assert {t.name for t in cache.list_feature_tables()} == {
+        "t0", "t1", "t2", "t3"
+    }
+    small = CachedSpecService(path=path, max_spec_count=2, clock=clock)
+    assert small.populate_cache() == 2  # bound holds during bulk preload
