@@ -30,15 +30,30 @@ from feast_java_old_spark.registry.model import (
 from feast_java_old_spark.sources.batch import apply_field_mapping
 
 
-def decode_payload(raw: DataFrame, payload_schema: T.StructType, fmt: str) -> DataFrame:
+def decode_payload(
+    raw: DataFrame,
+    payload_schema: T.StructType,
+    fmt: str,
+    proto_descriptor: Optional[str] = None,
+    proto_message: Optional[str] = None,
+    proto_field_numbers: Optional[dict] = None,
+) -> DataFrame:
     """Decode a Kafka-shaped stream (``key``, ``value`` binary columns).
 
     - ``json``: `from_json` (built-in, codegen'd).
     - ``avro``: `from_avro` from ``pyspark.sql.avro.functions`` when the
       spark-avro package is on the classpath; raises otherwise.
-    - ``proto``: `from_protobuf` when the spark-protobuf package is present.
+    - ``proto``: `from_protobuf` (JVM-side) when the spark-protobuf package
+      is on the classpath AND a descriptor set + message name are given;
+      otherwise an Arrow-batched wire-format fallback
+      (:mod:`feast_java_old_spark.functions.protowire`) for flat scalar
+      messages — `mapInPandas`, never per-row Python UDFs. Wire parity:
+      ``common/.../util/KafkaSerialization.java:31-68`` (the reference
+      ships ``Message.toByteArray()`` bytes).
 
-    All three stay JVM-side — no Python in the per-record hot path.
+    json/avro and the JVM proto path stay fully JVM-side; the proto
+    fallback is the one Arrow-batched Python hop, flagged in the plan as a
+    single `mapInPandas` over the pruned binary column.
     """
     if fmt == "json":
         return raw.select(
@@ -56,9 +71,27 @@ def decode_payload(raw: DataFrame, payload_schema: T.StructType, fmt: str) -> Da
             "payload.*"
         )
     if fmt == "proto":
-        raise NotImplementedError(
-            "proto payloads need the spark-protobuf package + a descriptor set; "
-            "use message_format='json' or 'avro'"
+        if proto_descriptor is not None and proto_message is not None:
+            # The python wrapper always imports; the JVM helper class is only
+            # present with the spark-protobuf package, and its absence
+            # surfaces at expression-construction time — hence the broad
+            # except with a fall-through to the wire decoder.
+            try:
+                from pyspark.sql.protobuf.functions import from_protobuf
+
+                return raw.select(
+                    from_protobuf(
+                        F.col("value"), proto_message, descFilePath=proto_descriptor
+                    ).alias("payload")
+                ).select("payload.*")
+            except Exception:  # noqa: BLE001 — classpath probe
+                pass
+        from feast_java_old_spark.functions import protowire
+
+        fields = protowire.field_map(payload_schema, proto_field_numbers)
+        return raw.select("value").mapInPandas(
+            lambda batches: protowire.decode_batches(batches, fields),
+            schema=payload_schema,
         )
     raise ValueError(f"unknown stream payload format {fmt!r}")
 
@@ -89,8 +122,20 @@ def read_stream_source(
     spark: SparkSession,
     source: DataSource,
     payload_schema: Optional[T.StructType] = None,
+    transport: Optional[DataSource] = None,
+    **decode_kwargs,
 ) -> DataFrame:
-    """Open a streaming DataFrame for a stream source spec."""
+    """Open a streaming DataFrame for a stream source spec.
+
+    ``transport`` (Kinesis only): the physical stream that carries the
+    records — a :class:`KafkaSource` mirror or a :class:`FileSource` drop
+    dir. No OSS Spark connector for Kinesis exists (SURVEY §2.1 stand-in
+    policy), so a registry-validated Kinesis spec resolves to its
+    transport at read time instead of raising; when ``stream_name`` is a
+    filesystem path the file transport is inferred.
+    ``decode_kwargs`` pass through to :func:`decode_payload`
+    (``proto_descriptor``/``proto_message``/``proto_field_numbers``).
+    """
     if isinstance(source, KafkaSource):
         raw = (
             spark.readStream.format("kafka")
@@ -101,12 +146,47 @@ def read_stream_source(
         )
         if payload_schema is None:
             raise ValueError("kafka sources need a payload schema to decode")
-        df = decode_payload(raw, payload_schema, source.message_format)
+        df = decode_payload(raw, payload_schema, source.message_format, **decode_kwargs)
     elif isinstance(source, KinesisSource):
-        raise NotImplementedError(
-            "no OSS Spark connector for Kinesis; register the stream as a "
-            "KafkaSource (the declared spec round-trips either way)"
-        )
+        t = transport
+        if t is None and source.stream_name.startswith(("/", "file:")):
+            t = FileSource(file_url=source.stream_name)
+        if t is None:
+            raise NotImplementedError(
+                "no OSS Spark connector for Kinesis; pass transport= (a "
+                "KafkaSource mirror or FileSource drop dir), or use a "
+                "filesystem path as stream_name"
+            )
+        if isinstance(t, KafkaSource):
+            raw = (
+                spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", t.bootstrap_servers)
+                .option("subscribe", t.topic)
+                .option("startingOffsets", "earliest")
+                .load()
+            )
+            if payload_schema is None:
+                raise ValueError("kinesis-over-kafka needs a payload schema")
+            df = decode_payload(
+                raw, payload_schema, source.record_format, **decode_kwargs
+            )
+        elif isinstance(t, FileSource):
+            stream_schema = spark.read.parquet(t.file_url).schema
+            raw = spark.readStream.schema(stream_schema).parquet(t.file_url)
+            if "value" in stream_schema.names and isinstance(
+                stream_schema["value"].dataType, T.BinaryType
+            ):
+                # Kafka-shaped drop files (binary key/value records) —
+                # decode with the spec's declared record format.
+                if payload_schema is None:
+                    raise ValueError("wire-format drop files need a payload schema")
+                df = decode_payload(
+                    raw, payload_schema, source.record_format, **decode_kwargs
+                )
+            else:
+                df = raw  # already-structured micro-batch files
+        else:
+            raise TypeError(f"unsupported kinesis transport {type(t).__name__}")
     elif isinstance(source, FileSource):
         # File streams double as the test transport: each new parquet file
         # under the dir is a micro-batch.
