@@ -24,6 +24,8 @@ values bit-for-bit.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -361,6 +363,8 @@ def dedup_components(
     ids: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    on_nonconverged: str = "raise",
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Connected-components over near-dup candidate pairs → dedup groups.
 
@@ -377,7 +381,26 @@ def dedup_components(
     each round is two shuffles (join + groupBy-min) over the edge list —
     at 100 TB this is edges-sized, never corpus-squared. Early-exits when
     a round changes nothing.
+
+    ``on_nonconverged``: labels are only correct once a round changes
+    nothing; if ``max_iterations`` rounds pass without that fixpoint
+    (component diameter > max_iterations), ``"raise"`` (default) raises
+    rather than silently returning partial groups; ``"warn"`` logs and
+    returns the partial labels (callers that only need *some* merge per
+    round, e.g. incremental re-runs, may opt in).
+
+    ``checkpoint``: per-round lineage cut. ``"local"`` (default) uses
+    ``localCheckpoint`` — executor-memory blocks, fine on local mode and
+    fastest, but an executor loss on a real cluster kills the job. On a
+    1000-executor run set a reliable checkpoint dir first
+    (``spark.sparkContext.setCheckpointDir("hdfs://…")``) and pass
+    ``checkpoint="reliable"`` to write each round's labels (small: one
+    (node,label) row per doc) to fault-tolerant storage.
     """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(f"on_nonconverged must be raise|warn, got {on_nonconverged!r}")
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(f"checkpoint must be local|reliable, got {checkpoint!r}")
     edges = (
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
         .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
@@ -386,6 +409,7 @@ def dedup_components(
     labels = ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -402,7 +426,11 @@ def dedup_components(
                 ).alias("label"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        # cut lineage each round (else the plan doubles per iteration)
+        if checkpoint == "reliable":
+            new_labels = new_labels.checkpoint(eager=True)
+        else:
+            new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="node")
@@ -412,7 +440,17 @@ def dedup_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"dedup_components did not reach a fixpoint in {max_iterations} "
+            f"iterations (a component's diameter exceeds max_iterations); "
+            f"labels would be partial"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("group_id")
     )

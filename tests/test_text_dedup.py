@@ -140,3 +140,31 @@ def test_dedup_components_long_chain(spark):
     ids = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
     out = {r.doc_id: r.group_id for r in dedup.dedup_components(pairs, ids).collect()}
     assert set(out.values()) == {1}
+
+
+def test_dedup_components_nonconvergence_raises(spark):
+    # diameter > max_iterations: must NOT silently return partial labels
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "doc_a long, doc_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        dedup.dedup_components(pairs, ids, max_iterations=2)
+    with pytest.warns(RuntimeWarning, match="fixpoint"):
+        out = dedup.dedup_components(
+            pairs, ids, max_iterations=2, on_nonconverged="warn"
+        )
+        out.collect()  # partial labels still materialize under "warn"
+
+
+def test_dedup_components_reliable_checkpoint(spark, tmp_path):
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    ids = spark.createDataFrame([(i,) for i in range(1, 4)], "doc_id long")
+    out = {
+        r.doc_id: r.group_id
+        for r in dedup.dedup_components(
+            pairs, ids, checkpoint="reliable"
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}
