@@ -26,6 +26,8 @@ products accumulate sequentially in index order, and outputs are rounded
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -104,22 +106,57 @@ def sign_bucket(vec: Column, bits: int = 8) -> Column:
     )
 
 
+def suggest_bits(corpus_rows: int, target_bucket_rows: int = 1024) -> int:
+    """Bits needed so expected sign-LSH bucket occupancy stays bounded.
+
+    Expected occupancy is ``corpus_rows / 2**bits`` (sign bits of
+    isotropic embeddings are ~uniform); within-bucket work is quadratic
+    in occupancy for pairwise ops (:func:`embedding_near_dups`) and
+    linear for query probes (:func:`ann_sign_lsh`). ``bits`` must grow
+    with ``log2(corpus)`` — a constant default that is fine at 500
+    vectors is a scan at 100 TB. Recall lost to more bits is bought back
+    with more ``tables`` (OR-amplification), not fewer bits.
+    """
+    import math
+
+    if corpus_rows <= target_bucket_rows:
+        return 1
+    return max(1, math.ceil(math.log2(corpus_rows / target_bucket_rows)))
+
+
 def ann_sign_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     bits: int = 8,
+    tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's sign-LSH
-    bucket, then exact cosine rank within.
+    bucket(s), then exact cosine rank within.
 
     The corpus is bucketed by a projection (no shuffle); the candidate
     join is an equi-join on the bucket string, so each query touches
     ~corpus/2^bits rows instead of all of them.
+
+    ``tables`` > 1 enables **multi-table OR-amplification** — table ``t``
+    uses the sign bits of dimensions ``[t*bits, (t+1)*bits)``; a
+    candidate matches if it shares *any* table's bucket. Recall for a
+    neighbor at angle θ is ``1 - (1 - p^bits)^tables`` with
+    ``p = 1 - θ/π`` — single-table sign-LSH has low recall for
+    moderate-cosine neighbors (measured 3% at bits=6 on the sf0.01
+    embeddings vs 91% at bits=4, tables=16; see
+    ``tests/test_similarity.py`` recall gate). Candidate cost per query
+    is ``tables * corpus/2^bits`` id-pairs; vectors are joined back
+    *after* pair dedup, so the corpus vectors are never replicated per
+    table. Requires ``bits * tables <= dim``.
     """
+    if tables > 1:
+        return _ann_sign_lsh_multi(
+            corpus, queries, k, bits, tables, id_col, vec_col, query_id_col
+        )
     # Norms are hoisted into the pre-join projections: the dot/sqrt
     # kernels are interpreted higher-order functions, so computing them
     # once per vector instead of once per candidate pair is a ~3x win.
@@ -138,6 +175,79 @@ def ann_sign_lsh(
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("__cv"), F.col("__qv"))
+                / (F.col("__cnorm") * F.col("__qnorm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _table_bucket(vec: Column, bits: int, table: Column) -> Column:
+    """Bucket string for multi-table LSH: sign bits of the ``bits``-wide
+    dimension slice starting at ``table * bits`` (1-based slice)."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.slice(vec, table * bits + 1, bits),
+            lambda v: F.when(v >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+    )
+
+
+def _ann_sign_lsh_multi(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    bits: int,
+    tables: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Multi-table sign-LSH: one (table, bucket) equi-join over exploded
+    bucket keys — candidates are (query, neighbor) **id pairs only** until
+    after dedup, so vectors cross the wire once per candidate, not once
+    per (table, candidate)."""
+    t = F.explode(F.sequence(F.lit(0), F.lit(tables - 1))).alias("t")
+    c_keys = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    ).select("neighbor_id", t, "__cv").select(
+        "neighbor_id", "t", _table_bucket(F.col("__cv"), bits, F.col("t")).alias("bucket")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    ).withColumn("__qnorm", norm(F.col("__qv")))
+    q_keys = q.select("query_id", "__qv").select(
+        "query_id", t, "__qv"
+    ).select("query_id", "t", _table_bucket(F.col("__qv"), bits, F.col("t")).alias("bucket"))
+    cand = (
+        c_keys.join(F.broadcast(q_keys), on=["t", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__cnorm", norm(F.col("__cv")))
+    scored = (
+        cand.join(c_vecs, on="neighbor_id")
+        .join(F.broadcast(q.select("query_id", "__qv", "__qnorm")), on="query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -288,13 +398,32 @@ def embedding_near_dups(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_rows: int | None = None,
+    max_bucket_rows: int = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed.
 
     Pairs are only compared within a sign-LSH bucket (sub-quadratic);
     emits (id_a, id_b, cosine >= threshold). High-cosine pairs agree on
     most sign bits, so recall stays high while the self-join stays small.
+
+    Within-bucket work is quadratic in occupancy (expected
+    ``corpus/2^bits`` rows → ``occ²/2`` pairs per bucket), so ``bits``
+    must scale with ``log2(corpus)`` — see :func:`suggest_bits`. Pass
+    ``corpus_rows`` (a known row count; no extra job is run) to get a
+    warning when expected occupancy exceeds ``max_bucket_rows``.
     """
+    if corpus_rows is not None:
+        occ = corpus_rows / (1 << bits)
+        if occ > max_bucket_rows:
+            warnings.warn(
+                f"embedding_near_dups: expected bucket occupancy "
+                f"{occ:.0f} rows > {max_bucket_rows} at bits={bits}; "
+                f"use bits>={suggest_bits(corpus_rows, max_bucket_rows)} "
+                f"to bound within-bucket quadratic work",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     # Norm hoisted pre-join (interpreted HOF — once per vector, not per
     # pair; the self-join side is evaluated twice otherwise).
     v = (
