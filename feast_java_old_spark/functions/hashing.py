@@ -52,11 +52,16 @@ def trim_and_hash(name: str, max_len: int = 50) -> str:
     """Long-name canonicalization: trim to ``max_len`` with a murmur3 suffix.
 
     Parity: ``SSTableOnlineRetriever.trimAndHash``
-    (``storage/connectors/sstable/.../SSTableOnlineRetriever.java:152-162``):
-    names longer than the limit keep a prefix and append the hex murmur3_32
-    of the full name.
+    (``storage/connectors/sstable/.../SSTableOnlineRetriever.java:152-162``),
+    byte-for-byte: names longer than the limit keep the first
+    ``max_len - 8`` chars and append Guava's ``HashCode.toString()`` of
+    ``murmur3_32`` over the **tail** ``name[max_len-8:]`` — Guava renders
+    the hash's 4 bytes in little-endian order as 8 lowercase hex chars —
+    so generated table names match reference-generated ones exactly.
     """
     if len(name) <= max_len:
         return name
-    suffix = format(murmur3_32(name), "x")
-    return name[: max_len - len(suffix)] + suffix
+    prefix_len = max_len - 8
+    h = murmur3_32(name[prefix_len:])
+    suffix = h.to_bytes(4, "little").hex()
+    return name[:prefix_len] + suffix

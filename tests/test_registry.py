@@ -183,6 +183,20 @@ def test_murmur3_parity():
     long = "x" * 80
     trimmed = trim_and_hash(long, 50)
     assert len(trimmed) == 50 and trimmed != long
+    # Ground truth computed with Guava 33.4.8 (Spark's bundled jar):
+    # Hashing.murmur3_32().hashBytes(expr.substring(42).getBytes()).toString()
+    # — tail-only hash, HashCode.toString() = 4 bytes little-endian hex.
+    assert trimmed == "x" * 42 + "ed44b25d"
+    name2 = (
+        "feast_features_project_alpha_user_account_profile_metrics_v2_long_name"
+    )
+    assert (
+        trim_and_hash(name2, 50)
+        == "feast_features_project_alpha_user_account_106051ab"
+    )
+    # at or under the limit: unchanged
+    assert trim_and_hash("short", 50) == "short"
+    assert trim_and_hash("y" * 50, 50) == "y" * 50
 
 
 # --------------------------------------------------- A4 bounded spec cache
