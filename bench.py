@@ -43,6 +43,7 @@ HEADLINE = [
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
+    "similarity_ann_multiprobe",
     "embedding_near_dups",
     "multimodal_decode",
     "odfv_transform",
