@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 from feast_java_old_spark.operators import (
     dedup,
     multimodal,
+    pii,
     pipeline,
     similarity,
     text,
@@ -882,6 +883,132 @@ SQL_FINGERPRINT = (
     "AS fingerprint FROM documents"
 )
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals: fraction of
+    n-grams in the most frequent n-gram, fraction in duplicated n-grams
+    (n=1,2). Two-level hash aggregate per n; text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_signals(docs, ns=(1, 2))
+
+
+SQL_TEXT_REPETITION = """
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+u1 AS (SELECT doc_id, unnest(toks) AS g FROM d),
+c1 AS (SELECT doc_id, g, count(*) AS cnt FROM u1 GROUP BY doc_id, g),
+a1 AS (SELECT doc_id,
+         round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_1gram_frac,
+         round(CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+               / sum(cnt), 6) AS dup_1gram_frac
+       FROM c1 GROUP BY doc_id),
+u2 AS (SELECT d.doc_id, toks[i.i] || ' ' || toks[i.i + 1] AS g
+       FROM d, unnest(range(1, len(toks))) AS i(i)),
+c2 AS (SELECT doc_id, g, count(*) AS cnt FROM u2 GROUP BY doc_id, g),
+a2 AS (SELECT doc_id,
+         round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_2gram_frac,
+         round(CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+               / sum(cnt), 6) AS dup_2gram_frac
+       FROM c2 GROUP BY doc_id),
+ids AS (SELECT doc_id FROM documents)
+SELECT ids.doc_id, a1.top_1gram_frac, a1.dup_1gram_frac,
+       a2.top_2gram_frac, a2.dup_2gram_frac
+FROM ids LEFT JOIN a1 ON ids.doc_id = a1.doc_id
+         LEFT JOIN a2 ON ids.doc_id = a2.doc_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact. The synthetic corpus carries no PII, so the
+    query first *injects* deterministic fixtures (email/ip/phone/ssn keyed
+    off doc_id — reproduced verbatim in the oracle), then counts and
+    scrubs them with the shared Java∩RE2 pattern set. Zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1 today"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call 555-01"),
+                    (F.col("doc_id") % 10).cast("string"),
+                    F.lit("-2345 ok"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 17 == 0, F.lit(" id 123-45-6789 end")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = pii.scrub_pii(seeded)
+    return scrubbed.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        F.md5(F.col("text")).alias("scrub_md5"),
+    )
+
+
+_PII_SEED_SQL = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+              THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 today'
+              ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+              THEN ' call 555-01' || CAST(doc_id % 10 AS VARCHAR) || '-2345 ok'
+              ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+              THEN ' id 123-45-6789 end'
+              ELSE '' END AS text
+  FROM documents
+"""
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+SQL_PII_SCRUB = f"""
+WITH seeded AS ({_PII_SEED_SQL})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+       md5(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_SSN}', '[SSN]', 'g'),
+             '{_PII_PHONE}', '[PHONE]', 'g'),
+           '{_PII_IPV4}', '[IPV4]', 'g')
+       ) AS scrub_md5
+FROM seeded
+"""
+
+
 def q_a6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: exact per-group percentiles (feature-pipeline distribution
     stats). ``F.percentile`` (exact, linear interpolation) == DuckDB
@@ -1462,6 +1589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_verified": q_dedup_verified,
         "dedup_components": q_dedup_components,
         "text_stats": q_text_stats,
+        "text_repetition": q_text_repetition,
+        "pii_scrub": q_pii_scrub,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1503,6 +1632,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_verified": _sql_dedup_verified(),
         "dedup_components": _sql_dedup_components(),
         "text_stats": SQL_TEXT_STATS,
+        "text_repetition": SQL_TEXT_REPETITION,
+        "pii_scrub": SQL_PII_SCRUB,
         "lang_id": _sql_lang_id(),
         "token_count": SQL_TOKEN_COUNT,
         "doc_fingerprint": SQL_FINGERPRINT,

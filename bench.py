@@ -38,6 +38,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_verified",
     "text_stats",
+    "text_repetition",
+    "pii_scrub",
     "lang_id",
     "pipeline_clean_corpus",
     "similarity_topk",

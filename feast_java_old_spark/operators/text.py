@@ -138,3 +138,52 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         *[F.col(n) for n in scores],
         predicted_lang_col().alias("predicted_lang"),
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """Within-document repetition measures (Gopher-style quality rules).
+
+    For each n in ``ns`` emits per-document:
+
+    - ``top_{n}gram_frac`` — fraction of n-grams accounted for by the
+      single most frequent n-gram (Gopher: "fraction of tokens in the
+      most common n-gram");
+    - ``dup_{n}gram_frac`` — fraction of n-grams whose n-gram occurs
+      more than once in the document (Gopher: "fraction of tokens in
+      duplicated n-grams").
+
+    Plan shape (per n): scan → posexplode shingles (the text column is
+    dropped at the explode, so only (doc_id, gram) rows ever shuffle) →
+    two-level hash aggregate with map-side combine — gram-sized then
+    doc-sized exchanges, both linear in corpus tokens. The per-n doc
+    aggregates (1 row/doc) are then joined on doc_id; docs shorter than
+    n tokens have NULL for that n's columns (left join from the doc
+    universe, reproduced by the oracle).
+    """
+    from feast_java_old_spark.operators.dedup import exploded_shingles
+
+    out = df.select(F.col(id_col).alias("doc_id"))
+    for n in ns:
+        sh = exploded_shingles(df, text_col=text_col, id_col=id_col, n=n)
+        per_gram = sh.groupBy("doc_id", "shingle").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        agg = per_gram.groupBy("doc_id").agg(
+            F.round(
+                F.max("cnt").cast("double") / F.sum("cnt"), 6
+            ).alias(f"top_{n}gram_frac"),
+            F.round(
+                F.sum(
+                    F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias(f"dup_{n}gram_frac"),
+        )
+        out = out.join(agg, on="doc_id", how="left")
+    return out

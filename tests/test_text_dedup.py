@@ -168,3 +168,43 @@ def test_dedup_components_reliable_checkpoint(spark, tmp_path):
         ).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_repetition_signals(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one token repeated 4x
+            (2, "a b c d"),          # all distinct
+            (3, "x y x y x y"),      # bigrams: "x y" x3, "y x" x2
+            (4, "solo"),             # 1 token: no bigrams -> NULLs
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.repetition_signals(docs).collect()}
+    assert out[1].top_1gram_frac == 1.0 and out[1].dup_1gram_frac == 1.0
+    assert out[2].top_1gram_frac == 0.25 and out[2].dup_1gram_frac == 0.0
+    assert out[3].top_2gram_frac == pytest.approx(0.6)
+    assert out[3].dup_2gram_frac == 1.0
+    assert out[4].top_2gram_frac is None and out[4].dup_2gram_frac is None
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from feast_java_old_spark.operators import pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.co.uk and d@e.org now"),
+            (2, "ssn 123-45-6789 phone 555-123-4567 alt 555.123.4567"),
+            (3, "ip 192.168.0.1 and 10.0.255.254"),
+            (4, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii.scrub_pii(docs).collect()}
+    assert out[1].n_email == 2 and "[EMAIL]" in out[1].text
+    assert "@" not in out[1].text
+    assert out[2].n_ssn == 1 and out[2].n_phone == 2
+    assert out[2].text == "ssn [SSN] phone [PHONE] alt [PHONE]"
+    assert out[3].n_ipv4 == 2 and out[3].text == "ip [IPV4] and [IPV4]"
+    assert out[4].n_email == out[4].n_ssn == out[4].n_phone == out[4].n_ipv4 == 0
+    assert out[4].text == "clean text with no pii at all"
