@@ -916,6 +916,48 @@ FROM ids LEFT JOIN a1 ON ids.doc_id = a1.doc_id
 """
 
 
+CHUNK_TOKENS = 8
+CHUNK_MAX_DF = 1
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk-level dedup (C4-style passage removal):
+    non-overlapping 8-token chunks occurring in >1 document are dropped
+    and documents reassembled from surviving chunks in order."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.chunk_dedup(
+        docs, chunk_tokens=CHUNK_TOKENS, max_doc_freq=CHUNK_MAX_DF
+    )
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
+SQL_CHUNK_DEDUP = f"""
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+ch AS (
+  SELECT d.doc_id, i.i AS idx,
+         array_to_string(toks[i.i*{CHUNK_TOKENS}+1 : i.i*{CHUNK_TOKENS}+{CHUNK_TOKENS}], ' ') AS chunk
+  FROM d, unnest(range(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT))) AS i(i)),
+freq AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY chunk),
+kept AS (
+  SELECT ch.doc_id, ch.idx, ch.chunk
+  FROM ch JOIN freq USING (chunk) WHERE freq.df <= {CHUNK_MAX_DF}),
+agg AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.text, '') AS text,
+       CAST(t.n_chunks AS BIGINT) AS n_chunks,
+       CAST(t.n_chunks - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact. The synthetic corpus carries no PII, so the
     query first *injects* deterministic fixtures (email/ip/phone/ssn keyed
@@ -1591,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
+        "chunk_dedup": q_chunk_dedup,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1634,6 +1677,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": SQL_TEXT_STATS,
         "text_repetition": SQL_TEXT_REPETITION,
         "pii_scrub": SQL_PII_SCRUB,
+        "chunk_dedup": SQL_CHUNK_DEDUP,
         "lang_id": _sql_lang_id(),
         "token_count": SQL_TOKEN_COUNT,
         "doc_fingerprint": SQL_FINGERPRINT,

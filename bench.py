@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_verified",
+    "chunk_dedup",
     "text_stats",
     "text_repetition",
     "pii_scrub",

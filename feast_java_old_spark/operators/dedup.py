@@ -488,3 +488,115 @@ def simhash_candidates(
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def token_chunks(text: Column, chunk_tokens: int = 8) -> Column:
+    """Non-overlapping ``chunk_tokens``-token segments of lowercased
+    text, in order (the last chunk may be shorter). Pure codegen."""
+    arr = tokens(text)
+    n_chunks = F.ceil(F.size(arr) / F.lit(chunk_tokens)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(arr, i * chunk_tokens + 1, chunk_tokens)
+        ),
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 8,
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """Cross-document chunk-level dedup (the C4/code-corpus passage rule):
+    drop every non-overlapping ``chunk_tokens``-token chunk that occurs in
+    more than ``max_doc_freq`` documents, and reassemble each document
+    from its surviving chunks in order.
+
+    Returns (id, text, n_chunks, n_removed); a document whose every chunk
+    is corpus-duplicated comes back with empty text (boilerplate and
+    exact dups vanish, partially-copied docs keep their novel passages).
+
+    Plan shape: one scan → chunk explode → global (chunk, doc) count
+    (two-phase hash aggregate with map-side combine; only chunk+id rows
+    shuffle, sized by the corpus token count) → equi-join chunk
+    frequencies back (AQE picks the join; at 100 TB both sides are
+    chunk-hash partitioned by the aggregates) → per-doc ordered
+    reassembly via sort-within-group ``collect_list(struct(idx, chunk))``
+    — one exchange per aggregate, no window over the corpus, no Python.
+    """
+    ch = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(token_chunks(F.col(text_col), chunk_tokens)).alias(
+            "idx", "chunk"
+        ),
+    )
+    freq = ch.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("__df")
+    )
+    kept = (
+        ch.join(freq, on="chunk")
+        .where(F.col("__df") <= max_doc_freq)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("text"),
+            F.count(F.lit(1)).alias("__n_kept"),
+        )
+    )
+    totals = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return totals.join(kept, on="doc_id", how="left").select(
+        F.col("doc_id").alias(id_col),
+        F.coalesce(F.col("text"), F.lit("")).alias(text_col),
+        F.col("n_chunks"),
+        (F.col("n_chunks") - F.coalesce(F.col("__n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """Cross-document duplicated-line removal: :func:`chunk_dedup` with
+    newline segments instead of token chunks (case-preserving — lines are
+    matched verbatim). Reassembles with ``\\n``."""
+    ch = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "chunk"),
+    )
+    freq = ch.groupBy("chunk").agg(F.countDistinct("doc_id").alias("__df"))
+    kept = (
+        ch.join(freq, on="chunk")
+        .where(F.col("__df") <= max_doc_freq)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.count(F.lit(1)).alias("__n_kept"),
+        )
+    )
+    totals = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return totals.join(kept, on="doc_id", how="left").select(
+        F.col("doc_id").alias(id_col),
+        F.coalesce(F.col("text"), F.lit("")).alias(text_col),
+        F.col("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+    )

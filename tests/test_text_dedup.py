@@ -208,3 +208,45 @@ def test_pii_scrub_counts_and_redaction(spark):
     assert out[3].n_ipv4 == 2 and out[3].text == "ip [IPV4] and [IPV4]"
     assert out[4].n_email == out[4].n_ssn == out[4].n_phone == out[4].n_ipv4 == 0
     assert out[4].text == "clean text with no pii at all"
+
+
+def test_chunk_dedup_removes_shared_passages(spark):
+    shared = "one two three four five six seven eight"  # exactly 1 chunk
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique alpha beta gamma delta epsilon zeta eta"),
+            (2, shared + " other words entirely different from the first"),
+            (3, "totally novel content with no duplicated chunks here x"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.chunk_dedup(docs, chunk_tokens=8).collect()}
+    assert out[1].n_chunks == 2 and out[1].n_removed == 1
+    assert out[1].text == "unique alpha beta gamma delta epsilon zeta eta"
+    assert out[2].n_removed == 1 and shared not in out[2].text
+    assert out[3].n_removed == 0 and out[3].text == docs.collect()[2].text.lower()
+
+
+def test_chunk_dedup_full_dup_doc_empties(spark):
+    same = "a b c d e f g h i j k l m n o p"
+    docs = spark.createDataFrame(
+        [(1, same), (2, same)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup.chunk_dedup(docs, chunk_tokens=8).collect()}
+    assert out[1].text == "" and out[1].n_removed == out[1].n_chunks == 2
+    assert out[2].text == ""
+
+
+def test_line_dedup_preserves_order_and_case(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Keep Me\nCOPYRIGHT BOILERPLATE\nalso keep"),
+            (2, "COPYRIGHT BOILERPLATE\nnovel line two"),
+            (3, "nothing shared\nat all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.line_dedup(docs).collect()}
+    assert out[1].text == "Keep Me\nalso keep" and out[1].n_removed == 1
+    assert out[2].text == "novel line two"
+    assert out[3].text == "nothing shared\nat all" and out[3].n_removed == 0
