@@ -221,3 +221,25 @@ def test_near_dups_occupancy_warning(emb):
         similarity.embedding_near_dups(
             emb, bits=2, corpus_rows=10**9, max_bucket_rows=10_000
         )
+
+
+def test_arrow_kernel_matches_sql_kernel(emb, recall_queries):
+    """cosine_topk_arrow (BLAS matmul) returns the identical ranked
+    neighbor sets as the HOF kernel (round-6 cosines make ties stable)."""
+    k = 5
+    sql_out = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, recall_queries, k=k).collect()
+    }
+    arrow_out = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in similarity.cosine_topk_arrow(
+            emb, recall_queries, k=k
+        ).collect()
+    }
+    assert sql_out == arrow_out and len(sql_out) > 0
+
+
+def test_arrow_kernel_empty_queries(emb, spark):
+    empty = spark.createDataFrame([], "query_id long, embedding array<float>")
+    assert similarity.cosine_topk_arrow(emb, empty).count() == 0
