@@ -213,17 +213,28 @@ def _common_kwargs(d: dict) -> dict:
 
 @dataclass
 class FileSource(DataSource):
-    """BATCH_FILE source — parquet only (parity: ``DataSource.java:97-100``;
-    validator ``DataSourceValidator.java:34-43``)."""
+    """BATCH_FILE source (parity: ``DataSource.java:97-100``; the
+    reference's validator is parquet-only, ``DataSourceValidator.java:
+    34-43``). csv/json are engine extensions; ``schema_ddl`` (a Spark DDL
+    string like ``"id BIGINT, ts TIMESTAMP"``) makes text formats
+    single-pass — without it csv/json pay a full inference scan, which is
+    acceptable in dev and wrong at 100 TB."""
 
     file_url: str = ""
     file_format: str = "parquet"
+    schema_ddl: str = ""
 
     KIND = "file"
 
     def to_dict(self) -> dict:
         d = self._common_dict()
-        d.update({"file_url": self.file_url, "file_format": self.file_format})
+        d.update(
+            {
+                "file_url": self.file_url,
+                "file_format": self.file_format,
+                "schema_ddl": self.schema_ddl,
+            }
+        )
         return d
 
     @classmethod
@@ -231,6 +242,7 @@ class FileSource(DataSource):
         return cls(
             file_url=d["file_url"],
             file_format=d.get("file_format", "parquet"),
+            schema_ddl=d.get("schema_ddl", ""),
             **_common_kwargs(d),
         )
 

@@ -55,10 +55,12 @@ def check_project_name(name: str) -> None:
 def validate_data_source(source: DataSource) -> None:
     """Parity: ``DataSourceValidator.validate:32-88``."""
     if isinstance(source, FileSource):
-        if source.file_format.lower() != "parquet":
+        # Reference parity is parquet-only (DataSourceValidator.java:34-43);
+        # csv/json are engine extensions over the same source abstraction.
+        if source.file_format.lower() not in ("parquet", "csv", "json"):
             raise ValidationError(
-                f"invalid file format {source.file_format!r}: only parquet is "
-                "supported (DataSourceValidator.java:34-43)"
+                f"invalid file format {source.file_format!r}: expected "
+                "parquet (reference parity), csv, or json"
             )
         if not source.file_url:
             raise ValidationError("file source requires file_url")

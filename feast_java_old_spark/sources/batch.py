@@ -52,7 +52,26 @@ def read_batch_source(
     """
     ensure_nanos_conf(spark)
     if isinstance(source, FileSource):
-        df = spark.read.parquet(source.file_url)
+        fmt = source.file_format.lower()
+        if fmt == "parquet":
+            df = spark.read.parquet(source.file_url)
+        elif fmt == "csv":
+            r = spark.read.option("header", "true")
+            df = (
+                r.schema(source.schema_ddl).csv(source.file_url)
+                if source.schema_ddl
+                # inference pays a second scan — dev-only; declare
+                # schema_ddl for anything at scale.
+                else r.option("inferSchema", "true").csv(source.file_url)
+            )
+        elif fmt == "json":
+            df = (
+                spark.read.schema(source.schema_ddl).json(source.file_url)
+                if source.schema_ddl
+                else spark.read.json(source.file_url)
+            )
+        else:
+            raise ValueError(f"unsupported file format {source.file_format!r}")
     elif isinstance(source, BigQuerySource):
         # The BigQuery DSv2 connector is not present in this environment;
         # the standard OSS wiring would be

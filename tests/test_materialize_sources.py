@@ -230,3 +230,50 @@ def test_bucketed_online_table_joins_without_shuffling_online_side(
     scan_part = plan[plan.index("FileScan") :] if "FileScan" in plan else plan
     assert "Bucketed: true" in plan
     assert joined.count() == 200
+
+
+def test_csv_json_file_sources_roundtrip(spark, tmp_path):
+    """csv/json engine extensions: registry round-trip + single-pass read
+    with an explicit DDL schema + field mapping + timestamp handling."""
+    import datetime as dt
+
+    from feast_java_old_spark.registry.validation import validate_data_source
+    from feast_java_old_spark.sources.batch import read_batch_source
+
+    rows = [(1, dt.datetime(2024, 1, 1, 12), 1.5), (2, dt.datetime(2024, 1, 2), 2.5)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, v double")
+
+    csv_dir = str(tmp_path / "csv")
+    df.coalesce(1).write.option("header", "true").csv(csv_dir)
+    csv_src = FileSource(
+        file_url=csv_dir, file_format="csv",
+        schema_ddl="user_id BIGINT, ts TIMESTAMP, v DOUBLE",
+        event_timestamp_column="ts", field_mapping={"v": "value"},
+    )
+    validate_data_source(csv_src)
+    assert FileSource.from_dict(csv_src.to_dict()).to_dict() == csv_src.to_dict()
+    out = read_batch_source(spark, csv_src)
+    assert set(out.columns) == {"user_id", "ts", "value"}
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    assert {(r.user_id, r.value) for r in out.collect()} == {(1, 1.5), (2, 2.5)}
+
+    json_dir = str(tmp_path / "json")
+    df.coalesce(1).write.json(json_dir)
+    json_src = FileSource(
+        file_url=json_dir, file_format="json",
+        schema_ddl="user_id BIGINT, ts TIMESTAMP, v DOUBLE",
+        event_timestamp_column="ts",
+    )
+    validate_data_source(json_src)
+    out_j = read_batch_source(spark, json_src)
+    assert {(r.user_id, r.v) for r in out_j.collect()} == {(1, 1.5), (2, 2.5)}
+
+    # inference path (dev-only) still reads
+    no_ddl = FileSource(file_url=csv_dir, file_format="csv")
+    assert read_batch_source(spark, no_ddl).count() == 2
+
+    # unknown format rejected at validation
+    import pytest as _pytest
+    from feast_java_old_spark.registry.validation import ValidationError
+    with _pytest.raises(ValidationError, match="invalid file format"):
+        validate_data_source(FileSource(file_url=csv_dir, file_format="orc"))
