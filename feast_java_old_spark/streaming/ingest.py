@@ -313,3 +313,38 @@ def stream_session_features(
         F.col("__w.end").alias("event_timestamp"),
         *[F.col(name) for name in agg_exprs],
     )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    dedup_cols: Optional[list] = None,
+    text_col: str = "text",
+    ts_col: str = "event_timestamp",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first row per content key, drop
+    re-arrivals within the watermark horizon.
+
+    ``dedup_cols`` defaults to a content fingerprint of ``text_col``
+    (md5 of whitespace-normalized lowercase text — the same
+    :func:`feast_java_old_spark.operators.text.fingerprint` the batch
+    dedup family keys on), so a re-ingested document dedups against its
+    first arrival even when ids differ.
+
+    Built on ``dropDuplicatesWithinWatermark``: per-key state lives only
+    until the watermark passes it, so state is bounded by the unique-key
+    arrival rate × horizon — the streaming analogue of
+    :func:`operators.dedup.dedup_exact`, and the correct shape for a
+    continuous ingest pipeline at scale (an unbounded ``dropDuplicates``
+    would grow state forever).
+    """
+    from feast_java_old_spark.operators.text import fingerprint
+
+    df = stream
+    if dedup_cols is None:
+        df = df.withColumn("__fp", fingerprint(F.col(text_col)))
+        dedup_cols = ["__fp"]
+    out = df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        dedup_cols
+    )
+    return out.drop("__fp") if "__fp" in out.columns else out

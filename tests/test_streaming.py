@@ -310,3 +310,43 @@ def test_stream_session_features_match_batch_kernel(spark, tmp_path):
         for r in windows.session_rollup(batch, ["user_id"]).collect()
     }
     assert got == want
+
+
+def test_stream_dedup_drops_reingested_docs(spark, tmp_path):
+    """Exact-dup documents arriving in later micro-batches (within the
+    watermark) are dropped; novel documents pass through."""
+    from feast_java_old_spark.streaming.ingest import stream_dedup
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    schema = "doc_id long, event_timestamp timestamp, text string"
+
+    def write(rows, n):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if len([f for f in os.listdir(src) if f.endswith(".parquet")]) >= n:
+                return
+            time.sleep(0.1)
+
+    write([(1, t(0), "alpha beta"), (2, t(1), "gamma delta")], 1)
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = stream_dedup(stream, watermark="2 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: doc 3 is an exact re-ingest of doc 1 (different id,
+        # same content) -> dropped; doc 4 is novel -> kept
+        write([(3, t(5), "alpha beta"), (4, t(6), "epsilon zeta")], 2)
+        q.processAllAvailable()
+        got = {r.doc_id for r in spark.sql("select * from sdedup").collect()}
+        assert got == {1, 2, 4}
+    finally:
+        q.stop()
