@@ -144,8 +144,12 @@ def test_subscription_wildcards():
 
 
 def test_data_source_validation():
-    with pytest.raises(ValidationError, match="parquet"):
-        validate_data_source(FileSource(file_url="/x.csv", file_format="csv"))
+    # parquet is reference parity; csv/json are engine extensions — all
+    # three validate. Anything else is rejected.
+    validate_data_source(FileSource(file_url="/x.csv", file_format="csv"))
+    validate_data_source(FileSource(file_url="/x.json", file_format="json"))
+    with pytest.raises(ValidationError, match="invalid file format"):
+        validate_data_source(FileSource(file_url="/x.orc", file_format="orc"))
     with pytest.raises(ValidationError, match="BigQuery"):
         validate_data_source(BigQuerySource(table_ref="not-a-ref"))
     validate_data_source(BigQuerySource(table_ref="proj:dataset.table"))
