@@ -916,6 +916,74 @@ FROM ids LEFT JOIN a1 ON ids.doc_id = a1.doc_id
 """
 
 
+DRIFT_SPLIT = "2024-01-16 00:00:00"
+DRIFT_BINS = 10
+
+
+def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift of the value distribution per event_type between the
+    first and second half of the month (reference = before the split).
+    Two-phase relational plan: ref-window min/max edges (broadcast), one
+    bucketing scan, smoothed PSI fold over the full bucket frame."""
+    from feast_java_old_spark.operators.drift import feature_drift
+
+    events = load_table(spark, sf_dir, "events")
+    out = feature_drift(
+        events,
+        value_col="value",
+        ts_col="ts",
+        split_ts=DRIFT_SPLIT,
+        group_cols=["event_type"],
+        bins=DRIFT_BINS,
+    )
+    return out.select(
+        "event_type",
+        "psi",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+    )
+
+
+SQL_FEATURE_DRIFT = f"""
+WITH sided AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+         CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}' THEN 'ref' ELSE 'cur' END AS side
+  FROM events),
+edges AS (SELECT event_type, min(v) AS vmin, max(v) AS vmax
+          FROM sided WHERE side = 'ref' GROUP BY event_type),
+bucketed AS (
+  SELECT s.event_type, s.side,
+         CASE WHEN e.vmax = e.vmin THEN 0
+              ELSE greatest(0, least({DRIFT_BINS - 1},
+                CAST(floor((s.v - e.vmin) / (e.vmax - e.vmin) * {DRIFT_BINS}) AS INT)))
+         END AS bucket
+  FROM sided s JOIN edges e USING (event_type)),
+counts AS (SELECT event_type, side, bucket, count(*) AS cnt
+           FROM bucketed GROUP BY event_type, side, bucket),
+frame AS (SELECT e.event_type, i.i AS bucket
+          FROM edges e, unnest(range(0, {DRIFT_BINS})) AS i(i)),
+pb AS (
+  SELECT f.event_type, f.bucket,
+         coalesce(r.cnt, 0) AS ref_cnt, coalesce(c.cnt, 0) AS cur_cnt
+  FROM frame f
+  LEFT JOIN counts r ON r.event_type = f.event_type
+       AND r.bucket = f.bucket AND r.side = 'ref'
+  LEFT JOIN counts c ON c.event_type = f.event_type
+       AND c.bucket = f.bucket AND c.side = 'cur'),
+tot AS (SELECT event_type, sum(ref_cnt) AS tref, sum(cur_cnt) AS tcur
+        FROM pb GROUP BY event_type)
+SELECT pb.event_type,
+       round(sum(((cur_cnt + 0.5) / (tcur + {0.5 * DRIFT_BINS})
+                  - (ref_cnt + 0.5) / (tref + {0.5 * DRIFT_BINS}))
+                 * ln(((cur_cnt + 0.5) / (tcur + {0.5 * DRIFT_BINS}))
+                      / ((ref_cnt + 0.5) / (tref + {0.5 * DRIFT_BINS})))), 6) AS psi,
+       CAST(min(tref) AS BIGINT) AS n_ref,
+       CAST(min(tcur) AS BIGINT) AS n_cur
+FROM pb JOIN tot USING (event_type)
+GROUP BY pb.event_type
+"""
+
+
 CHUNK_TOKENS = 8
 CHUNK_MAX_DF = 1
 
@@ -1634,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
         "chunk_dedup": q_chunk_dedup,
+        "feature_drift": q_feature_drift,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1678,6 +1747,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": SQL_TEXT_REPETITION,
         "pii_scrub": SQL_PII_SCRUB,
         "chunk_dedup": SQL_CHUNK_DEDUP,
+        "feature_drift": SQL_FEATURE_DRIFT,
         "lang_id": _sql_lang_id(),
         "token_count": SQL_TOKEN_COUNT,
         "doc_fingerprint": SQL_FINGERPRINT,

@@ -31,6 +31,7 @@ HEADLINE = [
     "a4_sliding_rollup",
     "a5_sessions",
     "a6_percentiles",
+    "feature_drift",
     "a7_rollup_revenue",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -1,0 +1,130 @@
+"""Feature-distribution drift monitoring (PSI) for feature pipelines.
+
+The reference serves features but has no drift surface; a production
+feature store at 100 TB needs one (the classic use: compare the serving
+window's feature distribution against the training/reference window and
+alert on Population Stability Index).
+
+Everything is relational and two-phase:
+
+1. one column-pruned aggregate over the *reference* window derives the
+   bin edges (per-group min/max — one row per group);
+2. one scan buckets every row against the broadcast edges and counts
+   per (group, side, bucket); the full (group × bucket) frame is
+   generated with ``explode(sequence(...))`` so empty buckets still
+   contribute through smoothing.
+
+PSI_g = Σ_b (p_cur − p_ref) · ln(p_cur / p_ref), with Laplace-style
+smoothing p = (cnt + 0.5) / (total + 0.5·bins) so empty buckets are
+finite. Deterministic: fixed-width bins from reference min/max, and the
+whole computation is expressible in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def feature_drift(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    split_ts,
+    group_cols: Optional[Sequence[str]] = None,
+    bins: int = 10,
+) -> DataFrame:
+    """PSI of ``value_col`` between rows before and after ``split_ts``,
+    per group. Returns (group_cols..., psi, n_ref, n_cur).
+
+    Common PSI reading: < 0.1 stable, 0.1–0.25 moderate shift, > 0.25
+    action needed.
+    """
+    group_cols = list(group_cols or [])
+    split = F.lit(split_ts).cast("timestamp")
+    sided = df.select(
+        *group_cols,
+        F.col(value_col).cast("double").alias("__v"),
+        F.when(F.col(ts_col) < split, F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("__side"),
+    )
+    edges = (
+        sided.where(F.col("__side") == "ref")
+        .groupBy(*group_cols)
+        .agg(F.min("__v").alias("__vmin"), F.max("__v").alias("__vmax"))
+    )
+    joined = (
+        sided.join(F.broadcast(edges), on=group_cols)
+        if group_cols
+        else sided.crossJoin(F.broadcast(edges))
+    )
+    bucketed = joined.select(
+        *group_cols,
+        "__side",
+        F.when(F.col("__vmax") == F.col("__vmin"), F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (F.col("__v") - F.col("__vmin"))
+                        / (F.col("__vmax") - F.col("__vmin"))
+                        * bins
+                    ).cast("int"),
+                ),
+            )
+        )
+        .alias("__bucket"),
+    )
+    counts = bucketed.groupBy(*group_cols, "__side", "__bucket").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    # full (group × bucket) frame so empty buckets smooth instead of vanish
+    frame = edges.select(
+        *group_cols,
+        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("__bucket"),
+    )
+    per_bucket = (
+        frame.join(
+            counts.where(F.col("__side") == "ref").select(
+                *group_cols, "__bucket", F.col("__cnt").alias("__ref")
+            ),
+            on=group_cols + ["__bucket"],
+            how="left",
+        )
+        .join(
+            counts.where(F.col("__side") == "cur").select(
+                *group_cols, "__bucket", F.col("__cnt").alias("__cur")
+            ),
+            on=group_cols + ["__bucket"],
+            how="left",
+        )
+        .select(
+            *group_cols,
+            "__bucket",
+            F.coalesce("__ref", F.lit(0)).alias("__ref"),
+            F.coalesce("__cur", F.lit(0)).alias("__cur"),
+        )
+    )
+    totals = per_bucket.groupBy(*group_cols).agg(
+        F.sum("__ref").alias("__tref"), F.sum("__cur").alias("__tcur")
+    )
+    j = per_bucket.join(F.broadcast(totals), on=group_cols) if group_cols else (
+        per_bucket.crossJoin(F.broadcast(totals))
+    )
+    p_ref = (F.col("__ref") + 0.5) / (F.col("__tref") + 0.5 * bins)
+    p_cur = (F.col("__cur") + 0.5) / (F.col("__tcur") + 0.5 * bins)
+    contrib = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        j.select(*group_cols, contrib.alias("__c"), "__tref", "__tcur")
+        .groupBy(*group_cols)
+        .agg(
+            F.round(F.sum("__c"), 6).alias("psi"),
+            F.first("__tref").alias("n_ref"),
+            F.first("__tcur").alias("n_cur"),
+        )
+    )

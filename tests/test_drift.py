@@ -1,0 +1,61 @@
+"""Feature-drift (PSI) operator tests."""
+
+import datetime as dt
+
+import pytest
+
+from feast_java_old_spark.operators.drift import feature_drift
+
+T_REF = dt.datetime(2024, 1, 1)
+T_CUR = dt.datetime(2024, 2, 1)
+SPLIT = dt.datetime(2024, 1, 15)
+
+
+def _rows(values_ref, values_cur, group="a"):
+    return [(group, T_REF, float(v)) for v in values_ref] + [
+        (group, T_CUR, float(v)) for v in values_cur
+    ]
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    vals = [i % 10 for i in range(1000)]
+    df = spark.createDataFrame(
+        _rows(vals, vals), "g string, ts timestamp, v double"
+    )
+    out = feature_drift(
+        df, "v", "ts", SPLIT, group_cols=["g"], bins=10
+    ).collect()
+    assert len(out) == 1
+    assert out[0].psi == pytest.approx(0.0, abs=1e-6)
+    assert out[0].n_ref == 1000 and out[0].n_cur == 1000
+
+
+def test_psi_large_for_shifted_distribution(spark):
+    ref = [i % 10 for i in range(1000)]          # uniform on [0, 9]
+    cur = [9 for _ in range(1000)]               # collapsed to one bucket
+    df = spark.createDataFrame(
+        _rows(ref, cur), "g string, ts timestamp, v double"
+    )
+    out = feature_drift(df, "v", "ts", SPLIT, group_cols=["g"], bins=10).collect()
+    assert out[0].psi > 1.0  # way past the 0.25 action threshold
+
+
+def test_psi_per_group_and_constant_reference(spark):
+    rows = _rows([1, 2, 3, 4] * 50, [1, 2, 3, 4] * 50, group="stable") + _rows(
+        [5.0] * 100, [5.0] * 60 + [50.0] * 40, group="const_ref"
+    )
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r.g: r for r in feature_drift(df, "v", "ts", SPLIT, group_cols=["g"]).collect()}
+    assert out["stable"].psi == pytest.approx(0.0, abs=1e-6)
+    # vmax == vmin in reference -> everything lands in bucket 0, and the
+    # out-of-range current values still count there (clamped) => PSI 0
+    assert out["const_ref"].psi == pytest.approx(0.0, abs=1e-6)
+
+
+def test_psi_ungrouped(spark):
+    df = spark.createDataFrame(
+        _rows(list(range(100)), list(range(50, 150))),
+        "g string, ts timestamp, v double",
+    )
+    out = feature_drift(df, "v", "ts", SPLIT).collect()
+    assert len(out) == 1 and out[0].psi > 0.1
