@@ -19,6 +19,10 @@ PICKS = [
     ("a7_rollup_revenue", "Star-schema ROLLUP: every dimension joins via BroadcastHashJoin; the fact table shuffles only grouping keys + partial sums."),
     ("similarity_ann_ivf", "IVF ANN: centroid assignment is a broadcast join + map-side argmax aggregate; probing is a bucket equi-join on centroid_id."),
     ("dedup_verified", "LSH generate -> exact verify: the Jaccard joins are bounded by the candidate list, not the inverted index — no hot-shingle blow-up at corpus scale."),
+    ("similarity_ann_multiprobe", "Multi-table sign-LSH: one (table,bucket) equi-join over exploded keys generates candidates as id pairs; pair dedup is a map-side-combined aggregate BEFORE vectors re-attach, so corpus vectors never replicate per table."),
+    ("chunk_dedup", "Cross-doc chunk dedup: chunk frequencies from a two-phase count-distinct; reassembly is sort-within-group collect_list — only chunk+id rows shuffle, never documents."),
+    ("text_repetition", "Repetition signals: per-n explode -> two-level hash aggregate with partial_max/partial_sum map-side; the text column is consumed at the explode and never crosses an exchange."),
+    ("feature_drift", "PSI drift: reference-window edges broadcast back to one bucketing scan; the bucket frame is generated, not scanned; every aggregate is map-side combined."),
 ]
 
 out = io.StringIO()
