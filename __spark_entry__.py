@@ -916,6 +916,83 @@ FROM ids LEFT JOIN a1 ON ids.doc_id = a1.doc_id
 """
 
 
+MIX_RATES = {"en": 0.8, "de": 0.5, "fr": 0.25, "es": 0.1}
+VOCAB_K = 50
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing: deterministic per-language sampling of the corpus.
+    Stratum = predicted language (lang_id); keep iff the 28-bit md5
+    fraction of doc_id < the stratum's mixing rate — reproducible on any
+    cluster, maximal overlap under rate changes, zero shuffles beyond
+    lang_id's own plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "text", *[
+        c.alias(n) for n, c in text.lang_score_cols("text").items()
+    ])
+    labeled = scored.select(
+        "doc_id", text.predicted_lang_col().alias("lang")
+    )
+    sampled = text.stratified_sample(labeled, "lang", MIX_RATES)
+    return sampled.select("doc_id", "lang")
+
+
+def _lang_sql_scores() -> tuple[str, str]:
+    """(score CTE columns, argmax CASE) reproducing lang_id in SQL."""
+    score_cols = []
+    for lang in sorted(text.LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(string_split(lower(text), ' '), "
+            f"x -> list_contains([{words}], x))) AS score_{lang}"
+        )
+    langs = sorted(text.LANG_STOPWORDS)
+    best = f"'{langs[0]}'"
+    best_s = f"score_{langs[0]}"
+    # fold-left strictly-greater argmax, mirroring predicted_lang_col
+    expr_s, expr_l = best_s, best
+    for lang in langs[1:]:
+        expr_l = (
+            f"CASE WHEN score_{lang} > ({expr_s}) THEN '{lang}' "
+            f"ELSE ({expr_l}) END"
+        )
+        expr_s = f"CASE WHEN score_{lang} > ({expr_s}) THEN score_{lang} ELSE ({expr_s}) END"
+    return ", ".join(score_cols), expr_l
+
+
+_MIX_CASE = " ".join(
+    f"WHEN lang = '{s}' THEN {r}" for s, r in sorted(MIX_RATES.items())
+)
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH scored AS (SELECT doc_id, {_lang_sql_scores()[0]} FROM documents),
+labeled AS (SELECT doc_id, {_lang_sql_scores()[1]} AS lang FROM scored)
+SELECT doc_id, lang FROM labeled
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+      / 268435456.0 < (CASE {_MIX_CASE} ELSE 0.0 END)
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k token vocabulary (distributed TakeOrdered, not
+    a global window sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.top_k_vocabulary(docs, k=VOCAB_K).select(
+        "rank", "token", F.col("freq").cast("long").alias("freq")
+    )
+
+
+SQL_VOCAB_TOPK = f"""
+WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+counts AS (SELECT token, count(*) AS freq FROM toks GROUP BY token)
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS BIGINT) AS rank,
+       token, CAST(freq AS BIGINT) AS freq
+FROM counts
+ORDER BY freq DESC, token ASC
+LIMIT {VOCAB_K}
+"""
+
+
 DRIFT_SPLIT = "2024-01-16 00:00:00"
 DRIFT_BINS = 10
 
@@ -1703,6 +1780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "chunk_dedup": q_chunk_dedup,
         "feature_drift": q_feature_drift,
+        "stratified_sample": q_stratified_sample,
+        "vocab_topk": q_vocab_topk,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1748,6 +1827,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": SQL_PII_SCRUB,
         "chunk_dedup": SQL_CHUNK_DEDUP,
         "feature_drift": SQL_FEATURE_DRIFT,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "vocab_topk": SQL_VOCAB_TOPK,
         "lang_id": _sql_lang_id(),
         "token_count": SQL_TOKEN_COUNT,
         "doc_fingerprint": SQL_FINGERPRINT,

@@ -42,6 +42,8 @@ HEADLINE = [
     "text_stats",
     "text_repetition",
     "pii_scrub",
+    "stratified_sample",
+    "vocab_topk",
     "lang_id",
     "pipeline_clean_corpus",
     "similarity_topk",

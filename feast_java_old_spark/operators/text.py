@@ -187,3 +187,74 @@ def repetition_signals(
         )
         out = out.join(agg, on="doc_id", how="left")
     return out
+
+
+def hash_fraction(col: Column) -> Column:
+    """Deterministic uniform-[0,1) fraction from a column value: 28-bit
+    md5 prefix / 2^28. Engine-portable (DuckDB:
+    ``('0x' || substr(md5(v),1,7))::BIGINT / 268435456.0``) and stable
+    across runs, partitionings, and cluster sizes — unlike
+    ``rand(seed)``, which Spark evaluates per-partition."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 7), 16, 10).cast(
+            "long"
+        )
+        / F.lit(float(1 << 28))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling — the data-mixing primitive for
+    training-corpus assembly (per-source/per-language/per-quality-band
+    weights).
+
+    A row is kept iff ``hash_fraction(key) < rate(stratum)``; membership
+    is a pure function of the key, so resampling with a changed rate map
+    keeps maximal overlap (raising a rate strictly grows the sample),
+    mixes are reproducible bit-for-bit on any cluster, and the filter is
+    a codegen projection — zero shuffles, pushdown-friendly.
+    """
+    rate = None
+    for stratum, r in sorted(rates.items()):
+        branch = F.when(F.col(strata_col) == stratum, F.lit(float(r)))
+        rate = branch if rate is None else rate.when(
+            F.col(strata_col) == stratum, F.lit(float(r))
+        )
+    rate = (
+        rate.otherwise(F.lit(float(default_rate)))
+        if rate is not None
+        else F.lit(float(default_rate))
+    )
+    return df.where(hash_fraction(F.col(key_col)) < rate)
+
+
+def top_k_vocabulary(
+    df: DataFrame, text_col: str = "text", k: int = 100
+) -> DataFrame:
+    """Corpus-wide top-k token vocabulary by frequency.
+
+    Two-phase: token explode → hash aggregate with map-side combine
+    (shuffle carries one row per distinct token per map partition) →
+    ``orderBy().limit(k)``, which Spark executes as a distributed
+    ``TakeOrderedAndProject`` (per-partition top-k, then a k-row merge
+    on the driver) — NOT a global window sort, which would funnel the
+    whole vocabulary through one partition. Rank is attached afterwards
+    over the k surviving rows only. Ties break lexicographically so the
+    cut is deterministic. The vocabulary builder for tokenizer training /
+    coverage checks.
+    """
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    topk = counts.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(k)
+    from pyspark.sql.window import Window as _W
+
+    w = _W.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        F.col("rank").cast("long").alias("rank"), "token", "freq"
+    )

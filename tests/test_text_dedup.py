@@ -250,3 +250,35 @@ def test_line_dedup_preserves_order_and_case(spark):
     assert out[1].text == "Keep Me\nalso keep" and out[1].n_removed == 1
     assert out[2].text == "novel line two"
     assert out[3].text == "nothing shared\nat all" and out[3].n_removed == 0
+
+
+def test_stratified_sample_deterministic_and_monotone(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    s1 = {r.doc_id for r in text.stratified_sample(docs, "lang", {"en": 0.5, "de": 0.2}, key_col="doc_id").collect()}
+    s2 = {r.doc_id for r in text.stratified_sample(docs, "lang", {"en": 0.5, "de": 0.2}, key_col="doc_id").collect()}
+    assert s1 == s2  # bit-for-bit reproducible
+    # raising a rate strictly grows the sample (hash-threshold property)
+    bigger = {r.doc_id for r in text.stratified_sample(docs, "lang", {"en": 0.8, "de": 0.2}, key_col="doc_id").collect()}
+    assert s1 <= bigger
+    # realized rates near nominal (1000 keys/stratum, md5 uniform)
+    en = sum(1 for d in s1 if d % 2 == 0) / 1000
+    de = sum(1 for d in s1 if d % 2 == 1) / 1000
+    assert abs(en - 0.5) < 0.06 and abs(de - 0.2) < 0.06
+    # unknown stratum -> default_rate=0 -> dropped
+    extra = spark.createDataFrame([(9999999, "xx")], "doc_id long, lang string")
+    assert text.stratified_sample(extra, "lang", {"en": 0.5}).count() == 0
+
+
+def test_top_k_vocabulary_order_and_plan(spark):
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a b z")], "doc_id long, text string"
+    )
+    out = text.top_k_vocabulary(docs, k=3).collect()
+    assert [(r.rank, r.token, r.freq) for r in out] == [
+        (1, "b", 4), (2, "a", 3), (3, "c", 1),  # c before z: lex tie-break
+    ]
+    plan = text.top_k_vocabulary(docs, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # distributed top-k, no global sort
