@@ -916,6 +916,95 @@ FROM ids LEFT JOIN a1 ON ids.doc_id = a1.doc_id
 """
 
 
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: exact-dedup canonicalization → quality gate
+    → language ID → PII scrub → cross-doc chunk dedup → deterministic
+    per-language mixing sample, end to end. One full-document shuffle
+    (fingerprint window), chunk-sized aggregates, then pure filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = pipeline.build_training_corpus(
+        docs,
+        min_quality=CLEAN_MIN_QUALITY,
+        mix_rates=MIX_RATES,
+        chunk_tokens=CHUNK_TOKENS,
+        max_doc_freq=CHUNK_MAX_DF,
+    )
+    return out.select(
+        "doc_id", "lang", "quality_score", "text",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
+def _sql_training_corpus() -> str:
+    langs = sorted(text.LANG_STOPWORDS)
+    score_exprs = ",\n    ".join(
+        "len(list_filter(string_split(lower(text), ' '), t -> list_contains(["
+        + ",".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang])
+        + f"], t))) AS score_{lang}"
+        for lang in langs
+    )
+    best_s, best_l = f"score_{langs[0]}", f"'{langs[0]}'"
+    for lang in langs[1:]:
+        cond = f"score_{lang} > ({best_s})"
+        best_s = f"CASE WHEN {cond} THEN score_{lang} ELSE ({best_s}) END"
+        best_l = f"CASE WHEN {cond} THEN '{lang}' ELSE ({best_l}) END"
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"text, '{_PII_EMAIL}', '[EMAIL]', 'g'), '{_PII_SSN}', '[SSN]', 'g'), "
+        f"'{_PII_PHONE}', '[PHONE]', 'g'), '{_PII_IPV4}', '[IPV4]', 'g')"
+    )
+    mix_case = " ".join(
+        f"WHEN lang = '{s}' THEN {r}" for s, r in sorted(MIX_RATES.items())
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, text,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         length(text) AS n_chars,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains({_STOPLIST_SQL}, t))) AS n_stop,
+         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+           AS n_alnum_space,
+         {score_exprs}
+  FROM documents),
+s AS (
+  SELECT doc_id, text,
+         round(least(n_tokens / 50.0, 1.0) * 0.5
+               + least((n_stop / n_tokens) * 5.0, 1.0) * 0.3
+               + (1.0 - least(((n_chars - n_alnum_space) / n_chars) * 10.0,
+                              1.0)) * 0.2, 6) AS quality_score,
+         {best_l} AS lang,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM b),
+scrub AS (
+  SELECT doc_id, lang, quality_score, {scrub} AS text
+  FROM s WHERE rn = 1 AND quality_score >= {CLEAN_MIN_QUALITY}),
+d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM scrub),
+ch AS (
+  SELECT d.doc_id, i.i AS idx,
+         array_to_string(toks[i.i*{CHUNK_TOKENS}+1 : i.i*{CHUNK_TOKENS}+{CHUNK_TOKENS}], ' ') AS chunk
+  FROM d, unnest(range(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT))) AS i(i)),
+freq AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY chunk),
+kept AS (SELECT ch.doc_id, ch.idx, ch.chunk
+         FROM ch JOIN freq USING (chunk) WHERE freq.df <= {CHUNK_MAX_DF}),
+agg AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS text,
+               count(*) AS n_kept FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id),
+joined AS (
+  SELECT t.doc_id, coalesce(a.text, '') AS text,
+         t.n_chunks, t.n_chunks - coalesce(a.n_kept, 0) AS n_removed
+  FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id)
+SELECT j.doc_id, sc.lang, sc.quality_score, j.text,
+       CAST(j.n_chunks AS BIGINT) AS n_chunks,
+       CAST(j.n_removed AS BIGINT) AS n_removed
+FROM joined j JOIN scrub sc ON j.doc_id = sc.doc_id
+WHERE ('0x' || substr(md5(CAST(j.doc_id AS VARCHAR)), 1, 7))::BIGINT
+      / 268435456.0 < (CASE {mix_case} ELSE 0.0 END)
+"""
+
+
 MIX_RATES = {"en": 0.8, "de": 0.5, "fr": 0.25, "es": 0.1}
 VOCAB_K = 50
 
@@ -1782,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_drift": q_feature_drift,
         "stratified_sample": q_stratified_sample,
         "vocab_topk": q_vocab_topk,
+        "training_corpus": q_training_corpus,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1829,6 +1919,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_drift": SQL_FEATURE_DRIFT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "vocab_topk": SQL_VOCAB_TOPK,
+        "training_corpus": _sql_training_corpus(),
         "lang_id": _sql_lang_id(),
         "token_count": SQL_TOKEN_COUNT,
         "doc_fingerprint": SQL_FINGERPRINT,

@@ -46,6 +46,7 @@ HEADLINE = [
     "vocab_topk",
     "lang_id",
     "pipeline_clean_corpus",
+    "training_corpus",
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ann_ivf",

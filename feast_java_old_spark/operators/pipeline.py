@@ -75,3 +75,76 @@ def clean_corpus(
         "quality_score",
         "predicted_lang",
     )
+
+
+def build_training_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.55,
+    mix_rates: dict | None = None,
+    chunk_tokens: int = 8,
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """The end-to-end corpus-assembly pipeline, composed from the
+    operator families: exact-dedup canonicalization → quality gate →
+    language ID → PII scrub → cross-doc chunk dedup → deterministic
+    per-language mixing sample.
+
+    Returns (id, lang, quality_score, text, n_chunks, n_removed) for the
+    sampled survivors, with ``text`` PII-scrubbed and corpus-duplicated
+    chunks removed.
+
+    Shuffle budget (the scale contract): one fingerprint-partitioned
+    shuffle to pick canonical copies (the only time full documents cross
+    the wire), then the chunk phase's token-sized aggregates/join (chunk
+    rows, not documents), then pure projections — the mixing sample is a
+    codegen filter. Quality/language signals are computed in the same
+    projection as the fingerprint, so no extra pass and no joins for the
+    gates.
+    """
+    from pyspark.sql.window import Window
+
+    from feast_java_old_spark.operators import dedup, pii, text
+
+    stats = text.text_stat_cols(text_col)
+    scores = text.lang_score_cols(text_col)
+    proj = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        text.fingerprint(F.col(text_col)).alias("__fp"),
+        stats["quality_score"].alias("quality_score"),
+        *[c.alias(n) for n, c in scores.items()],
+    )
+    proj = proj.select(
+        id_col, text_col, "__fp", "quality_score",
+        text.predicted_lang_col().alias("lang"),
+    )
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    canon = (
+        proj.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
+    gated = canon.where(F.col("quality_score") >= min_quality)
+    scrubbed = gated.select(
+        id_col, "lang", "quality_score",
+        pii.scrubbed_text_col(text_col).alias(text_col),
+    )
+    chunked = dedup.chunk_dedup(
+        scrubbed.select(id_col, text_col),
+        text_col=text_col,
+        id_col=id_col,
+        chunk_tokens=chunk_tokens,
+        max_doc_freq=max_doc_freq,
+    )
+    rejoined = chunked.join(
+        scrubbed.select(id_col, "lang", "quality_score"), on=id_col
+    )
+    if mix_rates:
+        rejoined = text.stratified_sample(
+            rejoined, "lang", mix_rates, key_col=id_col
+        )
+    return rejoined.select(
+        id_col, "lang", "quality_score", text_col, "n_chunks", "n_removed"
+    )

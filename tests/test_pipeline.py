@@ -42,3 +42,44 @@ def test_clean_corpus_single_scan_single_shuffle(docs):
     # the text column is not in it
     partial = next(l for l in plan.splitlines() if "partial_min" in l)
     assert "text" not in partial
+
+
+def test_build_training_corpus_end_to_end(spark):
+    """Composition semantics: exact dups collapse to the canonical copy,
+    low quality drops, cross-doc chunks vanish, PII is scrubbed, and the
+    mixing sample is deterministic."""
+    from feast_java_old_spark.operators.pipeline import build_training_corpus
+
+    # chunk_tokens=8: prefixes are exactly 8 tokens so the shared chunk
+    # aligns on a chunk boundary in both docs (non-overlapping chunking
+    # only dedups boundary-aligned repeats — the standard caveat).
+    prefix1 = "the quick brown fox jumps over a dog"
+    prefix4 = "it is a fine day for the animals"
+    shared = " alpha beta gamma delta epsilon zeta eta theta"
+    tail1 = " and then the small cat walks in quietly to see a@b.co"
+    tail4 = " totally different continuation here my friend for the yard"
+    docs = spark.createDataFrame(
+        [
+            (1, prefix1 + shared + tail1),
+            (2, prefix1 + shared + tail1),  # exact dup
+            (3, "x! y! z!"),  # low quality -> gated out
+            (4, prefix4 + shared + tail4),
+        ],
+        "doc_id long, text string",
+    )
+    out = build_training_corpus(
+        docs, min_quality=0.5, mix_rates={"en": 1.0}, chunk_tokens=8
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert 2 not in rows  # dup collapsed to canonical id 1
+    assert 3 not in rows  # quality gate
+    assert 1 in rows and 4 in rows
+    assert "[email]" in rows[1].text and "a@b.co" not in rows[1].text
+    # the shared 8-token tail chunk is cross-doc duplicated -> removed
+    assert "zeta eta theta" not in rows[1].text
+    assert rows[4].n_removed >= 1
+    # deterministic resample
+    again = {r.doc_id for r in build_training_corpus(
+        docs, min_quality=0.5, mix_rates={"en": 1.0}, chunk_tokens=8
+    ).collect()}
+    assert again == set(rows)
