@@ -348,3 +348,32 @@ def stream_dedup(
         dedup_cols
     )
     return out.drop("__fp") if "__fp" in out.columns else out
+
+
+def stream_enrich(
+    stream: DataFrame,
+    features: DataFrame,
+    on: list,
+    how: str = "left",
+    broadcast_features: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment: join a stream against a feature table
+    (e.g. :func:`read_online_table` output) — the streaming analogue of
+    the J1 entity lookup.
+
+    The static side's *file listing* is resolved when the DataFrame is
+    created — an in-place ``mode("overwrite")`` of that path deletes the
+    listed files and fails the stream mid-flight. This is exactly why
+    materialization writes the **versioned layout** (``vNNN`` dirs + a
+    ``_LATEST`` pointer, :func:`read_online_table`): re-materialization
+    creates a new version directory and never deletes the files a
+    running stream holds. A long-running query sees the snapshot it
+    planned against; pick up a newer version by re-planning (foreachBatch
+    that calls ``read_online_table`` per batch, or a query restart).
+
+    ``broadcast_features`` hints the dimension broadcast (right for
+    entity tables that fit on executors); at larger sizes drop the hint
+    and let AQE pick a shuffled join of the micro-batch.
+    """
+    f = F.broadcast(features) if broadcast_features else features
+    return stream.join(f, on=on, how=how)

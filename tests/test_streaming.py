@@ -350,3 +350,87 @@ def test_stream_dedup_drops_reingested_docs(spark, tmp_path):
         assert got == {1, 2, 4}
     finally:
         q.stop()
+
+
+def test_stream_enrich_against_online_table(spark, tmp_path):
+    """Stream-static join: events stream enriched with a materialized
+    online table. The versioned (vNNN + _LATEST) layout keeps a running
+    stream's snapshot valid across re-materializations; a re-planned
+    join resolves the new version."""
+    from feast_java_old_spark.streaming.ingest import stream_enrich
+
+    store = str(tmp_path / "features")
+    src = str(tmp_path / "events_src")
+    os.makedirs(src)
+    os.makedirs(os.path.join(store, "v001"))
+
+    def write_version(v, rows):
+        d = os.path.join(store, v)
+        spark.createDataFrame(rows, "user_id long, score double").write.mode(
+            "overwrite"
+        ).parquet(d)
+        with open(os.path.join(store, "_LATEST"), "w") as f:
+            f.write(v)
+
+    def latest_features():
+        with open(os.path.join(store, "_LATEST")) as f:
+            return spark.read.parquet(os.path.join(store, f.read().strip()))
+
+    write_version("v001", [(1, 10.0), (2, 20.0)])
+
+    schema = "user_id long, event_timestamp timestamp, amount double"
+    spark.createDataFrame([(1, t(0), 5.0), (3, t(1), 7.0)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    enriched = stream_enrich(stream, latest_features(), on=["user_id"])
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.user_id: r.score for r in spark.sql("select * from enriched").collect()}
+        assert got == {1: 10.0, 3: None}  # missing key -> NULL (left join)
+
+        # re-materialize as a NEW version: the running stream keeps its
+        # snapshot (no mid-flight file deletion), and streams on fine
+        write_version("v002", [(1, 11.0), (3, 30.0)])
+        spark.createDataFrame([(3, t(5), 9.0)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        deadline = time.time() + 10
+        while time.time() < deadline and len(
+            [f for f in os.listdir(src) if f.endswith(".parquet")]
+        ) < 2:
+            time.sleep(0.1)
+        q.processAllAvailable()
+        snap = {
+            (r.user_id, r.amount): r.score
+            for r in spark.sql("select * from enriched").collect()
+        }
+        assert snap[(3, 9.0)] is None  # still the v001 snapshot
+    finally:
+        q.stop()
+
+    # a re-planned query resolves v002
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = (
+        stream_enrich(stream2, latest_features(), on=["user_id"])
+        .writeStream.format("memory")
+        .queryName("enriched2")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        got2 = {
+            (r.user_id, r.amount): r.score
+            for r in spark.sql("select * from enriched2").collect()
+        }
+        assert got2[(3, 9.0)] == 30.0 and got2[(1, 5.0)] == 11.0
+    finally:
+        q2.stop()
