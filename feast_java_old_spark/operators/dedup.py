@@ -519,13 +519,16 @@ def chunk_dedup(
     is corpus-duplicated comes back with empty text (boilerplate and
     exact dups vanish, partially-copied docs keep their novel passages).
 
-    Plan shape: one scan → chunk explode → global (chunk, doc) count
-    (two-phase hash aggregate with map-side combine; only chunk+id rows
-    shuffle, sized by the corpus token count) → equi-join chunk
-    frequencies back (AQE picks the join; at 100 TB both sides are
-    chunk-hash partitioned by the aggregates) → per-doc ordered
-    reassembly via sort-within-group ``collect_list(struct(idx, chunk))``
-    — one exchange per aggregate, no window over the corpus, no Python.
+    Plan shape: chunk explode → global per-chunk doc-frequency (two-phase
+    hash aggregate with map-side combine; only chunk+id rows shuffle,
+    sized by the corpus token count) → equi-join frequencies back (both
+    sides chunk-hash partitioned by the aggregate) → ONE doc-keyed
+    aggregate producing reassembled text (``collect_list`` of a
+    ``when(...)`` struct — nulls for dropped chunks are skipped), total
+    and removed counts together. The input subtree is evaluated twice
+    (frequency aggregate + join side), never a third time — callers
+    composing an expensive upstream (see
+    ``pipeline.build_training_corpus``) persist it.
     """
     ch = df.select(
         F.col(id_col).alias("doc_id"),
@@ -536,29 +539,37 @@ def chunk_dedup(
     freq = ch.groupBy("chunk").agg(
         F.countDistinct("doc_id").alias("__df")
     )
-    kept = (
-        ch.join(freq, on="chunk")
-        .where(F.col("__df") <= max_doc_freq)
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
-                    lambda s: s["chunk"],
+    # One groupBy with conditional aggregates: collect_list skips the
+    # NULLs that when() produces for dropped chunks, so kept-text
+    # reassembly, total count, and removed count all come out of a single
+    # doc-keyed aggregate — no separate totals branch, no totals⋈kept
+    # join, and the (possibly expensive) input subtree is evaluated for
+    # the freq aggregate and the join, never a third time.
+    merged = ch.join(freq, on="chunk").groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__df") <= max_doc_freq,
+                            F.struct("idx", "chunk"),
+                        )
+                    )
                 ),
-                " ",
-            ).alias("text"),
-            F.count(F.lit(1)).alias("__n_kept"),
-        )
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(
+            F.when(F.col("__df") > max_doc_freq, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_removed"),
     )
-    totals = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    return totals.join(kept, on="doc_id", how="left").select(
+    return merged.select(
         F.col("doc_id").alias(id_col),
-        F.coalesce(F.col("text"), F.lit("")).alias(text_col),
-        F.col("n_chunks"),
-        (F.col("n_chunks") - F.coalesce(F.col("__n_kept"), F.lit(0))).alias(
-            "n_removed"
-        ),
+        F.col("text").alias(text_col),
+        "n_chunks",
+        "n_removed",
     )
 
 
@@ -576,27 +587,29 @@ def line_dedup(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "chunk"),
     )
     freq = ch.groupBy("chunk").agg(F.countDistinct("doc_id").alias("__df"))
-    kept = (
-        ch.join(freq, on="chunk")
-        .where(F.col("__df") <= max_doc_freq)
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
-                    lambda s: s["chunk"],
+    merged = ch.join(freq, on="chunk").groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__df") <= max_doc_freq,
+                            F.struct("idx", "chunk"),
+                        )
+                    )
                 ),
-                "\n",
-            ).alias("text"),
-            F.count(F.lit(1)).alias("__n_kept"),
-        )
+                lambda s: s["chunk"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.when(F.col("__df") > max_doc_freq, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_removed"),
     )
-    totals = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
-    return totals.join(kept, on="doc_id", how="left").select(
+    return merged.select(
         F.col("doc_id").alias(id_col),
-        F.coalesce(F.col("text"), F.lit("")).alias(text_col),
-        F.col("n_lines"),
-        (F.col("n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0))).alias(
-            "n_removed"
-        ),
+        F.col("text").alias(text_col),
+        "n_lines",
+        "n_removed",
     )

@@ -131,6 +131,11 @@ def build_training_corpus(
         id_col, "lang", "quality_score",
         pii.scrubbed_text_col(text_col).alias(text_col),
     )
+    # The chunk phase consumes this subtree twice (frequency aggregate +
+    # join side) and the final rejoin a third time; without persist the
+    # fingerprint window above would re-execute each time. MEMORY_AND_DISK
+    # spills instead of OOMing on a real cluster.
+    scrubbed = scrubbed.persist()
     chunked = dedup.chunk_dedup(
         scrubbed.select(id_col, text_col),
         text_col=text_col,
