@@ -377,3 +377,36 @@ def stream_enrich(
     """
     f = F.broadcast(features) if broadcast_features else features
     return stream.join(f, on=on, how=how)
+
+
+def stream_clean_ingest(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "event_timestamp",
+    min_quality: float = 0.55,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming intake for a training-data corpus: quality gate + PII
+    scrub + watermark-bounded exact dedup, composed from the same Column
+    builders as the batch pipeline (``text.text_stat_cols``,
+    ``pii.scrubbed_text_col``, the shared fingerprint) so batch and
+    stream agree on semantics.
+
+    The quality/scrub phase is a stateless projection (runs inside the
+    micro-batch scan); only the dedup keeps state, bounded by the
+    watermark horizon. Downstream: hand the result to
+    :func:`stream_materialize` or a parquet sink to grow the corpus
+    continuously.
+    """
+    from feast_java_old_spark.operators import pii, text
+
+    stats = text.text_stat_cols(text_col)
+    gated = (
+        stream.withColumn("__q", stats["quality_score"])
+        .where(F.col("__q") >= min_quality)
+        .drop("__q")
+    )
+    scrubbed = gated.withColumn(text_col, pii.scrubbed_text_col(text_col))
+    return stream_dedup(
+        scrubbed, text_col=text_col, ts_col=ts_col, watermark=watermark
+    )

@@ -434,3 +434,52 @@ def test_stream_enrich_against_online_table(spark, tmp_path):
         assert got2[(3, 9.0)] == 30.0 and got2[(1, 5.0)] == 11.0
     finally:
         q2.stop()
+
+
+def test_stream_clean_ingest_composition(spark, tmp_path):
+    """Streaming corpus intake: low-quality rows gated out inside the
+    micro-batch, PII scrubbed, re-ingested duplicates dropped across
+    batches — same semantics as the batch builders it composes."""
+    from feast_java_old_spark.streaming.ingest import stream_clean_ingest
+
+    src = str(tmp_path / "intake_src")
+    os.makedirs(src)
+    schema = "doc_id long, event_timestamp timestamp, text string"
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the small "
+        "cat walks in to see what all of the noise is about today at two"
+    )
+
+    def write(rows, n):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if len([f for f in os.listdir(src) if f.endswith(".parquet")]) >= n:
+                return
+            time.sleep(0.1)
+
+    write([(1, t(0), good + " mail a@b.co"), (2, t(1), "x! y! z!")], 1)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_clean_ingest(stream, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("intake")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r.doc_id: r.text for r in spark.sql("select * from intake").collect()}
+        assert set(rows) == {1}          # low-quality doc 2 gated
+        assert "[EMAIL]" in rows[1] and "a@b.co" not in rows[1]
+
+        # batch 2: doc 3 re-ingests doc 1's content (PII variant scrubs to
+        # the same fingerprint) -> dropped; doc 4 is novel -> kept
+        write([(3, t(5), good + " mail a@b.co"), (4, t(6), good + " but different")], 2)
+        q.processAllAvailable()
+        got = {r.doc_id for r in spark.sql("select * from intake").collect()}
+        assert got == {1, 4}
+    finally:
+        q.stop()
