@@ -1578,6 +1578,45 @@ WHERE rank <= {ANN_K}
 """
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label (class prototypes / one
+    k-means centroid-update step / chunk→doc pooling). posexplode →
+    map-side-combined per-dim average → in-order reassembly; only
+    (group, dim) scalars shuffle, never vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pooled = similarity.mean_pool(emb, "label")
+    # The centroid rides as a '%.6f'-joined string: C-style formatting is
+    # byte-identical between Spark's format_string and DuckDB's printf,
+    # and the hash comparator handles plain strings on any driver.
+    return pooled.select(
+        F.col("label").cast("long").alias("label"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("embedding"), lambda x: F.format_string("%.6f", x)
+            ),
+        ).alias("centroid"),
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+    )
+
+
+SQL_CENTROIDS = """
+WITH ex AS (
+  SELECT label, u.dim AS dim, u.val AS val
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS val,
+                       generate_subscripts(embedding, 1) AS dim) AS u),
+per_dim AS (
+  SELECT label, dim, round(avg(val), 6) AS mean_val, count(*) AS n
+  FROM ex GROUP BY label, dim)
+SELECT CAST(label AS BIGINT) AS label,
+       array_to_string(list(printf('%.6f', mean_val) ORDER BY dim), ',')
+         AS centroid,
+       CAST(max(n) AS BIGINT) AS n_vectors
+FROM per_dim GROUP BY label
+"""
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dups(
@@ -1880,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
+        "embedding_centroids": q_embedding_centroids,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
@@ -1928,6 +1968,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ann_lsh": SQL_ANN,
         "similarity_ann_ivf": SQL_ANN_IVF,
         "similarity_ann_multiprobe": SQL_ANN_MULTI,
+        "embedding_centroids": SQL_CENTROIDS,
         "embedding_near_dups": SQL_NEAR_DUPS,
         "multimodal_decode": SQL_MM_DECODE,
         "multimodal_frames": SQL_MM_FRAMES,

@@ -538,3 +538,40 @@ def cosine_topk_arrow(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def mean_pool(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean of vectors per group — chunk→document embedding
+    pooling, class prototypes, or one k-means centroid-update step.
+
+    Plan shape (the scale-correct one for wide groups): ``posexplode`` to
+    (group, dim, value) rows → hash aggregate with map-side partial
+    sum/count → in-order reassembly via ``array_sort(collect_list(
+    struct(dim, mean)))``. Only (group, dim) scalars shuffle — never whole
+    vectors — and no per-group state exceeds dim rows. A ``collect_list``
+    -of-vectors + HOF fold would hold entire groups in aggregate state;
+    this never does.
+
+    Returns (group_col, embedding array<double>, n_vectors).
+    """
+    ex = df.select(
+        F.col(group_col),
+        F.posexplode(_as_double(F.col(vec_col))).alias("__dim", "__val"),
+    )
+    per_dim = ex.groupBy(group_col, "__dim").agg(
+        F.round(F.avg("__val"), 6).alias("__mean"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return per_dim.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__dim", "__mean"))),
+            lambda s: s["__mean"],
+        ).alias(vec_col),
+        # max, not first: with ragged vector lengths per-dim counts can
+        # differ and first() would be pick-order-dependent
+        F.max("__n").alias("n_vectors"),
+    )

@@ -40,7 +40,11 @@ def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].map(
-                lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v
+                lambda v: v.hex()
+                if isinstance(v, (bytes, bytearray))
+                else tuple(v)
+                if isinstance(v, (list, tuple, np.ndarray))
+                else v
             )
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("int64")

@@ -243,3 +243,17 @@ def test_arrow_kernel_matches_sql_kernel(emb, recall_queries):
 def test_arrow_kernel_empty_queries(emb, spark):
     empty = spark.createDataFrame([], "query_id long, embedding array<float>")
     assert similarity.cosine_topk_arrow(emb, empty).count() == 0
+
+
+def test_mean_pool_exact_values(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", [1.0, 2.0, 30.0]),
+            ("a", [3.0, 4.0, -10.0]),
+            ("b", [5.0, 6.0, 7.0]),
+        ],
+        "g string, embedding array<double>",
+    )
+    out = {r.g: r for r in similarity.mean_pool(df, "g").collect()}
+    assert out["a"].embedding == [2.0, 3.0, 10.0] and out["a"].n_vectors == 2
+    assert out["b"].embedding == [5.0, 6.0, 7.0] and out["b"].n_vectors == 1
