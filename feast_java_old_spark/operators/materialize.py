@@ -236,3 +236,95 @@ def materialize_bucketed(
             .saveAsTable(managed)
         )
     return managed
+
+
+def materialize_incremental(
+    spark: SparkSession,
+    registry: Registry,
+    table_name: str,
+    store_path: str,
+    project: str = "default",
+    end_ts=None,
+    strategy: str = "agg",
+    ttl_expire: bool = False,
+    now=None,
+) -> str:
+    """Incremental materialization: only source rows NEWER than the
+    online table's high-water mark are read, reduced, and merged
+    latest-wins into the existing state — the production cadence (the
+    SDK's ``materialize-incremental``), where a full rebuild over 100 TB
+    of history per run is a non-starter.
+
+    The high-water mark is ``max(event_timestamp)`` of the current
+    online table (one column-pruned aggregate over one row per key —
+    tiny next to the source). The delta filter pushes to the source scan
+    (``start_ts`` → parquet PushedFilters / partition pruning with a
+    ``date_partition_column``), so per-run cost is O(new data + online
+    table), independent of history length. First run (no online table)
+    falls back to a full :func:`materialize`.
+
+    ``ttl_expire``: with the table's ``max_age_secs`` set, drop rows
+    whose event_timestamp is older than ``now − max_age`` from the
+    merged state — serving would answer OUTSIDE_MAX_AGE for them anyway
+    (J3), so expiring at materialization keeps the online table's size
+    proportional to the *live* key set, which is what a TTL'd KV store
+    (Redis EXPIRE / Cassandra TTL) does physically.
+    """
+    table: FeatureTable = registry.get_feature_table(table_name, project)
+    path = online_table_path(store_path, project, table_name)
+    # Missing table -> first run; any other read error (corruption,
+    # permissions) must propagate, not silently trigger a full rebuild.
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        current = spark.read.parquet(path)
+    except AnalysisException as ex:
+        cond = getattr(ex, "getCondition", lambda: None)() or str(ex)
+        if "PATH_NOT_FOUND" not in cond and "UNABLE_TO_INFER_SCHEMA" not in cond:
+            raise
+        current = None
+    if current is None:
+        return materialize(
+            spark, registry, table_name, store_path,
+            project=project, end_ts=end_ts, strategy=strategy,
+        )
+
+    high_water = current.agg(
+        F.max("event_timestamp").alias("hw")
+    ).collect()[0]["hw"]
+    df = conform_batch_source(
+        spark, table, end_ts=end_ts, start_ts=None
+    ).where(F.col("event_timestamp") > F.lit(high_water))
+    created_col = table.batch_source.created_timestamp_column or None
+    delta = latest_per_key(
+        df,
+        keys=list(table.entities),
+        event_ts_col="event_timestamp",
+        created_ts_col=created_col,
+        strategy=strategy,
+    )
+    if created_col and created_col in delta.columns:
+        delta = delta.drop(created_col)
+
+    merged = latest_per_key(
+        current.unionByName(delta, allowMissingColumns=True),
+        keys=list(table.entities),
+        event_ts_col="event_timestamp",
+        strategy=strategy,
+    )
+    if ttl_expire and table.max_age_secs and table.max_age_secs > 0:
+        now_ts = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+        age = now_ts.cast("long") - F.col("event_timestamp").cast("long")
+        merged = merged.where(age <= F.lit(table.max_age_secs))
+
+    tmp = path + "__incr_tmp"
+    merged.repartition(*[F.col(k) for k in table.entities]).sortWithinPartitions(
+        *table.entities
+    ).write.mode("overwrite").parquet(tmp)
+    # atomic-enough swap for the local filesystem; on a lake this whole
+    # merge is a Delta/Iceberg MERGE INTO and the swap is transactional.
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(tmp, path)
+    return path

@@ -277,3 +277,60 @@ def test_csv_json_file_sources_roundtrip(spark, tmp_path):
     from feast_java_old_spark.registry.validation import ValidationError
     with _pytest.raises(ValidationError, match="invalid file format"):
         validate_data_source(FileSource(file_url=csv_dir, file_format="orc"))
+
+
+def test_materialize_incremental_and_ttl(spark, tmp_path, tmp_store):
+    """Incremental runs read only rows past the high-water mark, merge
+    latest-wins (late-older rows cannot regress state), and TTL expiry
+    drops keys whose latest value is older than max_age."""
+    from feast_java_old_spark.operators.materialize import (
+        materialize_incremental,
+    )
+
+    src = str(tmp_path / "events_src")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write_src(rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, v double"
+        ).write.mode("overwrite").parquet(src)
+
+    write_src([(1, t0, 1.0), (2, t0 + dt.timedelta(hours=1), 2.0)])
+    reg = fs.Registry()
+    reg.apply_entity(fs.Entity("user_id", fs.ValueType.INT64))
+    reg.apply_feature_table(
+        fs.FeatureTable(
+            "user_feats", ["user_id"],
+            [fs.Feature("v", fs.ValueType.DOUBLE)],
+            max_age_secs=7200,
+            batch_source=FileSource(
+                file_url=src, event_timestamp_column="ts"
+            ),
+        )
+    )
+    # first run: full materialize fallback
+    path = materialize_incremental(spark, reg, "user_feats", tmp_store)
+    state = {r.user_id: r.v for r in spark.read.parquet(path).collect()}
+    assert state == {1: 1.0, 2: 2.0}
+
+    # second run: newer row for 1, OLDER row for 2 (below high-water ->
+    # not even read), new key 3
+    write_src(
+        [
+            (1, t0 + dt.timedelta(hours=2), 10.0),
+            (2, t0 - dt.timedelta(hours=5), 99.0),
+            (3, t0 + dt.timedelta(hours=2), 3.0),
+        ]
+    )
+    materialize_incremental(spark, reg, "user_feats", tmp_store)
+    state = {r.user_id: r.v for r in spark.read.parquet(path).collect()}
+    assert state == {1: 10.0, 2: 2.0, 3: 3.0}
+
+    # third run with TTL: nothing new in the source; keys whose latest
+    # event is older than max_age (2h) at `now` are expired
+    now = t0 + dt.timedelta(hours=3, minutes=1)
+    materialize_incremental(
+        spark, reg, "user_feats", tmp_store, ttl_expire=True, now=now
+    )
+    state = {r.user_id: r.v for r in spark.read.parquet(path).collect()}
+    assert state == {1: 10.0, 3: 3.0}  # key 2 (latest ts t0+1h) expired
