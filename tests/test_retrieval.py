@@ -337,3 +337,26 @@ def test_store_path_reads_streaming_versioned_layout(spark, rides_env, tmp_path)
     )
     assert out[0]["rides__trip_cost"] == 5
     assert out[0]["rides__trip_cost__status"] == "PRESENT"
+
+
+def test_get_online_features_through_spec_cache(spark, rides_env):
+    """A4 integration: CachedSpecService is a drop-in Registry for the
+    serving path — same results, spec loads hit the cache."""
+    from feast_java_old_spark.registry.cache import CachedSpecService
+
+    reg, store = rides_env
+    cached = CachedSpecService(reg)
+    out = get_online_features(
+        spark, cached,
+        [{"driver_id": 1}, {"driver_id": 999}],
+        ["rides:trip_cost"], store,
+        request_ts=TS,
+    ).collect()
+    base = get_online_features(
+        spark, reg,
+        [{"driver_id": 1}, {"driver_id": 999}],
+        ["rides:trip_cost"], store,
+        request_ts=TS,
+    ).collect()
+    assert out == base
+    assert len(cached) >= 1  # the spec load went through the cache
