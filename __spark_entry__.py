@@ -1082,6 +1082,34 @@ LIMIT {VOCAB_K}
 """
 
 
+SKEW_TOP_N = 10
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic on the events entity key: top-N heaviest
+    user_ids with share and x-mean load — the measurement that picks
+    plain vs skew-bucketed strategies."""
+    from feast_java_old_spark.operators.materialize import key_skew_stats
+
+    events = load_table(spark, sf_dir, "events")
+    return key_skew_stats(events, ["user_id"], top_n=SKEW_TOP_N)
+
+
+SQL_KEY_SKEW = f"""
+WITH cnt AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+             FROM events GROUP BY user_id),
+tot AS (SELECT sum(cnt) AS total, avg(cnt) AS mean, count(*) AS nd FROM cnt)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key ASC) AS BIGINT) AS rank,
+       key, CAST(cnt AS BIGINT) AS cnt,
+       round(cnt / tot.total, 6) AS share,
+       round(cnt / tot.mean, 6) AS x_mean,
+       CAST(tot.nd AS BIGINT) AS n_distinct_keys
+FROM cnt, tot
+ORDER BY cnt DESC, key ASC
+LIMIT {SKEW_TOP_N}
+"""
+
+
 DRIFT_SPLIT = "2024-01-16 00:00:00"
 DRIFT_BINS = 10
 
@@ -1908,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "chunk_dedup": q_chunk_dedup,
         "feature_drift": q_feature_drift,
+        "key_skew": q_key_skew,
         "stratified_sample": q_stratified_sample,
         "vocab_topk": q_vocab_topk,
         "training_corpus": q_training_corpus,
@@ -1957,6 +1986,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": SQL_PII_SCRUB,
         "chunk_dedup": SQL_CHUNK_DEDUP,
         "feature_drift": SQL_FEATURE_DRIFT,
+        "key_skew": SQL_KEY_SKEW,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "vocab_topk": SQL_VOCAB_TOPK,
         "training_corpus": _sql_training_corpus(),

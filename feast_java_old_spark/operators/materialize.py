@@ -328,3 +328,52 @@ def materialize_incremental(
     shutil.rmtree(path, ignore_errors=True)
     os.replace(tmp, path)
     return path
+
+
+def key_skew_stats(
+    df: DataFrame,
+    keys: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Shuffle-skew diagnostic: the ``top_n`` heaviest join/group keys
+    with their share of all rows and their ratio to the mean key load.
+
+    Any shuffle keyed on skewed columns (entity joins, latest-per-key
+    materialization, as-of windows) is bottlenecked by its heaviest key;
+    this is the measurement that decides between the plain and
+    skew-bucketed strategies (``asof_join(strategy="bucketed")``,
+    salting, AQE skew-join thresholds). One two-phase count aggregate +
+    a broadcast of two scalars + distributed TakeOrdered — safe to run
+    casually on the full 100 TB input.
+    """
+    cnt = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = cnt.agg(
+        F.sum("cnt").alias("__total"),
+        F.avg("cnt").alias("__mean"),
+        F.count(F.lit(1)).alias("__distinct"),
+    )
+    top = (
+        cnt.crossJoin(F.broadcast(totals))
+        .select(
+            F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias(
+                "key"
+            ),
+            F.col("cnt"),
+            F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+            F.round(F.col("cnt") / F.col("__mean"), 6).alias("x_mean"),
+            F.col("__distinct").alias("n_distinct_keys"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(top_n)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("rank").cast("long").alias("rank"),
+        "key",
+        F.col("cnt").cast("long").alias("cnt"),
+        "share",
+        "x_mean",
+        F.col("n_distinct_keys").cast("long").alias("n_distinct_keys"),
+    )

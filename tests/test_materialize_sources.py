@@ -334,3 +334,18 @@ def test_materialize_incremental_and_ttl(spark, tmp_path, tmp_store):
     )
     state = {r.user_id: r.v for r in spark.read.parquet(path).collect()}
     assert state == {1: 10.0, 3: 3.0}  # key 2 (latest ts t0+1h) expired
+
+
+def test_key_skew_stats(spark):
+    from feast_java_old_spark.operators.materialize import key_skew_stats
+
+    rows = [(1, i) for i in range(80)] + [(2, i) for i in range(15)] + [
+        (3, 0), (4, 0), (5, 0), (6, 0), (7, 0)
+    ]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = key_skew_stats(df, ["k"], top_n=3).collect()
+    assert [r.key for r in out] == ["1", "2", "3"]  # lex tie-break at cnt=1
+    assert out[0].cnt == 80 and out[0].share == 0.8
+    assert out[0].n_distinct_keys == 7
+    # mean load = 100/7; heaviest key is 80/(100/7) = 5.6x the mean
+    assert out[0].x_mean == 5.6
