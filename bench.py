@@ -32,6 +32,7 @@ HEADLINE = [
     "a5_sessions",
     "a6_percentiles",
     "feature_drift",
+    "key_skew",
     "a7_rollup_revenue",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -52,6 +53,7 @@ HEADLINE = [
     "similarity_ann_ivf",
     "similarity_ann_multiprobe",
     "embedding_near_dups",
+    "embedding_centroids",
     "multimodal_decode",
     "odfv_transform",
 ]
