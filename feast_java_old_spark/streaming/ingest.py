@@ -410,3 +410,41 @@ def stream_clean_ingest(
     return stream_dedup(
         scrubbed, text_col=text_col, ts_col=ts_col, watermark=watermark
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list,
+    left_ts: str = "event_timestamp",
+    right_ts: str = "event_timestamp",
+    watermark: str = "1 hour",
+    max_lag: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a bounded time lag:
+    right-side rows match left-side rows within ``[left_ts - max_lag,
+    left_ts]`` — e.g. joining a click stream to the impression stream
+    that caused it.
+
+    Both sides are watermarked so Spark can bound join state: a buffered
+    row is dropped once the other side's watermark passes its
+    eligibility window (state is O(arrival rate × (watermark+lag)), not
+    unbounded). The range predicate is what makes state eviction
+    possible — an unconstrained stream-stream join would buffer forever.
+    Outer variants additionally need the watermark to know when a
+    buffered row can be emitted as unmatched.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    l_ts, r_ts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = None
+    for k in on:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (r_ts >= l_ts - F.expr(f"INTERVAL {max_lag}"))
+        & (r_ts <= l_ts)
+    )
+    return lw.alias("l").join(rw.alias("r"), on=cond, how=how)

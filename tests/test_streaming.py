@@ -483,3 +483,50 @@ def test_stream_clean_ingest_composition(spark, tmp_path):
         assert got == {1, 4}
     finally:
         q.stop()
+
+
+def test_stream_stream_join_bounded_lag(spark, tmp_path):
+    """Clicks join impressions within the lag window; out-of-window or
+    unknown keys do not match."""
+    from feast_java_old_spark.streaming.ingest import stream_stream_join
+
+    imp_src = str(tmp_path / "impressions")
+    clk_src = str(tmp_path / "clicks")
+    os.makedirs(imp_src)
+    os.makedirs(clk_src)
+    ischema = "ad_id long, event_timestamp timestamp, slot string"
+    cschema = "ad_id long, event_timestamp timestamp, cost double"
+
+    spark.createDataFrame(
+        [(1, t(0), "top"), (2, t(0), "side"), (3, t(100), "top")], ischema
+    ).coalesce(1).write.mode("append").parquet(imp_src)
+    spark.createDataFrame(
+        [
+            (1, t(10), 0.5),   # within 30 min of impression 1 -> match
+            (2, t(50), 0.7),   # 50 min after impression 2 -> too late
+            (9, t(10), 0.9),   # unknown ad -> no match
+        ],
+        cschema,
+    ).coalesce(1).write.mode("append").parquet(clk_src)
+
+    imps = spark.readStream.schema(ischema).parquet(imp_src)
+    clicks = spark.readStream.schema(cschema).parquet(clk_src)
+    joined = stream_stream_join(
+        clicks, imps, on=["ad_id"],
+        watermark="2 hours", max_lag="30 minutes",
+    ).select(
+        F.col("l.ad_id").alias("ad_id"), "slot", "cost",
+        F.col("l.event_timestamp").alias("click_ts"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from ssj").collect()
+        assert {(r.ad_id, r.slot, r.cost) for r in rows} == {(1, "top", 0.5)}
+    finally:
+        q.stop()
