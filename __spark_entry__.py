@@ -782,6 +782,56 @@ WHERE round(i.ni / (sa.n + sb.n - i.ni), 6) >= {VERIFY_THRESHOLD}
 """
 
 
+XMODAL_COSINE = 0.0
+
+
+def q_dedup_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup verification: MinHash-LSH candidates verified by
+    BOTH exact text Jaccard (>= VERIFY_THRESHOLD) and embedding cosine
+    (>= XMODAL_COSINE) — the fused-signal near-dup rule a multimodal
+    corpus pipeline uses (text match alone can be boilerplate; embedding
+    agreement confirms semantic duplication). Cost stays candidate-
+    bounded; the embedding join touches only the verified pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = dedup.minhash_lsh_candidates(
+        docs, k=MINHASH_K, bands=MINHASH_BANDS, n=3
+    )
+    ver = dedup.verify_candidate_pairs(
+        docs, cands, n=3, threshold=VERIFY_THRESHOLD
+    )
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("__v"),
+    ).withColumn("__n", similarity.norm(F.col("__v")))
+    return (
+        ver.join(v.alias("a"), ver.doc_a == F.col("a.id"))
+        .join(v.alias("b"), ver.doc_b == F.col("b.id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.round(
+                similarity.dot(F.col("a.__v"), F.col("b.__v"))
+                / (F.col("a.__n") * F.col("b.__n")),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= XMODAL_COSINE)
+    )
+
+
+def _sql_dedup_crossmodal() -> str:
+    return f"""
+WITH ver AS ({_sql_dedup_verified()}),
+v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT ver.doc_a, ver.doc_b, ver.jaccard,
+       {_cos('a.e', 'b.e')} AS cosine
+FROM ver JOIN v a ON a.id = ver.doc_a JOIN v b ON b.id = ver.doc_b
+WHERE {_cos('a.e', 'b.e')} >= {XMODAL_COSINE}
+"""
+
+
 # ------------------------------------------------------------------- text ops
 
 
@@ -1938,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_drift": q_feature_drift,
         "key_skew": q_key_skew,
         "stratified_sample": q_stratified_sample,
+        "dedup_crossmodal": q_dedup_crossmodal,
         "vocab_topk": q_vocab_topk,
         "training_corpus": q_training_corpus,
         "lang_id": q_lang_id,
@@ -1988,6 +2039,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_drift": SQL_FEATURE_DRIFT,
         "key_skew": SQL_KEY_SKEW,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "dedup_crossmodal": _sql_dedup_crossmodal(),
         "vocab_topk": SQL_VOCAB_TOPK,
         "training_corpus": _sql_training_corpus(),
         "lang_id": _sql_lang_id(),

@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_verified",
     "chunk_dedup",
+    "dedup_crossmodal",
     "text_stats",
     "text_repetition",
     "pii_scrub",
