@@ -782,6 +782,71 @@ WHERE round(i.ni / (sa.n + sb.n - i.ni), 6) >= {VERIFY_THRESHOLD}
 """
 
 
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics ROLLUP: doc and token counts by
+    (predicted_lang, quality_band) with subtotal and grand-total rows —
+    the grouping-sets surface (§2.4) a corpus dashboard needs; all
+    aggregates map-side combine, one shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text.text_stat_cols("text")
+    scores = text.lang_score_cols("text")
+    proj = docs.select(
+        "doc_id",
+        stats["n_tokens"].alias("n_tokens"),
+        stats["quality_score"].alias("q"),
+        *[c.alias(n) for n, c in scores.items()],
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("q") * 5).cast("long").alias("quality_band"),
+        text.predicted_lang_col().alias("lang"),
+    )
+    out = (
+        proj.rollup("lang", "quality_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(
+                F.col("quality_band").cast("string"), F.lit("ALL")
+            ).alias("quality_band"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_tokens",
+        )
+    )
+    return out
+
+
+def _sql_corpus_rollup() -> str:
+    score_cols, argmax = _lang_sql_scores()
+    return f"""
+WITH scored AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains({_STOPLIST_SQL}, t))) AS n_stop,
+         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+           AS n_alnum_space,
+         {score_cols}
+  FROM documents),
+proj AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(round(least(n_tokens / 50.0, 1.0) * 0.5
+               + least((n_stop / n_tokens) * 5.0, 1.0) * 0.3
+               + (1.0 - least(((n_chars - n_alnum_space) / n_chars) * 10.0,
+                              1.0)) * 0.2, 6) * 5) AS BIGINT) AS quality_band,
+         {argmax} AS lang
+  FROM scored)
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(CAST(quality_band AS VARCHAR), 'ALL') AS quality_band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM proj GROUP BY ROLLUP (lang, quality_band)
+"""
+
+
 XMODAL_COSINE = 0.0
 
 
@@ -1989,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "stratified_sample": q_stratified_sample,
         "dedup_crossmodal": q_dedup_crossmodal,
+        "corpus_rollup": q_corpus_rollup,
         "vocab_topk": q_vocab_topk,
         "training_corpus": q_training_corpus,
         "lang_id": q_lang_id,
@@ -2040,6 +2106,7 @@ def oracle_sql() -> dict[str, str]:
         "key_skew": SQL_KEY_SKEW,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "dedup_crossmodal": _sql_dedup_crossmodal(),
+        "corpus_rollup": _sql_corpus_rollup(),
         "vocab_topk": SQL_VOCAB_TOPK,
         "training_corpus": _sql_training_corpus(),
         "lang_id": _sql_lang_id(),

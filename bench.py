@@ -46,6 +46,7 @@ HEADLINE = [
     "pii_scrub",
     "stratified_sample",
     "vocab_topk",
+    "corpus_rollup",
     "lang_id",
     "pipeline_clean_corpus",
     "training_corpus",
