@@ -782,6 +782,40 @@ WHERE round(i.ni / (sa.n + sb.n - i.ni), 6) >= {VERIFY_THRESHOLD}
 """
 
 
+PACK_SEQ_LEN = 512
+PACK_BUCKET = 100
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (LLM training batches): docs assigned in id order
+    to fixed seq_len token budgets via a DISTRIBUTED prefix sum —
+    per-bucket subtotals prefix-summed on the driver and broadcast back,
+    within-bucket windows run in parallel (a bare global-order window
+    would funnel the corpus through one task). Oracle is the flat global
+    cumsum — bit-equal by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.sequence_pack(
+        docs, seq_len=PACK_SEQ_LEN, bucket_size=PACK_BUCKET
+    )
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS start_pos
+  FROM t)
+SELECT doc_id, n_tokens,
+       CAST(floor(start_pos / {PACK_SEQ_LEN}) AS BIGINT) AS pack_id,
+       CAST(start_pos % {PACK_SEQ_LEN} AS BIGINT) AS pack_offset
+FROM c
+"""
+
+
 def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus statistics ROLLUP: doc and token counts by
     (predicted_lang, quality_band) with subtotal and grand-total rows —
@@ -2055,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "dedup_crossmodal": q_dedup_crossmodal,
         "corpus_rollup": q_corpus_rollup,
+        "sequence_pack": q_sequence_pack,
         "vocab_topk": q_vocab_topk,
         "training_corpus": q_training_corpus,
         "lang_id": q_lang_id,
@@ -2107,6 +2142,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "dedup_crossmodal": _sql_dedup_crossmodal(),
         "corpus_rollup": _sql_corpus_rollup(),
+        "sequence_pack": SQL_SEQUENCE_PACK,
         "vocab_topk": SQL_VOCAB_TOPK,
         "training_corpus": _sql_training_corpus(),
         "lang_id": _sql_lang_id(),

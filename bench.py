@@ -47,6 +47,7 @@ HEADLINE = [
     "stratified_sample",
     "vocab_topk",
     "corpus_rollup",
+    "sequence_pack",
     "lang_id",
     "pipeline_clean_corpus",
     "training_corpus",

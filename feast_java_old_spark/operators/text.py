@@ -258,3 +258,67 @@ def top_k_vocabulary(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         F.col("rank").cast("long").alias("rank"), "token", "freq"
     )
+
+
+def sequence_pack(
+    df: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Sequence packing for LLM training: assign documents (in id order)
+    to fixed-budget packs of ``seq_len`` tokens — each doc lands in the
+    pack where its first token falls; docs are never split.
+
+    The global running token count is a **distributed prefix sum** — the
+    scale-correct form of a cumulative sum, because a bare
+    ``Window.orderBy(id)`` (no partition key) funnels the entire corpus
+    through ONE task:
+
+    1. bucket docs by ``id div bucket_size``;
+    2. per-bucket token subtotals (tiny aggregate: corpus/bucket_size
+       rows) are collected and prefix-summed on the driver;
+    3. offsets broadcast-join back; a *within-bucket* window (partitioned
+       by bucket — parallel) adds the local running sum.
+
+    Returns (id, n_tokens, pack_id, pack_offset) where ``pack_offset``
+    is the doc's starting token position within its pack. Deterministic
+    and oracle-equal to a flat global cumsum.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        (F.col(id_col) / bucket_size).cast("long").alias("__b"),
+    )
+    totals = [
+        (r["__b"], r["t"])
+        for r in base.groupBy("__b").agg(F.sum("n_tokens").alias("t")).collect()
+    ]
+    offsets, acc = {}, 0
+    for b, t in sorted(totals):
+        offsets[b] = acc
+        acc += t
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "__b long, __off long"
+    )
+    w = Window.partitionBy("__b").orderBy("doc_id")
+    out = (
+        base.join(F.broadcast(off_df), on="__b")
+        .withColumn(
+            "__start",
+            F.col("__off")
+            + F.sum("n_tokens").over(w)
+            - F.col("n_tokens"),
+        )
+        .select(
+            F.col("doc_id").alias(id_col),
+            "n_tokens",
+            (F.col("__start") / seq_len).cast("long").alias("pack_id"),
+            (F.col("__start") % seq_len).alias("pack_offset"),
+        )
+    )
+    return out

@@ -282,3 +282,26 @@ def test_top_k_vocabulary_order_and_plan(spark):
     ]
     plan = text.top_k_vocabulary(docs, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # distributed top-k, no global sort
+
+
+def test_sequence_pack_distributed_prefix_sum(spark):
+    """Distributed prefix-sum equals the flat cumsum regardless of
+    bucket size; docs never split and offsets are start positions."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    flat = []
+    acc = 0
+    for i in range(50):
+        n = 10 + i
+        flat.append((i, n, acc // 64, acc % 64))
+        acc += n
+    for bucket in (7, 1000):  # many buckets vs one bucket — same answer
+        out = sorted(
+            (r.doc_id, r.n_tokens, r.pack_id, r.pack_offset)
+            for r in text.sequence_pack(
+                docs, seq_len=64, bucket_size=bucket
+            ).collect()
+        )
+        assert out == flat, f"bucket_size={bucket}"
