@@ -782,6 +782,46 @@ WHERE round(i.ni / (sa.n + sb.n - i.ni), 6) >= {VERIFY_THRESHOLD}
 """
 
 
+CLF_WEIGHTS = {"n_tokens": 0.02, "stopword_ratio": 4.0, "punct_ratio": -6.0}
+CLF_BIAS = -1.5
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: sigmoid(w·signals + b) as a pure
+    codegen projection (fasttext-style classifier inference without a
+    UDF); returns score + keep decision at 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    score = text.logistic_quality_cols(CLF_WEIGHTS, bias=CLF_BIAS)
+    return docs.select(
+        "doc_id",
+        score.alias("clf_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+SQL_QUALITY_CLF = f"""
+WITH b AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains({{stoplist}}, t))) AS n_stop,
+         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+           AS n_alnum_space
+  FROM documents),
+z AS (
+  SELECT doc_id,
+         {CLF_BIAS}
+         + CAST(n_tokens AS DOUBLE) * {CLF_WEIGHTS["n_tokens"]}
+         + round((n_chars - n_alnum_space) / n_chars, 6) * ({CLF_WEIGHTS["punct_ratio"]})
+         + round(n_stop / n_tokens, 6) * {CLF_WEIGHTS["stopword_ratio"]} AS z
+  FROM b)
+SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS clf_score,
+       round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+FROM z
+"""
+
+
 PACK_SEQ_LEN = 512
 PACK_BUCKET = 100
 
@@ -2090,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_crossmodal": q_dedup_crossmodal,
         "corpus_rollup": q_corpus_rollup,
         "sequence_pack": q_sequence_pack,
+        "quality_classifier": q_quality_classifier,
         "vocab_topk": q_vocab_topk,
         "training_corpus": q_training_corpus,
         "lang_id": q_lang_id,
@@ -2143,6 +2184,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_crossmodal": _sql_dedup_crossmodal(),
         "corpus_rollup": _sql_corpus_rollup(),
         "sequence_pack": SQL_SEQUENCE_PACK,
+        "quality_classifier": SQL_QUALITY_CLF.format(stoplist=_STOPLIST_SQL),
         "vocab_topk": SQL_VOCAB_TOPK,
         "training_corpus": _sql_training_corpus(),
         "lang_id": _sql_lang_id(),

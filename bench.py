@@ -48,6 +48,7 @@ HEADLINE = [
     "vocab_topk",
     "corpus_rollup",
     "sequence_pack",
+    "quality_classifier",
     "lang_id",
     "pipeline_clean_corpus",
     "training_corpus",

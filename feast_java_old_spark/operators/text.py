@@ -322,3 +322,27 @@ def sequence_pack(
         )
     )
     return out
+
+
+def logistic_quality_cols(
+    weights: dict[str, float],
+    bias: float = 0.0,
+    text_col: str = "text",
+) -> Column:
+    """Model-based quality score: sigmoid(w · signals + b) over the
+    :func:`text_stat_cols` signal vector — classifier inference as a
+    pure codegen projection (the fasttext-style quality-filter shape:
+    at 100 TB, scoring is a map-side expression, never a UDF or a
+    service call; retraining changes only the literal weights).
+
+    ``weights`` keys must be signal names from :func:`text_stat_cols`
+    (e.g. ``n_tokens``, ``punct_ratio``, ``stopword_ratio``).
+    """
+    stats = text_stat_cols(text_col)
+    unknown = set(weights) - set(stats)
+    if unknown:
+        raise KeyError(f"unknown quality signals: {sorted(unknown)}")
+    z = F.lit(float(bias))
+    for name in sorted(weights):
+        z = z + stats[name].cast("double") * F.lit(float(weights[name]))
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)

@@ -305,3 +305,21 @@ def test_sequence_pack_distributed_prefix_sum(spark):
             ).collect()
         )
         assert out == flat, f"bucket_size={bucket}"
+
+
+def test_logistic_quality_classifier(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(["the word"] * 60)), (2, "x! y! z! !!!")],
+        "doc_id long, text string",
+    )
+    score = text.logistic_quality_cols(
+        {"n_tokens": 0.02, "stopword_ratio": 4.0, "punct_ratio": -6.0},
+        bias=-1.5,
+    )
+    out = {r.doc_id: r for r in docs.select(
+        "doc_id", score.alias("s"), (score >= 0.5).alias("keep")
+    ).collect()}
+    assert out[1].keep is True and out[1].s > 0.9
+    assert out[2].keep is False and out[2].s < 0.1
+    with pytest.raises(KeyError, match="unknown quality signals"):
+        text.logistic_quality_cols({"nope": 1.0})
