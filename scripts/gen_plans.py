@@ -23,6 +23,8 @@ PICKS = [
     ("chunk_dedup", "Cross-doc chunk dedup: chunk frequencies from a two-phase count-distinct; reassembly is sort-within-group collect_list — only chunk+id rows shuffle, never documents."),
     ("text_repetition", "Repetition signals: per-n explode -> two-level hash aggregate with partial_max/partial_sum map-side; the text column is consumed at the explode and never crosses an exchange."),
     ("feature_drift", "PSI drift: reference-window edges broadcast back to one bucketing scan; the bucket frame is generated, not scanned; every aggregate is map-side combined."),
+    ("training_corpus", "Flagship composition: ONE fingerprint-partitioned full-document shuffle (canonical pick), then chunk-sized aggregates and codegen filters; the persisted scrubbed frame is reused by the chunk phase and rejoin instead of re-executing the window."),
+    ("sequence_pack", "Distributed prefix sum: per-bucket subtotals aggregate, driver prefix-sums a tiny list, broadcast-join offsets, within-bucket windows in parallel — no global-order single-partition window."),
 ]
 
 out = io.StringIO()
