@@ -1961,11 +1961,6 @@ FROM latest
 
 # ------------------------------------------------------- streaming (bounded)
 
-EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, "
-    "event_type string, value double, props string"
-)
-
 
 def _events_stream_dir(sf_dir: str) -> str:
     """The file-stream source requires a *directory*; stage the single
@@ -1979,6 +1974,28 @@ def _events_stream_dir(sf_dir: str) -> str:
         os.path.join(d, "events.parquet"),
     )
     return d
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream the events table with its *actual* parquet schema.
+
+    The physical type of ``ts`` has varied across testdata generations
+    (TIMESTAMP(NANOS) → LONG nanos under nanosAsLong, vs plain
+    TIMESTAMP(MICROS)); hardcoding either breaks the other, so take the
+    schema from a batch scan of the same file and normalize ``ts`` to a
+    µs TimestampType ``event_timestamp`` with the shared kernel."""
+    from feast_java_old_spark.sources.tables import (
+        ensure_nanos_conf,
+        normalize_timestamp_cols,
+    )
+
+    ensure_nanos_conf(spark)
+    src = _events_stream_dir(sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    return normalize_timestamp_cols(stream, "ts").withColumnRenamed(
+        "ts", "event_timestamp"
+    )
 
 
 def q_stream_latest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1995,19 +2012,8 @@ def q_stream_latest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from feast_java_old_spark.operators.materialize import online_table_path
 
-    from feast_java_old_spark.sources.tables import ensure_nanos_conf
-
-    ensure_nanos_conf(spark)
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .parquet(_events_stream_dir(sf_dir))
-        .select(
-            "user_id",
-            F.timestamp_micros(F.expr("ts div 1000")).alias("event_timestamp"),
-            "event_id",
-            "event_type",
-            "value",
-        )
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", "event_timestamp", "event_id", "event_type", "value"
     )
     work = tempfile.mkdtemp(prefix="fjos_stream_")
     q = stream_materialize(
@@ -2036,17 +2042,8 @@ def q_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from feast_java_old_spark.streaming.ingest import stream_window_features
 
-    from feast_java_old_spark.sources.tables import ensure_nanos_conf
-
-    ensure_nanos_conf(spark)
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .parquet(_events_stream_dir(sf_dir))
-        .select(
-            "event_type",
-            F.timestamp_micros(F.expr("ts div 1000")).alias("event_timestamp"),
-            F.col("value"),
-        )
+    stream = _events_stream(spark, sf_dir).select(
+        "event_type", "event_timestamp", F.col("value")
     )
     feats = stream_window_features(
         stream,
