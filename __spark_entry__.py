@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from feast_java_old_spark.operators import (
+    curation,
     dedup,
     multimodal,
     pii,
@@ -1299,6 +1300,175 @@ LIMIT {SKEW_TOP_N}
 """
 
 
+# ------------------------------------------------------------- curation ops
+
+DECONTAM_N = 3
+DECONTAM_MIN_HITS = 2
+DECONTAM_BENCH_MOD = 50
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 50 == 0 play the
+    eval set; every other doc is flagged when it shares >= 2 distinct
+    3-grams with it. Benchmark n-grams broadcast; corpus text never
+    shuffles (operators/curation.py:decontaminate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+    return curation.decontaminate(
+        corpus, bench, n=DECONTAM_N, min_hits=DECONTAM_MIN_HITS
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+        [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         FOR i IN range(1, len(t) - 1)] AS s
+       FROM toks WHERE len(t) >= {DECONTAM_N}),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+bench AS (SELECT DISTINCT shingle FROM ex
+          WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+hits AS (SELECT e.doc_id, count(DISTINCT e.shingle) AS n_hits
+         FROM ex e JOIN bench b USING (shingle)
+         WHERE e.doc_id % {DECONTAM_BENCH_MOD} != 0
+         GROUP BY e.doc_id)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) >= {DECONTAM_MIN_HITS} AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {DECONTAM_BENCH_MOD} != 0
+"""
+
+
+SHUFFLE_SHARDS = 8
+SHUFFLE_SEED = 42
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: md5(doc_id:seed) keys,
+    shard = 28-bit bucket mod n_shards, pos = within-shard rank — a
+    reproducible uniform permutation with per-shard parallel sorts, no
+    global orderBy (operators/curation.py:corpus_shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.corpus_shuffle(
+        docs, n_shards=SHUFFLE_SHARDS, seed=SHUFFLE_SEED
+    )
+
+
+SQL_CORPUS_SHUFFLE = f"""
+WITH k AS (SELECT doc_id,
+        md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}') AS key
+      FROM documents),
+s AS (SELECT doc_id, key,
+        ('0x' || substr(key, 1, 7))::BIGINT % {SHUFFLE_SHARDS} AS shard
+      FROM k)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+            AS BIGINT) AS pos
+FROM s
+"""
+
+
+NORM_BLOCKLIST = ("spam", "clickbait", "slow")
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization + blocklist screen: whitespace squeeze, adjacent
+    duplicate-token collapse, C4-style bad-word flag — one codegen
+    projection, zero shuffles (operators/curation.py:normalize_text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.normalize_text(docs, blocklist=NORM_BLOCKLIST)
+
+
+_BLOCK_SQL = ", ".join(f"'{w}'" for w in NORM_BLOCKLIST)
+
+SQL_TEXT_NORMALIZE = f"""
+WITH b AS (SELECT doc_id,
+        string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ')
+          AS t
+      FROM documents),
+c AS (SELECT doc_id, t,
+        [t[i] FOR i IN range(1, len(t) + 1) IF i = 1 OR t[i] != t[i-1]]
+          AS ct
+      FROM b)
+SELECT doc_id, array_to_string(ct, ' ') AS text,
+       CAST(len(t) AS BIGINT) AS n_tokens_raw,
+       CAST(len(ct) AS BIGINT) AS n_tokens,
+       len(list_filter(ct, x -> list_contains([{_BLOCK_SQL}], x))) > 0
+         AS blocked
+FROM c
+"""
+
+
+HN_K = 5
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query, top-k cosine
+    neighbors with a different label; label predicate fused into the
+    broadcast join (operators/similarity.py:hard_negatives)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return similarity.hard_negatives(emb, queries, k=HN_K).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
+        "neighbor_label",
+        "cosine",
+    )
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe
+      FROM v WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id, v.label AS neighbor_label,
+         round(list_dot_product(v.e, q.qe)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 6)
+           AS cosine
+  FROM v CROSS JOIN q
+  WHERE v.vec_id != q.query_id AND v.label != q.qlabel)
+SELECT query_id, rank, neighbor_id, neighbor_label, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+WHERE rank <= {HN_K}
+"""
+
+
+MIX_ALPHA = 0.5
+MIX_TARGET = 200
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing: keep-rate per source
+    proportional to count^alpha (alpha=0.5 upweights small domains),
+    scaled to an expected 200-row sample, applied as the deterministic
+    md5 filter (operators/curation.py:temperature_mix)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.temperature_mix(
+        docs, strata_col="source", alpha=MIX_ALPHA, target_rows=MIX_TARGET
+    )
+
+
+SQL_DOMAIN_MIX = f"""
+WITH counts AS (SELECT source AS stratum, count(*) AS cnt
+                FROM documents GROUP BY source),
+w AS (SELECT stratum, cnt, pow(cnt, {MIX_ALPHA}) AS w FROM counts),
+r AS (SELECT stratum,
+        round(least(1.0, {MIX_TARGET}.0 * (w / sum(w) OVER ()) / cnt), 6)
+          AS rate
+      FROM w)
+SELECT d.doc_id, r.stratum, r.rate
+FROM documents d JOIN r ON d.source = r.stratum
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+      / 268435456.0 < r.rate
+"""
+
+
 DRIFT_SPLIT = "2024-01-16 00:00:00"
 DRIFT_BINS = 10
 
@@ -2123,6 +2293,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "feature_drift": q_feature_drift,
         "key_skew": q_key_skew,
+        "decontaminate": q_decontaminate,
+        "corpus_shuffle": q_corpus_shuffle,
+        "text_normalize": q_text_normalize,
+        "hard_negatives": q_hard_negatives,
+        "domain_mix": q_domain_mix,
         "stratified_sample": q_stratified_sample,
         "dedup_crossmodal": q_dedup_crossmodal,
         "corpus_rollup": q_corpus_rollup,
@@ -2177,6 +2352,11 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup": SQL_CHUNK_DEDUP,
         "feature_drift": SQL_FEATURE_DRIFT,
         "key_skew": SQL_KEY_SKEW,
+        "decontaminate": SQL_DECONTAMINATE,
+        "corpus_shuffle": SQL_CORPUS_SHUFFLE,
+        "text_normalize": SQL_TEXT_NORMALIZE,
+        "hard_negatives": SQL_HARD_NEGATIVES,
+        "domain_mix": SQL_DOMAIN_MIX,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "dedup_crossmodal": _sql_dedup_crossmodal(),
         "corpus_rollup": _sql_corpus_rollup(),

@@ -1,0 +1,261 @@
+"""Corpus-curation operators for training-data assembly.
+
+Beyond the reference's feature-store surface (per the build brief): the
+operations a 100 TB pretraining pipeline runs between "raw corpus" and
+"training shards" that are not dedup/similarity (those live in
+``dedup.py`` / ``similarity.py``):
+
+- **decontamination** — remove/flag training documents that share n-grams
+  with an evaluation benchmark (the GPT-3/PaLM-style 13-gram overlap
+  rule, parameterized);
+- **deterministic corpus shuffle** — a reproducible pseudo-random
+  permutation into fixed shards for training-order randomization;
+- **normalization + blocklist** — whitespace canonicalization,
+  adjacent-duplicate-token collapse, C4-style bad-word flagging;
+- **temperature-weighted domain mixing** — per-stratum sampling rates
+  ``∝ count^alpha`` (the multilingual/domain mixing rule), applied as a
+  deterministic hash filter.
+
+Everything is built-in-expression only (JVM codegen, no UDFs) and every
+operator has a term-for-term DuckDB oracle in ``__spark_entry__.py``.
+
+Scale notes per operator are in the docstrings; the common theme: the
+only shuffles are per-stratum/per-doc aggregates over *reduced* rows
+(matched shingles, per-source counts), never the text itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from feast_java_old_spark.operators.dedup import exploded_shingles
+from feast_java_old_spark.operators.text import hash_fraction
+
+__all__ = [
+    "benchmark_ngrams",
+    "decontaminate",
+    "corpus_shuffle",
+    "normalize_text",
+    "temperature_mix",
+]
+
+
+def benchmark_ngrams(
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct n-gram set of an evaluation/benchmark corpus — the
+    contamination reference. Benchmarks are tiny relative to training
+    corpora (MBs vs TBs), so the result is broadcastable by design."""
+    return (
+        exploded_shingles(bench, text_col=text_col, id_col=id_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    min_hits: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_ngrams: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, count distinct
+    n-grams that also occur in the benchmark set and flag documents with
+    ``>= min_hits`` overlapping n-grams (GPT-3 appendix-C shape; n and
+    the hit threshold are the knobs).
+
+    Plan shape: the benchmark n-gram set (tiny) is broadcast; corpus
+    shingles stream through the broadcast inner join WITHOUT per-doc
+    pre-dedup — the distinct-count happens after the join, where only
+    *matched* shingles survive, so the wide aggregate is sized by the
+    contamination overlap, not the corpus. A left join back to the doc-id
+    universe reports clean documents as ``n_hits = 0``. The corpus text
+    itself never shuffles; at 100 TB the moving data is (doc_id, matched
+    shingle) pairs only.
+
+    ``broadcast_ngrams=False`` drops the broadcast hint for oversized
+    benchmark sets and lets AQE pick the join strategy.
+
+    Returns ``(doc_id, n_hits, contaminated)`` for every input document.
+    """
+    grams = benchmark_ngrams(bench, text_col=text_col, id_col=id_col, n=n)
+    if broadcast_ngrams:
+        grams = F.broadcast(grams)
+    corpus_sh = exploded_shingles(
+        df, text_col=text_col, id_col=id_col, n=n, distinct=False
+    )
+    hits = (
+        corpus_sh.join(grams, on="shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_hits"))
+    )
+    universe = df.select(F.col(id_col).alias("doc_id"))
+    return universe.join(hits, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias(
+            "contaminated"
+        ),
+    )
+
+
+def shuffle_key(id_col: Column, seed: int) -> Column:
+    """Deterministic per-row shuffle key: md5 of ``"<id>:<seed>"``.
+    Changing the seed produces an independent permutation; the key is a
+    pure function of (id, seed) — reproducible on any cluster size."""
+    return F.md5(F.concat(id_col.cast("string"), F.lit(f":{seed}")))
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    n_shards: int = 64,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards.
+
+    Assigns every document a ``(shard, pos)`` such that reading shards in
+    order of ``pos`` yields a uniform pseudo-random permutation — the
+    training-order randomization step, without ``rand()`` (whose
+    evaluation is partitioning-dependent in Spark) and without a global
+    sort: shard = 28-bit md5 bucket mod ``n_shards``; pos = rank of the
+    md5 key *within* the shard. The per-shard window sorts run in
+    parallel (one task per shard — size ``n_shards`` to ~executor count
+    x4 at scale; each task sorts corpus/n_shards keys, spilling if
+    needed). No stage ever orders the full corpus through one task,
+    which is exactly what a naive ``Window.orderBy(key)`` row-numbering
+    would do.
+
+    Returns ``(id, shard, pos)``; writers typically follow with
+    ``.repartition(n_shards, "shard")`` + partitioned write so each
+    shard lands as one file set.
+    """
+    key = shuffle_key(F.col(id_col), seed)
+    out = df.select(
+        F.col(id_col),
+        key.alias("__key"),
+        (
+            F.conv(F.substring(key, 1, 7), 16, 10).cast("long")
+            % n_shards
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__key"), F.col(id_col))
+    return out.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+# C4-style bad-word blocklist stand-in. Real pipelines plug in the full
+# list; the operator shape (array-overlap flag over normalized tokens)
+# is what matters.
+DEFAULT_BLOCKLIST: tuple[str, ...] = ("spam", "xxx", "clickbait")
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocklist: tuple[str, ...] = DEFAULT_BLOCKLIST,
+) -> DataFrame:
+    """Text normalization + blocklist screening as one codegen projection.
+
+    - canonicalize: trim, lowercase, squeeze whitespace runs;
+    - collapse adjacent duplicate tokens (``"the the the"`` → ``"the"``
+      — the stutter artifact cheap scrapes are full of);
+    - flag documents containing any blocklist token (C4 drops the whole
+      document on a bad-word hit; we emit the flag so callers choose
+      drop vs quarantine).
+
+    Zero shuffles, zero UDFs: the whole operator is array built-ins over
+    one pass of the text, so it rides along any scan at 100 TB.
+
+    Returns ``(id, text, n_tokens_raw, n_tokens, blocked)`` where
+    ``text`` is the normalized form.
+    """
+    squeezed = F.regexp_replace(F.trim(F.lower(F.col(text_col))), " +", " ")
+    # Two-phase on purpose: materialize the token array as a real column
+    # before the index lambda references it — an inline `split` inside
+    # the lambda is a *separate* expression instance from the filter's
+    # input, and codegen CSE does not unify them.
+    staged = df.select(F.col(id_col), F.split(squeezed, " ").alias("__toks"))
+    toks = F.col("__toks")
+    # element_at is 1-based, filter's index 0-based: element_at(toks, i)
+    # is the *previous* token of the i-th (0-based) element.
+    collapsed = F.filter(
+        toks, lambda x, i: (i == 0) | (x != F.element_at(toks, i))
+    )
+    staged2 = staged.select(F.col(id_col), toks, collapsed.alias("__ct"))
+    block_arr = F.array(*[F.lit(b) for b in blocklist])
+    return staged2.select(
+        F.col(id_col),
+        F.array_join(F.col("__ct"), " ").alias("text"),
+        F.size(toks).cast("long").alias("n_tokens_raw"),
+        F.size(F.col("__ct")).cast("long").alias("n_tokens"),
+        F.arrays_overlap(F.col("__ct"), block_arr).alias("blocked"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str = "source",
+    alpha: float = 0.5,
+    target_rows: int = 1000,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-weighted domain mixing: per-stratum keep-rates
+    ``p_s ∝ count_s^alpha`` (alpha<1 upweights small domains — the
+    multilingual sampling rule), scaled so the expected sample size is
+    ``target_rows``, capped at 1 (a stratum can't be upsampled past its
+    size here; duplication-based upsampling is a separate op).
+
+    Membership is the same deterministic md5 fraction as
+    :func:`~feast_java_old_spark.operators.text.stratified_sample`, so
+    mixes are bit-reproducible and monotone under rate changes. Plan
+    shape: one tiny per-stratum count aggregate (rows = #strata), rates
+    derived on that aggregate and broadcast-joined back; the corpus-side
+    work is a scan + filter. Rates are rounded to 6 decimals before the
+    comparison so the float is portable across engines.
+
+    Returns the sampled rows as ``(key, stratum, rate)``.
+    """
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    weighted = counts.select(
+        "stratum", "cnt", F.pow(F.col("cnt").cast("double"), alpha).alias("w")
+    )
+    # wsum via an unpartitioned window over the *aggregated* counts (rows
+    # = #strata, tiny by definition) — one corpus scan total, vs the
+    # agg-and-cross-join form which re-scans the corpus for the sum.
+    wsum = F.sum("w").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    rates = weighted.select(
+        "stratum",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_rows)) * (F.col("w") / wsum) / F.col("cnt"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    return (
+        df.join(
+            F.broadcast(rates), on=df[strata_col] == rates["stratum"]
+        )
+        .where(hash_fraction(F.col(key_col)) < F.col("rate"))
+        .select(F.col(key_col), F.col("stratum"), F.col("rate"))
+    )

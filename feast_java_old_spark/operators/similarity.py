@@ -93,6 +93,59 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the k
+    most-similar corpus vectors with a *different* label — the training
+    pairs a contrastive/embedding model actually learns from.
+
+    Same plan as :func:`cosine_topk` (one corpus scan, broadcast query
+    batch, norms hoisted) with the label-mismatch predicate fused into
+    the join condition, so disqualified pairs are dropped before the
+    cosine is computed. The per-query top-k window shuffles only
+    surviving (query, neighbor, cosine) rows.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__cnorm", norm(F.col("__cv")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(label_col).alias("__qlabel"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    ).withColumn("__qnorm", norm(F.col("__qv")))
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("neighbor_label") != F.col("__qlabel")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(
+            dot(F.col("__cv"), F.col("__qv"))
+            / (F.col("__cnorm") * F.col("__qnorm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "neighbor_label", "cosine")
+    )
+
+
 def sign_bucket(vec: Column, bits: int = 8) -> Column:
     """LSH bucket id: sign bits of the first ``bits`` dimensions,
     rendered as a bit string (axis-aligned hyperplanes — deterministic,

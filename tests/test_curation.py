@@ -1,0 +1,179 @@
+"""Corpus-curation operator tests: decontamination, deterministic
+shuffle/sharding, normalization + blocklist, temperature mixing, and
+contrastive hard-negative mining."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from feast_java_old_spark.operators import curation, similarity
+from feast_java_old_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+# ------------------------------------------------------------ decontaminate
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # 2 distinct benchmark 3-grams -> contaminated at min_hits=2
+            (1, "xx the quick brown fox yy"),
+            # exactly 1 overlapping 3-gram -> clean at min_hits=2
+            (2, "aa bb the quick brown cc dd"),
+            # no overlap
+            (3, "completely unrelated text here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in curation.decontaminate(corpus, bench, n=3, min_hits=2).collect()
+    }
+    assert out[1].contaminated and out[1].n_hits == 2
+    assert not out[2].contaminated and out[2].n_hits == 1
+    assert not out[3].contaminated and out[3].n_hits == 0
+
+
+def test_decontaminate_reports_every_doc(docs):
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    out = curation.decontaminate(corpus, bench)
+    assert out.count() == corpus.count()
+    # a doc duplicated into the benchmark must be contaminated; the
+    # synthetic corpus has heavy 3-gram overlap, so just sanity-check
+    # both classes exist and n_hits is consistent with the flag
+    rows = out.collect()
+    assert all((r.n_hits >= 2) == r.contaminated for r in rows)
+
+
+# ----------------------------------------------------------- corpus_shuffle
+
+
+def test_corpus_shuffle_is_a_permutation(docs):
+    n = docs.count()
+    out = curation.corpus_shuffle(docs, n_shards=8, seed=42)
+    rows = out.collect()
+    assert len(rows) == n
+    # every doc appears once; within a shard, pos is 1..shard_size
+    assert len({r.doc_id for r in rows}) == n
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_corpus_shuffle_deterministic_and_seed_sensitive(docs):
+    a1 = curation.corpus_shuffle(docs, n_shards=4, seed=7).collect()
+    a2 = curation.corpus_shuffle(docs, n_shards=4, seed=7).collect()
+    assert sorted(map(tuple, a1)) == sorted(map(tuple, a2))
+    b = {r.doc_id: (r.shard, r.pos) for r in curation.corpus_shuffle(docs, n_shards=4, seed=8).collect()}
+    a = {r.doc_id: (r.shard, r.pos) for r in a1}
+    assert any(a[d] != b[d] for d in a)  # different seed -> different permutation
+
+
+# ----------------------------------------------------------- normalize_text
+
+
+def test_normalize_text_collapses_and_flags(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "  The the THE  quick   quick fox  "),
+            (2, "clean text only"),
+            (3, "some spam in here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in curation.normalize_text(df).collect()}
+    assert out[1].text == "the quick fox"
+    assert out[1].n_tokens_raw == 6 and out[1].n_tokens == 3
+    assert not out[1].blocked
+    assert out[2].text == "clean text only" and not out[2].blocked
+    assert out[3].blocked
+
+
+def test_normalize_text_idempotent(docs):
+    once = curation.normalize_text(docs)
+    twice = curation.normalize_text(once)
+    a = {r.doc_id: r.text for r in once.collect()}
+    b = {r.doc_id: r.text for r in twice.collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------- temperature_mix
+
+
+def test_temperature_mix_rates_and_determinism(spark):
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = curation.temperature_mix(
+        df, strata_col="source", alpha=0.5, target_rows=100
+    )
+    got = out.collect()
+    rates = {r.stratum: r.rate for r in got}
+    # alpha=0.5: w_big=20, w_small=5 -> p_big=0.8, p_small=0.2
+    # rate_big = 100*0.8/400 = 0.2 ; rate_small = 100*0.2/25 = 0.8
+    assert rates["big"] == pytest.approx(0.2, abs=1e-6)
+    assert rates["small"] == pytest.approx(0.8, abs=1e-6)
+    again = out.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_temperature_mix_alpha1_is_proportional(spark):
+    rows = [(i, "a") for i in range(300)] + [(1000 + i, "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = curation.temperature_mix(df, strata_col="source", alpha=1.0, target_rows=40)
+    rates = {r.stratum: r.rate for r in out.collect()}
+    # alpha=1 -> uniform keep-rate target/total across strata
+    assert rates["a"] == pytest.approx(0.1, abs=1e-6)
+    assert rates["b"] == pytest.approx(0.1, abs=1e-6)
+
+
+# ----------------------------------------------------------- hard_negatives
+
+
+def test_hard_negatives_labels_differ_and_rank_by_cosine(emb):
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    out = similarity.hard_negatives(emb, queries, k=5)
+    rows = out.collect()
+    qlabels = {r.query_id: r.label for r in queries.collect()}
+    assert len(rows) == queries.count() * 5
+    by_q = {}
+    for r in rows:
+        assert r.neighbor_label != qlabels[r.query_id]
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rank)
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_hard_negatives_subset_of_unfiltered_candidates(emb):
+    """Every hard negative must appear in the unrestricted neighbor list
+    when k covers the label-filtered prefix."""
+    queries = emb.where(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    hard = similarity.hard_negatives(emb, queries, k=3).collect()
+    full = similarity.cosine_topk(
+        emb, queries.select("query_id", "embedding"), k=100
+    ).collect()
+    full_set = {(r.query_id, r.neighbor_id) for r in full}
+    assert all((r.query_id, r.neighbor_id) in full_set for r in hard)
