@@ -1,6 +1,7 @@
 from feast_java_old_spark.operators.materialize import (  # noqa: F401
     conform_batch_source,
     latest_per_key,
+    latest_per_key_for,
     materialize,
     materialize_bucketed,
     materialize_store,

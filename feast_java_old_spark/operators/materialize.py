@@ -75,6 +75,38 @@ def latest_per_key(
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
+def latest_per_key_for(
+    df: DataFrame,
+    entities: DataFrame,
+    keys: list[str],
+    event_ts_col: str = "event_timestamp",
+    created_ts_col: Optional[str] = None,
+    strategy: str = "agg",
+    broadcast_entities: bool = True,
+) -> DataFrame:
+    """:func:`latest_per_key` restricted to a requested entity set:
+    semi-join prune the history *before* the reduction, so the aggregate
+    only sees the requested keys' rows.
+
+    For an N-row request batch against a 100 TB history this is the
+    difference between reducing the whole history and reducing ~N groups
+    — Catalyst cannot push the key-equality predicate through the
+    aggregate on its own (the equivalence only holds because the
+    downstream lookup is keyed on exactly these columns), so the prune
+    must be explicit. Result rows are identical to running
+    :func:`latest_per_key` on the full history and then joining: keys
+    outside the request set could never be read by the lookup.
+
+    ``broadcast_entities=False`` falls back to a shuffled semi join for
+    backfill-scale request sets.
+    """
+    ent = entities.select(*keys).dropDuplicates(keys)
+    if broadcast_entities:
+        ent = F.broadcast(ent)
+    pruned = df.join(ent, on=keys, how="left_semi")
+    return latest_per_key(pruned, keys, event_ts_col, created_ts_col, strategy)
+
+
 def online_table_path(store_path: str, project: str, table: str) -> str:
     return os.path.join(store_path, project, table)
 

@@ -349,3 +349,26 @@ def test_key_skew_stats(spark):
     assert out[0].n_distinct_keys == 7
     # mean load = 100/7; heaviest key is 80/(100/7) = 5.6x the mean
     assert out[0].x_mean == 5.6
+
+
+def test_latest_per_key_for_equals_restricted_full_reduction(spark, sf_dir):
+    from feast_java_old_spark.operators.materialize import latest_per_key_for
+    from feast_java_old_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("event_timestamp"),
+        "o_orderkey",
+        F.col("o_totalprice").alias("v"),
+    )
+    ents = orders.where(F.col("k") % 5 == 0).select("k")
+    pruned = latest_per_key_for(orders, ents, ["k"])
+    full = latest_per_key(orders, ["k"]).join(
+        ents.dropDuplicates(["k"]), on="k", how="left_semi"
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # the prune must reach the plan as a semi join BELOW the aggregate
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
