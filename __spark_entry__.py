@@ -1480,6 +1480,120 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
 """
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: md5-fraction binning by
+    cumulative weights — stable under reruns and corpus growth
+    (operators/curation.py:corpus_split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.corpus_split(docs).select("doc_id", "source", "split")
+
+
+def _sql_corpus_split() -> str:
+    # boundaries from the SAME float accumulation as corpus_split, so
+    # the literals are bit-identical across engines
+    branches, acc = [], 0.0
+    for name, w in curation.DEFAULT_SPLITS[:-1]:
+        acc += w
+        branches.append(f"WHEN frac < {acc!r} THEN '{name}'")
+    last = curation.DEFAULT_SPLITS[-1][0]
+    return f"""
+WITH f AS (SELECT doc_id, source,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+        / 268435456.0 AS frac
+      FROM documents)
+SELECT doc_id, source, CASE {' '.join(branches)} ELSE '{last}' END AS split
+FROM f
+"""
+
+
+TOPK_PER_SOURCE = 5
+
+
+def q_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/quota selection: best 5 documents per source by the
+    composite quality score — per-stratum parallel rank windows, no
+    global sort (operators/curation.py:per_stratum_topk)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.per_stratum_topk(
+        docs,
+        score=text.text_stat_cols("text")["quality_score"],
+        strata_col="source",
+        k=TOPK_PER_SOURCE,
+    )
+
+
+def _sql_domain_topk() -> str:
+    return f"""
+WITH b AS (SELECT doc_id, source,
+        length(text) AS n_chars,
+        len(string_split(lower(text), ' ')) AS n_tokens,
+        len(list_filter(string_split(lower(text), ' '),
+            t -> list_contains({_STOPLIST_SQL}, t))) AS n_stop,
+        length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+          AS n_alnum_space
+      FROM documents),
+s AS (SELECT doc_id, source,
+        round(least(n_tokens / 50.0, 1.0) * 0.5
+              + least((n_stop / n_tokens) * 5.0, 1.0) * 0.3
+              + (1.0 - least(((n_chars - n_alnum_space) / n_chars) * 10.0,
+                             1.0)) * 0.2, 6) AS score
+      FROM b)
+SELECT source AS stratum, CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+        ORDER BY score DESC, doc_id ASC) AS rank FROM s)
+WHERE rank <= {TOPK_PER_SOURCE}
+"""
+
+
+KM_STEP = 50
+KM_DIM = 64
+
+
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of spherical k-means over the embeddings:
+    broadcast-argmax assignment + per-dimension mean recomputation —
+    the in-engine trainer for the IVF coarse quantizer
+    (operators/similarity.py:kmeans_step)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("__v"),
+    )
+    cent = v.where(F.col("id") % KM_STEP == 0).select(
+        F.col("id").alias("centroid_id"), F.col("__v").alias("__cv")
+    )
+    return similarity.kmeans_step(v, cent, dim=KM_DIM)
+
+
+def _sql_kmeans_refine() -> str:
+    cos = (
+        "round(list_dot_product(v.e, cent.ce)"
+        " / (sqrt(list_dot_product(v.e, v.e))"
+        " * sqrt(list_dot_product(cent.ce, cent.ce))), 6)"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % {KM_STEP} = 0),
+asg AS (
+  SELECT vec_id, cid, e FROM (
+    SELECT vec_id, cid, e,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY sim DESC, cid ASC) AS rn
+    FROM (SELECT v.vec_id, cent.cid, v.e, {cos} AS sim
+          FROM v CROSS JOIN cent)) WHERE rn = 1),
+dims AS (SELECT cid, d.dim, e[d.dim] AS val
+         FROM asg CROSS JOIN
+              (SELECT unnest(range(1, {KM_DIM} + 1)) AS dim) d),
+means AS (SELECT cid, dim, round(avg(val), 6) AS m
+          FROM dims GROUP BY cid, dim),
+cnts AS (SELECT cid, count(*) AS n FROM asg GROUP BY cid)
+SELECT c.cid AS centroid_id, CAST(c.n AS BIGINT) AS n_members,
+       (SELECT list(m ORDER BY dim) FROM means WHERE means.cid = c.cid)
+         AS centroid
+FROM cnts c
+"""
+
+
 DRIFT_SPLIT = "2024-01-16 00:00:00"
 DRIFT_BINS = 10
 
@@ -2309,6 +2423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "hard_negatives": q_hard_negatives,
         "domain_mix": q_domain_mix,
+        "corpus_split": q_corpus_split,
+        "domain_topk": q_domain_topk,
+        "kmeans_refine": q_kmeans_refine,
         "stratified_sample": q_stratified_sample,
         "dedup_crossmodal": q_dedup_crossmodal,
         "corpus_rollup": q_corpus_rollup,
@@ -2368,6 +2485,9 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": SQL_TEXT_NORMALIZE,
         "hard_negatives": SQL_HARD_NEGATIVES,
         "domain_mix": SQL_DOMAIN_MIX,
+        "corpus_split": _sql_corpus_split(),
+        "domain_topk": _sql_domain_topk(),
+        "kmeans_refine": _sql_kmeans_refine(),
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "dedup_crossmodal": _sql_dedup_crossmodal(),
         "corpus_rollup": _sql_corpus_rollup(),

@@ -60,6 +60,11 @@ HEADLINE = [
     "embedding_centroids",
     "multimodal_decode",
     "odfv_transform",
+    "decontaminate",
+    "corpus_shuffle",
+    "text_normalize",
+    "hard_negatives",
+    "domain_mix",
 ]
 
 

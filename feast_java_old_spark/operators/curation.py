@@ -37,7 +37,9 @@ __all__ = [
     "benchmark_ngrams",
     "decontaminate",
     "corpus_shuffle",
+    "corpus_split",
     "normalize_text",
+    "per_stratum_topk",
     "temperature_mix",
 ]
 
@@ -202,6 +204,81 @@ def normalize_text(
         F.size(toks).cast("long").alias("n_tokens_raw"),
         F.size(F.col("__ct")).cast("long").alias("n_tokens"),
         F.arrays_overlap(F.col("__ct"), block_arr).alias("blocked"),
+    )
+
+
+DEFAULT_SPLITS: tuple[tuple[str, float], ...] = (
+    ("train", 0.9),
+    ("val", 0.05),
+    ("test", 0.05),
+)
+
+
+def corpus_split(
+    df: DataFrame,
+    splits: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5 fraction of the
+    key is binned by cumulative split weights, in the given order.
+
+    A pure projection (zero shuffles) and a pure function of the key:
+    membership survives reruns, repartitioning, and incremental corpus
+    growth — new documents land in splits at the configured rates while
+    existing assignments never move (the property that keeps eval sets
+    stable across corpus versions). Weights must sum to ~1; the last
+    split absorbs rounding slack.
+
+    Appends a ``split`` column.
+    """
+    weights = [w for _, w in splits]
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {sum(weights)}")
+    frac = hash_fraction(F.col(key_col))
+    expr = None
+    acc = 0.0
+    for name, w in splits[:-1]:
+        acc += w
+        branch = F.when(frac < F.lit(acc), F.lit(name))
+        expr = branch if expr is None else expr.when(
+            frac < F.lit(acc), F.lit(name)
+        )
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
+def per_stratum_topk(
+    df: DataFrame,
+    score: Column,
+    strata_col: str = "source",
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k selection within each stratum by a score expression — the
+    curriculum/quota primitive ("best k documents per domain").
+
+    One hash exchange on the stratum key + per-stratum rank window; with
+    #strata >> cores the windows are fully parallel, and no stage sees a
+    global order. Skewed strata spill within their own task rather than
+    serializing the job. Ties break by id ascending — deterministic.
+
+    Returns ``(stratum, rank, id, score)``.
+    """
+    scored = df.select(
+        F.col(strata_col).alias("stratum"),
+        F.col(id_col),
+        F.round(score, 6).alias("score"),
+    )
+    w = Window.partitionBy("stratum").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "stratum", F.col("rank").cast("long").alias("rank"), id_col, "score"
+        )
     )
 
 

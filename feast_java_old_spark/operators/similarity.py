@@ -382,6 +382,48 @@ def ivf_assign(
     )
 
 
+def kmeans_step(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    id_col: str = "id",
+    vec_col: str = "__v",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "__cv",
+) -> DataFrame:
+    """One Lloyd iteration of spherical k-means: assign every vector to
+    its nearest centroid by cosine (:func:`ivf_assign` — broadcast
+    centroids, map-side ``max(struct)`` argmax, one row per vector
+    crosses the wire), then recompute each centroid as the element-wise
+    mean of its members.
+
+    The mean is ``dim`` plain ``avg(vec[i])`` aggregates — fixed-width
+    codegen with map-side partial aggregation, so the shuffle carries
+    one partial-sum row per (centroid, map partition), never the
+    vectors. Iterating this function trains the IVF coarse quantizer
+    (:func:`ann_ivf`) in-engine; swapping trained centroids into the
+    index changes no plan. Components are rounded to 6 places for
+    engine-portable comparison.
+
+    Returns ``(centroid_id, n_members, centroid)``.
+    """
+    assigned = ivf_assign(
+        corpus,
+        centroids,
+        nprobe=1,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col,
+    )
+    return assigned.groupBy(centroid_id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.array(
+            *[F.round(F.avg(F.col(vec_col)[i]), 6) for i in range(dim)]
+        ).alias("centroid"),
+    )
+
+
 def ann_ivf(
     corpus: DataFrame,
     queries: DataFrame,

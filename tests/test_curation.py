@@ -177,3 +177,81 @@ def test_hard_negatives_subset_of_unfiltered_candidates(emb):
     ).collect()
     full_set = {(r.query_id, r.neighbor_id) for r in full}
     assert all((r.query_id, r.neighbor_id) in full_set for r in hard)
+
+
+# ------------------------------------------------------------- corpus_split
+
+
+def test_corpus_split_deterministic_and_complete(docs):
+    out = curation.corpus_split(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    again = {r.doc_id: r.split for r in curation.corpus_split(docs).collect()}
+    assert all(again[r.doc_id] == r.split for r in rows)
+    # train dominates at the 0.9 weight
+    n_train = sum(1 for r in rows if r.split == "train")
+    assert n_train / len(rows) > 0.8
+
+
+def test_corpus_split_stable_under_growth(spark):
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in curation.corpus_split(small).collect()}
+    b = {r.doc_id: r.split for r in curation.corpus_split(big).collect()}
+    assert all(b[k] == v for k, v in a.items())  # old docs never move
+
+
+def test_corpus_split_rejects_bad_weights(docs):
+    with pytest.raises(ValueError):
+        curation.corpus_split(docs, splits=(("a", 0.5), ("b", 0.4)))
+
+
+# ---------------------------------------------------------- per_stratum_topk
+
+
+def test_per_stratum_topk_ranks_within_stratum(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 30.0), (3, "a", 20.0),
+         (4, "b", 5.0), (5, "b", 50.0)],
+        "doc_id long, source string, s double",
+    )
+    out = curation.per_stratum_topk(df, score=F.col("s"), k=2).collect()
+    got = {(r.stratum, r.rank): (r.doc_id, r.score) for r in out}
+    assert got[("a", 1)] == (2, 30.0) and got[("a", 2)] == (3, 20.0)
+    assert got[("b", 1)] == (5, 50.0) and got[("b", 2)] == (4, 5.0)
+    assert len(out) == 4
+
+
+# --------------------------------------------------------------- kmeans_step
+
+
+def test_kmeans_step_reduces_distortion(emb):
+    from feast_java_old_spark.operators.similarity import cosine, kmeans_step
+
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("__v"),
+    )
+    cent0 = v.where(F.col("id") % 50 == 0).select(
+        F.col("id").alias("centroid_id"), F.col("__v").alias("__cv")
+    )
+    step1 = kmeans_step(v, cent0, dim=64)
+    assert step1.count() <= cent0.count()
+    assert step1.select(F.sum("n_members")).collect()[0][0] == v.count()
+
+    def mean_best_cosine(cents):
+        scored = v.crossJoin(F.broadcast(cents)).select(
+            "id", cosine(F.col("__v"), F.col("__cv")).alias("c")
+        )
+        return (
+            scored.groupBy("id").agg(F.max("c").alias("best"))
+            .select(F.avg("best")).collect()[0][0]
+        )
+
+    before = mean_best_cosine(cent0)
+    after = mean_best_cosine(
+        step1.select("centroid_id", F.col("centroid").alias("__cv"))
+    )
+    # a Lloyd step must not make the assignment objective worse
+    assert after >= before - 1e-9
