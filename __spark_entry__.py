@@ -1545,6 +1545,74 @@ WHERE rank <= {TOPK_PER_SOURCE}
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style model-based quality signal: per-doc mean log-prob of
+    its tokens under the corpus's own unigram distribution (vocab
+    aggregate + broadcast vocab join + per-doc re-agg)
+    (operators/text.py:unigram_logprob)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.unigram_logprob(docs)
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents),
+vocab AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
+tot AS (SELECT sum(freq) AS total FROM vocab),
+v AS (SELECT token, ln(freq / tot.total) AS lp FROM vocab, tot)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(v.lp), 6) AS logprob
+FROM toks t JOIN v USING (token)
+GROUP BY t.doc_id
+"""
+
+
+OUTLIER_NORM_LO = 0.01
+OUTLIER_NORM_HI = 0.99
+OUTLIER_CENTER_FRAC = 0.05
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding sanity screen: norm band + off-manifold tail (cosine to
+    the corpus mean vector below its p5) — centroid and thresholds are
+    1-row broadcast aggregates
+    (operators/similarity.py:embedding_outliers)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_outliers(
+        emb,
+        dim=KM_DIM,
+        norm_lo=OUTLIER_NORM_LO,
+        norm_hi=OUTLIER_NORM_HI,
+        center_frac=OUTLIER_CENTER_FRAC,
+    )
+
+
+def _sql_embedding_outliers() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+dims AS (SELECT d.dim, avg(e[d.dim]) AS m
+         FROM v CROSS JOIN
+              (SELECT unnest(range(1, {KM_DIM} + 1)) AS dim) d
+         GROUP BY d.dim),
+cent AS (SELECT list(m ORDER BY dim) AS c FROM dims),
+scored AS (
+  SELECT vec_id,
+         round(sqrt(list_dot_product(e, e)), 6) AS norm,
+         round(list_dot_product(e, cent.c)
+               / (sqrt(list_dot_product(e, e))
+                  * sqrt(list_dot_product(cent.c, cent.c))), 6)
+           AS center_cos
+  FROM v, cent),
+b AS (SELECT quantile_cont(norm, {OUTLIER_NORM_LO}) AS nlo,
+             quantile_cont(norm, {OUTLIER_NORM_HI}) AS nhi,
+             quantile_cont(center_cos, {OUTLIER_CENTER_FRAC}) AS clo
+      FROM scored)
+SELECT vec_id, norm, center_cos,
+       (norm < b.nlo OR norm > b.nhi OR center_cos < b.clo) AS outlier
+FROM scored, b
+"""
+
+
 KM_STEP = 50
 KM_DIM = 64
 
@@ -2426,6 +2494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "domain_topk": q_domain_topk,
         "kmeans_refine": q_kmeans_refine,
+        "unigram_logprob": q_unigram_logprob,
+        "embedding_outliers": q_embedding_outliers,
         "stratified_sample": q_stratified_sample,
         "dedup_crossmodal": q_dedup_crossmodal,
         "corpus_rollup": q_corpus_rollup,
@@ -2488,6 +2558,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split": _sql_corpus_split(),
         "domain_topk": _sql_domain_topk(),
         "kmeans_refine": _sql_kmeans_refine(),
+        "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+        "embedding_outliers": _sql_embedding_outliers(),
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "dedup_crossmodal": _sql_dedup_crossmodal(),
         "corpus_rollup": _sql_corpus_rollup(),

@@ -65,6 +65,11 @@ HEADLINE = [
     "text_normalize",
     "hard_negatives",
     "domain_mix",
+    "corpus_split",
+    "domain_topk",
+    "kmeans_refine",
+    "unigram_logprob",
+    "embedding_outliers",
 ]
 
 

@@ -382,6 +382,65 @@ def ivf_assign(
     )
 
 
+def embedding_outliers(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    norm_lo: float = 0.01,
+    norm_hi: float = 0.99,
+    center_frac: float = 0.05,
+) -> DataFrame:
+    """Embedding sanity screen with two signals:
+
+    - **norm band**: L2 norm outside the corpus [norm_lo, norm_hi]
+      percentile band — near-zero or exploded norms are encoder
+      failures (vacuous on pre-normalized corpora, cheap to keep);
+    - **off-manifold tail**: cosine to the corpus mean vector below the
+      ``center_frac`` percentile — the far-from-everything samples that
+      poison k-means seeding and ANN recall measurements.
+
+    Plan: one projection computes norms; the corpus centroid is ``dim``
+    ``avg`` aggregates (a 1-row result, broadcast back); thresholds are
+    one exact-percentile aggregate over the scored rows (another 1-row
+    broadcast). ``F.percentile`` (exact, linear interpolation) ==
+    DuckDB ``quantile_cont``. No shuffle ever carries the vectors.
+
+    Returns ``(id, norm, center_cos, outlier)`` for every vector.
+    """
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    cent = v.agg(
+        F.array(*[F.avg(F.col("__v")[i]) for i in range(dim)]).alias("__c")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(cent))
+        .select(
+            id_col,
+            F.round(norm(F.col("__v")), 6).alias("norm"),
+            F.round(
+                dot(F.col("__v"), F.col("__c"))
+                / (norm(F.col("__v")) * norm(F.col("__c"))),
+                6,
+            ).alias("center_cos"),
+        )
+    )
+    bounds = scored.agg(
+        F.percentile(F.col("norm"), F.lit(norm_lo)).alias("__nlo"),
+        F.percentile(F.col("norm"), F.lit(norm_hi)).alias("__nhi"),
+        F.percentile(F.col("center_cos"), F.lit(center_frac)).alias("__clo"),
+    )
+    return scored.crossJoin(F.broadcast(bounds)).select(
+        id_col,
+        "norm",
+        "center_cos",
+        (
+            (F.col("norm") < F.col("__nlo"))
+            | (F.col("norm") > F.col("__nhi"))
+            | (F.col("center_cos") < F.col("__clo"))
+        ).alias("outlier"),
+    )
+
+
 def kmeans_step(
     corpus: DataFrame,
     centroids: DataFrame,

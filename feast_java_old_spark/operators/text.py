@@ -324,6 +324,50 @@ def sequence_pack(
     return out
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Unigram language-model scoring — the in-engine analog of CCNet's
+    perplexity filter: per document, the mean log-probability of its
+    tokens under the corpus's *own* unigram distribution. Low scores =
+    rare-token-heavy documents (gibberish, boilerplate markup, wrong
+    language); the score is the canonical cheap model-based quality
+    signal before a real LM is involved.
+
+    Two-phase plan: (1) the vocabulary aggregate (vocab-sized output,
+    map-side combined); (2) token explode → vocabulary join →
+    per-document mean re-aggregate, whose shuffle carries (doc, partial
+    sum) rows only. The vocabulary of even a 100 TB corpus is bounded
+    (~100M types) — broadcastable on real executors; set
+    ``broadcast_vocab=False`` to let AQE shuffle-join instead.
+
+    Returns ``(id, n_tokens, logprob)``; ``logprob`` is the mean natural
+    log-probability, rounded to 6 for engine portability.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    tot = vocab.agg(F.sum("freq").alias("total"))
+    v = vocab.crossJoin(F.broadcast(tot)).select(
+        "token", (F.log(F.col("freq") / F.col("total"))).alias("__lp")
+    )
+    if broadcast_vocab:
+        v = F.broadcast(v)
+    return (
+        toks.join(v, on="token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("__lp"), 6).alias("logprob"),
+        )
+    )
+
+
 def logistic_quality_cols(
     weights: dict[str, float],
     bias: float = 0.0,

@@ -255,3 +255,58 @@ def test_kmeans_step_reduces_distortion(emb):
     )
     # a Lloyd step must not make the assignment objective worse
     assert after >= before - 1e-9
+
+
+# ----------------------------------------------------------- unigram_logprob
+
+
+def test_unigram_logprob_rare_tokens_score_lower(spark):
+    from feast_java_old_spark.operators.text import unigram_logprob
+
+    rows = [(i, "common words repeated common words") for i in range(20)]
+    rows.append((99, "zzyzx qwfp vexing rarities"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert len(out) == 21
+    common_score = out[0].logprob
+    assert out[99].logprob < common_score  # rare-token doc scores lower
+    assert out[0].n_tokens == 5
+
+
+def test_unigram_logprob_bounds(docs):
+    from feast_java_old_spark.operators.text import unigram_logprob
+
+    out = unigram_logprob(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(r.logprob < 0 for r in rows)  # probabilities < 1
+
+
+# ------------------------------------------------------- embedding_outliers
+
+
+def test_embedding_outliers_flags_off_manifold_tail(emb):
+    from feast_java_old_spark.operators.similarity import embedding_outliers
+
+    out = embedding_outliers(emb, dim=64).collect()
+    assert len(out) == emb.count()
+    flagged = {r.vec_id for r in out if r.outlier}
+    # the corpus is unit-normalized, so the norm band is vacuous; the
+    # center-cos p5 tail must flag ~5% including the farthest vector
+    assert 0.02 * len(out) <= len(flagged) <= 0.1 * len(out)
+    by_cos = sorted(out, key=lambda r: r.center_cos)
+    assert by_cos[0].vec_id in flagged
+    assert by_cos[-1].vec_id not in flagged
+
+
+def test_embedding_outliers_flags_planted_norm_outlier(spark):
+    from feast_java_old_spark.operators.similarity import embedding_outliers
+
+    import random
+
+    rng = random.Random(0)
+    rows = [(i, [rng.gauss(0.5, 0.05) for _ in range(4)]) for i in range(100)]
+    rows.append((999, [100.0, 100.0, 100.0, 100.0]))  # exploded norm
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in embedding_outliers(df, dim=4).collect()}
+    assert out[999].outlier
