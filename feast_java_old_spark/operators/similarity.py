@@ -456,24 +456,52 @@ def kmeans_step(
     crosses the wire), then recompute each centroid as the element-wise
     mean of its members.
 
-    The mean is ``dim`` plain ``avg(vec[i])`` aggregates — fixed-width
-    codegen with map-side partial aggregation, so the shuffle carries
-    one partial-sum row per (centroid, map partition), never the
-    vectors. Iterating this function trains the IVF coarse quantizer
-    (:func:`ann_ivf`) in-engine; swapping trained centroids into the
-    index changes no plan. Components are rounded to 6 places for
-    engine-portable comparison.
+    Assignment strategy: the centroid table is k×dim doubles — driver
+    material by definition (k ~ √N lists) — so it is collected and the
+    argmax is unrolled into a fold-left ``when`` chain over literal
+    arrays, making assignment a pure *projection*: no exchange ever
+    carries a vector. (The :func:`ivf_assign` join form finalizes its
+    ``max(struct)`` after an exchange keyed by vector id — a full-corpus
+    shuffle of vectors that this path avoids entirely.) The mean is then
+    ``dim`` plain ``avg(vec[i])`` aggregates — fixed-width codegen with
+    map-side partial aggregation, so the only shuffle carries one
+    partial-sum row per (centroid, map partition). Iterating this
+    function trains the IVF coarse quantizer (:func:`ann_ivf`)
+    in-engine; swapping trained centroids into the index changes no
+    plan. Cosines and components are rounded to 6 places for
+    engine-portable comparison; ties break toward the lowest centroid
+    id, matching :func:`ivf_assign`.
 
     Returns ``(centroid_id, n_members, centroid)``.
     """
-    assigned = ivf_assign(
-        corpus,
-        centroids,
-        nprobe=1,
-        id_col=id_col,
-        vec_col=vec_col,
-        centroid_id_col=centroid_id_col,
-        centroid_vec_col=centroid_vec_col,
+    import math
+
+    cents = [
+        (int(r[0]), list(r[1]))
+        for r in centroids.select(centroid_id_col, centroid_vec_col).collect()
+    ]
+    # Two-phase on purpose (the lang_id pattern): materialize each
+    # per-centroid cosine as a real column first — an inline fold-left
+    # when-chain over the dot() expressions triples the tree per
+    # centroid (3^k nodes) and OOMs the analyzer by k=10.
+    v = corpus.withColumn("__vn", norm(F.col(vec_col)))
+    sim_cols = {}
+    for cid, cvec in cents:
+        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        cn = math.sqrt(sum(float(x) * float(x) for x in cvec))
+        sim_cols[cid] = F.round(
+            dot(F.col(vec_col), carr) / (F.col("__vn") * F.lit(cn)), 6
+        ).alias(f"__s_{cid}")
+    scored = v.select("*", *sim_cols.values())
+    # struct comparison is lexicographic, so greatest((sim, -cid)) is
+    # max-by-sim with ties to the lowest centroid id — one expression.
+    cands = [
+        F.struct(F.col(f"__s_{cid}").alias("s"), F.lit(-cid).alias("n"))
+        for cid, _ in cents
+    ]
+    best = F.greatest(*cands) if len(cands) > 1 else cands[0]
+    assigned = scored.withColumn(
+        centroid_id_col, (-best["n"]).cast("long")
     )
     return assigned.groupBy(centroid_id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),

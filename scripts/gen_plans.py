@@ -25,6 +25,10 @@ PICKS = [
     ("feature_drift", "PSI drift: reference-window edges broadcast back to one bucketing scan; the bucket frame is generated, not scanned; every aggregate is map-side combined."),
     ("training_corpus", "Flagship composition: ONE fingerprint-partitioned full-document shuffle (canonical pick), then chunk-sized aggregates and codegen filters; the persisted scrubbed frame is reused by the chunk phase and rejoin instead of re-executing the window."),
     ("sequence_pack", "Distributed prefix sum: per-bucket subtotals aggregate, driver prefix-sums a tiny list, broadcast-join offsets, within-bucket windows in parallel — no global-order single-partition window."),
+    ("decontaminate", "Benchmark decontamination: the benchmark n-gram set broadcasts; corpus shingles stream through the broadcast inner join, and the count-distinct aggregate sees only MATCHED shingles — corpus text never shuffles."),
+    ("corpus_shuffle", "Deterministic training shuffle: shard = md5 bucket, rank windows partitioned BY SHARD — parallel per-shard sorts; no stage orders the full corpus through one task."),
+    ("kmeans_refine", "k-means Lloyd step: broadcast centroids + map-side max(struct) argmax assignment; the centroid mean is 64 fixed-width avg aggregates with partial_avg map-side — partial sums shuffle, vectors never do."),
+    ("unigram_logprob", "Unigram LM scoring: vocabulary aggregate (map-side combined) broadcasts back onto the token stream; the per-doc mean re-aggregate shuffles (doc, partial-sum) rows only."),
 ]
 
 out = io.StringIO()
