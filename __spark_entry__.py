@@ -1613,6 +1613,87 @@ FROM scored, b
 """
 
 
+IJ_WEEKS = 10
+IJ_WEEK_US = 7 * 86400 * 1_000_000
+IJ_SPAN_US = 3 * 86400 * 1_000_000
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: events x 10 synthetic 3-day windows (one per
+    week from the corpus start) as a hash EQUI-join on day bands + exact
+    residual filter — never a BroadcastNestedLoopJoin
+    (operators/windows.py:interval_join)."""
+    events = load_table(spark, sf_dir, "events")
+    iv = (
+        events.agg(F.unix_micros(F.min("ts")).alias("__t0"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(IJ_WEEKS - 1))).alias(
+                "interval_id"
+            ),
+            "__t0",
+        )
+        .select(
+            F.col("interval_id").cast("long").alias("interval_id"),
+            F.timestamp_micros(
+                F.col("__t0") + F.col("interval_id") * F.lit(IJ_WEEK_US)
+            ).alias("start"),
+            F.timestamp_micros(
+                F.col("__t0")
+                + F.col("interval_id") * F.lit(IJ_WEEK_US)
+                + F.lit(IJ_SPAN_US)
+            ).alias("end"),
+        )
+    )
+    joined = windows.interval_join(
+        events.select("ts", "event_type", "value"), iv, ts_col="ts"
+    )
+    return joined.groupBy("interval_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "sum_value_cents"
+        ),
+    )
+
+
+SQL_INTERVAL_JOIN = f"""
+WITH t0 AS (SELECT epoch_us(min(ts)) AS t0 FROM events),
+iv AS (SELECT CAST(k AS BIGINT) AS interval_id,
+        make_timestamp(t0.t0 + k * {IJ_WEEK_US}) AS s,
+        make_timestamp(t0.t0 + k * {IJ_WEEK_US} + {IJ_SPAN_US}) AS e
+       FROM t0, (SELECT unnest(range(0, {IJ_WEEKS})) AS k)),
+j AS (SELECT iv.interval_id, ev.event_type, ev.value
+      FROM events ev JOIN iv ON ev.ts >= iv.s AND ev.ts < iv.e)
+SELECT interval_id, event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM j GROUP BY interval_id, event_type
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session assignment (row-level companion of a5): lag +
+    running-sum over a per-key window; strictly-greater gap rule matches
+    session_window's closed end
+    (operators/windows.py:sessionize)."""
+    events = load_table(spark, sf_dir, "events")
+    return windows.sessionize(events, ["user_id"], gap="30 minutes")
+
+
+SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT user_id, event_id, ts_us, gap_us,
+       CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+FROM o
+"""
+
+
 KM_STEP = 50
 KM_DIM = 64
 
@@ -2496,6 +2577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_refine": q_kmeans_refine,
         "unigram_logprob": q_unigram_logprob,
         "embedding_outliers": q_embedding_outliers,
+        "interval_join": q_interval_join,
+        "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
         "dedup_crossmodal": q_dedup_crossmodal,
         "corpus_rollup": q_corpus_rollup,
@@ -2560,6 +2643,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_refine": _sql_kmeans_refine(),
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "embedding_outliers": _sql_embedding_outliers(),
+        "interval_join": SQL_INTERVAL_JOIN,
+        "sessionize": SQL_SESSIONIZE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "dedup_crossmodal": _sql_dedup_crossmodal(),
         "corpus_rollup": _sql_corpus_rollup(),

@@ -70,6 +70,8 @@ HEADLINE = [
     "kmeans_refine",
     "unigram_logprob",
     "embedding_outliers",
+    "interval_join",
+    "sessionize",
 ]
 
 

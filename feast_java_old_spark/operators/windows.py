@@ -115,3 +115,95 @@ def session_rollup(
             (F.col("__last_us") - F.unix_micros(F.col("w.start"))).alias("span_us"),
         )
     )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "event_timestamp",
+    start_col: str = "start",
+    end_col: str = "end",
+    band_seconds: int = 86400,
+) -> DataFrame:
+    """Banded interval (range) join: each event joins every interval with
+    ``start <= ts < end`` — expressed as a *hash equi-join*, not a theta
+    join.
+
+    Spark executes a raw ``ts BETWEEN start AND end`` predicate as a
+    BroadcastNestedLoopJoin (or a cartesian product when neither side
+    broadcasts) — quadratic and unpartitionable at 100 TB. The banding
+    rewrite buckets time into ``band_seconds`` bands: events map to one
+    band each (a projection); intervals explode to the bands they cover
+    (``sequence`` — rows grow by interval_span/band, bounded by choosing
+    the band near the typical interval length); the join becomes an
+    equi-join on the band key (shuffle-partitionable, AQE-skew-handled)
+    followed by the exact residual range filter. This is the standard
+    range-join binning strategy Spark lacks natively.
+
+    Event and interval column sets are both preserved; half-open bounds
+    ``[start, end)`` so adjacent intervals never double-match.
+    """
+    ev_band = (F.unix_micros(F.col(ts_col)) / F.lit(band_seconds * 1_000_000)).cast(
+        "long"
+    )
+    iv_lo = (F.unix_micros(F.col(start_col)) / F.lit(band_seconds * 1_000_000)).cast(
+        "long"
+    )
+    iv_hi = (F.unix_micros(F.col(end_col)) / F.lit(band_seconds * 1_000_000)).cast(
+        "long"
+    )
+    ev = events.withColumn("__band", ev_band)
+    iv = intervals.withColumn("__band", F.explode(F.sequence(iv_lo, iv_hi)))
+    return (
+        ev.join(iv, on="__band")
+        .where(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("__band")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Per-event session assignment (the row-level companion of
+    :func:`session_rollup`): a new session starts when the gap to the
+    previous event of the same key is *strictly greater* than ``gap`` —
+    the same closed-end rule ``F.session_window`` uses, so an event's
+    ``session_seq`` here groups it exactly as the rollup's windows do.
+
+    lag + running-sum over a per-key window: one shuffle keyed by the
+    session keys (the theoretical minimum — session identity is
+    data-dependent, so no map-side combine exists). ``id_col`` breaks
+    timestamp ties for full determinism.
+
+    Appends ``session_seq`` (1-based ordinal of the session within its
+    key) and ``gap_us`` (microseconds since the key's previous event;
+    NULL for the first).
+    """
+    from pyspark.sql.window import Window
+
+    # parse the gap via Spark's own interval literal at plan time
+    gap_expr = F.unix_micros(
+        F.lit("1970-01-01 00:00:00").cast("timestamp") + F.expr(f"INTERVAL {gap}")
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(id_col))
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    delta = F.unix_micros(F.col(ts_col)) - prev_us
+    new_session = F.when(
+        prev_us.isNull() | (delta > gap_expr), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.select(
+        *keys,
+        F.col(id_col),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        delta.alias("gap_us"),
+        F.sum(new_session).over(run).cast("long").alias("session_seq"),
+    )

@@ -75,3 +75,104 @@ def test_session_boundary_exact_gap_merges(spark):
 
     assert len(windows.session_rollup(mk(30), ["user_id"]).collect()) == 1
     assert len(windows.session_rollup(mk(30 + 1e-6 / 60), ["user_id"]).collect()) == 2
+
+
+# ------------------------------------------------------------ interval_join
+
+
+def test_interval_join_matches_theta_join(spark):
+    import datetime as dt
+
+    from feast_java_old_spark.operators.windows import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(hours=i)) for i in range(100)],
+        "event_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, t0, t0 + dt.timedelta(hours=10)),
+            (2, t0 + dt.timedelta(hours=5), t0 + dt.timedelta(hours=7)),
+            (3, t0 + dt.timedelta(hours=200), t0 + dt.timedelta(hours=300)),
+        ],
+        "interval_id long, start timestamp, end timestamp",
+    )
+    banded = interval_join(events, iv, ts_col="ts", band_seconds=3600 * 4)
+    theta = events.join(
+        iv, (events.ts >= iv.start) & (events.ts < iv.end)
+    )
+    a = sorted((r.event_id, r.interval_id) for r in banded.collect())
+    b = sorted((r.event_id, r.interval_id) for r in theta.collect())
+    assert a == b
+    assert len(a) == 10 + 2  # [0,10) hours + [5,7) hours; interval 3 empty
+
+
+def test_interval_join_is_equi_join_in_plan(spark, sf_dir):
+    from feast_java_old_spark.operators.windows import interval_join
+    from feast_java_old_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    iv = events.select(
+        F.lit(1).alias("interval_id"),
+        F.min("ts").alias("start"),
+        F.max("ts").alias("end"),
+    ).groupBy("interval_id").agg(
+        F.min("start").alias("start"), F.max("end").alias("end")
+    )
+    plan = (
+        interval_join(events, iv, ts_col="ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# --------------------------------------------------------------- sessionize
+
+
+def test_sessionize_gap_rule_and_ordinals(spark):
+    import datetime as dt
+
+    from feast_java_old_spark.operators.windows import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def t(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, t(0)),
+            (2, 1, t(10)),
+            (3, 1, t(40)),   # exactly 30 min after -> same session (closed end)
+            (4, 1, t(71)),   # 31 min -> new session
+            (5, 2, t(0)),    # other key independent
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {r.event_id: r for r in sessionize(df, ["user_id"]).collect()}
+    assert out[1].session_seq == 1 and out[1].gap_us is None
+    assert out[2].session_seq == 1
+    assert out[3].session_seq == 1  # gap == 30 min merges
+    assert out[4].session_seq == 2
+    assert out[5].session_seq == 1
+
+
+def test_sessionize_groups_match_session_rollup(spark, sf_dir):
+    from feast_java_old_spark.operators.windows import sessionize, session_rollup
+    from feast_java_old_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    per_event = sessionize(events, ["user_id"], gap="30 minutes")
+    n_sessions = per_event.groupBy("user_id").agg(
+        F.max("session_seq").alias("n")
+    )
+    rollup = session_rollup(events, ["user_id"], gap="30 minutes")
+    n_rollup = rollup.groupBy("user_id").count()
+    a = {r.user_id: r.n for r in n_sessions.collect()}
+    b = {r.user_id: r["count"] for r in n_rollup.collect()}
+    assert a == b  # same session partitioning per key
