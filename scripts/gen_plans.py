@@ -29,6 +29,7 @@ PICKS = [
     ("corpus_shuffle", "Deterministic training shuffle: shard = md5 bucket, rank windows partitioned BY SHARD — parallel per-shard sorts; no stage orders the full corpus through one task."),
     ("kmeans_refine", "k-means Lloyd step: broadcast centroids + map-side max(struct) argmax assignment; the centroid mean is 64 fixed-width avg aggregates with partial_avg map-side — partial sums shuffle, vectors never do."),
     ("unigram_logprob", "Unigram LM scoring: vocabulary aggregate (map-side combined) broadcasts back onto the token stream; the per-doc mean re-aggregate shuffles (doc, partial-sum) rows only."),
+    ("interval_join", "Banded range join: events project to one time band, intervals explode to covered bands, and the join is a hash EQUI-join + residual range filter — no BroadcastNestedLoopJoin, no cartesian."),
 ]
 
 out = io.StringIO()
