@@ -1613,6 +1613,74 @@ FROM scored, b
 """
 
 
+UPSAMPLE_RATES = {"src0": 3.0, "src1": 2.5, "src2": 0.5}
+
+
+def q_domain_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-based domain upsampling (rates may exceed 1 — the
+    epoch-weighting complement of the capped mixing ops): floor(rate)
+    copies + one deterministic fractional copy, via explode(sequence)
+    with no shuffle (operators/curation.py:upsample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.upsample(docs, "source", UPSAMPLE_RATES).select(
+        "doc_id", "source", "copy"
+    )
+
+
+_UPSAMPLE_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {r}" for s, r in sorted(UPSAMPLE_RATES.items())
+)
+
+SQL_DOMAIN_UPSAMPLE = f"""
+WITH r AS (SELECT doc_id, source,
+        (CASE {_UPSAMPLE_CASE} ELSE 1.0 END) AS rate,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+          / 268435456.0 AS frac
+      FROM documents),
+n AS (SELECT doc_id, source,
+        CAST(floor(rate) + CASE WHEN frac < rate - floor(rate)
+                                THEN 1 ELSE 0 END AS BIGINT) AS n
+      FROM r)
+SELECT doc_id, source, CAST(c.k AS BIGINT) AS copy
+FROM n CROSS JOIN (SELECT unnest(range(1,
+    {int(max(max(UPSAMPLE_RATES.values()), 1.0)) + 1})) AS k) c
+WHERE c.k <= n.n
+"""
+
+
+def q_corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup application: MinHash-LSH candidates →
+    connected-components groups → keep only each group's canonical
+    (min-id) representative — the corpus a pretraining run actually
+    reads (operators/dedup.py:dedup_components + an edges-sized
+    representative filter; documents never shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        docs, k=MINHASH_K, bands=MINHASH_BANDS, n=3
+    )
+    comp = dedup.dedup_components(pairs, docs.select("doc_id"))
+    reps = comp.where(F.col("group_id") == F.col("doc_id")).select("doc_id")
+    return docs.join(reps, on="doc_id", how="left_semi").select(
+        "doc_id", "source"
+    )
+
+
+def _sql_corpus_dedup_apply() -> str:
+    return f"""
+WITH RECURSIVE cand AS ({_sql_minhash()}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+          UNION SELECT doc_b AS src, doc_a AS dst FROM cand),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+comp AS (SELECT node AS doc_id, min(lbl) AS group_id FROM reach GROUP BY node)
+SELECT d.doc_id, d.source
+FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+WHERE c.group_id = c.doc_id
+"""
+
+
 IJ_WEEKS = 10
 IJ_WEEK_US = 7 * 86400 * 1_000_000
 IJ_SPAN_US = 3 * 86400 * 1_000_000
@@ -2579,6 +2647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "interval_join": q_interval_join,
         "sessionize": q_sessionize,
+        "domain_upsample": q_domain_upsample,
+        "corpus_dedup_apply": q_corpus_dedup_apply,
         "stratified_sample": q_stratified_sample,
         "dedup_crossmodal": q_dedup_crossmodal,
         "corpus_rollup": q_corpus_rollup,
@@ -2645,6 +2715,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outliers": _sql_embedding_outliers(),
         "interval_join": SQL_INTERVAL_JOIN,
         "sessionize": SQL_SESSIONIZE,
+        "domain_upsample": SQL_DOMAIN_UPSAMPLE,
+        "corpus_dedup_apply": _sql_corpus_dedup_apply(),
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "dedup_crossmodal": _sql_dedup_crossmodal(),
         "corpus_rollup": _sql_corpus_rollup(),

@@ -72,6 +72,8 @@ HEADLINE = [
     "embedding_outliers",
     "interval_join",
     "sessionize",
+    "domain_upsample",
+    "corpus_dedup_apply",
 ]
 
 

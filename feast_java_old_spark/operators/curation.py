@@ -41,6 +41,7 @@ __all__ = [
     "normalize_text",
     "per_stratum_topk",
     "temperature_mix",
+    "upsample",
 ]
 
 
@@ -279,6 +280,55 @@ def per_stratum_topk(
         .select(
             "stratum", F.col("rank").cast("long").alias("rank"), id_col, "score"
         )
+    )
+
+
+def upsample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Duplication-based upsampling: emit each row ``rate(stratum)``
+    times in expectation — the complement of
+    :func:`~feast_java_old_spark.operators.text.stratified_sample` /
+    :func:`temperature_mix`, whose keep-rates cap at 1. Rates above 1
+    repeat small-domain rows (epoch-weighting for underrepresented
+    sources); fractional parts are resolved deterministically by the
+    md5 fraction of the key, so the output is bit-reproducible and a
+    rate of 2.5 emits exactly 2 or 3 copies per row (3 iff
+    ``hash_fraction(key) < 0.5``).
+
+    A pure projection + generator (``explode(sequence(...))``): no
+    shuffle, no RNG state; rows with an effective count of 0 disappear
+    (a rate < 1 downsamples, consistent with ``stratified_sample``'s
+    membership rule).
+
+    Appends ``copy`` (1-based duplicate index).
+    """
+    rate = None
+    for stratum, r in sorted(rates.items()):
+        branch = F.when(F.col(strata_col) == stratum, F.lit(float(r)))
+        rate = branch if rate is None else rate.when(
+            F.col(strata_col) == stratum, F.lit(float(r))
+        )
+    rate = (
+        rate.otherwise(F.lit(float(default_rate)))
+        if rate is not None
+        else F.lit(float(default_rate))
+    )
+    base = F.floor(rate).cast("long")
+    extra = (hash_fraction(F.col(key_col)) < (rate - F.floor(rate))).cast(
+        "long"
+    )
+    n = (base + extra).alias("__n")
+    staged = df.withColumn("__n", n)
+    copies = F.when(
+        F.col("__n") > 0, F.sequence(F.lit(1).cast("long"), F.col("__n"))
+    ).otherwise(F.array().cast("array<long>"))
+    return staged.select(
+        *[c for c in df.columns], F.explode(copies).alias("copy")
     )
 
 

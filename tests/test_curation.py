@@ -310,3 +310,48 @@ def test_embedding_outliers_flags_planted_norm_outlier(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = {r.vec_id: r for r in embedding_outliers(df, dim=4).collect()}
     assert out[999].outlier
+
+
+# ------------------------------------------------------------------ upsample
+
+
+def test_upsample_copy_counts(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 100 else "small") for i in range(125)],
+        "doc_id long, source string",
+    )
+    out = curation.upsample(df, "source", {"small": 3.0, "big": 1.0}).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.copy)
+    # integer rates are exact: 1 copy per big row, 3 per small row
+    for d, copies in by_doc.items():
+        expected = 3 if d >= 100 else 1
+        assert sorted(copies) == list(range(1, expected + 1))
+
+
+def test_upsample_fractional_rate_expectation_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(1000)], "doc_id long, source string"
+    )
+    out = curation.upsample(df, "source", {"s": 2.5})
+    n1 = out.count()
+    # E[count] = 2500; md5 fraction is uniform, envelope +-5%
+    assert 2375 <= n1 <= 2625
+    assert out.count() == n1  # deterministic
+    # rate < 1 downsamples, consistent with stratified_sample
+    down = curation.upsample(df, "source", {"s": 0.3}).count()
+    assert 230 <= down <= 370
+
+
+def test_upsample_matches_stratified_sample_membership(spark, docs):
+    from feast_java_old_spark.operators.text import stratified_sample
+
+    rates = {"src0": 0.5}
+    up = curation.upsample(docs, "source", rates, default_rate=0.0)
+    strat = stratified_sample(
+        docs.select("doc_id", "source"), "source", rates, default_rate=0.0
+    )
+    assert sorted(r.doc_id for r in up.collect()) == sorted(
+        r.doc_id for r in strat.collect()
+    )
