@@ -386,3 +386,63 @@ def temperature_mix(
         .where(hash_fraction(F.col(key_col)) < F.col("rate"))
         .select(F.col(key_col), F.col("stratum"), F.col("rate"))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement of ``k`` rows
+    (probability proportional to ``weight_col``): quality-weighted
+    corpus selection where a fixed-size budget should favor high-quality
+    documents but still mix in the tail.
+
+    Efraimidis-Spirakis A-ES exponential keys: each row draws
+    ``e = -ln(u) / w`` with ``u ∈ (0, 1]`` a pure md5 function of
+    (key, seed) — the k smallest ``e`` are exactly a weighted sample
+    without replacement. No ``rand()`` (partitioning-dependent in
+    Spark), so membership is bit-reproducible on any cluster size and
+    changing ``seed`` redraws independently.
+
+    Scale shape: one projection + distributed top-k
+    (TakeOrderedAndProject — per-partition heaps of size k, no global
+    sort). Rows with weight <= 0 never sample. ``es_key_micro`` is the
+    integer-quantized selection key (portable to the SQL oracle).
+    """
+    # open-interval uniform: (28-bit md5 prefix + 1) / 2^28  ∈ (0, 1]
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ) / F.lit(float(1 << 28))
+    es_key = -F.log(u) / F.col(weight_col).cast("double")
+    # rank on the RAW double key (quantizing first would collapse ties
+    # and break scale-invariance); emit the micro-quantized key only as
+    # the portable output column
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(
+            F.col(key_col),
+            F.col(weight_col).alias("weight"),
+            es_key.alias("__es_key"),
+        )
+        .orderBy(F.col("__es_key"), F.col(key_col))
+        .limit(k)
+        .select(
+            key_col,
+            "weight",
+            F.round(F.col("__es_key") * 1_000_000, 0)
+            .cast("long")
+            .alias("es_key_micro"),
+        )
+    )

@@ -1,0 +1,236 @@
+"""Feature-engineering operators: multi-horizon rollups, per-event
+rolling aggregates, long→wide pivots, and nearest-in-time joins.
+
+These are the batch feature-computation patterns a user of the reference
+feature store runs upstream of materialization (the reference declares
+the sources and the serving join — ``DataSource.java``,
+``OnlineServingServiceV2.java`` — and delegates feature *computation* to
+an external engine; these operators are that engine, Spark-first).
+
+Scale notes (each operator's plan shape at 100 TB):
+
+- :func:`multi_window_features` computes every horizon in ONE scan and
+  ONE shuffle: the horizon predicates become conditional aggregates
+  (``sum(CASE WHEN ts >= anchor - h …)``) with map-side partial combine,
+  so the shuffle carries one partial-aggregate row per (key, task) —
+  never raw events — regardless of how many horizons are requested.
+- :func:`rolling_features` is a per-key event-time window
+  (``RANGE BETWEEN <w> PRECEDING AND CURRENT ROW``): one shuffle keyed
+  by the entity key (the theoretical minimum — trailing state is
+  data-dependent), then a single sorted pass per key. Value-based RANGE
+  frames make the result independent of timestamp-tie ordering.
+- :func:`feature_pivot` with an *explicit* name list is one grouped
+  aggregation (map-side combined); never call it without ``names`` at
+  scale — Spark would first run a distinct scan to discover them.
+- :func:`asof_nearest` is the banded-equi-join form of "join each left
+  row to the temporally nearest right row within a tolerance": left rows
+  map to one time band, right rows replicate to the 3 adjacent bands,
+  the join is a hash equi-join on (keys, band) — shuffle-partitionable,
+  AQE-skew-handled, never BroadcastNestedLoop — and the argmin is a
+  ``min(struct(|Δt|, tiebreak…))`` aggregate with map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_US = 1_000_000
+
+
+def _cents(col: Column) -> Column:
+    """Integer-exact aggregate input (oracle-portable double → cents)."""
+    return F.round(col * 100, 0).cast("long")
+
+
+def multi_window_features(
+    df: DataFrame,
+    keys: list[str],
+    anchor_ts: str,
+    horizons: dict[str, int],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key activity counts/sums over multiple trailing horizons, all
+    ending at ``anchor_ts`` (an ISO timestamp literal — explicit for
+    determinism, mirroring the reference's explicit ``entity_ts``
+    convention in historical retrieval).
+
+    ``horizons`` maps a suffix (e.g. ``"24h"``) to a horizon length in
+    seconds. Emits ``n_<suffix>`` / ``sum_cents_<suffix>`` per key, for
+    events in ``(anchor - h, anchor]``.
+
+    One scan, one aggregate-sized shuffle, however many horizons: each
+    horizon is a conditional aggregate, not a separate scan or join.
+    """
+    anchor = F.lit(anchor_ts).cast("timestamp")
+    ts = F.col(ts_col)
+    in_scope = df.where(ts <= anchor)
+    aggs: list[Column] = []
+    for suffix, secs in horizons.items():
+        cond = ts > anchor - F.expr(f"INTERVAL {secs} SECONDS")
+        aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"n_{suffix}"))
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(cond, _cents(F.col(value_col)))), F.lit(0)
+            ).alias(f"sum_cents_{suffix}")
+        )
+    return in_scope.groupBy(*keys).agg(*aggs)
+
+
+def rolling_features(
+    df: DataFrame,
+    keys: list[str],
+    window_seconds: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-event trailing-window aggregates: for every event, the count
+    and cents-sum of the same key's events in the last
+    ``window_seconds`` (inclusive of the current event).
+
+    Implemented as a value-based RANGE frame over event time — NOT a
+    self-join: one shuffle on the entity key, one sorted pass. The frame
+    is ``[ts - w, ts]`` by *value*, so rows with equal timestamps see
+    identical (and order-independent) results — this is what makes the
+    kernel deterministic under Spark's unstable sort and portable to any
+    engine with RANGE frames.
+    """
+    from pyspark.sql.window import Window
+
+    ts_us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_us.alias("__ts_us"))
+        .rangeBetween(-window_seconds * _US, 0)
+    )
+    return df.select(
+        *keys,
+        F.col(id_col),
+        ts_us.alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(_cents(F.col(value_col))).over(w).alias("sum_cents_trailing"),
+    )
+
+
+def feature_pivot(
+    df: DataFrame,
+    keys: list[str],
+    name_col: str,
+    names: list[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """Long → wide: one row per key, one ``sum_cents_<name>`` column per
+    entry in ``names`` (the EAV-to-columnar step that turns an event log
+    into a feature row, e.g. per-user spend by event type).
+
+    ``names`` is required: with explicit pivot values Spark plans a
+    single grouped aggregation (each pivot column is a conditional
+    aggregate, map-side combined); without them it must first run a
+    distinct scan over ``name_col`` — a second full pass at 100 TB.
+    Unlisted names are dropped; keys with no listed name still appear
+    (zero-filled) only if they have at least one event of any listed
+    name — semantics identical to the CASE-WHEN SQL form.
+    """
+    pivoted = (
+        df.where(F.col(name_col).isin(names))
+        .groupBy(*keys)
+        .pivot(name_col, names)
+        .agg(F.sum(_cents(F.col(value_col))))
+    )
+    # a key with no events of some listed name gets NULL from the pivot
+    # (that aggregate never ran) — zero-fill to match the CASE-WHEN form
+    renames = [
+        F.coalesce(F.col(c), F.lit(0)).alias(f"sum_cents_{c}")
+        if c in names
+        else F.col(c)
+        for c in pivoted.columns
+    ]
+    return pivoted.select(*renames)
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    tolerance_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    right_payload: list[str] | None = None,
+) -> DataFrame:
+    """Nearest-in-time join: each left row pairs with the single right
+    row of the same key whose timestamp is closest (either direction)
+    within ``tolerance_seconds``; ties on ``|Δt|`` resolve to the
+    *earlier* right timestamp, then the smaller ``right_id``. Left rows
+    with no candidate in tolerance are kept with NULL matches (the
+    bidirectional generalization of the backward-only as-of join in
+    ``operators/historical.py``; the reference's staleness join —
+    ``OnlineServingServiceV2.java`` max-age — is the backward special
+    case).
+
+    Plan shape: band time by the tolerance; left rows carry one band,
+    right rows replicate to the 3 adjacent bands (any pair within
+    tolerance shares one of them — bounded 3× replication, no interval
+    explode). The join is a hash equi-join on (keys, band); a candidate
+    right row can match a given left row through exactly one band, so no
+    pair dedup is needed. The argmin is ``min(struct(...))`` with
+    map-side partial combine — the shuffle after the join carries one
+    partial row per (left row, task).
+    """
+    right_payload = right_payload or []
+    tol_us = tolerance_seconds * _US
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+
+    lt = left.select(
+        *keys,
+        F.col(left_id).alias("__lid"),
+        l_us.alias("__l_us"),
+        (l_us / tol_us).cast("long").alias("__band"),
+    )
+    rt = right.select(
+        *keys,
+        F.col(right_id).alias("__rid"),
+        r_us.alias("__r_us"),
+        *[F.col(c).alias(f"__rp_{c}") for c in right_payload],
+        F.explode(
+            F.array(
+                (r_us / tol_us).cast("long") - 1,
+                (r_us / tol_us).cast("long"),
+                (r_us / tol_us).cast("long") + 1,
+            )
+        ).alias("__band"),
+    )
+    delta = F.col("__r_us") - F.col("__l_us")
+    best = (
+        lt.join(rt, on=[*keys, "__band"])
+        .where(F.abs(delta) <= tol_us)
+        .groupBy("__lid")
+        .agg(
+            F.min(
+                F.struct(
+                    F.abs(delta).alias("abs_us"),
+                    F.col("__r_us").alias("r_us"),
+                    F.col("__rid").alias("rid"),
+                    *[F.col(f"__rp_{c}").alias(c) for c in right_payload],
+                )
+            ).alias("__best")
+        )
+    )
+    out = (
+        lt.drop("__band")
+        .join(best, on="__lid", how="left")
+        .select(
+            *keys,
+            F.col("__lid").alias(left_id),
+            F.col("__l_us").alias("ts_us"),
+            F.col("__best.rid").alias(f"nearest_{right_id}"),
+            F.col("__best.r_us").alias("nearest_ts_us"),
+            (F.col("__best.r_us") - F.col("__l_us")).alias("delta_us"),
+            *[F.col(f"__best.{c}").alias(f"nearest_{c}") for c in right_payload],
+        )
+    )
+    return out

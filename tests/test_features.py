@@ -1,0 +1,206 @@
+"""Feature-engineering operators (features.py) + skew join — goldens."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_java_old_spark.operators import features, joins
+
+
+def ts(seconds: float):
+    return dt.datetime(2024, 1, 1, 0) + dt.timedelta(seconds=seconds)
+
+
+def us(seconds: float) -> int:
+    return int(ts(seconds).timestamp() * 1_000_000)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # (user, ts, value, event_id)
+        (1, ts(0), 1.0, 1),
+        (1, ts(30), 2.0, 2),
+        (1, ts(30), 4.0, 5),  # timestamp tie with id=2
+        (1, ts(3630), 8.0, 3),
+        (2, ts(100), 16.0, 4),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+
+
+# ------------------------------------------------------------ multi-horizon
+
+
+def test_multi_window_features_horizons(spark, events):
+    out = {
+        r.user_id: r
+        for r in features.multi_window_features(
+            events,
+            ["user_id"],
+            anchor_ts="2024-01-01 00:01:40",  # = ts(100)
+            horizons={"1m": 60, "1h": 3600},
+            ts_col="ts",
+            value_col="value",
+        ).collect()
+    }
+    # user 1 events at/before anchor: t=0, 30, 30 — none in (t=40, t=100],
+    # all three in the 1h horizon (zero-filled short horizon, not NULL)
+    assert (out[1].n_1m, out[1].sum_cents_1m) == (0, 0)
+    assert (out[1].n_1h, out[1].sum_cents_1h) == (3, 700)
+    # user 2: one event exactly at the anchor — included
+    assert (out[2].n_1m, out[2].sum_cents_1m) == (1, 1600)
+
+
+def test_multi_window_boundary_exclusive_start(spark, events):
+    # anchor - h falls exactly on t=0 → strict > excludes it
+    out = features.multi_window_features(
+        events, ["user_id"], "2024-01-01 00:01:00", {"1m": 60}
+    ).collect()
+    u1 = next(r for r in out if r.user_id == 1)
+    assert u1.n_1m == 2  # the two t=30 events, not t=0
+
+
+# --------------------------------------------------------------- rolling
+
+
+def test_rolling_features_trailing_window_and_ties(spark, events):
+    out = {
+        r.event_id: r
+        for r in features.rolling_features(
+            events, ["user_id"], window_seconds=3600
+        ).collect()
+    }
+    assert (out[1].n_trailing, out[1].sum_cents_trailing) == (1, 100)
+    # RANGE frame: equal timestamps are peers — both tie rows see both
+    assert (out[2].n_trailing, out[2].sum_cents_trailing) == (3, 700)
+    assert (out[5].n_trailing, out[5].sum_cents_trailing) == (3, 700)
+    # t=3630 sees [30, 3630]: both t=30 rows + itself, t=0 aged out
+    assert (out[3].n_trailing, out[3].sum_cents_trailing) == (3, 1400)
+    assert (out[4].n_trailing, out[4].sum_cents_trailing) == (1, 1600)
+
+
+# ----------------------------------------------------------------- pivot
+
+
+def test_feature_pivot_explicit_names(spark):
+    rows = [
+        (1, "click", 1.5),
+        (1, "click", 2.0),
+        (1, "view", 4.0),
+        (2, "view", 8.0),
+        (2, "error", 1.0),  # not in names → dropped
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    out = {
+        r.user_id: r
+        for r in features.feature_pivot(
+            df, ["user_id"], "event_type", ["click", "view"]
+        ).collect()
+    }
+    assert (out[1].sum_cents_click, out[1].sum_cents_view) == (350, 400)
+    assert (out[2].sum_cents_click, out[2].sum_cents_view) == (0, 800)
+    assert set(out[1].asDict()) == {"user_id", "sum_cents_click", "sum_cents_view"}
+
+
+# ----------------------------------------------------------- asof_nearest
+
+
+def test_asof_nearest_tie_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, ts(100), 1), (1, ts(500), 2), (2, ts(100), 3)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(130), 10, 5.0),
+            (1, ts(70), 11, 7.0),
+            (2, ts(400), 12, 9.0),
+        ],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    out = {
+        r.event_id: r
+        for r in features.asof_nearest(
+            left, right, ["user_id"], tolerance_seconds=60,
+            right_payload=["value"],
+        ).collect()
+    }
+    assert len(out) == 3
+    # |Δ|=30s both directions → tie resolves to the EARLIER right ts
+    assert out[1].nearest_event_id == 11
+    assert out[1].delta_us == -30 * 1_000_000
+    assert out[1].nearest_value == 7.0
+    # nothing within 60s → kept with NULLs
+    assert out[2].nearest_event_id is None and out[2].delta_us is None
+    assert out[3].nearest_event_id is None
+
+
+def test_asof_nearest_across_band_boundary(spark):
+    # band size = tolerance = 60s; left at t=59 (band 0), right at t=61
+    # (band 1) — must still match through the replicated band
+    left = spark.createDataFrame(
+        [(1, ts(59), 1)], "user_id long, ts timestamp, event_id long"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(61), 10)], "user_id long, ts timestamp, event_id long"
+    )
+    out = features.asof_nearest(
+        left, right, ["user_id"], tolerance_seconds=60, right_id="event_id"
+    ).collect()
+    assert out[0].nearest_event_id == 10 and out[0].delta_us == 2_000_000
+
+
+def test_asof_nearest_prefers_smaller_abs_delta(spark):
+    left = spark.createDataFrame(
+        [(1, ts(100), 1)], "user_id long, ts timestamp, event_id long"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(90), 10), (1, ts(104), 11), (1, ts(170), 12)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    out = features.asof_nearest(
+        left, right, ["user_id"], tolerance_seconds=120
+    ).collect()
+    assert out[0].nearest_event_id == 11 and out[0].delta_us == 4_000_000
+
+
+# -------------------------------------------------------------- skew_join
+
+
+@pytest.fixture(scope="module")
+def skew_tables(spark):
+    # hot key 1 (8 rows), cold keys 2/3; key 4 misses the dim
+    fact = spark.createDataFrame(
+        [(1, i * 1.0) for i in range(8)]
+        + [(2, 100.0), (3, 200.0), (4, 300.0)],
+        "k long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (3, "cold")], "k long, attr string"
+    )
+    return fact, dim
+
+
+def test_skew_join_matches_plain_join(spark, skew_tables):
+    fact, dim = skew_tables
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.k, r.v, r.attr)
+            for r in joins.skew_join(fact, dim, ["k"], salt=4, how=how).collect()
+        )
+        want = sorted(
+            (r.k, r.v, r.attr) for r in fact.join(dim, "k", how).collect()
+        )
+        assert got == want, how
+
+
+def test_skew_join_salts_the_join_key(spark, skew_tables):
+    fact, dim = skew_tables
+    out = joins.skew_join(fact, dim, ["k"], salt=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    with pytest.raises(ValueError):
+        joins.skew_join(fact, dim, ["k"], how="full")

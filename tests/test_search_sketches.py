@@ -1,0 +1,156 @@
+"""BM25 / TF-IDF search, weighted sampling, mergeable sketches."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_java_old_spark.operators import search, sketches
+from feast_java_old_spark.operators.curation import weighted_sample
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "Apple banana apple!"),
+        (2, "banana cherry"),
+        (3, "cherry, cherry; cherry apple"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_doc_postings_tokenize_and_tf(corpus):
+    post = {
+        (r.doc_id, r.term): r.tf for r in search.doc_postings(corpus).collect()
+    }
+    assert post[(1, "apple")] == 2 and post[(1, "banana")] == 1
+    assert post[(3, "cherry")] == 3 and post[(3, "apple")] == 1
+    assert len(post) == 6  # punctuation/case folded, empties dropped
+
+
+def _bm25_expected(tf, df_t, dl, n_docs, total_len, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+    return idf * (tf * (k1 + 1.0)) / (
+        tf + k1 * ((1.0 - b) + b * dl * n_docs / total_len)
+    )
+
+
+def test_bm25_topk_exact_scores(corpus):
+    out = {
+        r.doc_id: r
+        for r in search.bm25_topk(corpus, ["apple", "cherry"], k=10).collect()
+    }
+    # N=3 docs, total_len=9; df(apple)=2, df(cherry)=2
+    exp1 = round(_bm25_expected(2, 2, 3, 3, 9) * 1e6)
+    exp3 = round(_bm25_expected(3, 2, 4, 3, 9) * 1e6) + round(
+        _bm25_expected(1, 2, 4, 3, 9) * 1e6
+    )
+    exp2 = round(_bm25_expected(1, 2, 2, 3, 9) * 1e6)
+    assert out[1].score_micro == exp1 and out[1].n_terms_matched == 1
+    assert out[3].score_micro == exp3 and out[3].n_terms_matched == 2
+    assert out[2].score_micro == exp2
+    # doc 3 matches both terms and outranks all
+    order = sorted(out.values(), key=lambda r: (-r.score_micro, r.doc_id))
+    assert [r.doc_id for r in order][0] == 3
+
+
+def test_bm25_topk_limits_and_ignores_absent_terms(corpus):
+    out = search.bm25_topk(corpus, ["apple", "zzz"], k=1).collect()
+    assert len(out) == 1
+    assert out[0].doc_id == 1  # highest apple score; zzz matches nothing
+
+
+def test_tfidf_top_terms_ranks_characteristic_vocab(corpus):
+    out = search.tfidf_top_terms(corpus, n_per_doc=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # banana (df=2) and apple (df=2) tie in idf for doc 1; tf breaks it
+    d1 = sorted(by_doc[1], key=lambda r: r.term_rank)
+    assert d1[0].term == "apple" and d1[0].tf == 2
+    assert d1[0].tfidf_micro == round(2 * math.log(3 / 2) * 1e6)
+    # cherry dominates doc 3
+    d3 = sorted(by_doc[3], key=lambda r: r.term_rank)
+    assert d3[0].term == "cherry"
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+# -------------------------------------------------------- weighted sample
+
+
+def test_weighted_sample_deterministic_and_scale_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 7)) for i in range(200)], "doc_id long, w double"
+    )
+    a = [r.doc_id for r in weighted_sample(df, "w", k=20, seed=1).collect()]
+    b = [r.doc_id for r in weighted_sample(df, "w", k=20, seed=1).collect()]
+    assert a == b and len(a) == 20
+    # A-ES keys scale by 1/c when all weights scale by c → same sample
+    scaled = df.select("doc_id", (F.col("w") * 1000.0).alias("w"))
+    c = [r.doc_id for r in weighted_sample(scaled, "w", k=20, seed=1).collect()]
+    assert a == c
+    # a different seed redraws
+    d = [r.doc_id for r in weighted_sample(df, "w", k=20, seed=2).collect()]
+    assert a != d
+
+
+def test_weighted_sample_favors_heavy_rows_and_skips_nonpositive(spark):
+    rows = [(i, 100.0 if i < 10 else 0.01) for i in range(100)]
+    rows += [(900, 0.0), (901, -5.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r.doc_id for r in weighted_sample(df, "w", k=12, seed=3).collect()}
+    assert not got & {900, 901}
+    # all ten heavy rows should make a 12-row sample (p ≈ 1)
+    assert set(range(10)) <= got
+
+
+# ---------------------------------------------------------------- sketches
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.event_type: r.approx_distinct_user_id
+        for r in sketches.approx_distinct(
+            events, ["event_type"], "user_id"
+        ).collect()
+    }
+    for etype, n in exact.items():
+        assert abs(approx[etype] - n) / n < 0.05, (etype, approx[etype], n)
+
+
+def test_sketch_merge_equals_single_pass(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # shard by event_type, sketch each shard, union → same estimate as
+    # one pass over everything (mergeability = the incremental path)
+    shards = sketches.distinct_sketches(
+        events, ["event_type"], "user_id"
+    ).withColumn("g", F.lit(1))
+    merged = sketches.merge_distinct_sketches(shards, ["g"]).collect()[0]
+    direct = sketches.approx_distinct(
+        events.withColumn("g", F.lit(1)), ["g"], "user_id"
+    ).collect()[0]
+    assert merged.approx_distinct == direct.approx_distinct_user_id
+
+
+def test_approx_quantiles_rank_error(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = sketches.approx_quantiles(
+        events.withColumn("g", F.lit(1)), ["g"], "value", [0.5, 0.99]
+    ).collect()[0].quantiles
+    vals = sorted(r.value for r in events.select("value").collect())
+    n = len(vals)
+    for p, q in zip([0.5, 0.99], got):
+        # rank of the returned value must be within 1% of the target rank
+        import bisect
+
+        lo = bisect.bisect_left(vals, q)
+        hi = bisect.bisect_right(vals, q)
+        target = p * n
+        assert lo - 0.01 * n - 1 <= target <= hi + 0.01 * n + 1
