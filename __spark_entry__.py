@@ -24,10 +24,14 @@ from pyspark.sql import types as T
 from feast_java_old_spark.operators import (
     curation,
     dedup,
+    features,
+    joins,
     multimodal,
     pii,
     pipeline,
+    search,
     similarity,
+    sketches,
     text,
     windows,
 )
@@ -2597,6 +2601,244 @@ GROUP BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
 """
 
 
+# ------------------------------------------------- feature-engineering surface
+
+
+def q_multi_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity over 24h/7d/30d trailing horizons, one scan +
+    one aggregate-sized shuffle (conditional aggregates per horizon)."""
+    events = load_table(spark, sf_dir, "events")
+    return features.multi_window_features(
+        events,
+        ["user_id"],
+        anchor_ts="2024-01-31 00:00:00",
+        horizons={"24h": 86400, "7d": 604800, "30d": 2592000},
+    )
+
+
+SQL_MULTI_WINDOW = """
+SELECT user_id,
+       count(CASE WHEN ts > TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 86400 SECONDS THEN 1 END) AS n_24h,
+       coalesce(CAST(sum(CASE WHEN ts > TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 86400 SECONDS
+                              THEN CAST(round(value * 100, 0) AS BIGINT) END) AS BIGINT), 0) AS sum_cents_24h,
+       count(CASE WHEN ts > TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 604800 SECONDS THEN 1 END) AS n_7d,
+       coalesce(CAST(sum(CASE WHEN ts > TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 604800 SECONDS
+                              THEN CAST(round(value * 100, 0) AS BIGINT) END) AS BIGINT), 0) AS sum_cents_7d,
+       count(CASE WHEN ts > TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 2592000 SECONDS THEN 1 END) AS n_30d,
+       coalesce(CAST(sum(CASE WHEN ts > TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 2592000 SECONDS
+                              THEN CAST(round(value * 100, 0) AS BIGINT) END) AS BIGINT), 0) AS sum_cents_30d
+FROM events
+WHERE ts <= TIMESTAMP '2024-01-31 00:00:00'
+GROUP BY user_id
+"""
+
+
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1h aggregates via a value-based RANGE frame —
+    one shuffle on the entity key, no self-join."""
+    events = load_table(spark, sf_dir, "events")
+    return features.rolling_features(events, ["user_id"], window_seconds=3600)
+
+
+SQL_ROLLING = """
+SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       count(*) OVER w AS n_trailing,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+         AS sum_cents_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_feature_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide EAV pivot: per-user spend by event type as one grouped
+    aggregation with explicit pivot values."""
+    events = load_table(spark, sf_dir, "events")
+    return features.feature_pivot(
+        events,
+        ["user_id"],
+        "event_type",
+        ["click", "view", "purchase", "signup", "error"],
+    )
+
+
+SQL_FEATURE_PIVOT = """
+SELECT user_id,
+       coalesce(CAST(sum(CASE WHEN event_type = 'click'    THEN CAST(round(value * 100, 0) AS BIGINT) END) AS BIGINT), 0) AS sum_cents_click,
+       coalesce(CAST(sum(CASE WHEN event_type = 'view'     THEN CAST(round(value * 100, 0) AS BIGINT) END) AS BIGINT), 0) AS sum_cents_view,
+       coalesce(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100, 0) AS BIGINT) END) AS BIGINT), 0) AS sum_cents_purchase,
+       coalesce(CAST(sum(CASE WHEN event_type = 'signup'   THEN CAST(round(value * 100, 0) AS BIGINT) END) AS BIGINT), 0) AS sum_cents_signup,
+       coalesce(CAST(sum(CASE WHEN event_type = 'error'    THEN CAST(round(value * 100, 0) AS BIGINT) END) AS BIGINT), 0) AS sum_cents_error
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional nearest-in-time join: each click pairs with the
+    same user's temporally closest purchase within ±1h (banded equi-join
+    + min-struct argmin; never a nested-loop theta join)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click")
+    purchases = events.where(F.col("event_type") == "purchase")
+    return features.asof_nearest(
+        clicks, purchases, ["user_id"], tolerance_seconds=3600
+    )
+
+
+SQL_ASOF_NEAREST = """
+WITH l AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS l_us
+           FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, event_id AS rid, epoch_us(CAST(ts AS TIMESTAMP)) AS r_us
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT l.event_id, r.rid, r.r_us,
+                  row_number() OVER (PARTITION BY l.event_id
+                                     ORDER BY abs(r.r_us - l.l_us), r.r_us, r.rid) AS rn
+           FROM l JOIN r ON l.user_id = r.user_id
+                        AND abs(r.r_us - l.l_us) <= 3600000000)
+SELECT l.user_id, l.event_id, l.l_us AS ts_us,
+       c.rid AS nearest_event_id, c.r_us AS nearest_ts_us,
+       c.r_us - l.l_us AS delta_us
+FROM l LEFT JOIN (SELECT * FROM c WHERE rn = 1) c ON l.event_id = c.event_id
+"""
+
+
+# ------------------------------------------------------ lexical search surface
+
+
+_BM25_TERMS = ["spark", "window", "dup"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed query-term bag; per-term scores
+    integer-quantized before the per-doc sum (order-independent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+SQL_BM25 = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+post AS (SELECT doc_id, term, count(*) AS tf
+         FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+qpost AS (SELECT * FROM post WHERE term IN ('spark', 'window', 'dup')),
+dfreq AS (SELECT term, count(*) AS df_t FROM qpost GROUP BY term),
+scored AS (
+  SELECT q.doc_id,
+         CAST(round(
+           ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (q.tf * 2.2)
+           / (q.tf + 1.2 * (0.25 + 0.75 * l.dl * s.n_docs / s.total_len))
+           * 1000000) AS BIGINT) AS ts_micro
+  FROM qpost q
+  JOIN dfreq d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s)
+SELECT doc_id, count(*) AS n_terms_matched,
+       CAST(sum(ts_micro) AS BIGINT) AS score_micro
+FROM scored GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id
+LIMIT 20
+"""
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document's 3 highest-TF-IDF terms (characteristic vocab)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.tfidf_top_terms(docs, n_per_doc=3)
+
+
+SQL_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+post AS (SELECT doc_id, term, count(*) AS tf
+         FROM toks WHERE term <> '' GROUP BY doc_id, term),
+stats AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM post),
+dfreq AS (SELECT term, count(*) AS df_t FROM post GROUP BY term),
+ranked AS (
+  SELECT p.doc_id, p.term, p.tf,
+         CAST(round(p.tf * ln(s.n_docs / d.df_t) * 1000000) AS BIGINT)
+           AS tfidf_micro,
+         row_number() OVER (
+           PARTITION BY p.doc_id
+           ORDER BY CAST(round(p.tf * ln(s.n_docs / d.df_t) * 1000000) AS BIGINT) DESC,
+                    p.term) AS term_rank
+  FROM post p JOIN dfreq d USING (term) CROSS JOIN stats s)
+SELECT doc_id, term, tf, tfidf_micro, term_rank
+FROM ranked WHERE term_rank <= 3
+"""
+
+
+# -------------------------------------------- sampling / skew / sketch surface
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample (without replacement) of 100
+    documents, probability ∝ length — deterministic md5 draws,
+    distributed top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.weighted_sample(docs, "n_chars", k=100, seed=7)
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH w AS (
+  SELECT doc_id, n_chars AS weight,
+         -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 7)
+                   AS BIGINT) + 1) / 268435456.0)
+           / CAST(n_chars AS DOUBLE) AS es_key
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, weight,
+       CAST(round(es_key * 1000000) AS BIGINT) AS es_key_micro
+FROM w ORDER BY es_key, doc_id LIMIT 100
+"""
+
+
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join (hot user keys fan out over 8 reducers),
+    provably identical to the plain join — verified here by the oracle
+    computing the UNSALTED join."""
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "value"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = joins.skew_join(events, dim, ["c_custkey"], salt=8, how="left")
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_cents"),
+        F.count_distinct(F.col("c_custkey")).alias("n_users"),
+    )
+
+
+SQL_SKEW_JOIN = """
+SELECT c.c_mktsegment AS segment, count(*) AS n_events,
+       CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-user estimates per event type alongside
+    the exact counts (rows-only gate: DataSketches estimates are
+    deterministic for Spark but not reproducible by DuckDB's HLL —
+    error-bound and merge-equality checks live in pytest)."""
+    events = load_table(spark, sf_dir, "events")
+    approx = sketches.approx_distinct(events, ["event_type"], "user_id")
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct_user_id")
+    )
+    return approx.join(exact, "event_type")
+
+
 # ---------------------------------------------------------------- the contract
 
 
@@ -2671,6 +2913,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "odfv_transform": q_odfv_transform,
         "stream_latest_merge": q_stream_latest_merge,
         "stream_window_rollup": q_stream_window_rollup,
+        "multi_window_features": q_multi_window_features,
+        "rolling_features": q_rolling_features,
+        "feature_pivot": q_feature_pivot,
+        "asof_nearest": q_asof_nearest,
+        "bm25_search": q_bm25_search,
+        "tfidf_terms": q_tfidf_terms,
+        "weighted_sample": q_weighted_sample,
+        "skew_join": q_skew_join,
+        "sketch_distinct": q_sketch_distinct,
     }
 
 
@@ -2739,4 +2990,14 @@ def oracle_sql() -> dict[str, str]:
         "odfv_transform": SQL_ODFV,
         "stream_latest_merge": SQL_A1,
         "stream_window_rollup": SQL_STREAM_WIN,
+        "multi_window_features": SQL_MULTI_WINDOW,
+        "rolling_features": SQL_ROLLING,
+        "feature_pivot": SQL_FEATURE_PIVOT,
+        "asof_nearest": SQL_ASOF_NEAREST,
+        "bm25_search": SQL_BM25,
+        "tfidf_terms": SQL_TFIDF,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "skew_join": SQL_SKEW_JOIN,
+        # sketch_distinct: rows-only by design (HLL estimates are not
+        # cross-engine reproducible; see q_sketch_distinct docstring)
     }

@@ -74,6 +74,15 @@ HEADLINE = [
     "sessionize",
     "domain_upsample",
     "corpus_dedup_apply",
+    "multi_window_features",
+    "rolling_features",
+    "feature_pivot",
+    "asof_nearest",
+    "bm25_search",
+    "tfidf_terms",
+    "weighted_sample",
+    "skew_join",
+    "sketch_distinct",
 ]
 
 
