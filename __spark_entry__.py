@@ -2775,6 +2775,48 @@ FROM ranked WHERE term_rank <= 3
 """
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean encoding of event_type by value — exact-integer
+    inputs make the double arithmetic engine-portable."""
+    events = load_table(spark, sf_dir, "events")
+    return features.target_encode(events, ["event_type"], "value", smoothing=20.0)
+
+
+SQL_TARGET_ENCODE = """
+WITH g AS (SELECT CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS g_sum,
+                  count(*) AS g_n
+           FROM events),
+     c AS (SELECT event_type,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS c_sum,
+                  count(*) AS n
+           FROM events GROUP BY event_type)
+SELECT c.event_type, c.n,
+       CAST(round((c.c_sum + 20.0 * (g.g_sum / g.g_n)) / (c.n + 20.0) * 1000000)
+            AS BIGINT) AS enc_cents_micro
+FROM c CROSS JOIN g
+"""
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group percentile clipping: exact [p01, p99] bounds broadcast
+    back into a clip projection — raw events never shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    return features.winsorize(events, ["event_type"], "value", lo=0.01, hi=0.99)
+
+
+SQL_WINSORIZE = """
+WITH b AS (SELECT event_type,
+                  quantile_cont(value, 0.01) AS lo_v,
+                  quantile_cont(value, 0.99) AS hi_v
+           FROM events GROUP BY event_type)
+SELECT e.event_type, e.event_id,
+       round(e.value, 6) AS value_raw,
+       round(least(greatest(e.value, b.lo_v), b.hi_v), 6) AS value_winsorized,
+       CAST(e.value < b.lo_v OR e.value > b.hi_v AS INT) AS was_clipped
+FROM events e JOIN b USING (event_type)
+"""
+
+
 # -------------------------------------------- sampling / skew / sketch surface
 
 
@@ -2922,6 +2964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "skew_join": q_skew_join,
         "sketch_distinct": q_sketch_distinct,
+        "target_encode": q_target_encode,
+        "winsorize": q_winsorize,
     }
 
 
@@ -2998,6 +3042,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": SQL_TFIDF,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "skew_join": SQL_SKEW_JOIN,
+        "target_encode": SQL_TARGET_ENCODE,
+        "winsorize": SQL_WINSORIZE,
         # sketch_distinct: rows-only by design (HLL estimates are not
         # cross-engine reproducible; see q_sketch_distinct docstring)
     }

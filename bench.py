@@ -83,6 +83,8 @@ HEADLINE = [
     "weighted_sample",
     "skew_join",
     "sketch_distinct",
+    "target_encode",
+    "winsorize",
 ]
 
 

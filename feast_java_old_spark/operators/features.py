@@ -234,3 +234,81 @@ def asof_nearest(
         )
     )
     return out
+
+
+def target_encode(
+    df: DataFrame,
+    cat_cols: list[str],
+    label_col: str,
+    smoothing: float = 20.0,
+) -> DataFrame:
+    """Smoothed target (mean) encoding of categorical columns — the
+    leakage-averse categorical featurization: a category's code shrinks
+    toward the global mean when its support is small,
+    ``(sum_cat + m * global_mean) / (n_cat + m)``.
+
+    Determinism across engines: both sums are integer cents (exact), the
+    global mean is one exact-int division, and the encoding is a fixed
+    sequence of double ops on those exact inputs — so the
+    micro-quantized code is bit-reproducible. Plan shape: one grouped
+    aggregate over the categories + a 1-row global aggregate broadcast
+    into the projection; the shuffle carries category partials only.
+    """
+    cents = _cents(F.col(label_col))
+    glob = df.agg(
+        F.sum(cents).alias("__g_sum"), F.count(F.lit(1)).alias("__g_n")
+    )
+    per_cat = df.groupBy(*cat_cols).agg(
+        F.sum(cents).alias("__c_sum"), F.count(F.lit(1)).alias("n")
+    )
+    enc = (
+        F.col("__c_sum") + F.lit(smoothing) * (F.col("__g_sum") / F.col("__g_n"))
+    ) / (F.col("n") + F.lit(smoothing))
+    return (
+        per_cat.crossJoin(F.broadcast(glob))
+        .select(
+            *cat_cols,
+            "n",
+            F.round(enc * 1_000_000, 0).cast("long").alias("enc_cents_micro"),
+        )
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    keys: list[str],
+    col: str = "value",
+    lo: float = 0.01,
+    hi: float = 0.99,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-group percentile clipping (outlier winsorization before
+    normalization/training): values outside the group's [lo, hi] exact
+    percentiles clamp to the bound.
+
+    Two jobs over one scan shape: an exact-percentile aggregate per
+    group (small — one row per group) broadcast back into a clip
+    projection; the raw data never shuffles. At 100 TB swap the exact
+    percentile for ``operators/sketches.approx_quantiles`` (same join
+    shape, bounded state) — exact group percentiles are a sort per
+    group.
+    """
+    bounds = df.groupBy(*keys).agg(
+        F.percentile(F.col(col), F.lit(lo)).alias("__lo_v"),
+        F.percentile(F.col(col), F.lit(hi)).alias("__hi_v"),
+    )
+    clipped = F.least(F.greatest(F.col(col), F.col("__lo_v")), F.col("__hi_v"))
+    return (
+        df.join(F.broadcast(bounds), on=keys)
+        .select(
+            *keys,
+            F.col(id_col),
+            F.round(F.col(col), 6).alias("value_raw"),
+            F.round(clipped, 6).alias("value_winsorized"),
+            (
+                (F.col(col) < F.col("__lo_v")) | (F.col(col) > F.col("__hi_v"))
+            )
+            .cast("int")
+            .alias("was_clipped"),
+        )
+    )

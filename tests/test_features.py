@@ -204,3 +204,46 @@ def test_skew_join_salts_the_join_key(spark, skew_tables):
     assert "__salt" in plan
     with pytest.raises(ValueError):
         joins.skew_join(fact, dim, ["k"], how="full")
+
+
+# ----------------------------------------------------------- target_encode
+
+
+def test_target_encode_smoothed_toward_global_mean(spark):
+    rows = [("a", 1.0), ("a", 3.0), ("b", 10.0)] + [("c", 2.0)] * 40
+    df = spark.createDataFrame(rows, "cat string, value double")
+    out = {
+        r.cat: r
+        for r in features.target_encode(df, ["cat"], "value", smoothing=2.0).collect()
+    }
+    # global mean cents = (100+300+1000+40*200)/43
+    g = (100 + 300 + 1000 + 40 * 200) / 43
+    exp_a = (400 + 2.0 * g) / (2 + 2.0)
+    exp_b = (1000 + 2.0 * g) / (1 + 2.0)
+    assert out["a"].enc_cents_micro == round(exp_a * 1e6)
+    assert out["b"].enc_cents_micro == round(exp_b * 1e6)
+    assert out["a"].n == 2
+    # well-supported category barely moves from its own mean (200 cents)
+    assert abs(out["c"].enc_cents_micro / 1e6 - 200) < 1
+
+
+# --------------------------------------------------------------- winsorize
+
+
+def test_winsorize_clips_tails_per_group(spark):
+    rows = [("g", float(i), i) for i in range(1, 101)]  # 1..100
+    rows += [("h", 5.0, 200), ("h", 6.0, 201), ("h", 7.0, 202)]
+    df = spark.createDataFrame(rows, "grp string, value double, event_id long")
+    out = {
+        r.event_id: r
+        for r in features.winsorize(
+            df, ["grp"], "value", lo=0.05, hi=0.95
+        ).collect()
+    }
+    # group g: p05 of 1..100 = 5.95, p95 = 95.05 (linear interpolation)
+    assert out[1].value_winsorized == 5.95 and out[1].was_clipped == 1
+    assert out[100].value_winsorized == 95.05 and out[100].was_clipped == 1
+    assert out[50].value_winsorized == 50.0 and out[50].was_clipped == 0
+    # group h: its own percentiles, middle value untouched
+    assert out[201].was_clipped == 0
+    assert out[200].was_clipped == 1 and out[202].was_clipped == 1
