@@ -6,26 +6,29 @@ characteristic vocabulary) — the lexical complement of the embedding
 similarity operators in ``operators/similarity.py``.
 
 Everything is built-in expressions (JVM-side, codegen): tokenization is
-``split`` + ``filter``, postings come from ``posexplode``-free
-``explode`` + two-level hash aggregation, and scores are arithmetic on
-exact integer statistics (tf, df, doclen) so both this engine and the
-SQL oracle compute bit-identical inputs; the only floating step is the
-final ``idf``/score product, which is integer-quantized (micro-units)
-before any cross-row sum — making results order-independent and
-engine-portable.
+``split`` + ``filter``, postings come from ``explode`` + hash
+aggregation, and scores are arithmetic on exact integer statistics
+(tf, df, doclen) so both this engine and the SQL oracle compute
+bit-identical inputs; the only floating step is the final ``idf``/score
+product, which is integer-quantized (micro-units) before any cross-row
+sum — making results order-independent and engine-portable.
 
 Scale notes:
-- The postings aggregate shuffles (doc, term, tf) rows — term-deduped
-  per doc map-side, never raw text.
-- BM25 filters postings to the query's terms BEFORE computing document
-  frequencies, so the df aggregate and score join are query-sized, not
-  vocabulary-sized; corpus-wide stats (N, total length) ride a 1-row
-  broadcast. Per-query cost is O(matching postings), independent of
-  vocabulary size.
-- TF-IDF joins the postings to a vocabulary-sized df table on the term
-  key — a shuffle equi-join on both sides (the term dictionary at 100 TB
-  is itself large; no broadcast assumption) — then one per-doc rank
-  window. Three shuffles total, all aggregate-sized.
+- :func:`bm25_topk` never joins per-document tables: the document
+  length rides the postings aggregate as a grouping key (it is a pure
+  projection, ``size(tokens)``, functionally dependent on the doc), the
+  term filter sits BELOW the aggregate (Catalyst pushes it under the
+  partial agg, so only query-term postings aggregate or shuffle), and
+  corpus-wide stats (N, total length) are one cheap projection-only
+  scan broadcast as a single row — precompute them once per corpus via
+  :func:`corpus_stats` and pass them in to make a query cost
+  O(matching postings) with a single corpus pass.
+- :func:`tfidf_top_terms` needs the full vocabulary (df for every
+  term), so its postings feed three consumers (scores, df, N); they are
+  persisted (memory-and-disk) by default so the corpus is tokenized
+  once, not three times. The df join is a shuffle equi-join on the term
+  key (the vocabulary at 100 TB is itself large; no broadcast
+  assumption), then one per-doc rank window.
 """
 
 from __future__ import annotations
@@ -56,6 +59,20 @@ def doc_postings(
     )
 
 
+def corpus_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """1-row (n_docs, total_len) over documents with at least one token
+    — a projection-only scan (no explode, no shuffle beyond the final
+    1-row combine). Persist the result once per corpus and hand it to
+    every :func:`bm25_topk` call."""
+    dl = F.size(tokens(F.col(text_col)))
+    return df.select(dl.alias("__dl")).agg(
+        F.count(F.when(F.col("__dl") > 0, F.lit(1))).alias("n_docs"),
+        F.coalesce(F.sum("__dl"), F.lit(0)).alias("total_len"),
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],
@@ -64,6 +81,7 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents by BM25 score for a bag of query terms.
 
@@ -73,21 +91,29 @@ def bm25_topk(
     is deterministic (no float-summation order sensitivity) and the SQL
     oracle reproduces it exactly.
 
+    ``stats``: a precomputed :func:`corpus_stats` frame; when omitted it
+    is derived here (one extra projection-only corpus scan).
+
     Returns (doc, n_terms_matched, score_micro), ties broken by doc id.
     """
-    post = doc_postings(df, id_col, text_col)
-    dl = post.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    if stats is None:
+        stats = corpus_stats(df, id_col, text_col)
+    toks = tokens(F.col(text_col))
+    # dl is a grouping key, not a join: functionally dependent on the
+    # doc, computed in the same projection that feeds the explode
+    qpost = (
+        df.select(
+            F.col(id_col),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .where(F.col("term").isin(query_terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    qpost = post.where(F.col("term").isin(query_terms))
     dfreq = qpost.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
 
-    scored = (
-        qpost.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-    )
+    scored = qpost.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
@@ -123,14 +149,26 @@ def tfidf_top_terms(
     n_per_doc: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_postings: bool = True,
 ) -> DataFrame:
     """Each document's ``n_per_doc`` highest-TF-IDF terms (its
     characteristic vocabulary; ``tf * ln(N/df)``, micro-quantized).
+
+    The postings feed three consumers (scoring rows, per-term df, the
+    doc count), so with ``cache_postings`` (default) they are persisted
+    memory-and-disk: one corpus tokenize instead of three. Postings are
+    (doc, term, tf) rows — a fraction of corpus text — and spill cleanly;
+    the caller may pass ``cache_postings=False`` to trade the extra
+    scans for zero cache footprint.
 
     Ties break by term text so the selection is total-ordered. Returns
     (doc, term, tf, tfidf_micro, term_rank).
     """
     post = doc_postings(df, id_col, text_col)
+    if cache_postings:
+        from pyspark import StorageLevel
+
+        post = post.persist(StorageLevel.MEMORY_AND_DISK)
     stats = post.agg(
         F.count_distinct(F.col(id_col)).cast("double").alias("n_docs")
     )
