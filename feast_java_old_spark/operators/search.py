@@ -111,9 +111,12 @@ def bm25_topk(
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = qpost.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-
-    scored = qpost.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    # df_t via a count window over the (query-sized) postings — one
+    # shuffle on the term key, no separate aggregate branch that would
+    # re-tokenize the corpus
+    scored = qpost.withColumn(
+        "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).crossJoin(F.broadcast(stats))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
@@ -172,9 +175,11 @@ def tfidf_top_terms(
     stats = post.agg(
         F.count_distinct(F.col(id_col)).cast("double").alias("n_docs")
     )
-    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    # df_t via a count window over the term partition: one shuffle of
+    # the postings replaces the aggregate-plus-equi-join (two shuffles
+    # of the same rows) the CTE form would plan
     scored = (
-        post.join(dfreq, "term")
+        post.withColumn("df_t", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "tfidf_micro",
