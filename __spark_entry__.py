@@ -2817,6 +2817,38 @@ FROM events e JOIN b USING (event_type)
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window RAG chunking (64-token windows, stride 48) — one
+    codegen projection + generator, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(generate_series(
+           0,
+           CAST(1 + ceil(greatest(len(toks) - 64, 0) / 48.0) AS BIGINT) - 1
+         )) AS chunk_idx
+  FROM t WHERE len(toks) > 0)
+SELECT doc_id, chunk_idx,
+       array_to_string(toks[chunk_idx * 48 + 1 : least(chunk_idx * 48 + 64, n)],
+                       ' ') AS chunk_text,
+       md5(array_to_string(
+             toks[chunk_idx * 48 + 1 : least(chunk_idx * 48 + 64, n)], ' '))
+         AS chunk_fingerprint,
+       least(chunk_idx * 48 + 64, n) - (chunk_idx * 48 + 1) + 1
+         AS n_tokens_chunk
+FROM c
+"""
+
+
 # -------------------------------------------- sampling / skew / sketch surface
 
 
@@ -2966,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct": q_sketch_distinct,
         "target_encode": q_target_encode,
         "winsorize": q_winsorize,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -3044,6 +3077,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_join": SQL_SKEW_JOIN,
         "target_encode": SQL_TARGET_ENCODE,
         "winsorize": SQL_WINSORIZE,
+        "chunk_documents": SQL_CHUNK_DOCUMENTS,
         # sketch_distinct: rows-only by design (HLL estimates are not
         # cross-engine reproducible; see q_sketch_distinct docstring)
     }

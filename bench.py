@@ -85,6 +85,7 @@ HEADLINE = [
     "sketch_distinct",
     "target_encode",
     "winsorize",
+    "chunk_documents",
 ]
 
 

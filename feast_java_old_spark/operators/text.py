@@ -390,3 +390,52 @@ def logistic_quality_cols(
     for name in sorted(weights):
         z = z + stats[name].cast("double") * F.lit(float(weights[name]))
     return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking (RAG / context-window prep):
+    token windows of ``chunk_tokens`` every ``stride`` tokens
+    (``stride < chunk_tokens`` ⇒ overlapping chunks), the final window
+    clamped at the document end. A document with ``n`` tokens yields
+    ``1 + ceil(max(n - chunk_tokens, 0) / stride)`` chunks; empty
+    documents yield none.
+
+    One codegen projection + generator — ``sequence`` builds the chunk
+    indices, ``slice``/``array_join`` materialize each window from the
+    token array; no shuffle at all, no Python. Output rows carry the
+    chunk text, its md5 fingerprint (the dedup/join key downstream —
+    ``chunk_dedup`` consumes exactly this shape), and token count.
+    """
+    from feast_java_old_spark.operators.search import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(chunk_tokens), F.lit(0)) / F.lit(float(stride))
+    ).cast("long")
+    chunked = (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .where(F.size("__toks") > 0)
+    )
+    window = F.slice(
+        F.col("__toks"),
+        F.col("chunk_idx") * stride + 1,
+        chunk_tokens,
+    )
+    return chunked.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(window, " ").alias("chunk_text"),
+        F.md5(F.array_join(window, " ")).alias("chunk_fingerprint"),
+        F.size(window).alias("n_tokens_chunk"),
+    )

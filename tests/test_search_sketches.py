@@ -154,3 +154,33 @@ def test_approx_quantiles_rank_error(spark, sf_dir):
         hi = bisect.bisect_right(vals, q)
         target = p * n
         assert lo - 0.01 * n - 1 <= target <= hi + 0.01 * n + 1
+
+
+# ---------------------------------------------------------- chunk_documents
+
+
+def test_chunk_documents_overlap_and_clamp(spark):
+    from feast_java_old_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # 5 tokens
+            (2, "a b c"),            # exactly one window
+            (3, "a b c d e f"),      # 6 tokens -> clamped last window
+            (4, ""),                 # empty -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in chunk_documents(df, chunk_tokens=3, stride=2).collect():
+        out.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    assert 4 not in out
+    assert [out[1][i].chunk_text for i in sorted(out[1])] == ["a b c", "c d e"]
+    assert list(out[2]) == [0] and out[2][0].chunk_text == "a b c"
+    assert [out[3][i].chunk_text for i in sorted(out[3])] == [
+        "a b c", "c d e", "e f",
+    ]
+    assert out[3][2].n_tokens_chunk == 2
+    r = out[1][0]
+    import hashlib
+    assert r.chunk_fingerprint == hashlib.md5(b"a b c").hexdigest()
