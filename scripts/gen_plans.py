@@ -30,6 +30,12 @@ PICKS = [
     ("kmeans_refine", "k-means Lloyd step: broadcast centroids + map-side max(struct) argmax assignment; the centroid mean is 64 fixed-width avg aggregates with partial_avg map-side — partial sums shuffle, vectors never do."),
     ("unigram_logprob", "Unigram LM scoring: vocabulary aggregate (map-side combined) broadcasts back onto the token stream; the per-doc mean re-aggregate shuffles (doc, partial-sum) rows only."),
     ("interval_join", "Banded range join: events project to one time band, intervals explode to covered bands, and the join is a hash EQUI-join + residual range filter — no BroadcastNestedLoopJoin, no cartesian."),
+    ("asof_nearest", "Bidirectional nearest-in-time join: right rows replicate to 3 adjacent tolerance bands, the join is a hash equi-join on (key, band), and the argmin is min(struct(|Δt|,…)) with map-side partial combine — never a theta join."),
+    ("multi_window_features", "Multi-horizon rollup: every horizon is a conditional aggregate in ONE grouped aggregation — one scan, one aggregate-sized shuffle for any number of horizons."),
+    ("rolling_features", "Per-event trailing window: value-based RANGE frame — one shuffle on the entity key, one sorted pass; no self-join, tie-rows see identical frames."),
+    ("bm25_search", "BM25: doc length rides the postings aggregate as a grouping key (no per-doc join); the term filter sits BELOW the partial agg so only query-term postings shuffle; df is a count window over the query-sized postings; corpus stats broadcast as one row."),
+    ("skew_join", "Salted join: the fact side carries a deterministic hash salt, the dimension replicates via explode(sequence) — hot keys fan out over `salt` reducers; result provably equals the unsalted join (the oracle computes the unsalted form)."),
+    ("winsorize", "Percentile clipping: exact per-group bounds aggregate broadcasts back into a clip projection — the raw rows never shuffle."),
 ]
 
 out = io.StringIO()
