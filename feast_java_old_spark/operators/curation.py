@@ -446,3 +446,52 @@ def weighted_sample(
             .alias("es_key_micro"),
         )
     )
+
+
+def line_filter(
+    df: DataFrame,
+    delimiter: str = "\n",
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    blocklist: tuple[str, ...] = (),
+    min_kept_lines: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style line-level boilerplate removal: split each document on
+    ``delimiter`` (a literal string), keep only lines that (a) have at
+    least ``min_words`` whitespace words, (b) end in terminal
+    punctuation (``. ! ? "``) when ``require_terminal_punct``, and (c)
+    contain no ``blocklist`` phrase (case-insensitive substring — the
+    C4 "cookie/javascript/terms-of-use" rule); reassemble survivors and
+    flag documents keeping fewer than ``min_kept_lines`` lines.
+
+    Emits ``(id, text, n_lines, n_kept, kept)`` — ``text`` is the
+    cleaned document.
+
+    Plan shape: one codegen projection — split / ``filter`` /
+    ``array_join`` are per-row array expressions, the text never
+    explodes into per-line rows and nothing shuffles. The line
+    *predicates* are Column lambdas, so custom rules compose without
+    touching the plan.
+    """
+    import re as _re
+
+    lines = F.split(F.col(text_col), _re.escape(delimiter))
+
+    def keep(ln):
+        ok = F.regexp_count(ln, F.lit(r"\S+")) >= F.lit(min_words)
+        if require_terminal_punct:
+            ok = ok & F.trim(ln).rlike('[.!?"]$')
+        for phrase in blocklist:
+            ok = ok & ~F.contains(F.lower(ln), F.lit(phrase.lower()))
+        return ok
+
+    kept_lines = F.filter(lines, keep)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept_lines, delimiter).alias(text_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept_lines).cast("long").alias("n_kept"),
+        (F.size(kept_lines) >= F.lit(min_kept_lines)).alias("kept"),
+    )

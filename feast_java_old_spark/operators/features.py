@@ -312,3 +312,176 @@ def winsorize(
             .alias("was_clipped"),
         )
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    attr_cols: list[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log: per
+    key, collapse consecutive rows whose tracked attributes are
+    unchanged, then emit validity intervals ``[valid_from, valid_to)``
+    with ``valid_to`` NULL on the current version.
+
+    This is the batch construction of the point-in-time-correct history
+    the reference serves from (latest-wins online rows are exactly the
+    ``is_current`` slice; ``historical.asof_join`` against the full
+    output reproduces any past state).
+
+    Plan shape: two window passes over ONE hash exchange on the entity
+    key (the change-detect ``lag`` and the interval ``lead`` share the
+    partitioning, so Catalyst reuses the exchange; only a per-partition
+    sort runs twice). The shuffle is the theoretical minimum — interval
+    boundaries are data-dependent per key. Rows with equal timestamps
+    order by ``id_col`` for determinism, matching the
+    ``created_timestamp`` tie-break of ``materialize.latest_per_key``
+    (reference: FeatureRowDecoder latest-wins semantics).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(id_col))
+    changed = F.lit(False)
+    for a in attr_cols:
+        prev = F.lag(F.col(a)).over(w)
+        changed = changed | ~F.col(a).eqNullSafe(prev)
+    first = F.row_number().over(w) == 1
+    kept = df.select(
+        *keys, ts_col, id_col, *attr_cols,
+        (first | changed).alias("__is_change"),
+    ).where("__is_change")
+    w2 = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(id_col))
+    return kept.select(
+        *keys,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead(F.col(ts_col)).over(w2).isNull().alias("is_current"),
+    )
+
+
+def quantile_bin(
+    df: DataFrame,
+    col: str = "value",
+    k: int = 10,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Equal-frequency discretization: assign each row the 1-based
+    quantile bucket of ``col`` among ``k`` buckets whose edges are the
+    exact ``i/k`` percentiles (linear interpolation — the ANSI
+    ``percentile_cont`` definition, so any engine derives identical
+    edges).
+
+    Plan shape: the edge computation is ONE tiny aggregate (k-1 doubles
+    in a single row) broadcast back over the scan; assignment is a pure
+    projection (``size(filter(edges, e -> v > e)) + 1``) — the data
+    itself never shuffles, exactly the :func:`winsorize` /
+    ``kmeans_step`` literal-broadcast shape. At 100 TB swap the exact
+    percentile for ``sketches.approx_quantiles`` (mergeable, bounded
+    state); the join shape does not change. Edges round to 6 places so
+    bin membership is engine-portable.
+    """
+    edges = df.agg(
+        F.array(
+            *[
+                F.round(F.percentile(F.col(col), F.lit(i / k)), 6)
+                for i in range(1, k)
+            ]
+        ).alias("__edges")
+    )
+    return (
+        df.crossJoin(F.broadcast(edges))
+        .select(
+            F.col(id_col),
+            F.round(F.col(col), 6).alias("value"),
+            (
+                F.size(
+                    F.filter(
+                        F.col("__edges"),
+                        lambda e: F.col(col) > e,
+                    )
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("bin"),
+        )
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    keys: list[str],
+    start_ts: str,
+    end_ts: str,
+    step_seconds: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Regular-grid resampling with forward fill: for every key and
+    every grid instant in ``[start_ts, end_ts]`` (step
+    ``step_seconds``), the most recent observation at-or-before that
+    instant (NULL before a key's first event) — the classic
+    time-series → feature-matrix alignment step, and exactly the
+    repeated-``asof_join`` semantics collapsed into one pass.
+
+    Plan shape: grid rows are generated with ``sequence``/``explode``
+    from each key's (tiny, aggregated) presence row — no driver loop,
+    no cross join against a collected key list. The union of real
+    events and grid probes makes ONE hash exchange on the key; a single
+    sorted pass computes ``last(value, ignorenulls)`` with a
+    ``(ts, is_probe, id)`` ordering so probes at an event's exact
+    timestamp see that event, and equal-timestamp events resolve by
+    ``id_col`` (the materialize tie-break). This is the same
+    union-window shape as ``historical.asof_join`` — linear, skew-bound
+    by the hottest key, never a per-grid-point join.
+    """
+    from pyspark.sql.window import Window
+
+    start = F.lit(start_ts).cast("timestamp")
+    end = F.lit(end_ts).cast("timestamp")
+    step = F.expr(f"INTERVAL {step_seconds} SECONDS")
+    grid = (
+        df.groupBy(*keys)
+        .agg(F.lit(1).alias("__one"))
+        .select(
+            *keys,
+            F.explode(F.sequence(start, end, step)).alias("__ts"),
+        )
+        .select(
+            *keys,
+            F.col("__ts"),
+            F.lit(None).cast("double").alias("__v"),
+            F.lit(1).alias("__probe"),
+            F.lit(None).cast("long").alias("__id"),
+        )
+    )
+    obs = df.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.lit(0).alias("__probe"),
+        F.col(id_col).cast("long").alias("__id"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__probe", "__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        obs.unionByName(grid)
+        .select(
+            *keys,
+            F.col("__ts"),
+            F.col("__probe"),
+            F.round(
+                F.last(F.col("__v"), ignorenulls=True).over(w), 6
+            ).alias("value_ffill"),
+        )
+        .where(F.col("__probe") == 1)
+        .select(*keys, F.col("__ts").alias("grid_ts"), "value_ffill")
+    )

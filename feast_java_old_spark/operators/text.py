@@ -439,3 +439,74 @@ def chunk_documents(
         F.md5(F.array_join(window, " ")).alias("chunk_fingerprint"),
         F.size(window).alias("n_tokens_chunk"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """One iteration of BPE tokenizer training: corpus-wide adjacent
+    symbol-pair frequencies, returned as the ``top_n`` most frequent
+    ``(left, right, pair_count)`` rows (ties break lexicographically) —
+    the merge-selection step of Sennrich-style byte-pair encoding.
+
+    Scale shape — the pair count runs over the VOCABULARY, not the
+    corpus: tokens aggregate to ``(token, count)`` first (one
+    aggregate-sized shuffle; map-side combined), and only distinct
+    tokens — thousands of short strings, not terabytes of text — are
+    exploded into character pairs weighted by token frequency. This is
+    exactly how production BPE trainers scale, and it makes each later
+    merge iteration priced on vocabulary size, not corpus size. The
+    final top-n is a distributed ``TakeOrderedAndProject``, never a
+    global sort.
+    """
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .where(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tok_count"))
+    )
+    pairs = vocab.select(
+        "tok_count",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1), "
+                "i -> struct(substring(tok, i, 1) AS l, "
+                "substring(tok, i + 1, 1) AS r))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.l").alias("left"), F.col("p.r").alias("right")
+        )
+        .agg(F.sum("tok_count").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left", "right")
+        .limit(top_n)
+    )
+
+
+def bpe_apply_merge(
+    df: DataFrame,
+    left: str,
+    right: str,
+    symbols_col: str = "symbols",
+) -> DataFrame:
+    """Apply one BPE merge to a symbol-sequence column
+    (``array<string>``, e.g. a token split to characters): every
+    adjacent ``left``,``right`` pair becomes the single merged symbol,
+    scanning leftmost-first so overlaps resolve the way BPE training
+    defines them (``a a a`` under merge ``a+a`` → ``aa a``, not
+    ``a aa``). Pure ``aggregate``-fold projection — zero shuffle;
+    alternate with :func:`bpe_pair_counts` to train a merge table.
+    """
+    merged = left + right
+    fold = (
+        "aggregate({col}, CAST(array() AS array<string>), (acc, x) -> "
+        "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{l}' "
+        "AND x = '{r}' "
+        "THEN concat(slice(acc, 1, size(acc) - 1), array('{m}')) "
+        "ELSE concat(acc, array(x)) END)"
+    ).format(col=symbols_col, l=left, r=right, m=merged)
+    return df.withColumn(symbols_col, F.expr(fold))
