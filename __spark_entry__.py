@@ -44,6 +44,7 @@ from feast_java_old_spark.operators.materialize import (
     latest_per_key_for,
 )
 from feast_java_old_spark.operators.odfv import OnDemandFeatureView, apply_odfv
+from feast_java_old_spark.operators.profile import profile_columns
 from feast_java_old_spark.operators.retrieval import get_online_features
 from feast_java_old_spark.registry.model import (
     Entity,
@@ -2913,6 +2914,214 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx.join(exact, "event_type")
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history build from the events change log: collapse
+    unchanged runs, emit [valid_from, valid_to) versions — the batch
+    point-in-time history construction
+    (operators/features.py:scd2_history)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = features.scd2_history(
+        ev, ["user_id"], ["event_type"], ts_col="ts", id_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "version",
+        "is_current",
+    )
+
+
+SQL_SCD2 = """
+WITH o AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+         lag(event_type) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (SELECT * FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+SELECT user_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER w2) AS valid_to_us,
+       CAST(row_number() OVER w2 AS BIGINT) AS version,
+       (lead(ts) OVER w2) IS NULL AS is_current
+FROM c
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+QBIN_K = 10
+
+
+def q_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization of order totals: exact decile
+    edges from one tiny broadcast aggregate, assignment as a pure
+    projection (operators/features.py:quantile_bin)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("event_id"),
+        F.col("o_totalprice").alias("value"),
+    )
+    return features.quantile_bin(orders, "value", k=QBIN_K, id_col="event_id")
+
+
+_QBIN_PS = ", ".join(str(i / QBIN_K) for i in range(1, QBIN_K))
+
+SQL_QUANTILE_BIN = f"""
+WITH ed AS (SELECT quantile_cont(o_totalprice, [{_QBIN_PS}]) AS qs FROM orders)
+SELECT o_orderkey AS event_id, round(o_totalprice, 6) AS value,
+       CAST(len(list_filter(ed.qs, e -> o_totalprice > round(e, 6))) + 1
+            AS BIGINT) AS bin
+FROM orders, ed
+"""
+
+
+RESAMPLE_START = "2024-01-01 00:00:00"
+RESAMPLE_END = "2024-01-30 00:00:00"
+RESAMPLE_STEP = 6 * 3600
+
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular 6-hour grid per user with forward-filled last
+    observation — single union-window pass, no per-grid-point join
+    (operators/features.py:resample_ffill)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = features.resample_ffill(
+        ev, ["user_id"], RESAMPLE_START, RESAMPLE_END, RESAMPLE_STEP
+    )
+    return out.select(
+        "user_id", F.unix_micros("grid_ts").alias("grid_ts_us"), "value_ffill"
+    )
+
+
+SQL_RESAMPLE = f"""
+WITH keys AS (SELECT DISTINCT user_id FROM events),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(TIMESTAMP '{RESAMPLE_START}',
+                                TIMESTAMP '{RESAMPLE_END}',
+                                INTERVAL {RESAMPLE_STEP} SECONDS)) AS gts
+  FROM keys),
+u AS (
+  SELECT user_id, gts AS ts, NULL::DOUBLE AS v, 1 AS probe,
+         NULL::BIGINT AS id
+  FROM grid
+  UNION ALL
+  SELECT user_id, CAST(ts AS TIMESTAMP), value::DOUBLE, 0, event_id
+  FROM events),
+f AS (
+  SELECT user_id, ts, probe,
+         round(last_value(v IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, probe, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS value_ffill
+  FROM u)
+SELECT user_id, epoch_us(ts) AS grid_ts_us, value_ffill
+FROM f WHERE probe = 1
+"""
+
+
+PROFILE_COLS = ("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the orders table: nulls, exact
+    distincts, min/max, means in long format
+    (operators/profile.py:profile_columns)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(orders, list(PROFILE_COLS))
+
+
+def _sql_profile() -> str:
+    parts = []
+    numeric = {"o_orderkey", "o_totalprice"}
+    for c in PROFILE_COLS:
+        if c in numeric:
+            mins = f"round(CAST(min({c}) AS DOUBLE), 6)"
+            maxs = f"round(CAST(max({c}) AS DOUBLE), 6)"
+            mean = f"round(avg({c}), 6)"
+            smin = "NULL::VARCHAR"
+            smax = "NULL::VARCHAR"
+        else:
+            mins = maxs = mean = "NULL::DOUBLE"
+            smin = f"min(CAST({c} AS VARCHAR))"
+            smax = f"max(CAST({c} AS VARCHAR))"
+        parts.append(
+            f"SELECT '{c}' AS \"column\", count(*) AS n, "
+            f"count(*) - count({c}) AS n_null, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"{mins} AS min_num, {maxs} AS max_num, {mean} AS mean, "
+            f"{smin} AS min_str, {smax} AS max_str FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+BPE_TOP_N = 30
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training step: corpus-wide adjacent character-pair
+    frequencies computed over the aggregated vocabulary, not the raw
+    corpus (operators/text.py:bpe_pair_counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_pair_counts(docs, top_n=BPE_TOP_N)
+
+
+SQL_BPE_PAIRS = f"""
+WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents),
+v AS (SELECT tok, count(*) AS c FROM toks WHERE len(tok) >= 2 GROUP BY tok),
+i AS (SELECT tok, c, unnest(range(1, len(tok))) AS i FROM v),
+p AS (SELECT substring(tok, i, 1) AS l, substring(tok, i + 1, 1) AS r, c
+      FROM i)
+SELECT l AS "left", r AS "right", CAST(sum(c) AS BIGINT) AS pair_count
+FROM p GROUP BY 1, 2
+ORDER BY pair_count DESC, "left", "right" LIMIT {BPE_TOP_N}
+"""
+
+
+LF_DELIM = " merge "
+LF_MIN_WORDS = 4
+LF_BLOCKLIST = ("slow", "clickbait")
+LF_MIN_KEPT = 2
+
+
+def q_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate removal (line = ' merge '-separated
+    segment on this corpus): word-count floor + blocklist screen, docs
+    flagged when fewer than 2 lines survive — one codegen projection
+    (operators/curation.py:line_filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.line_filter(
+        docs,
+        delimiter=LF_DELIM,
+        min_words=LF_MIN_WORDS,
+        require_terminal_punct=False,
+        blocklist=LF_BLOCKLIST,
+        min_kept_lines=LF_MIN_KEPT,
+    )
+
+
+_LF_BLOCK_PRED = " AND ".join(
+    f"NOT contains(lower(x), '{w}')" for w in LF_BLOCKLIST
+)
+
+SQL_LINE_FILTER = f"""
+WITH l AS (SELECT doc_id, string_split(text, '{LF_DELIM}') AS lines
+           FROM documents),
+k AS (SELECT doc_id, lines,
+        list_filter(lines,
+          x -> len(regexp_extract_all(x, '\\S+')) >= {LF_MIN_WORDS}
+               AND {_LF_BLOCK_PRED}) AS kl
+      FROM l)
+SELECT doc_id, array_to_string(kl, '{LF_DELIM}') AS text,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kl) AS BIGINT) AS n_kept,
+       len(kl) >= {LF_MIN_KEPT} AS kept
+FROM k
+"""
+
+
 # ---------------------------------------------------------------- the contract
 
 
@@ -2999,6 +3208,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "winsorize": q_winsorize,
         "chunk_documents": q_chunk_documents,
+        "scd2_history": q_scd2_history,
+        "quantile_bin": q_quantile_bin,
+        "resample_ffill": q_resample_ffill,
+        "profile_columns": q_profile_columns,
+        "bpe_pairs": q_bpe_pairs,
+        "line_filter": q_line_filter,
     }
 
 
@@ -3078,6 +3293,12 @@ def oracle_sql() -> dict[str, str]:
         "target_encode": SQL_TARGET_ENCODE,
         "winsorize": SQL_WINSORIZE,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
+        "scd2_history": SQL_SCD2,
+        "quantile_bin": SQL_QUANTILE_BIN,
+        "resample_ffill": SQL_RESAMPLE,
+        "profile_columns": _sql_profile(),
+        "bpe_pairs": SQL_BPE_PAIRS,
+        "line_filter": SQL_LINE_FILTER,
         # sketch_distinct: rows-only by design (HLL estimates are not
         # cross-engine reproducible; see q_sketch_distinct docstring)
     }

@@ -86,6 +86,12 @@ HEADLINE = [
     "target_encode",
     "winsorize",
     "chunk_documents",
+    "scd2_history",
+    "quantile_bin",
+    "resample_ffill",
+    "profile_columns",
+    "bpe_pairs",
+    "line_filter",
 ]
 
 
