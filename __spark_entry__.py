@@ -40,6 +40,7 @@ from feast_java_old_spark.operators.historical import (
     get_training_dataset,
 )
 from feast_java_old_spark.operators.materialize import (
+    apply_cdc,
     latest_per_key,
     latest_per_key_for,
 )
@@ -3122,6 +3123,134 @@ FROM k
 """
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log collapse with delete tombstones: latest (ts, seq) op per
+    key wins; a winning delete removes the key — the online-store
+    upsert rule extended with the KV stores' DEL half
+    (operators/materialize.py:apply_cdc). Ops are derived
+    deterministically from event ids to turn the events table into a
+    change log."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+        F.col("event_id").alias("seq"),
+        F.expr(
+            "CASE WHEN event_id % 10 = 0 THEN 'D' "
+            "WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END"
+        ).alias("op"),
+        F.round("value", 6).alias("value"),
+    )
+    out = apply_cdc(ev, ["user_id"], ts_col="event_timestamp", seq_col="seq")
+    return out.select(
+        "user_id",
+        F.unix_micros("event_timestamp").alias("ts_us"),
+        "seq",
+        "value",
+    )
+
+
+SQL_CDC_APPLY = """
+WITH c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE WHEN event_id % 10 = 0 THEN 'D'
+              WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op,
+         round(value, 6) AS value
+  FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC) AS rn FROM c)
+SELECT user_id, epoch_us(ts) AS ts_us, event_id AS seq, value
+FROM r WHERE rn = 1 AND op != 'D'
+"""
+
+
+def q_normalize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score / min-max / percent-rank scaling in one window
+    pass — one exchange, the moments never materialize as a joined
+    table (operators/features.py:normalize_features)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    return features.normalize_features(ev, ["event_type"])
+
+
+SQL_NORMALIZE = """
+SELECT event_type, event_id, round(value, 6) AS value,
+       round(CASE WHEN stddev_samp(value) OVER w > 0
+             THEN (value - avg(value) OVER w) / (stddev_samp(value) OVER w)
+             END, 6) AS zscore,
+       round(CASE WHEN max(value) OVER w > min(value) OVER w
+             THEN (value - min(value) OVER w)
+                  / (max(value) OVER w - min(value) OVER w)
+             END, 6) AS minmax,
+       round(percent_rank() OVER
+             (PARTITION BY event_type ORDER BY value), 6) AS pct_rank
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+"""
+
+
+FUNNEL_STAGES = ("signup", "view", "purchase")
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel (signup → view → purchase) per
+    user: single scan, single aggregate-sized shuffle, stage walk as a
+    JVM fold over each user's sorted stage events
+    (operators/features.py:funnel)."""
+    ev = load_table(spark, sf_dir, "events")
+    return features.funnel(ev, ["user_id"], list(FUNNEL_STAGES))
+
+
+SQL_FUNNEL = f"""
+WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                  event_type FROM events
+           WHERE event_type IN ('signup', 'view', 'purchase')),
+t1 AS (SELECT user_id, min(ts_us) AS ts_1_us FROM e
+       WHERE event_type = 'signup' GROUP BY user_id),
+t2 AS (SELECT e.user_id, min(ts_us) AS ts_2_us
+       FROM e JOIN t1 ON e.user_id = t1.user_id
+       WHERE event_type = 'view' AND ts_us > ts_1_us GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, min(ts_us) AS ts_3_us
+       FROM e JOIN t2 ON e.user_id = t2.user_id
+       WHERE event_type = 'purchase' AND ts_us > ts_2_us
+       GROUP BY e.user_id)
+SELECT u.user_id, t1.ts_1_us, t2.ts_2_us, t3.ts_3_us,
+       CAST((t1.user_id IS NOT NULL)::INT + (t2.user_id IS NOT NULL)::INT
+            + (t3.user_id IS NOT NULL)::INT AS BIGINT) AS stages_reached
+FROM (SELECT DISTINCT user_id FROM e) u
+LEFT JOIN t1 USING (user_id)
+LEFT JOIN t2 USING (user_id)
+LEFT JOIN t3 USING (user_id)
+"""
+
+
+COHORT_DAYS = 7
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by
+    first-event period, distinct-counted per period offset
+    (operators/features.py:cohort_retention)."""
+    ev = load_table(spark, sf_dir, "events")
+    return features.cohort_retention(ev, ["user_id"], period_days=COHORT_DAYS)
+
+
+SQL_COHORT = f"""
+WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+           FROM events),
+f AS (SELECT user_id, min(ts_us) AS first_us FROM e GROUP BY user_id),
+j AS (SELECT e.user_id,
+             CAST(e.ts_us // {COHORT_DAYS * 86400 * 1_000_000} AS BIGINT)
+               AS p,
+             CAST(f.first_us // {COHORT_DAYS * 86400 * 1_000_000} AS BIGINT)
+               AS fp
+      FROM e JOIN f ON e.user_id = f.user_id)
+SELECT fp AS cohort_period, p - fp AS period_offset,
+       count(DISTINCT user_id) AS n_active
+FROM j GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------- the contract
 
 
@@ -3214,6 +3343,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_columns": q_profile_columns,
         "bpe_pairs": q_bpe_pairs,
         "line_filter": q_line_filter,
+        "cdc_apply": q_cdc_apply,
+        "normalize_features": q_normalize_features,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -3299,6 +3432,10 @@ def oracle_sql() -> dict[str, str]:
         "profile_columns": _sql_profile(),
         "bpe_pairs": SQL_BPE_PAIRS,
         "line_filter": SQL_LINE_FILTER,
+        "cdc_apply": SQL_CDC_APPLY,
+        "normalize_features": SQL_NORMALIZE,
+        "funnel": SQL_FUNNEL,
+        "cohort_retention": SQL_COHORT,
         # sketch_distinct: rows-only by design (HLL estimates are not
         # cross-engine reproducible; see q_sketch_distinct docstring)
     }

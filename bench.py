@@ -92,6 +92,10 @@ HEADLINE = [
     "profile_columns",
     "bpe_pairs",
     "line_filter",
+    "cdc_apply",
+    "normalize_features",
+    "funnel",
+    "cohort_retention",
 ]
 
 

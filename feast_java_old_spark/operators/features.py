@@ -485,3 +485,151 @@ def resample_ffill(
         .where(F.col("__probe") == 1)
         .select(*keys, F.col("__ts").alias("grid_ts"), "value_ffill")
     )
+
+
+def normalize_features(
+    df: DataFrame,
+    keys: list[str],
+    col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-group feature scaling in one pass: z-score (sample stddev),
+    min-max, and percent rank — the three standard normalizations
+    applied before training, each computed against the row's own
+    group.
+
+    Plan shape: two window specs over the SAME partitioning (an
+    unordered unbounded frame for the moments, an ordered one for
+    percent_rank) — ONE hash exchange, one sort; the group moments are
+    never materialized as a separate joined table. Ties in
+    ``percent_rank`` share a rank (SQL standard), so the output is
+    deterministic without an id tiebreak; z-score and min-max guard
+    zero-variance groups with NULL.
+    """
+    from pyspark.sql.window import Window
+
+    wg = Window.partitionBy(*keys)
+    wo = Window.partitionBy(*keys).orderBy(F.col(col))
+    v = F.col(col)
+    mean = F.avg(v).over(wg)
+    sd = F.stddev_samp(v).over(wg)
+    mn = F.min(v).over(wg)
+    mx = F.max(v).over(wg)
+    return df.select(
+        *keys,
+        F.col(id_col),
+        F.round(v, 6).alias("value"),
+        F.round(
+            F.when(sd > 0, (v - mean) / sd), 6
+        ).alias("zscore"),
+        F.round(
+            F.when(mx > mn, (v - mn) / (mx - mn)), 6
+        ).alias("minmax"),
+        F.round(F.percent_rank().over(wo), 6).alias("pct_rank"),
+    )
+
+
+def funnel(
+    df: DataFrame,
+    keys: list[str],
+    stages: list[str],
+    stage_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strict-order funnel analysis: per key, the first time each stage
+    was reached with every prior stage strictly earlier —
+    ``stage k`` counts only at a timestamp strictly after ``stage k-1``
+    was first reached (the product-analytics conversion query;
+    analytics engines ship it as a MATCH_RECOGNIZE / windowFunnel
+    special form).
+
+    Plan shape: ONE scan and ONE aggregate-sized shuffle for any number
+    of stages. Events outside the stage list are filtered before the
+    shuffle; each key's stage events are gathered with
+    ``sort_array(collect_list(struct(ts, stage)))`` — state bounded by
+    that key's *stage* events only — and the strict-order walk is a
+    single JVM ``aggregate`` fold over the sorted list, not a per-stage
+    self-join (k-1 joins) or k sequential aggregates.
+
+    Emits per key: ``ts_<i>_us`` per stage (unix µs, NULL once the
+    funnel broke) and ``stages_reached``.
+    """
+    stage_idx = {s: i for i, s in enumerate(stages)}
+    k = len(stages)
+    evs = df.where(F.col(stage_col).isin(stages)).select(
+        *keys,
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        F.col(stage_col).alias("__stage"),
+    )
+    gathered = evs.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__ts_us"), F.col("__stage")))
+        ).alias("__evs")
+    )
+    # Fold state: array<bigint> of length k, t[i] = first valid ts of
+    # stage i (null until reached). Stage 0 takes its first event;
+    # stage i takes the first event strictly after t[i-1].
+    idx_expr = "CASE " + " ".join(
+        f"WHEN x.__stage = '{s}' THEN {i}" for s, i in stage_idx.items()
+    ) + " END"
+    fold = f"""
+    aggregate(
+      __evs,
+      CAST(array({", ".join(["NULL"] * k)}) AS array<bigint>),
+      (acc, x) -> (
+        CASE
+          WHEN acc[{idx_expr}] IS NOT NULL THEN acc
+          WHEN {idx_expr} = 0
+            THEN concat(array(x.__ts_us), slice(acc, 2, {k - 1}))
+          WHEN acc[{idx_expr} - 1] IS NOT NULL
+               AND x.__ts_us > acc[{idx_expr} - 1]
+            THEN concat(slice(acc, 1, {idx_expr}),
+                        array(x.__ts_us),
+                        slice(acc, {idx_expr} + 2, {k}))
+          ELSE acc
+        END))
+    """
+    out = gathered.select(*keys, F.expr(fold).alias("__t"))
+    return out.select(
+        *keys,
+        *[
+            F.element_at(F.col("__t"), i + 1).alias(f"ts_{i + 1}_us")
+            for i in range(k)
+        ],
+        F.size(F.filter(F.col("__t"), lambda t: t.isNotNull()))
+        .cast("long")
+        .alias("stages_reached"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the period of their
+    first event (the cohort), counted distinct in each later period
+    offset — the standard growth-analytics triangle.
+
+    Plan shape: the per-user first-event aggregate is user-sized
+    (map-side combined); joining it back to events shuffles only
+    ``(user, ts)`` scalars on the user key (at 100 TB the user-cohort
+    table usually broadcasts instead — same semantics, zero wide
+    shuffle); the final (cohort, offset) distinct-count is a
+    grouping-sized aggregate. Periods are fixed ``period_days`` windows
+    from the global epoch (date_trunc-stable across engines).
+    """
+    period_us = period_days * 86400 * 1_000_000
+    ev = df.select(*keys, F.unix_micros(F.col(ts_col)).alias("__ts_us"))
+    first = ev.groupBy(*keys).agg(F.min("__ts_us").alias("__first_us"))
+    joined = ev.join(F.broadcast(first), on=keys)
+    cohort = F.floor(F.col("__first_us") / period_us).cast("long")
+    offset = (
+        F.floor(F.col("__ts_us") / period_us) - F.floor(F.col("__first_us") / period_us)
+    ).cast("long")
+    return (
+        joined.select(*keys, cohort.alias("cohort_period"), offset.alias("period_offset"))
+        .groupBy("cohort_period", "period_offset")
+        .agg(F.count_distinct(*[F.col(c) for c in keys]).alias("n_active"))
+    )

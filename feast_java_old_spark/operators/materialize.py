@@ -409,3 +409,43 @@ def key_skew_stats(
         "x_mean",
         F.col("n_distinct_keys").cast("long").alias("n_distinct_keys"),
     )
+
+
+def apply_cdc(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_timestamp",
+    seq_col: Optional[str] = None,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Collapse a change-data-capture log (insert/update/delete rows) to
+    the final table state: per key, the row with the greatest
+    ``(ts, seq)`` wins; if that winning operation is a delete tombstone
+    the key is absent from the output.
+
+    This extends :func:`latest_per_key` (A1 latest-wins — the
+    reference's online-store upsert rule per FeatureRowDecoder) with the
+    delete half of the contract the KV stores handle natively (a Redis
+    DEL / BigTable row deletion): tombstones ride the SAME
+    ``max(struct)`` aggregate, so deletes cost nothing extra — one
+    aggregate-sized shuffle with map-side combine, the payload crossing
+    the wire once per (key, task). Feeding the output through
+    ``merge_latest_batch`` materializes the post-CDC online table.
+    """
+    value_cols = [c for c in df.columns if c not in keys]
+    order_cols = [ts_col] + ([seq_col] if seq_col and seq_col in df.columns else [])
+    rest = [c for c in value_cols if c not in order_cols]
+    packed = F.max(F.struct(*order_cols, *rest)).alias("__last")
+    out = df.groupBy(*keys).agg(packed)
+    return (
+        out.where(F.col(f"__last.{op_col}") != F.lit(delete_op))
+        .select(
+            *keys,
+            *[
+                F.col(f"__last.{c}").alias(c)
+                for c in value_cols
+                if c != op_col
+            ],
+        )
+    )
