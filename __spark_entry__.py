@@ -3251,6 +3251,74 @@ FROM j GROUP BY 1, 2
 """
 
 
+ZORDER_BITS = 8
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-day):
+    min/max scale each dimension to 8 bits from one broadcast
+    aggregate, then interleave bits with pure shift/mask codegen — the
+    sort key behind multi-dimensional file skipping
+    (operators/layout.py). The full layout rewrite
+    (``layout_zorder``) adds only a range exchange on this key."""
+    from feast_java_old_spark.operators.layout import (
+        interleave_bits,
+        zorder_scale,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("__x"),
+        (F.unix_micros("o_orderdate") / F.lit(86400_000_000))
+        .cast("long")
+        .alias("__y"),
+    )
+    mm = orders.agg(
+        F.min("__x").alias("__lo_x"),
+        F.max("__x").alias("__hi_x"),
+        F.min("__y").alias("__lo_y"),
+        F.max("__y").alias("__hi_y"),
+    )
+    scaled = orders.crossJoin(F.broadcast(mm))
+    z = interleave_bits(
+        [
+            zorder_scale(F.col("__x"), F.col("__lo_x"), F.col("__hi_x"), ZORDER_BITS),
+            zorder_scale(F.col("__y"), F.col("__lo_y"), F.col("__hi_y"), ZORDER_BITS),
+        ],
+        ZORDER_BITS,
+    )
+    return scaled.select("o_orderkey", z.alias("z"))
+
+
+def _sql_zorder() -> str:
+    b = ZORDER_BITS
+    top = (1 << b) - 1
+
+    def scale(x, lo, hi):
+        return (
+            f"CASE WHEN ({hi} - {lo}) > 0 THEN "
+            f"least(CAST(floor((CAST({x} AS DOUBLE) - {lo}) / ({hi} - {lo})"
+            f" * {top + 1}) AS BIGINT), {top}) ELSE 0 END"
+        )
+
+    terms = []
+    for j, s in enumerate(("sx", "sy")):
+        for i in range(b):
+            terms.append(f"((({s} >> {i}) & 1) << {i * 2 + j})")
+    return f"""
+WITH o AS (SELECT o_orderkey, o_custkey AS x,
+                  epoch_us(o_orderdate) // 86400000000 AS y FROM orders),
+mm AS (SELECT CAST(min(x) AS DOUBLE) AS lox, CAST(max(x) AS DOUBLE) AS hix,
+              CAST(min(y) AS DOUBLE) AS loy, CAST(max(y) AS DOUBLE) AS hiy
+       FROM o),
+s AS (SELECT o_orderkey,
+             {scale("x", "mm.lox", "mm.hix")} AS sx,
+             {scale("y", "mm.loy", "mm.hiy")} AS sy
+      FROM o, mm)
+SELECT o_orderkey, CAST({" + ".join(terms)} AS BIGINT) AS z FROM s
+"""
+
+
 # ---------------------------------------------------------------- the contract
 
 
@@ -3347,6 +3415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_features": q_normalize_features,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "zorder_key": q_zorder_key,
     }
 
 
@@ -3436,6 +3505,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_features": SQL_NORMALIZE,
         "funnel": SQL_FUNNEL,
         "cohort_retention": SQL_COHORT,
+        "zorder_key": _sql_zorder(),
         # sketch_distinct: rows-only by design (HLL estimates are not
         # cross-engine reproducible; see q_sketch_distinct docstring)
     }

@@ -96,6 +96,7 @@ HEADLINE = [
     "normalize_features",
     "funnel",
     "cohort_retention",
+    "zorder_key",
 ]
 
 
