@@ -95,6 +95,15 @@ def merge_latest_batch(
         if current is not None
         else batch_latest
     )
+    _write_version(merged, path, keys, batch_id)
+
+
+def _write_version(
+    merged: DataFrame, path: str, keys: Sequence[str], batch_id: int
+) -> None:
+    """Key-clustered parquet write of one online-table version + atomic
+    pointer flip + old-version GC (shared by the upsert and CDC
+    merges)."""
     os.makedirs(path, exist_ok=True)
     vname = f"v{batch_id:012d}"
     vdir = os.path.join(path, vname)
@@ -108,6 +117,84 @@ def merge_latest_batch(
     for d in os.listdir(path):
         if d.startswith("v") and d != vname and os.path.isdir(os.path.join(path, d)):
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
+def merge_cdc_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    batch_id: int,
+    event_ts_col: str = "event_timestamp",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> None:
+    """CDC-aware merge of one micro-batch: latest ``(ts, seq)`` op per
+    key wins across {current state} ∪ {batch}; a winning delete
+    tombstone REMOVES the key from the online table (the streaming form
+    of ``operators/materialize.apply_cdc`` — the reference's KV stores
+    take these as DEL commands on the ingestion path).
+
+    Existing state rows participate as upserts; a tombstone older than
+    the current row therefore loses, so late deletes cannot regress
+    newer state — same commutative/idempotent latest-wins contract as
+    :func:`merge_latest_batch`, which is what makes foreachBatch's
+    at-least-once delivery effectively exactly-once.
+    """
+    keys = list(keys)
+    value_cols = [c for c in batch.columns if c not in keys]
+    order_cols = [event_ts_col, seq_col]
+    rest = [c for c in value_cols if c not in order_cols]
+    def top(df: DataFrame) -> DataFrame:
+        packed = F.max(F.struct(*order_cols, *rest)).alias("__top")
+        return df.groupBy(*keys).agg(packed).select(
+            *keys, *[F.col(f"__top.{c}").alias(c) for c in value_cols]
+        )
+    batch_top = top(batch)
+    current = read_online_table(spark, path)
+    if current is not None:
+        current = current.withColumn(op_col, F.lit("I"))
+        merged = top(current.unionByName(batch_top, allowMissingColumns=True))
+    else:
+        merged = batch_top
+    merged = merged.where(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+    _write_version(merged, path, keys, batch_id)
+
+
+def stream_apply_cdc(
+    spark: SparkSession,
+    stream: DataFrame,
+    store_path: str,
+    table_name: str,
+    keys: Sequence[str],
+    project: str = "default",
+    event_ts_col: str = "event_timestamp",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    watermark: str = "1 hour",
+    checkpoint: Optional[str] = None,
+    trigger_once: bool = False,
+):
+    """Streaming CDC materialization: every micro-batch of I/U/D change
+    rows folds into the online table via :func:`merge_cdc_batch`.
+    Returns the StreamingQuery."""
+    path = online_table_path(store_path, project, table_name)
+    wm = stream.withWatermark(event_ts_col, watermark)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merge_cdc_batch(
+            spark, batch, path, keys, batch_id, event_ts_col, seq_col, op_col
+        )
+
+    writer = wm.writeStream.foreachBatch(sink).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_materialize(

@@ -530,3 +530,68 @@ def test_stream_stream_join_bounded_lag(spark, tmp_path):
         assert {(r.ad_id, r.slot, r.cost) for r in rows} == {(1, "top", 0.5)}
     finally:
         q.stop()
+
+
+def _write_cdc_batch(spark, src_dir, rows, n):
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_timestamp timestamp, seq long, op string, "
+        "value double",
+    )
+    df.coalesce(1).write.mode("append").parquet(src_dir)
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        files = [f for f in os.listdir(src_dir) if f.endswith(".parquet")]
+        if len(files) >= n:
+            return
+        time.sleep(0.2)
+
+
+def test_stream_apply_cdc_tombstones_and_late_deletes(spark, tmp_path):
+    from feast_java_old_spark.streaming.ingest import stream_apply_cdc
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    _write_cdc_batch(
+        spark, src,
+        [(1, t(10), 1, "I", 1.0), (2, t(10), 2, "I", 2.0)], 1,
+    )
+    stream = spark.readStream.schema(
+        "user_id long, event_timestamp timestamp, seq long, op string, "
+        "value double"
+    ).parquet(src)
+    q = stream_apply_cdc(
+        spark, stream, store, "user_cdc", ["user_id"],
+        checkpoint=ckpt, watermark="2 hours",
+    )
+    path = online_table_path(store, "default", "user_cdc")
+    try:
+        df = _run_until(q, path, spark, lambda d: d.count() == 2)
+
+        # batch 2: delete user 1; update user 2
+        _write_cdc_batch(
+            spark, src,
+            [(1, t(20), 3, "D", None), (2, t(20), 4, "U", 20.0)], 2,
+        )
+        df = _run_until(
+            q, path, spark,
+            lambda d: {r.user_id: r.value for r in d.collect()} == {2: 20.0},
+        )
+        assert "op" not in df.columns
+
+        # batch 3: LATE delete for user 2 (older than current) must lose;
+        # re-insert user 1 after its delete
+        _write_cdc_batch(
+            spark, src,
+            [(2, t(5), 5, "D", None), (1, t(30), 6, "I", 11.0)], 3,
+        )
+        df = _run_until(
+            q, path, spark,
+            lambda d: {r.user_id: r.value for r in d.collect()}
+            == {1: 11.0, 2: 20.0},
+        )
+    finally:
+        q.stop()
