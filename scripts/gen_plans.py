@@ -36,6 +36,12 @@ PICKS = [
     ("bm25_search", "BM25: doc length rides the postings aggregate as a grouping key (no per-doc join); the term filter sits BELOW the partial agg so only query-term postings shuffle; df is a count window over the query-sized postings; corpus stats broadcast as one row."),
     ("skew_join", "Salted join: the fact side carries a deterministic hash salt, the dimension replicates via explode(sequence) — hot keys fan out over `salt` reducers; result provably equals the unsalted join (the oracle computes the unsalted form)."),
     ("winsorize", "Percentile clipping: exact per-group bounds aggregate broadcasts back into a clip projection — the raw rows never shuffle."),
+    ("scd2_history", "SCD2 history build: change-detect lag and interval lead share ONE hash exchange on the entity key (Catalyst reuses the partitioning across both Window ops); the shuffle is the theoretical minimum for data-dependent intervals."),
+    ("funnel", "Strict-order funnel: stage events filter BEFORE the shuffle, gather per key via sort_array(collect_list), and the stage walk is a single JVM aggregate fold — one scan, one aggregate-sized shuffle for any stage count (no per-stage self-joins)."),
+    ("quantile_bin", "Equal-frequency binning: k-1 exact percentile edges form a 1-row broadcast; bin assignment is a pure projection — the data rows NEVER hash-shuffle."),
+    ("resample_ffill", "Grid resample + forward fill: grid probes are generated from the per-key presence aggregate (sequence/explode — no driver loop), unioned with events into ONE window pass keyed by entity; last(ignorenulls) carries state in a single sorted scan."),
+    ("normalize_features", "Per-group scaling: moments (unordered frame) and percent_rank (ordered frame) share one hash exchange — the group statistics never materialize as a joined table."),
+    ("zorder_key", "Z-order clustering key: min/max 1-row broadcast + pure shift/mask codegen projection; the full layout rewrite adds only a range exchange on this key."),
 ]
 
 out = io.StringIO()

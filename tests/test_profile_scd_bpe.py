@@ -239,3 +239,36 @@ def test_line_filter_custom_delimiter_no_punct(spark):
     ).collect()[0]
     assert (r.n_lines, r.n_kept) == (3, 2)
     assert r.text == "one two three | four five six seven"
+
+
+# ------------------------------------------------- plan-shape gates
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_funnel_single_shuffle_plan(spark):
+    df = spark.createDataFrame(
+        [(1, ts(0), "a")], "user_id long, ts timestamp, event_type string"
+    )
+    plan = _plan(features.funnel(df, ["user_id"], ["a", "b"]))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_quantile_bin_data_never_hash_shuffles(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "event_id long, value double"
+    )
+    plan = _plan(features.quantile_bin(df, "value", k=4))
+    # edges reduce through a single-partition aggregate; the data rows
+    # themselves go scan -> broadcast join -> projection, no hash exchange
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_scd2_single_exchange_plan(spark, change_log):
+    plan = _plan(
+        features.scd2_history(change_log, ["user_id"], ["status"])
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
