@@ -3319,6 +3319,76 @@ SELECT o_orderkey, CAST({" + ".join(terms)} AS BIGINT) AS z FROM s
 """
 
 
+SNAPSHOT_AT = "2024-01-20 00:00:00"
+
+
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read: reconstruct each user's state as of Jan 20 from
+    the SCD2 history — a pure validity-interval filter over
+    scd2_history (operators/features.py:snapshot_at)."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = features.scd2_history(
+        ev, ["user_id"], ["event_type"], ts_col="ts", id_col="event_id"
+    )
+    return features.snapshot_at(hist, SNAPSHOT_AT).select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        "version",
+    )
+
+
+SQL_SCD2_SNAPSHOT = f"""
+WITH o AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+         lag(event_type) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (SELECT * FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+h AS (SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER w2 AS valid_to,
+             CAST(row_number() OVER w2 AS BIGINT) AS version
+      FROM c
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_type, epoch_us(valid_from) AS valid_from_us, version
+FROM h
+WHERE valid_from <= TIMESTAMP '{SNAPSHOT_AT}'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '{SNAPSHOT_AT}')
+"""
+
+
+ENCODE_VOCAB = 50
+
+
+def q_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding (the tokenize step before training):
+    frequency-ranked top-50 vocab, broadcast id lookup, order-preserving
+    reassembly with OOV → 0
+    (operators/text.py:build_vocab/encode_tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = text.build_vocab(docs, vocab_size=ENCODE_VOCAB)
+    return text.encode_tokens(docs, vocab, unk_id=0)
+
+
+SQL_TOKEN_ENCODE = f"""
+WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents),
+vc AS (SELECT tok, count(*) AS c FROM toks WHERE len(tok) > 0 GROUP BY tok
+       ORDER BY c DESC, tok LIMIT {ENCODE_VOCAB}),
+v AS (SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT)
+             AS tid FROM vc),
+m AS (SELECT map(list(tok), list(tid)) AS mm FROM v),
+e AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> len(t) > 0)
+               AS ts
+      FROM documents)
+SELECT doc_id, [CAST(coalesce(mm[t][1], 0) AS BIGINT) FOR t IN ts]
+         AS token_ids
+FROM e, m
+"""
+
+
 # ---------------------------------------------------------------- the contract
 
 
@@ -3416,6 +3486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "zorder_key": q_zorder_key,
+        "scd2_snapshot": q_scd2_snapshot,
+        "token_encode": q_token_encode,
     }
 
 
@@ -3506,6 +3578,8 @@ def oracle_sql() -> dict[str, str]:
         "funnel": SQL_FUNNEL,
         "cohort_retention": SQL_COHORT,
         "zorder_key": _sql_zorder(),
+        "scd2_snapshot": SQL_SCD2_SNAPSHOT,
+        "token_encode": SQL_TOKEN_ENCODE,
         # sketch_distinct: rows-only by design (HLL estimates are not
         # cross-engine reproducible; see q_sketch_distinct docstring)
     }

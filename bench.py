@@ -97,6 +97,8 @@ HEADLINE = [
     "funnel",
     "cohort_retention",
     "zorder_key",
+    "scd2_snapshot",
+    "token_encode",
 ]
 
 

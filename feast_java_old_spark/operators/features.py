@@ -633,3 +633,23 @@ def cohort_retention(
         .groupBy("cohort_period", "period_offset")
         .agg(F.count_distinct(*[F.col(c) for c in keys]).alias("n_active"))
     )
+
+
+def snapshot_at(
+    history: DataFrame,
+    at_ts: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Time-travel read of a :func:`scd2_history` table: the row version
+    valid at ``at_ts`` per key — ``valid_from <= t < valid_to`` with an
+    open-ended current version. A pure filter (partition- and
+    stats-prunable at the scan when the history is stored partitioned
+    by ``valid_from``); reconstructing any past online-store state is
+    this filter plus nothing.
+    """
+    t = F.lit(at_ts).cast("timestamp")
+    return history.where(
+        (F.col(from_col) <= t)
+        & (F.col(to_col).isNull() | (F.col(to_col) > t))
+    )

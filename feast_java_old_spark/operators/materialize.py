@@ -449,3 +449,23 @@ def apply_cdc(
             ],
         )
     )
+
+
+def forget_keys(
+    df: DataFrame,
+    forget: DataFrame,
+    keys: list[str],
+    broadcast_forget: bool = True,
+) -> DataFrame:
+    """Right-to-erasure propagation: drop every row of ``df`` whose key
+    appears in the ``forget`` list — an anti join, broadcast when the
+    forget set is small (the overwhelmingly common case), shuffled for
+    bulk purges. Rewriting an online table or corpus through this and
+    re-materializing is the batch half of GDPR deletion; the streaming
+    half is a delete tombstone per forgotten key through
+    ``streaming.ingest.stream_apply_cdc``.
+    """
+    f = forget.select(*keys).dropDuplicates(keys)
+    if broadcast_forget:
+        f = F.broadcast(f)
+    return df.join(f, on=keys, how="left_anti")

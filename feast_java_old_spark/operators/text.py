@@ -510,3 +510,70 @@ def bpe_apply_merge(
         "ELSE concat(acc, array(x)) END)"
     ).format(col=symbols_col, l=left, r=right, m=merged)
     return df.withColumn(symbols_col, F.expr(fold))
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Frequency-ranked token vocabulary: ``(token, token_id)`` with
+    id 1..vocab_size by descending count (ties lexicographic — fully
+    deterministic). One aggregate-sized shuffle + a distributed top-k;
+    the rank window runs over the top-k result only (vocab-sized, one
+    partition is fine by construction).
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .where(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(vocab_size)
+    )
+    w = Window.orderBy(F.desc("cnt"), "token")
+    return counts.select(
+        "token", F.row_number().over(w).cast("long").alias("token_id")
+    )
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = 0,
+) -> DataFrame:
+    """Token → id encoding against a broadcast vocabulary (the final
+    tokenize step before training): emits ``(id, token_ids)`` with
+    out-of-vocabulary tokens mapped to ``unk_id``, order preserved.
+
+    Plan shape: posexplode (text drops at the explode), broadcast hash
+    join against the vocab (no shuffle to look ids up), then ONE hash
+    exchange on the doc id to reassemble —
+    ``array_sort`` + ``transform`` restore token order from the carried
+    position, so the aggregate needs no sort of its own.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "token"),
+    ).where(F.length("token") > 0)
+    joined = toks.join(F.broadcast(vocab), on="token", how="left").select(
+        id_col,
+        "__pos",
+        F.coalesce(F.col("token_id"), F.lit(unk_id)).alias("__tid"),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__tid")))
+                ),
+                lambda s: s["__tid"],
+            ).alias("token_ids")
+        )
+        .select(id_col, "token_ids")
+    )
