@@ -3389,6 +3389,25 @@ FROM e, m
 """
 
 
+HH_K = 10
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory top-k frequent values: per-partition Misra-Gries
+    candidate pass (Arrow-batched, m counters of state) + exact
+    candidate recount — equals the exact GROUP BY top-k whenever the
+    k-th hitter clears n/(m+1) (operators/sketches.py:heavy_hitters).
+    The oracle computes the plain exact form."""
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.heavy_hitters(ev, "user_id", k=HH_K, m=256)
+
+
+SQL_HEAVY_HITTERS = f"""
+SELECT user_id, count(*) AS cnt FROM events
+GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT {HH_K}
+"""
+
+
 # ---------------------------------------------------------------- the contract
 
 
@@ -3488,6 +3507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "scd2_snapshot": q_scd2_snapshot,
         "token_encode": q_token_encode,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -3580,6 +3600,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_key": _sql_zorder(),
         "scd2_snapshot": SQL_SCD2_SNAPSHOT,
         "token_encode": SQL_TOKEN_ENCODE,
+        "heavy_hitters": SQL_HEAVY_HITTERS,
         # sketch_distinct: rows-only by design (HLL estimates are not
         # cross-engine reproducible; see q_sketch_distinct docstring)
     }

@@ -99,6 +99,7 @@ HEADLINE = [
     "zorder_key",
     "scd2_snapshot",
     "token_encode",
+    "heavy_hitters",
 ]
 
 

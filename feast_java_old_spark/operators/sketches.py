@@ -73,3 +73,73 @@ def approx_quantiles(
             "quantiles"
         )
     )
+
+
+def _misra_gries_batches(col: str, m: int):
+    """mapInPandas kernel: fold each partition's Arrow batches through
+    one Misra-Gries summary of at most ``m`` counters, emitting the
+    surviving (item, weight) rows when the partition ends."""
+
+    def fold(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf.groupby(col, sort=False, dropna=True)[col].count().items():
+                c = int(c)
+                if v in counters:
+                    counters[v] += c
+                elif len(counters) < m:
+                    counters[v] = c
+                else:
+                    # decrement-all by the smallest count we absorb
+                    dec = min(c, min(counters.values()))
+                    counters = {
+                        k: n - dec for k, n in counters.items() if n > dec
+                    }
+                    if c > dec:
+                        counters[v] = c - dec
+        yield pd.DataFrame(
+            {col: list(counters.keys()), "__w": list(counters.values())}
+        )
+
+    return fold
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    m: int = 256,
+) -> DataFrame:
+    """Top-k most frequent values with EXACT counts, at bounded memory:
+    a per-partition Misra-Gries pass (``m`` counters of state, Arrow
+    batched — never a per-partition distinct) nominates candidates,
+    then one conditional aggregate recounts ONLY the candidates
+    exactly, and the top-k of those is returned.
+
+    Guarantee: any value with global frequency > n/(m+1) must exceed
+    its share in at least one partition and therefore survives that
+    partition's summary — so with ``m`` sized such that the true k-th
+    heavy hitter clears n/(m+1), the result equals the exact
+    ``GROUP BY`` top-k while shuffling at most ``partitions × m``
+    candidate rows plus one aggregate. This is the 100 TB shape for
+    "top URLs / top tokens / hottest keys" where the exact two-level
+    aggregate's (partition, value) explosion won't fit.
+    """
+    from pyspark.sql import functions as F
+
+    src = df.select(col).where(F.col(col).isNotNull())
+    schema = f"`{col}` {src.schema[col].dataType.simpleString()}, __w long"
+    cand = (
+        src.mapInPandas(_misra_gries_batches(col, m), schema=schema)
+        .groupBy(col)
+        .agg(F.sum("__w").alias("__w"))
+        .select(col)
+    )
+    exact = (
+        src.join(F.broadcast(cand), on=col, how="left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return exact.orderBy(F.desc("cnt"), col).limit(k)

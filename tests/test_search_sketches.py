@@ -184,3 +184,28 @@ def test_chunk_documents_overlap_and_clamp(spark):
     r = out[1][0]
     import hashlib
     assert r.chunk_fingerprint == hashlib.md5(b"a b c").hexdigest()
+
+
+def test_heavy_hitters_exact_on_skewed_data(spark):
+    from feast_java_old_spark.operators.sketches import heavy_hitters
+
+    # zipf-ish: value v appears ~ N/v times; plus a uniform tail
+    rows = [(v,) for v in range(1, 30) for _ in range(3000 // v)]
+    rows += [(1000 + i % 500,) for i in range(2000)]
+    df = spark.createDataFrame(rows, "item long").repartition(8)
+
+    exact = (
+        df.groupBy("item").count()
+        .orderBy(F.desc("count"), "item").limit(10).collect()
+    )
+    got = heavy_hitters(df, "item", k=10, m=64).collect()
+    assert [(r.item, r.cnt) for r in got] == [(r.item, r["count"]) for r in exact]
+
+
+def test_heavy_hitters_small_m_still_finds_dominators(spark):
+    from feast_java_old_spark.operators.sketches import heavy_hitters
+
+    rows = [(1,)] * 5000 + [(2,)] * 3000 + [(i,) for i in range(10, 2000)]
+    df = spark.createDataFrame(rows, "item long").repartition(4)
+    got = heavy_hitters(df, "item", k=2, m=8).collect()
+    assert [(r.item, r.cnt) for r in got] == [(1, 5000), (2, 3000)]
