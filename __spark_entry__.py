@@ -147,6 +147,9 @@ def _customer_orders_env(spark: SparkSession, sf_dir: str, max_age: int = 0):
         load_table(spark, sf_dir, "customer")
         .where(F.col("c_custkey") % 7 == 0)
         .select("c_custkey")
+        # Reused by the semi-join prune and the lookup join — cache the
+        # small request key set instead of re-scanning customer.
+        .persist()
     )
     # Request-restricted materialization: semi-join prune the order
     # history to the requested custkeys before the latest-per-key
@@ -280,6 +283,12 @@ def q_j2_compound_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             spark.createDataFrame([(-1, -1)], "l_suppkey long, l_partkey long")
         )
+        # The request frame feeds three joins (semi-join prune, lookup,
+        # status frame); persist the ~2% key set once instead of
+        # re-scanning lineitem per consumer — a small-dim cache, the
+        # same call a real serving path gets for free because requests
+        # arrive as literal frames, not scans.
+        .persist()
     )
     # Semi-join prune the 600k-row history to the ~2% requested compound
     # keys before the latest-per-key reduction (same result, far smaller
@@ -2534,11 +2543,14 @@ def q_stream_latest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_timestamp", "event_id", "event_type", "value"
     )
     work = tempfile.mkdtemp(prefix="fjos_stream_")
-    q = stream_materialize(
-        spark, stream, f"{work}/store", "events_latest", ["user_id"],
-        checkpoint=f"{work}/ckpt", trigger_once=True,
-    )
-    q.awaitTermination(600)
+    with _small_shuffle(spark):
+        q = stream_materialize(
+            spark, stream, f"{work}/store", "events_latest", ["user_id"],
+            checkpoint=f"{work}/ckpt", trigger_once=True,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream_latest_merge did not finish in 600s")
     online = read_online_table(
         spark, online_table_path(f"{work}/store", "default", "events_latest")
     )
@@ -2576,14 +2588,17 @@ def q_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 hour",
     )
     name = f"swr_{uuid.uuid4().hex[:8]}"
-    q = (
-        feats.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    with _small_shuffle(spark):
+        q = (
+            feats.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream_window_rollup did not finish in 600s")
     return spark.table(name).select(
         "event_type",
         F.unix_micros("event_timestamp").alias("window_end_us"),
@@ -2601,6 +2616,218 @@ SELECT event_type,
 FROM events
 GROUP BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
 """
+
+
+class _small_shuffle:
+    """Temporarily pin ``spark.sql.shuffle.partitions`` for a bounded
+    streaming run: the stateful-operator partition count is frozen from
+    this conf at query start, and the driver session's default (200)
+    means 200 state-store instances for a tiny bounded input. Restored
+    on exit so the surrounding session is untouched."""
+
+    def __init__(self, spark: SparkSession, n: int = 32):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        try:
+            self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        except Exception:
+            self.old = None
+        return self
+
+    def __exit__(self, *exc):
+        if self.old is not None:
+            try:
+                self.spark.conf.set(
+                    "spark.sql.shuffle.partitions", self.old
+                )
+            except Exception:
+                pass
+        return False
+
+
+def _stream_to_table(
+    spark: SparkSession, stream_df: DataFrame, mode: str, what: str
+) -> DataFrame:
+    """Run a bounded stream (availableNow) into a memory sink and return
+    the sink table; raises instead of silently returning partial state if
+    the query can't finish (round 2's gate reds were silent partials)."""
+    import uuid
+
+    name = f"st_{uuid.uuid4().hex[:8]}"
+    with _small_shuffle(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(f"{what} did not finish in 600s")
+    return spark.table(name)
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (§2.6): two independent file-stream sources
+    of the same events table are unioned (every event arrives twice),
+    then ``dropDuplicatesWithinWatermark`` on the event id restores the
+    original set. State per key lives only until the watermark passes —
+    bounded by unique-key arrival rate × horizon, the shape an unbounded
+    ``dropDuplicates`` can't give at 100 TB/day ingest
+    (streaming/ingest.py:stream_dedup)."""
+    from feast_java_old_spark.streaming.ingest import stream_dedup
+
+    cols = ["user_id", "event_timestamp", "event_id", "event_type", "value"]
+    a = _events_stream(spark, sf_dir).select(cols)
+    b = _events_stream(spark, sf_dir).select(cols)
+    deduped = stream_dedup(
+        a.unionByName(b), dedup_cols=["event_id"], watermark="1 hour"
+    )
+    out = _stream_to_table(spark, deduped, "append", "stream_dedup")
+    return out.select(
+        "user_id",
+        F.unix_micros("event_timestamp").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+
+
+SQL_STREAM_DEDUP = """
+SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+       event_type, value
+FROM events
+"""
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (§2.6): the events stream left-joins the
+    customer dimension with a broadcast hint — the static side never
+    shuffles and each micro-batch joins map-side, the streaming analogue
+    of the J1 entity lookup (streaming/ingest.py:stream_enrich)."""
+    from feast_java_old_spark.streaming.ingest import stream_enrich
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id", "event_timestamp", "event_id", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey", "c_mktsegment"
+    )
+    enriched = stream_enrich(ev, cust, on=["user_id"], how="left")
+    out = _stream_to_table(spark, enriched, "append", "stream_enrich")
+    return out.select(
+        "user_id",
+        F.unix_micros("event_timestamp").alias("ts_us"),
+        "event_id",
+        "value",
+        "c_nationkey",
+        "c_mktsegment",
+    )
+
+
+SQL_STREAM_ENRICH = """
+SELECT e.user_id, epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us, e.event_id,
+       e.value, c.c_nationkey, c.c_mktsegment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (§2.6): purchases join the clicks
+    that preceded them within 2 h for the same user, both sides live
+    streams. The time-range predicate is what lets Spark evict buffered
+    state once the other side's watermark passes the eligibility window —
+    state is O(rate × horizon), not unbounded
+    (streaming/ingest.py:stream_stream_join)."""
+    from feast_java_old_spark.streaming.ingest import stream_stream_join
+
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "event_timestamp", "event_id")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select("user_id", "event_timestamp", "event_id")
+    )
+    joined = stream_stream_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        watermark="4 hours",
+        max_lag="2 hours",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.unix_micros("l.event_timestamp").alias("purchase_ts_us"),
+        F.col("l.event_id").alias("purchase_id"),
+        F.unix_micros("r.event_timestamp").alias("click_ts_us"),
+        F.col("r.event_id").alias("click_id"),
+    )
+    return _stream_to_table(spark, joined, "append", "stream_stream_join")
+
+
+SQL_STREAM_SS_JOIN = """
+SELECT p.user_id,
+       epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_ts_us,
+       p.event_id AS purchase_id,
+       epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us,
+       c.event_id AS click_id
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND CAST(c.ts AS TIMESTAMP)
+       >= CAST(p.ts AS TIMESTAMP) - INTERVAL 2 HOUR
+ AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+"""
+
+
+def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materialization (§2.6): the events table replayed as
+    an I/U/D change stream folds into the versioned online table via the
+    tombstone-aware merge; hash-matches the *batch* ``cdc_apply`` oracle
+    — the streaming and batch CDC kernels are the same latest-wins +
+    delete fixpoint (streaming/ingest.py:stream_apply_cdc)."""
+    import tempfile
+
+    from feast_java_old_spark.operators.materialize import online_table_path
+    from feast_java_old_spark.streaming.ingest import (
+        read_online_table,
+        stream_apply_cdc,
+    )
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_timestamp",
+        F.col("event_id").alias("seq"),
+        F.expr(
+            "CASE WHEN event_id % 10 = 0 THEN 'D' "
+            "WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END"
+        ).alias("op"),
+        F.round("value", 6).alias("value"),
+    )
+    work = tempfile.mkdtemp(prefix="fjos_cdcstream_")
+    with _small_shuffle(spark):
+        q = stream_apply_cdc(
+            spark, ev, f"{work}/store", "events_cdc", ["user_id"],
+            checkpoint=f"{work}/ckpt", trigger_once=True,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream_cdc_merge did not finish in 600s")
+    online = read_online_table(
+        spark, online_table_path(f"{work}/store", "default", "events_cdc")
+    )
+    return online.select(
+        "user_id",
+        F.unix_micros("event_timestamp").alias("ts_us"),
+        "seq",
+        "value",
+    )
 
 
 # ------------------------------------------------- feature-engineering surface
@@ -3482,6 +3709,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "odfv_transform": q_odfv_transform,
         "stream_latest_merge": q_stream_latest_merge,
         "stream_window_rollup": q_stream_window_rollup,
+        "stream_dedup": q_stream_dedup,
+        "stream_enrich": q_stream_enrich,
+        "stream_stream_join": q_stream_stream_join,
+        "stream_cdc_merge": q_stream_cdc_merge,
         "multi_window_features": q_multi_window_features,
         "rolling_features": q_rolling_features,
         "feature_pivot": q_feature_pivot,
@@ -3576,6 +3807,10 @@ def oracle_sql() -> dict[str, str]:
         "odfv_transform": SQL_ODFV,
         "stream_latest_merge": SQL_A1,
         "stream_window_rollup": SQL_STREAM_WIN,
+        "stream_dedup": SQL_STREAM_DEDUP,
+        "stream_enrich": SQL_STREAM_ENRICH,
+        "stream_stream_join": SQL_STREAM_SS_JOIN,
+        "stream_cdc_merge": SQL_CDC_APPLY,
         "multi_window_features": SQL_MULTI_WINDOW,
         "rolling_features": SQL_ROLLING,
         "feature_pivot": SQL_FEATURE_PIVOT,

@@ -372,3 +372,32 @@ def test_latest_per_key_for_equals_restricted_full_reduction(spark, sf_dir):
     # the prune must reach the plan as a semi join BELOW the aggregate
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_normalize_long_epoch_unit_adaptive(spark):
+    """LONG epoch columns are normalized to µs timestamps regardless of the
+    physical unit (s/ms/µs/ns) — round 2's red streaming rows were µs longs
+    divided as if nanos. All four representations of one instant must land
+    on the identical µs timestamp."""
+    from pyspark.sql import types as T
+
+    from feast_java_old_spark.sources.tables import normalize_timestamp_cols
+
+    us = 1706000000123456  # 2024-01-23T08:53:20.123456Z in µs
+    rows = [(us // 1_000_000, us // 1000, us, us * 1000)]
+    df = spark.createDataFrame(
+        rows, schema="s long, ms long, us long, ns long"
+    )
+    out = normalize_timestamp_cols(df, "s", "ms", "us", "ns")
+    for f in out.schema.fields:
+        assert isinstance(f.dataType, T.TimestampType), f.name
+    r = out.select(
+        F.unix_micros("s").alias("s"),
+        F.unix_micros("ms").alias("ms"),
+        F.unix_micros("us").alias("us"),
+        F.unix_micros("ns").alias("ns"),
+    ).first()
+    assert r.us == us
+    assert r.ns == us
+    assert r.ms == (us // 1000) * 1000
+    assert r.s == (us // 1_000_000) * 1_000_000
