@@ -3635,6 +3635,169 @@ GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT {HH_K}
 """
 
 
+EWMA_ALPHA = 0.1
+
+
+def q_ewma_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values —
+    the ordered-fold form (operators/features.py:ewma_features): stable
+    at any history length, one entity-keyed shuffle, no UDF. The oracle
+    is DuckDB's ``list_reduce`` over the same (ts, event_id) order."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+        "event_id",
+        "value",
+    )
+    return features.ewma_features(
+        ev,
+        ["user_id"],
+        "value",
+        ts_col="event_timestamp",
+        seq_col="event_id",
+        alpha=EWMA_ALPHA,
+    )
+
+
+SQL_EWMA = f"""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(list_reduce(
+         list(value ORDER BY CAST(ts AS TIMESTAMP), event_id)::DOUBLE[],
+         (a, b) -> a * {1.0 - EWMA_ALPHA} + b * {EWMA_ALPHA}), 6) AS ewma
+FROM events GROUP BY user_id
+"""
+
+ROLLUP_SPLIT = "2024-01-15 00:00:00"
+
+
+def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: rollup(events < T) ⊎
+    rollup(events ≥ T) == rollup(all), via the mergeable count/sum/min/
+    max/last-ts algebra (operators/features.py:mergeable_rollup,
+    merge_rollups). The delta aggregate is map-side combined and the
+    merge shuffles rollup rows, not events — at 100 TB the saved work
+    is the historical re-scan. The oracle computes the full rollup
+    directly, so the hash match *proves* the merge algebra exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("event_timestamp"),
+        "value",
+    )
+    split = F.lit(ROLLUP_SPLIT).cast("timestamp")
+    keys = ["user_id", "event_type"]
+    old = features.mergeable_rollup(
+        ev.where(F.col("event_timestamp") < split), keys, "value"
+    )
+    delta = features.mergeable_rollup(
+        ev.where(F.col("event_timestamp") >= split), keys, "value"
+    )
+    merged = features.merge_rollups(keys, old, delta)
+    return merged.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        "sum_cents",
+        "min_cents",
+        "max_cents",
+        F.unix_micros("last_ts").alias("last_ts_us"),
+    )
+
+
+SQL_ROLLUP_MERGE = """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(min(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(max(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS max_cents,
+       epoch_us(max(CAST(ts AS TIMESTAMP))) AS last_ts_us
+FROM events GROUP BY user_id, event_type
+"""
+
+BOILER_MIN_DOCS = 3
+BOILER_MAX_RATIO = 0.3
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate screen: fraction of each document's
+    distinct 3-grams that occur in ≥ 3 documents; docs above the ratio
+    are dropped (operators/text.py:boilerplate_ngrams — two compact-key
+    exchanges, text never shuffles, no collected boilerplate set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.boilerplate_ngrams(
+        docs,
+        n=3,
+        min_docs=BOILER_MIN_DOCS,
+        max_ratio=BOILER_MAX_RATIO,
+    )
+
+
+SQL_BOILERPLATE = f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       FOR i IN range(1, len(t) - 1)]) AS s
+       FROM toks WHERE len(t) >= 3),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+per AS (SELECT e.doc_id, count(*) AS n_ngrams,
+               sum(CASE WHEN d.df >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+                 AS n_boiler
+        FROM ex e JOIN dfreq d USING (shingle) GROUP BY e.doc_id)
+SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(n_boiler AS BIGINT) AS n_boiler,
+       round(n_boiler / CAST(n_ngrams AS DOUBLE), 6) AS boiler_ratio,
+       round(n_boiler / CAST(n_ngrams AS DOUBLE), 6) <= {BOILER_MAX_RATIO}
+         AS kept
+FROM per
+"""
+
+SEMDEDUP_TAU = 0.2
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): within each embedding cluster, drop
+    vectors whose cosine to a higher-ranked member ≥ τ; rank is
+    cosine-to-centroid desc. Pairwise work only within clusters — the
+    clustering is what keeps it sub-quadratic at 100 TB
+    (operators/similarity.py:semdedup)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.semdedup(emb, threshold=SEMDEDUP_TAU)
+    return out.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        "cos_centroid",
+        "kept",
+    )
+
+
+SQL_SEMDEDUP = f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+ex AS (SELECT label, u.dim AS dim, u.val AS val
+       FROM embeddings,
+            LATERAL (SELECT unnest(embedding::DOUBLE[]) AS val,
+                            generate_subscripts(embedding, 1) AS dim) AS u),
+cent AS (SELECT label, list(round(mv, 6) ORDER BY dim) AS c
+         FROM (SELECT label, dim, avg(val) AS mv
+               FROM ex GROUP BY label, dim)
+         GROUP BY label),
+sc AS (SELECT v.vec_id, v.label, v.e,
+              round({_DOT}(v.e, cent.c)
+                    / (sqrt({_DOT}(v.e, v.e)) * sqrt({_DOT}(cent.c, cent.c))),
+                    6) AS cos_centroid
+       FROM v JOIN cent USING (label)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY label
+         ORDER BY cos_centroid DESC, vec_id ASC) AS r FROM sc),
+drp AS (SELECT DISTINCT b.vec_id
+        FROM rk a JOIN rk b ON a.label = b.label AND a.r < b.r
+        WHERE round({_DOT}(a.e, b.e)
+                    / (sqrt({_DOT}(a.e, a.e)) * sqrt({_DOT}(b.e, b.e))), 6)
+              >= {SEMDEDUP_TAU})
+SELECT rk.vec_id, CAST(rk.label AS BIGINT) AS label, rk.cos_centroid,
+       (drp.vec_id IS NULL) AS kept
+FROM rk LEFT JOIN drp ON rk.vec_id = drp.vec_id
+"""
+
+
 # ---------------------------------------------------------------- the contract
 
 
@@ -3739,6 +3902,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_snapshot": q_scd2_snapshot,
         "token_encode": q_token_encode,
         "heavy_hitters": q_heavy_hitters,
+        "ewma_features": q_ewma_features,
+        "rollup_merge": q_rollup_merge,
+        "boilerplate": q_boilerplate,
+        "semdedup": q_semdedup,
     }
 
 
@@ -3836,6 +4003,10 @@ def oracle_sql() -> dict[str, str]:
         "scd2_snapshot": SQL_SCD2_SNAPSHOT,
         "token_encode": SQL_TOKEN_ENCODE,
         "heavy_hitters": SQL_HEAVY_HITTERS,
+        "ewma_features": SQL_EWMA,
+        "rollup_merge": SQL_ROLLUP_MERGE,
+        "boilerplate": SQL_BOILERPLATE,
+        "semdedup": SQL_SEMDEDUP,
         # sketch_distinct: rows-only by design (HLL estimates are not
         # cross-engine reproducible; see q_sketch_distinct docstring)
     }

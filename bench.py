@@ -100,6 +100,10 @@ HEADLINE = [
     "scd2_snapshot",
     "token_encode",
     "heavy_hitters",
+    "ewma_features",
+    "rollup_merge",
+    "boilerplate",
+    "semdedup",
 ]
 
 
@@ -123,11 +127,21 @@ def main() -> None:
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM (codegen, parquet footer caches) so the first timed
-    # query doesn't absorb session fixed costs.
+    # Warm the JVM (codegen, parquet footer caches, shuffle + broadcast
+    # machinery) so the first timed queries don't absorb session fixed
+    # costs — a 1-row read leaves the first real shuffle/join to pay
+    # executor spin-up, which showed up as phantom "regressions" on
+    # whichever queries ran first.
+    from pyspark.sql import functions as _F
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for t in ("events", "documents", "embeddings", "orders", "lineitem", "customer"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupBy("user_id").agg(_F.count(_F.lit(1)).alias("n"))
+    agg.join(
+        _F.broadcast(agg.limit(100).withColumnRenamed("n", "m")), "user_id"
+    ).write.mode("overwrite").format("noop").save()
 
     qs = e.queries()
     timings: dict[str, float] = {}

@@ -653,3 +653,91 @@ def snapshot_at(
         (F.col(from_col) <= t)
         & (F.col(to_col).isNull() | (F.col(to_col) > t))
     )
+
+
+def ewma_features(
+    df: DataFrame,
+    keys: list,
+    value_col: str,
+    ts_col: str = "event_timestamp",
+    seq_col: str | None = None,
+    alpha: float = 0.1,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Final exponentially-weighted moving average per key:
+    ``ewma_1 = x_1``, ``ewma_i = (1-alpha)*ewma_{i-1} + alpha*x_i`` over
+    the key's events ordered by ``(ts, seq)``.
+
+    Implemented as an ordered fold — ``sort_array(collect_list(struct))``
+    then ``F.aggregate`` — entirely in built-in expressions (no UDF).
+    The fold is the *numerically stable* shape: the closed-form rescaling
+    trick (``sum(x_i/(1-alpha)^i) * (1-alpha)^n``) overflows double past
+    a few thousand events per key, so it cannot survive a 100 TB history.
+    One shuffle keyed by the entity key (the theoretical minimum — the
+    recurrence is order-dependent); per-key state is the key's event
+    list, the same bound every ordered-sequence operator here carries
+    (``sequence_pack``, ``funnel``). Output values are rounded to 6
+    places for engine-portable comparison.
+    """
+    order_cols = [ts_col] + ([seq_col] if seq_col else [])
+    packed = F.sort_array(
+        F.collect_list(
+            F.struct(
+                *[F.col(c) for c in order_cols],
+                F.col(value_col).cast("double").alias("__x"),
+            )
+        )
+    )
+    vals = F.transform(packed, lambda s: s["__x"])
+    folded = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha),
+    )
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(folded, 6).alias(out_col),
+    )
+
+
+def mergeable_rollup(
+    df: DataFrame,
+    keys: list,
+    value_col: str,
+    ts_col: str = "event_timestamp",
+) -> DataFrame:
+    """Per-key rollup in *mergeable* form: count / sum / min / max over
+    integer cents, plus the latest event time. Every component is an
+    associative-commutative monoid, so two rollups over disjoint inputs
+    merge exactly (:func:`merge_rollups`) — the algebra behind
+    incremental materialized-view maintenance: keep yesterday's rollup,
+    aggregate only today's delta partition, merge. The delta aggregate is
+    map-side combined; the merge shuffles **rollup rows, not events** —
+    at 100 TB the saved work is the entire historical re-scan.
+    """
+    cents = _cents(F.col(value_col))
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("sum_cents"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+        F.max(F.col(ts_col)).alias("last_ts"),
+    )
+
+
+def merge_rollups(keys: list, *rollups: DataFrame) -> DataFrame:
+    """Merge :func:`mergeable_rollup` outputs over disjoint (or
+    overlapping-key, disjoint-event) inputs: component-wise monoid ops.
+    ``merge(rollup(A), rollup(B)) == rollup(A ∪ B)`` exactly.
+    """
+    it = iter(rollups)
+    u = next(it)
+    for r in it:
+        u = u.unionByName(r)
+    return u.groupBy(*keys).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_cents").alias("sum_cents"),
+        F.min("min_cents").alias("min_cents"),
+        F.max("max_cents").alias("max_cents"),
+        F.max("last_ts").alias("last_ts"),
+    )

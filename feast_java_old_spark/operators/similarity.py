@@ -757,3 +757,78 @@ def mean_pool(
         # differ and first() would be pick-order-dependent
         F.max("__n").alias("n_vectors"),
     )
+
+
+def semdedup(
+    df: DataFrame,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): within each
+    embedding cluster, drop every vector whose cosine to a *higher-ranked*
+    cluster member exceeds ``threshold``; rank is cosine-to-centroid
+    descending (ties to the lower id), so the kept set is deterministic
+    and prototype-like members win.
+
+    The published algorithm is exactly this shape: pairwise similarity is
+    computed only WITHIN clusters, so the cost is Σ|cluster|² — the
+    clustering (k ≈ √N lists, trained with :func:`kmeans_step`) is what
+    keeps it sub-quadratic at 100 TB; the pair join is a bucketed
+    equi-join on the cluster id, shuffle-partitionable and
+    AQE-skew-handled, never all-pairs. Centroids come from
+    :func:`mean_pool` (only (group, dim) scalars shuffle), and the
+    centroid table broadcasts back for the cosine-to-centroid projection.
+
+    Returns (id, cluster, cos_centroid, kept).
+    """
+    cents = mean_pool(df, cluster_col, vec_col).select(
+        F.col(cluster_col), F.col(vec_col).alias("__c")
+    )
+    v = df.select(
+        F.col(cluster_col),
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).join(F.broadcast(cents), on=cluster_col)
+    scored = v.withColumn(
+        "cos_centroid", F.round(cosine(F.col("__v"), F.col("__c")), 6)
+    ).drop("__c")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col("cos_centroid").desc(), F.col(id_col).asc()
+    )
+    ranked = scored.withColumn("__rk", F.row_number().over(w))
+    a = ranked.select(
+        F.col(cluster_col).alias("__cl"),
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("__va"),
+        F.col("__rk").alias("__rka"),
+    )
+    b = ranked.select(
+        F.col(cluster_col).alias("__cl"),
+        F.col(id_col).alias("__idb"),
+        F.col("__v").alias("__vb"),
+        F.col("__rk").alias("__rkb"),
+    )
+    dropped = (
+        a.join(b, on="__cl")
+        .where(
+            (F.col("__rka") < F.col("__rkb"))
+            & (F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= threshold)
+        )
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        ranked.join(
+            dropped.withColumn("__drop", F.lit(True)), on=id_col, how="left"
+        )
+        .select(
+            id_col,
+            F.col(cluster_col),
+            "cos_centroid",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+    )

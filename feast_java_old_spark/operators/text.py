@@ -577,3 +577,51 @@ def encode_tokens(
         )
         .select(id_col, "token_ids")
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 5,
+    max_ratio: float = 0.5,
+) -> DataFrame:
+    """Corpus-level boilerplate detection (the RefinedWeb/Dolma cleaning
+    step): an n-gram is *boilerplate* when it occurs in ≥ ``min_docs``
+    distinct documents; a document is dropped when more than
+    ``max_ratio`` of its distinct n-grams are boilerplate (navigation
+    chrome, license headers, templated footers).
+
+    Plan shape at 100 TB: per-doc distinct shingles explode shuffle-free
+    (``dedup.exploded_shingles``), document frequency is one hash
+    aggregate keyed by shingle (map-side combined — the shuffle carries
+    (shingle, partial count), never text), and the per-doc ratio is a
+    conditional aggregate keyed by doc id. Two exchanges total, both on
+    compact key columns; the boilerplate *set* is never collected or
+    broadcast — the flag rides the shingle-keyed aggregation as a window
+    over the same key, so no second scan either.
+    """
+    from pyspark.sql.window import Window
+
+    from feast_java_old_spark.operators.dedup import exploded_shingles
+
+    sh = exploded_shingles(df, text_col, id_col, n=n, distinct=True)
+    # Document frequency per shingle without a separate build+join pass:
+    # count over a shingle-keyed window on the already-distinct pairs.
+    w = Window.partitionBy("shingle")
+    flagged = sh.withColumn(
+        "__df", F.count(F.lit(1)).over(w)
+    ).withColumn("__boiler", (F.col("__df") >= min_docs).cast("int"))
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum("__boiler").alias("n_boiler"),
+    )
+    ratio = F.round(F.col("n_boiler") / F.col("n_ngrams"), 6)
+    return per_doc.select(
+        "doc_id",
+        "n_ngrams",
+        "n_boiler",
+        ratio.alias("boiler_ratio"),
+        (ratio <= max_ratio).alias("kept"),
+    )

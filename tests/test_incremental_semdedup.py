@@ -1,0 +1,114 @@
+"""Round-3 operators: EWMA fold, mergeable-rollup algebra, corpus
+boilerplate screen, SemDeDup."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_java_old_spark.operators import features, similarity, text
+
+
+def _ts(day, h=0):
+    return dt.datetime(2024, 1, day, h)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        (1, _ts(1), 10, 1.0),
+        (1, _ts(2), 11, 2.0),
+        (1, _ts(3), 12, 4.0),
+        (2, _ts(1), 20, 5.0),
+        # same-ts tie for user 3 -> seq breaks it
+        (3, _ts(1), 31, 1.0),
+        (3, _ts(1), 30, 3.0),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, event_timestamp timestamp, event_id long, value double"
+    )
+
+
+def test_ewma_matches_python_fold(spark, events):
+    out = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in features.ewma_features(
+            events, ["user_id"], "value", seq_col="event_id", alpha=0.25
+        ).collect()
+    }
+    # user 1: fold over [1,2,4]: 1 -> .75*1+.25*2=1.25 -> .75*1.25+.25*4=1.9375
+    assert out[1] == (3, 1.9375)
+    # single event: ewma == value
+    assert out[2] == (1, 5.0)
+    # tie on ts ordered by event_id: [30:3.0, 31:1.0] -> .75*3+.25*1=2.5
+    assert out[3] == (2, 2.5)
+
+
+def test_merge_rollups_equals_full_rollup(spark, events):
+    keys = ["user_id"]
+    split = F.lit("2024-01-02").cast("timestamp")
+    old = features.mergeable_rollup(
+        events.where(F.col("event_timestamp") < split), keys, "value"
+    )
+    delta = features.mergeable_rollup(
+        events.where(F.col("event_timestamp") >= split), keys, "value"
+    )
+    merged = features.merge_rollups(keys, old, delta)
+    full = features.mergeable_rollup(events, keys, "value")
+    m = {r.user_id: r.asDict() for r in merged.collect()}
+    f = {r.user_id: r.asDict() for r in full.collect()}
+    assert m == f
+    # merge with an empty side is the identity
+    empty = features.mergeable_rollup(
+        events.where(F.lit(False)), keys, "value"
+    )
+    ident = {
+        r.user_id: r.asDict()
+        for r in features.merge_rollups(keys, full, empty).collect()
+    }
+    assert ident == f
+
+
+def test_boilerplate_ngrams_flags_shared_trigrams(spark):
+    # 3 docs share the trigram "a b c"; doc 3 is nothing but boilerplate
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),
+            (2, "a b c p q r"),
+            (3, "a b c"),
+            (4, "unique words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in text.boilerplate_ngrams(
+            docs, min_docs=3, max_ratio=0.5
+        ).collect()
+    }
+    assert out[3]["n_boiler"] == 1 and out[3]["n_ngrams"] == 1
+    assert not out[3]["kept"]  # ratio 1.0
+    assert out[1]["n_boiler"] == 1 and out[1]["kept"]  # 1/4 <= 0.5
+    assert out[4]["n_boiler"] == 0 and out[4]["kept"]
+
+
+def test_semdedup_drops_lower_ranked_near_dup(spark):
+    # cluster 0: v1 == v2 (exact dup), v3 orthogonal; cluster 1: lone vec
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [1.0, 0.0, 0.0]),
+        (3, 0, [0.0, 1.0, 0.0]),
+        (4, 1, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = {
+        r.vec_id: r.kept
+        for r in similarity.semdedup(emb, threshold=0.9).collect()
+    }
+    # v1 and v2 tie on cos-to-centroid; lower id ranks first and is kept
+    assert out[1] is True
+    assert out[2] is False
+    assert out[3] is True
+    assert out[4] is True
