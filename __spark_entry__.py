@@ -3798,6 +3798,90 @@ FROM rk LEFT JOIN drp ON rk.vec_id = drp.vec_id
 """
 
 
+PR_OFFSET = 10_000_000  # disjoint node-id namespaces for parts/suppliers
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power iterations of PageRank over the undirected part↔supplier
+    graph from lineitem — curation-weighting importance propagation
+    (operators/graph.py:pagerank): per iteration one edge shuffle keyed
+    by src + one aggregate keyed by dst; ranks rounded per iteration so
+    double summation order can't drift engines apart."""
+    from feast_java_old_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + PR_OFFSET).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iterations=2).select(
+        F.col("node").cast("long").alias("node"),
+        "pagerank",
+        F.col("outdeg").cast("long").alias("outdeg"),
+    )
+
+
+SQL_PAGERANK = f"""
+WITH f AS (SELECT DISTINCT l_partkey AS src,
+                  l_suppkey + {PR_OFFSET} AS dst FROM lineitem),
+e AS (SELECT src, dst FROM f UNION SELECT dst, src FROM f),
+nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+c1 AS (SELECT e.dst, sum(1.0 / od.outdeg) AS cin
+       FROM e JOIN od USING (src) GROUP BY e.dst),
+pr1 AS (SELECT n.node, round(0.15 + 0.85 * coalesce(c1.cin, 0), 9) AS pr
+        FROM nodes n LEFT JOIN c1 ON c1.dst = n.node),
+c2 AS (SELECT e.dst, sum(pr1.pr / od.outdeg) AS cin
+       FROM e JOIN od USING (src) JOIN pr1 ON pr1.node = e.src
+       GROUP BY e.dst),
+pr2 AS (SELECT n.node, round(0.15 + 0.85 * coalesce(c2.cin, 0), 9) AS pr
+        FROM nodes n LEFT JOIN c2 ON c2.dst = n.node)
+SELECT CAST(pr2.node AS BIGINT) AS node, round(pr2.pr, 6) AS pagerank,
+       CAST(coalesce(od.outdeg, 0) AS BIGINT) AS outdeg
+FROM pr2 LEFT JOIN od ON od.src = pr2.node
+"""
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows under a live stream (§2.6): native
+    ``session_window`` sessions merge in the state store as events
+    arrive; bounded input in complete mode equals the batch
+    sessionization, so the oracle is the same lag/cumsum SQL as A5
+    (streaming/ingest.py:stream_session_features)."""
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", "event_timestamp", F.col("value")
+    )
+    agg = (
+        stream.withWatermark("event_timestamp", "1 hour")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window("event_timestamp", "30 minutes").alias("__w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("long")
+            ).alias("sum_value_cents"),
+            F.min("event_timestamp").alias("__min_ts"),
+            F.max("event_timestamp").alias("__max_ts"),
+        )
+    )
+    out = _stream_to_table(spark, agg, "complete", "stream_sessions")
+    return out.select(
+        F.unix_micros("__min_ts").alias("session_start_us"),
+        "user_id",
+        "n_events",
+        "sum_value_cents",
+        (F.unix_micros("__max_ts") - F.unix_micros("__min_ts")).alias(
+            "span_us"
+        ),
+    )
+
+
 # ---------------------------------------------------------------- the contract
 
 
@@ -3906,6 +3990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_merge": q_rollup_merge,
         "boilerplate": q_boilerplate,
         "semdedup": q_semdedup,
+        "pagerank": q_pagerank,
+        "stream_sessions": q_stream_sessions,
     }
 
 
@@ -4007,6 +4093,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_merge": SQL_ROLLUP_MERGE,
         "boilerplate": SQL_BOILERPLATE,
         "semdedup": SQL_SEMDEDUP,
+        "pagerank": SQL_PAGERANK,
+        "stream_sessions": SQL_A5,
         # sketch_distinct: rows-only by design (HLL estimates are not
         # cross-engine reproducible; see q_sketch_distinct docstring)
     }

@@ -104,6 +104,7 @@ HEADLINE = [
     "rollup_merge",
     "boilerplate",
     "semdedup",
+    "pagerank",
 ]
 
 

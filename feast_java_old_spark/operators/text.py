@@ -596,23 +596,23 @@ def boilerplate_ngrams(
     Plan shape at 100 TB: per-doc distinct shingles explode shuffle-free
     (``dedup.exploded_shingles``), document frequency is one hash
     aggregate keyed by shingle (map-side combined — the shuffle carries
-    (shingle, partial count), never text), and the per-doc ratio is a
-    conditional aggregate keyed by doc id. Two exchanges total, both on
-    compact key columns; the boilerplate *set* is never collected or
-    broadcast — the flag rides the shingle-keyed aggregation as a window
-    over the same key, so no second scan either.
+    (shingle, partial count), never text), the flag joins back to the
+    pairs as a shuffled hash join on the same key, and the per-doc ratio
+    is a conditional aggregate keyed by doc id. The boilerplate *set* is
+    never collected or broadcast. A window-count over the shingle key
+    would save the join (measured equal warm at sf0.1) but sorts each
+    shingle group in ONE partition — a hot boilerplate shingle ("all
+    rights reserved") is exactly the skewed key that breaks; the
+    agg+join form map-side-combines the hot key and AQE splits the
+    skewed join partition.
     """
-    from pyspark.sql.window import Window
-
     from feast_java_old_spark.operators.dedup import exploded_shingles
 
     sh = exploded_shingles(df, text_col, id_col, n=n, distinct=True)
-    # Document frequency per shingle without a separate build+join pass:
-    # count over a shingle-keyed window on the already-distinct pairs.
-    w = Window.partitionBy("shingle")
-    flagged = sh.withColumn(
-        "__df", F.count(F.lit(1)).over(w)
-    ).withColumn("__boiler", (F.col("__df") >= min_docs).cast("int"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    flagged = sh.join(dfreq, "shingle").withColumn(
+        "__boiler", (F.col("__df") >= min_docs).cast("int")
+    )
     per_doc = flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_ngrams"),
         F.sum("__boiler").alias("n_boiler"),

@@ -112,3 +112,19 @@ def test_semdedup_drops_lower_ranked_near_dup(spark):
     assert out[2] is False
     assert out[3] is True
     assert out[4] is True
+
+
+def test_pagerank_star_graph(spark):
+    """Hub of a 3-leaf undirected star accumulates rank from all leaves."""
+    from feast_java_old_spark.operators.graph import pagerank
+
+    fwd = [(0, i) for i in (1, 2, 3)]
+    edges = spark.createDataFrame(
+        fwd + [(b, a) for a, b in fwd], "src long, dst long"
+    )
+    out = {r.node: (r.pagerank, r.outdeg) for r in pagerank(edges, iterations=2).collect()}
+    # leaves: outdeg 1; after it1 hub=0.15+0.85*3*(1/1)=2.7, leaf=0.15+0.85/3
+    # after it2 leaf = 0.15+0.85*(2.7/3)=0.915, hub=0.15+0.85*3*0.433333333
+    assert out[0][1] == 3 and out[1][1] == 1
+    assert abs(out[1][0] - 0.915) < 1e-6
+    assert abs(out[0][0] - (0.15 + 0.85 * 3 * round(0.15 + 0.85 / 3, 9))) < 1e-6
