@@ -42,6 +42,11 @@ PICKS = [
     ("resample_ffill", "Grid resample + forward fill: grid probes are generated from the per-key presence aggregate (sequence/explode — no driver loop), unioned with events into ONE window pass keyed by entity; last(ignorenulls) carries state in a single sorted scan."),
     ("normalize_features", "Per-group scaling: moments (unordered frame) and percent_rank (ordered frame) share one hash exchange — the group statistics never materialize as a joined table."),
     ("zorder_key", "Z-order clustering key: min/max 1-row broadcast + pure shift/mask codegen projection; the full layout rewrite adds only a range exchange on this key."),
+    ("ewma_features", "Per-key EWMA: one entity-keyed shuffle into sort_array(collect_list) + an expression-level F.aggregate fold — no UDF, no window re-sort, state bounded by the key's history like every ordered-sequence op."),
+    ("rollup_merge", "Incremental rollup maintenance: both the old and delta aggregates are map-side combined (partial count/sum/min/max); the merge union re-aggregates ROLLUP ROWS — the exchange after the deltas carries per-key summaries, never events."),
+    ("boilerplate", "Corpus boilerplate screen: shuffle-free shingle explode, doc-frequency hash aggregate with map-side combine, skew-safe shuffled hash join back, doc-keyed conditional aggregate — the text column never crosses an exchange."),
+    ("semdedup", "SemDeDup: mean_pool centroids shuffle only (cluster, dim) scalars and broadcast back; ranking is one window per cluster; the pair join is a cluster-id equi-join — pairwise work exists only WITHIN clusters."),
+    ("pagerank", "PageRank iteration: edges join the node-sized rank frame on src (shuffled hash join), contributions aggregate map-side-combined on dst; no adjacency matrix, no driver-side graph state."),
 ]
 
 out = io.StringIO()
