@@ -3882,6 +3882,63 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_ANON = 5
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance audit: equivalence-class sizes over a
+    quasi-identifier combination (nation, segment, balance band) with the
+    k=5 release floor — one map-side-combined aggregate, full rows never
+    shuffle (operators/pii.py:k_anonymity)."""
+    from feast_java_old_spark.operators.pii import k_anonymity
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("balance_band"),
+    )
+    return k_anonymity(
+        cust, ["c_nationkey", "c_mktsegment", "balance_band"], k=K_ANON
+    )
+
+
+SQL_K_ANON = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(floor(c_acctbal / 2000) AS BIGINT) AS balance_band,
+       CAST(count(*) AS BIGINT) AS class_size,
+       count(*) >= {K_ANON} AS anonymous
+FROM customer GROUP BY 1, 2, 3
+"""
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality scoring with add-k smoothing (CCNet-style, one
+    step past the unigram filter): shuffle-free bigram explode, two
+    vocab-sized count models broadcast back, per-doc mean shuffles only
+    (doc, partial sum) (operators/text.py:bigram_logprob)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_logprob(docs, add_k=0.5)
+
+
+SQL_BIGRAM_LP = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+bi AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                              FOR i IN range(1, len(t))]) AS bg
+       FROM toks),
+cb AS (SELECT bg, count(*) AS cb FROM bi GROUP BY bg),
+cc AS (SELECT split_part(bg, ' ', 1) AS ctx, count(*) AS cc
+       FROM bi GROUP BY 1),
+vs AS (SELECT count(DISTINCT split_part(bg, ' ', 2)) AS v FROM bi)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((cb.cb + 0.5) / (cc.cc + 0.5 * vs.v))), 6) AS logprob
+FROM bi
+JOIN cb USING (bg)
+JOIN cc ON cc.ctx = split_part(bi.bg, ' ', 1)
+CROSS JOIN vs
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------- the contract
 
 
@@ -3992,6 +4049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "pagerank": q_pagerank,
         "stream_sessions": q_stream_sessions,
+        "k_anonymity": q_k_anonymity,
+        "bigram_logprob": q_bigram_logprob,
     }
 
 
@@ -4095,6 +4154,8 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": SQL_SEMDEDUP,
         "pagerank": SQL_PAGERANK,
         "stream_sessions": SQL_A5,
+        "k_anonymity": SQL_K_ANON,
+        "bigram_logprob": SQL_BIGRAM_LP,
         # sketch_distinct: rows-only by design (HLL estimates are not
         # cross-engine reproducible; see q_sketch_distinct docstring)
     }

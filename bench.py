@@ -105,6 +105,8 @@ HEADLINE = [
     "boilerplate",
     "semdedup",
     "pagerank",
+    "k_anonymity",
+    "bigram_logprob",
 ]
 
 

@@ -63,3 +63,26 @@ def scrub_pii(
         *[c.alias(n) for n, c in counts.items()],
         scrubbed_text_col(text_col).alias(text_col),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_ids: list,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: every row's
+    equivalence class size, whether the class meets the ``k`` floor, and
+    the suppression decision a release pipeline would apply (classes
+    below ``k`` must be suppressed or generalized before the table can
+    ship to training).
+
+    One hash aggregate keyed by the quasi-id tuple — map-side combined,
+    the shuffle carries (quasi-ids, partial count), never full rows; the
+    per-class verdict is a projection on the aggregate. Returns one row
+    per equivalence class: ``(*quasi_ids, class_size, anonymous)``.
+    """
+    return (
+        df.groupBy(*quasi_ids)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn("anonymous", F.col("class_size") >= k)
+    )

@@ -625,3 +625,56 @@ def boilerplate_ngrams(
         ratio.alias("boiler_ratio"),
         (ratio <= max_ratio).alias("kept"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Bigram language-model scoring with add-k smoothing — the next
+    step up from :func:`unigram_logprob` (CCNet-style quality
+    filtering): per document, the mean log of
+    ``P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + k) / (c(w_{i-1}·) + k·V)``
+    under the corpus's own counts.
+
+    Plan shape: the bigram explode is the shuffle-free
+    ``exploded_shingles`` kernel; the bigram and context-count models
+    are vocab-sized aggregates (map-side combined) that broadcast back
+    onto the bigram stream (``broadcast_model=False`` → AQE shuffle
+    join); the per-doc mean shuffles (doc, partial sum) rows only. The
+    model tables are corpus-bounded like the unigram vocabulary.
+
+    Returns ``(doc_id, n_bigrams, logprob)`` rounded to 6.
+    """
+    from feast_java_old_spark.operators.dedup import exploded_shingles
+
+    bi = exploded_shingles(df, text_col, id_col, n=2, distinct=False)
+    bi = bi.withColumn("__ctx", F.split_part(F.col("shingle"), F.lit(" "), F.lit(1)))
+    model = bi.groupBy("shingle").agg(F.count(F.lit(1)).alias("__cb"))
+    ctx = bi.groupBy("__ctx").agg(F.count(F.lit(1)).alias("__cc"))
+    vsize = bi.select(
+        F.countDistinct(F.split_part(F.col("shingle"), F.lit(" "), F.lit(2))).alias(
+            "__v"
+        )
+    )
+    if broadcast_model:
+        model, ctx = F.broadcast(model), F.broadcast(ctx)
+    scored = (
+        bi.join(model, "shingle")
+        .join(ctx, "__ctx")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("__cb") + F.lit(add_k))
+                / (F.col("__cc") + F.lit(add_k) * F.col("__v"))
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("__lp"), 6).alias("logprob"),
+    )

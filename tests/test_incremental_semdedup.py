@@ -128,3 +128,32 @@ def test_pagerank_star_graph(spark):
     assert out[0][1] == 3 and out[1][1] == 1
     assert abs(out[1][0] - 0.915) < 1e-6
     assert abs(out[0][0] - (0.15 + 0.85 * 3 * round(0.15 + 0.85 / 3, 9))) < 1e-6
+
+
+def test_k_anonymity_classes(spark):
+    from feast_java_old_spark.operators.pii import k_anonymity
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 5 + [("b", 2)] * 2, "seg string, band int"
+    )
+    out = {(r.seg, r.band): (r.class_size, r.anonymous)
+           for r in k_anonymity(df, ["seg", "band"], k=5).collect()}
+    assert out[("a", 1)] == (5, True)
+    assert out[("b", 2)] == (2, False)
+
+
+def test_bigram_logprob_known_corpus(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.n_bigrams, r.logprob)
+           for r in text.bigram_logprob(docs, add_k=0.5).collect()}
+    # corpus bigrams: doc1: "a b","b a","a b"; doc2: "a b"
+    # c("a b")=3, c("b a")=1; ctx c(a.)=3, c(b.)=1; V(second tokens)={a,b}=2
+    lp_ab = math.log((3 + 0.5) / (3 + 0.5 * 2))
+    lp_ba = math.log((1 + 0.5) / (1 + 0.5 * 2))
+    assert out[2] == (1, round(lp_ab, 6))
+    assert out[1][0] == 3
+    assert abs(out[1][1] - round((2 * lp_ab + lp_ba) / 3, 6)) < 1e-6
