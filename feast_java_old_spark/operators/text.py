@@ -641,40 +641,46 @@ def bigram_logprob(
     under the corpus's own counts.
 
     Plan shape: the bigram explode is the shuffle-free
-    ``exploded_shingles`` kernel; the bigram and context-count models
-    are vocab-sized aggregates (map-side combined) that broadcast back
-    onto the bigram stream (``broadcast_model=False`` → AQE shuffle
-    join); the per-doc mean shuffles (doc, partial sum) rows only. The
-    model tables are corpus-bounded like the unigram vocabulary.
+    ``exploded_shingles`` kernel and the corpus-sized bigram stream is
+    consumed exactly TWICE — once to build the bigram-count model (one
+    map-side-combined aggregate) and once in the scoring join. The
+    context counts and the second-token vocabulary size both derive from
+    the *vocab-sized* model table (Σ counts grouped by first token;
+    distinct second tokens), so no additional corpus pass exists. The
+    per-token log-probability rides pre-joined on the model row
+    (``broadcast_model=False`` → AQE shuffle join at 100 TB vocab), and
+    the per-doc mean shuffles (doc, partial sum) rows only.
 
     Returns ``(doc_id, n_bigrams, logprob)`` rounded to 6.
     """
     from feast_java_old_spark.operators.dedup import exploded_shingles
 
     bi = exploded_shingles(df, text_col, id_col, n=2, distinct=False)
-    bi = bi.withColumn("__ctx", F.split_part(F.col("shingle"), F.lit(" "), F.lit(1)))
     model = bi.groupBy("shingle").agg(F.count(F.lit(1)).alias("__cb"))
-    ctx = bi.groupBy("__ctx").agg(F.count(F.lit(1)).alias("__cc"))
-    vsize = bi.select(
-        F.countDistinct(F.split_part(F.col("shingle"), F.lit(" "), F.lit(2))).alias(
-            "__v"
-        )
+    first = F.split_part(F.col("shingle"), F.lit(" "), F.lit(1))
+    second = F.split_part(F.col("shingle"), F.lit(" "), F.lit(2))
+    ctx = model.groupBy(first.alias("__ctx")).agg(
+        F.sum("__cb").alias("__cc")
     )
-    if broadcast_model:
-        model, ctx = F.broadcast(model), F.broadcast(ctx)
-    scored = (
-        bi.join(model, "shingle")
-        .join(ctx, "__ctx")
+    vsize = model.select(F.countDistinct(second).alias("__v"))
+    scored_model = (
+        model.join(ctx, first == F.col("__ctx"))
         .crossJoin(F.broadcast(vsize))
         .select(
-            "doc_id",
+            "shingle",
             F.log(
                 (F.col("__cb") + F.lit(add_k))
                 / (F.col("__cc") + F.lit(add_k) * F.col("__v"))
             ).alias("__lp"),
         )
     )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.round(F.avg("__lp"), 6).alias("logprob"),
+    if broadcast_model:
+        scored_model = F.broadcast(scored_model)
+    return (
+        bi.join(scored_model, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg("__lp"), 6).alias("logprob"),
+        )
     )
