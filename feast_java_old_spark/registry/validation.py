@@ -56,11 +56,15 @@ def validate_data_source(source: DataSource) -> None:
     """Parity: ``DataSourceValidator.validate:32-88``."""
     if isinstance(source, FileSource):
         # Reference parity is parquet-only (DataSourceValidator.java:34-43);
-        # csv/json are engine extensions over the same source abstraction.
-        if source.file_format.lower() not in ("parquet", "csv", "json"):
+        # csv/json/orc/avro are engine extensions over the same source
+        # abstraction (avro additionally matches the reference's wire
+        # codec, KafkaSerialization.java:31-68, as a batch file).
+        if source.file_format.lower() not in (
+            "parquet", "csv", "json", "orc", "avro"
+        ):
             raise ValidationError(
                 f"invalid file format {source.file_format!r}: expected "
-                "parquet (reference parity), csv, or json"
+                "parquet (reference parity), csv, json, orc, or avro"
             )
         if not source.file_url:
             raise ValidationError("file source requires file_url")

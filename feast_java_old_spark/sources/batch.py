@@ -70,6 +70,20 @@ def read_batch_source(
                 if source.schema_ddl
                 else spark.read.json(source.file_url)
             )
+        elif fmt == "orc":
+            # Columnar like parquet: pushdown/pruning come for free.
+            df = spark.read.orc(source.file_url)
+        elif fmt == "avro":
+            # Row-oriented interchange format (the reference's stream
+            # payload codec, KafkaSerialization.java:31-68, as a batch
+            # file); needs the spark-avro package on the classpath.
+            try:
+                df = spark.read.format("avro").load(source.file_url)
+            except Exception as ex:  # pragma: no cover - env-dependent
+                raise RuntimeError(
+                    "avro batch source requires spark-avro on the "
+                    "classpath"
+                ) from ex
         else:
             raise ValueError(f"unsupported file format {source.file_format!r}")
     elif isinstance(source, BigQuerySource):

@@ -272,11 +272,22 @@ def test_csv_json_file_sources_roundtrip(spark, tmp_path):
     no_ddl = FileSource(file_url=csv_dir, file_format="csv")
     assert read_batch_source(spark, no_ddl).count() == 2
 
+    # orc: columnar engine extension, full pushdown path
+    orc_dir = str(tmp_path / "orc")
+    df.coalesce(1).write.orc(orc_dir)
+    orc_src = FileSource(
+        file_url=orc_dir, file_format="orc",
+        event_timestamp_column="ts", field_mapping={"v": "value"},
+    )
+    validate_data_source(orc_src)
+    out_o = read_batch_source(spark, orc_src)
+    assert {(r.user_id, r.value) for r in out_o.collect()} == {(1, 1.5), (2, 2.5)}
+
     # unknown format rejected at validation
     import pytest as _pytest
     from feast_java_old_spark.registry.validation import ValidationError
     with _pytest.raises(ValidationError, match="invalid file format"):
-        validate_data_source(FileSource(file_url=csv_dir, file_format="orc"))
+        validate_data_source(FileSource(file_url=csv_dir, file_format="xml"))
 
 
 def test_materialize_incremental_and_ttl(spark, tmp_path, tmp_store):
