@@ -406,6 +406,15 @@ def dedup_components(
         .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
         .distinct()
     )
+    # Materialize the edge list ONCE before iterating: every round joins
+    # it twice, and without the cut each round re-executes the candidate
+    # generator upstream (for MinHash pairs that's the whole
+    # shingle→signature→band pipeline — measured 3-6x the loop's own
+    # cost). Same mechanism as the per-round label checkpoint.
+    if checkpoint == "reliable":
+        edges = edges.checkpoint(eager=True)
+    else:
+        edges = edges.localCheckpoint(eager=True)
     labels = ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     )
