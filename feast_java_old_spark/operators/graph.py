@@ -50,14 +50,22 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # (src, dst, outdeg(src)) — static across iterations; materialize
+    # once or every round (and the node/degree frames below) re-runs the
+    # distinct + degree aggregate upstream (the dedup_components
+    # edge-list lesson). Everything downstream derives from this one
+    # checkpointed frame.
+    ew = e.join(outdeg, "src")
+    ew = checkpoint(ew) if checkpoint is not None else ew.localCheckpoint(
+        eager=True
+    )
+    outdeg = ew.groupBy("src").agg(F.max("outdeg").alias("outdeg"))
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        ew.select(F.col("src").alias("node"))
+        .unionByName(ew.select(F.col("dst").alias("node")))
         .distinct()
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # (src, dst, outdeg(src)) — static per iteration, compute once
-    ew = e.join(outdeg, "src")
     pr = nodes.withColumn("pagerank", F.lit(1.0))
     for i in range(iterations):
         contrib = (

@@ -799,7 +799,9 @@ def semdedup(
     w = Window.partitionBy(cluster_col).orderBy(
         F.col("cos_centroid").desc(), F.col(id_col).asc()
     )
-    ranked = scored.withColumn("__rk", F.row_number().over(w))
+    # The ranked frame feeds both pair sides and the final kept-join;
+    # persist it so the centroid pool + window don't execute three times.
+    ranked = scored.withColumn("__rk", F.row_number().over(w)).persist()
     a = ranked.select(
         F.col(cluster_col).alias("__cl"),
         F.col(id_col).alias("__ida"),
