@@ -3882,6 +3882,71 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOPO_K = 10
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: segment-filtered
+    customers broadcast into orders, unshipped-revenue aggregate over
+    lineitem, distributed top-k. Plan at 100 TB: both filters sit at the
+    scans (date predicates pushed to parquet), the dim join is a
+    broadcast, the aggregate shuffles (orderkey, partial sum) only, and
+    the global top-10 is TakeOrderedAndProject — per-partition k rows to
+    the driver, never a full sort."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                    0,
+                ).cast("long")
+            ).alias("revenue_cents")
+        )
+        .select(
+            "l_orderkey",
+            F.unix_micros("o_orderdate").alias("orderdate_us"),
+            "o_orderpriority",
+            "revenue_cents",
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
+        .limit(TOPO_K)
+    )
+
+
+SQL_TOP_ORDERS = f"""
+SELECT l_orderkey,
+       epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS orderdate_us,
+       o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1995-03-15'
+  AND CAST(l_shipdate AS TIMESTAMP) > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey ASC
+LIMIT {TOPO_K}
+"""
+
+
 K_ANON = 5
 
 
@@ -4051,6 +4116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "k_anonymity": q_k_anonymity,
         "bigram_logprob": q_bigram_logprob,
+        "top_orders": q_top_orders,
     }
 
 
@@ -4156,6 +4222,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_sessions": SQL_A5,
         "k_anonymity": SQL_K_ANON,
         "bigram_logprob": SQL_BIGRAM_LP,
+        "top_orders": SQL_TOP_ORDERS,
         # sketch_distinct: rows-only by design (HLL estimates are not
         # cross-engine reproducible; see q_sketch_distinct docstring)
     }

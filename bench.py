@@ -107,6 +107,7 @@ HEADLINE = [
     "pagerank",
     "k_anonymity",
     "bigram_logprob",
+    "top_orders",
 ]
 
 
