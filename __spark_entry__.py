@@ -3882,6 +3882,90 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension enrichment: every event joins the SCD2
+    version valid at its own timestamp (state-as-of-the-event) — hash
+    equi-join on the entity key with the interval predicate as residual
+    (operators/features.py:scd2_join)."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = features.scd2_history(
+        ev, ["user_id"], ["event_type"], ts_col="ts", id_col="event_id"
+    )
+    facts = ev.select("user_id", F.col("ts").alias("event_timestamp"), "event_id")
+    out = features.scd2_join(
+        facts, hist, ["user_id"], fact_ts="event_timestamp"
+    )
+    return out.select(
+        F.col("f.user_id").alias("user_id"),
+        F.col("f.event_id").alias("event_id"),
+        F.unix_micros("f.event_timestamp").alias("ts_us"),
+        F.col("h.event_type").alias("state_event_type"),
+        F.col("h.version").alias("version"),
+    )
+
+
+SQL_SCD2_JOIN = """
+WITH o AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+         lag(event_type) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (SELECT * FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+h AS (SELECT user_id, event_type, ts AS vf, lead(ts) OVER w2 AS vt,
+             CAST(row_number() OVER w2 AS BIGINT) AS version
+      FROM c
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT e.user_id, e.event_id,
+       epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+       h.event_type AS state_event_type, h.version
+FROM events e
+JOIN h ON e.user_id = h.user_id
+      AND CAST(e.ts AS TIMESTAMP) >= h.vf
+      AND (h.vt IS NULL OR CAST(e.ts AS TIMESTAMP) < h.vt)
+"""
+
+TB_BUDGET = 25_000
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget selection: best-quality-first greedy prefix via
+    a distributed prefix sum over the quality order (per-bucket subtotals
+    + driver prefix + parallel within-bucket windows — never a global
+    single-task window) (operators/curation.py:token_budget_select)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__q", text.text_stat_cols()["quality_score"]
+    )
+    return curation.token_budget_select(
+        docs, "__q", TB_BUDGET
+    ).select("doc_id", "n_tokens", "cum_tokens", "selected")
+
+
+SQL_TOKEN_BUDGET = f"""
+WITH b AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains({{stoplist}}, t))) AS n_stop,
+         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+           AS n_alnum_space
+  FROM documents),
+q AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             round(least(n_tokens / 50.0, 1.0) * 0.5
+                   + least((n_stop / n_tokens) * 5.0, 1.0) * 0.3
+                   + (1.0 - least(((n_chars - n_alnum_space) / n_chars)
+                                  * 10.0, 1.0)) * 0.2, 6) AS qs
+      FROM b),
+c AS (SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY qs DESC, doc_id ASC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM q)
+SELECT doc_id, n_tokens, cum_tokens, cum_tokens <= {TB_BUDGET} AS selected
+FROM c
+"""
+
+
 TOPO_K = 10
 
 
@@ -4117,6 +4201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "bigram_logprob": q_bigram_logprob,
         "top_orders": q_top_orders,
+        "scd2_join": q_scd2_join,
+        "token_budget": q_token_budget,
     }
 
 
@@ -4223,6 +4309,8 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": SQL_K_ANON,
         "bigram_logprob": SQL_BIGRAM_LP,
         "top_orders": SQL_TOP_ORDERS,
+        "scd2_join": SQL_SCD2_JOIN,
+        "token_budget": SQL_TOKEN_BUDGET.format(stoplist=_STOPLIST_SQL),
         # sketch_distinct: rows-only by design (HLL estimates are not
         # cross-engine reproducible; see q_sketch_distinct docstring)
     }

@@ -108,6 +108,8 @@ HEADLINE = [
     "k_anonymity",
     "bigram_logprob",
     "top_orders",
+    "scd2_join",
+    "token_budget",
 ]
 
 

@@ -495,3 +495,69 @@ def line_filter(
         F.size(kept_lines).cast("long").alias("n_kept"),
         (F.size(kept_lines) >= F.lit(min_kept_lines)).alias("kept"),
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    order_col: str,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 100,
+) -> DataFrame:
+    """Fixed-token-budget corpus selection: walk documents in
+    ``(order_col DESC, id)`` order (highest quality first) and keep them
+    while the running token total stays within ``budget`` — the "best N
+    tokens" selection every data-constrained training run makes.
+
+    The running total is a **distributed prefix sum** over the quality
+    order (the :func:`~feast_java_old_spark.operators.text.sequence_pack`
+    pattern — a bare global ``Window.orderBy`` would funnel the corpus
+    through ONE task): docs bucket by quantized ``order_col`` (bucket
+    ranges are contiguous in the global order by construction), tiny
+    per-bucket subtotals prefix-sum on the driver, offsets broadcast
+    back, and the within-bucket running sum is a parallel window.
+
+    Returns ``(id, n_tokens, cum_tokens, selected)`` — ``selected`` is
+    the greedy prefix whose total ≤ budget. Oracle-equal to the flat
+    global-window form.
+    """
+    from pyspark.sql.window import Window
+
+    from feast_java_old_spark.operators.text import tokens
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(order_col).alias("__q"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).withColumn(
+        # bucket by quantized quality: equal __q always same bucket, so
+        # buckets are contiguous ranges of the (__q DESC, id) order
+        "__b",
+        F.floor(F.col("__q") * buckets).cast("long"),
+    )
+    totals = [
+        (r["__b"], r["t"])
+        for r in base.groupBy("__b").agg(F.sum("n_tokens").alias("t")).collect()
+    ]
+    offsets, acc = {}, 0
+    for b, t in sorted(totals, reverse=True):  # DESC: best bucket first
+        offsets[b] = acc
+        acc += t
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "__b long, __off long"
+    )
+    w = Window.partitionBy("__b").orderBy(
+        F.col("__q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        base.join(F.broadcast(off_df), on="__b")
+        .withColumn("__cum", F.col("__off") + F.sum("n_tokens").over(w))
+        .select(
+            F.col("doc_id").alias(id_col),
+            "n_tokens",
+            F.col("__cum").alias("cum_tokens"),
+            (F.col("__cum") <= budget).alias("selected"),
+        )
+    )

@@ -741,3 +741,40 @@ def merge_rollups(keys: list, *rollups: DataFrame) -> DataFrame:
         F.max("max_cents").alias("max_cents"),
         F.max("last_ts").alias("last_ts"),
     )
+
+
+def scd2_join(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: list,
+    fact_ts: str = "event_timestamp",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time dimension enrichment against a :func:`scd2_history`
+    table: each fact row joins the dimension version valid at its own
+    timestamp (``valid_from <= ts < valid_to``, open-ended current
+    version) — the classic warehouse "state as of the event" join, and
+    the batch twin of the online store's latest-wins read at an
+    arbitrary past instant.
+
+    Plan shape: a hash EQUI-join on the entity keys with the interval
+    predicate as a residual filter — per key a fact row scans only that
+    key's few versions, so the join is bounded by Σ|versions(key)| ×
+    |facts(key)| per key, shuffle-partitionable and AQE-skew-handled;
+    never a BroadcastNestedLoop. (A key-less interval join should use
+    ``windows.interval_join``'s banding instead.)
+    """
+    f, h = facts.alias("f"), history.alias("h")
+    cond = None
+    for k in keys:
+        c = F.col(f"f.{k}") == F.col(f"h.{k}")
+        cond = c if cond is None else (cond & c)
+    ts = F.col(f"f.{fact_ts}")
+    cond = (
+        cond
+        & (ts >= F.col(f"h.{from_col}"))
+        & (F.col(f"h.{to_col}").isNull() | (ts < F.col(f"h.{to_col}")))
+    )
+    return f.join(h, on=cond, how=how)

@@ -157,3 +157,49 @@ def test_bigram_logprob_known_corpus(spark):
     assert out[2] == (1, round(lp_ab, 6))
     assert out[1][0] == 3
     assert abs(out[1][1] - round((2 * lp_ab + lp_ba) / 3, 6)) < 1e-6
+
+
+def test_scd2_join_picks_version_valid_at_fact_ts(spark):
+    hist = spark.createDataFrame(
+        [
+            (1, "A", _ts(1), _ts(5), 1),
+            (1, "B", _ts(5), None, 2),
+        ],
+        "user_id long, attr string, valid_from timestamp, "
+        "valid_to timestamp, version long",
+    )
+    facts = spark.createDataFrame(
+        [(1, _ts(2), 100), (1, _ts(5), 101), (1, _ts(9), 102),
+         (2, _ts(3), 103)],
+        "user_id long, event_timestamp timestamp, event_id long",
+    )
+    out = {
+        r["event_id"]: (r["attr"], r["version"])
+        for r in features.scd2_join(facts, hist, ["user_id"]).select(
+            F.col("f.event_id").alias("event_id"), "h.attr", "h.version"
+        ).collect()
+    }
+    assert out[100] == ("A", 1)
+    assert out[101] == ("B", 2)  # boundary instant -> new version
+    assert out[102] == ("B", 2)  # open-ended current
+    assert 103 not in out  # no history for user 2 (inner join)
+
+
+def test_token_budget_select_greedy_prefix(spark):
+    from feast_java_old_spark.operators.curation import token_budget_select
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", 0.9),   # 3 tokens, best
+            (2, "d e", 0.5),     # 2 tokens
+            (3, "f g h i", 0.1), # 4 tokens, worst
+        ],
+        "doc_id long, text string, q double",
+    )
+    out = {
+        r.doc_id: (r.cum_tokens, r.selected)
+        for r in token_budget_select(docs, "q", budget=5).collect()
+    }
+    assert out[1] == (3, True)
+    assert out[2] == (5, True)
+    assert out[3] == (9, False)
