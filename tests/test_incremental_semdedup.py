@@ -203,3 +203,55 @@ def test_token_budget_select_greedy_prefix(spark):
     assert out[1] == (3, True)
     assert out[2] == (5, True)
     assert out[3] == (9, False)
+
+
+# ------------------------------------------------- plan-shape gates
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ewma_single_exchange_plan(spark, events):
+    plan = _plan(
+        features.ewma_features(events, ["user_id"], "value", seq_col="event_id")
+    )
+    # one entity-keyed exchange into the fold aggregate; no window sort
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+
+
+def test_scd2_join_no_nested_loop(spark):
+    hist = spark.createDataFrame(
+        [(1, "A", _ts(1), None, 1)],
+        "user_id long, attr string, valid_from timestamp, "
+        "valid_to timestamp, version long",
+    )
+    facts = spark.createDataFrame(
+        [(1, _ts(2), 100)],
+        "user_id long, event_timestamp timestamp, event_id long",
+    )
+    plan = _plan(features.scd2_join(facts, hist, ["user_id"]))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_budget_no_global_window(spark):
+    from feast_java_old_spark.operators.curation import token_budget_select
+
+    docs = spark.createDataFrame(
+        [(1, "a b", 0.5), (2, "c", 0.9)], "doc_id long, text string, q double"
+    )
+    plan = _plan(token_budget_select(docs, "q", budget=10))
+    # the prefix sum must be per-bucket windows, never a global
+    # single-partition sort (rangepartitioning with no partition key)
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_top_orders_takeordered_plan(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["top_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # never a full global sort
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
