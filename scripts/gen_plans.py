@@ -47,6 +47,9 @@ PICKS = [
     ("boilerplate", "Corpus boilerplate screen: shuffle-free shingle explode, doc-frequency hash aggregate with map-side combine, skew-safe shuffled hash join back, doc-keyed conditional aggregate — the text column never crosses an exchange."),
     ("semdedup", "SemDeDup: mean_pool centroids shuffle only (cluster, dim) scalars and broadcast back; ranking is one window per cluster; the pair join is a cluster-id equi-join — pairwise work exists only WITHIN clusters."),
     ("pagerank", "PageRank iteration: edges join the node-sized rank frame on src (shuffled hash join), contributions aggregate map-side-combined on dst; no adjacency matrix, no driver-side graph state."),
+    ("scd2_join", "SCD2 point-in-time join: hash EQUI-join on the entity key with the validity interval as a residual filter - bounded by versions x facts per key, AQE-skew-safe, never a nested loop."),
+    ("token_budget", "Token-budget selection: distributed prefix sum over the quality order - bucket subtotals, driver prefix, broadcast offsets, parallel within-bucket windows; no global single-task sort."),
+    ("top_orders", "TPC-H Q3 shape: all three filters in PushedFilters, dims broadcast, map-side-combined revenue aggregate, TakeOrderedAndProject top-k (per-partition k rows, no full sort)."),
 ]
 
 out = io.StringIO()
