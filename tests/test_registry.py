@@ -144,12 +144,14 @@ def test_subscription_wildcards():
 
 
 def test_data_source_validation():
-    # parquet is reference parity; csv/json are engine extensions — all
-    # three validate. Anything else is rejected.
+    # parquet is reference parity; csv/json/orc/avro are engine
+    # extensions — all validate. Anything else is rejected.
     validate_data_source(FileSource(file_url="/x.csv", file_format="csv"))
     validate_data_source(FileSource(file_url="/x.json", file_format="json"))
+    validate_data_source(FileSource(file_url="/x.orc", file_format="orc"))
+    validate_data_source(FileSource(file_url="/x.avro", file_format="avro"))
     with pytest.raises(ValidationError, match="invalid file format"):
-        validate_data_source(FileSource(file_url="/x.orc", file_format="orc"))
+        validate_data_source(FileSource(file_url="/x.xml", file_format="xml"))
     with pytest.raises(ValidationError, match="BigQuery"):
         validate_data_source(BigQuerySource(table_ref="not-a-ref"))
     validate_data_source(BigQuerySource(table_ref="proj:dataset.table"))
