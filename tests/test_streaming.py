@@ -595,3 +595,48 @@ def test_stream_apply_cdc_tombstones_and_late_deletes(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_merge_batch_replay_is_idempotent_and_gcs_versions(spark, tmp_path):
+    """foreachBatch delivery is at-least-once: re-running a batch (same
+    id, same rows) must converge to the identical state — latest-wins is
+    commutative and idempotent. The versioned writer must also GC old
+    vNNN dirs and keep the _LATEST pointer on the newest."""
+    from feast_java_old_spark.streaming.ingest import merge_latest_batch
+
+    path = str(tmp_path / "tab")
+    b1 = spark.createDataFrame(
+        [(1, t(10), 1.0), (2, t(20), 2.0)],
+        "user_id long, event_timestamp timestamp, value double",
+    )
+    merge_latest_batch(spark, b1, path, ["user_id"], 1)
+    before = {
+        r.user_id: (r.event_timestamp, r.value)
+        for r in read_online_table(spark, path).collect()
+    }
+
+    # replay the SAME batch (at-least-once redelivery)
+    merge_latest_batch(spark, b1, path, ["user_id"], 1)
+    after = {
+        r.user_id: (r.event_timestamp, r.value)
+        for r in read_online_table(spark, path).collect()
+    }
+    assert after == before
+
+    # a newer batch advances state; an older duplicate row cannot regress
+    b2 = spark.createDataFrame(
+        [(1, t(30), 10.0), (2, t(5), 99.0)],
+        "user_id long, event_timestamp timestamp, value double",
+    )
+    merge_latest_batch(spark, b2, path, ["user_id"], 2)
+    merge_latest_batch(spark, b2, path, ["user_id"], 2)  # replay again
+    state = {
+        r.user_id: r.value for r in read_online_table(spark, path).collect()
+    }
+    assert state == {1: 10.0, 2: 2.0}
+
+    # version GC: only the newest vNNN dir remains, pointer matches it
+    vdirs = sorted(d for d in os.listdir(path) if d.startswith("v"))
+    assert len(vdirs) == 1
+    with open(os.path.join(path, "_LATEST")) as f:
+        assert f.read().strip() == vdirs[0]
