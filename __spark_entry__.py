@@ -3882,6 +3882,55 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot delta between two crawls (added / removed /
+    changed / unchanged) — one full-outer join over (id, fingerprint)
+    projections; text reduces to md5 at the scan and never shuffles
+    (operators/curation.py:snapshot_diff). The 'new' crawl derives
+    deterministically from documents: %17 removed, %13 re-crawled with
+    extra content, %29 re-ingested under a new id."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = (
+        docs.where(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 13 == 0),
+                F.concat(F.col("text"), F.lit(" delta")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 29 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return curation.snapshot_diff(docs, new)
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH fp AS (SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                     AS f,
+                   text
+            FROM documents),
+n AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(
+           CASE WHEN doc_id % 13 = 0 THEN text || ' delta' ELSE text END
+         )), '\\s+', ' ', 'g')) AS f
+  FROM fp WHERE doc_id % 17 != 0
+  UNION ALL
+  SELECT doc_id + 1000000, f FROM fp WHERE doc_id % 29 = 0)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.f = n.f THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM fp o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
 def q_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time dimension enrichment: every event joins the SCD2
     version valid at its own timestamp (state-as-of-the-event) — hash
@@ -4203,6 +4252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": q_top_orders,
         "scd2_join": q_scd2_join,
         "token_budget": q_token_budget,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -4310,6 +4360,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": SQL_BIGRAM_LP,
         "top_orders": SQL_TOP_ORDERS,
         "scd2_join": SQL_SCD2_JOIN,
+        "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "token_budget": SQL_TOKEN_BUDGET.format(stoplist=_STOPLIST_SQL),
         # sketch_distinct: rows-only by design (HLL estimates are not
         # cross-engine reproducible; see q_sketch_distinct docstring)

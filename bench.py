@@ -110,6 +110,7 @@ HEADLINE = [
     "top_orders",
     "scd2_join",
     "token_budget",
+    "snapshot_diff",
 ]
 
 

@@ -561,3 +561,42 @@ def token_budget_select(
             (F.col("__cum") <= budget).alias("selected"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot delta — the bookkeeping an incremental ingest run
+    needs between two crawls: per document id, whether it was ``added``,
+    ``removed``, ``changed`` (same id, different content fingerprint) or
+    ``unchanged``.
+
+    One full-outer hash join on the id over (id, fingerprint)
+    projections — the text itself reduces to its md5 at the scan, so the
+    exchange carries two hashes per id, never documents. Downstream:
+    ``changed`` + ``added`` ids feed reprocessing
+    (:func:`~feast_java_old_spark.operators.features.scd2_history` keyed
+    on the fingerprint gives the full version history); ``removed`` ids
+    feed the GDPR/forget path.
+    """
+    from feast_java_old_spark.operators.text import fingerprint
+
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint(F.col(content_col)).alias("__fo"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint(F.col(content_col)).alias("__fn"),
+    )
+    return o.join(n, on="doc_id", how="full_outer").select(
+        "doc_id",
+        F.when(F.col("__fo").isNull(), F.lit("added"))
+        .when(F.col("__fn").isNull(), F.lit("removed"))
+        .when(F.col("__fo") == F.col("__fn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

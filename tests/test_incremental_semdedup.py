@@ -255,3 +255,18 @@ def test_top_orders_takeordered_plan(spark, sf_dir):
     plan = _plan(e.queries()["top_orders"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # never a full global sort
     assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_snapshot_diff_statuses(spark):
+    from feast_java_old_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed now"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
