@@ -375,6 +375,47 @@ def q_historical_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type__status",
     )
 
+def q_historical_asof_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same point-in-time semantics, executed by the range-join strategy
+    (``strategy="join"``: range join + rank) — the third interchangeable
+    physical plan, hash-matched against the identical oracle."""
+    events = load_table(spark, sf_dir, "events")
+    history = events.select(
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+        "event_id",
+        "value",
+        "event_type",
+    )
+    stamps = [dt.datetime(2024, 1, 15), dt.datetime(2024, 1, 5)]
+    requests = (
+        events.select("user_id")
+        .distinct()
+        .crossJoin(
+            spark.createDataFrame([(s,) for s in stamps], "request_ts timestamp")
+        )
+    )
+    out = get_historical_features(
+        requests,
+        history,
+        ["user_id"],
+        feature_cols=["value", "event_type"],
+        max_age_secs=ASOF_MAX_AGE,
+        include_statuses=True,
+        tiebreak_col="event_id",
+        strategy="join",
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("request_ts").alias("request_ts_us"),
+        F.unix_micros("event_timestamp").alias("event_ts_us"),
+        "value",
+        "value__status",
+        "event_type",
+        "event_type__status",
+    )
+
+
 def q_historical_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same point-in-time semantics as ``historical_asof``, executed by the
     skew-resistant bucketed strategy (time-salted window partitions +
@@ -4154,6 +4195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_compound_key": q_j2_compound_key,
         "j3_max_age": q_j3_max_age,
         "historical_asof": q_historical_asof,
+        "historical_asof_range": q_historical_asof_range,
         "historical_asof_bucketed": q_historical_asof_bucketed,
         "historical_training_set": q_historical_training_set,
         "a2_metrics_rollup": q_a2_metrics_rollup,
@@ -4264,6 +4306,7 @@ def oracle_sql() -> dict[str, str]:
         "j2_compound_key": SQL_J2,
         "j3_max_age": SQL_J3,
         "historical_asof": SQL_ASOF,
+        "historical_asof_range": SQL_ASOF,
         "historical_asof_bucketed": SQL_ASOF,
         "historical_training_set": SQL_TRAINING_SET,
         "a2_metrics_rollup": SQL_A2,

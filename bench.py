@@ -24,6 +24,7 @@ HEADLINE = [
     "j2_compound_key",
     "j3_max_age",
     "historical_asof",
+    "historical_asof_range",
     "historical_asof_bucketed",
     "historical_training_set",
     "a2_metrics_rollup",
