@@ -105,6 +105,46 @@ def q_a1_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a1_latest_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 by the window strategy (row_number rank) — hash-matched against
+    the same oracle as the max(struct) aggregate strategy, proving the
+    two physical plans interchangeable at the gate."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    latest = latest_per_key(
+        events, ["user_id"], "event_timestamp", strategy="window"
+    )
+    return latest.select(
+        "user_id",
+        F.unix_micros("event_timestamp").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+
+
+def q_j1_lookup_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 by the shuffle strategy (backfill-scale request sets too large
+    to broadcast; AQE picks the join) — same oracle as the broadcast
+    double-BHJ path."""
+    reg, online, entities = _customer_orders_env(spark, sf_dir, max_age=0)
+    return get_online_features(
+        spark,
+        reg,
+        entities,
+        ["customer_orders:total_price", "customer_orders:order_status"],
+        request_ts=dt.datetime(1998, 12, 1),
+        full_feature_names=False,
+        online_frames={"customer_orders": online},
+        strategy="shuffle",
+    )
+
+
 SQL_A1 = """
 SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
        event_type, value
@@ -4191,7 +4231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_projection": q_s1_scan_projection,
         "a1_latest_per_key": q_a1_latest_per_key,
+        "a1_latest_window": q_a1_latest_window,
         "j1_entity_lookup": q_j1_entity_lookup,
+        "j1_lookup_shuffle": q_j1_lookup_shuffle,
         "j2_compound_key": q_j2_compound_key,
         "j3_max_age": q_j3_max_age,
         "historical_asof": q_historical_asof,
@@ -4302,7 +4344,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "s1_scan_projection": SQL_S1,
         "a1_latest_per_key": SQL_A1,
+        "a1_latest_window": SQL_A1,
         "j1_entity_lookup": SQL_J1,
+        "j1_lookup_shuffle": SQL_J1,
         "j2_compound_key": SQL_J2,
         "j3_max_age": SQL_J3,
         "historical_asof": SQL_ASOF,

@@ -20,7 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "s1_scan_projection",
     "a1_latest_per_key",
+    "a1_latest_window",
     "j1_entity_lookup",
+    "j1_lookup_shuffle",
     "j2_compound_key",
     "j3_max_age",
     "historical_asof",
