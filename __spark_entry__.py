@@ -3963,6 +3963,80 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEQ_MAX_LEN = 50
+
+
+def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered behavior sequences truncated to the most recent
+    50 events — the training-example shape for next-event-prediction /
+    session-recommendation models; one entity-keyed shuffle into the
+    shared ordered-gather kernel (operators/features.py:event_sequences).
+    The sequence rides as a comma-joined string for engine-portable
+    hashing."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+        "event_id",
+        "event_type",
+    )
+    out = features.event_sequences(
+        ev, ["user_id"], "event_type", seq_col="event_id",
+        max_len=SEQ_MAX_LEN,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.concat_ws(",", F.col("sequence")).alias("seq_str"),
+    )
+
+
+SQL_USER_SEQ = f"""
+WITH s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         list(event_type ORDER BY CAST(ts AS TIMESTAMP), event_id) AS l
+  FROM events GROUP BY user_id)
+SELECT user_id, n_events,
+       array_to_string(
+         l[greatest(len(l) - {SEQ_MAX_LEN} + 1, 1):len(l)], ',') AS seq_str
+FROM s
+"""
+
+PMI_MIN_COUNT = 5
+PMI_K = 50
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k bigram collocations by PMI (phrase detection for tokenizer /
+    vocab construction): one corpus pass into the bigram-count model;
+    marginals and the total derive from the vocab-sized model table;
+    distributed TakeOrdered top-k (operators/text.py:pmi_collocations)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pmi_collocations(
+        docs, min_count=PMI_MIN_COUNT, k=PMI_K
+    )
+
+
+SQL_PMI = f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+bi AS (SELECT unnest([t[i] || ' ' || t[i+1]
+                      FOR i IN range(1, len(t))]) AS bg
+       FROM toks),
+m AS (SELECT bg, count(*) AS np FROM bi GROUP BY bg),
+l AS (SELECT split_part(bg, ' ', 1) AS w, sum(np) AS nl FROM m GROUP BY 1),
+r AS (SELECT split_part(bg, ' ', 2) AS w, sum(np) AS nr FROM m GROUP BY 1),
+tt AS (SELECT sum(np) AS n FROM m)
+SELECT m.bg AS bigram, CAST(m.np AS BIGINT) AS n_pair,
+       CAST(l.nl AS BIGINT) AS n_left, CAST(r.nr AS BIGINT) AS n_right,
+       round(ln(CAST(tt.n AS DOUBLE) * m.np / (l.nl * r.nr)), 6) AS pmi
+FROM m
+JOIN l ON l.w = split_part(m.bg, ' ', 1)
+JOIN r ON r.w = split_part(m.bg, ' ', 2)
+CROSS JOIN tt
+WHERE m.np >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, bigram ASC LIMIT {PMI_K}
+"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot delta between two crawls (added / removed /
     changed / unchanged) — one full-outer join over (id, fingerprint)
@@ -4337,6 +4411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_join": q_scd2_join,
         "token_budget": q_token_budget,
         "snapshot_diff": q_snapshot_diff,
+        "user_sequences": q_user_sequences,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -4448,6 +4524,8 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": SQL_TOP_ORDERS,
         "scd2_join": SQL_SCD2_JOIN,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
+        "user_sequences": SQL_USER_SEQ,
+        "pmi_collocations": SQL_PMI,
         "token_budget": SQL_TOKEN_BUDGET.format(stoplist=_STOPLIST_SQL),
         # sketch_distinct: rows-only by design (HLL estimates are not
         # cross-engine reproducible; see q_sketch_distinct docstring)

@@ -114,6 +114,8 @@ HEADLINE = [
     "scd2_join",
     "token_budget",
     "snapshot_diff",
+    "user_sequences",
+    "pmi_collocations",
 ]
 
 

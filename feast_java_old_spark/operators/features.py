@@ -778,3 +778,45 @@ def scd2_join(
         & (F.col(f"h.{to_col}").isNull() | (ts < F.col(f"h.{to_col}")))
     )
     return f.join(h, on=cond, how=how)
+
+
+def event_sequences(
+    df: DataFrame,
+    keys: list,
+    item_col: str,
+    ts_col: str = "event_timestamp",
+    seq_col: str | None = None,
+    max_len: int | None = None,
+) -> DataFrame:
+    """Per-entity ordered behavior sequences — the training-example shape
+    for sequence models (next-event prediction, session-based
+    recommendation): each key's items in ``(ts, seq)`` order, optionally
+    truncated to the most recent ``max_len``.
+
+    One entity-keyed shuffle into ``sort_array(collect_list(struct))``
+    (the ordered-gather kernel shared with ``funnel``/``ewma_features``);
+    truncation slices the tail in-expression. Per-key state is the key's
+    history — the inherent bound for any ordered-sequence export.
+
+    Returns ``(keys..., n_events, sequence array<item>)``.
+    """
+    order_cols = [ts_col] + ([seq_col] if seq_col else [])
+    packed = F.sort_array(
+        F.collect_list(
+            F.struct(
+                *[F.col(c) for c in order_cols],
+                F.col(item_col).alias("__it"),
+            )
+        )
+    )
+    seq = F.transform(packed, lambda s: s["__it"])
+    if max_len is not None:
+        # keep the most recent max_len items
+        seq = F.when(
+            F.size(seq) > max_len,
+            F.slice(seq, F.size(seq) - max_len + 1, max_len),
+        ).otherwise(seq)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        seq.alias("sequence"),
+    )

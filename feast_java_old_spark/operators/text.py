@@ -684,3 +684,62 @@ def bigram_logprob(
             F.round(F.avg("__lp"), 6).alias("logprob"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Collocation mining: top-k word bigrams by pointwise mutual
+    information ``PMI = ln(N * c(ab) / (c(a·) * c(·b)))`` over the corpus
+    (phrase detection for tokenizer/vocab construction, word2vec-style
+    phrase merging).
+
+    Plan shape: the bigram stream is the shuffle-free
+    ``exploded_shingles`` kernel consumed ONCE into a map-side-combined
+    bigram-count model; left/right unigram marginals and the corpus
+    total all derive from that vocab-sized model table (no second corpus
+    pass — the ``bigram_logprob`` lesson), joined back model-to-model.
+    ``min_count`` filters rare-pair PMI noise before ranking; the top-k
+    is a distributed ``TakeOrdered``.
+
+    Returns ``(bigram, n_pair, n_left, n_right, pmi)`` rounded to 6,
+    ordered by ``(pmi DESC, bigram)``.
+    """
+    from feast_java_old_spark.operators.dedup import exploded_shingles
+
+    bi = exploded_shingles(df, text_col, id_col, n=2, distinct=False)
+    model = bi.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_pair"))
+    first = F.split_part(F.col("shingle"), F.lit(" "), F.lit(1))
+    second = F.split_part(F.col("shingle"), F.lit(" "), F.lit(2))
+    left = model.groupBy(first.alias("__l")).agg(
+        F.sum("n_pair").alias("n_left")
+    )
+    right = model.groupBy(second.alias("__r")).agg(
+        F.sum("n_pair").alias("n_right")
+    )
+    total = model.agg(F.sum("n_pair").alias("__n"))
+    scored = (
+        model.where(F.col("n_pair") >= min_count)
+        .join(left, first == F.col("__l"))
+        .join(right, second == F.col("__r"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("shingle").alias("bigram"),
+            "n_pair",
+            "n_left",
+            "n_right",
+            F.round(
+                F.log(
+                    F.col("__n")
+                    * F.col("n_pair")
+                    / (F.col("n_left") * F.col("n_right"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), F.col("bigram").asc()).limit(k)

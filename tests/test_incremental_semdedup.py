@@ -270,3 +270,30 @@ def test_snapshot_diff_statuses(spark):
     )
     out = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_event_sequences_order_and_truncation(spark, events):
+    out = {
+        r.user_id: (r.n_events, r.sequence)
+        for r in features.event_sequences(
+            events.withColumn("it", F.col("event_id").cast("string")),
+            ["user_id"], "it", seq_col="event_id", max_len=2,
+        ).collect()
+    }
+    # user 1 has 3 events (ids 10,11,12 in ts order) -> last 2 kept
+    assert out[1] == (3, ["11", "12"])
+    # user 3 ties on ts -> event_id breaks order
+    assert out[3] == (2, ["30", "31"])
+
+
+def test_pmi_collocations_known_corpus(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y q"), (2, "x y p q")], "doc_id long, text string"
+    )
+    out = {r.bigram: (r.n_pair, r.pmi)
+           for r in text.pmi_collocations(docs, min_count=2, k=10).collect()}
+    # bigrams: doc1: "x y","y x","x y","y q"; doc2: "x y","y p","p q" -> N=7
+    # c("x y")=3, left c(x .)=3, right c(. y)=3
+    assert out == {"x y": (3, round(math.log(7 * 3 / (3 * 3)), 6))}
