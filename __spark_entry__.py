@@ -4001,6 +4001,37 @@ SELECT user_id, n_events,
 FROM s
 """
 
+LBB_BATCH = 8
+
+
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment (padding-efficient dynamic
+    batching): power-of-2 length buckets, fixed-size batches in id order
+    within each bucket, parallel per-bucket rank windows
+    (operators/text.py:length_bucket_batches)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.length_bucket_batches(docs, batch_size=LBB_BATCH)
+
+
+SQL_LENGTH_BATCHES = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+k AS (SELECT doc_id, n_tokens,
+             CAST(floor(log2(greatest(n_tokens, 1))) AS BIGINT)
+               AS len_bucket
+      FROM b)
+SELECT doc_id, n_tokens, len_bucket,
+       len_bucket * 1000000
+         + CAST(floor((row_number() OVER (PARTITION BY len_bucket
+                        ORDER BY doc_id) - 1) / {LBB_BATCH}) AS BIGINT)
+         AS batch_id,
+       max(n_tokens) OVER (PARTITION BY len_bucket) AS pad_to
+FROM k
+"""
+
+
 PMI_MIN_COUNT = 5
 PMI_K = 50
 
@@ -4412,6 +4443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "snapshot_diff": q_snapshot_diff,
         "user_sequences": q_user_sequences,
+        "length_batches": q_length_batches,
         "pmi_collocations": q_pmi_collocations,
     }
 
@@ -4525,6 +4557,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_join": SQL_SCD2_JOIN,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "user_sequences": SQL_USER_SEQ,
+        "length_batches": SQL_LENGTH_BATCHES,
         "pmi_collocations": SQL_PMI,
         "token_budget": SQL_TOKEN_BUDGET.format(stoplist=_STOPLIST_SQL),
         # sketch_distinct: rows-only by design (HLL estimates are not

@@ -115,6 +115,7 @@ HEADLINE = [
     "token_budget",
     "snapshot_diff",
     "user_sequences",
+    "length_batches",
     "pmi_collocations",
 ]
 

@@ -743,3 +743,46 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.col("pmi").desc(), F.col("bigram").asc()).limit(k)
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_size: int = 8,
+) -> DataFrame:
+    """Length-bucketed batch assignment — the padding-efficiency trick
+    every sequence-training loader uses: documents group into power-of-2
+    length buckets (floor(log2(n_tokens))), and each bucket packs into
+    fixed-size batches in id order, so a batch's members have within-2×
+    lengths and padding waste is bounded.
+
+    One exchange keyed by the bucket; the within-bucket rank windows run
+    per bucket in parallel (the ``corpus_shuffle`` pattern — no global
+    order, no single-task sort). Batch ids are globally unique via
+    (bucket, batch_in_bucket) encoding. Returns
+    ``(id, n_tokens, len_bucket, batch_id, pad_to)`` where ``pad_to`` is
+    the bucket's max length — the padded width a dataloader would
+    allocate.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "len_bucket",
+        F.floor(F.log2(F.greatest(F.col("n_tokens"), F.lit(1)))).cast("long"),
+    )
+    w = Window.partitionBy("len_bucket").orderBy("doc_id")
+    wb = Window.partitionBy("len_bucket")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "len_bucket",
+        (
+            F.col("len_bucket") * 1_000_000
+            + ((F.row_number().over(w) - 1) / batch_size).cast("long")
+        ).alias("batch_id"),
+        F.max("n_tokens").over(wb).alias("pad_to"),
+    )

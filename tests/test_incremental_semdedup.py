@@ -297,3 +297,20 @@ def test_pmi_collocations_known_corpus(spark):
     # bigrams: doc1: "x y","y x","x y","y q"; doc2: "x y","y p","p q" -> N=7
     # c("x y")=3, left c(x .)=3, right c(. y)=3
     assert out == {"x y": (3, round(math.log(7 * 3 / (3 * 3)), 6))}
+
+
+def test_length_bucket_batches(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c d"), (3, "e f"), (4, "w x y z a b c d")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.len_bucket, r.batch_id, r.pad_to)
+        for r in text.length_bucket_batches(docs, batch_size=2).collect()
+    }
+    # docs 1-3: 2 tokens -> bucket 1; batch size 2 -> ids 1,2 batch 0; 3 batch 1
+    assert out[1] == (1, 1_000_000, 2)
+    assert out[2] == (1, 1_000_000, 2)
+    assert out[3] == (1, 1_000_001, 2)
+    # doc 4: 8 tokens -> bucket 3, its own batch, pad_to 8
+    assert out[4] == (3, 3_000_000, 8)
