@@ -4001,6 +4001,45 @@ SELECT user_id, n_events,
 FROM s
 """
 
+NEG_K = 4
+NEG_SEED = 7
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training:
+    each (supplier, part) positive fans into k hash-drawn candidate
+    parts; accidental positives are flagged by a (user, candidate) join,
+    never resampled (operators/curation.py:negative_samples)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    positives = li.where(F.col("l_partkey") % 50 == 0).select(
+        F.col("l_suppkey").alias("user"),
+        F.col("l_partkey").alias("item"),
+    )
+    n_items = load_table(spark, sf_dir, "part").count()
+    return curation.negative_samples(
+        positives, "user", "item", n_items=n_items, k=NEG_K, seed=NEG_SEED
+    )
+
+
+SQL_NEG_SAMPLES = f"""
+WITH p AS (SELECT DISTINCT l_suppkey AS user, l_partkey AS pos_item
+           FROM lineitem WHERE l_partkey % 50 = 0),
+np AS (SELECT count(*) AS n FROM part),
+slots AS (SELECT p.user, p.pos_item, s.slot
+          FROM p, (SELECT unnest(range(0, {NEG_K})) AS slot) s),
+cand AS (
+  SELECT user, pos_item, CAST(slot AS BIGINT) AS slot,
+         ('0x' || substr(md5(user::VARCHAR || ':' || pos_item::VARCHAR
+                             || ':' || slot::VARCHAR || ':{NEG_SEED}'),
+                  1, 15))::BIGINT % np.n + 1 AS neg_item
+  FROM slots CROSS JOIN np)
+SELECT c.user, c.pos_item, c.slot, c.neg_item,
+       (p2.user IS NOT NULL) AS is_false_negative
+FROM cand c
+LEFT JOIN p p2 ON p2.user = c.user AND p2.pos_item = c.neg_item
+"""
+
+
 LBB_BATCH = 8
 
 
@@ -4444,6 +4483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "user_sequences": q_user_sequences,
         "length_batches": q_length_batches,
+        "negative_samples": q_negative_samples,
         "pmi_collocations": q_pmi_collocations,
     }
 
@@ -4558,6 +4598,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "user_sequences": SQL_USER_SEQ,
         "length_batches": SQL_LENGTH_BATCHES,
+        "negative_samples": SQL_NEG_SAMPLES,
         "pmi_collocations": SQL_PMI,
         "token_budget": SQL_TOKEN_BUDGET.format(stoplist=_STOPLIST_SQL),
         # sketch_distinct: rows-only by design (HLL estimates are not

@@ -116,6 +116,7 @@ HEADLINE = [
     "snapshot_diff",
     "user_sequences",
     "length_batches",
+    "negative_samples",
     "pmi_collocations",
 ]
 

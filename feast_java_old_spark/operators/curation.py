@@ -600,3 +600,71 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+def negative_samples(
+    positives: DataFrame,
+    user_col: str,
+    item_col: str,
+    n_items: int,
+    k: int = 4,
+    seed: int = 0,
+    item_base: int = 1,
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive / link-
+    prediction training: for every positive (user, item) pair, draw ``k``
+    pseudo-random candidate items from ``[item_base, item_base+n_items)``
+    via an md5 hash of (user, item, slot, seed), then flag accidental
+    positives (candidates the user actually interacted with) with a
+    broadcast-free anti-join marker — the standard loader practice is to
+    filter or down-weight those, not to resample (a resample loop is
+    neither bounded nor plan-friendly).
+
+    Pure expression generation: ``explode(sequence(0, k-1))`` fans each
+    positive into k slots, the candidate id is a hash projection, and the
+    false-negative flag is a left-semi-style join against the positives
+    keyed on (user, item) — one shuffle of (user, candidate) pairs.
+    Fully reproducible on any cluster size / partitioning.
+
+    Returns ``(user, pos_item, slot, neg_item, is_false_negative)``.
+    """
+    p = positives.select(
+        F.col(user_col).alias("user"), F.col(item_col).alias("pos_item")
+    ).distinct()
+    slots = p.select(
+        "user",
+        "pos_item",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"),
+    )
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("user").cast("string"),
+            F.col("pos_item").cast("string"),
+            F.col("slot").cast("string"),
+            F.lit(str(seed)),
+        )
+    )
+    cand = slots.withColumn(
+        "neg_item",
+        (
+            F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
+            % n_items
+            + item_base
+        ),
+    )
+    seen = p.select(
+        F.col("user"), F.col("pos_item").alias("neg_item")
+    ).withColumn("__hit", F.lit(True))
+    return (
+        cand.join(seen, on=["user", "neg_item"], how="left")
+        .select(
+            "user",
+            "pos_item",
+            "slot",
+            "neg_item",
+            F.coalesce(F.col("__hit"), F.lit(False)).alias(
+                "is_false_negative"
+            ),
+        )
+    )

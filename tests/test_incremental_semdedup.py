@@ -314,3 +314,25 @@ def test_length_bucket_batches(spark):
     assert out[3] == (1, 1_000_001, 2)
     # doc 4: 8 tokens -> bucket 3, its own batch, pad_to 8
     assert out[4] == (3, 3_000_000, 8)
+
+
+def test_negative_samples_deterministic_and_flags(spark):
+    from feast_java_old_spark.operators.curation import negative_samples
+
+    pos = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "user long, item long"
+    )
+    a = negative_samples(pos, "user", "item", n_items=20, k=3, seed=1)
+    b = negative_samples(pos, "user", "item", n_items=20, k=3, seed=1)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb  # fully deterministic
+    assert len(ra) == 9  # 3 positives x k=3
+    for user, pos_item, slot, neg, flag in ra:
+        assert 1 <= neg <= 20
+        interacted = {10, 11} if user == 1 else {10}
+        assert flag == (neg in interacted)
+    # a different seed draws a different candidate set
+    c = sorted(map(tuple, negative_samples(
+        pos, "user", "item", n_items=20, k=3, seed=2).collect()))
+    assert c != ra
