@@ -1858,6 +1858,39 @@ FROM o
 """
 
 
+def q_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence within 30-min sessions (the counting
+    kernel of item-similarity recommenders): sessionize → per-session
+    item presence → unordered pair counts
+    (operators/windows.py:session_cooccurrence)."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.session_cooccurrence(
+        ev, ["user_id"], "event_type", ts_col="ts", id_col="event_id"
+    )
+
+
+SQL_SESSION_COOC = """
+WITH o AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events),
+s AS (SELECT user_id, event_type,
+             sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM o),
+pres AS (SELECT DISTINCT user_id, session_seq, event_type FROM s)
+SELECT a.event_type AS item_a, b.event_type AS item_b,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM pres a
+JOIN pres b ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+           AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 KM_STEP = 50
 KM_DIM = 64
 
@@ -4484,6 +4517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sequences": q_user_sequences,
         "length_batches": q_length_batches,
         "negative_samples": q_negative_samples,
+        "session_cooccurrence": q_session_cooccurrence,
         "pmi_collocations": q_pmi_collocations,
     }
 
@@ -4599,6 +4633,7 @@ def oracle_sql() -> dict[str, str]:
         "user_sequences": SQL_USER_SEQ,
         "length_batches": SQL_LENGTH_BATCHES,
         "negative_samples": SQL_NEG_SAMPLES,
+        "session_cooccurrence": SQL_SESSION_COOC,
         "pmi_collocations": SQL_PMI,
         "token_budget": SQL_TOKEN_BUDGET.format(stoplist=_STOPLIST_SQL),
         # sketch_distinct: rows-only by design (HLL estimates are not

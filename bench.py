@@ -117,6 +117,7 @@ HEADLINE = [
     "user_sequences",
     "length_batches",
     "negative_samples",
+    "session_cooccurrence",
     "pmi_collocations",
 ]
 

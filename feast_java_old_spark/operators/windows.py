@@ -207,3 +207,50 @@ def sessionize(
         delta.alias("gap_us"),
         F.sum(new_session).over(run).cast("long").alias("session_seq"),
     )
+
+
+def session_cooccurrence(
+    df: DataFrame,
+    keys: list[str],
+    item_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap: str = "30 minutes",
+    min_count: int = 1,
+) -> DataFrame:
+    """Item-to-item co-occurrence within behavioral sessions — the
+    counting kernel behind item-similarity recommenders ("users who did
+    A in a session also did B"): sessionize, reduce each (session, item)
+    to presence, then count sessions containing each unordered item
+    pair.
+
+    Plan shape: :func:`sessionize` is one entity-keyed shuffle; distinct
+    (key, session, item) presence is a map-side-combined aggregate; the
+    pair generation is a self-join keyed on the (key, session) tuple —
+    bounded by Σ items-per-session², the within-group cost inherent to
+    pair mining (sessions are short by construction of the gap rule —
+    this is the SemDeDup argument at the session scale). Pair counts
+    aggregate map-side; ``min_count`` prunes the tail before it reaches
+    the driver.
+
+    Returns ``(item_a, item_b, n_sessions)`` with ``item_a < item_b``.
+    """
+    sess = sessionize(df, keys, ts_col=ts_col, id_col=id_col, gap=gap).select(
+        *keys, id_col, "session_seq"
+    )
+    items = df.select(*keys, F.col(id_col), F.col(item_col).alias("__it"))
+    pres = (
+        sess.join(items, on=[*keys, id_col])
+        .select(*keys, "session_seq", "__it")
+        .dropDuplicates([*keys, "session_seq", "__it"])
+    )
+    a = pres.withColumnRenamed("__it", "item_a")
+    b = pres.withColumnRenamed("__it", "item_b")
+    pairs = a.join(b, on=[*keys, "session_seq"]).where(
+        F.col("item_a") < F.col("item_b")
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .where(F.col("n_sessions") >= min_count)
+    )

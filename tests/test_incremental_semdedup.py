@@ -336,3 +336,24 @@ def test_negative_samples_deterministic_and_flags(spark):
     c = sorted(map(tuple, negative_samples(
         pos, "user", "item", n_items=20, k=3, seed=2).collect()))
     assert c != ra
+
+
+def test_session_cooccurrence_pairs(spark):
+    from feast_java_old_spark.operators.windows import session_cooccurrence
+
+    # user 1: session1 {A,B}, session2 {A,C} (90-min gap); user 2: {A,B}
+    rows = [
+        (1, _ts(1, 0), 1, "A"),
+        (1, _ts(1, 0), 2, "B"),
+        (1, _ts(1, 3), 3, "A"),
+        (1, _ts(1, 3), 4, "C"),
+        (2, _ts(1, 0), 5, "A"),
+        (2, _ts(1, 0), 6, "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, item string"
+    )
+    out = {(r.item_a, r.item_b): r.n_sessions
+           for r in session_cooccurrence(
+               df, ["user_id"], "item", gap="30 minutes").collect()}
+    assert out == {("A", "B"): 2, ("A", "C"): 1}
