@@ -732,11 +732,14 @@ def pmi_collocations(
             "n_pair",
             "n_left",
             "n_right",
+            # double math BEFORE the multiply: N * c(ab) overflows int64
+            # once corpus bigram counts pass ~2^31 each (a certainty at
+            # 100 TB); matches the oracle's CAST(n AS DOUBLE) exactly
             F.round(
                 F.log(
-                    F.col("__n")
+                    F.col("__n").cast("double")
                     * F.col("n_pair")
-                    / (F.col("n_left") * F.col("n_right"))
+                    / (F.col("n_left").cast("double") * F.col("n_right"))
                 ),
                 6,
             ).alias("pmi"),
