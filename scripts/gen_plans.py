@@ -50,6 +50,10 @@ PICKS = [
     ("scd2_join", "SCD2 point-in-time join: hash EQUI-join on the entity key with the validity interval as a residual filter - bounded by versions x facts per key, AQE-skew-safe, never a nested loop."),
     ("token_budget", "Token-budget selection: distributed prefix sum over the quality order - bucket subtotals, driver prefix, broadcast offsets, parallel within-bucket windows; no global single-task sort."),
     ("top_orders", "TPC-H Q3 shape: all three filters in PushedFilters, dims broadcast, map-side-combined revenue aggregate, TakeOrderedAndProject top-k (per-partition k rows, no full sort)."),
+    ("pmi_collocations", "PMI collocations: ONE corpus pass into the map-side-combined bigram model; marginals and the total derive from the vocab-sized table (model-to-model joins); TakeOrdered top-k."),
+    ("negative_samples", "Negative sampling: explode(sequence) fan-out + md5 hash projection generates candidates in-expression; the false-negative flag is one (user, candidate)-keyed join - no resample loop, no driver-side randomness."),
+    ("session_cooccurrence", "Session co-occurrence: sessionize's single entity-keyed window, presence dedup aggregate, then a (key, session)-keyed pair join - pairwise cost bounded by items-per-session squared, never corpus-wide."),
+    ("user_sequences", "Behavior sequences: one entity-keyed exchange into the ordered-gather kernel; truncation is an in-expression slice - no second window, no re-sort."),
 ]
 
 out = io.StringIO()
