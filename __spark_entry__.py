@@ -3915,6 +3915,74 @@ FROM rk LEFT JOIN drp ON rk.vec_id = drp.vec_id
 PR_OFFSET = 10_000_000  # disjoint node-id namespaces for parts/suppliers
 
 
+CLEAN_MIN_Q = 0.55
+
+
+def q_stream_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed streaming corpus intake under the gate (§2.6): the
+    documents table replayed as a stream through quality gate → PII
+    scrub → watermark-bounded exact dedup
+    (streaming/ingest.py:stream_clean_ingest). The output is keyed by
+    CONTENT (fingerprint + scrubbed-text md5), never doc_id, so the row
+    set is identical no matter which copy of a duplicate survives the
+    first-arrival dedup — the oracle is the batch DISTINCT of the same
+    gated projection."""
+    import tempfile
+
+    from feast_java_old_spark.operators.text import fingerprint
+    from feast_java_old_spark.streaming.ingest import stream_clean_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(mins=F.col("doc_id").cast("int"))
+        ).alias("event_timestamp"),
+    )
+    src = tempfile.mkdtemp(prefix="fjos_cleansrc_")
+    docs.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    cleaned = stream_clean_ingest(stream, min_quality=CLEAN_MIN_Q)
+    out = _stream_to_table(spark, cleaned, "append", "stream_clean_corpus")
+    return out.select(
+        fingerprint(F.col("text")).alias("fp"),
+        F.md5(F.col("text")).alias("scrub_md5"),
+    ).distinct()
+
+
+SQL_STREAM_CLEAN = """
+WITH b AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains({stoplist}, t))) AS n_stop,
+         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+           AS n_alnum_space
+  FROM documents),
+g AS (SELECT doc_id, text FROM b
+      WHERE round(least(n_tokens / 50.0, 1.0) * 0.5
+             + least((n_stop / n_tokens) * 5.0, 1.0) * 0.3
+             + (1.0 - least(((n_chars - n_alnum_space) / n_chars)
+                            * 10.0, 1.0)) * 0.2, 6) >= {min_q}),
+s AS (SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '{email}', '[EMAIL]', 'g'),
+                   '{ssn}', '[SSN]', 'g'),
+                 '{phone}', '[PHONE]', 'g'),
+               '{ipv4}', '[IPV4]', 'g') AS text
+      FROM g)
+SELECT DISTINCT
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+       md5(text) AS scrub_md5
+FROM s
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two power iterations of PageRank over the undirected part↔supplier
     graph from lineitem — curation-weighting importance propagation
@@ -4508,6 +4576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "pagerank": q_pagerank,
         "stream_sessions": q_stream_sessions,
+        "stream_clean_corpus": q_stream_clean_corpus,
         "k_anonymity": q_k_anonymity,
         "bigram_logprob": q_bigram_logprob,
         "top_orders": q_top_orders,
@@ -4625,6 +4694,10 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": SQL_SEMDEDUP,
         "pagerank": SQL_PAGERANK,
         "stream_sessions": SQL_A5,
+        "stream_clean_corpus": SQL_STREAM_CLEAN.format(
+            stoplist=_STOPLIST_SQL, min_q=CLEAN_MIN_Q, email=_PII_EMAIL,
+            ssn=_PII_SSN, phone=_PII_PHONE, ipv4=_PII_IPV4,
+        ),
         "k_anonymity": SQL_K_ANON,
         "bigram_logprob": SQL_BIGRAM_LP,
         "top_orders": SQL_TOP_ORDERS,
