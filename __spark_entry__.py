@@ -3915,6 +3915,71 @@ FROM rk LEFT JOIN drp ON rk.vec_id = drp.vec_id
 PR_OFFSET = 10_000_000  # disjoint node-id namespaces for parts/suppliers
 
 
+FUZZY_MAX_DF = 50
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked fuzzy matching over customer names:
+    discriminative char-3-gram blocking (stop-grams like the shared
+    "Customer#" prefix drop at df>50) + exact Levenshtein ≤ 1 verify on
+    candidates only — sub-quadratic by the df cap, never all-pairs
+    (operators/joins.py:fuzzy_match)."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 3 == 0
+    )
+    return joins.fuzzy_match(
+        cust, "c_custkey", "c_name", q=3, max_df=FUZZY_MAX_DF,
+        max_distance=1,
+    )
+
+
+SQL_FUZZY = f"""
+WITH base AS (SELECT c_custkey AS id, c_name AS name FROM customer
+              WHERE c_custkey % 3 = 0),
+g AS (SELECT id, name,
+             unnest(list_distinct([name[i:i+2]
+                    FOR i IN range(1, len(name) - 1)])) AS gram
+      FROM base),
+dfr AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+k AS (SELECT g.* FROM g JOIN dfr USING (gram) WHERE dfr.df <= {FUZZY_MAX_DF}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                a.name AS name_a, b.name AS name_b
+         FROM k a JOIN k b ON a.gram = b.gram AND a.id < b.id)
+SELECT id_a, id_b, name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS INTEGER) AS distance
+FROM cand WHERE levenshtein(name_a, name_b) <= 1
+"""
+
+
+def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar feature projection (the feature-store staple): day-of-
+    week / hour / day / month / weekend flag per event — one pure
+    codegen projection, zero shuffles; dow is pinned to the ISO-agnostic
+    1=Sunday convention on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return ev.select(
+        "event_id",
+        F.unix_micros(ts).alias("ts_us"),
+        F.dayofweek(ts).alias("dow"),
+        F.hour(ts).alias("hour"),
+        F.dayofmonth(ts).alias("day"),
+        F.month(ts).alias("month"),
+        F.dayofweek(ts).isin(1, 7).alias("is_weekend"),
+    )
+
+
+SQL_CALENDAR = """
+SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INTEGER) AS dow,
+       CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour,
+       CAST(day(CAST(ts AS TIMESTAMP)) AS INTEGER) AS day,
+       CAST(month(CAST(ts AS TIMESTAMP)) AS INTEGER) AS month,
+       dayofweek(CAST(ts AS TIMESTAMP)) IN (0, 6) AS is_weekend
+FROM events
+"""
+
+
 CLEAN_MIN_Q = 0.55
 
 
@@ -4587,6 +4652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batches": q_length_batches,
         "negative_samples": q_negative_samples,
         "session_cooccurrence": q_session_cooccurrence,
+        "fuzzy_match": q_fuzzy_match,
+        "calendar_features": q_calendar_features,
         "pmi_collocations": q_pmi_collocations,
     }
 
@@ -4707,6 +4774,8 @@ def oracle_sql() -> dict[str, str]:
         "length_batches": SQL_LENGTH_BATCHES,
         "negative_samples": SQL_NEG_SAMPLES,
         "session_cooccurrence": SQL_SESSION_COOC,
+        "fuzzy_match": SQL_FUZZY,
+        "calendar_features": SQL_CALENDAR,
         "pmi_collocations": SQL_PMI,
         "token_budget": SQL_TOKEN_BUDGET.format(stoplist=_STOPLIST_SQL),
         # sketch_distinct: rows-only by design (HLL estimates are not

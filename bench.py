@@ -118,6 +118,8 @@ HEADLINE = [
     "length_batches",
     "negative_samples",
     "session_cooccurrence",
+    "fuzzy_match",
+    "calendar_features",
     "pmi_collocations",
 ]
 

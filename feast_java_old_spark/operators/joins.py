@@ -60,3 +60,59 @@ def skew_join(
     return fact_salted.join(dim_salted, on=[*on, "__salt"], how=how).drop(
         "__salt"
     )
+
+
+def char_qgrams(col: Column, q: int = 3) -> Column:
+    """Distinct character q-grams of a string — built-in ``transform``
+    over an index sequence with ``Column.substr`` (no UDF); the blocking
+    key generator for fuzzy matching."""
+    idx = F.sequence(F.lit(1), F.length(col) - (q - 1))
+    return F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(q))))
+
+
+def fuzzy_match(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    q: int = 3,
+    max_df: int = 50,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Entity resolution by blocked fuzzy string matching: candidate
+    pairs share at least one *discriminative* character q-gram (grams
+    occurring in more than ``max_df`` records are stop-grams — shared
+    prefixes like "Customer#" — and are dropped, the standard blocking
+    trick), then verified with exact Levenshtein distance ≤
+    ``max_distance``. Both stages are deterministic, so the oracle
+    reproduces the identical candidate set.
+
+    Plan shape: the gram explode is a pure projection; the stop-gram
+    filter is one map-side-combined aggregate joined back on the gram;
+    candidate generation is a gram-keyed self-join bounded by
+    Σ df² over KEPT grams — sub-quadratic by the ``max_df`` cap, never
+    all-pairs; Levenshtein (JVM built-in) runs only on the candidate
+    pairs.
+
+    Returns ``(id_a, id_b, name_a, name_b, distance)``.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+    ex = base.select(
+        "id", "name", F.explode(char_qgrams(F.col("name"), q)).alias("gram")
+    )
+    dfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    kept = ex.join(dfreq.where(F.col("__df") <= max_df), on="gram")
+    a = kept.select(
+        "gram", F.col("id").alias("id_a"), F.col("name").alias("name_a")
+    )
+    b = kept.select(
+        "gram", F.col("id").alias("id_b"), F.col("name").alias("name_b")
+    )
+    cand = (
+        a.join(b, on="gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )
+    return cand.withColumn(
+        "distance", F.levenshtein(F.col("name_a"), F.col("name_b"))
+    ).where(F.col("distance") <= max_distance)

@@ -357,3 +357,22 @@ def test_session_cooccurrence_pairs(spark):
            for r in session_cooccurrence(
                df, ["user_id"], "item", gap="30 minutes").collect()}
     assert out == {("A", "B"): 2, ("A", "C"): 1}
+
+
+def test_fuzzy_match_blocking_and_verify(spark):
+    from feast_java_old_spark.operators.joins import fuzzy_match
+
+    df = spark.createDataFrame(
+        [(1, "Acme Corp"), (2, "Acme Co"), (3, "Zenith Ltd"),
+         (4, "Acme Corp")],
+        "id long, name string",
+    )
+    out = {(r.id_a, r.id_b): r.distance
+           for r in fuzzy_match(df, "id", "name", max_df=10,
+                                max_distance=3).collect()}
+    assert out[(1, 4)] == 0      # exact duplicate
+    assert out[(1, 2)] == 2      # "rp" suffix delta
+    assert (1, 3) not in out     # no shared gram, never a candidate
+    # stop-gram cap: with max_df=1 every shared gram is dropped
+    none = fuzzy_match(df, "id", "name", max_df=1, max_distance=3).count()
+    assert none == 0
