@@ -2525,6 +2525,59 @@ SELECT node AS doc_id, min(lbl) AS group_id FROM reach GROUP BY node
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup application: connected components over
+    MinHash-LSH pairs, then keep each group's highest-quality member
+    (ties to the lower id) instead of the min-id copy — the canonical
+    policy a production corpus wants
+    (operators/dedup.py:dedup_keep_best)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        docs, k=MINHASH_K, bands=MINHASH_BANDS, n=3
+    )
+    comp = dedup.dedup_components(pairs, docs.select("doc_id"))
+    scored = docs.withColumn(
+        "__q", text.text_stat_cols()["quality_score"]
+    )
+    kept = dedup.dedup_keep_best(scored, comp, "__q")
+    return kept.select("doc_id", "source")
+
+
+def _sql_dedup_keep_best() -> str:
+    return f"""
+WITH RECURSIVE cand AS ({_sql_minhash()}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+          UNION SELECT doc_b AS src, doc_a AS dst FROM cand),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+comp AS (SELECT node AS doc_id, min(lbl) AS group_id FROM reach GROUP BY node),
+b AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains({_STOPLIST_SQL}, t))) AS n_stop,
+         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+           AS n_alnum_space
+  FROM documents),
+q AS (SELECT doc_id,
+             round(least(n_tokens / 50.0, 1.0) * 0.5
+                   + least((n_stop / n_tokens) * 5.0, 1.0) * 0.3
+                   + (1.0 - least(((n_chars - n_alnum_space) / n_chars)
+                                  * 10.0, 1.0)) * 0.2, 6) AS qs
+      FROM b),
+r AS (SELECT c.doc_id, c.group_id,
+             row_number() OVER (PARTITION BY c.group_id
+                                ORDER BY q.qs DESC, c.doc_id ASC) AS rn
+      FROM comp c JOIN q ON q.doc_id = c.doc_id)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r ON d.doc_id = r.doc_id
+WHERE r.rn = 1
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_binary_payload(docs)
@@ -4583,6 +4636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "domain_upsample": q_domain_upsample,
         "corpus_dedup_apply": q_corpus_dedup_apply,
+        "dedup_keep_best": q_dedup_keep_best,
         "stratified_sample": q_stratified_sample,
         "dedup_crossmodal": q_dedup_crossmodal,
         "corpus_rollup": q_corpus_rollup,
@@ -4704,6 +4758,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": SQL_SESSIONIZE,
         "domain_upsample": SQL_DOMAIN_UPSAMPLE,
         "corpus_dedup_apply": _sql_corpus_dedup_apply(),
+        "dedup_keep_best": _sql_dedup_keep_best(),
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "dedup_crossmodal": _sql_dedup_crossmodal(),
         "corpus_rollup": _sql_corpus_rollup(),

@@ -77,6 +77,7 @@ HEADLINE = [
     "sessionize",
     "domain_upsample",
     "corpus_dedup_apply",
+    "dedup_keep_best",
     "multi_window_features",
     "rolling_features",
     "feature_pivot",

@@ -622,3 +622,35 @@ def line_dedup(
         "n_lines",
         "n_removed",
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    components: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical selection over dedup groups: instead of
+    the min-id representative, keep each connected component's
+    highest-``score_col`` member (ties to the lower id) — the policy a
+    production corpus actually wants (drop the truncated/boilerplated
+    copy, keep the clean one).
+
+    One argmax aggregate keyed by the group id — ``max(struct(score,
+    -id))`` with map-side partial combine; the shuffle carries one
+    (group, best) row per map partition, never documents. Returns the
+    kept rows of ``df`` (semi-join on the winner ids).
+    """
+    scored = components.join(
+        df.select(F.col(id_col), F.col(score_col).alias("__s")), on=id_col
+    )
+    winners = (
+        scored.groupBy("group_id")
+        .agg(
+            F.max(
+                F.struct(F.col("__s").alias("s"), (-F.col(id_col)).alias("n"))
+            ).alias("__top")
+        )
+        .select((-F.col("__top.n")).alias(id_col))
+    )
+    return df.join(winners, on=id_col, how="left_semi")

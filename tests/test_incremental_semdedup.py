@@ -376,3 +376,18 @@ def test_fuzzy_match_blocking_and_verify(spark):
     # stop-gram cap: with max_df=1 every shared gram is dropped
     none = fuzzy_match(df, "id", "name", max_df=1, max_distance=3).count()
     assert none == 0
+
+
+def test_dedup_keep_best_prefers_high_score(spark):
+    from feast_java_old_spark.operators.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5)],
+        "doc_id long, score double",
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, group_id long"
+    )
+    kept = {r.doc_id for r in dedup_keep_best(df, comp, "score").collect()}
+    # group 1: docs 2 and 3 tie at 0.9 -> lower id 2 wins; group 4 alone
+    assert kept == {2, 4}
