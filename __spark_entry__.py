@@ -3968,6 +3968,22 @@ FROM rk LEFT JOIN drp ON rk.vec_id = drp.vec_id
 PR_OFFSET = 10_000_000  # disjoint node-id namespaces for parts/suppliers
 
 
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous top-k under a stream (§2.6): per-user running counts as
+    a complete-mode streaming aggregate (bounded state: one counter per
+    key), then the top-10 ranked from the sink — the streaming twin of
+    the Misra-Gries heavy-hitters query, hash-matched to the same exact
+    oracle."""
+    stream = _events_stream(spark, sf_dir).select("user_id")
+    counts = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    out = _stream_to_table(spark, counts, "complete", "stream_topk")
+    return out.orderBy(F.col("cnt").desc(), F.col("user_id").asc()).limit(
+        HH_K
+    )
+
+
 FUZZY_MAX_DF = 50
 
 
@@ -4696,6 +4712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "stream_sessions": q_stream_sessions,
         "stream_clean_corpus": q_stream_clean_corpus,
+        "stream_topk": q_stream_topk,
         "k_anonymity": q_k_anonymity,
         "bigram_logprob": q_bigram_logprob,
         "top_orders": q_top_orders,
@@ -4810,6 +4827,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_snapshot": SQL_SCD2_SNAPSHOT,
         "token_encode": SQL_TOKEN_ENCODE,
         "heavy_hitters": SQL_HEAVY_HITTERS,
+        "stream_topk": SQL_HEAVY_HITTERS,
         "ewma_features": SQL_EWMA,
         "rollup_merge": SQL_ROLLUP_MERGE,
         "boilerplate": SQL_BOILERPLATE,
