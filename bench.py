@@ -168,6 +168,12 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+        # Queries that persist small reused frames (request sets, edge
+        # lists, ranked frames) populate them during their own timed
+        # execution; drop them afterwards so storage-memory pressure
+        # doesn't tax LATER queries' GC (observed 2-3x single-shot
+        # spikes on late-suite queries with ~100 accumulated frames).
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
