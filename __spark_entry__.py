@@ -1476,6 +1476,41 @@ FROM s
 """
 
 
+MANIFEST_SHARDS = 16
+MANIFEST_SEED = 42
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-dataset manifest: per-shard doc/token counts + an
+    order-sensitive content hash over the shard's fingerprints — the
+    dataset-card record a run pins for reproducibility
+    (operators/curation.py:shard_manifest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.shard_manifest(
+        docs, n_shards=MANIFEST_SHARDS, seed=MANIFEST_SEED
+    )
+
+
+SQL_SHARD_MANIFEST = f"""
+WITH k AS (SELECT doc_id, text,
+        md5(CAST(doc_id AS VARCHAR) || ':{MANIFEST_SEED}') AS key
+      FROM documents),
+s AS (SELECT doc_id, text, key,
+        ('0x' || substr(key, 1, 7))::BIGINT % {MANIFEST_SHARDS} AS shard
+      FROM k),
+p AS (SELECT doc_id, shard,
+        row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos,
+        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+        len(string_split(lower(text), ' ')) AS nt
+      FROM s)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       md5(string_agg(fp, ',' ORDER BY pos)) AS content_hash
+FROM p GROUP BY shard
+"""
+
+
 NORM_BLOCKLIST = ("spam", "clickbait", "slow")
 
 
@@ -4640,6 +4675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "decontaminate": q_decontaminate,
         "corpus_shuffle": q_corpus_shuffle,
+        "shard_manifest": q_shard_manifest,
         "text_normalize": q_text_normalize,
         "hard_negatives": q_hard_negatives,
         "domain_mix": q_domain_mix,
@@ -4763,6 +4799,7 @@ def oracle_sql() -> dict[str, str]:
         "key_skew": SQL_KEY_SKEW,
         "decontaminate": SQL_DECONTAMINATE,
         "corpus_shuffle": SQL_CORPUS_SHUFFLE,
+        "shard_manifest": SQL_SHARD_MANIFEST,
         "text_normalize": SQL_TEXT_NORMALIZE,
         "hard_negatives": SQL_HARD_NEGATIVES,
         "domain_mix": SQL_DOMAIN_MIX,

@@ -65,6 +65,7 @@ HEADLINE = [
     "odfv_transform",
     "decontaminate",
     "corpus_shuffle",
+    "shard_manifest",
     "text_normalize",
     "hard_negatives",
     "domain_mix",

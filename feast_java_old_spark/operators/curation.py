@@ -668,3 +668,46 @@ def negative_samples(
             ),
         )
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 16,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-dataset manifest: one row per shard with document count,
+    token count, and a content hash over the shard's documents **in
+    training order** — the dataset-card/versioning record a training run
+    pins so the exact corpus is reproducible and verifiable (a re-export
+    that changes any doc, order, or shard membership changes the hash).
+
+    Built on :func:`corpus_shuffle`'s deterministic shard/pos
+    assignment; the shard hash is md5 over the ordered per-doc
+    fingerprints (``sort_array(collect_list(struct(pos, fp)))`` — the
+    ordered-gather kernel, one shard-keyed aggregate; per-shard state is
+    shard-sized, the same bound as the shard sort itself).
+
+    Returns ``(shard, n_docs, n_tokens, content_hash)``.
+    """
+    from feast_java_old_spark.operators.text import fingerprint, tokens
+
+    assigned = corpus_shuffle(df, n_shards=n_shards, seed=seed, id_col=id_col)
+    docs = df.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("__fp"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("__nt"),
+    )
+    j = assigned.join(docs, on=id_col)
+    ordered = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("pos"), F.col("__fp")))
+        ),
+        lambda s: s["__fp"],
+    )
+    return j.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.md5(F.concat_ws(",", ordered)).alias("content_hash"),
+    )

@@ -391,3 +391,29 @@ def test_dedup_keep_best_prefers_high_score(spark):
     kept = {r.doc_id for r in dedup_keep_best(df, comp, "score").collect()}
     # group 1: docs 2 and 3 tie at 0.9 -> lower id 2 wins; group 4 alone
     assert kept == {2, 4}
+
+
+def test_shard_manifest_detects_any_change(spark):
+    from feast_java_old_spark.operators.curation import shard_manifest
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} words here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    base = {r.shard: (r.n_docs, r.n_tokens, r.content_hash)
+            for r in shard_manifest(docs, n_shards=4, seed=1).collect()}
+    again = {r.shard: (r.n_docs, r.n_tokens, r.content_hash)
+             for r in shard_manifest(docs, n_shards=4, seed=1).collect()}
+    assert base == again  # reproducible
+    assert sum(v[0] for v in base.values()) == 20
+    # mutate one doc -> exactly that doc's shard hash changes
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.lit("tampered")).otherwise(
+            F.col("text")
+        ),
+    )
+    after = {r.shard: r.content_hash
+             for r in shard_manifest(mutated, n_shards=4, seed=1).collect()}
+    diffs = [s for s in base if base[s][2] != after[s]]
+    assert len(diffs) == 1
