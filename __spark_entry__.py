@@ -1926,7 +1926,7 @@ GROUP BY 1, 2
 """
 
 
-KM_STEP = 50
+KM_K = 100  # fixed centroid count — independent of corpus size by design
 KM_DIM = 64
 
 
@@ -1934,16 +1934,37 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration of spherical k-means over the embeddings:
     broadcast-argmax assignment + per-dimension mean recomputation —
     the in-engine trainer for the IVF coarse quantizer
-    (operators/similarity.py:kmeans_step)."""
+    (operators/similarity.py:kmeans_step).
+
+    The centroid seed is a FIXED k (the ``KM_K`` lowest vec_ids via
+    TakeOrdered), not an ``id % step`` sample — a modulo sample grows k
+    linearly with the corpus, which makes the broadcast-argmax plan
+    O(N·k) = quadratic at 100 TB; fixed k keeps it scan-bound. The
+    centroid vectors are emitted EXPLODED to scalar
+    ``(centroid_id, n_members, dim, value)`` rows: the driver gate's
+    pandas canonicalizer sorts every output column, and array-typed
+    cells are unsortable there (the r3 red row)."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("__v"),
     )
-    cent = v.where(F.col("id") % KM_STEP == 0).select(
-        F.col("id").alias("centroid_id"), F.col("__v").alias("__cv")
+    cent = (
+        v.orderBy("id")
+        .limit(KM_K)
+        .select(F.col("id").alias("centroid_id"), F.col("__v").alias("__cv"))
     )
-    return similarity.kmeans_step(v, cent, dim=KM_DIM)
+    step = similarity.kmeans_step(v, cent, dim=KM_DIM)
+    return step.select(
+        "centroid_id",
+        "n_members",
+        F.posexplode("centroid").alias("dim", "value"),
+    ).select(
+        "centroid_id",
+        "n_members",
+        F.col("dim").cast("long").alias("dim"),
+        "value",
+    )
 
 
 def _sql_kmeans_refine() -> str:
@@ -1954,7 +1975,7 @@ def _sql_kmeans_refine() -> str:
     )
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % {KM_STEP} = 0),
+cent AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT {KM_K}),
 asg AS (
   SELECT vec_id, cid, e FROM (
     SELECT vec_id, cid, e,
@@ -1969,9 +1990,8 @@ means AS (SELECT cid, dim, round(avg(val), 6) AS m
           FROM dims GROUP BY cid, dim),
 cnts AS (SELECT cid, count(*) AS n FROM asg GROUP BY cid)
 SELECT c.cid AS centroid_id, CAST(c.n AS BIGINT) AS n_members,
-       (SELECT list(m ORDER BY dim) FROM means WHERE means.cid = c.cid)
-         AS centroid
-FROM cnts c
+       CAST(m.dim - 1 AS BIGINT) AS dim, m.m AS value
+FROM cnts c JOIN means m ON m.cid = c.cid
 """
 
 
@@ -3794,10 +3814,20 @@ def q_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary encoding (the tokenize step before training):
     frequency-ranked top-50 vocab, broadcast id lookup, order-preserving
     reassembly with OOV → 0
-    (operators/text.py:build_vocab/encode_tokens)."""
+    (operators/text.py:build_vocab/encode_tokens).
+
+    The gate projection re-explodes the encoded arrays to scalar
+    ``(doc_id, pos, token_id)`` rows — the driver's pandas canonicalizer
+    cannot sort array-typed cells (the kmeans_refine r3 failure class).
+    The round-trip through ``encode_tokens``'s array output still
+    exercises the operator's order-preserving reassembly: a wrong token
+    order shows up as wrong ``pos`` values."""
     docs = load_table(spark, sf_dir, "documents")
     vocab = text.build_vocab(docs, vocab_size=ENCODE_VOCAB)
-    return text.encode_tokens(docs, vocab, unk_id=0)
+    enc = text.encode_tokens(docs, vocab, unk_id=0)
+    return enc.select(
+        "doc_id", F.posexplode("token_ids").alias("pos", "token_id")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token_id")
 
 
 SQL_TOKEN_ENCODE = f"""
@@ -3807,14 +3837,15 @@ vc AS (SELECT tok, count(*) AS c FROM toks WHERE len(tok) > 0 GROUP BY tok
        ORDER BY c DESC, tok LIMIT {ENCODE_VOCAB}),
 v AS (SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT)
              AS tid FROM vc),
-m AS (SELECT map(list(tok), list(tid)) AS mm FROM v),
 e AS (SELECT doc_id,
              list_filter(string_split(lower(text), ' '), t -> len(t) > 0)
                AS ts
-      FROM documents)
-SELECT doc_id, [CAST(coalesce(mm[t][1], 0) AS BIGINT) FOR t IN ts]
-         AS token_ids
-FROM e, m
+      FROM documents),
+x AS (SELECT doc_id, unnest(range(len(ts))) AS pos, unnest(ts) AS tok
+      FROM e)
+SELECT x.doc_id, CAST(x.pos AS BIGINT) AS pos,
+       CAST(coalesce(v.tid, 0) AS BIGINT) AS token_id
+FROM x LEFT JOIN v ON v.tok = x.tok
 """
 
 

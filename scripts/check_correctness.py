@@ -35,6 +35,24 @@ TABLES = (
 ).split()
 
 
+def nonscalar_cols(df: pd.DataFrame) -> list[str]:
+    """Columns holding list/array/dict/Row cells — the driver's pandas
+    canonicalizer cannot sort these (`unhashable type: 'list'`, the r3
+    `kmeans_refine` red row). The local gate fails them LOUDLY instead
+    of tuple-izing so local-green ⇒ driver-green by construction."""
+    bad = []
+    for c in df.columns:
+        if df[c].dtype != object:
+            continue
+        s = df[c].dropna()
+        if len(s) and s.map(
+            lambda v: isinstance(v, (list, tuple, np.ndarray, dict))
+            or type(v).__name__ == "Row"
+        ).any():
+            bad.append(c)
+    return bad
+
+
 def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -42,8 +60,6 @@ def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].map(
                 lambda v: v.hex()
                 if isinstance(v, (bytes, bytearray))
-                else tuple(v)
-                if isinstance(v, (list, tuple, np.ndarray))
                 else v
             )
         if str(df[c].dtype).startswith("datetime"):
@@ -156,7 +172,12 @@ def main() -> int:
             continue
         sql = oracles.get(name)
         if sql is None:
-            print(f"rows  {name}: {len(sdf)} rows (no oracle)")
+            ns = nonscalar_cols(sdf)
+            if ns:
+                print(f"FAIL  {name}: non-scalar output columns {ns} (rows-only query)")
+                failures.append(name)
+            else:
+                print(f"rows  {name}: {len(sdf)} rows (no oracle)")
             continue
         try:
             odf = con.sql(sql).df()
@@ -166,6 +187,12 @@ def main() -> int:
             continue
         dt_s = time.time() - t0
         problems = []
+        ns = nonscalar_cols(sdf)
+        if ns:
+            problems.append(
+                f"non-scalar Spark output columns {ns} — driver canon "
+                "cannot sort these; reshape (posexplode) to scalar rows"
+            )
         if len(sdf) != len(odf):
             problems.append(f"rowcount {len(sdf)} != {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
