@@ -822,9 +822,20 @@ SELECT doc_id, {concat} AS simhash FROM agg
 JACCARD_THRESHOLD = 0.5
 
 
+JACCARD_MAX_DF = 500
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs with the document-frequency
+    prune on the inverted-index self-join (shingles in > max_df docs are
+    dropped from the JOIN input only — per-doc sizes stay exact, so
+    jaccard is a conservative lower bound; see
+    operators/dedup.py:ngram_jaccard_pairs). The oracle applies the
+    identical prune."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=JACCARD_THRESHOLD)
+    return dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    )
 
 
 SQL_JACCARD = f"""
@@ -835,9 +846,12 @@ sh AS (SELECT doc_id,
        FROM toks WHERE len(t) >= 3),
 ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
 sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+rare AS (SELECT shingle FROM ex GROUP BY shingle
+         HAVING count(*) <= {JACCARD_MAX_DF}),
+exr AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
-  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM exr a JOIN exr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id)
 SELECT i.doc_a, i.doc_b,
        round(i.ni / (sa.n + sb.n - i.ni), 6) AS jaccard
@@ -3415,6 +3429,23 @@ def q_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.quantile_bin(orders, "value", k=QBIN_K, id_col="event_id")
 
 
+def q_quantile_bin_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB strategy twin of ``quantile_bin``: Greenwald-Khanna
+    ``percentile_approx`` edges (mergeable bounded-state sketch, no full
+    value multiset per task) feeding the identical broadcast +
+    pure-projection assignment. Rows-only gate — GK edge values are not
+    reproducible by DuckDB; the exact twin keeps the hash oracle, and a
+    pytest bounds the approx-vs-exact bin disagreement rate
+    (operators/features.py:quantile_bin)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("event_id"),
+        F.col("o_totalprice").alias("value"),
+    )
+    return features.quantile_bin(
+        orders, "value", k=QBIN_K, id_col="event_id", strategy="approx"
+    )
+
+
 _QBIN_PS = ", ".join(str(i / QBIN_K) for i in range(1, QBIN_K))
 
 SQL_QUANTILE_BIN = f"""
@@ -3480,6 +3511,18 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/profile.py:profile_columns)."""
     orders = load_table(spark, sf_dir, "orders")
     return profile_columns(orders, list(PROFILE_COLS))
+
+
+def q_profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB strategy twin of ``profile_columns``:
+    ``approx_count_distinct`` (HyperLogLog++, mergeable sketch state)
+    replaces the exact multi-column distinct — no Catalyst ``Expand``
+    fan-out of every input row per profiled column. Rows-only gate (HLL
+    estimates are deterministic for Spark but not reproducible by
+    DuckDB); the exact twin keeps the hash oracle
+    (operators/profile.py:profile_columns)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(orders, list(PROFILE_COLS), approx_distinct=True)
 
 
 def _sql_profile() -> str:
@@ -4760,6 +4803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "scd2_history": q_scd2_history,
         "quantile_bin": q_quantile_bin,
+        "quantile_bin_approx": q_quantile_bin_approx,
+        "profile_columns_approx": q_profile_columns_approx,
         "resample_ffill": q_resample_ffill,
         "profile_columns": q_profile_columns,
         "bpe_pairs": q_bpe_pairs,
@@ -4921,4 +4966,8 @@ def oracle_sql() -> dict[str, str]:
         "token_budget": SQL_TOKEN_BUDGET.format(stoplist=_STOPLIST_SQL),
         # sketch_distinct: rows-only by design (HLL estimates are not
         # cross-engine reproducible; see q_sketch_distinct docstring)
+        # quantile_bin_approx / profile_columns_approx: rows-only by
+        # design (GK / HLL++ sketch outputs are deterministic for Spark
+        # but not reproducible by DuckDB; the exact strategy twins keep
+        # the hash oracles, pytest bounds approx-vs-exact divergence)
     }

@@ -189,17 +189,42 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 500,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs above ``threshold``.
 
     Inverted-index join: |A∩B| from the shingle self-join, |A∪B| from
     per-doc distinct counts. Emits (doc_a, doc_b, jaccard). Quadratic only
     within shingle groups — the classic exact verifier for LSH candidates.
+
+    ``max_df`` prunes shingles whose document frequency exceeds it from
+    the SELF-JOIN input (not from the per-doc sizes): a stop-phrase
+    shingle shared by millions of docs otherwise creates a
+    (df choose 2)-sized join group — the quadratic blow-up that makes
+    the unpruned inverted index unusable at corpus scale. Sizes stay
+    unpruned so the reported jaccard is a LOWER bound of the true value
+    — conservative for dedup (never merges docs that are not near-dups);
+    a pair survives iff it shares enough sub-``max_df`` shingles, which
+    genuine near-dup pairs do by construction (their shared shingles are
+    their own rare content). ``max_df=None`` restores the exact
+    all-shingles form. For candidate-restricted verification use
+    :func:`verify_candidate_pairs`, whose cost is bounded by the
+    candidate list instead.
     """
     sh = exploded_shingles(df, text_col, id_col, n, distinct=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh_join = sh.join(rare, "shingle")
+    else:
+        sh_join = sh
+    a = sh_join.alias("a")
+    b = sh_join.alias("b")
     inter = (
         a.join(
             b,

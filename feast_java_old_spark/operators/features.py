@@ -368,6 +368,8 @@ def quantile_bin(
     col: str = "value",
     k: int = 10,
     id_col: str = "event_id",
+    strategy: str = "exact",
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Equal-frequency discretization: assign each row the 1-based
     quantile bucket of ``col`` among ``k`` buckets whose edges are the
@@ -379,19 +381,37 @@ def quantile_bin(
     in a single row) broadcast back over the scan; assignment is a pure
     projection (``size(filter(edges, e -> v > e)) + 1``) — the data
     itself never shuffles, exactly the :func:`winsorize` /
-    ``kmeans_step`` literal-broadcast shape. At 100 TB swap the exact
-    percentile for ``sketches.approx_quantiles`` (mergeable, bounded
-    state); the join shape does not change. Edges round to 6 places so
+    ``kmeans_step`` literal-broadcast shape. Edges round to 6 places so
     bin membership is engine-portable.
+
+    ``strategy="approx"`` is the 100 TB path: Greenwald-Khanna
+    ``percentile_approx`` edges (rank error ≤ n/``accuracy``, partials
+    merge map-side — bounded state per task instead of the exact
+    aggregate's full value multiset), same broadcast + pure-projection
+    assignment. Edge VALUES may differ from exact by the rank-error
+    bound, so approx results are validated rows-only by the gate (like
+    ``sketch_distinct``); the exact strategy keeps the hash oracle.
     """
-    edges = df.agg(
-        F.array(
-            *[
-                F.round(F.percentile(F.col(col), F.lit(i / k)), 6)
-                for i in range(1, k)
-            ]
-        ).alias("__edges")
-    )
+    if strategy == "approx":
+        edges = df.agg(
+            F.transform(
+                F.percentile_approx(
+                    F.col(col), [i / k for i in range(1, k)], accuracy
+                ),
+                lambda e: F.round(e, 6),
+            ).alias("__edges")
+        )
+    elif strategy == "exact":
+        edges = df.agg(
+            F.array(
+                *[
+                    F.round(F.percentile(F.col(col), F.lit(i / k)), 6)
+                    for i in range(1, k)
+                ]
+            ).alias("__edges")
+        )
+    else:
+        raise ValueError(f"unknown quantile_bin strategy: {strategy!r}")
     return (
         df.crossJoin(F.broadcast(edges))
         .select(

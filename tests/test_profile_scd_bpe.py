@@ -90,6 +90,39 @@ def test_quantile_bin_is_equal_frequency_on_uniform(spark):
     assert all(r["count"] == 20 for r in counts)
 
 
+def test_quantile_bin_approx_matches_exact_within_rank_error(spark):
+    # GK with accuracy=10_000 on 2_000 rows has rank error < 1 — the
+    # approx strategy must reproduce the exact bins verbatim here.
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 2000)) for i in range(2000)],
+        "event_id long, value double",
+    )
+    exact = {
+        r.event_id: r.bin
+        for r in features.quantile_bin(df, "value", k=10).collect()
+    }
+    approx = {
+        r.event_id: r.bin
+        for r in features.quantile_bin(
+            df, "value", k=10, strategy="approx"
+        ).collect()
+    }
+    diff = sum(1 for k in exact if exact[k] != approx[k])
+    assert diff / len(exact) <= 0.01
+
+
+def test_quantile_bin_approx_plan_has_no_exact_percentile(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "event_id long, value double"
+    )
+    out = features.quantile_bin(df, "value", k=4, strategy="approx")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "percentile_approx" in plan
+    assert "percentile(" not in plan  # the exact sort-heavy aggregate
+    with pytest.raises(ValueError):
+        features.quantile_bin(df, "value", strategy="nope")
+
+
 # ------------------------------------------------- resample + ffill
 
 
@@ -155,6 +188,29 @@ def test_profile_columns_approx_mode_runs(spark):
     r = profile_columns(df, ["a"], approx_distinct=True).collect()[0]
     # HLL estimate: within default 5% rsd of 100
     assert abs(r.n_distinct - 100) <= 10
+
+
+def test_profile_columns_approx_plan_has_no_expand(spark):
+    # exact multi-column countDistinct plans an Expand (row fan-out per
+    # profiled column); the HLL++ strategy must not.
+    df = spark.createDataFrame(
+        [(i, str(i % 7), float(i)) for i in range(100)],
+        "a long, b string, c double",
+    )
+    exact_plan = (
+        profile_columns(df, ["a", "b", "c"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    approx_plan = (
+        profile_columns(df, ["a", "b", "c"], approx_distinct=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in exact_plan
+    assert "Expand" not in approx_plan
 
 
 # ------------------------------------------------------------- BPE

@@ -85,6 +85,38 @@ def test_ngram_jaccard_exact_values(spark):
     assert out[(1, 3)] == pytest.approx(0.2)
 
 
+def test_ngram_jaccard_max_df_prunes_hot_shingles_from_join_only(spark):
+    """The document-frequency prune removes stop-shingles from the
+    self-join (killing the quadratic group) but NOT from the per-doc
+    sizes — jaccard becomes a lower bound, never an overestimate."""
+    # 'a b c' appears in all 4 docs (df=4); each pair also shares one
+    # rare continuation shingle.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d f"),
+            (3, "a b c g h"),
+            (4, "a b c g i"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.0, max_df=None).collect()
+    }
+    pruned = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.0, max_df=3).collect()
+    }
+    # (1,2) share {abc, bcd} exact; with abc pruned (df=4>3) only bcd
+    # counts but sizes stay 3 → 1/(3+3-1)=0.2 vs exact 2/4=0.5
+    assert exact[(1, 2)] == pytest.approx(0.5)
+    assert pruned[(1, 2)] == pytest.approx(0.2)
+    # pairs sharing ONLY the hot shingle vanish entirely
+    assert (1, 3) in exact and (1, 3) not in pruned
+    assert all(pruned[p] <= exact[p] for p in pruned)
+
+
 def test_verify_candidate_pairs_matches_full_jaccard(spark, sf_dir):
     """LSH-candidate verification equals the full inverted-index Jaccard
     restricted to the candidate set (the 100 TB composition: generate ->
