@@ -4406,7 +4406,7 @@ k AS (SELECT doc_id, n_tokens,
                AS len_bucket
       FROM b)
 SELECT doc_id, n_tokens, len_bucket,
-       len_bucket * 1000000
+       len_bucket * {1 << 40}
          + CAST(floor((row_number() OVER (PARTITION BY len_bucket
                         ORDER BY doc_id) - 1) / {LBB_BATCH}) AS BIGINT)
          AS batch_id,

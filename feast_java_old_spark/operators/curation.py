@@ -521,6 +521,14 @@ def token_budget_select(
     Returns ``(id, n_tokens, cum_tokens, selected)`` — ``selected`` is
     the greedy prefix whose total ≤ budget. Oracle-equal to the flat
     global-window form.
+
+    ``order_col`` must be NULL-free (a NULL has no defined place in the
+    quality order — fail fast rather than crash the driver-side prefix
+    sum) but may have ANY numeric range: scores are min-max normalized
+    before quantization, so the driver-side bucket-subtotal list is
+    always ≤ ``buckets``+1 entries — a wide-range raw score cannot blow
+    it up. Normalization is order-preserving and equal scores stay
+    equal, so the selected set is unchanged.
     """
     from pyspark.sql.window import Window
 
@@ -531,11 +539,28 @@ def token_budget_select(
         F.col(id_col).alias("doc_id"),
         F.col(order_col).alias("__q"),
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
-    ).withColumn(
-        # bucket by quantized quality: equal __q always same bucket, so
-        # buckets are contiguous ranges of the (__q DESC, id) order
+    )
+    bounds = base.agg(
+        F.min("__q").alias("lo"),
+        F.max("__q").alias("hi"),
+        F.sum(F.col("__q").isNull().cast("long")).alias("n_null"),
+    ).first()
+    if bounds["n_null"]:
+        raise ValueError(
+            f"token_budget_select: order_col {order_col!r} has "
+            f"{bounds['n_null']} NULLs — filter or impute them first"
+        )
+    lo = float(bounds["lo"]) if bounds["lo"] is not None else 0.0
+    hi = float(bounds["hi"]) if bounds["hi"] is not None else 1.0
+    span = (hi - lo) or 1.0
+    base = base.withColumn(
+        # bucket by quantized min-max-normalized quality: equal __q
+        # always same bucket, so buckets are contiguous ranges of the
+        # (__q DESC, id) order; normalization bounds the bucket count
         "__b",
-        F.floor(F.col("__q") * buckets).cast("long"),
+        F.floor((F.col("__q") - F.lit(lo)) / F.lit(span) * buckets).cast(
+            "long"
+        ),
     )
     totals = [
         (r["__b"], r["t"])

@@ -65,9 +65,21 @@ def skew_join(
 def char_qgrams(col: Column, q: int = 3) -> Column:
     """Distinct character q-grams of a string — built-in ``transform``
     over an index sequence with ``Column.substr`` (no UDF); the blocking
-    key generator for fuzzy matching."""
+    key generator for fuzzy matching.
+
+    Strings shorter than ``q`` (and NULLs) yield an EMPTY array: without
+    the guard, ``sequence(1, length-(q-1))`` has start > stop and Spark
+    defaults to step −1, producing a descending index list and spurious
+    truncated/empty grams — which both corrupts the candidate set (an
+    empty-gram blocking key pairs every short string) and diverges from
+    the oracle's ``range()``, which yields no grams there."""
     idx = F.sequence(F.lit(1), F.length(col) - (q - 1))
-    return F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(q))))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: col.substr(i, F.lit(q)))
+    )
+    return F.when(F.length(col) >= q, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def fuzzy_match(

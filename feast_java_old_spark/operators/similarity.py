@@ -800,8 +800,15 @@ def semdedup(
         F.col("cos_centroid").desc(), F.col(id_col).asc()
     )
     # The ranked frame feeds both pair sides and the final kept-join;
-    # persist it so the centroid pool + window don't execute three times.
-    ranked = scored.withColumn("__rk", F.row_number().over(w)).persist()
+    # materialize it once so the centroid pool + window don't execute
+    # three times. localCheckpoint (not persist): CacheManager pins a
+    # persisted frame until an explicit unpersist nobody here can issue
+    # after the caller's action — a storage leak across long sessions —
+    # while localCheckpoint blocks are reclaimed by the ContextCleaner
+    # as soon as the returned frame is unreachable.
+    ranked = scored.withColumn("__rk", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
     a = ranked.select(
         F.col(cluster_col).alias("__cl"),
         F.col(id_col).alias("__ida"),

@@ -763,7 +763,10 @@ def length_bucket_batches(
     One exchange keyed by the bucket; the within-bucket rank windows run
     per bucket in parallel (the ``corpus_shuffle`` pattern — no global
     order, no single-task sort). Batch ids are globally unique via
-    (bucket, batch_in_bucket) encoding. Returns
+    ``len_bucket << 40 | batch_in_bucket``: a 2^40 stride (~10^12
+    batches/bucket ≈ 10^13 docs) cannot collide with the next bucket's
+    id space at any realistic corpus size, unlike a 10^6 stride which
+    overflows at ~8M docs per bucket. Returns
     ``(id, n_tokens, len_bucket, batch_id, pad_to)`` where ``pad_to`` is
     the bucket's max length — the padded width a dataloader would
     allocate.
@@ -784,7 +787,7 @@ def length_bucket_batches(
         "n_tokens",
         "len_bucket",
         (
-            F.col("len_bucket") * 1_000_000
+            F.shiftleft(F.col("len_bucket"), 40)
             + ((F.row_number().over(w) - 1) / batch_size).cast("long")
         ).alias("batch_id"),
         F.max("n_tokens").over(wb).alias("pad_to"),

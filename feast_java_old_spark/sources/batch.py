@@ -103,7 +103,8 @@ def read_batch_source(
     # every downstream path sees one timestamp type. Checked on both the raw
     # and mapped names (field_mapping may rename the timestamp column).
     ts_cols = (source.event_timestamp_column, source.created_timestamp_column)
-    df = normalize_timestamp_cols(df, *ts_cols)
+    ck = getattr(source, "file_url", None) or getattr(source, "table_ref", None)
+    df = normalize_timestamp_cols(df, *ts_cols, cache_key=ck)
     df = apply_field_mapping(df, source.field_mapping)
     mapped = [source.field_mapping.get(c, c) for c in ts_cols if c]
-    return normalize_timestamp_cols(df, *mapped)
+    return normalize_timestamp_cols(df, *mapped, cache_key=ck)

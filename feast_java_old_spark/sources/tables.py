@@ -55,15 +55,73 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
         pass  # conf locked down → session_builder already set it or read fails loudly
 
 
-def normalize_timestamp_cols(df: DataFrame, *names: str) -> DataFrame:
+# Magnitude band edges: a value ≥ the edge is the NEXT-finer unit.
+_UNIT_BANDS = (
+    ("ns", 200_000_000_000_000_000),
+    ("us", 200_000_000_000_000),
+    ("ms", 200_000_000_000),
+    ("s", 0),
+)
+_US_FACTOR = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}  # ns divides
+
+# (cache_key, column) -> inferred unit, so repeated load_table calls on
+# the same parquet file never re-run the inference scan.
+_EPOCH_UNIT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _infer_unit(max_abs: int) -> str:
+    for unit, edge in _UNIT_BANDS:
+        if max_abs >= edge:
+            return unit
+    return "s"
+
+
+def _epoch_to_us_expr(df: DataFrame, name: str, cache_key: str | None):
+    """Column-level epoch→µs conversion: infer the unit once from
+    ``max(abs(v))`` (cached), warn on values outside the inferred
+    unit's unambiguous 1976–8300 band."""
+    key = (cache_key, name) if cache_key else None
+    unit = _EPOCH_UNIT_CACHE.get(key) if key else None
+    if unit is None:
+        row = df.agg(
+            F.max(F.abs(F.col(name))).alias("mx"),
+            F.min(F.abs(F.col(name))).alias("mn"),
+        ).first()
+        mx, mn = row["mx"], row["mn"]
+        if mx is None:  # all-NULL column: factor is irrelevant
+            unit = "us"
+        else:
+            unit = _infer_unit(int(mx))
+            lo = dict(_UNIT_BANDS)[unit]
+            if lo and mn is not None and int(mn) and int(mn) < lo:
+                import warnings
+
+                warnings.warn(
+                    f"epoch column {name!r}: min(abs)={mn} is below the "
+                    f"unambiguous band of inferred unit {unit!r} "
+                    f"(max(abs)={mx}) — mixed magnitudes or pre-1976 "
+                    "instants present; the whole column decodes as "
+                    f"{unit!r}",
+                    stacklevel=3,
+                )
+        if key:
+            _EPOCH_UNIT_CACHE[key] = unit
+    col = F.col(name)
+    if unit == "ns":
+        return F.expr(f"`{name}` div 1000")  # integer truncation, DuckDB parity
+    return col * F.lit(_US_FACTOR[unit])
+
+
+def normalize_timestamp_cols(
+    df: DataFrame, *names: str, cache_key: str | None = None
+) -> DataFrame:
     """Normalize declared timestamp columns to microsecond TimestampType.
 
     - LONG epoch values → µs timestamp. The physical unit of a LONG epoch
       column has varied across testdata generations (nanos under the
       nanosAsLong representation of parquet TIMESTAMP(NANOS), but raw
-      INT64 micros has also been observed), so the unit is inferred
-      per-value from magnitude — a pure, deterministic expression (no
-      data-dependent plan):
+      INT64 micros has also been observed), so the unit is inferred from
+      magnitude:
 
         |v| ≥ 2e17 → nanos  (2e17 ns ≈ 1976; a µs value that large ≈ 8300)
         |v| ≥ 2e14 → micros (2e14 µs ≈ 1976; ms ≈ 8300)
@@ -75,6 +133,19 @@ def normalize_timestamp_cols(df: DataFrame, *names: str) -> DataFrame:
       bit-for-bit. Round 2's two red streaming rows were this: µs longs
       divided by 1000 as if nanos compressed 30 days of events into 43
       minutes (exactly 2 hour-windows/type) and scaled ts_us 1000×.
+
+      For BATCH frames the unit is inferred ONCE PER COLUMN from
+      ``max(abs(v))`` (one tiny single-column aggregate, cached per
+      ``cache_key`` so repeated loads of the same file never rescan):
+      per-VALUE inference silently decodes a mixed-magnitude column —
+      one corrupt sentinel row, or a legit pre-1976 instant whose
+      millis value sits below the seconds threshold — row by row with
+      different units. A warning fires when the column's min(abs)
+      falls outside the inferred unit's unambiguous band (mixed or
+      pre-1976 values present). STREAMING frames cannot run the
+      inference aggregate, so they keep the pure per-value CASE
+      expression — acceptable because stream payloads are produced by
+      one writer with one unit.
     - TIMESTAMP_NTZ (parquet isAdjustedToUTC=false) → TIMESTAMP; with the
       session pinned to UTC the instant is identical.
 
@@ -85,19 +156,23 @@ def normalize_timestamp_cols(df: DataFrame, *names: str) -> DataFrame:
             continue
         dt = df.schema[name].dataType
         if isinstance(dt, T.LongType):
-            v = f"`{name}`"
-            df = df.withColumn(
-                name,
-                F.timestamp_micros(
-                    F.expr(
-                        f"CASE WHEN abs({v}) >= 200000000000000000 "
-                        f"THEN {v} div 1000 "
-                        f"WHEN abs({v}) >= 200000000000000 THEN {v} "
-                        f"WHEN abs({v}) >= 200000000000 THEN {v} * 1000 "
-                        f"ELSE {v} * 1000000 END"
-                    )
-                ),
-            )
+            if df.isStreaming:
+                v = f"`{name}`"
+                df = df.withColumn(
+                    name,
+                    F.timestamp_micros(
+                        F.expr(
+                            f"CASE WHEN abs({v}) >= 200000000000000000 "
+                            f"THEN {v} div 1000 "
+                            f"WHEN abs({v}) >= 200000000000000 THEN {v} "
+                            f"WHEN abs({v}) >= 200000000000 THEN {v} * 1000 "
+                            f"ELSE {v} * 1000000 END"
+                        )
+                    ),
+                )
+            else:
+                to_us = _epoch_to_us_expr(df, name, cache_key)
+                df = df.withColumn(name, F.timestamp_micros(to_us))
         elif isinstance(dt, T.TimestampNTZType):
             df = df.withColumn(name, F.col(name).cast("timestamp"))
     return df
@@ -114,4 +189,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(f.dataType, T.TimestampNTZType)
         or (f.name == "ts" and isinstance(f.dataType, T.LongType))
     ]
-    return normalize_timestamp_cols(df, *ts_like)
+    return normalize_timestamp_cols(
+        df, *ts_like, cache_key=os.path.join(sf_dir, f"{name}.parquet")
+    )

@@ -309,11 +309,13 @@ def test_length_bucket_batches(spark):
         for r in text.length_bucket_batches(docs, batch_size=2).collect()
     }
     # docs 1-3: 2 tokens -> bucket 1; batch size 2 -> ids 1,2 batch 0; 3 batch 1
-    assert out[1] == (1, 1_000_000, 2)
-    assert out[2] == (1, 1_000_000, 2)
-    assert out[3] == (1, 1_000_001, 2)
+    # batch_id stride is 2^40 per bucket (collision-free up to ~10^13
+    # docs/bucket, unlike the old 10^6 stride which wrapped at ~8M)
+    assert out[1] == (1, 1 << 40, 2)
+    assert out[2] == (1, 1 << 40, 2)
+    assert out[3] == (1, (1 << 40) + 1, 2)
     # doc 4: 8 tokens -> bucket 3, its own batch, pad_to 8
-    assert out[4] == (3, 3_000_000, 8)
+    assert out[4] == (3, 3 << 40, 8)
 
 
 def test_negative_samples_deterministic_and_flags(spark):

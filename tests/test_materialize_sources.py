@@ -412,3 +412,25 @@ def test_normalize_long_epoch_unit_adaptive(spark):
     assert r.ns == us
     assert r.ms == (us // 1000) * 1000
     assert r.s == (us // 1_000_000) * 1_000_000
+
+
+def test_normalize_long_epoch_unit_is_per_column_not_per_value(spark):
+    """A mixed-magnitude column (one pre-1976 / corrupt sentinel row)
+    must decode under ONE unit inferred from max(abs) — per-value
+    inference would silently decode the small row as seconds and land
+    it in year ~5138 — and must warn about the out-of-band value."""
+    import warnings
+
+    from feast_java_old_spark.sources.tables import normalize_timestamp_cols
+
+    us = 1706000000123456
+    pre1976_us = 100_000_000_000_000  # ≈1973-03 in µs: below the µs band edge
+    df = spark.createDataFrame(
+        [(us,), (pre1976_us,)], schema="ts long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = normalize_timestamp_cols(df, "ts")
+        got = sorted(r[0] for r in out.select(F.unix_micros("ts")).collect())
+    assert got == [pre1976_us, us]  # both decoded as µs
+    assert any("unambiguous band" in str(x.message) for x in w)
