@@ -869,7 +869,14 @@ def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-path dedup composition: MinHash-LSH candidate generation
     followed by exact-Jaccard verification restricted to the candidates
     (cost bounded by |candidates| x shingles-per-doc, not the full
-    inverted-index blow-up)."""
+    inverted-index blow-up).
+
+    Strategy-twin pattern (like a1/j1/asof): this and
+    ``dedup_verified_simhash`` hash-match ONE shared oracle — the
+    candidate-generator-INDEPENDENT exact all-pairs truth at the same
+    threshold — so the gate proves both generators achieve full recall
+    on true near-dup pairs, i.e. the candidate stage is interchangeable
+    without changing results."""
     docs = load_table(spark, sf_dir, "documents")
     cands = dedup.minhash_lsh_candidates(
         docs, k=MINHASH_K, bands=MINHASH_BANDS, n=3
@@ -877,6 +884,44 @@ def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.verify_candidate_pairs(
         docs, cands, n=3, threshold=VERIFY_THRESHOLD
     )
+
+
+def q_dedup_verified_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strategy twin of ``dedup_verified``: SimHash band-collision
+    candidate generation (Hamming-bounded, no pairwise scan) feeding the
+    same exact-Jaccard verifier, hash-matched against the same
+    generator-independent truth oracle
+    (operators/dedup.py:simhash_candidates/verify_candidate_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dedup.simhash_candidates(docs)
+    return dedup.verify_candidate_pairs(
+        docs, cands, n=3, threshold=VERIFY_THRESHOLD
+    )
+
+
+def _sql_verified_truth() -> str:
+    """Shared oracle for the dedup_verified strategy twins: exact
+    all-pairs n-gram Jaccard at VERIFY_THRESHOLD, no candidate stage —
+    any generator with full recall reproduces exactly this."""
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+shv AS (SELECT doc_id,
+        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       FOR i IN range(1, len(t) - 1)]) AS s
+       FROM toks WHERE len(t) >= 3),
+exv AS (SELECT doc_id, unnest(s) AS shingle FROM shv),
+sizes AS (SELECT doc_id, count(*) AS n FROM exv GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM exv a JOIN exv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       round(i.ni / (sa.n + sb.n - i.ni), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.ni / (sa.n + sb.n - i.ni), 6) >= {VERIFY_THRESHOLD}
+"""
 
 
 def _sql_dedup_verified() -> str:
@@ -4740,6 +4785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_verified": q_dedup_verified,
+        "dedup_verified_simhash": q_dedup_verified_simhash,
         "dedup_components": q_dedup_components,
         "text_stats": q_text_stats,
         "text_repetition": q_text_repetition,
@@ -4865,7 +4911,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_simhash": _sql_simhash(),
         "dedup_ngram_jaccard": SQL_JACCARD,
-        "dedup_verified": _sql_dedup_verified(),
+        "dedup_verified": _sql_verified_truth(),
+        "dedup_verified_simhash": _sql_verified_truth(),
         "dedup_components": _sql_dedup_components(),
         "text_stats": SQL_TEXT_STATS,
         "text_repetition": SQL_TEXT_REPETITION,

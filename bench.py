@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_verified",
+    "dedup_verified_simhash",
     "chunk_dedup",
     "dedup_crossmodal",
     "text_stats",
@@ -93,8 +94,10 @@ HEADLINE = [
     "chunk_documents",
     "scd2_history",
     "quantile_bin",
+    "quantile_bin_approx",
     "resample_ffill",
     "profile_columns",
+    "profile_columns_approx",
     "bpe_pairs",
     "line_filter",
     "cdc_apply",
@@ -177,15 +180,41 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # The round driver records only the last ~2000 chars of stdout; the
+    # full per-query dict (~110 queries) exceeds that and truncated the
+    # r3 JSON line into an unparseable tail. Full detail goes to
+    # BENCH_DETAIL.json (committed, next to this script); stdout gets a
+    # ONE-LINE summary bounded well under the window: total + the 10
+    # slowest queries + a pointer to the detail file.
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "queries_truncated": True,
+                "n_queries": len(timings),
+                "queries_file": "BENCH_DETAIL.json",
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 
