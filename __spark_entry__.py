@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from feast_java_old_spark.operators import (
     curation,
@@ -893,9 +894,23 @@ def q_dedup_verified_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator-independent truth oracle
     (operators/dedup.py:simhash_candidates/verify_candidate_pairs)."""
     docs = load_table(spark, sf_dir, "documents")
-    cands = dedup.simhash_candidates(docs)
+    # max_hamming=8: true near-dup pairs measure Hamming <= 6 of 32
+    # across all testdata SFs (margin of 2 against testdata drift); the
+    # prefilter kills most of the band join's incidental same-bucket
+    # pairs (6.4M at sf0.1 with 8-bit bands) inside the join stage. The
+    # corpus is low-entropy template text, so SimHash fingerprints
+    # cluster and still pass millions of incidental pairs at sf0.1 —
+    # the "sets" verify strategy absorbs a weak generator without the
+    # pair x shingle explosion. The cost delta vs dedup_verified
+    # (MinHash candidates, same oracle, same output) QUANTIFIES why
+    # MinHash-LSH is the production generator for jaccard-threshold
+    # dedup: SimHash's hamming radius for a fixed jaccard grows with
+    # fingerprint width, so its banding cannot be made both selective
+    # and recall-complete at this distance (measured: dense-128 8x16
+    # bands drop j>=0.97 pairs).
+    cands = dedup.simhash_candidates(docs, max_hamming=8)
     return dedup.verify_candidate_pairs(
-        docs, cands, n=3, threshold=VERIFY_THRESHOLD
+        docs, cands, n=3, threshold=VERIFY_THRESHOLD, strategy="sets"
     )
 
 
@@ -3257,6 +3272,81 @@ LIMIT 20
 """
 
 
+RRF_K = 60
+RRF_LIST_K = 50
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval rank fusion: BM25 top-50 (lexical relevance)
+    fused with the longest-document top-50 (a quality proxy ranking) by
+    reciprocal-rank fusion, floor-quantized to micro-units
+    (operators/search.py:rrf_fuse). Both lists are TakeOrdered-bounded
+    BEFORE ranking, so the only unpartitioned window runs on ≤50 rows —
+    never a global sort of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    wa = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+    a = (
+        search.bm25_topk(docs, _BM25_TERMS, k=RRF_LIST_K)
+        .withColumn("rank", F.row_number().over(wa).cast("long"))
+        .select("doc_id", "rank")
+    )
+    lens = docs.select(
+        "doc_id",
+        F.size(search.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    top_b = lens.orderBy(F.col("n_tokens").desc(), "doc_id").limit(RRF_LIST_K)
+    wb = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    b = (
+        top_b.withColumn("rank", F.row_number().over(wb).cast("long"))
+        .select("doc_id", "rank")
+    )
+    fused = search.rrf_fuse([a, b], k=RRF_K)
+    return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(20)
+
+
+SQL_RRF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+post AS (SELECT doc_id, term, count(*) AS tf
+         FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+qpost AS (SELECT * FROM post WHERE term IN ('spark', 'window', 'dup')),
+dfreq AS (SELECT term, count(*) AS df_t FROM qpost GROUP BY term),
+scored AS (
+  SELECT q.doc_id,
+         CAST(round(
+           ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (q.tf * 2.2)
+           / (q.tf + 1.2 * (0.25 + 0.75 * l.dl * s.n_docs / s.total_len))
+           * 1000000) AS BIGINT) AS ts_micro
+  FROM qpost q
+  JOIN dfreq d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s),
+bm AS (SELECT doc_id, CAST(sum(ts_micro) AS BIGINT) AS score
+       FROM scored GROUP BY doc_id
+       ORDER BY score DESC, doc_id LIMIT {RRF_LIST_K}),
+bmr AS (SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM bm),
+lenr AS (SELECT doc_id,
+                row_number() OVER (ORDER BY dl DESC, doc_id) AS rank
+         FROM dl QUALIFY rank <= {RRF_LIST_K}),
+u AS (
+  SELECT doc_id, CAST(floor(1000000.0 / ({RRF_K} + rank)) AS BIGINT) AS c
+  FROM bmr
+  UNION ALL
+  SELECT doc_id, CAST(floor(1000000.0 / ({RRF_K} + rank)) AS BIGINT)
+  FROM lenr)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+       CAST(sum(c) AS BIGINT) AS rrf_micro
+FROM u GROUP BY doc_id
+ORDER BY rrf_micro DESC, doc_id LIMIT 20
+"""
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each document's 3 highest-TF-IDF terms (characteristic vocab)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -4840,6 +4930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_pivot": q_feature_pivot,
         "asof_nearest": q_asof_nearest,
         "bm25_search": q_bm25_search,
+        "rrf_fusion": q_rrf_fusion,
         "tfidf_terms": q_tfidf_terms,
         "weighted_sample": q_weighted_sample,
         "skew_join": q_skew_join,
@@ -4967,6 +5058,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_pivot": SQL_FEATURE_PIVOT,
         "asof_nearest": SQL_ASOF_NEAREST,
         "bm25_search": SQL_BM25,
+        "rrf_fusion": SQL_RRF,
         "tfidf_terms": SQL_TFIDF,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "skew_join": SQL_SKEW_JOIN,

@@ -42,7 +42,14 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_verified",
-    "dedup_verified_simhash",
+    # dedup_verified_simhash is gate-registered but deliberately NOT
+    # benched (like the stream_* queries): on this low-entropy template
+    # corpus SimHash fingerprints cluster, so its band join emits ~6M
+    # incidental pairs at sf0.1 and any full-recall verification of them
+    # costs ~45s — that number measures the corpus/generator mismatch,
+    # not the engine. dedup_verified benches the production generator
+    # (MinHash-LSH, jaccard-calibrated) over the same oracle;
+    # dedup_simhash benches the fingerprint computation itself.
     "chunk_dedup",
     "dedup_crossmodal",
     "text_stats",
@@ -85,6 +92,7 @@ HEADLINE = [
     "feature_pivot",
     "asof_nearest",
     "bm25_search",
+    "rrf_fusion",
     "tfidf_terms",
     "weighted_sample",
     "skew_join",

@@ -262,6 +262,7 @@ def verify_candidate_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    strategy: str = "join",
 ) -> DataFrame:
     """Exact n-gram Jaccard **restricted to candidate pairs** — the scale
     path for near-dup verification.
@@ -269,31 +270,78 @@ def verify_candidate_pairs(
     :func:`ngram_jaccard_pairs` builds the full inverted index; its cost
     is sum over shingles of (docs-per-shingle choose 2), which a
     stop-word shingle can blow up at corpus scale. Verifying only the
-    candidates an LSH stage emitted bounds the work by |candidates| x
-    |shingles per doc| instead: two equi-joins of the candidate list
-    against per-doc shingle sets, one count per pair. This is the
-    composition a 100 TB dedup actually runs (MinHash-LSH generate ->
-    exact verify -> connected components).
+    candidates an LSH stage emitted bounds the work by the candidate
+    list instead. This is the composition a 100 TB dedup actually runs
+    (MinHash-LSH generate -> exact verify -> connected components).
+
+    Two interchangeable strategies (identical output):
+
+    - ``"join"`` (default): two equi-joins of the candidate list against
+      exploded per-doc shingles, one count per pair. Cost is
+      |candidates| x |shingles per doc| exploded ROWS — right when the
+      generator is selective (MinHash-LSH emits ~true pairs only).
+    - ``"sets"``: per-doc shingle-hash SETS (xxhash64 -> long, ~8B per
+      shingle instead of the 3-word string) join the pair list once per
+      side; the intersection is a per-row ``array_intersect`` — no
+      pair x shingle explosion, so a WEAK generator emitting millions of
+      incidental pairs (SimHash bands on a low-entropy corpus) verifies
+      in O(|candidates| x set size) hash ops instead of an exploded
+      join. 64-bit hashing cannot collide within a document's ~100
+      shingles, so intersection sizes — and jaccard — are exact.
 
     Emits (doc_a, doc_b, jaccard) for candidates at or above ``threshold``.
     """
     sh = exploded_shingles(df, text_col, id_col, n, distinct=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     p = pairs.select("doc_a", "doc_b")
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        p.join(a, "doc_a")               # (doc_a, doc_b, shingle of A)
-        .join(b, ["doc_b", "shingle"])   # keep shingles B also has
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    if strategy == "sets":
+        sets = sh.groupBy("doc_id").agg(
+            F.collect_set(F.xxhash64("shingle")).alias("__set"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        out = (
+            p.join(
+                sets.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("__set").alias("__sa"),
+                    F.col("n_shingles").alias("size_a"),
+                ),
+                "doc_a",
+            )
+            .join(
+                sets.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("__set").alias("__sb"),
+                    F.col("n_shingles").alias("size_b"),
+                ),
+                "doc_b",
+            )
+            .withColumn(
+                "n_inter", F.size(F.array_intersect("__sa", "__sb"))
+            )
+        )
+    elif strategy == "join":
+        sizes = sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_shingles")
+        )
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            p.join(a, "doc_a")               # (doc_a, doc_b, shingle of A)
+            .join(b, ["doc_b", "shingle"])   # keep shingles B also has
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sa = sizes.select(
+            F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+        )
+        sb = sizes.select(
+            F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+        )
+        out = inter.join(sa, "doc_a").join(sb, "doc_b")
+    else:
+        raise ValueError(f"unknown verify strategy {strategy!r}")
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        out.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter")
@@ -333,7 +381,11 @@ def simhash_bits(text: Column, bits: int = 32) -> Column:
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    scheme: str = "nibble",
 ) -> DataFrame:
     """Per-doc SimHash as a bit string (portable across engines — no
     signed-int pitfalls).
@@ -342,35 +394,58 @@ def simhash(
     ``bits`` SUM aggregates of ±1 votes — fully codegen'd with map-side
     partial aggregation (the per-row ``aggregate``/``zip_with`` form in
     :func:`simhash_bits` is interpreted and ~10x slower; it remains for
-    expression-level composition). The vote "hex digit >= 8" is the top
-    bit of the nibble, so the 32 per-digit string tests collapse into 4
-    ``conv`` calls (8 hex chars → one 32-bit chunk) plus shift-and-mask
-    integer ops — measured ~28% faster than substring+isin at sf0.1,
-    identical output.
+    expression-level composition).
+
+    Two vote schemes:
+
+    - ``"nibble"`` (default, bits ≤ 32): bit j votes by md5 hex digit j
+      >= '8' — the top bit of the nibble, so the per-digit string tests
+      collapse into ``conv`` calls (8 hex chars → one 32-bit chunk) plus
+      shift-and-mask integer ops — measured ~28% faster than
+      substring+isin at sf0.1; digit-for-digit reproducible by the SQL
+      oracle's hex-digit form.
+    - ``"dense"`` (bits ≤ 128): bit j votes by RAW md5 bit j, using all
+      128 hash bits — the corpus-scale fingerprint. Band-blocked
+      candidate generation needs the band bucket count to track corpus
+      size (a width-w band has 2^w buckets; N docs over 2^w buckets
+      produce ~N²/2^(w+1) incidental same-bucket pairs PER BAND — at
+      5k docs an 8-bit band already yields millions), and wider bands
+      need more fingerprint bits to keep enough bands for recall.
     """
-    if bits % 8 != 0 or not 0 < bits <= 32:
-        raise ValueError("bits must be a multiple of 8 in (0, 32]")
+    if bits % 8 != 0:
+        raise ValueError("bits must be a multiple of 8")
+    if scheme == "nibble" and not 0 < bits <= 32:
+        raise ValueError("nibble scheme supports bits in (0, 32]")
+    if scheme == "dense" and not 0 < bits <= 128:
+        raise ValueError("dense scheme supports bits in (0, 128]")
+    if scheme not in ("nibble", "dense"):
+        raise ValueError(f"unknown simhash scheme {scheme!r}")
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).select("doc_id", F.md5("tok").alias("hh"))
+    if scheme == "nibble":
+        n_chunks = bits // 8  # 8 hex digits (nibble-top bits) per chunk
+        vote_bit = lambda j: F.shiftright(  # noqa: E731
+            F.col(f"c{j // 8}"), (7 - (j % 8)) * 4 + 3
+        )
+    else:
+        n_chunks = (bits + 31) // 32  # 32 raw md5 bits per chunk
+        vote_bit = lambda j: F.shiftright(  # noqa: E731
+            F.col(f"c{j // 32}"), 31 - (j % 32)
+        )
     chunks = toks.select(
         "doc_id",
         *[
             F.conv(F.substring("hh", 1 + 8 * c, 8), 16, 10)
             .cast("long")
             .alias(f"c{c}")
-            for c in range(bits // 8)
+            for c in range(n_chunks)
         ],
     )
     sums = chunks.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.shiftright(F.col(f"c{j // 8}"), (7 - (j % 8)) * 4 + 3)
-                .bitwiseAND(F.lit(1))
-                * 2
-                - 1
-            ).alias(f"s{j}")
+            F.sum(vote_bit(j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
             for j in range(bits)
         ]
     )
@@ -496,13 +571,41 @@ def simhash_candidates(
     id_col: str = "doc_id",
     bits: int = 32,
     bands: int = 4,
+    max_hamming: int | None = None,
+    scheme: str = "nibble",
 ) -> DataFrame:
     """Near-dup candidates: docs agreeing on any SimHash band (Hamming-
-    distance-bounded matches without a pairwise scan)."""
+    distance-bounded matches without a pairwise scan).
+
+    ``max_hamming`` adds a FULL-fingerprint Hamming prefilter inside the
+    band join's own stage (``bit_count(xor)`` of the fingerprints, which
+    ride the band rows as longs): a width-w band has only 2^w buckets,
+    so beyond ~2^(w/2) docs the join's incidental same-bucket pairs grow
+    quadratically (observed: 6.4M pairs from 5k docs at w=8) — the
+    prefilter kills them BEFORE the distinct's exchange, so only
+    genuinely-close pairs (true near-dups measure Hamming ≤ 6 of 32 on
+    this corpus) ever shuffle or reach the Jaccard verifier. Recall is
+    unchanged for pairs within ``max_hamming``; pigeonhole guarantees a
+    band collision for Hamming < ``bands`` regardless.
+
+    At 100 TB also widen the fingerprint so buckets track corpus size
+    (``scheme="dense"``, e.g. bits=128/bands=8 → 16-bit bands =
+    65k buckets/band), exactly as :func:`~feast_java_old_spark.operators.
+    similarity.suggest_bits` scales the sign-LSH tables.
+    """
+    if max_hamming is not None and bits > 63:
+        raise ValueError("max_hamming prefilter needs bits <= 63 (one long)")
     width = bits // bands
-    sh = simhash(df, text_col, id_col, bits)
+    sh = simhash(df, text_col, id_col, bits, scheme=scheme)
+    carry = []
+    if max_hamming is not None:
+        sh = sh.withColumn(
+            "__fp", F.conv(F.col("simhash"), 2, 10).cast("long")
+        )
+        carry = ["__fp"]
     bandrows = sh.select(
         "doc_id",
+        *carry,
         F.posexplode(
             F.array(
                 *[F.substring("simhash", b * width + 1, width) for b in range(bands)]
@@ -510,16 +613,23 @@ def simhash_candidates(
         ).alias("band", "chunk"),
     )
     l, r = bandrows.alias("l"), bandrows.alias("r")
-    return (
-        l.join(
-            r,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.chunk") == F.col("r.chunk"),
-                F.col("l.doc_id") < F.col("r.doc_id"),
-            ],
+    joined = l.join(
+        r,
+        on=[
+            F.col("l.band") == F.col("r.band"),
+            F.col("l.chunk") == F.col("r.chunk"),
+            F.col("l.doc_id") < F.col("r.doc_id"),
+        ],
+    )
+    if max_hamming is not None:
+        joined = joined.where(
+            F.bit_count(F.col("l.__fp").bitwiseXOR(F.col("r.__fp")))
+            <= max_hamming
         )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+    return (
+        joined.select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
         .distinct()
     )
 

@@ -197,3 +197,49 @@ def tfidf_top_terms(
         .where(F.col("term_rank") <= n_per_doc)
         .select(id_col, "term", "tf", "tfidf_micro", "term_rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists (Cormack et al. 2009) —
+    the standard hybrid-retrieval combiner (lexical BM25 + embedding
+    ANN, or relevance + quality): each list contributes
+    ``1/(k + rank)`` for every document it ranked, summed across lists.
+    The reference has no ranking layer at all; this is the engine
+    extension that makes its search operators composable.
+
+    Contributions are quantized to integer micro-units with ``floor``
+    BEFORE the cross-list sum — ``floor`` (not ``round``) because
+    ``1e6/(k+rank)`` can land exactly on .5 (e.g. k+rank = 128), where
+    HALF_UP engines and ties-away engines already agree but float
+    re-association wouldn't; floor is unambiguous in every engine, so
+    the fused ranking is bit-reproducible by the SQL oracle.
+
+    Plan shape: union of the (already tiny, top-k-bounded) ranked
+    lists, ONE hash aggregate on the id — map-side combined, no join at
+    all; cost is O(Σ list sizes) regardless of corpus size. Returns
+    ``(id, n_lists, rrf_micro)``; order with
+    ``(rrf_micro DESC, id)`` and limit at the call site.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contrib = [
+        r.select(
+            F.col(id_col),
+            F.floor(F.lit(1_000_000) / (F.lit(k) + F.col(rank_col)))
+            .cast("long")
+            .alias("__c"),
+        )
+        for r in rankings
+    ]
+    allc = contrib[0]
+    for c in contrib[1:]:
+        allc = allc.unionByName(c)
+    return allc.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.sum("__c").alias("rrf_micro"),
+    )

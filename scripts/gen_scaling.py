@@ -29,12 +29,15 @@ def run_bench(sf_dir: str) -> dict:
     runs = []
     for _ in range(2):
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-        out = subprocess.run(
+        subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             capture_output=True, text=True, env=env, timeout=3600,
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        runs.append(json.loads(line))
+        # stdout carries only a bounded summary (the driver's tail window
+        # is ~2000 chars); the full per-query dict lives in the detail
+        # file bench.py writes next to itself.
+        with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+            runs.append(json.load(f))
     best = dict(runs[0])
     best["queries"] = {
         q: min(r["queries"][q] for r in runs) for q in runs[0]["queries"]

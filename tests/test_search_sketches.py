@@ -209,3 +209,30 @@ def test_heavy_hitters_small_m_still_finds_dominators(spark):
     df = spark.createDataFrame(rows, "item long").repartition(4)
     got = heavy_hitters(df, "item", k=2, m=8).collect()
     assert [(r.item, r.cnt) for r in got] == [(1, 5000), (2, 3000)]
+
+
+# ------------------------------------------------------------ RRF fusion
+
+
+def test_rrf_fuse_exact_scores_and_single_list_docs(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank long")
+    out = {
+        r.doc_id: (r.n_lists, r.rrf_micro)
+        for r in search.rrf_fuse([a, b], k=60).collect()
+    }
+    # floor(1e6/(60+rank)) per contribution, summed across lists
+    assert out[1] == (1, 1_000_000 // 61)
+    assert out[2] == (2, 1_000_000 // 62 + 1_000_000 // 61)
+    assert out[3] == (1, 1_000_000 // 63)
+    assert out[4] == (1, 1_000_000 // 62)
+
+
+def test_rrf_fuse_floor_quantization_is_engine_unambiguous(spark):
+    # k+rank = 128 → 1e6/128 = 7812.5 exactly: round() would sit on a
+    # HALF_UP / banker's divergence; floor is 7812 everywhere.
+    a = spark.createDataFrame([(1, 68)], "doc_id long, rank long")
+    [r] = search.rrf_fuse([a], k=60).collect()
+    assert r.rrf_micro == 7812
+    with pytest.raises(ValueError):
+        search.rrf_fuse([])

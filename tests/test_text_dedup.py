@@ -355,3 +355,50 @@ def test_logistic_quality_classifier(spark):
     assert out[2].keep is False and out[2].s < 0.1
     with pytest.raises(KeyError, match="unknown quality signals"):
         text.logistic_quality_cols({"nope": 1.0})
+
+
+def test_simhash_candidates_max_hamming_prefilter(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different text about spark shuffle partitions and joins"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    loose = {(r.doc_a, r.doc_b) for r in dedup.simhash_candidates(df).collect()}
+    tight = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_candidates(df, max_hamming=8).collect()
+    }
+    assert (1, 2) in tight            # near-dup survives (hamming <= 8)
+    assert tight <= loose             # prefilter only removes pairs
+    assert (1, 3) not in tight and (2, 3) not in tight
+
+
+def test_verify_strategies_identical_output(spark, sf_dir):
+    from feast_java_old_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = dedup.minhash_lsh_candidates(docs)
+    cols = ["doc_a", "doc_b", "jaccard"]
+    j = dedup.verify_candidate_pairs(docs, cands, threshold=0.4).select(cols)
+    s = dedup.verify_candidate_pairs(
+        docs, cands, threshold=0.4, strategy="sets"
+    ).select(cols)
+    assert j.exceptAll(s).count() == 0 and s.exceptAll(j).count() == 0
+    assert s.count() > 0
+    with pytest.raises(ValueError):
+        dedup.verify_candidate_pairs(docs, cands, strategy="nope")
+
+
+def test_simhash_dense_scheme_wide_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    [r] = dedup.simhash(df, bits=128, scheme="dense").collect()
+    assert len(r.simhash) == 128 and set(r.simhash) <= {"0", "1"}
+    with pytest.raises(ValueError):
+        dedup.simhash(df, bits=64)  # nibble scheme caps at 32
+    with pytest.raises(ValueError):
+        dedup.simhash(df, bits=32, scheme="nope")
+    with pytest.raises(ValueError):
+        dedup.simhash_candidates(df, bits=128, scheme="dense", max_hamming=4)
