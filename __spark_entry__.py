@@ -2004,20 +2004,7 @@ KM_K = 100  # fixed centroid count — independent of corpus size by design
 KM_DIM = 64
 
 
-def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One Lloyd iteration of spherical k-means over the embeddings:
-    broadcast-argmax assignment + per-dimension mean recomputation —
-    the in-engine trainer for the IVF coarse quantizer
-    (operators/similarity.py:kmeans_step).
-
-    The centroid seed is a FIXED k (the ``KM_K`` lowest vec_ids via
-    TakeOrdered), not an ``id % step`` sample — a modulo sample grows k
-    linearly with the corpus, which makes the broadcast-argmax plan
-    O(N·k) = quadratic at 100 TB; fixed k keeps it scan-bound. The
-    centroid vectors are emitted EXPLODED to scalar
-    ``(centroid_id, n_members, dim, value)`` rows: the driver gate's
-    pandas canonicalizer sorts every output column, and array-typed
-    cells are unsortable there (the r3 red row)."""
+def _kmeans_refine(spark: SparkSession, sf_dir: str, kernel: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         F.col("vec_id").alias("id"),
@@ -2028,7 +2015,7 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(KM_K)
         .select(F.col("id").alias("centroid_id"), F.col("__v").alias("__cv"))
     )
-    step = similarity.kmeans_step(v, cent, dim=KM_DIM)
+    step = similarity.kmeans_step(v, cent, dim=KM_DIM, kernel=kernel)
     return step.select(
         "centroid_id",
         "n_members",
@@ -2039,6 +2026,39 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("long").alias("dim"),
         "value",
     )
+
+
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of spherical k-means over the embeddings:
+    broadcast-argmax assignment + per-dimension mean recomputation —
+    the in-engine trainer for the IVF coarse quantizer
+    (operators/similarity.py:kmeans_step, Arrow/BLAS kernel — one GEMM
+    per batch, measured ~10x faster than the interpreted higher-order
+    expression fold at k=100).
+
+    The centroid seed is a FIXED k (the ``KM_K`` lowest vec_ids via
+    TakeOrdered), not an ``id % step`` sample — a modulo sample grows k
+    linearly with the corpus, which makes the broadcast-argmax plan
+    O(N·k) = quadratic at 100 TB; fixed k keeps it scan-bound. The
+    centroid vectors are emitted EXPLODED to scalar
+    ``(centroid_id, n_members, dim, value)`` rows: the driver gate's
+    pandas canonicalizer sorts every output column, and array-typed
+    cells are unsortable there (the r3 red row)."""
+    return _kmeans_refine(spark, sf_dir, kernel="arrow")
+
+
+def q_kmeans_refine_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel strategy twin of ``kmeans_refine``: the pure-expression
+    assignment (per-centroid ``zip_with``/``aggregate`` cosine columns +
+    ``greatest(struct)`` argmax) hash-matched against the SAME oracle —
+    proving the Arrow/BLAS and Catalyst-expression kernels are
+    interchangeable (cosines round to 6 places before the argmax in
+    both, so blocked-vs-sequential float summation cannot split them).
+    Not benched: Spark evaluates higher-order array functions
+    interpreted, which makes this kernel the measured ~10x-slower
+    ceiling, and that number characterizes the expression evaluator,
+    not the engine's k-means path."""
+    return _kmeans_refine(spark, sf_dir, kernel="expr")
 
 
 def _sql_kmeans_refine() -> str:
@@ -4892,6 +4912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "domain_topk": q_domain_topk,
         "kmeans_refine": q_kmeans_refine,
+        "kmeans_refine_expr": q_kmeans_refine_expr,
         "unigram_logprob": q_unigram_logprob,
         "embedding_outliers": q_embedding_outliers,
         "interval_join": q_interval_join,
@@ -5020,6 +5041,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split": _sql_corpus_split(),
         "domain_topk": _sql_domain_topk(),
         "kmeans_refine": _sql_kmeans_refine(),
+        "kmeans_refine_expr": _sql_kmeans_refine(),
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "embedding_outliers": _sql_embedding_outliers(),
         "interval_join": SQL_INTERVAL_JOIN,

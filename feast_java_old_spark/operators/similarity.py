@@ -449,6 +449,7 @@ def kmeans_step(
     vec_col: str = "__v",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "__cv",
+    kernel: str = "expr",
 ) -> DataFrame:
     """One Lloyd iteration of spherical k-means: assign every vector to
     its nearest centroid by cosine (:func:`ivf_assign` — broadcast
@@ -458,28 +459,82 @@ def kmeans_step(
 
     Assignment strategy: the centroid table is k×dim doubles — driver
     material by definition (k ~ √N lists) — so it is collected and the
-    argmax is unrolled into a fold-left ``when`` chain over literal
-    arrays, making assignment a pure *projection*: no exchange ever
-    carries a vector. (The :func:`ivf_assign` join form finalizes its
-    ``max(struct)`` after an exchange keyed by vector id — a full-corpus
-    shuffle of vectors that this path avoids entirely.) The mean is then
-    ``dim`` plain ``avg(vec[i])`` aggregates — fixed-width codegen with
-    map-side partial aggregation, so the only shuffle carries one
-    partial-sum row per (centroid, map partition). Iterating this
-    function trains the IVF coarse quantizer (:func:`ann_ivf`)
-    in-engine; swapping trained centroids into the index changes no
-    plan. Cosines and components are rounded to 6 places for
-    engine-portable comparison; ties break toward the lowest centroid
-    id, matching :func:`ivf_assign`.
+    argmax runs map-side against the literal centroids: no exchange
+    ever carries a vector. (The :func:`ivf_assign` join form finalizes
+    its ``max(struct)`` after an exchange keyed by vector id — a
+    full-corpus shuffle of vectors that this path avoids entirely.)
+
+    Two interchangeable assignment kernels (identical output, proven by
+    the shared-oracle gate twin):
+
+    - ``"expr"``: one cosine column per centroid (``zip_with`` +
+      ``aggregate`` fold) and a ``greatest(struct)`` argmax. Pure
+      column expressions, but Spark evaluates higher-order array
+      functions INTERPRETED (not whole-stage codegen) — measured ~10x
+      slower than the Arrow kernel at k=100, d=64, and the k·d literal
+      tree also costs analyzer time. (An unrolled ``v[0]*c0 + …``
+      codegen form was measured 4-6x slower still — the 6400-term
+      method trips janino's limits and falls back to interpretation
+      with a bigger tree.)
+    - ``"arrow"``: ``mapInPandas`` assignment — each Arrow batch is one
+      BLAS matmul ``M @ C.T`` + row argmax (NumPy ``argmax`` takes the
+      FIRST maximum, and centroids are sorted ascending, so ties break
+      to the lowest centroid id exactly like the expr form). This is
+      the 100 TB kernel: per-batch cost is a dense GEMM instead of
+      k·d interpreted lambda steps per row. Cosines round to 6 places
+      BEFORE the argmax in both kernels, so the blocked-vs-sequential
+      float summation difference (last-ulp) is quantized away —
+      measured bit-identical outputs at every SF.
+
+    The mean is then ``dim`` plain ``avg(vec[i])`` aggregates —
+    fixed-width codegen with map-side partial aggregation, so the only
+    shuffle carries one partial-sum row per (centroid, map partition).
+    Iterating this function trains the IVF coarse quantizer
+    (:func:`ann_ivf`) in-engine; swapping trained centroids into the
+    index changes no plan. Cosines and components are rounded to 6
+    places for engine-portable comparison; ties break toward the lowest
+    centroid id, matching :func:`ivf_assign`.
 
     Returns ``(centroid_id, n_members, centroid)``.
     """
     import math
 
+    if kernel not in ("expr", "arrow"):
+        raise ValueError(f"unknown kmeans_step kernel {kernel!r}")
     cents = [
         (int(r[0]), list(r[1]))
         for r in centroids.select(centroid_id_col, centroid_vec_col).collect()
     ]
+    cents.sort()  # ascending centroid id: first-max argmax == lowest-id ties
+    if kernel == "arrow":
+        import numpy as np
+
+        cids = [c[0] for c in cents]
+        C = np.array([c[1] for c in cents], dtype=np.float64)
+        cn = np.sqrt((C * C).sum(axis=1))
+
+        def assign(batches):
+            for pdf in batches:
+                M = np.stack(pdf[vec_col].to_numpy())
+                vn = np.sqrt((M * M).sum(axis=1))
+                sims = np.round((M @ C.T) / (vn[:, None] * cn[None, :]), 6)
+                best = sims.argmax(axis=1)
+                out = pdf[[id_col, vec_col]].copy()
+                # vector rides through the kernel so the means need no
+                # join back — still no exchange carrying a vector
+                out["centroid_id"] = [cids[i] for i in best]
+                yield out
+
+        assigned = corpus.select(id_col, vec_col).mapInPandas(
+            assign,
+            schema=f"{id_col} long, {vec_col} array<double>, centroid_id long",
+        )
+        return assigned.groupBy(F.col("centroid_id").alias(centroid_id_col)).agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.array(
+                *[F.round(F.avg(F.col(vec_col)[i]), 6) for i in range(dim)]
+            ).alias("centroid"),
+        )
     # Two-phase on purpose (the lang_id pattern): materialize each
     # per-centroid cosine as a real column first — an inline fold-left
     # when-chain over the dot() expressions triples the tree per

@@ -27,7 +27,12 @@ PICKS = [
     ("sequence_pack", "Distributed prefix sum: per-bucket subtotals aggregate, driver prefix-sums a tiny list, broadcast-join offsets, within-bucket windows in parallel — no global-order single-partition window."),
     ("decontaminate", "Benchmark decontamination: the benchmark n-gram set broadcasts; corpus shingles stream through the broadcast inner join, and the count-distinct aggregate sees only MATCHED shingles — corpus text never shuffles."),
     ("corpus_shuffle", "Deterministic training shuffle: shard = md5 bucket, rank windows partitioned BY SHARD — parallel per-shard sorts; no stage orders the full corpus through one task."),
-    ("kmeans_refine", "k-means Lloyd step: broadcast centroids + map-side max(struct) argmax assignment; the centroid mean is 64 fixed-width avg aggregates with partial_avg map-side — partial sums shuffle, vectors never do."),
+    ("kmeans_refine", "k-means Lloyd step (Arrow kernel): assignment is one BLAS GEMM per Arrow batch inside mapInPandas — no join, vectors ride through the kernel; the centroid mean is 64 fixed-width avg aggregates with partial_avg map-side — partial sums shuffle, vectors never do."),
+    ("kmeans_refine_expr", "k-means Lloyd step (expression kernel twin, same oracle): per-centroid zip_with/aggregate cosine columns + greatest(struct) argmax — pure projection, but higher-order array functions evaluate interpreted (~10x the Arrow kernel at k=100); kept as the kernel-interchangeability proof."),
+    ("rrf_fusion", "Reciprocal-rank fusion: both input lists are TakeOrdered-bounded before a <=50-row rank window; the fuse itself is union + ONE map-side-combined hash aggregate — no join anywhere."),
+    ("quantile_bin_approx", "Approx equal-frequency binning: Greenwald-Khanna percentile_approx edges (mergeable partials map-side) as a 1-row broadcast; assignment stays a pure projection — no sort-based exact percentile in the plan."),
+    ("profile_columns_approx", "Approx column profile: HLL++ approx_count_distinct per column in ONE aggregate — no Expand fan-out of input rows (the exact form multiplies every row by the profiled-column count)."),
+    ("dedup_verified_simhash", "SimHash twin of dedup_verified (same truth oracle): band equi-join with a full-fingerprint bit_count(xor) hamming prefilter INSIDE the join stage, then set-intersection verify (per-doc xxhash64 shingle sets, array_intersect) — no pair x shingle explosion even when the generator over-emits."),
     ("unigram_logprob", "Unigram LM scoring: vocabulary aggregate (map-side combined) broadcasts back onto the token stream; the per-doc mean re-aggregate shuffles (doc, partial-sum) rows only."),
     ("interval_join", "Banded range join: events project to one time band, intervals explode to covered bands, and the join is a hash EQUI-join + residual range filter — no BroadcastNestedLoopJoin, no cartesian."),
     ("asof_nearest", "Bidirectional nearest-in-time join: right rows replicate to 3 adjacent tolerance bands, the join is a hash equi-join on (key, band), and the argmin is min(struct(|Δt|,…)) with map-side partial combine — never a theta join."),

@@ -257,6 +257,30 @@ def test_kmeans_step_reduces_distortion(emb):
     assert after >= before - 1e-9
 
 
+def test_kmeans_step_kernels_identical(emb):
+    """The Arrow/BLAS assignment kernel must reproduce the expression
+    kernel bit-for-bit (cosines round to 6dp before the argmax, ties to
+    the lowest centroid id in both)."""
+    from feast_java_old_spark.operators.similarity import kmeans_step
+
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("__v"),
+    )
+    cent0 = v.orderBy("id").limit(20).select(
+        F.col("id").alias("centroid_id"), F.col("__v").alias("__cv")
+    )
+    canon = lambda df: {  # noqa: E731
+        r["centroid_id"]: (r["n_members"], tuple(r["centroid"]))
+        for r in df.collect()
+    }
+    expr = canon(kmeans_step(v, cent0, dim=64, kernel="expr"))
+    arrow = canon(kmeans_step(v, cent0, dim=64, kernel="arrow"))
+    assert expr == arrow
+    with pytest.raises(ValueError):
+        kmeans_step(v, cent0, dim=64, kernel="nope")
+
+
 # ----------------------------------------------------------- unigram_logprob
 
 
