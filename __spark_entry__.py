@@ -2047,6 +2047,96 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kmeans_refine(spark, sf_dir, kernel="arrow")
 
 
+PQ_M = 8
+PQ_CODES = 16
+PQ_QUERIES = 3
+PQ_K = 5
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: every embedding compresses to 8
+    nibble codes (64x smaller than float32) — the memory-bounded ANN
+    index build. Deterministic codebooks (lowest-16-id subvectors),
+    assignment is a pure projection against literal codewords, output
+    exploded to scalar (vec_id, subspace, code) rows
+    (operators/similarity.py:pq_train/pq_encode)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_train(emb, m=PQ_M, codes=PQ_CODES, dim=KM_DIM)
+    return similarity.pq_encode(emb, cbs)
+
+
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): per-query lookup tables over
+    the codebooks, micro-quantized before the cross-subspace sum so
+    scores are exact integers; the corpus scan touches only code
+    columns, never a float vector
+    (operators/similarity.py:pq_adc_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_train(emb, m=PQ_M, codes=PQ_CODES, dim=KM_DIM)
+    qrows = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>"))
+        .orderBy("vec_id")
+        .limit(PQ_QUERIES)
+        .collect()
+    )
+    queries = [(int(r[0]), list(r[1])) for r in qrows]
+    codes = similarity.pq_encode(emb, cbs)
+    return similarity.pq_adc_topk(codes, cbs, queries, k=PQ_K)
+
+
+_PQ_W = KM_DIM // PQ_M
+
+_SQL_PQ_COMMON = f"""
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+seed AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {PQ_CODES}),
+subs AS (SELECT unnest(range({PQ_M})) AS s),
+cb AS (SELECT subs.s,
+              CAST(row_number() OVER (PARTITION BY subs.s ORDER BY seed.vec_id) - 1
+                   AS BIGINT) AS code,
+              seed.e[subs.s * {_PQ_W} + 1 : subs.s * {_PQ_W} + {_PQ_W}] AS c
+       FROM subs CROSS JOIN seed),
+sub AS (SELECT v.vec_id, subs.s,
+               v.e[subs.s * {_PQ_W} + 1 : subs.s * {_PQ_W} + {_PQ_W}] AS sv
+        FROM v CROSS JOIN subs),
+d AS (SELECT sub.vec_id, sub.s, cb.code,
+             round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, c)
+                   + list_dot_product(c, c), 6) AS d2
+      FROM sub JOIN cb USING (s)),
+asg AS (SELECT vec_id, s, code FROM (
+          SELECT vec_id, s, code,
+                 row_number() OVER (PARTITION BY vec_id, s
+                                    ORDER BY d2, code) AS rn
+          FROM d) WHERE rn = 1)
+"""
+
+SQL_PQ_ENCODE = f"""
+WITH {_SQL_PQ_COMMON}
+SELECT vec_id, CAST(s AS BIGINT) AS subspace, code FROM asg
+"""
+
+SQL_PQ_ADC = f"""
+WITH {_SQL_PQ_COMMON},
+q AS (SELECT vec_id AS query_id, e FROM v ORDER BY vec_id LIMIT {PQ_QUERIES}),
+qsub AS (SELECT q.query_id, subs.s,
+                q.e[subs.s * {_PQ_W} + 1 : subs.s * {_PQ_W} + {_PQ_W}] AS qs
+         FROM q CROSS JOIN subs),
+lut AS (SELECT qsub.query_id, qsub.s, cb.code,
+               CAST(round(round(list_dot_product(qs, qs)
+                    - 2 * list_dot_product(qs, c)
+                    + list_dot_product(c, c), 6) * 1000000) AS BIGINT)
+                 AS micro
+        FROM qsub JOIN cb USING (s)),
+scores AS (SELECT l.query_id, a.vec_id, CAST(sum(l.micro) AS BIGINT) AS adc_micro
+           FROM asg a JOIN lut l ON l.s = a.s AND l.code = a.code
+           GROUP BY 1, 2)
+SELECT query_id, vec_id, adc_micro FROM (
+  SELECT query_id, vec_id, adc_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_micro, vec_id) AS rn
+  FROM scores) WHERE rn <= {PQ_K}
+"""
+
+
 def q_kmeans_refine_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kernel strategy twin of ``kmeans_refine``: the pure-expression
     assignment (per-centroid ``zip_with``/``aggregate`` cosine columns +
@@ -4913,6 +5003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_topk": q_domain_topk,
         "kmeans_refine": q_kmeans_refine,
         "kmeans_refine_expr": q_kmeans_refine_expr,
+        "pq_encode": q_pq_encode,
+        "pq_adc": q_pq_adc,
         "unigram_logprob": q_unigram_logprob,
         "embedding_outliers": q_embedding_outliers,
         "interval_join": q_interval_join,
@@ -5042,6 +5134,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_topk": _sql_domain_topk(),
         "kmeans_refine": _sql_kmeans_refine(),
         "kmeans_refine_expr": _sql_kmeans_refine(),
+        "pq_encode": SQL_PQ_ENCODE,
+        "pq_adc": SQL_PQ_ADC,
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "embedding_outliers": _sql_embedding_outliers(),
         "interval_join": SQL_INTERVAL_JOIN,

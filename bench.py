@@ -69,6 +69,8 @@ HEADLINE = [
     "similarity_ann_multiprobe",
     "embedding_near_dups",
     "embedding_centroids",
+    "pq_encode",
+    "pq_adc",
     "multimodal_decode",
     "odfv_transform",
     "decontaminate",

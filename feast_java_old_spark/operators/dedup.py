@@ -210,6 +210,17 @@ def ngram_jaccard_pairs(
     all-shingles form. For candidate-restricted verification use
     :func:`verify_candidate_pairs`, whose cost is bounded by the
     candidate list instead.
+
+    Picking ``max_df``: it must sit ABOVE the largest duplicate-cluster
+    size (a shingle shared by a dup cluster has df ≈ cluster size — the
+    signal) and BELOW boilerplate df (site templates, license headers —
+    df ~ corpus fraction). Measured on the synthetic corpus: max shingle
+    df is 7 at 500 docs and 25 at 5000 docs, ALL of it dup-cluster
+    signal (a df ≤ 10 prune zeroes the 0.5-threshold result at sf0.1),
+    so no threshold both prunes and preserves results there — the
+    quadratic term the prune exists for (corpus-fraction boilerplate)
+    only appears in real corpora, where dup-cluster size is
+    corpus-independent and the default 500 clears it by 20x.
     """
     sh = exploded_shingles(df, text_col, id_col, n, distinct=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))

@@ -896,3 +896,160 @@ def semdedup(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the vector space splits into
+    ``m`` subspaces of ``dim/m`` dimensions; each subspace gets
+    ``codes`` centroids. Returned as a plain Python list
+    ``[m][codes][dim/m]`` — m·codes·(dim/m) = dim·codes doubles, driver
+    material by definition (the PQ codebook of a billion-vector index
+    is a few KB; that is the point of PQ).
+
+    Seeding is deterministic (the ``codes`` lowest-id vectors'
+    subvectors, one TakeOrdered job) so any engine reproduces it;
+    refine the codebooks in-engine by running :func:`kmeans_step`
+    per subspace over ``F.slice`` projections if recall needs it —
+    the encode/search plans don't change.
+    """
+    if dim % m != 0:
+        raise ValueError("dim must be divisible by m")
+    w = dim // m
+    seed = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(codes)
+        .collect()
+    )
+    if len(seed) < codes:
+        raise ValueError(f"corpus has {len(seed)} rows < codes={codes}")
+    return [
+        [[float(x) for x in r[1][s * w : (s + 1) * w]] for r in seed]
+        for s in range(m)
+    ]
+
+
+def _sq_dot(a: list[float], b: list[float]) -> float:
+    """Sequential-order dot product — matches the engines' fold order."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: each vector compresses to ``m`` small code ids —
+    at m=8, codes=16 that is 8 nibbles (4 bytes) per vector instead of
+    256 bytes of float32, the 64x compression that lets a 100 TB
+    embedding corpus fit a memory-speed ANN index.
+
+    Per subspace the nearest codeword by squared L2 — computed as
+    ``dot(sv,sv) - 2*dot(sv,c) + dot(c,c)`` (the expansion every engine
+    can reproduce term-for-term), rounded to 6 places, ties to the
+    lowest code id via ``least(struct(d2, code))``. Assignment is a
+    pure projection against literal codewords (the :func:`kmeans_step`
+    expr-kernel shape — no exchange carries a vector); output is
+    EXPLODED ``(id, subspace, code)`` scalar rows, one hash exchange
+    nowhere — the explode is in-stage.
+    """
+    m = len(codebooks)
+    codes = len(codebooks[0])
+    w = len(codebooks[0][0])
+    v = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    per_sub = []
+    for s in range(m):
+        sv = F.slice(F.col("__v"), s * w + 1, w)
+        sv2 = dot(sv, sv)
+        cands = []
+        for ci, cvec in enumerate(codebooks[s]):
+            carr = F.array(*[F.lit(x) for x in cvec])
+            c2 = _sq_dot(cvec, cvec)
+            d2 = F.round(sv2 - 2 * dot(sv, carr) + F.lit(c2), 6)
+            cands.append(
+                F.struct(d2.alias("d"), F.lit(ci).cast("long").alias("c"))
+            )
+        best = F.least(*cands) if codes > 1 else cands[0]
+        per_sub.append(
+            F.struct(
+                F.lit(s).cast("long").alias("subspace"),
+                best["c"].alias("code"),
+            )
+        )
+    return (
+        v.select(id_col, F.explode(F.array(*per_sub)).alias("__sc"))
+        .select(id_col, F.col("__sc.subspace"), F.col("__sc.code"))
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (ADC, Jégou et al.
+    2011): per query, a lookup table of squared distances from each
+    query SUBvector to every codeword (m·codes doubles — driver
+    material), then each corpus vector's approximate distance is just
+    ``m`` table lookups summed — the scan touches only the tiny code
+    columns, never a float vector.
+
+    Table entries are micro-quantized (half-up to integer micro-units)
+    BEFORE the cross-subspace sum, so scores are exact integers and the
+    ranking is engine-reproducible. Plan: ONE hash aggregate on the id
+    (map-side combined: each (id, subspace, code) row contributes
+    ``element_at`` lookups), then a per-query TakeOrdered top-k — the
+    query batch is small by contract (the :func:`cosine_topk` shape),
+    so no window ever partitions the corpus by query.
+
+    Returns ``(query_id, vec_id, adc_micro)``: the k nearest per query,
+    ties to the lowest id.
+    """
+    import math
+
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    w = len(codebooks[0][0])
+    aggs = []
+    for qid, qv in queries:
+        lut = []
+        for s in range(m):
+            qs = [float(x) for x in qv[s * w : (s + 1) * w]]
+            q2 = _sq_dot(qs, qs)
+            for cvec in codebooks[s]:
+                d2 = round(q2 - 2 * _sq_dot(qs, cvec) + _sq_dot(cvec, cvec), 6)
+                lut.append(int(math.floor(d2 * 1_000_000 + 0.5)))
+        arr = F.array(*[F.lit(x).cast("long") for x in lut])
+        idx = (F.col("subspace") * n_codes + F.col("code") + 1).cast("int")
+        aggs.append(F.sum(F.element_at(arr, idx)).alias(f"__q_{qid}"))
+    scores = codes_df.groupBy(id_col).agg(*aggs)
+    outs = []
+    for qid, _ in queries:
+        outs.append(
+            scores.select(
+                F.lit(int(qid)).cast("long").alias("query_id"),
+                F.col(id_col),
+                F.col(f"__q_{qid}").alias("adc_micro"),
+            )
+            .orderBy("adc_micro", id_col)
+            .limit(k)
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -257,3 +257,71 @@ def test_mean_pool_exact_values(spark):
     out = {r.g: r for r in similarity.mean_pool(df, "g").collect()}
     assert out["a"].embedding == [2.0, 3.0, 10.0] and out["a"].n_vectors == 2
     assert out["b"].embedding == [5.0, 6.0, 7.0] and out["b"].n_vectors == 1
+
+
+# ------------------------------------------------------- product quantization
+
+
+def test_pq_encode_matches_brute_force(spark):
+    from feast_java_old_spark.operators.similarity import pq_encode, pq_train
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cbs = pq_train(df, m=4, codes=8, dim=16)
+    assert len(cbs) == 4 and len(cbs[0]) == 8 and len(cbs[0][0]) == 4
+    got = {
+        (r.vec_id, r.subspace): r.code
+        for r in pq_encode(df, cbs).collect()
+    }
+    for vid, v in vecs:
+        for s in range(4):
+            sv = np.array(v[s * 4 : (s + 1) * 4])
+            d2 = [
+                round(float(((sv - np.array(c)) ** 2).sum()), 6)
+                for c in cbs[s]
+            ]
+            want = int(np.argmin(d2))  # first min -> lowest code on ties
+            assert got[(vid, s)] == want, (vid, s)
+
+
+def test_pq_adc_ranks_by_reconstructed_distance(spark):
+    from feast_java_old_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cbs = pq_train(df, m=4, codes=8, dim=16)
+    codes = pq_encode(df, cbs)
+    queries = [(0, vecs[0][1]), (1, vecs[1][1])]
+    out = pq_adc_topk(codes, cbs, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.adc_micro, r.vec_id))
+    assert set(by_q) == {0, 1}
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        assert rows == sorted(rows)  # ascending distance, ties by id
+        # a corpus vector quantizes near its own codes: the query itself
+        # must appear in its top-5 by asymmetric distance
+        assert qid in {vid for _, vid in rows}
+
+
+def test_pq_train_validates(spark):
+    from feast_java_old_spark.operators.similarity import pq_train
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 16)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        pq_train(df, m=5, codes=4, dim=16)  # dim not divisible
+    with pytest.raises(ValueError):
+        pq_train(df, m=4, codes=8, dim=16)  # fewer rows than codes
