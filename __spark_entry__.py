@@ -1488,6 +1488,49 @@ DECONTAM_MIN_HITS = 2
 DECONTAM_BENCH_MOD = 50
 
 
+DSIR_BUCKETS = 4096
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every document
+    by hashed-bigram likelihood ratio against the English subset as the
+    target distribution — the in-domain data-selection step of a
+    target-matched pretraining mixture. Bucket log-ratios quantize to
+    integer micro-units before the per-doc sum, so scores are exact
+    integers (operators/curation.py:dsir_weights)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.dsir_weights(
+        docs, target=F.col("lang") == "en", n=2, buckets=DSIR_BUCKETS
+    )
+
+
+SQL_DSIR = f"""
+WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+              FROM documents),
+gr AS (SELECT doc_id, lang,
+              unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS g
+       FROM toks WHERE len(t) >= 2),
+bk AS (SELECT doc_id, lang,
+              ('0x' || substr(md5(g), 1, 7))::BIGINT % {DSIR_BUCKETS} AS b
+       FROM gr),
+cs AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+ct AS (SELECT b, count(*) AS c FROM bk WHERE lang = 'en' GROUP BY b),
+tot AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM cs) AS ts,
+               (SELECT CAST(sum(c) AS DOUBLE) FROM ct) AS tt),
+ratio AS (SELECT cs.b,
+                 CAST(round((ln((coalesce(ct.c, 0) + 1.0)
+                                / (tot.tt + {DSIR_BUCKETS}.0))
+                           - ln((cs.c + 1.0)
+                                / (tot.ts + {DSIR_BUCKETS}.0)))
+                            * 1000000) AS BIGINT) AS micro
+          FROM cs LEFT JOIN ct USING (b) CROSS JOIN tot),
+docb AS (SELECT doc_id, b, count(*) AS nb FROM bk GROUP BY doc_id, b)
+SELECT doc_id, CAST(sum(nb) AS BIGINT) AS n_ngrams,
+       CAST(sum(nb * micro) AS BIGINT) AS dsir_micro
+FROM docb JOIN ratio USING (b) GROUP BY doc_id
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with doc_id % 50 == 0 play the
     eval set; every other doc is flagged when it shares >= 2 distinct
@@ -4994,6 +5037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_drift": q_feature_drift,
         "key_skew": q_key_skew,
         "decontaminate": q_decontaminate,
+        "dsir_weights": q_dsir_weights,
         "corpus_shuffle": q_corpus_shuffle,
         "shard_manifest": q_shard_manifest,
         "text_normalize": q_text_normalize,
@@ -5124,6 +5168,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup": SQL_CHUNK_DEDUP,
         "feature_drift": SQL_FEATURE_DRIFT,
         "key_skew": SQL_KEY_SKEW,
+        "dsir_weights": SQL_DSIR,
         "decontaminate": SQL_DECONTAMINATE,
         "corpus_shuffle": SQL_CORPUS_SHUFFLE,
         "shard_manifest": SQL_SHARD_MANIFEST,

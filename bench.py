@@ -74,6 +74,7 @@ HEADLINE = [
     "multimodal_decode",
     "odfv_transform",
     "decontaminate",
+    "dsir_weights",
     "corpus_shuffle",
     "shard_manifest",
     "text_normalize",

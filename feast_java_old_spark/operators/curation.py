@@ -38,6 +38,7 @@ __all__ = [
     "decontaminate",
     "corpus_shuffle",
     "corpus_split",
+    "dsir_weights",
     "normalize_text",
     "per_stratum_topk",
     "temperature_mix",
@@ -735,4 +736,110 @@ def shard_manifest(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__nt").alias("n_tokens"),
         F.md5(F.concat_ws(",", ordered)).alias("content_hash"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023, arXiv:2302.03169): score every document by how much more
+    likely its hashed n-gram features are under the TARGET distribution
+    (rows where ``target`` is true — e.g. high-quality or in-domain
+    text) than under the raw corpus — the importance weight a
+    target-matched pretraining mixture resamples by.
+
+    Estimator: word n-grams hash into ``buckets`` (28-bit md5 prefix
+    mod buckets — the :func:`corpus_shuffle` portable-hash shape);
+    bucket unigram distributions for target and raw corpus get add-k
+    smoothing; a document's log-importance is
+    ``Σ_b n_b(doc) · [ln P̂_target(b) − ln P̂_raw(b)]``.
+
+    Determinism: each bucket's log-ratio is quantized to integer
+    micro-units FIRST, so the per-document sum is exact integer
+    arithmetic — no float-summation order anywhere (the two ``ln``
+    calls happen once per bucket on identical doubles in any engine).
+
+    Plan shape: one n-gram explode feeds two hash aggregates (map-side
+    combined: per-bucket totals — at most ``buckets`` rows survive —
+    and per-(doc, bucket) counts); the bucket ratio table (≤ buckets
+    rows) broadcasts back onto the doc-bucket counts. Nothing but
+    (doc, bucket, count) rows ever shuffle, so cost is one corpus scan
+    + aggregates — the same at 100 TB. Documents shorter than ``n``
+    tokens have no features and are absent from the output (their
+    importance is undefined).
+
+    Returns ``(id, n_ngrams, dsir_micro)``; resample with
+    :func:`weighted_sample` on ``exp(dsir_micro/1e6)`` or threshold on
+    the score directly.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = df.select(
+        F.col(id_col),
+        target.alias("__is_t"),
+        F.explode(grams).alias("__g"),
+    ).withColumn(
+        "__b",
+        F.conv(F.substring(F.md5("__g"), 1, 7), 16, 10).cast("long")
+        % buckets,
+    )
+    cs = feats.groupBy("__b").agg(F.count(F.lit(1)).alias("__cs"))
+    ct = (
+        feats.where(F.col("__is_t"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    totals = feats.agg(
+        F.count(F.lit(1)).cast("double").alias("__ts"),
+        F.sum(F.col("__is_t").cast("long")).cast("double").alias("__tt"),
+    )
+    kb = float(smoothing) * buckets
+    ratio = (
+        cs.join(ct, "__b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(smoothing))
+                        / (F.col("__tt") + F.lit(kb))
+                    )
+                    - F.log(
+                        (F.col("__cs") + F.lit(smoothing))
+                        / (F.col("__ts") + F.lit(kb))
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("__micro"),
+        )
+    )
+    docb = feats.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__nb"))
+    return (
+        docb.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__nb").cast("long").alias("n_ngrams"),
+            F.sum(F.col("__nb") * F.col("__micro")).cast("long").alias(
+                "dsir_micro"
+            ),
+        )
     )

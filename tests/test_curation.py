@@ -379,3 +379,39 @@ def test_upsample_matches_stratified_sample_membership(spark, docs):
     assert sorted(r.doc_id for r in up.collect()) == sorted(
         r.doc_id for r in strat.collect()
     )
+
+
+# ------------------------------------------------------------ dsir_weights
+
+
+def test_dsir_weights_favor_target_like_documents(spark):
+    from feast_java_old_spark.operators.curation import dsir_weights
+
+    target_rows = [(i, "alpha beta gamma delta " * 5, True) for i in range(10)]
+    other_rows = [(100 + i, "omega psi chi phi " * 5, False) for i in range(10)]
+    # a held-out doc written in the target's vocabulary, and one in the
+    # other vocabulary — neither is marked target
+    probe = [(200, "alpha beta gamma delta alpha beta", False),
+             (201, "omega psi chi phi omega psi", False)]
+    df = spark.createDataFrame(
+        target_rows + other_rows + probe, "doc_id long, text string, is_t boolean"
+    )
+    out = {r.doc_id: r.dsir_micro for r in
+           dsir_weights(df, target=F.col("is_t"), n=2).collect()}
+    # target-like probe scores strictly higher than the off-target probe
+    assert out[200] > 0 > out[201]
+    assert len(out) == 22
+
+
+def test_dsir_weights_short_docs_absent_and_deterministic(spark):
+    from feast_java_old_spark.operators.curation import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "one-token", True), (2, "two tokens here", False)],
+        "doc_id long, text string, is_t boolean",
+    )
+    a = sorted(map(tuple, dsir_weights(df, target=F.col("is_t")).collect()))
+    b = sorted(map(tuple, dsir_weights(df, target=F.col("is_t")).collect()))
+    assert a == b
+    ids = {t[0] for t in a}
+    assert ids == {2}  # the 1-token doc has no bigrams -> no weight
