@@ -2090,6 +2090,87 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kmeans_refine(spark, sf_dir, kernel="arrow")
 
 
+KMT_K = 50
+KMT_ITERS = 2
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full in-engine spherical k-means training (deterministic seed +
+    2 Lloyd iterations, Arrow/BLAS assignment kernel): the complete IVF
+    coarse-quantizer trainer, hash-matched against an oracle that
+    unrolls every iteration's assignment + recentering term-for-term
+    (operators/similarity.py:kmeans_train). Lineage is cut per
+    iteration by the step's driver-side centroid collect (k·dim doubles
+    become literals), so plan size is iteration-independent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("__v"),
+    )
+    out = similarity.kmeans_train(
+        v, k=KMT_K, iters=KMT_ITERS, dim=KM_DIM
+    )
+    return out.select(
+        "centroid_id",
+        "n_members",
+        F.posexplode("centroid").alias("dim", "value"),
+    ).select(
+        "centroid_id",
+        "n_members",
+        F.col("dim").cast("long").alias("dim"),
+        "value",
+    )
+
+
+def _sql_kmeans_train(k: int = KMT_K, iters: int = KMT_ITERS) -> str:
+    def cos(v: str, c: str) -> str:
+        return (
+            f"round(list_dot_product({v}, {c})"
+            f" / (sqrt(list_dot_product({v}, {v}))"
+            f" * sqrt(list_dot_product({c}, {c}))), 6)"
+        )
+
+    parts = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cid, e AS ce FROM v"
+        f" ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""asg{i} AS (
+  SELECT vec_id, cid, e FROM (
+    SELECT v.vec_id, c.cid, v.e,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {cos('v.e', 'c.ce')} DESC, c.cid ASC) AS rn
+    FROM v CROSS JOIN cent{i} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""dims{i} AS (SELECT cid, d.dim, e[d.dim] AS val
+  FROM asg{i} CROSS JOIN
+       (SELECT unnest(range(1, {KM_DIM} + 1)) AS dim) d)"""
+        )
+        parts.append(
+            f"""means{i} AS (SELECT cid, dim, round(avg(val), 6) AS m
+  FROM dims{i} GROUP BY cid, dim)"""
+        )
+        if i + 1 < iters:
+            parts.append(
+                f"""cent{i + 1} AS (SELECT cid, list(m ORDER BY dim) AS ce
+  FROM means{i} GROUP BY cid)"""
+            )
+    last = iters - 1
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+cnts AS (SELECT cid, count(*) AS n FROM asg{last} GROUP BY cid)
+SELECT c.cid AS centroid_id, CAST(c.n AS BIGINT) AS n_members,
+       CAST(m.dim - 1 AS BIGINT) AS dim, m.m AS value
+FROM cnts c JOIN means{last} m ON m.cid = c.cid
+"""
+    )
+
+
 PQ_M = 8
 PQ_CODES = 16
 PQ_QUERIES = 3
@@ -2494,6 +2575,84 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+Q5_REGION = "ASIA"
+Q5_FROM = "1996-01-01"
+Q5_TO = "1997-01-01"
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): a SIX-table join —
+    customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region — with
+    the local-supplier predicate (customer and supplier share a nation)
+    and a date-range filter on the fact.
+
+    Declared fully relationally and left to Catalyst: the dims
+    (customer/supplier/nation/region) broadcast, orders' date filter is
+    pushed to its scan (PushedFilters), and lineitem — the only big
+    fact — shuffles once on l_orderkey for the orders join; the
+    aggregate is map-side combined. Line revenue is quantized to cents
+    per row BEFORE the sum, so the total is order-free integer math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q5_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_TO).cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == Q5_REGION
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                    0,
+                ).cast("long")
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+        .select("n_name", "revenue_cents", "n_lineitems")
+    )
+
+
+SQL_TPCH_Q5 = f"""
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_FROM} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q5_TO} 00:00:00'
+GROUP BY n_name
 """
 
 
@@ -5022,6 +5181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_sessions": q_a5_sessions,
         "a6_percentiles": q_a6_percentiles,
         "a7_rollup_revenue": q_a7_rollup_revenue,
+        "tpch_q5": q_tpch_q5,
         "p5_type_conformance": q_p5_type_conformance,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5047,6 +5207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_topk": q_domain_topk,
         "kmeans_refine": q_kmeans_refine,
         "kmeans_refine_expr": q_kmeans_refine_expr,
+        "kmeans_train": q_kmeans_train,
         "pq_encode": q_pq_encode,
         "pq_adc": q_pq_adc,
         "unigram_logprob": q_unigram_logprob,
@@ -5154,6 +5315,7 @@ def oracle_sql() -> dict[str, str]:
         "a5_sessions": SQL_A5,
         "a6_percentiles": SQL_A6,
         "a7_rollup_revenue": SQL_A7,
+        "tpch_q5": SQL_TPCH_Q5,
         "p5_type_conformance": SQL_P5,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
@@ -5179,6 +5341,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_topk": _sql_domain_topk(),
         "kmeans_refine": _sql_kmeans_refine(),
         "kmeans_refine_expr": _sql_kmeans_refine(),
+        "kmeans_train": _sql_kmeans_train(),
         "pq_encode": SQL_PQ_ENCODE,
         "pq_adc": SQL_PQ_ADC,
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,

@@ -37,6 +37,7 @@ HEADLINE = [
     "feature_drift",
     "key_skew",
     "a7_rollup_revenue",
+    "tpch_q5",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -71,6 +72,7 @@ HEADLINE = [
     "embedding_centroids",
     "pq_encode",
     "pq_adc",
+    "kmeans_train",
     "multimodal_decode",
     "odfv_transform",
     "decontaminate",

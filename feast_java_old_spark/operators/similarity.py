@@ -949,6 +949,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """PQ encoding: each vector compresses to ``m`` small code ids —
     at m=8, codes=16 that is 8 nibbles (4 bytes) per vector instead of
@@ -958,18 +959,65 @@ def pq_encode(
     Per subspace the nearest codeword by squared L2 — computed as
     ``dot(sv,sv) - 2*dot(sv,c) + dot(c,c)`` (the expansion every engine
     can reproduce term-for-term), rounded to 6 places, ties to the
-    lowest code id via ``least(struct(d2, code))``. Assignment is a
-    pure projection against literal codewords (the :func:`kmeans_step`
-    expr-kernel shape — no exchange carries a vector); output is
-    EXPLODED ``(id, subspace, code)`` scalar rows, one hash exchange
-    nowhere — the explode is in-stage.
+    lowest code id. Output is EXPLODED ``(id, subspace, code)`` scalar
+    rows; assignment never shuffles a vector in either kernel.
+
+    Kernels (identical output, same argument as :func:`kmeans_step` —
+    the 6-place rounding before the argmin absorbs blocked-vs-
+    sequential float summation):
+
+    - ``"arrow"`` (default): one ``mapInPandas`` pass; per batch each
+      subspace is a GEMM ``M_s @ C_s.T`` + row argmin (NumPy first-min
+      == lowest code on ties). m·codes HOF evaluations per row become
+      m dense matmuls per batch.
+    - ``"expr"``: pure column expressions with ``least(struct)``
+      argmin — no Python at all, but Spark evaluates the higher-order
+      ``aggregate``/``zip_with`` dot products interpreted (measured
+      ~7 s vs ~0.5 s at 2000 rows × 128 codewords).
     """
     m = len(codebooks)
     codes = len(codebooks[0])
     w = len(codebooks[0][0])
+    if kernel not in ("expr", "arrow"):
+        raise ValueError(f"unknown pq_encode kernel {kernel!r}")
     v = corpus.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
     )
+    if kernel == "arrow":
+        import numpy as np
+
+        C = [np.array(cb, dtype=np.float64) for cb in codebooks]
+        c2 = [(c * c).sum(axis=1) for c in C]
+
+        def encode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                M = np.stack(pdf["__v"].to_numpy())
+                n = len(pdf)
+                ids = pdf[id_col].to_numpy()
+                out_id, out_s, out_c = [], [], []
+                for s in range(m):
+                    Ms = M[:, s * w : (s + 1) * w]
+                    sv2 = (Ms * Ms).sum(axis=1)
+                    d2 = np.round(
+                        sv2[:, None] - 2 * (Ms @ C[s].T) + c2[s][None, :], 6
+                    )
+                    best = d2.argmin(axis=1)  # first min -> lowest code
+                    out_id.append(ids)
+                    out_s.append(np.full(n, s, dtype=np.int64))
+                    out_c.append(best.astype(np.int64))
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(out_id),
+                        "subspace": np.concatenate(out_s),
+                        "code": np.concatenate(out_c),
+                    }
+                )
+
+        return v.mapInPandas(
+            encode, schema=f"{id_col} long, subspace long, code long"
+        )
     per_sub = []
     for s in range(m):
         sv = F.slice(F.col("__v"), s * w + 1, w)
@@ -1053,3 +1101,52 @@ def pq_adc_topk(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "id",
+    vec_col: str = "__v",
+    kernel: str = "arrow",
+) -> DataFrame:
+    """Full spherical k-means training: deterministic seed (the ``k``
+    lowest-id vectors, one TakeOrdered) + ``iters`` Lloyd iterations of
+    :func:`kmeans_step` — the complete in-engine trainer for the IVF
+    coarse quantizer (:func:`ann_ivf`) and the SemDeDup clustering.
+
+    Lineage is CUT every iteration for free: :func:`kmeans_step`
+    collects its centroid table to the driver (k·dim doubles — driver
+    material by definition) and re-embeds it as literals, so iteration
+    N+1's plan contains constants, not iteration N's DAG — no
+    checkpointing needed, no lineage blow-up, and each iteration is
+    exactly one corpus pass. Empty clusters drop out (the standard
+    Lloyd treatment), so the returned centroid count may be < k.
+
+    Returns the final step's ``(centroid_id, n_members, centroid)``.
+    """
+    cent = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("__cv"),
+        )
+    )
+    step = None
+    for _ in range(iters):
+        step = kmeans_step(
+            corpus,
+            cent,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            kernel=kernel,
+        )
+        cent = step.select(
+            "centroid_id", F.col("centroid").alias("__cv")
+        )
+    return step

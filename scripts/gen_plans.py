@@ -16,6 +16,7 @@ PICKS = [
     ("historical_asof", "Point-in-time as-of join: union-window form — one shuffle of history+requests; per-key cost stays linear on hot keys."),
     ("historical_asof_bucketed", "Skew-resistant as-of: window partitions salted with a time bucket; per-(key,bucket) partial_max summaries feed the carry-in, and a LeftSemi join prunes history buckets with no requests."),
     ("pipeline_clean_corpus", "Composed clean-corpus pipeline: 1 FileScan + 1 Exchange; every quality signal is computed in the map-side projection and rides the dedup group-by inside min(struct(...)) — the text column never crosses the shuffle."),
+    ("tpch_q5", "TPC-H Q5 shape (6-table join): ALL five joins resolve to BroadcastHashJoin at this SF (the date-filtered orders side broadcasts too), so the only exchange in the whole plan is the final aggregate's; at cluster scale AQE swaps the orders join to SMJ and lineitem shuffles once on l_orderkey. Date filter pushed to the orders scan; map-side-combined cents-quantized aggregate."),
     ("a7_rollup_revenue", "Star-schema ROLLUP: every dimension joins via BroadcastHashJoin; the fact table shuffles only grouping keys + partial sums."),
     ("similarity_ann_ivf", "IVF ANN: centroid assignment is a broadcast join + map-side argmax aggregate; probing is a bucket equi-join on centroid_id."),
     ("dedup_verified", "LSH generate -> exact verify: the Jaccard joins are bounded by the candidate list, not the inverted index — no hot-shingle blow-up at corpus scale."),

@@ -315,6 +315,22 @@ def test_pq_adc_ranks_by_reconstructed_distance(spark):
         assert qid in {vid for _, vid in rows}
 
 
+def test_pq_encode_kernels_identical(spark):
+    from feast_java_old_spark.operators.similarity import pq_encode, pq_train
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cbs = pq_train(df, m=4, codes=8, dim=16)
+    a = sorted(map(tuple, pq_encode(df, cbs, kernel="expr").collect()))
+    b = sorted(map(tuple, pq_encode(df, cbs, kernel="arrow").collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        pq_encode(df, cbs, kernel="nope")
+
+
 def test_pq_train_validates(spark):
     from feast_java_old_spark.operators.similarity import pq_train
 
