@@ -73,6 +73,7 @@ HEADLINE = [
     "pq_encode",
     "pq_adc",
     "kmeans_train",
+    "ann_ivf_pq",
     "multimodal_decode",
     "odfv_transform",
     "decontaminate",

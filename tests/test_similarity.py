@@ -341,3 +341,60 @@ def test_pq_train_validates(spark):
         pq_train(df, m=5, codes=4, dim=16)  # dim not divisible
     with pytest.raises(ValueError):
         pq_train(df, m=4, codes=8, dim=16)  # fewer rows than codes
+
+
+def test_ann_ivf_pq_recall_gate(spark, sf_dir):
+    """IVF-PQ with exact rerank must recover >= 0.70 of the true
+    cosine top-5 on the synthetic embeddings (measured 0.84 at
+    nprobe=12/20, rerank=100 on both sf0.001 and sf0.01; the ADC-only
+    path caps near ~0.5 from quantization noise — reranking is part of
+    the operator's contract, exactly like production IVF-PQ
+    deployments; floor sits ~0.1 under measurement like the other ANN
+    recall gates)."""
+    from feast_java_old_spark.operators.similarity import (
+        ann_ivf_pq,
+        cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.where(F.col("vec_id") % 100 == 0)
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    queries = [(int(r[0]), list(r[1])) for r in qrows]
+    qdf = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, qdf, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_pq(
+            emb, queries, k=5, n_lists=20, nprobe=12, rerank=100
+        ).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.70
+
+
+def test_ann_ivf_pq_adc_only_shape_and_validation(spark, sf_dir):
+    from feast_java_old_spark.operators.similarity import ann_ivf_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = [
+        (int(r[0]), list(r[1]))
+        for r in emb.select("vec_id", F.col("embedding").cast("array<double>"))
+        .orderBy("vec_id")
+        .limit(2)
+        .collect()
+    ]
+    out = ann_ivf_pq(emb, queries, k=3, nprobe=4).collect()
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.adc_micro, r.neighbor_id))
+    assert all(len(v) == 3 and v == sorted(v) for v in by_q.values())
+    with pytest.raises(ValueError):
+        ann_ivf_pq(emb, queries, m=5, dim=64)  # dim not divisible
