@@ -964,6 +964,61 @@ WHERE round(i.ni / (sa.n + sb.n - i.ni), 6) >= {VERIFY_THRESHOLD}
 """
 
 
+INC_BATCH_MOD = 5  # doc_id % 5 == 0 → the "incoming batch"; rest = indexed corpus
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the 100 TB corpus-growth pattern:
+    new batch docs are signed and probe the PERSISTED LSH index of the
+    existing corpus (operators/dedup.py:incremental_dedup via
+    minhash_band_buckets); candidates are exact-Jaccard verified. Per
+    batch the cost is O(|batch|) signatures + one bucket equi-join —
+    never a corpus re-scan.
+
+    Oracle is the generator-independent truth (exact all-pairs Jaccard
+    between batch and index at the same threshold), so the gate proves
+    the LSH index path has FULL RECALL against the exact answer — the
+    same strategy-twin guarantee as dedup_verified/_simhash."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % INC_BATCH_MOD == 0)
+    index = docs.where(F.col("doc_id") % INC_BATCH_MOD != 0)
+    return dedup.incremental_dedup(
+        index, batch, k=MINHASH_K, bands=MINHASH_BANDS, n=3,
+        threshold=VERIFY_THRESHOLD,
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+shv AS (SELECT doc_id,
+        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       FOR i IN range(1, len(t) - 1)]) AS s
+       FROM toks WHERE len(t) >= 3),
+exv AS (SELECT doc_id, unnest(s) AS shingle FROM shv),
+sizes AS (SELECT doc_id, count(*) AS n FROM exv GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM exv a JOIN exv b ON a.shingle = b.shingle
+  WHERE a.doc_id % {INC_BATCH_MOD} = 0 AND b.doc_id % {INC_BATCH_MOD} != 0
+  GROUP BY 1, 2),
+ver AS (
+  SELECT i.doc_a, i.doc_b,
+         round(i.ni / (sa.n + sb.n - i.ni), 6) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE round(i.ni / (sa.n + sb.n - i.ni), 6) >= {VERIFY_THRESHOLD}),
+m AS (SELECT doc_a, min(doc_b) AS dup_of, max(jaccard) AS best_jaccard,
+             CAST(count(*) AS BIGINT) AS n_dups
+      FROM ver GROUP BY doc_a)
+SELECT d.doc_id, m.dup_of, m.best_jaccard,
+       CAST(coalesce(m.n_dups, 0) AS BIGINT) AS n_dups,
+       m.dup_of IS NULL AS is_new
+FROM documents d LEFT JOIN m ON m.doc_a = d.doc_id
+WHERE d.doc_id % {INC_BATCH_MOD} = 0
+"""
+
+
 CLF_WEIGHTS = {"n_tokens": 0.02, "stopword_ratio": 4.0, "punct_ratio": -6.0}
 CLF_BIAS = -1.5
 
@@ -2680,6 +2735,106 @@ WHERE r_name = '{Q5_REGION}'
   AND o_orderdate >= TIMESTAMP '{Q5_FROM} 00:00:00'
   AND o_orderdate < TIMESTAMP '{Q5_TO} 00:00:00'
 GROUP BY n_name
+"""
+
+
+Q1_SHIP_BEFORE = "1998-09-02"
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (pricing summary): the canonical scan-bound
+    wide-aggregate — 8 aggregates over a date-filtered fact, grouped by
+    two low-cardinality flags. The whole query is ONE FileScan (filter
+    pushed) + map-side-combined partial aggregate + a 4-group exchange:
+    at 100 TB it is bandwidth-bound, the shuffle carries ~groups×
+    partitions rows. Money quantized to cents per row before summing so
+    totals are order-free integer math."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") < F.lit(Q1_SHIP_BEFORE).cast("timestamp")
+    )
+    cents = lambda c: F.round(c * 100, 0).cast("long")  # noqa: E731
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias("sum_qty_c"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_price_c"),
+            F.sum(cents(disc_price)).alias("sum_disc_price_c"),
+            F.sum(cents(disc_price * (1 + F.col("l_tax")))).alias("sum_charge_c"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '{Q1_SHIP_BEFORE} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+Q18_MIN_QTY = 300
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customer): an aggregate-derived
+    SEMI-JOIN — orders whose total lineitem quantity exceeds a
+    threshold, joined back to customer and lineitem for the detail
+    rows. The qualifying-key set is tiny (high threshold), so after the
+    one lineitem aggregate the plan broadcasts the key set into both
+    re-joins: lineitem is scanned twice but shuffled ZERO extra times —
+    at 100 TB that beats any sort-based alternative. Quantity summed as
+    centi-units (long) for order-free math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias("total_qty_c")
+        )
+        .where(F.col("total_qty_c") > Q18_MIN_QTY * 100)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.unix_micros("o_orderdate").alias("orderdate_us"),
+            "total_qty_c",
+        )
+    )
+
+
+SQL_TPCH_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) > {Q18_MIN_QTY * 100})
+SELECT c_name, o_custkey AS custkey, o_orderkey AS orderkey,
+       epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS orderdate_us,
+       big.total_qty_c
+FROM orders
+JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
 """
 
 
@@ -4745,6 +4900,70 @@ FROM pr2 LEFT JOIN od ON od.src = pr2.node
 """
 
 
+TRI_MIN_COOCCUR = 2  # parts must share >= 2 orders to form an edge
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle counting (operators/graph.py:
+    triangle_count) over the part co-occurrence graph: parts sharing
+    >= TRI_MIN_COOCCUR orders are connected. The orientation bounds
+    wedge enumeration by the SMALLEST-degree vertex of each triangle —
+    O(m^1.5) worst case, near-linear on power-law graphs — so a hub
+    node never fans out its full neighbor-pair set. Triadic structure
+    is the standard community/cohesion signal for curation graphs."""
+    from feast_java_old_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_partkey").distinct()
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    edges = (
+        a.join(
+            b,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= TRI_MIN_COOCCUR)
+        .select("src", "dst")
+    )
+    return triangle_count(edges).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("degree").cast("long").alias("degree"),
+        F.col("triangles").cast("long").alias("triangles"),
+    )
+
+
+SQL_TRIANGLE_COUNT = f"""
+WITH s AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS n
+       FROM s a JOIN s b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2),
+e AS (SELECT a, b FROM e0 WHERE n >= {TRI_MIN_COOCCUR}),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node),
+t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+       FROM (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+             UNION ALL SELECT z FROM t)
+       GROUP BY node)
+SELECT CAST(deg.node AS BIGINT) AS node, deg.degree,
+       CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles
+FROM deg LEFT JOIN pn ON pn.node = deg.node
+"""
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows under a live stream (§2.6): native
     ``session_window`` sessions merge in the state store as events
@@ -5209,6 +5428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_percentiles": q_a6_percentiles,
         "a7_rollup_revenue": q_a7_rollup_revenue,
         "tpch_q5": q_tpch_q5,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q18": q_tpch_q18,
         "p5_type_conformance": q_p5_type_conformance,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5216,6 +5437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_verified": q_dedup_verified,
         "dedup_verified_simhash": q_dedup_verified_simhash,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_components": q_dedup_components,
         "text_stats": q_text_stats,
         "text_repetition": q_text_repetition,
@@ -5305,6 +5527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "semdedup": q_semdedup,
         "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
         "stream_sessions": q_stream_sessions,
         "stream_clean_corpus": q_stream_clean_corpus,
         "stream_topk": q_stream_topk,
@@ -5344,6 +5567,8 @@ def oracle_sql() -> dict[str, str]:
         "a6_percentiles": SQL_A6,
         "a7_rollup_revenue": SQL_A7,
         "tpch_q5": SQL_TPCH_Q5,
+        "tpch_q1": SQL_TPCH_Q1,
+        "tpch_q18": SQL_TPCH_Q18,
         "p5_type_conformance": SQL_P5,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
@@ -5351,6 +5576,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_JACCARD,
         "dedup_verified": _sql_verified_truth(),
         "dedup_verified_simhash": _sql_verified_truth(),
+        "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "dedup_components": _sql_dedup_components(),
         "text_stats": SQL_TEXT_STATS,
         "text_repetition": SQL_TEXT_REPETITION,
@@ -5437,6 +5663,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate": SQL_BOILERPLATE,
         "semdedup": SQL_SEMDEDUP,
         "pagerank": SQL_PAGERANK,
+        "triangle_count": SQL_TRIANGLE_COUNT,
         "stream_sessions": SQL_A5,
         "stream_clean_corpus": SQL_STREAM_CLEAN.format(
             stoplist=_STOPLIST_SQL, min_q=CLEAN_MIN_Q, email=_PII_EMAIL,

@@ -28,6 +28,80 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts on an undirected edge list — the classic
+    degree-ordered ("node-iterator++" / Cohen's MapReduce) formulation.
+
+    Scale design: every edge is oriented from its lower-(degree, id)
+    endpoint to its higher one, so wedges are enumerated only at each
+    triangle's smallest-degree vertex. On any graph the oriented
+    out-degree is O(sqrt(m)), which bounds the wedge self-join at
+    O(m^1.5) worst case and near-linear on power-law graphs — the join
+    NEVER enumerates a hub's full neighbor-pair set from the hub itself.
+    Three shuffles total (degree agg, wedge self-join, closure join);
+    no adjacency matrix, no driver state.
+
+    Returns ``(node, degree, triangles)`` — one row per node appearing
+    in any edge, ``triangles`` = number of triangles the node belongs to
+    (each triangle counted once per member node).
+    """
+    # canonical undirected edges (a < b), self-loops dropped
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orient by (degree, id): lo endpoint -> hi endpoint
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("__db"))
+    ew = e.join(da, "a").join(db, "b")
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ew.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    # wedges at the low vertex: id-ordering the endpoint pair (v < w)
+    # emits each wedge once instead of twice
+    w1 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("v"))
+    w2 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("w"))
+    wedges = w1.join(w2, "c").where(F.col("v") < F.col("w"))
+    # closure: the (v, w) edge exists in EITHER orientation of the
+    # canonical form (v < w already holds by construction above when ids
+    # order the same way as orientation — but orientation is by degree,
+    # so check the canonical a<b edge set)
+    closure = e.select(
+        F.least("a", "b").alias("v"), F.greatest("a", "b").alias("w")
+    )
+    tris = wedges.join(closure, ["v", "w"]).select(
+        F.col("c").alias("n1"), F.col("v").alias("n2"), F.col("w").alias("n3")
+    )
+    per_node = (
+        tris.select(F.col("n1").alias("node"))
+        .unionByName(tris.select(F.col("n2").alias("node")))
+        .unionByName(tris.select(F.col("n3").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node", "degree", F.coalesce("triangles", F.lit(0)).alias("triangles")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",

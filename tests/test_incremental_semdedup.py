@@ -130,6 +130,48 @@ def test_pagerank_star_graph(spark):
     assert abs(out[0][0] - (0.15 + 0.85 * 3 * round(0.15 + 0.85 / 3, 9))) < 1e-6
 
 
+def test_triangle_count_known_graph(spark):
+    """K4 on {0,1,2,3} (4 triangles, 3 per node) plus a pendant edge
+    4-5 (triangle-free) and an isolated triangle {6,7,8}."""
+    from feast_java_old_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    e = k4 + [(4, 5), (6, 7), (7, 8), (8, 6)]
+    # feed duplicates + reversed orientations: operator must canonicalize
+    edges = spark.createDataFrame(
+        e + [(b, a) for a, b in e], "src long, dst long"
+    )
+    out = {r.node: (r.degree, r.triangles) for r in triangle_count(edges).collect()}
+    assert all(out[n] == (3, 3) for n in range(4))
+    assert out[4] == (1, 0) and out[5] == (1, 0)
+    assert all(out[n] == (2, 1) for n in (6, 7, 8))
+
+
+def test_incremental_dedup_flags_batch_matches(spark):
+    """Batch doc 100 near-dups index doc 1 (one token changed of 12);
+    batch doc 101 is novel. dup_of/best_jaccard/n_dups/is_new land."""
+    from feast_java_old_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    index = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark shuffles here today")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, base.replace("river", "creek")),
+         (101, "unrelated novel content with no shared shingles at all whatsoever")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.incremental_dedup(index, batch, threshold=0.4).collect()
+    }
+    assert out[100].dup_of == 1 and out[100].is_new is False
+    assert out[100].n_dups == 1 and out[100].best_jaccard >= 0.4
+    assert out[101].dup_of is None and out[101].is_new is True
+    assert out[101].n_dups == 0
+
+
 def test_k_anonymity_classes(spark):
     from feast_java_old_spark.operators.pii import k_anonymity
 
