@@ -2931,6 +2931,90 @@ WHERE rank <= {TOPK_K}
 """
 
 
+MMR_K = 5
+MMR_POOL = 20
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (operators/similarity.py:mmr_topk):
+    exact cosine pool (corpus never shuffles) + per-query greedy
+    re-rank in one Arrow applyInPandas over bounded pool × pool state.
+    λ = 1/2 with micro-unit integer scores makes the greedy argmax
+    EXACTLY reproducible, so the oracle — the same greedy UNROLLED into
+    MMR_K SQL layers — hash-matches an iterative algorithm."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.mmr_topk(emb, queries, k=MMR_K, pool=MMR_POOL).select(
+        "query_id",
+        F.col("mmr_rank").cast("long").alias("mmr_rank"),
+        "neighbor_id",
+        "mmr_score_2x_micro",
+    )
+
+
+def _sql_mmr() -> str:
+    """Greedy MMR unrolled into MMR_K dependent CTE layers: layer t
+    scores the un-picked pool by rel_micro − max(sim to picks 1..t−1)
+    and argmaxes with the same (score desc, id asc) tie-break."""
+    head = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round({_DOT}(v.e, q.qe)
+               / (sqrt({_DOT}(v.e, v.e)) * sqrt({_DOT}(q.qe, q.qe))), 6)
+           AS cosine
+  FROM v CROSS JOIN q WHERE v.vec_id != q.query_id),
+p AS (
+  SELECT query_id, neighbor_id,
+         CAST(round(cosine * 1e6, 0) AS BIGINT) AS rel_micro
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+  WHERE rank <= {MMR_POOL}),
+sim AS (
+  SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+         CAST(round({_DOT}(va.e, vb.e)
+               / (sqrt({_DOT}(va.e, va.e)) * sqrt({_DOT}(vb.e, vb.e)))
+               * 1e6, 0) AS BIGINT) AS s
+  FROM p a
+  JOIN p b ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+  JOIN v va ON va.vec_id = a.neighbor_id
+  JOIN v vb ON vb.vec_id = b.neighbor_id),
+pick1 AS (
+  SELECT query_id, neighbor_id, rel_micro AS sc
+  FROM (SELECT p.*, row_number() OVER (PARTITION BY query_id
+          ORDER BY rel_micro DESC, neighbor_id ASC) AS rn FROM p)
+  WHERE rn = 1),
+sel1 AS (SELECT query_id, neighbor_id FROM pick1)"""
+    layers = []
+    for t in range(2, MMR_K + 1):
+        layers.append(f""",
+score{t} AS (
+  SELECT c.query_id, c.neighbor_id, c.rel_micro - max(s.s) AS sc
+  FROM p c
+  JOIN sim s ON s.query_id = c.query_id AND s.ia = c.neighbor_id
+  JOIN sel{t - 1} e ON e.query_id = s.query_id AND e.neighbor_id = s.ib
+  WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} x
+                    WHERE x.query_id = c.query_id
+                      AND x.neighbor_id = c.neighbor_id)
+  GROUP BY c.query_id, c.neighbor_id, c.rel_micro),
+pick{t} AS (
+  SELECT query_id, neighbor_id, sc
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY sc DESC, neighbor_id ASC) AS rn FROM score{t})
+  WHERE rn = 1),
+sel{t} AS (SELECT query_id, neighbor_id FROM sel{t - 1}
+           UNION ALL SELECT query_id, neighbor_id FROM pick{t})""")
+    tail = "\nUNION ALL\n".join(
+        f"SELECT query_id, CAST({t} AS BIGINT) AS mmr_rank, neighbor_id,\n"
+        f"       sc AS mmr_score_2x_micro FROM pick{t}"
+        for t in range(1, MMR_K + 1)
+    )
+    return head + "".join(layers) + "\n" + tail
+
+
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
@@ -4540,6 +4624,73 @@ GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT {HH_K}
 """
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_PROBE_MAX = 20
+
+
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation
+    (operators/sketches.py:count_min_cells/count_min_estimate): the
+    sketch build shuffles at most partitions × depth × width partial
+    cells however large or skewed the input; point queries broadcast
+    the ≤ depth × width cell table. Probes are the partkeys <
+    CMS_PROBE_MAX; output pairs each estimate with the exact count so
+    the gate also verifies the CMS overcount invariant (est ≥ exact).
+    The md5-prefix hash family is engine-reproducible, so the oracle
+    rebuilds the identical sketch cell-for-cell."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = sketches.count_min_cells(
+        li, "l_partkey", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    probes = (
+        li.where(F.col("l_partkey") < CMS_PROBE_MAX)
+        .select("l_partkey")
+        .distinct()
+    )
+    est = sketches.count_min_estimate(
+        cells, probes, "l_partkey", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    exact = (
+        li.where(F.col("l_partkey") < CMS_PROBE_MAX)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return est.join(exact, "l_partkey").select(
+        "l_partkey", "est_cnt", "exact_cnt"
+    )
+
+
+def _sql_count_min() -> str:
+    return f"""
+WITH d AS (SELECT unnest(range(0, {CMS_DEPTH})) AS i),
+cells AS (
+  SELECT d.i AS row_idx,
+         ('0x' || substr(md5(d.i || ':' || l_partkey), 1, 7))::BIGINT
+           % {CMS_WIDTH} AS col_idx,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem CROSS JOIN d
+  WHERE l_partkey IS NOT NULL
+  GROUP BY 1, 2),
+probes AS (SELECT DISTINCT l_partkey FROM lineitem
+           WHERE l_partkey < {CMS_PROBE_MAX}),
+ph AS (
+  SELECT p.l_partkey, d.i AS row_idx,
+         ('0x' || substr(md5(d.i || ':' || p.l_partkey), 1, 7))::BIGINT
+           % {CMS_WIDTH} AS col_idx
+  FROM probes p CROSS JOIN d),
+est AS (
+  SELECT ph.l_partkey, min(cells.cnt) AS est_cnt
+  FROM ph JOIN cells USING (row_idx, col_idx)
+  GROUP BY ph.l_partkey),
+ex AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM lineitem WHERE l_partkey < {CMS_PROBE_MAX} GROUP BY l_partkey)
+SELECT est.l_partkey, est.est_cnt, ex.exact_cnt
+FROM est JOIN ex USING (l_partkey)
+"""
+
+
 EWMA_ALPHA = 0.1
 
 
@@ -5479,6 +5630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "similarity_topk": q_similarity_topk,
+        "mmr_rerank": q_mmr_rerank,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
@@ -5522,6 +5674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_snapshot": q_scd2_snapshot,
         "token_encode": q_token_encode,
         "heavy_hitters": q_heavy_hitters,
+        "count_min": q_count_min,
         "ewma_features": q_ewma_features,
         "rollup_merge": q_rollup_merge,
         "boilerplate": q_boilerplate,
@@ -5617,6 +5770,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_FINGERPRINT,
         "pipeline_clean_corpus": _sql_clean_corpus(),
         "similarity_topk": SQL_TOPK,
+        "mmr_rerank": _sql_mmr(),
         "similarity_ann_lsh": SQL_ANN,
         "similarity_ann_ivf": SQL_ANN_IVF,
         "similarity_ann_multiprobe": SQL_ANN_MULTI,
@@ -5657,6 +5811,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_snapshot": SQL_SCD2_SNAPSHOT,
         "token_encode": SQL_TOKEN_ENCODE,
         "heavy_hitters": SQL_HEAVY_HITTERS,
+        "count_min": _sql_count_min(),
         "stream_topk": SQL_HEAVY_HITTERS,
         "ewma_features": SQL_EWMA,
         "rollup_merge": SQL_ROLLUP_MERGE,

@@ -38,11 +38,14 @@ HEADLINE = [
     "key_skew",
     "a7_rollup_revenue",
     "tpch_q5",
+    "tpch_q1",
+    "tpch_q18",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_verified",
+    "dedup_incremental",
     # dedup_verified_simhash is gate-registered but deliberately NOT
     # benched (like the stream_* queries): on this low-entropy template
     # corpus SimHash fingerprints cluster, so its band join emits ~6M
@@ -65,6 +68,7 @@ HEADLINE = [
     "pipeline_clean_corpus",
     "training_corpus",
     "similarity_topk",
+    "mmr_rerank",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "similarity_ann_multiprobe",
@@ -122,11 +126,13 @@ HEADLINE = [
     "scd2_snapshot",
     "token_encode",
     "heavy_hitters",
+    "count_min",
     "ewma_features",
     "rollup_merge",
     "boilerplate",
     "semdedup",
     "pagerank",
+    "triangle_count",
     "k_anonymity",
     "bigram_logprob",
     "top_orders",

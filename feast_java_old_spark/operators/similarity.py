@@ -777,6 +777,95 @@ def cosine_topk_arrow(
     )
 
 
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (λ = 1/2): greedily
+    re-rank each query's relevance pool so every pick balances
+    closeness to the query against redundancy with already-picked
+    results — the standard diversity re-ranker for retrieval-augmented
+    sampling and eval-set construction.
+
+    Two stages, each scale-shaped:
+
+    1. Pool: exact :func:`cosine_topk` (broadcast query batch, corpus
+       never shuffles) keeps ``pool`` candidates per query — the only
+       stage that touches the corpus.
+    2. Greedy MMR: per-query state is ``pool × pool`` similarities
+       (bounded, tiny), so the iteration runs in ONE Arrow-batched
+       ``applyInPandas`` over query groups — never a cross-corpus op.
+
+    Determinism contract (hash-matched against an UNROLLED k-layer SQL
+    oracle): relevance and pairwise similarities are quantized to
+    integer micro-units (``round(cos × 1e6)``), and with λ = 1/2 the
+    MMR objective ``λ·rel − (1−λ)·max_sim`` scales to the pure INTEGER
+    score ``rel_micro − maxsim_micro`` — no float rounding can diverge
+    between engines; ties break by neighbor id ascending. Emits
+    ``(query_id, mmr_rank, neighbor_id, mmr_score_2x_micro)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pool_df = cosine_topk(
+        corpus, queries, k=pool, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine") * 1e6, 0).cast("long").alias("rel_micro"),
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    )
+    # pool is (queries × pool) rows — broadcast it into the corpus join
+    # so candidate vectors attach without shuffling the corpus
+    cand = F.broadcast(pool_df).join(vecs, "neighbor_id")
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        rel = pdf["rel_micro"].to_numpy(dtype=np.int64)
+        C = np.asarray(list(pdf["__cv"]), dtype=np.float64)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        S = np.round((Cn @ Cn.T) * 1e6).astype(np.int64)
+        # order by id so argmax tie-breaks resolve to the smallest id
+        order = np.argsort(ids)
+        ids, rel, S = ids[order], rel[order], S[np.ix_(order, order)]
+        n = len(ids)
+        # maxsim over the EMPTY selected set is 0 by convention (first
+        # pick is pure relevance); thereafter it is the true max over
+        # picks — which can be NEGATIVE (anti-correlated vectors), so
+        # it must not be floored at 0
+        maxsim = None
+        avail = np.ones(n, dtype=bool)
+        out = []
+        for step in range(1, min(k, n) + 1):
+            score = rel.copy() if maxsim is None else rel - maxsim
+            score[~avail] = np.iinfo(np.int64).min
+            j = int(np.argmax(score))  # first (smallest-id) max wins
+            out.append((qid, step, int(ids[j]), int(score[j])))
+            avail[j] = False
+            col = S[:, j]
+            maxsim = col.copy() if maxsim is None else np.maximum(maxsim, col)
+        return pd.DataFrame(
+            out,
+            columns=["query_id", "mmr_rank", "neighbor_id", "mmr_score_2x_micro"],
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        greedy,
+        schema="query_id long, mmr_rank int, neighbor_id long, "
+        "mmr_score_2x_micro long",
+    )
+
+
 def mean_pool(
     df: DataFrame,
     group_col: str,

@@ -75,6 +75,84 @@ def approx_quantiles(
     )
 
 
+def _cms_col_hash(col, row_idx: int, width: int):
+    """Row-``row_idx`` CMS column index: 28-bit md5 prefix of
+    ``"{row}:{value}"`` mod width. Identical in SQL as
+    ``('0x' || substr(md5(row || ':' || v), 1, 7))::BIGINT % width`` —
+    the cross-engine-reproducible hash family used throughout
+    (see dedup.shingle_base_hash)."""
+    key = F.concat_ws(":", F.lit(str(row_idx)), F.col(col).cast("string"))
+    return (
+        F.conv(F.substring(F.md5(key), 1, 7), 16, 10).cast("long")
+        % F.lit(width)
+    )
+
+
+def count_min_cells(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch of a column's frequency distribution as
+    ``(row_idx, col_idx, cnt)`` cell rows — the mergeable partial form:
+    shard sketches SUM cell-wise into the corpus sketch (same guarantee
+    as HLL union), so incremental "token/URL/key frequency over a
+    growing corpus" never re-scans history.
+
+    One explode (``depth`` rows per input row, computed map-side) and
+    one map-side-combined aggregate; the shuffle carries at most
+    ``partitions × depth × width`` partial cells regardless of input
+    size or cardinality — the 100 TB substitute for an exact
+    ``GROUP BY value`` whose distinct-value shuffle won't bound.
+    Estimate error: overcount ≤ e·n/width with prob ≥ 1 − e^−depth.
+    """
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("row_idx"),
+                _cms_col_hash(col, i, width).alias("col_idx"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(rows).alias("rc"))
+        .groupBy(F.col("rc.row_idx").alias("row_idx"), F.col("rc.col_idx").alias("col_idx"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    cells: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch: per probe value, ``min`` over the
+    ``depth`` cells it hashes to. The sketch is ≤ depth × width rows —
+    broadcast — so estimation is a map-side join + a probe-sized
+    aggregate: no shuffle of anything data-sized."""
+    hashed = probes.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("row_idx"),
+                        _cms_col_hash(col, i, width).alias("col_idx"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select(col, F.col("rc.row_idx").alias("row_idx"), F.col("rc.col_idx").alias("col_idx"))
+    return (
+        hashed.join(F.broadcast(cells), ["row_idx", "col_idx"])
+        .groupBy(col)
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+
+
 def _misra_gries_batches(col: str, m: int):
     """mapInPandas kernel: fold each partition's Arrow batches through
     one Misra-Gries summary of at most ``m`` counters, emitting the

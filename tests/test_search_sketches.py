@@ -236,3 +236,32 @@ def test_rrf_fuse_floor_quantization_is_engine_unambiguous(spark):
     assert r.rrf_micro == 7812
     with pytest.raises(ValueError):
         search.rrf_fuse([])
+
+
+def test_count_min_overestimates_and_merges(spark):
+    from feast_java_old_spark.operators import sketches
+
+    rows = [(i % 7,) for i in range(700)] + [(99,)] * 5
+    df = spark.createDataFrame(rows, "k long")
+    cells = sketches.count_min_cells(df, "k", depth=4, width=64)
+    probes = df.select("k").distinct()
+    est = {
+        r.k: r.est_cnt
+        for r in sketches.count_min_estimate(cells, probes, "k", depth=4, width=64).collect()
+    }
+    exact = {r.k: r.cnt for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert e >= exact[k]  # CMS never undercounts
+    # mergeability: shard cells sum cell-wise into the full-corpus cells
+    # (deterministic value-based split; limit() would not be)
+    h1 = sketches.count_min_cells(df.where(F.col("k") % 2 == 0), "k", depth=4, width=64)
+    h2 = sketches.count_min_cells(df.where(F.col("k") % 2 != 0), "k", depth=4, width=64)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("row_idx", "col_idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r.row_idx, r.col_idx): r.cnt for r in cells.collect()}
+    got = {(r.row_idx, r.col_idx): r.cnt for r in merged.collect()}
+    assert got == full

@@ -398,3 +398,54 @@ def test_ann_ivf_pq_adc_only_shape_and_validation(spark, sf_dir):
     assert all(len(v) == 3 and v == sorted(v) for v in by_q.values())
     with pytest.raises(ValueError):
         ann_ivf_pq(emb, queries, m=5, dim=64)  # dim not divisible
+
+
+def test_mmr_rerank_known_vectors(spark):
+    """Hand-checkable 2-D MMR: query along e1; a (id 1) at 10deg is most
+    relevant, b (id 2) at 15deg is redundant with a (5deg apart), c
+    (id 3) at -30deg is diverse. Pure relevance ranks (a, b, c); MMR at
+    lambda=1/2 picks a, then c — cos30 - cos40 = +99981 micro beats b's
+    cos15 - cos5 = -30269 micro."""
+    import math
+
+    def v(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    corpus = spark.createDataFrame(
+        [(1, v(10)), (2, v(15)), (3, v(-30))],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame([(10, [1.0, 0.0])], "query_id long, embedding array<double>")
+    out = sorted(
+        similarity.mmr_topk(corpus, q, k=3, pool=3).collect(),
+        key=lambda r: r.mmr_rank,
+    )
+    assert [r.neighbor_id for r in out] == [1, 3, 2]
+    # step1 = pure relevance micro-units: round(cos(10deg), 6) * 1e6
+    assert out[0].mmr_score_2x_micro == 984808
+    # step2: c = cos30 - cos40, step3: b = cos15 - cos5 (max sim is to a)
+    assert out[1].mmr_score_2x_micro == 866025 - 766044
+    assert out[2].mmr_score_2x_micro == 965926 - 996195
+
+
+def test_mmr_negative_similarity_not_floored(spark):
+    """Candidates anti-correlated with the first pick must get a score
+    BONUS (rel - negative maxsim > rel); the floor-at-zero bug would
+    rank them by rel alone."""
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),          # first pick
+            (2, [-0.6, 0.8]),         # anti-correlated with 1: sim=-0.6
+            (3, [0.0, 1.0]),          # orthogonal to 1: sim=0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame([(10, [1.0, 0.0])], "query_id long, embedding array<double>")
+    out = {r.mmr_rank: r for r in similarity.mmr_topk(corpus, q, k=2, pool=3).collect()}
+    assert out[1].neighbor_id == 1
+    # rel(2) = -0.6, maxsim = -0.6 -> score 0; rel(3) = 0, maxsim 0 -> 0;
+    # tie at 0 -> smaller id 2 wins (only correct WITHOUT the 0-floor,
+    # which would give 2 a score of -1.2e6 - floored maxsim 0)
+    assert out[2].neighbor_id == 2
+    assert out[2].mmr_score_2x_micro == 0
