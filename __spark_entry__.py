@@ -2660,6 +2660,44 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def q_a8_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: CUBE over (order year, priority) — the full grouping-sets
+    lattice (ROLLUP's hierarchical cousin, completing the grouping-set
+    surface a7 opened). One grouped aggregate with map-side partials;
+    Spark expands the cube via a single Expand node feeding ONE
+    exchange, so the fact shuffles (grouping keys × 4 sets, partial
+    sums) — never four separate scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .cube("order_year", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+        .select(
+            F.col("order_year").cast("long").alias("order_year"),
+            "o_orderpriority",
+            "n_orders",
+            "revenue_cents",
+        )
+    )
+
+
+SQL_A8_CUBE = """
+WITH o AS (SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+                    AS order_year,
+                  o_orderpriority, o_totalprice FROM orders)
+SELECT order_year, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM o
+GROUP BY CUBE (order_year, o_orderpriority)
+"""
+
+
 Q5_REGION = "ASIA"
 Q5_FROM = "1996-01-01"
 Q5_TO = "1997-01-01"
@@ -5578,6 +5616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_sessions": q_a5_sessions,
         "a6_percentiles": q_a6_percentiles,
         "a7_rollup_revenue": q_a7_rollup_revenue,
+        "a8_cube_revenue": q_a8_cube_revenue,
         "tpch_q5": q_tpch_q5,
         "tpch_q1": q_tpch_q1,
         "tpch_q18": q_tpch_q18,
@@ -5719,6 +5758,7 @@ def oracle_sql() -> dict[str, str]:
         "a5_sessions": SQL_A5,
         "a6_percentiles": SQL_A6,
         "a7_rollup_revenue": SQL_A7,
+        "a8_cube_revenue": SQL_A8_CUBE,
         "tpch_q5": SQL_TPCH_Q5,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q18": SQL_TPCH_Q18,

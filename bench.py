@@ -37,6 +37,7 @@ HEADLINE = [
     "feature_drift",
     "key_skew",
     "a7_rollup_revenue",
+    "a8_cube_revenue",
     "tpch_q5",
     "tpch_q1",
     "tpch_q18",

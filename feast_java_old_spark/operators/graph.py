@@ -49,7 +49,11 @@ def triangle_count(
     in any edge, ``triangles`` = number of triangles the node belongs to
     (each triangle counted once per member node).
     """
-    # canonical undirected edges (a < b), self-loops dropped
+    # canonical undirected edges (a < b), self-loops dropped.
+    # Materialized once (same contract as pagerank's edge frame): it
+    # feeds THREE consumers (degree agg, orientation join, closure
+    # join) and would otherwise re-run the caller's whole edge-building
+    # lineage per consumer.
     e = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -57,6 +61,7 @@ def triangle_count(
             F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("node"))

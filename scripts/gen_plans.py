@@ -65,6 +65,13 @@ PICKS = [
     ("negative_samples", "Negative sampling: explode(sequence) fan-out + md5 hash projection generates candidates in-expression; the false-negative flag is one (user, candidate)-keyed join - no resample loop, no driver-side randomness."),
     ("session_cooccurrence", "Session co-occurrence: sessionize's single entity-keyed window, presence dedup aggregate, then a (key, session)-keyed pair join - pairwise cost bounded by items-per-session squared, never corpus-wide."),
     ("user_sequences", "Behavior sequences: one entity-keyed exchange into the ordered-gather kernel; truncation is an in-expression slice - no second window, no re-sort."),
+    ("dedup_incremental", "Incremental ingestion dedup: only the BATCH side computes signatures; its band buckets equi-join the (persisted-at-scale) corpus index buckets, and the exact verify is candidate-bounded — cost per batch is independent of corpus size except via bucket occupancy."),
+    ("triangle_count", "Degree-ordered triangle counting: the canonical edge frame is checkpointed once (3 consumers), orientation bounds the wedge self-join at the SMALLEST-degree vertex (O(m^1.5) worst case), closure is a hash equi-join — a hub never enumerates its full neighbor-pair set."),
+    ("tpch_q1", "TPC-H Q1 shape: ONE pushed-filter FileScan + map-side-combined partial aggregate + a 4-group exchange — the canonical bandwidth-bound wide aggregate; money quantized to cents per row before summing."),
+    ("tpch_q18", "TPC-H Q18 shape: the lineitem qty aggregate derives a tiny qualifying-key set that BROADCASTS into the orders join — lineitem is the only shuffled table, exactly once, for the HAVING aggregate."),
+    ("a8_cube_revenue", "CUBE grouping-sets: a single Expand node fans each row to its 4 grouping sets BEFORE one map-side-combined aggregate — one scan, one exchange for the full lattice (never per-set re-scans)."),
+    ("count_min", "Count-min sketch: depth cells per row computed map-side (explode of a literal struct array), ONE map-side-combined aggregate bounded by partitions x depth x width; point queries broadcast the <=1024-row cell table."),
+    ("mmr_rerank", "MMR diversified top-k: exact cosine pool (corpus scan + broadcast queries, never shuffled), then the greedy runs per query group in one Arrow applyInPandas over pool x pool integer state — iteration cost is bounded by the pool, not the corpus."),
 ]
 
 out = io.StringIO()
