@@ -1148,11 +1148,12 @@ def pq_adc_topk(
 
     Table entries are micro-quantized (half-up to integer micro-units)
     BEFORE the cross-subspace sum, so scores are exact integers and the
-    ranking is engine-reproducible. Plan: ONE hash aggregate on the id
-    (map-side combined: each (id, subspace, code) row contributes
-    ``element_at`` lookups), then a per-query TakeOrdered top-k — the
-    query batch is small by contract (the :func:`cosine_topk` shape),
-    so no window ever partitions the corpus by query.
+    ranking is engine-reproducible. Plan: the |queries|·m·codes-row LUT
+    BROADCASTS into one hash join against the code rows, ONE
+    map-side-combined aggregate sums the m lookups per (query, vector),
+    and one window takes each query's top-k — one plan regardless of
+    query count (an inlined-literal LUT per query would grow the plan
+    with the batch and fall out of codegen).
 
     Returns ``(query_id, vec_id, adc_micro)``: the k nearest per query,
     ties to the lowest id.
@@ -1160,36 +1161,40 @@ def pq_adc_topk(
     import math
 
     m = len(codebooks)
-    n_codes = len(codebooks[0])
     w = len(codebooks[0][0])
-    aggs = []
+    # Per-(query, subspace, codeword) distance table as a BROADCAST
+    # DataFrame — |queries|·m·codes rows of driver material. The earlier
+    # form inlined each query's table as a giant literal array probed
+    # with element_at: one aggregate expression per query meant plan
+    # size (and per-query re-analysis) grew with the query batch, and a
+    # multi-thousand-literal expression tree falls out of codegen. The
+    # join form is ONE plan for any query count: code rows hash-join the
+    # broadcast LUT, then a single map-side-combined aggregate sums the
+    # m lookups per (query, vector).
+    lut_rows = []
     for qid, qv in queries:
-        lut = []
         for s in range(m):
             qs = [float(x) for x in qv[s * w : (s + 1) * w]]
             q2 = _sq_dot(qs, qs)
-            for cvec in codebooks[s]:
+            for ci, cvec in enumerate(codebooks[s]):
                 d2 = round(q2 - 2 * _sq_dot(qs, cvec) + _sq_dot(cvec, cvec), 6)
-                lut.append(int(math.floor(d2 * 1_000_000 + 0.5)))
-        arr = F.array(*[F.lit(x).cast("long") for x in lut])
-        idx = (F.col("subspace") * n_codes + F.col("code") + 1).cast("int")
-        aggs.append(F.sum(F.element_at(arr, idx)).alias(f"__q_{qid}"))
-    scores = codes_df.groupBy(id_col).agg(*aggs)
-    outs = []
-    for qid, _ in queries:
-        outs.append(
-            scores.select(
-                F.lit(int(qid)).cast("long").alias("query_id"),
-                F.col(id_col),
-                F.col(f"__q_{qid}").alias("adc_micro"),
-            )
-            .orderBy("adc_micro", id_col)
-            .limit(k)
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+                lut_rows.append(
+                    (int(qid), s, ci, int(math.floor(d2 * 1_000_000 + 0.5)))
+                )
+    lut = codes_df.sparkSession.createDataFrame(
+        lut_rows, "query_id long, subspace long, code long, d2_micro long"
+    )
+    scored = (
+        codes_df.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d2_micro").alias("adc_micro"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc_micro", id_col)
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_rank))
+        .where(F.col("__rn") <= k)
+        .select("query_id", id_col, "adc_micro")
+    )
 
 
 def kmeans_train(
@@ -1274,9 +1279,11 @@ def ann_ivf_pq(
     (id, list_id, subspace, code) scalars. No exchange carries a
     vector. Query plan: the query batch is small by contract, so probe
     selection and the per-(query, probed-list) residual lookup tables
-    are driver material; scoring is a probed-list FILTER (list pruning
-    — the IVF point) + one map-side-combined aggregate over code rows +
-    per-query TakeOrdered.
+    are driver material, shipped as ONE broadcast LUT frame; the hash
+    join against it IS the list pruning (an index row only meets
+    queries that probed its list — the IVF point), followed by one
+    map-side-combined aggregate and one per-query top-k window — a
+    single plan for any query-batch size.
 
     Coarse centroids and residual codebooks are TRAINED deterministically
     (driver-side NumPy k-means over a fixed lowest-id sample — a few
@@ -1377,50 +1384,55 @@ def ann_ivf_pq(
         build,
         schema=f"{id_col} long, list_id long, subspace long, code long",
     )
-    outs = []
+    # Per-(query, probed list, subspace, codeword) residual distance
+    # table as ONE broadcast DataFrame (|queries|·nprobe·m·codes rows of
+    # driver material). The join IS the probe pruning: an index row only
+    # scores against queries that probed its list. The earlier per-query
+    # form (literal-array LUT + element_at, one aggregate per query)
+    # re-executed the whole index build per query and grew the plan with
+    # the batch; this is one plan — one mapInPandas index pass, one
+    # broadcast hash join, one map-side-combined aggregate, one window.
+    spark = corpus.sparkSession
+    lut_rows = []
     for qid, qv in queries:
         q = np.array(qv, dtype=np.float64)
         q = q / np.linalg.norm(q)
         probed = np.argsort(-np.round(q @ C.T, 6))[:nprobe]
-        # flattened LUT: probe slot p, subspace s, code c ->
-        # ||(q - centroid_p)_s - codeword||^2 in micro-units
-        lut = []
         for li in probed:
             qr = q - C[li]
             for s in range(m):
                 qs = qr[s * w : (s + 1) * w]
                 d2 = (qs * qs).sum() - 2 * (CB[s] @ qs) + cb2[s]
-                for x in np.round(d2, 6):
-                    lut.append(int(math.floor(float(x) * 1_000_000 + 0.5)))
-        arr = F.array(*[F.lit(x).cast("long") for x in lut])
-        slot = F.array(*[F.lit(int(li)).cast("long") for li in probed])
-        p = F.array_position(slot, F.col("list_id"))  # 1-based, 0 if absent
-        idx = (
-            (p - 1) * (m * codes)
-            + F.col("subspace") * codes
-            + F.col("code")
-            + 1
-        ).cast("int")
-        scored = (
-            index.where(
-                F.col("list_id").isin([int(x) for x in probed])
-                & (F.col(id_col) != int(qid))
-            )
-            .groupBy(id_col)
-            .agg(F.sum(F.element_at(arr, idx)).alias("adc_micro"))
+                for ci, x in enumerate(np.round(d2, 6)):
+                    lut_rows.append(
+                        (
+                            int(qid),
+                            int(li),
+                            s,
+                            ci,
+                            int(math.floor(float(x) * 1_000_000 + 0.5)),
+                        )
+                    )
+    lut = spark.createDataFrame(
+        lut_rows,
+        "query_id long, list_id long, subspace long, code long, d2_micro long",
+    )
+    scored = (
+        index.join(F.broadcast(lut), ["list_id", "subspace", "code"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d2_micro").alias("adc_micro"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        "adc_micro", F.col(id_col).asc()
+    )
+    out = (
+        scored.withColumn("__rn", F.row_number().over(w_short))
+        .where(F.col("__rn") <= max(k, rerank))
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "adc_micro"
         )
-        outs.append(
-            scored.select(
-                F.lit(int(qid)).cast("long").alias("query_id"),
-                F.col(id_col).alias("neighbor_id"),
-                "adc_micro",
-            )
-            .orderBy("adc_micro", "neighbor_id")
-            .limit(max(k, rerank))
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
+    )
     if not rerank:
         return out
     # Exact rerank of the ADC shortlist — the standard IVF-PQ finish:
@@ -1430,7 +1442,6 @@ def ann_ivf_pq(
     # and scored with exact cosine. ADC quantization noise caps
     # recall@5 around ~0.5 here; reranking restores the coarse-probe
     # ceiling (measured 0.72 at nprobe=8/20).
-    spark = corpus.sparkSession
     qdf = spark.createDataFrame(
         [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
         f"query_id long, __qv array<double>",
