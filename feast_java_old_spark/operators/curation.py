@@ -766,10 +766,14 @@ def dsir_weights(
     arithmetic — no float-summation order anywhere (the two ``ln``
     calls happen once per bucket on identical doubles in any engine).
 
-    Plan shape: one n-gram explode feeds two hash aggregates (map-side
-    combined: per-bucket totals — at most ``buckets`` rows survive —
-    and per-(doc, bucket) counts); the bucket ratio table (≤ buckets
-    rows) broadcasts back onto the doc-bucket counts. Nothing but
+    Plan shape: ONE n-gram explode feeds ONE map-side-combined
+    aggregate to per-(doc, target-flag, bucket) counts; the bucket
+    totals (target and raw — at most ``buckets`` rows) are a SECOND
+    aggregate OVER those counts, so the explode subtree appears once
+    per branch with an identical exchange underneath and Catalyst
+    collapses it to a ReusedExchange — the corpus is scanned and
+    exploded exactly once. The bucket ratio table (≤ buckets rows)
+    broadcasts back onto the doc-bucket counts. Nothing but
     (doc, bucket, count) rows ever shuffle, so cost is one corpus scan
     + aggregates — the same at 100 TB. Documents shorter than ``n``
     tokens have no features and are absent from the output (their
@@ -779,46 +783,55 @@ def dsir_weights(
     :func:`weighted_sample` on ``exp(dsir_micro/1e6)`` or threshold on
     the score directly.
     """
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    feats = df.select(
+    # posexplode + slice/concat_ws gram builder — fully codegen'd; the
+    # higher-order transform(sequence, ...) form evaluates interpreted
+    # per row (the exploded_shingles lesson, dedup.py:48) and measured
+    # ~2x the whole query's runtime here
+    ex = df.select(
         F.col(id_col),
         target.alias("__is_t"),
-        F.explode(grams).alias("__g"),
+        F.split(F.lower(F.col(text_col)), " ").alias("__arr"),
+    ).select(
+        F.col(id_col),
+        "__is_t",
+        F.posexplode("__arr").alias("__pos", "__tok"),
+        "__arr",
+    )
+    feats = ex.where(F.col("__pos") + n <= F.size("__arr")).select(
+        F.col(id_col),
+        "__is_t",
+        F.concat_ws(" ", F.slice("__arr", F.col("__pos") + 1, n)).alias("__g"),
     ).withColumn(
         "__b",
         F.conv(F.substring(F.md5("__g"), 1, 7), 16, 10).cast("long")
         % buckets,
     )
-    cs = feats.groupBy("__b").agg(F.count(F.lit(1)).alias("__cs"))
-    ct = (
-        feats.where(F.col("__is_t"))
-        .groupBy("__b")
-        .agg(F.count(F.lit(1)).alias("__ct"))
+    # the ONLY corpus-sized aggregate: per-(doc, flag, bucket) counts;
+    # every bucket/total statistic derives from this table, so the
+    # explode subtree + this exchange are shared (ReusedExchange)
+    # between the ratio branch and the final join branch
+    docb = feats.groupBy(id_col, "__is_t", "__b").agg(
+        F.count(F.lit(1)).alias("__nb")
     )
-    totals = feats.agg(
-        F.count(F.lit(1)).cast("double").alias("__ts"),
-        F.sum(F.col("__is_t").cast("long")).cast("double").alias("__tt"),
+    bucket = docb.groupBy("__b").agg(
+        F.sum("__nb").alias("__cs"),
+        F.sum(F.when(F.col("__is_t"), F.col("__nb")).otherwise(0)).alias(
+            "__ct"
+        ),
+    )
+    totals = bucket.agg(
+        F.sum("__cs").cast("double").alias("__ts"),
+        F.sum("__ct").cast("double").alias("__tt"),
     )
     kb = float(smoothing) * buckets
     ratio = (
-        cs.join(ct, "__b", "left")
-        .crossJoin(F.broadcast(totals))
+        bucket.crossJoin(F.broadcast(totals))
         .select(
             "__b",
             F.round(
                 (
                     F.log(
-                        (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(smoothing))
+                        (F.col("__ct") + F.lit(smoothing))
                         / (F.col("__tt") + F.lit(kb))
                     )
                     - F.log(
@@ -832,7 +845,6 @@ def dsir_weights(
             .alias("__micro"),
         )
     )
-    docb = feats.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__nb"))
     return (
         docb.join(F.broadcast(ratio), "__b")
         .groupBy(id_col)
