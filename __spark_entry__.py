@@ -4704,7 +4704,7 @@ def _sql_count_min() -> str:
 WITH d AS (SELECT unnest(range(0, {CMS_DEPTH})) AS i),
 cells AS (
   SELECT d.i AS row_idx,
-         ('0x' || substr(md5(d.i || ':' || l_partkey), 1, 7))::BIGINT
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1 + 7 * d.i, 7))::BIGINT
            % {CMS_WIDTH} AS col_idx,
          CAST(count(*) AS BIGINT) AS cnt
   FROM lineitem CROSS JOIN d
@@ -4714,7 +4714,7 @@ probes AS (SELECT DISTINCT l_partkey FROM lineitem
            WHERE l_partkey < {CMS_PROBE_MAX}),
 ph AS (
   SELECT p.l_partkey, d.i AS row_idx,
-         ('0x' || substr(md5(d.i || ':' || p.l_partkey), 1, 7))::BIGINT
+         ('0x' || substr(md5(CAST(p.l_partkey AS VARCHAR)), 1 + 7 * d.i, 7))::BIGINT
            % {CMS_WIDTH} AS col_idx
   FROM probes p CROSS JOIN d),
 est AS (

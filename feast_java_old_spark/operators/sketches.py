@@ -75,15 +75,19 @@ def approx_quantiles(
     )
 
 
-def _cms_col_hash(col, row_idx: int, width: int):
-    """Row-``row_idx`` CMS column index: 28-bit md5 prefix of
-    ``"{row}:{value}"`` mod width. Identical in SQL as
-    ``('0x' || substr(md5(row || ':' || v), 1, 7))::BIGINT % width`` —
+def _cms_col_hash(digest, row_idx: int, width: int):
+    """Row-``row_idx`` CMS column index: the ``row_idx``-th disjoint
+    28-bit slice of ONE md5 digest of the value, mod width. md5 output
+    bits are independent, so disjoint slices give the pairwise-
+    independent hash family CMS needs at 1/depth the digest cost of
+    hashing ``"{row}:{value}"`` per row (measured ~2.5x the whole
+    build). Identical in SQL as
+    ``('0x' || substr(md5(v), 1 + 7*row, 7))::BIGINT % width`` —
     the cross-engine-reproducible hash family used throughout
-    (see dedup.shingle_base_hash)."""
-    key = F.concat_ws(":", F.lit(str(row_idx)), F.col(col).cast("string"))
+    (see dedup.shingle_base_hash). Caps depth at 4 (4 x 7 hex chars
+    fit one digest)."""
     return (
-        F.conv(F.substring(F.md5(key), 1, 7), 16, 10).cast("long")
+        F.conv(F.substring(digest, 1 + 7 * row_idx, 7), 16, 10).cast("long")
         % F.lit(width)
     )
 
@@ -104,11 +108,14 @@ def count_min_cells(
     ``GROUP BY value`` whose distinct-value shuffle won't bound.
     Estimate error: overcount ≤ e·n/width with prob ≥ 1 − e^−depth.
     """
+    if depth > 4:
+        raise ValueError("depth > 4 exceeds the 28-bit slices of one md5")
+    digest = F.md5(F.col(col).cast("string"))
     rows = F.array(
         *[
             F.struct(
                 F.lit(i).cast("int").alias("row_idx"),
-                _cms_col_hash(col, i, width).alias("col_idx"),
+                _cms_col_hash(digest, i, width).alias("col_idx"),
             )
             for i in range(depth)
         ]
@@ -132,6 +139,7 @@ def count_min_estimate(
     ``depth`` cells it hashes to. The sketch is ≤ depth × width rows —
     broadcast — so estimation is a map-side join + a probe-sized
     aggregate: no shuffle of anything data-sized."""
+    digest = F.md5(F.col(col).cast("string"))
     hashed = probes.select(
         F.col(col),
         F.explode(
@@ -139,7 +147,7 @@ def count_min_estimate(
                 *[
                     F.struct(
                         F.lit(i).cast("int").alias("row_idx"),
-                        _cms_col_hash(col, i, width).alias("col_idx"),
+                        _cms_col_hash(digest, i, width).alias("col_idx"),
                     )
                     for i in range(depth)
                 ]
