@@ -4729,6 +4729,67 @@ FROM est JOIN ex USING (l_partkey)
 """
 
 
+BLOOM_K = 4
+BLOOM_BITS = 4096
+BLOOM_PRICE = 490_000
+
+
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (operators/sketches.py:bloom_build/
+    bloom_probe): the high-value-order customer key set compresses to
+    ≤ BLOOM_BITS set-bit rows that BROADCAST; probing every customer
+    map-side shows which fact rows a 100 TB join could drop before its
+    shuffle. Output pairs the filter's verdict with ground truth, so
+    the gate proves the no-false-negative invariant row by row (and
+    pins the deterministic false-positive set). Same sliced-md5 hash
+    family as the CMS — the oracle rebuilds the filter bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    hot = orders.where(F.col("o_totalprice") > BLOOM_PRICE)
+    bloom = sketches.bloom_build(hot, "o_custkey", k=BLOOM_K, bits=BLOOM_BITS)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    probed = sketches.bloom_probe(
+        bloom, cust, "o_custkey", k=BLOOM_K, bits=BLOOM_BITS
+    )
+    truth = hot.select("o_custkey").distinct().withColumn(
+        "actually_present", F.lit(True)
+    )
+    return (
+        probed.join(truth, "o_custkey", "left")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "maybe_present",
+            F.coalesce("actually_present", F.lit(False)).alias(
+                "actually_present"
+            ),
+        )
+    )
+
+
+def _sql_bloom() -> str:
+    slices = ", ".join(
+        f"('0x' || substr(d, {1 + 7 * i}, 7))::BIGINT % {BLOOM_BITS}"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH hot AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_totalprice > {BLOOM_PRICE}),
+hd AS (SELECT o_custkey, md5(CAST(o_custkey AS VARCHAR)) AS d FROM hot),
+bloom AS (SELECT DISTINCT unnest([{slices}]) AS bit_pos FROM hd),
+cd AS (SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS d FROM customer),
+ph AS (SELECT c_custkey, unnest([{slices}]) AS bit_pos FROM cd),
+hits AS (SELECT ph.c_custkey, count(*) AS h
+         FROM ph JOIN bloom USING (bit_pos) GROUP BY ph.c_custkey)
+SELECT c.c_custkey,
+       coalesce(hits.h, 0) = {BLOOM_K} AS maybe_present,
+       hot.o_custkey IS NOT NULL AS actually_present
+FROM customer c
+LEFT JOIN hits ON hits.c_custkey = c.c_custkey
+LEFT JOIN hot ON hot.o_custkey = c.c_custkey
+"""
+
+
 EWMA_ALPHA = 0.1
 
 
@@ -5714,6 +5775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_encode": q_token_encode,
         "heavy_hitters": q_heavy_hitters,
         "count_min": q_count_min,
+        "bloom_filter": q_bloom_filter,
         "ewma_features": q_ewma_features,
         "rollup_merge": q_rollup_merge,
         "boilerplate": q_boilerplate,
@@ -5852,6 +5914,7 @@ def oracle_sql() -> dict[str, str]:
         "token_encode": SQL_TOKEN_ENCODE,
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "count_min": _sql_count_min(),
+        "bloom_filter": _sql_bloom(),
         "stream_topk": SQL_HEAVY_HITTERS,
         "ewma_features": SQL_EWMA,
         "rollup_merge": SQL_ROLLUP_MERGE,

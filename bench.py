@@ -128,6 +128,7 @@ HEADLINE = [
     "token_encode",
     "heavy_hitters",
     "count_min",
+    "bloom_filter",
     "ewma_features",
     "rollup_merge",
     "boilerplate",

@@ -161,6 +161,61 @@ def count_min_estimate(
     )
 
 
+def bloom_build(
+    df: DataFrame, col: str, k: int = 4, bits: int = 4096
+) -> DataFrame:
+    """Bloom filter of a key set as its SET-BIT rows ``(bit_pos)`` —
+    the distributed representation: shard filters union (distinct) into
+    the corpus filter, and at ≤ ``bits`` rows the whole filter
+    broadcasts. The 100 TB use is JOIN PRUNING: before shuffling a huge
+    fact table against a filtered dim, probe the dim's Bloom filter
+    map-side and drop the (typically vast) majority of fact rows that
+    cannot match — Spark's own runtime row-level filtering does exactly
+    this, and this operator is the explicit, persistable form.
+
+    Hash family: the ``k`` disjoint 28-bit md5 slices (engine-
+    reproducible — see :func:`_cms_col_hash`), ``k ≤ 4``. One digest
+    per row; the aggregate is a map-side-combined distinct bounded by
+    ``bits``.
+    """
+    if k > 4:
+        raise ValueError("k > 4 exceeds the 28-bit slices of one md5")
+    digest = F.md5(F.col(col).cast("string"))
+    pos = F.array(*[_cms_col_hash(digest, i, bits) for i in range(k)])
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(pos).alias("bit_pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame, probes: DataFrame, col: str, k: int = 4, bits: int = 4096
+) -> DataFrame:
+    """Probe values against a Bloom filter: ``maybe_present`` iff all
+    ``k`` bit positions are set. No false negatives ever; false
+    positives at the classic ``(1 - e^{-kn/bits})^k`` rate. The filter
+    broadcasts; probing is a map-side join + a probe-sized aggregate.
+    """
+    digest = F.md5(F.col(col).cast("string"))
+    pos = F.array(*[_cms_col_hash(digest, i, bits) for i in range(k)])
+    hashed = probes.select(F.col(col), F.explode(pos).alias("bit_pos"))
+    hits = (
+        hashed.join(F.broadcast(bloom), "bit_pos")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return (
+        probes.select(col)
+        .distinct()
+        .join(hits, col, "left")
+        .select(
+            F.col(col),
+            (F.coalesce("__hits", F.lit(0)) == k).alias("maybe_present"),
+        )
+    )
+
+
 def _misra_gries_batches(col: str, m: int):
     """mapInPandas kernel: fold each partition's Arrow batches through
     one Misra-Gries summary of at most ``m`` counters, emitting the

@@ -265,3 +265,24 @@ def test_count_min_overestimates_and_merges(spark):
     full = {(r.row_idx, r.col_idx): r.cnt for r in cells.collect()}
     got = {(r.row_idx, r.col_idx): r.cnt for r in merged.collect()}
     assert got == full
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from feast_java_old_spark.operators import sketches
+
+    inserted = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    bloom = sketches.bloom_build(inserted, "k", k=4, bits=1024)
+    probes = spark.createDataFrame([(i,) for i in range(400)], "k long")
+    out = {r.k: r.maybe_present for r in
+           sketches.bloom_probe(bloom, probes, "k", k=4, bits=1024).collect()}
+    # every inserted key MUST pass (no false negatives)
+    assert all(out[i] for i in range(200))
+    # at 200 keys / 1024 bits / k=4 the FP rate is ~8%; the uninserted
+    # half must not ALL pass (the filter actually filters)
+    fps = sum(1 for i in range(200, 400) if out[i])
+    assert fps < 100
+    # shard filters union (distinct) into the corpus filter
+    b1 = sketches.bloom_build(inserted.where("k % 2 = 0"), "k", k=4, bits=1024)
+    b2 = sketches.bloom_build(inserted.where("k % 2 != 0"), "k", k=4, bits=1024)
+    merged = set(r.bit_pos for r in b1.unionByName(b2).distinct().collect())
+    assert merged == set(r.bit_pos for r in bloom.collect())
