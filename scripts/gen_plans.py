@@ -17,10 +17,10 @@ PICKS = [
     ("historical_asof_bucketed", "Skew-resistant as-of: window partitions salted with a time bucket; per-(key,bucket) partial_max summaries feed the carry-in, and a LeftSemi join prunes history buckets with no requests."),
     ("pipeline_clean_corpus", "Composed clean-corpus pipeline: 1 FileScan + 1 Exchange; every quality signal is computed in the map-side projection and rides the dedup group-by inside min(struct(...)) — the text column never crosses the shuffle."),
     ("pq_encode", "PQ index build: one mapInPandas pass (per-batch subspace GEMMs + argmin) emitting (id, subspace, code) scalars — no join, no exchange carrying a vector."),
-    ("pq_adc", "PQ asymmetric-distance top-k: per-query LUT as a literal array, element_at lookups summed in ONE map-side-combined aggregate over code rows, then per-query TakeOrdered — the scan never touches a float vector."),
-    ("ann_ivf_pq", "IVF-PQ + rerank: probed-list FILTER prunes the code scan, one aggregate per query scores via ADC lookup tables, and the shortlist's exact rerank is a broadcast semi-join against the corpus scan — float vectors fetched for rerank rows only."),
+    ("pq_adc", "PQ asymmetric-distance top-k: the per-(query, subspace, code) distance LUT ships as ONE broadcast frame; code rows hash-join it, ONE map-side-combined aggregate sums the m lookups per (query, vector), one window takes top-k — a single plan for any query-batch size, and the scan never touches a float vector."),
+    ("ann_ivf_pq", "IVF-PQ + rerank: the broadcast residual-LUT join IS the probe pruning (an index row only meets queries that probed its list), one map-side-combined aggregate + one window shortlist, and the exact rerank is a broadcast semi-join against the corpus scan — float vectors fetched for rerank rows only; ONE mapInPandas index pass total."),
     ("kmeans_train", "Full k-means training (2 Lloyd iterations): each iteration's plan contains literal centroids (the step collects k x dim doubles driver-side), so lineage is iteration-independent; assignment is the Arrow GEMM kernel, means are fixed-width partial_avg aggregates."),
-    ("dsir_weights", "DSIR importance weights: one bigram explode feeds two map-side-combined hash aggregates; the bucket log-ratio table (<=4096 rows, integer micro-units) broadcasts back onto per-(doc,bucket) counts — only (doc, bucket, count) rows shuffle."),
+    ("dsir_weights", "DSIR importance weights: ONE codegen bigram explode into ONE per-(doc,flag,bucket) aggregate; bucket totals derive from that table so the explode subtree collapses to a ReusedExchange; the log-ratio table (<=4096 rows, integer micro-units) broadcasts back — only (doc, bucket, count) rows shuffle."),
     ("tpch_q5", "TPC-H Q5 shape (6-table join): ALL five joins resolve to BroadcastHashJoin at this SF (the date-filtered orders side broadcasts too), so the only exchange in the whole plan is the final aggregate's; at cluster scale AQE swaps the orders join to SMJ and lineitem shuffles once on l_orderkey. Date filter pushed to the orders scan; map-side-combined cents-quantized aggregate."),
     ("a7_rollup_revenue", "Star-schema ROLLUP: every dimension joins via BroadcastHashJoin; the fact table shuffles only grouping keys + partial sums."),
     ("similarity_ann_ivf", "IVF ANN: centroid assignment is a broadcast join + map-side argmax aggregate; probing is a bucket equi-join on centroid_id."),
@@ -72,6 +72,7 @@ PICKS = [
     ("a8_cube_revenue", "CUBE grouping-sets: a single Expand node fans each row to its 4 grouping sets BEFORE one map-side-combined aggregate — one scan, one exchange for the full lattice (never per-set re-scans)."),
     ("count_min", "Count-min sketch: depth cells per row computed map-side (explode of a literal struct array), ONE map-side-combined aggregate bounded by partitions x depth x width; point queries broadcast the <=1024-row cell table."),
     ("mmr_rerank", "MMR diversified top-k: exact cosine pool (corpus scan + broadcast queries, never shuffled), then the greedy runs per query group in one Arrow applyInPandas over pool x pool integer state — iteration cost is bounded by the pool, not the corpus."),
+    ("bloom_filter", "Bloom join pruning: the filtered key set compresses to <= bits set-bit rows (map-side-combined distinct) that BROADCAST into the probe join — the explicit form of runtime row-level filtering; probing is map-side, the aggregate is probe-sized."),
 ]
 
 out = io.StringIO()
