@@ -5105,6 +5105,43 @@ FROM s
 """
 
 
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental ingestion dedup (§2.6): the incoming batch
+    replays as a LIVE stream whose rows probe the static, persisted LSH
+    index of the existing corpus — candidate generation is a stateless
+    per-row projection + stream-static joins, verification is row-wise
+    exact set intersection, and ONE stateful aggregate (duplicate-immune
+    min/max + in-expression distinct) finalizes each document
+    (streaming/ingest.py:stream_incremental_dedup). Same contract and
+    SAME ORACLE as the batch dedup_incremental — proving the streaming
+    arm computes the identical answer."""
+    import tempfile
+
+    from feast_java_old_spark.streaming.ingest import stream_incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % INC_BATCH_MOD == 0).select(
+        "doc_id",
+        "text",
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(mins=F.col("doc_id").cast("int"))
+        ).alias("event_timestamp"),
+    )
+    index = docs.where(F.col("doc_id") % INC_BATCH_MOD != 0)
+    src = tempfile.mkdtemp(prefix="fjos_incsrc_")
+    batch.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_incremental_dedup(
+        stream, index, k=MINHASH_K, bands=MINHASH_BANDS, n=3,
+        threshold=VERIFY_THRESHOLD,
+    )
+    return _stream_to_table(
+        spark, out, "complete", "stream_incremental_dedup"
+    ).select("doc_id", "dup_of", "best_jaccard", "n_dups", "is_new")
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two power iterations of PageRank over the undirected part↔supplier
     graph from lineitem — curation-weighting importance propagation
@@ -5689,6 +5726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_verified": q_dedup_verified,
         "dedup_verified_simhash": q_dedup_verified_simhash,
         "dedup_incremental": q_dedup_incremental,
+        "stream_incremental_dedup": q_stream_incremental_dedup,
         "dedup_components": q_dedup_components,
         "text_stats": q_text_stats,
         "text_repetition": q_text_repetition,
@@ -5832,6 +5870,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_verified": _sql_verified_truth(),
         "dedup_verified_simhash": _sql_verified_truth(),
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+        "stream_incremental_dedup": SQL_DEDUP_INCREMENTAL,
         "dedup_components": _sql_dedup_components(),
         "text_stats": SQL_TEXT_STATS,
         "text_repetition": SQL_TEXT_REPETITION,

@@ -640,3 +640,51 @@ def test_merge_batch_replay_is_idempotent_and_gcs_versions(spark, tmp_path):
     assert len(vdirs) == 1
     with open(os.path.join(path, "_LATEST")) as f:
         assert f.read().strip() == vdirs[0]
+
+
+def test_stream_incremental_dedup_probes_static_index(spark, tmp_path):
+    """Live batch docs probe the static corpus LSH index: a near-dup of
+    an indexed doc is flagged with dup_of; a novel doc is is_new. A
+    second micro-batch updates the complete-mode result."""
+    from feast_java_old_spark.streaming.ingest import stream_incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    index = spark.createDataFrame(
+        [(1, base), (2, "static corpus document about spark structured streaming state")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "inc_src")
+    os.makedirs(src)
+    schema = "doc_id long, event_timestamp timestamp, text string"
+
+    def write(rows, n):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if len([f for f in os.listdir(src) if f.endswith(".parquet")]) >= n:
+                return
+            time.sleep(0.1)
+
+    write([(100, t(0), base.replace("river", "creek"))], 1)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_incremental_dedup(stream, index, threshold=0.4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sincdedup")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id: r for r in spark.sql("select * from sincdedup").collect()}
+        assert got[100].dup_of == 1 and got[100].is_new is False
+        assert got[100].n_dups == 1 and got[100].best_jaccard >= 0.4
+        write([(101, t(1), "completely novel incoming text with zero overlapping shingles anywhere")], 2)
+        q.processAllAvailable()
+        got = {r.doc_id: r for r in spark.sql("select * from sincdedup").collect()}
+        assert got[101].dup_of is None and got[101].is_new is True
+        assert got[100].dup_of == 1  # earlier doc's verdict unchanged
+    finally:
+        q.stop()
