@@ -3852,6 +3852,44 @@ FROM l LEFT JOIN (SELECT * FROM c WHERE rn = 1) c ON l.event_id = c.event_id
 _BM25_TERMS = ["spark", "window", "dup"]
 
 
+PHRASE = ["table", "hash"]
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search over the positional index
+    (operators/search.py:phrase_search): each phrase term's postings
+    project back to the would-be start position and the phrase is a
+    k-way hash equi-join on (doc, start) — postings pruned to phrase
+    terms before any join, no corpus re-scan, no regex at query time."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.phrase_search(docs, PHRASE)
+
+
+def _sql_phrase() -> str:
+    joins = "\n".join(
+        f"JOIN pp p{i} ON p{i}.doc_id = p0.doc_id"
+        f" AND p{i}.term = '{t}' AND p{i}.pos = p0.pos + {i}"
+        for i, t in enumerate(PHRASE[1:], start=1)
+    )
+    return f"""
+WITH t AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x != '') AS a
+       FROM documents),
+p AS (SELECT doc_id,
+        unnest([struct_pack(pos := i - 1, term := a[i])
+                FOR i IN range(1, len(a) + 1)]) AS s
+      FROM t),
+pp AS (SELECT doc_id, s.pos AS pos, s.term AS term FROM p)
+SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(p0.pos) AS BIGINT) AS first_pos
+FROM pp p0
+{joins}
+WHERE p0.term = '{PHRASE[0]}'
+GROUP BY p0.doc_id
+"""
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 documents for a fixed query-term bag; per-term scores
     integer-quantized before the per-doc sum (order-independent)."""
@@ -5788,6 +5826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_pivot": q_feature_pivot,
         "asof_nearest": q_asof_nearest,
         "bm25_search": q_bm25_search,
+        "phrase_search": q_phrase_search,
         "rrf_fusion": q_rrf_fusion,
         "tfidf_terms": q_tfidf_terms,
         "weighted_sample": q_weighted_sample,
@@ -5931,6 +5970,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_pivot": SQL_FEATURE_PIVOT,
         "asof_nearest": SQL_ASOF_NEAREST,
         "bm25_search": SQL_BM25,
+        "phrase_search": _sql_phrase(),
         "rrf_fusion": SQL_RRF,
         "tfidf_terms": SQL_TFIDF,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,

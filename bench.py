@@ -103,6 +103,7 @@ HEADLINE = [
     "feature_pivot",
     "asof_nearest",
     "bm25_search",
+    "phrase_search",
     "rrf_fusion",
     "tfidf_terms",
     "weighted_sample",

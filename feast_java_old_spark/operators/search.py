@@ -243,3 +243,53 @@ def rrf_fuse(
         F.count(F.lit(1)).cast("long").alias("n_lists"),
         F.sum("__c").alias("rrf_micro"),
     )
+
+
+def positional_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, pos, term) positional index rows — the persisted form that
+    makes phrase and proximity queries joins instead of text scans.
+    Shuffle-free projection (posexplode of the shared tokenizer)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase search via positional-index adjacency joins — the
+    classic search-engine evaluation: term_i of the phrase must appear
+    at ``start + i``, so each term's postings project their position
+    back to the would-be start and the phrase is a k-way hash EQUI-join
+    on ``(doc, start)``.
+
+    Scale shape: postings are PRUNED to the phrase's terms before any
+    join (the filter sits under the explode's projection, so only
+    phrase-term rows ever materialize — at 100 TB with a persisted
+    positional index this is k index lookups), and each join side is
+    one term's postings. No window, no text re-scan, no regex over the
+    corpus at query time.
+
+    Emits ``(doc_id, n_matches, first_pos)`` per matching document.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    post = positional_postings(df, id_col, text_col).where(
+        F.col("term").isin(list(phrase))
+    )
+    base = post.where(F.col("term") == phrase[0]).select(id_col, "pos")
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = post.where(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("pos")
+        )
+        base = base.join(nxt, [id_col, "pos"])
+    return base.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )

@@ -286,3 +286,24 @@ def test_bloom_no_false_negatives_and_merge(spark):
     b2 = sketches.bloom_build(inserted.where("k % 2 != 0"), "k", k=4, bits=1024)
     merged = set(r.bit_pos for r in b1.unionByName(b2).distinct().collect())
     assert merged == set(r.bit_pos for r in bloom.collect())
+
+
+def test_phrase_search_positions_and_multiterm(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "big data big data big"),     # "big data" at 0 and 2
+            (2, "data big"),                   # reversed -> no match
+            (3, "the big data stack"),         # at pos 1
+            (4, "big, data!"),                 # punctuation split -> match
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in search.phrase_search(df, ["big", "data"]).collect()}
+    assert out[1].n_matches == 2 and out[1].first_pos == 0
+    assert 2 not in out
+    assert out[3].n_matches == 1 and out[3].first_pos == 1
+    assert out[4].n_matches == 1
+    # three-term phrase
+    out3 = {r.doc_id: r for r in
+            search.phrase_search(df, ["big", "data", "stack"]).collect()}
+    assert list(out3) == [3] and out3[3].first_pos == 1
