@@ -2969,6 +2969,43 @@ WHERE rank <= {TOPK_K}
 """
 
 
+RP_OUT_DIM = 16
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign random projection 64→16 dims
+    (operators/similarity.py:random_projection): the ±1 matrix is an
+    md5-parity sign table broadcast into the exploded coordinate
+    stream; coordinates micro-quantize to integers BEFORE the one
+    map-side-combined aggregate, so the projection is exact integer
+    math and only (vec, j, partial-sum) scalars shuffle — the standard
+    pre-reduction feeding LSH/clustering at corpus scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.random_projection(
+        emb, dim=KM_DIM, out_dim=RP_OUT_DIM
+    )
+
+
+def _sql_random_projection() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+c AS (SELECT vec_id, d.i - 1 AS d,
+             CAST(round(e[d.i] * 1e6, 0) AS BIGINT) AS xm
+      FROM v CROSS JOIN (SELECT unnest(range(1, {KM_DIM} + 1)) AS i) d),
+s AS (SELECT j.j, d.d,
+             CASE WHEN substr(md5(j.j || ':' || d.d), 1, 1)
+                  IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1
+             END AS sign
+      FROM (SELECT unnest(range({RP_OUT_DIM})) AS j) j
+      CROSS JOIN (SELECT unnest(range({KM_DIM})) AS d) d)
+SELECT c.vec_id, s.j,
+       CAST(round(sum(s.sign * c.xm) / sqrt({RP_OUT_DIM}), 0) AS BIGINT)
+         AS value_micro
+FROM c JOIN s ON s.d = c.d
+GROUP BY c.vec_id, s.j
+"""
+
+
 MMR_K = 5
 MMR_POOL = 20
 
@@ -5807,6 +5844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "similarity_topk": q_similarity_topk,
         "mmr_rerank": q_mmr_rerank,
+        "random_projection": q_random_projection,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
@@ -5951,6 +5989,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_clean_corpus": _sql_clean_corpus(),
         "similarity_topk": SQL_TOPK,
         "mmr_rerank": _sql_mmr(),
+        "random_projection": _sql_random_projection(),
         "similarity_ann_lsh": SQL_ANN,
         "similarity_ann_ivf": SQL_ANN_IVF,
         "similarity_ann_multiprobe": SQL_ANN_MULTI,

@@ -70,6 +70,7 @@ HEADLINE = [
     "training_corpus",
     "similarity_topk",
     "mmr_rerank",
+    "random_projection",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "similarity_ann_multiprobe",

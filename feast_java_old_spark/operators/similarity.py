@@ -866,6 +866,77 @@ def mmr_topk(
     )
 
 
+def random_projection(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection: ``dim``-d vectors
+    compress to ``out_dim`` dimensions via a deterministic ±1 matrix —
+    the standard pre-reduction before LSH/clustering at scale (JL:
+    pairwise distances preserved within ε for out_dim = O(log n / ε²);
+    Achlioptas 2001 shows ±1 entries suffice).
+
+    The projection matrix is never materialized per row: it is an
+    ``out_dim × dim`` sign table (engine-reproducible md5 parity — the
+    simhash convention) BROADCAST into the exploded coordinate stream;
+    each output coordinate is one map-side-combined aggregate over
+    (vec, out-dim) groups. Coordinates are micro-quantized to integers
+    BEFORE the sum, so the aggregate is exact integer math — no float
+    summation order anywhere — and only (vec, j, partial-sum) scalars
+    shuffle, never vectors.
+
+    Emits ``(id, j, value_micro)`` rows — ``Σ_d sign(j,d)·v_d /
+    √out_dim`` in INTEGER micro-units (the Achlioptas scaling: each
+    projected coordinate is a ±1-weighted sum with variance ‖v‖², so
+    dividing by √out_dim makes ``E[‖Pv‖²] = ‖v‖²`` — norms and pairwise
+    distances are preserved in expectation; a √dim divisor would shrink
+    all distances by √(out_dim/dim), caught by the norm-ratio test): dividing the exact integer sum by √dim and
+    rounding to a whole micro lands on exactly-representable halves
+    (never the inexact .5e-6 decimal boundary where Spark's
+    BigDecimal HALF_UP and DuckDB's double round diverge — observed a
+    1-micro split on this exact corpus with a fractional output).
+    """
+    import math
+
+    spark = df.sparkSession
+    signs = [
+        (j, d, 1 if int(_md5_hex(f"{j}:{d}")[0], 16) >= 8 else -1)
+        for j in range(out_dim)
+        for d in range(dim)
+    ]
+    sign_df = spark.createDataFrame(signs, "j long, d long, sign long")
+    coords = df.select(
+        F.col(id_col),
+        F.posexplode(_as_double(F.col(vec_col))).alias("d", "__x"),
+    ).select(
+        id_col,
+        "d",
+        F.round(F.col("__x") * 1e6, 0).cast("long").alias("__xm"),
+    )
+    scale = math.sqrt(out_dim)
+    return (
+        coords.join(F.broadcast(sign_df), "d")
+        .groupBy(id_col, "j")
+        .agg(F.sum(F.col("sign") * F.col("__xm")).alias("__s"))
+        .select(
+            id_col,
+            "j",
+            F.round(F.col("__s") / F.lit(scale), 0)
+            .cast("long")
+            .alias("value_micro"),
+        )
+    )
+
+
+def _md5_hex(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
+
+
 def mean_pool(
     df: DataFrame,
     group_col: str,

@@ -449,3 +449,37 @@ def test_mmr_negative_similarity_not_floored(spark):
     # which would give 2 a score of -1.2e6 - floored maxsim 0)
     assert out[2].neighbor_id == 2
     assert out[2].mmr_score_2x_micro == 0
+
+
+def test_random_projection_preserves_relative_distances(emb, spark):
+    """JL sanity on the real corpus: projected pairwise distances
+    correlate with original distances (sign-RP preserves geometry in
+    expectation), and the output is deterministic integer micro-units."""
+    import numpy as np
+
+    rows = emb.limit(30).collect()
+    ids = [r.vec_id for r in rows]
+    V = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    sub = emb.limit(30)
+    out = similarity.random_projection(sub, dim=64, out_dim=32).collect()
+    P = {}
+    for r in out:
+        P.setdefault(r.vec_id, {})[r.j] = r.value_micro / 1e6
+    M = np.array([[P[i][j] for j in range(32)] for i in ids])
+    # Achlioptas scaling preserves norms in expectation
+    ratio = (np.linalg.norm(M, axis=1) ** 2) / (np.linalg.norm(V, axis=1) ** 2)
+    assert 0.75 < ratio.mean() < 1.3, ratio.mean()
+    orig, proj = [], []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            orig.append(np.linalg.norm(V[a] - V[b]))
+            proj.append(np.linalg.norm(M[a] - M[b]))
+    corr = np.corrcoef(orig, proj)[0, 1]
+    # k=32 sign-RP on clustered synthetic data: measured 0.45; the floor
+    # guards against sign-table or scaling regressions, not JL variance
+    assert corr > 0.3, corr
+    # deterministic across invocations
+    out2 = similarity.random_projection(sub, dim=64, out_dim=32).collect()
+    assert {(r.vec_id, r.j, r.value_micro) for r in out} == {
+        (r.vec_id, r.j, r.value_micro) for r in out2
+    }
