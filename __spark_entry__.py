@@ -2969,6 +2969,91 @@ WHERE rank <= {TOPK_K}
 """
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing — the composition the CCNet
+    pipeline runs end-to-end: per-doc mean unigram log-likelihood under
+    the corpus's own LM (operators/text.py:unigram_logprob — vocab agg
+    broadcast back onto the token stream) discretized into
+    head/middle/tail TERTILES by exact corpus percentiles
+    (operators/features.py:quantile_bin — 2 edge doubles broadcast,
+    assignment a pure projection). Head = most fluent third; the
+    standard curriculum/mixture signal for pretraining data."""
+    docs = load_table(spark, sf_dir, "documents")
+    lp = text.unigram_logprob(docs)
+    binned = features.quantile_bin(lp, col="logprob", k=3, id_col="doc_id")
+    return binned.select(
+        "doc_id",
+        F.col("value").alias("logprob"),
+        F.col("bin").alias("tertile"),
+        F.when(F.col("bin") == 3, F.lit("head"))
+        .when(F.col("bin") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ccnet_bucket"),
+    )
+
+
+SQL_CCNET_BUCKETS = """
+WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents),
+vocab AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
+tot AS (SELECT sum(freq) AS total FROM vocab),
+v AS (SELECT token, ln(freq / tot.total) AS lp FROM vocab, tot),
+doclp AS (SELECT t.doc_id, round(avg(v.lp), 6) AS logprob
+          FROM toks t JOIN v USING (token) GROUP BY t.doc_id),
+ed AS (SELECT quantile_cont(logprob, [1.0/3, 2.0/3]) AS qs FROM doclp)
+SELECT doc_id, round(logprob, 6) AS logprob,
+       CAST(len(list_filter(ed.qs, e -> logprob > round(e, 6))) + 1
+            AS BIGINT) AS tertile,
+       CASE len(list_filter(ed.qs, e -> logprob > round(e, 6))) + 1
+            WHEN 3 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS ccnet_bucket
+FROM doclp, ed
+"""
+
+
+SDC_MOD = 50
+SDC_THRESHOLD = 0.9
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination
+    (operators/curation.py:semantic_decontaminate): every held-out
+    'benchmark' vector broadcasts; the corpus streams through one
+    map-stage cosine join + a corpus-keyed max-struct aggregate — the
+    semantic companion screen to the lexical n-gram decontaminate
+    (paraphrases share no n-grams but sit at cosine ≈ 1)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % SDC_MOD == 0).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") % SDC_MOD != 0)
+    return curation.semantic_decontaminate(
+        corpus, bench, threshold=SDC_THRESHOLD
+    )
+
+
+def _sql_semantic_decontaminate() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id AS bench_id, e AS be FROM v WHERE vec_id % {SDC_MOD} = 0),
+c AS (SELECT vec_id, e FROM v WHERE vec_id % {SDC_MOD} != 0),
+scored AS (
+  SELECT c.vec_id, b.bench_id,
+         round({_DOT}(c.e, b.be)
+               / (sqrt({_DOT}(c.e, c.e)) * sqrt({_DOT}(b.be, b.be))), 6)
+           AS cos
+  FROM c CROSS JOIN b),
+best AS (
+  SELECT vec_id, bench_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, bench_id ASC) AS rn
+  FROM scored)
+SELECT vec_id, CAST(bench_id AS BIGINT) AS closest_bench_id,
+       cos AS max_cos, cos >= {SDC_THRESHOLD} AS contaminated
+FROM best WHERE rn = 1
+"""
+
+
 RP_OUT_DIM = 16
 
 
@@ -5845,6 +5930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "mmr_rerank": q_mmr_rerank,
         "random_projection": q_random_projection,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "ccnet_buckets": q_ccnet_buckets,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
@@ -5990,6 +6077,8 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": SQL_TOPK,
         "mmr_rerank": _sql_mmr(),
         "random_projection": _sql_random_projection(),
+        "semantic_decontaminate": _sql_semantic_decontaminate(),
+        "ccnet_buckets": SQL_CCNET_BUCKETS,
         "similarity_ann_lsh": SQL_ANN,
         "similarity_ann_ivf": SQL_ANN_IVF,
         "similarity_ann_multiprobe": SQL_ANN_MULTI,

@@ -71,6 +71,8 @@ HEADLINE = [
     "similarity_topk",
     "mmr_rerank",
     "random_projection",
+    "semantic_decontaminate",
+    "ccnet_buckets",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "similarity_ann_multiprobe",

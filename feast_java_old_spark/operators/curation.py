@@ -739,6 +739,59 @@ def shard_manifest(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic
+    companion to the lexical n-gram :func:`decontaminate`: a paraphrased
+    eval example shares no n-grams with its source but sits at cosine
+    ≈ 1 in embedding space, so serious decontamination runs BOTH
+    screens.
+
+    Plan: the benchmark embedding set is small by definition (eval
+    suites are thousands of rows) and BROADCASTS; the corpus streams
+    through the join once, scoring cosine per (corpus, bench) pair in
+    the map stage, and a corpus-keyed map-side-combined max-struct
+    aggregate keeps each document's closest benchmark item. The corpus
+    never shuffles vectors — only (id, best-match scalars) cross an
+    exchange.
+
+    Returns one row per corpus vector: ``(id, closest_bench_id,
+    max_cos, contaminated)`` with ties on cosine broken by the lowest
+    benchmark id.
+    """
+    from feast_java_old_spark.operators.similarity import _as_double, cosine
+
+    c = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    b = bench.select(
+        F.col(bench_id_col).alias("__bid"),
+        _as_double(F.col(vec_col)).alias("__bv"),
+    )
+    scored = c.join(F.broadcast(b)).select(
+        id_col,
+        "__bid",
+        F.round(cosine(F.col("__cv"), F.col("__bv")), 6).alias("__cos"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("__cos"), (-F.col("__bid")).alias("__nb"))).alias(
+            "__best"
+        )
+    )
+    return best.select(
+        id_col,
+        (-F.col("__best.__nb")).cast("long").alias("closest_bench_id"),
+        F.col("__best.__cos").alias("max_cos"),
+        (F.col("__best.__cos") >= threshold).alias("contaminated"),
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     target: Column,

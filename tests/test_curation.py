@@ -415,3 +415,31 @@ def test_dsir_weights_short_docs_absent_and_deterministic(spark):
     assert a == b
     ids = {t[0] for t in a}
     assert ids == {2}  # the 1-token doc has no bigrams -> no weight
+
+
+def test_semantic_decontaminate_flags_paraphrase_twins(spark):
+    """A corpus vector nearly parallel to a benchmark vector is flagged
+    even with zero lexical overlap; orthogonal vectors are clean; ties
+    break to the lowest benchmark id."""
+    from feast_java_old_spark.operators.curation import semantic_decontaminate
+
+    bench = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0])],
+        "bench_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.999, 0.0447, 0.0]),   # ~bench 10 (cos ~ 0.999)
+            (2, [0.0, 0.0, 1.0]),        # orthogonal to both
+            (3, [0.7071, 0.7071, 0.0]),  # equidistant: tie -> bench 10
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_decontaminate(corpus, bench, threshold=0.95).collect()
+    }
+    assert out[1].contaminated is True and out[1].closest_bench_id == 10
+    assert out[1].max_cos > 0.99
+    assert out[2].contaminated is False and out[2].max_cos == 0.0
+    assert out[3].closest_bench_id == 10 and out[3].contaminated is False
