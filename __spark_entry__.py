@@ -681,6 +681,40 @@ GROUP BY 1, 2
 """
 
 
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling unique users (6 h window / 2 h slide, exact
+    count_distinct): the audience-reach aggregate
+    (operators/windows.py:sliding_distinct). Exact form carries each
+    window's distinct value set through the shuffle — see
+    sliding_distinct_approx for the sketch twin whose shuffle is
+    windows × HLL sketches regardless of cardinality."""
+    events = load_table(spark, sf_dir, "events")
+    return windows.sliding_distinct(
+        events, "user_id", duration="6 hours", slide="2 hours"
+    )
+
+
+def q_sliding_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ twin of sliding_distinct — the 100 TB path (mergeable
+    sketch partials; rows-only gate like the other sketch twins)."""
+    events = load_table(spark, sf_dir, "events")
+    return windows.sliding_distinct(
+        events, "user_id", duration="6 hours", slide="2 hours",
+        strategy="approx",
+    )
+
+
+# Spark epoch-aligns slide buckets: for D = 3S each event's covering
+# window starts are floor_S(t) − i·S for i ∈ {0,1,2} (all three always
+# contain t), so the oracle is a plain 3-way expansion like SQL_A4.
+SQL_SLIDING_DISTINCT = """
+SELECT (epoch_us(ts) // 7200000000 - i) * 7200000000 AS window_start_us,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)
+GROUP BY 1
+"""
+
+
 def q_a5_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: gap-based sessionization (30 min inactivity gap) via native
     ``session_window`` — the same aggregate runs under a stream with a
@@ -5871,6 +5905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_metrics_rollup": q_a2_metrics_rollup,
         "a3_window_rollup": q_a3_window_rollup,
         "a4_sliding_rollup": q_a4_sliding_rollup,
+        "sliding_distinct": q_sliding_distinct,
+        "sliding_distinct_approx": q_sliding_distinct_approx,
         "a5_sessions": q_a5_sessions,
         "a6_percentiles": q_a6_percentiles,
         "a7_rollup_revenue": q_a7_rollup_revenue,
@@ -6019,6 +6055,7 @@ def oracle_sql() -> dict[str, str]:
         "a2_metrics_rollup": SQL_A2,
         "a3_window_rollup": SQL_A3,
         "a4_sliding_rollup": SQL_A4,
+        "sliding_distinct": SQL_SLIDING_DISTINCT,
         "a5_sessions": SQL_A5,
         "a6_percentiles": SQL_A6,
         "a7_rollup_revenue": SQL_A7,

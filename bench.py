@@ -32,6 +32,8 @@ HEADLINE = [
     "a2_metrics_rollup",
     "a3_window_rollup",
     "a4_sliding_rollup",
+    "sliding_distinct",
+    "sliding_distinct_approx",
     "a5_sessions",
     "a6_percentiles",
     "feature_drift",

@@ -84,6 +84,50 @@ def sliding_rollup(
     )
 
 
+def sliding_distinct(
+    df: DataFrame,
+    col: str,
+    ts_col: str = "ts",
+    duration: str = "6 hours",
+    slide: str = "2 hours",
+    strategy: str = "exact",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Distinct-count over sliding windows (rolling unique users/keys —
+    the audience-reach aggregate): each row expands to its
+    duration/slide covering windows before the aggregate.
+
+    ``strategy="exact"``: true ``count_distinct`` — Spark plans the
+    distinct as a two-level aggregate over (window, value) pairs, so
+    the shuffle carries each window's distinct VALUE SET. Correct, but
+    at 100 TB the per-window value multiset is the thing that doesn't
+    bound; the expansion factor (duration/slide) multiplies it.
+
+    ``strategy="approx"``: HLL++ ``approx_count_distinct`` (relative
+    error ``rsd``) — partial sketches merge map-side, the shuffle
+    carries windows × kilobyte sketches regardless of cardinality: the
+    100 TB path. Like the other sketch twins (quantile_bin_approx,
+    profile_columns_approx), the approx form is gate-validated
+    rows-only; exact keeps the hash oracle.
+
+    Emits ``(window_start_us, n_distinct)``.
+    """
+    if strategy == "exact":
+        agg = F.count_distinct(F.col(col))
+    elif strategy == "approx":
+        agg = F.approx_count_distinct(F.col(col), rsd)
+    else:
+        raise ValueError(f"unknown sliding_distinct strategy: {strategy!r}")
+    return (
+        df.groupBy(F.window(ts_col, duration, slide).alias("w"))
+        .agg(agg.alias("n_distinct"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+        )
+    )
+
+
 def session_rollup(
     df: DataFrame,
     keys: list[str],

@@ -176,3 +176,39 @@ def test_sessionize_groups_match_session_rollup(spark, sf_dir):
     a = {r.user_id: r.n for r in n_sessions.collect()}
     b = {r.user_id: r["count"] for r in n_rollup.collect()}
     assert a == b  # same session partitioning per key
+
+
+def test_sliding_distinct_exact_and_approx(spark):
+    from feast_java_old_spark.operators.windows import sliding_distinct
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    rows = []
+    # hour 0: users 1,2 (duplicated events); hour 3: users 2,3; hour 7: user 9
+    for h, users in [(0, [1, 2, 2, 1]), (3, [2, 3]), (7, [9])]:
+        for u in users:
+            rows.append((u, base + dt.timedelta(hours=h)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r.window_start_us: r.n_distinct
+        for r in sliding_distinct(
+            df, "user_id", duration="6 hours", slide="2 hours"
+        ).collect()
+    }
+    us = lambda h: int((dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)).timestamp() * 1e6)  # noqa: E731
+    # window [0,6): users {1,2,3}; window [2,8): {2,3,9}; window [-4,2): {1,2}
+    assert out[us(0)] == 3
+    assert out[us(2)] == 3
+    assert out[us(-4)] == 2
+    # every event appears in exactly 3 windows
+    assert len(out) > 0
+    approx = {
+        r.window_start_us: r.n_distinct
+        for r in sliding_distinct(
+            df, "user_id", duration="6 hours", slide="2 hours",
+            strategy="approx",
+        ).collect()
+    }
+    assert set(approx) == set(out)
+    for k in out:
+        assert abs(approx[k] - out[k]) <= max(1, 0.1 * out[k])
