@@ -73,6 +73,10 @@ PICKS = [
     ("count_min", "Count-min sketch: depth cells per row computed map-side (explode of a literal struct array), ONE map-side-combined aggregate bounded by partitions x depth x width; point queries broadcast the <=1024-row cell table."),
     ("mmr_rerank", "MMR diversified top-k: exact cosine pool (corpus scan + broadcast queries, never shuffled), then the greedy runs per query group in one Arrow applyInPandas over pool x pool integer state — iteration cost is bounded by the pool, not the corpus."),
     ("bloom_filter", "Bloom join pruning: the filtered key set compresses to <= bits set-bit rows (map-side-combined distinct) that BROADCAST into the probe join — the explicit form of runtime row-level filtering; probing is map-side, the aggregate is probe-sized."),
+    ("phrase_search", "Positional phrase search: postings are pruned to the phrase's terms UNDER the explode projection, each term's postings project back to the would-be start, and the phrase is a k-way hash equi-join on (doc, start) — no regex, no text re-scan at query time."),
+    ("random_projection", "JL sign projection: the out_dim x dim sign table broadcasts into the exploded coordinate stream; ONE map-side-combined aggregate over micro-quantized integers — exact integer math, only (vec, j, partial-sum) scalars shuffle."),
+    ("semantic_decontaminate", "Semantic decontamination: benchmark embeddings broadcast, cosine scored in the map stage, per-doc closest match via max(struct) with map-side partial combine — corpus vectors never cross an exchange."),
+    ("sliding_distinct", "Sliding distinct: Spark Expands each event to its covering windows BEFORE the two-level distinct aggregate; the approx twin replaces the distinct value-set shuffle with mergeable HLL sketches."),
 ]
 
 out = io.StringIO()
