@@ -3003,6 +3003,93 @@ WHERE rank <= {TOPK_K}
 """
 
 
+EVAL_K = 5
+
+
+def q_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation as a first-class operator
+    (operators/search.py:retrieval_metrics): grade the single-table
+    sign-LSH ANN path against exact brute-force top-k truth — per-query
+    recall/RR/nDCG components as EXACT integers (position gains are a
+    micro-quantized k-entry table, DCG/IDCG integer sums), one join +
+    one aggregate, no per-query driver loop. The formalized,
+    composable form of the pytest recall gates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = similarity.cosine_topk(emb, queries, k=EVAL_K)
+    ann = similarity.ann_sign_lsh(emb, queries, k=EVAL_K, bits=ANN_BITS)
+    return search.retrieval_metrics(ann, truth.select("query_id", "neighbor_id"), k=EVAL_K)
+
+
+def _sql_ann_eval() -> str:
+    import math
+
+    gains = [int(math.floor(1e6 / math.log2(r + 1) + 0.5)) for r in range(1, EVAL_K + 1)]
+    idcg_table = []
+    acc = 0
+    for g in gains:
+        acc += g
+        idcg_table.append(acc)
+    gain_case = " ".join(
+        f"WHEN {r} THEN {g}" for r, g in enumerate(gains, start=1)
+    )
+    idcg_case = " ".join(
+        f"WHEN {n} THEN {v}" for n, v in enumerate(idcg_table, start=1)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe,
+             array_to_string([CASE WHEN x >= 0 THEN '1' ELSE '0' END
+                              FOR x IN (e)[1:{ANN_BITS}]], '') AS qb
+      FROM v WHERE vec_id % 100 = 0),
+vb AS (SELECT vec_id, e,
+              array_to_string([CASE WHEN x >= 0 THEN '1' ELSE '0' END
+                               FOR x IN (e)[1:{ANN_BITS}]], '') AS bucket
+       FROM v),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round({_DOT}(v.e, q.qe)
+               / (sqrt({_DOT}(v.e, v.e)) * sqrt({_DOT}(q.qe, q.qe))), 6)
+           AS cosine
+  FROM v CROSS JOIN q WHERE v.vec_id != q.query_id),
+truth AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+  WHERE rank <= {EVAL_K}),
+annscored AS (
+  SELECT q.query_id, vb.vec_id AS neighbor_id,
+         round({_DOT}(vb.e, q.qe)
+               / (sqrt({_DOT}(vb.e, vb.e)) * sqrt({_DOT}(q.qe, q.qe))), 6)
+           AS cosine
+  FROM vb JOIN q ON vb.bucket = q.qb WHERE vb.vec_id != q.query_id),
+ann AS (
+  SELECT query_id, neighbor_id, rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM annscored)
+  WHERE rank <= {EVAL_K}),
+nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+         FROM truth GROUP BY query_id),
+j AS (SELECT a.query_id, a.rank,
+             CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM ann a LEFT JOIN truth t
+        ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
+SELECT j.query_id, nrel.n_rel,
+       CAST(sum(j.rel) AS BIGINT) AS hits_at_k,
+       CAST(min(CASE WHEN j.rel = 1 THEN j.rank END) AS BIGINT)
+         AS first_rel_rank,
+       CAST(sum(CASE WHEN j.rel = 1
+                     THEN CASE j.rank {gain_case} END
+                     ELSE 0 END) AS BIGINT) AS dcg_micro,
+       CAST(CASE least(nrel.n_rel, {EVAL_K}) {idcg_case} END AS BIGINT)
+         AS idcg_micro
+FROM j JOIN nrel USING (query_id)
+GROUP BY j.query_id, nrel.n_rel
+"""
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing — the composition the CCNet
     pipeline runs end-to-end: per-doc mean unigram log-likelihood under
@@ -4923,6 +5010,45 @@ FROM est JOIN ex USING (l_partkey)
 """
 
 
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from sketches (operators/sketches.py:
+    cms_join_size): |lineitem ⋈ orders on custkey-of-order... here the
+    partkey self-join Σf(v)² — the skew-blow-up quantity a planner
+    needs| estimated from two kilobyte CMS sketches WITHOUT scanning
+    either side at plan time; paired with the exact answer so the gate
+    verifies the upper-bound invariant (est ≥ exact) numerically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_cells = sketches.count_min_cells(
+        li, "l_partkey", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    est = sketches.cms_join_size(part_cells, part_cells, depth=CMS_DEPTH)
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.sum(F.col("__n") * F.col("__n")).alias("exact_pairs"))
+    )
+    return est.crossJoin(exact).select("est_pairs", "exact_pairs")
+
+
+def _sql_cms_join_size() -> str:
+    return f"""
+WITH d AS (SELECT unnest(range(0, {CMS_DEPTH})) AS i),
+cells AS (
+  SELECT d.i AS row_idx,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1 + 7 * d.i, 7))::BIGINT
+           % {CMS_WIDTH} AS col_idx,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem CROSS JOIN d
+  WHERE l_partkey IS NOT NULL
+  GROUP BY 1, 2),
+ip AS (SELECT row_idx, sum(cnt * cnt) AS ipr FROM cells GROUP BY row_idx),
+ex AS (SELECT CAST(sum(n * n) AS BIGINT) AS exact_pairs
+       FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_partkey))
+SELECT CAST((SELECT min(ipr) FROM ip) AS BIGINT) AS est_pairs, ex.exact_pairs
+FROM ex
+"""
+
+
 BLOOM_K = 4
 BLOOM_BITS = 4096
 BLOOM_PRICE = 490_000
@@ -5968,6 +6094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "semantic_decontaminate": q_semantic_decontaminate,
         "ccnet_buckets": q_ccnet_buckets,
+        "ann_eval": q_ann_eval,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
@@ -6014,6 +6141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "count_min": q_count_min,
         "bloom_filter": q_bloom_filter,
+        "cms_join_size": q_cms_join_size,
         "ewma_features": q_ewma_features,
         "rollup_merge": q_rollup_merge,
         "boilerplate": q_boilerplate,
@@ -6116,6 +6244,7 @@ def oracle_sql() -> dict[str, str]:
         "random_projection": _sql_random_projection(),
         "semantic_decontaminate": _sql_semantic_decontaminate(),
         "ccnet_buckets": SQL_CCNET_BUCKETS,
+        "ann_eval": _sql_ann_eval(),
         "similarity_ann_lsh": SQL_ANN,
         "similarity_ann_ivf": SQL_ANN_IVF,
         "similarity_ann_multiprobe": SQL_ANN_MULTI,
@@ -6159,6 +6288,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "count_min": _sql_count_min(),
         "bloom_filter": _sql_bloom(),
+        "cms_join_size": _sql_cms_join_size(),
         "stream_topk": SQL_HEAVY_HITTERS,
         "ewma_features": SQL_EWMA,
         "rollup_merge": SQL_ROLLUP_MERGE,

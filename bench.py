@@ -75,6 +75,7 @@ HEADLINE = [
     "random_projection",
     "semantic_decontaminate",
     "ccnet_buckets",
+    "ann_eval",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "similarity_ann_multiprobe",
@@ -135,6 +136,7 @@ HEADLINE = [
     "heavy_hitters",
     "count_min",
     "bloom_filter",
+    "cms_join_size",
     "ewma_features",
     "rollup_merge",
     "boilerplate",

@@ -293,3 +293,82 @@ def phrase_search(
         F.count(F.lit(1)).cast("long").alias("n_matches"),
         F.min("pos").cast("long").alias("first_pos"),
     )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 5,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query IR evaluation — the metric kernel for grading any
+    retrieval path (ANN vs exact, BM25 vs hybrid) AT SCALE: one join of
+    the result lists against the relevance judgments plus one per-query
+    aggregate — never a per-query driver loop.
+
+    ``results``: (query, doc, rank) ranked lists; ``qrels``: (query,
+    doc) binary relevance. Emits the metric COMPONENTS as exact
+    integers, so the output is engine-bit-exact with no float
+    summation anywhere (position gains 1/log2(rank+1) are micro-
+    quantized per RANK — a k-entry literal table — and DCG/ideal-DCG
+    are integer sums of those):
+
+    ``(query_id, n_rel, hits_at_k, first_rel_rank, dcg_micro,
+    idcg_micro)`` → recall@k = hits/n_rel, RR = 1/first_rel_rank,
+    nDCG@k = dcg_micro/idcg_micro; consumers divide (or feed a mean
+    aggregate). Queries with no qrels are dropped (undefined metrics);
+    queries with no relevant retrieved get first_rel_rank NULL and
+    dcg 0.
+    """
+    import math
+
+    gains = [0] + [
+        int(math.floor(1e6 / math.log2(r + 1) + 0.5)) for r in range(1, k + 1)
+    ]
+    r = results.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(rank_col).alias("rank"),
+    )
+    q = qrels.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.lit(1).alias("__rel"),
+    ).distinct()
+    nrel = q.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    idcg_table = [0]
+    for i in range(1, k + 1):
+        idcg_table.append(idcg_table[-1] + gains[i])
+    gain_arr = F.array(*[F.lit(g).cast("long") for g in gains[1:]])
+    joined = r.join(q, ["query_id", "doc_id"], "left").withColumn(
+        "__gain",
+        F.when(
+            F.col("__rel").isNotNull(),
+            F.element_at(gain_arr, F.col("rank").cast("int")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    idcg = F.element_at(
+        F.array(*[F.lit(x).cast("long") for x in idcg_table[1:]]),
+        F.least(F.col("n_rel"), F.lit(k)).cast("int"),
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("__rel", F.lit(0))).cast("long").alias("hits_at_k"),
+            F.sum("__gain").alias("dcg_micro"),
+            F.min(
+                F.when(F.col("__rel").isNotNull(), F.col("rank"))
+            ).cast("long").alias("first_rel_rank"),
+        )
+        .join(F.broadcast(nrel), "query_id")
+        .select(
+            "query_id",
+            "n_rel",
+            "hits_at_k",
+            "first_rel_rank",
+            "dcg_micro",
+            idcg.alias("idcg_micro"),
+        )
+    )

@@ -161,6 +161,30 @@ def count_min_estimate(
     )
 
 
+def cms_join_size(
+    cells_a: DataFrame, cells_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Equi-join output-size estimate from two count-min sketches — the
+    AMS/CMS inner-product estimator: ``|A ⋈ B| = Σ_v f_A(v)·f_B(v)``,
+    estimated as ``min over rows r of Σ_c A[r,c]·B[r,c]`` (each row's
+    cell product over-counts by hash collisions only, so the min is an
+    upper-bound estimate within ε·‖f_A‖₁‖f_B‖₁).
+
+    This is how a planner sizes a join (and detects a skew blow-up)
+    WITHOUT scanning either input: the sketches are ≤ depth×width rows
+    each, persisted and mergeable, so the estimate is a kilobyte-sized
+    join + aggregate. Returns one row ``(est_pairs)``.
+    """
+    a = cells_a.select("row_idx", "col_idx", F.col("cnt").alias("__ca"))
+    b = cells_b.select("row_idx", "col_idx", F.col("cnt").alias("__cb"))
+    per_row = (
+        a.join(b, ["row_idx", "col_idx"])
+        .groupBy("row_idx")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
+    )
+    return per_row.agg(F.min("__ip").alias("est_pairs"))
+
+
 def bloom_build(
     df: DataFrame, col: str, k: int = 4, bits: int = 4096
 ) -> DataFrame:

@@ -307,3 +307,38 @@ def test_phrase_search_positions_and_multiterm(spark):
     out3 = {r.doc_id: r for r in
             search.phrase_search(df, ["big", "data", "stack"]).collect()}
     assert list(out3) == [3] and out3[3].first_pos == 1
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """2 queries, k=3: q1 retrieves rel at ranks 1,3 of 2 relevant
+    (perfect RR, partial nDCG); q2 retrieves none of its 1 relevant."""
+    import math
+
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10), (1, 12), (2, 99)], "query_id long, neighbor_id long"
+    )
+    out = {r.query_id: r for r in search.retrieval_metrics(results, qrels, k=3).collect()}
+    g = lambda r: int(math.floor(1e6 / math.log2(r + 1) + 0.5))  # noqa: E731
+    assert out[1].n_rel == 2 and out[1].hits_at_k == 2
+    assert out[1].first_rel_rank == 1
+    assert out[1].dcg_micro == g(1) + g(3)
+    assert out[1].idcg_micro == g(1) + g(2)  # 2 relevant -> ideal fills ranks 1,2
+    assert out[2].hits_at_k == 0 and out[2].first_rel_rank is None
+    assert out[2].dcg_micro == 0 and out[2].n_rel == 1
+
+
+def test_cms_join_size_upper_bounds_exact(spark):
+    from feast_java_old_spark.operators import sketches
+
+    # skewed key frequencies: sum f^2 = 100^2 + 10^2 + 1 = 10101
+    rows = [(1,)] * 100 + [(2,)] * 10 + [(3,)]
+    df = spark.createDataFrame(rows, "k long")
+    cells = sketches.count_min_cells(df, "k", depth=4, width=64)
+    est = sketches.cms_join_size(cells, cells).collect()[0].est_pairs
+    assert est >= 10101
+    # few distinct keys, wide sketch -> collisions unlikely: est exact
+    assert est <= 10101 * 1.2
