@@ -2018,6 +2018,67 @@ WHERE c.group_id = c.doc_id
 """
 
 
+def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty — fraction of a document's distinct
+    3-grams found in NO other document (operators/text.py:
+    novelty_score): the boilerplate screen's inverse, used to weight
+    original content up in curation mixes. One DF aggregate + one
+    skew-safe join; text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.novelty_score(docs)
+
+
+SQL_NOVELTY = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       FOR i IN range(1, len(t) - 1)]) AS s
+       FROM toks WHERE len(t) >= 3),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+dfq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle)
+SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) / count(*), 6)
+         AS novelty
+FROM ex JOIN dfq USING (shingle)
+GROUP BY ex.doc_id
+"""
+
+
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-dedup observability: the duplicate-group SIZE HISTOGRAM
+    (how many singletons, pairs, triples… the LSH components found) —
+    the number a curation report leads with. Components via the same
+    min-label propagation as corpus_dedup_apply; the histogram is two
+    tiny aggregates over the node-sized component frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        docs, k=MINHASH_K, bands=MINHASH_BANDS, n=3
+    )
+    comp = dedup.dedup_components(pairs, docs.select("doc_id"))
+    sizes = comp.groupBy("group_id").agg(F.count(F.lit(1)).alias("group_size"))
+    return sizes.groupBy("group_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups")
+    )
+
+
+def _sql_dedup_stats() -> str:
+    return f"""
+WITH RECURSIVE cand AS ({_sql_minhash()}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+          UNION SELECT doc_b AS src, doc_a AS dst FROM cand),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+comp AS (SELECT node AS doc_id, min(lbl) AS group_id FROM reach GROUP BY node),
+sizes AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY group_id)
+SELECT CAST(group_size AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS n_groups
+FROM sizes GROUP BY group_size
+"""
+
+
 IJ_WEEKS = 10
 IJ_WEEK_US = 7 * 86400 * 1_000_000
 IJ_SPAN_US = 3 * 86400 * 1_000_000
@@ -6048,6 +6109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_verified": q_dedup_verified,
         "dedup_verified_simhash": q_dedup_verified_simhash,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_stats": q_dedup_stats,
+        "novelty_score": q_novelty_score,
         "stream_incremental_dedup": q_stream_incremental_dedup,
         "dedup_components": q_dedup_components,
         "text_stats": q_text_stats,
@@ -6199,6 +6262,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_verified": _sql_verified_truth(),
         "dedup_verified_simhash": _sql_verified_truth(),
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+        "dedup_stats": _sql_dedup_stats(),
+        "novelty_score": SQL_NOVELTY,
         "stream_incremental_dedup": SQL_DEDUP_INCREMENTAL,
         "dedup_components": _sql_dedup_components(),
         "text_stats": SQL_TEXT_STATS,

@@ -49,6 +49,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_verified",
     "dedup_incremental",
+    "dedup_stats",
+    "novelty_score",
     # dedup_verified_simhash is gate-registered but deliberately NOT
     # benched (like the stream_* queries): on this low-entropy template
     # corpus SimHash fingerprints cluster, so its band join emits ~6M

@@ -627,6 +627,47 @@ def boilerplate_ngrams(
     )
 
 
+def novelty_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty — the inverse of
+    :func:`boilerplate_ngrams`: the fraction of a document's distinct
+    n-grams that occur in NO other document. High novelty = original
+    content worth keeping/upsampling; near-zero novelty = templated or
+    heavily duplicated text (a memorization-risk and curation-weighting
+    signal used alongside dedup, which only removes whole near-dups).
+
+    Same scale shape as the boilerplate screen: shuffle-free distinct-
+    shingle explode, ONE map-side-combined document-frequency
+    aggregate, a shuffled hash join back (AQE-skew-safe on hot
+    shingles), one per-doc conditional aggregate — text never crosses
+    an exchange. Emits ``(doc_id, n_ngrams, n_unique, novelty)``.
+    """
+    from feast_java_old_spark.operators.dedup import exploded_shingles
+
+    sh = exploded_shingles(df, text_col, id_col, n=n, distinct=True)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    flagged = sh.join(dfreq, "shingle").withColumn(
+        "__uniq", (F.col("__df") == 1).cast("int")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum("__uniq").cast("long").alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_unique",
+            F.round(F.col("n_unique") / F.col("n_ngrams"), 6).alias("novelty"),
+        )
+    )
+
+
 def bigram_logprob(
     df: DataFrame,
     text_col: str = "text",

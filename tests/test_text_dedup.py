@@ -402,3 +402,21 @@ def test_simhash_dense_scheme_wide_fingerprint(spark):
         dedup.simhash(df, bits=32, scheme="nope")
     with pytest.raises(ValueError):
         dedup.simhash_candidates(df, bits=128, scheme="dense", max_hamming=4)
+
+
+def test_novelty_score_unique_vs_shared(spark):
+    from feast_java_old_spark.operators.text import novelty_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),     # shares "alpha beta gamma" w/ 2
+            (2, "alpha beta gamma epsilon"),
+            (3, "totally original private content here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in novelty_score(df).collect()}
+    # doc1: shingles {a b g, b g d}; "a b g" shared -> novelty 0.5
+    assert out[1].n_ngrams == 2 and out[1].n_unique == 1
+    assert out[1].novelty == 0.5
+    assert out[3].novelty == 1.0
