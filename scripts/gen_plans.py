@@ -77,6 +77,8 @@ PICKS = [
     ("random_projection", "JL sign projection: the out_dim x dim sign table broadcasts into the exploded coordinate stream; ONE map-side-combined aggregate over micro-quantized integers — exact integer math, only (vec, j, partial-sum) scalars shuffle."),
     ("semantic_decontaminate", "Semantic decontamination: benchmark embeddings broadcast, cosine scored in the map stage, per-doc closest match via max(struct) with map-side partial combine — corpus vectors never cross an exchange."),
     ("sliding_distinct", "Sliding distinct: Spark Expands each event to its covering windows BEFORE the two-level distinct aggregate; the approx twin replaces the distinct value-set shuffle with mergeable HLL sketches."),
+    ("ann_eval", "Retrieval metrics: the qrels (truth) join + ONE per-query aggregate with an integer micro gain table — metric components are exact integers; no per-query driver loop anywhere."),
+    ("novelty_score", "Novelty: shuffle-free distinct-shingle explode, map-side-combined DF aggregate, AQE-skew-safe join back, per-doc conditional aggregate — the text column never crosses an exchange."),
 ]
 
 out = io.StringIO()
