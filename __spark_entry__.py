@@ -2918,6 +2918,108 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+Q6_FROM = "1996-01-01"
+Q6_TO = "1997-01-01"
+Q6_DISC_LO = 0.02
+Q6_DISC_HI = 0.06
+Q6_MAX_QTY = 24
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the canonical
+    predicate-pushdown microbenchmark — four range predicates and a
+    two-column projection over the fact, ONE row out. The whole plan
+    must be a single pushed-filter FileScan + map-side-combined partial
+    sum + a 1-row exchange: at 100 TB this query is min/max-zone-map
+    pruning + scan bandwidth and nothing else. Revenue quantized to
+    hundredth-cents per row (price × discount needs 4 decimal places)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(Q6_FROM).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q6_TO).cast("timestamp"))
+            & (F.col("l_discount") >= Q6_DISC_LO)
+            & (F.col("l_discount") <= Q6_DISC_HI)
+            & (F.col("l_quantity") < Q6_MAX_QTY)
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * F.col("l_discount") * 10_000, 0
+                ).cast("long")
+            ).alias("revenue_cc"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_TPCH_Q6 = f"""
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000, 0)
+                AS BIGINT)) AS BIGINT) AS revenue_cc,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_FROM} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{Q6_TO} 00:00:00'
+  AND l_discount >= {Q6_DISC_LO} AND l_discount <= {Q6_DISC_HI}
+  AND l_quantity < {Q6_MAX_QTY}
+"""
+
+
+Q14_FROM = "1996-03-01"
+Q14_TO = "1996-04-01"
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): a fact-dim join where the
+    measure is a CONDITIONAL aggregate ratio — promo revenue over total
+    revenue for one month of shipments. Part is the broadcast dim; the
+    date filter is pushed to the lineitem scan; both numerator and
+    denominator come out of ONE aggregate (a CASE inside the sum), so
+    the plan is scan → BHJ → single map-side-combined aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q14_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_TO).cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0)
+            ).alias("promo_cents"),
+            F.sum(rev).alias("total_cents"),
+        )
+        .select(
+            "promo_cents",
+            "total_cents",
+            F.round(
+                F.lit(100.0) * F.col("promo_cents") / F.col("total_cents"), 6
+            ).alias("promo_pct"),
+        )
+    )
+
+
+SQL_TPCH_Q14 = f"""
+SELECT
+  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+            THEN CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                 AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+            AS BIGINT)) AS BIGINT) AS total_cents,
+  round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+            THEN CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                 AS BIGINT) ELSE 0 END)
+        / sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+              AS BIGINT)), 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_FROM} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{Q14_TO} 00:00:00'
+"""
+
+
 Q18_MIN_QTY = 300
 
 
@@ -6100,6 +6202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_cube_revenue": q_a8_cube_revenue,
         "tpch_q5": q_tpch_q5,
         "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "p5_type_conformance": q_p5_type_conformance,
         "dedup_exact": q_dedup_exact,
@@ -6253,6 +6357,8 @@ def oracle_sql() -> dict[str, str]:
         "a8_cube_revenue": SQL_A8_CUBE,
         "tpch_q5": SQL_TPCH_Q5,
         "tpch_q1": SQL_TPCH_Q1,
+        "tpch_q6": SQL_TPCH_Q6,
+        "tpch_q14": SQL_TPCH_Q14,
         "tpch_q18": SQL_TPCH_Q18,
         "p5_type_conformance": SQL_P5,
         "dedup_exact": SQL_DEDUP_EXACT,

@@ -42,6 +42,8 @@ HEADLINE = [
     "a8_cube_revenue",
     "tpch_q5",
     "tpch_q1",
+    "tpch_q6",
+    "tpch_q14",
     "tpch_q18",
     "dedup_exact",
     "dedup_minhash_lsh",
