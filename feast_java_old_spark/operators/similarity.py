@@ -785,6 +785,7 @@ def mmr_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    pool_kernel: str = "arrow",
 ) -> DataFrame:
     """Maximal Marginal Relevance diversified top-k (λ = 1/2): greedily
     re-rank each query's relevance pool so every pick balances
@@ -794,9 +795,12 @@ def mmr_topk(
 
     Two stages, each scale-shaped:
 
-    1. Pool: exact :func:`cosine_topk` (broadcast query batch, corpus
-       never shuffles) keeps ``pool`` candidates per query — the only
-       stage that touches the corpus.
+    1. Pool: exact brute-force cosine (broadcast/closure query batch,
+       corpus never shuffles) keeps ``pool`` candidates per query — the
+       only stage that touches the corpus. ``pool_kernel`` picks
+       :func:`cosine_topk_arrow` (BLAS matmul — default, ~7× warm) or
+       the ``"expr"`` :func:`cosine_topk`; both round to 6 places
+       before ranking, so pools — and MMR output — are identical.
     2. Greedy MMR: per-query state is ``pool × pool`` similarities
        (bounded, tiny), so the iteration runs in ONE Arrow-batched
        ``applyInPandas`` over query groups — never a cross-corpus op.
@@ -812,7 +816,10 @@ def mmr_topk(
     import numpy as np
     import pandas as pd
 
-    pool_df = cosine_topk(
+    pool_fn = cosine_topk_arrow if pool_kernel == "arrow" else cosine_topk
+    if pool_kernel not in ("arrow", "expr"):
+        raise ValueError(f"unknown mmr pool kernel {pool_kernel!r}")
+    pool_df = pool_fn(
         corpus, queries, k=pool, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col,
     ).select(
