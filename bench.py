@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "s1_scan_projection",
+    "p5_type_conformance",
     "a1_latest_per_key",
     "a1_latest_window",
     "j1_entity_lookup",
@@ -46,6 +47,8 @@ HEADLINE = [
     "tpch_q14",
     "tpch_q18",
     "dedup_exact",
+    "doc_fingerprint",
+    "token_count",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
@@ -90,6 +93,7 @@ HEADLINE = [
     "kmeans_train",
     "ann_ivf_pq",
     "multimodal_decode",
+    "multimodal_frames",
     "odfv_transform",
     "decontaminate",
     "dsir_weights",

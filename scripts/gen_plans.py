@@ -79,6 +79,7 @@ PICKS = [
     ("sliding_distinct", "Sliding distinct: Spark Expands each event to its covering windows BEFORE the two-level distinct aggregate; the approx twin replaces the distinct value-set shuffle with mergeable HLL sketches."),
     ("ann_eval", "Retrieval metrics: the qrels (truth) join + ONE per-query aggregate with an integer micro gain table — metric components are exact integers; no per-query driver loop anywhere."),
     ("novelty_score", "Novelty: shuffle-free distinct-shingle explode, map-side-combined DF aggregate, AQE-skew-safe join back, per-doc conditional aggregate — the text column never crosses an exchange."),
+    ("tpch_q6", "TPC-H Q6: ALL four range predicates in PushedFilters, 4-column ReadSchema, one map-side-combined partial sum, one row out — pure zone-map pruning + scan bandwidth at 100 TB."),
 ]
 
 out = io.StringIO()
