@@ -897,6 +897,51 @@ WHERE round(i.ni / (sa.n + sb.n - i.ni), 6) >= {JACCARD_THRESHOLD}
 """
 
 
+CONTAIN_THRESHOLD = 0.8
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs |A∩B|/min(|A|,|B|) ≥ 0.8 — the
+    excerpt/superset detector symmetric Jaccard structurally misses
+    (operators/dedup.py:containment_pairs): same inverted-index +
+    document-frequency-prune shape as the Jaccard pass, ordered output
+    (contained side first)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, n=3, threshold=CONTAIN_THRESHOLD, max_df=JACCARD_MAX_DF
+    )
+
+
+SQL_CONTAINMENT = f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       FOR i IN range(1, len(t) - 1)]) AS s
+       FROM toks WHERE len(t) >= 3),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+rare AS (SELECT shingle FROM ex GROUP BY shingle
+         HAVING count(*) <= {JACCARD_MAX_DF}),
+exr AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM exr a JOIN exr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sized AS (
+  SELECT i.doc_a, i.doc_b, i.ni, sa.n AS na, sb.n AS nb
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b)
+SELECT CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+            THEN doc_a ELSE doc_b END AS doc_small,
+       CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+            THEN doc_b ELSE doc_a END AS doc_big,
+       round(ni / least(na, nb), 6) AS containment
+FROM sized
+WHERE round(ni / least(na, nb), 6) >= {CONTAIN_THRESHOLD}
+"""
+
+
 VERIFY_THRESHOLD = 0.4
 
 
@@ -6210,6 +6255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_containment": q_dedup_containment,
         "dedup_verified": q_dedup_verified,
         "dedup_verified_simhash": q_dedup_verified_simhash,
         "dedup_incremental": q_dedup_incremental,
@@ -6365,6 +6411,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_simhash": _sql_simhash(),
         "dedup_ngram_jaccard": SQL_JACCARD,
+        "dedup_containment": SQL_CONTAINMENT,
         "dedup_verified": _sql_verified_truth(),
         "dedup_verified_simhash": _sql_verified_truth(),
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,

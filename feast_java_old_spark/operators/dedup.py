@@ -359,6 +359,66 @@ def ngram_jaccard_pairs(
     return jac
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 500,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT ``|A∩B| / |A|`` — the excerpt
+    detector Jaccard structurally misses: a paragraph quoted inside a
+    much longer document scores near-zero Jaccard (the union is huge)
+    but containment ≈ 1 for the short side. Standard alongside
+    symmetric near-dup removal when curating against wholesale
+    inclusion (quotes, boilerplate-wrapped reposts, chunk reuse).
+
+    Same inverted-index shape and document-frequency prune as
+    :func:`ngram_jaccard_pairs` (shingles in > ``max_df`` docs leave
+    the self-join only; per-doc sizes stay exact, so containment is a
+    conservative lower bound). Emits ORDERED pairs ``(doc_small,
+    doc_big, containment)`` where ``doc_small`` is the contained
+    (smaller-set) side, ties on set size broken by id; both directions
+    are checked from one unordered intersection count.
+    """
+    sh = exploded_shingles(df, text_col, id_col, n, distinct=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    joinable = sh
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        joinable = sh.join(hot, "shingle", "left_anti")
+    a = joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = joinable.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__ni"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("__na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("__nb"))
+    sized = inter.join(sa, "doc_a").join(sb, "doc_b")
+    a_small = (F.col("__na") < F.col("__nb")) | (
+        (F.col("__na") == F.col("__nb")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    return (
+        sized.select(
+            F.when(a_small, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_small"),
+            F.when(a_small, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_big"),
+            F.round(
+                F.col("__ni") / F.least("__na", "__nb"), 6
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def verify_candidate_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -420,3 +420,29 @@ def test_novelty_score_unique_vs_shared(spark):
     assert out[1].n_ngrams == 2 and out[1].n_unique == 1
     assert out[1].novelty == 0.5
     assert out[3].novelty == 1.0
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    from feast_java_old_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    long_doc = (
+        "intro sentence one here today. " * 4 + quote + ". closing remarks "
+        "with many extra trailing words to inflate the union size a lot "
+        "more filler text keeps going and going beyond any overlap zone"
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "unrelated text entirely different")],
+        "doc_id long, text string",
+    )
+    cont = {(r.doc_small, r.doc_big): r.containment
+            for r in containment_pairs(df, threshold=0.8).collect()}
+    # the quote is fully contained: containment ~1 with doc 1 as small side
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.8
+    # symmetric Jaccard misses it at the same bar
+    jac = {(r.doc_a, r.doc_b)
+           for r in ngram_jaccard_pairs(df, threshold=0.8).collect()}
+    assert (1, 2) not in jac
