@@ -5518,6 +5518,47 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SNM_WINDOW = 5
+SNM_BLOCK_CHARS = 10
+
+
+def q_fuzzy_match_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution over the same customer
+    names (operators/joins.py:sorted_neighborhood_match): blocked
+    prefix partitions sort in PARALLEL (never a global single-task
+    rank), candidates are rank-offset ≤ window pairs, Levenshtein ≤ 1
+    verify — the complementary blocking strategy to q-gram fuzzy_match
+    (finds prefix-sharing pairs whose grams are all stop-grams; misses
+    cross-block pairs, remedied multi-pass in production)."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 3 == 0
+    )
+    return joins.sorted_neighborhood_match(
+        cust, "c_custkey", "c_name", window=SNM_WINDOW,
+        max_distance=1, block_chars=SNM_BLOCK_CHARS,
+    )
+
+
+SQL_FUZZY_SNM = f"""
+WITH base AS (SELECT c_custkey AS id, c_name AS name,
+                     substr(c_name, 1, {SNM_BLOCK_CHARS}) AS blk
+              FROM customer WHERE c_custkey % 3 = 0),
+rk AS (SELECT id, name, blk,
+              row_number() OVER (PARTITION BY blk ORDER BY name, id) AS rn
+       FROM base),
+cand AS (
+  SELECT DISTINCT
+         least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+         CASE WHEN a.id < b.id THEN a.name ELSE b.name END AS name_a,
+         CASE WHEN a.id < b.id THEN b.name ELSE a.name END AS name_b
+  FROM rk a JOIN rk b
+    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW})
+SELECT id_a, id_b, name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS INTEGER) AS distance
+FROM cand WHERE levenshtein(name_a, name_b) <= 1
+"""
+
+
 SQL_FUZZY = f"""
 WITH base AS (SELECT c_custkey AS id, c_name AS name FROM customer
               WHERE c_custkey % 3 = 0),
@@ -6375,6 +6416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q_negative_samples,
         "session_cooccurrence": q_session_cooccurrence,
         "fuzzy_match": q_fuzzy_match,
+        "fuzzy_match_snm": q_fuzzy_match_snm,
         "calendar_features": q_calendar_features,
         "pmi_collocations": q_pmi_collocations,
     }
@@ -6529,6 +6571,7 @@ def oracle_sql() -> dict[str, str]:
         "negative_samples": SQL_NEG_SAMPLES,
         "session_cooccurrence": SQL_SESSION_COOC,
         "fuzzy_match": SQL_FUZZY,
+        "fuzzy_match_snm": SQL_FUZZY_SNM,
         "calendar_features": SQL_CALENDAR,
         "pmi_collocations": SQL_PMI,
         "token_budget": SQL_TOKEN_BUDGET.format(stoplist=_STOPLIST_SQL),

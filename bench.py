@@ -163,6 +163,7 @@ HEADLINE = [
     "negative_samples",
     "session_cooccurrence",
     "fuzzy_match",
+    "fuzzy_match_snm",
     "calendar_features",
     "pmi_collocations",
 ]

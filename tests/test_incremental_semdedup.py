@@ -461,3 +461,28 @@ def test_shard_manifest_detects_any_change(spark):
              for r in shard_manifest(mutated, n_shards=4, seed=1).collect()}
     diffs = [s for s in base if base[s][2] != after[s]]
     assert len(diffs) == 1
+
+
+def test_sorted_neighborhood_finds_adjacent_typos(spark):
+    """Typo'd twins sharing a prefix sort adjacently and are found; a
+    pair farther apart than the window in sort order is not compared."""
+    from feast_java_old_spark.operators.joins import sorted_neighborhood_match
+
+    rows = [
+        (1, "customer smith alpha"),
+        (2, "customer smith alphb"),      # distance 1 from doc 1
+        (3, "customer smith beta"),
+        (4, "customer smith gamma"),
+        (5, "different prefix entirely"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = {(r.id_a, r.id_b): r.distance
+           for r in sorted_neighborhood_match(
+               df, "id", "name", window=2, max_distance=1, block_chars=8
+           ).collect()}
+    assert out == {(1, 2): 1}
+    # window=0 edge -> no pairs at all
+    none = sorted_neighborhood_match(
+        df, "id", "name", window=0, max_distance=9, block_chars=8
+    ).collect()
+    assert none == []
