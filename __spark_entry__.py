@@ -4697,6 +4697,47 @@ FROM orders, ed
 """
 
 
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier screen: modified z-score over
+    median/MAD (operators/features.py:robust_outliers) — a single
+    extreme value can't drag the threshold (50% breakdown), unlike
+    mean/std screens; two group-sized percentile aggregates broadcast
+    back, the flag is a pure projection."""
+    ev = load_table(spark, sf_dir, "events")
+    return features.robust_outliers(ev, ["event_type"], "value").select(
+        "event_type",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        "group_median",
+        "group_mad",
+        "mod_z",
+        "is_outlier",
+    )
+
+
+SQL_ROBUST_OUTLIERS = """
+WITH med AS (SELECT event_type,
+                    round(quantile_cont(value, 0.5), 6) AS group_median
+             FROM events GROUP BY event_type),
+dev AS (SELECT e.event_type, e.event_id, e.value, med.group_median,
+               abs(e.value - med.group_median) AS adev
+        FROM events e JOIN med USING (event_type)),
+mad AS (SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS group_mad
+        FROM dev GROUP BY event_type)
+SELECT d.event_type, d.event_id, round(d.value, 6) AS value,
+       d.group_median, mad.group_mad,
+       CASE WHEN mad.group_mad > 0
+            THEN round(0.6745 * (d.value - d.group_median) / mad.group_mad, 6)
+       END AS mod_z,
+       CASE WHEN mad.group_mad > 0
+            THEN abs(round(0.6745 * (d.value - d.group_median)
+                           / mad.group_mad, 6)) > 3.5
+            ELSE d.value != d.group_median
+       END AS is_outlier
+FROM dev d JOIN mad USING (event_type)
+"""
+
+
 RESAMPLE_START = "2024-01-01 00:00:00"
 RESAMPLE_END = "2024-01-30 00:00:00"
 RESAMPLE_STEP = 6 * 3600
@@ -6376,6 +6417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct": q_sketch_distinct,
         "target_encode": q_target_encode,
         "winsorize": q_winsorize,
+        "robust_outliers": q_robust_outliers,
         "chunk_documents": q_chunk_documents,
         "scd2_history": q_scd2_history,
         "quantile_bin": q_quantile_bin,
@@ -6531,6 +6573,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_join": SQL_SKEW_JOIN,
         "target_encode": SQL_TARGET_ENCODE,
         "winsorize": SQL_WINSORIZE,
+        "robust_outliers": SQL_ROBUST_OUTLIERS,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "scd2_history": SQL_SCD2,
         "quantile_bin": SQL_QUANTILE_BIN,

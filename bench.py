@@ -126,6 +126,7 @@ HEADLINE = [
     "sketch_distinct",
     "target_encode",
     "winsorize",
+    "robust_outliers",
     "chunk_documents",
     "scd2_history",
     "quantile_bin",

@@ -432,6 +432,60 @@ def quantile_bin(
     )
 
 
+def robust_outliers(
+    df: DataFrame,
+    keys: list[str],
+    col: str = "value",
+    id_col: str = "event_id",
+    z: float = 3.5,
+) -> DataFrame:
+    """Per-group robust outlier detection via the modified z-score
+    (Iglewicz-Hoaglin): ``0.6745·(x − median) / MAD`` with MAD the
+    median absolute deviation — unlike mean/std z-scores, a single
+    extreme value cannot drag the threshold toward itself (50%
+    breakdown point vs 0%), which is what makes this the standard
+    screen for long-tailed telemetry and label noise.
+
+    Plan: two grouped EXACT-percentile aggregates (median, then MAD
+    over the deviations) — each a group-sized single row — broadcast
+    back onto the scan; the flag is a pure projection. The 100 TB swap
+    is ``sketches.approx_quantiles`` for both medians (same
+    broadcast-edges shape, documented like winsorize/quantile_bin).
+    Groups with MAD = 0 (over half the values identical) emit NULL
+    z-scores and flag only exact deviants as outliers.
+    """
+    med = df.groupBy(*keys).agg(
+        F.round(F.percentile(F.col(col), F.lit(0.5)), 6).alias("__med")
+    )
+    dev = df.join(F.broadcast(med), keys).withColumn(
+        "__adev", F.abs(F.col(col) - F.col("__med"))
+    )
+    mad = dev.groupBy(*keys).agg(
+        F.round(F.percentile(F.col("__adev"), F.lit(0.5)), 6).alias("__mad")
+    )
+    scored = dev.join(F.broadcast(mad), keys).withColumn(
+        "mod_z",
+        F.when(
+            F.col("__mad") > 0,
+            F.round(
+                F.lit(0.6745) * (F.col(col) - F.col("__med")) / F.col("__mad"),
+                6,
+            ),
+        ),
+    )
+    return scored.select(
+        *keys,
+        F.col(id_col),
+        F.col(col),
+        F.col("__med").alias("group_median"),
+        F.col("__mad").alias("group_mad"),
+        "mod_z",
+        F.when(F.col("__mad") > 0, F.abs(F.col("mod_z")) > z)
+        .otherwise(F.col(col) != F.col("__med"))
+        .alias("is_outlier"),
+    )
+
+
 def resample_ffill(
     df: DataFrame,
     keys: list[str],

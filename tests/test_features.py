@@ -247,3 +247,23 @@ def test_winsorize_clips_tails_per_group(spark):
     # group h: its own percentiles, middle value untouched
     assert out[201].was_clipped == 0
     assert out[200].was_clipped == 1 and out[202].was_clipped == 1
+
+
+def test_robust_outliers_resists_extreme_value(spark):
+    """One huge value must be flagged WITHOUT dragging the threshold:
+    median/MAD ignore it, so the bulk stays inliers; a mean/std z-score
+    on the same data would mask it (sd inflated by the outlier)."""
+    from feast_java_old_spark.operators.features import robust_outliers
+
+    vals = [10.0, 11.0, 12.0, 10.5, 11.5, 9.5, 10.8, 1000.0]
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    rows += [("b", 100 + i, 5.0) for i in range(4)] + [("b", 200, 7.0)]
+    df = spark.createDataFrame(rows, "grp string, event_id long, value double")
+    out = {(r.grp, r.event_id): r for r in
+           robust_outliers(df, ["grp"], "value", id_col="event_id").collect()}
+    flags = {k[1]: v.is_outlier for k, v in out.items() if k[0] == "a"}
+    assert flags[7] is True           # the 1000.0
+    assert all(not flags[i] for i in range(7))
+    # degenerate group b: MAD = 0 -> null z, only exact deviants flagged
+    assert out[("b", 200)].mod_z is None and out[("b", 200)].is_outlier is True
+    assert out[("b", 100)].is_outlier is False
