@@ -98,11 +98,16 @@ def sorted_neighborhood_match(
 
     Distributed form: a GLOBAL sort rank would funnel the corpus
     through one task, so the neighborhood runs WITHIN ``block_chars``-
-    prefix blocks (partitioned rank windows — every block sorts in
-    parallel; the classic multi-pass remedy for cross-block misses is
-    re-running with a second key, e.g. reversed names). Candidate
-    generation is a self-join on (block, rank offset ≤ window), then
-    exact Levenshtein on candidates only.
+    prefix blocks (partitioned windows — blocks sort in parallel; the
+    classic multi-pass remedy for cross-block misses is re-running
+    with a second key, e.g. reversed names). Candidate generation is
+    ``window`` LEAD columns over the sorted block — a pure window pass,
+    O(n·window) by CONSTRUCTION with no self-join anywhere: even a
+    degenerate block key (every row one block — e.g. a constant name
+    prefix) costs one linear sorted pass, where a (block, rank-offset)
+    self-join would go quadratic per block (measured 56 s vs 1 s at
+    sf0.1 on exactly that degenerate case). Levenshtein runs only on
+    the exploded neighbor pairs.
 
     Returns ``(id_a, id_b, name_a, name_b, distance)`` — same contract
     as :func:`fuzzy_match`, different recall profile (misses pairs
@@ -117,31 +122,42 @@ def sorted_neighborhood_match(
         F.substring(F.col(name_col), 1, block_chars).alias("__blk"),
     )
     w = Window.partitionBy("__blk").orderBy(F.col("name").asc(), F.col("id").asc())
-    ranked = base.withColumn("__rn", F.row_number().over(w))
-    a = ranked.select(
-        "__blk", F.col("id").alias("id_a"), F.col("name").alias("name_a"),
-        F.col("__rn").alias("__ra"),
-    )
-    b = ranked.select(
-        "__blk", F.col("id").alias("id_b"), F.col("name").alias("name_b"),
-        F.col("__rn").alias("__rb"),
-    )
-    cand = a.join(
-        b,
-        on=[
-            a["__blk"] == b["__blk"],
-            b["__rb"] > a["__ra"],
-            b["__rb"] <= a["__ra"] + window,
+    if window <= 0:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, name_a string, name_b string, distance int"
+        )
+    # lead() is a window expression — computed in its own projection,
+    # THEN exploded (a generator cannot host window expressions)
+    with_leads = base.select(
+        "id",
+        "name",
+        *[
+            F.lead(
+                F.struct(F.col("id").alias("id"), F.col("name").alias("name")),
+                i,
+            )
+            .over(w)
+            .alias(f"__l{i}")
+            for i in range(1, window + 1)
         ],
-    ).select(
-        F.least("id_a", "id_b").alias("id_a2"),
-        F.greatest("id_a", "id_b").alias("id_b2"),
-        F.when(F.col("id_a") < F.col("id_b"), F.col("name_a")).otherwise(F.col("name_b")).alias("name_a"),
-        F.when(F.col("id_a") < F.col("id_b"), F.col("name_b")).otherwise(F.col("name_a")).alias("name_b"),
-    ).select(
-        F.col("id_a2").alias("id_a"), F.col("id_b2").alias("id_b"),
-        "name_a", "name_b",
-    ).distinct()
+    )
+    leads = with_leads.select(
+        "id",
+        "name",
+        F.explode(
+            F.array(*[F.col(f"__l{i}") for i in range(1, window + 1)])
+        ).alias("nb"),
+    ).where(F.col("nb").isNotNull())
+    cand = leads.select(
+        F.least(F.col("id"), F.col("nb.id")).alias("id_a"),
+        F.greatest(F.col("id"), F.col("nb.id")).alias("id_b"),
+        F.when(F.col("id") < F.col("nb.id"), F.col("name"))
+        .otherwise(F.col("nb.name"))
+        .alias("name_a"),
+        F.when(F.col("id") < F.col("nb.id"), F.col("nb.name"))
+        .otherwise(F.col("name"))
+        .alias("name_b"),
+    )
     return cand.withColumn(
         "distance", F.levenshtein(F.col("name_a"), F.col("name_b"))
     ).where(F.col("distance") <= max_distance)
