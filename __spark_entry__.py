@@ -6307,6 +6307,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- driver gate window: the driver's correctness gate samples the
+        # FIRST 50 entries of this dict (insertion order).  r1-r4 gated 83
+        # distinct queries; positions 1-50 below are queries that have NEVER
+        # had a driver-side correctness row (r5 rotation; see VERDICT r4 #1).
+        "stream_dedup": q_stream_dedup,
+        "stream_enrich": q_stream_enrich,
+        "stream_stream_join": q_stream_stream_join,
+        "stream_cdc_merge": q_stream_cdc_merge,
+        "stream_sessions": q_stream_sessions,
+        "stream_clean_corpus": q_stream_clean_corpus,
+        "stream_topk": q_stream_topk,
+        "pq_encode": q_pq_encode,
+        "pq_adc": q_pq_adc,
+        "ann_ivf_pq": q_ann_ivf_pq,
+        "mmr_rerank": q_mmr_rerank,
+        "ann_eval": q_ann_eval,
+        "random_projection": q_random_projection,
+        "kmeans_refine_expr": q_kmeans_refine_expr,
+        "kmeans_train": q_kmeans_train,
+        "token_encode": q_token_encode,
+        "quantile_bin": q_quantile_bin,
+        "quantile_bin_approx": q_quantile_bin_approx,
+        "profile_columns": q_profile_columns,
+        "profile_columns_approx": q_profile_columns_approx,
+        "scd2_history": q_scd2_history,
+        "scd2_snapshot": q_scd2_snapshot,
+        "scd2_join": q_scd2_join,
+        "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        "bm25_search": q_bm25_search,
+        "phrase_search": q_phrase_search,
+        "rrf_fusion": q_rrf_fusion,
+        "tfidf_terms": q_tfidf_terms,
+        "fuzzy_match": q_fuzzy_match,
+        "fuzzy_match_snm": q_fuzzy_match_snm,
+        "robust_outliers": q_robust_outliers,
+        "token_budget": q_token_budget,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "ccnet_buckets": q_ccnet_buckets,
+        "sketch_distinct": q_sketch_distinct,
+        "count_min": q_count_min,
+        "bloom_filter": q_bloom_filter,
+        "cms_join_size": q_cms_join_size,
+        "heavy_hitters": q_heavy_hitters,
+        "semdedup": q_semdedup,
+        "k_anonymity": q_k_anonymity,
+        "bigram_logprob": q_bigram_logprob,
+        "multi_window_features": q_multi_window_features,
+        "rolling_features": q_rolling_features,
+        "feature_pivot": q_feature_pivot,
+        "asof_nearest": q_asof_nearest,
+        "weighted_sample": q_weighted_sample,
+        "skew_join": q_skew_join,
+        "ewma_features": q_ewma_features,
+        # --- positions 51+: remaining never-gated (r6 rotation window),
+        #     then all previously driver-gated queries (r1-r4 green;
+        #     re-verified every round by scripts/check_correctness.py --driver).
+        "target_encode": q_target_encode,
+        "winsorize": q_winsorize,
+        "chunk_documents": q_chunk_documents,
+        "resample_ffill": q_resample_ffill,
+        "bpe_pairs": q_bpe_pairs,
+        "line_filter": q_line_filter,
+        "cdc_apply": q_cdc_apply,
+        "normalize_features": q_normalize_features,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "zorder_key": q_zorder_key,
+        "rollup_merge": q_rollup_merge,
+        "boilerplate": q_boilerplate,
+        "top_orders": q_top_orders,
+        "snapshot_diff": q_snapshot_diff,
+        "user_sequences": q_user_sequences,
+        "length_batches": q_length_batches,
+        "negative_samples": q_negative_samples,
+        "session_cooccurrence": q_session_cooccurrence,
+        "calendar_features": q_calendar_features,
+        "pmi_collocations": q_pmi_collocations,
         "s1_scan_projection": q_s1_scan_projection,
         "a1_latest_per_key": q_a1_latest_per_key,
         "a1_latest_window": q_a1_latest_window,
@@ -6361,11 +6439,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "domain_topk": q_domain_topk,
         "kmeans_refine": q_kmeans_refine,
-        "kmeans_refine_expr": q_kmeans_refine_expr,
-        "kmeans_train": q_kmeans_train,
-        "ann_ivf_pq": q_ann_ivf_pq,
-        "pq_encode": q_pq_encode,
-        "pq_adc": q_pq_adc,
         "unigram_logprob": q_unigram_logprob,
         "embedding_outliers": q_embedding_outliers,
         "interval_join": q_interval_join,
@@ -6385,11 +6458,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "similarity_topk": q_similarity_topk,
-        "mmr_rerank": q_mmr_rerank,
-        "random_projection": q_random_projection,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "ccnet_buckets": q_ccnet_buckets,
-        "ann_eval": q_ann_eval,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
@@ -6400,67 +6468,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "odfv_transform": q_odfv_transform,
         "stream_latest_merge": q_stream_latest_merge,
         "stream_window_rollup": q_stream_window_rollup,
-        "stream_dedup": q_stream_dedup,
-        "stream_enrich": q_stream_enrich,
-        "stream_stream_join": q_stream_stream_join,
-        "stream_cdc_merge": q_stream_cdc_merge,
-        "multi_window_features": q_multi_window_features,
-        "rolling_features": q_rolling_features,
-        "feature_pivot": q_feature_pivot,
-        "asof_nearest": q_asof_nearest,
-        "bm25_search": q_bm25_search,
-        "phrase_search": q_phrase_search,
-        "rrf_fusion": q_rrf_fusion,
-        "tfidf_terms": q_tfidf_terms,
-        "weighted_sample": q_weighted_sample,
-        "skew_join": q_skew_join,
-        "sketch_distinct": q_sketch_distinct,
-        "target_encode": q_target_encode,
-        "winsorize": q_winsorize,
-        "robust_outliers": q_robust_outliers,
-        "chunk_documents": q_chunk_documents,
-        "scd2_history": q_scd2_history,
-        "quantile_bin": q_quantile_bin,
-        "quantile_bin_approx": q_quantile_bin_approx,
-        "profile_columns_approx": q_profile_columns_approx,
-        "resample_ffill": q_resample_ffill,
-        "profile_columns": q_profile_columns,
-        "bpe_pairs": q_bpe_pairs,
-        "line_filter": q_line_filter,
-        "cdc_apply": q_cdc_apply,
-        "normalize_features": q_normalize_features,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "zorder_key": q_zorder_key,
-        "scd2_snapshot": q_scd2_snapshot,
-        "token_encode": q_token_encode,
-        "heavy_hitters": q_heavy_hitters,
-        "count_min": q_count_min,
-        "bloom_filter": q_bloom_filter,
-        "cms_join_size": q_cms_join_size,
-        "ewma_features": q_ewma_features,
-        "rollup_merge": q_rollup_merge,
-        "boilerplate": q_boilerplate,
-        "semdedup": q_semdedup,
-        "pagerank": q_pagerank,
-        "triangle_count": q_triangle_count,
-        "stream_sessions": q_stream_sessions,
-        "stream_clean_corpus": q_stream_clean_corpus,
-        "stream_topk": q_stream_topk,
-        "k_anonymity": q_k_anonymity,
-        "bigram_logprob": q_bigram_logprob,
-        "top_orders": q_top_orders,
-        "scd2_join": q_scd2_join,
-        "token_budget": q_token_budget,
-        "snapshot_diff": q_snapshot_diff,
-        "user_sequences": q_user_sequences,
-        "length_batches": q_length_batches,
-        "negative_samples": q_negative_samples,
-        "session_cooccurrence": q_session_cooccurrence,
-        "fuzzy_match": q_fuzzy_match,
-        "fuzzy_match_snm": q_fuzzy_match_snm,
-        "calendar_features": q_calendar_features,
-        "pmi_collocations": q_pmi_collocations,
     }
 
 
