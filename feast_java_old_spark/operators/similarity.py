@@ -33,6 +33,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _half_away(np, x):
+    """Round to the nearest integer, ties AWAY from zero — bit-identical
+    to Spark ``F.round(x, 0)`` and DuckDB ``round(x)`` (both HALF_UP in
+    BigDecimal terms).  ``np.round`` is IEEE half-to-even, which silently
+    splits the Arrow kernels from their expression twins / DuckDB oracles
+    whenever a value lands exactly on a tie boundary (ADVICE r4)."""
+    return np.copysign(np.floor(np.abs(x) + 0.5), x)
+
+
+def _q6(np, x):
+    """6-dp quantization matching ``F.round(x, 6)`` exactly (see
+    :func:`_half_away`)."""
+    return _half_away(np, x * 1e6) / 1e6
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-order double-precision dot product via built-ins."""
     return F.aggregate(
@@ -517,7 +532,7 @@ def kmeans_step(
             for pdf in batches:
                 M = np.stack(pdf[vec_col].to_numpy())
                 vn = np.sqrt((M * M).sum(axis=1))
-                sims = np.round((M @ C.T) / (vn[:, None] * cn[None, :]), 6)
+                sims = _q6(np, (M @ C.T) / (vn[:, None] * cn[None, :]))
                 best = sims.argmax(axis=1)
                 out = pdf[[id_col, vec_col]].copy()
                 # vector rides through the kernel so the means need no
@@ -756,7 +771,7 @@ def cosine_topk_arrow(
                 keep = S[rows, j] > -np.inf
                 out_q.extend([q_ids[j]] * int(keep.sum()))
                 out_n.extend(ids[rows[keep]])
-                out_c.extend(np.round(S[rows[keep], j], 6))
+                out_c.extend(_q6(np, S[rows[keep], j]))
             yield pd.DataFrame(
                 {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
             )
@@ -841,7 +856,7 @@ def mmr_topk(
         rel = pdf["rel_micro"].to_numpy(dtype=np.int64)
         C = np.asarray(list(pdf["__cv"]), dtype=np.float64)
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-        S = np.round((Cn @ Cn.T) * 1e6).astype(np.int64)
+        S = _half_away(np, (Cn @ Cn.T) * 1e6).astype(np.int64)
         # order by id so argmax tie-breaks resolve to the smallest id
         order = np.argsort(ids)
         ids, rel, S = ids[order], rel[order], S[np.ix_(order, order)]
@@ -900,7 +915,8 @@ def random_projection(
     projected coordinate is a ±1-weighted sum with variance ‖v‖², so
     dividing by √out_dim makes ``E[‖Pv‖²] = ‖v‖²`` — norms and pairwise
     distances are preserved in expectation; a √dim divisor would shrink
-    all distances by √(out_dim/dim), caught by the norm-ratio test): dividing the exact integer sum by √dim and
+    all distances by √(out_dim/dim), caught by the norm-ratio test).
+    Determinism: dividing the exact integer sum by √out_dim and
     rounding to a whole micro lands on exactly-representable halves
     (never the inexact .5e-6 decimal boundary where Spark's
     BigDecimal HALF_UP and DuckDB's double round diverge — observed a
@@ -1167,8 +1183,8 @@ def pq_encode(
                 for s in range(m):
                     Ms = M[:, s * w : (s + 1) * w]
                     sv2 = (Ms * Ms).sum(axis=1)
-                    d2 = np.round(
-                        sv2[:, None] - 2 * (Ms @ C[s].T) + c2[s][None, :], 6
+                    d2 = _q6(
+                        np, sv2[:, None] - 2 * (Ms @ C[s].T) + c2[s][None, :]
                     )
                     best = d2.argmin(axis=1)  # first min -> lowest code
                     out_id.append(ids)
@@ -1416,7 +1432,7 @@ def ann_ivf_pq(
     # Residual codebooks: per-subspace k-means over the sample's
     # residuals. Untrained codebooks are useless (16 arbitrary residuals
     # as codewords measured recall@5 = 0.16 vs ~0.5 trained).
-    seed_asg = np.round(S @ C.T, 6).argmax(axis=1)
+    seed_asg = _q6(np, S @ C.T).argmax(axis=1)
     R = S - C[seed_asg]
     CB = [
         np.ascontiguousarray(_np_kmeans(R[:, s * w : (s + 1) * w], codes))
@@ -1430,18 +1446,18 @@ def ann_ivf_pq(
         for pdf in batches:
             M = np.stack(pdf["__v"].to_numpy())
             M = M / np.linalg.norm(M, axis=1, keepdims=True)
-            lists = np.round(M @ C.T, 6).argmax(axis=1)
+            lists = _q6(np, M @ C.T).argmax(axis=1)
             res = M - C[lists]
             n = len(pdf)
             ids = pdf[id_col].to_numpy()
             out_id, out_l, out_s, out_c = [], [], [], []
             for s in range(m):
                 Rs = res[:, s * w : (s + 1) * w]
-                d2 = np.round(
+                d2 = _q6(
+                    np,
                     (Rs * Rs).sum(axis=1)[:, None]
                     - 2 * (Rs @ CB[s].T)
                     + cb2[s][None, :],
-                    6,
                 )
                 out_id.append(ids)
                 out_l.append(lists.astype(np.int64))
@@ -1475,13 +1491,13 @@ def ann_ivf_pq(
     for qid, qv in queries:
         q = np.array(qv, dtype=np.float64)
         q = q / np.linalg.norm(q)
-        probed = np.argsort(-np.round(q @ C.T, 6))[:nprobe]
+        probed = np.argsort(-_q6(np, q @ C.T))[:nprobe]
         for li in probed:
             qr = q - C[li]
             for s in range(m):
                 qs = qr[s * w : (s + 1) * w]
                 d2 = (qs * qs).sum() - 2 * (CB[s] @ qs) + cb2[s]
-                for ci, x in enumerate(np.round(d2, 6)):
+                for ci, x in enumerate(_q6(np, d2)):
                     lut_rows.append(
                         (
                             int(qid),

@@ -223,15 +223,22 @@ def bloom_probe(
     """
     digest = F.md5(F.col(col).cast("string"))
     pos = F.array(*[_cms_col_hash(digest, i, bits) for i in range(k)])
-    hashed = probes.select(F.col(col), F.explode(pos).alias("bit_pos"))
+    # Hash the DISTINCT probe keys, not the raw probe rows: a value that
+    # appears m times would otherwise contribute m*k matched rows and
+    # fail the == k test — a false NEGATIVE, which a Bloom filter must
+    # never produce (the join-pruning use case probes repeating fact
+    # keys).  With one exploded array per distinct value, count == k
+    # holds exactly when every position is set, even if two of the k
+    # hashes collide on the same bit (both exploded rows match it).
+    probe_keys = probes.select(col).distinct()
+    hashed = probe_keys.select(F.col(col), F.explode(pos).alias("bit_pos"))
     hits = (
         hashed.join(F.broadcast(bloom), "bit_pos")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("__hits"))
     )
     return (
-        probes.select(col)
-        .distinct()
+        probe_keys
         .join(hits, col, "left")
         .select(
             F.col(col),

@@ -64,9 +64,24 @@ _UNIT_BANDS = (
 )
 _US_FACTOR = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}  # ns divides
 
-# (cache_key, column) -> inferred unit, so repeated load_table calls on
-# the same parquet file never re-run the inference scan.
-_EPOCH_UNIT_CACHE: dict[tuple[str, str], str] = {}
+# (cache_key, path-stamp, column) -> inferred unit, so repeated
+# load_table calls on the same parquet file never re-run the inference
+# scan.  The stamp (mtime_ns, size) of the path invalidates the entry
+# when the same path is REWRITTEN with data in a different epoch unit
+# within one process (overwrite in tests/notebooks) — a stale unit
+# would silently misdecode every timestamp by 1000x.
+_EPOCH_UNIT_CACHE: dict[tuple[str, tuple[int, int], str], str] = {}
+
+
+def _path_stamp(path: str) -> tuple[int, int]:
+    """(mtime_ns, size) of ``path``; (0, 0) for non-filesystem keys
+    (e.g. a BigQuery table ref).  A parquet overwrite replaces the file
+    or rewrites the directory entry set, so either stat field moves."""
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
 
 
 def _infer_unit(max_abs: int) -> str:
@@ -80,7 +95,7 @@ def _epoch_to_us_expr(df: DataFrame, name: str, cache_key: str | None):
     """Column-level epoch→µs conversion: infer the unit once from
     ``max(abs(v))`` (cached), warn on values outside the inferred
     unit's unambiguous 1976–8300 band."""
-    key = (cache_key, name) if cache_key else None
+    key = (cache_key, _path_stamp(cache_key), name) if cache_key else None
     unit = _EPOCH_UNIT_CACHE.get(key) if key else None
     if unit is None:
         row = df.agg(

@@ -27,16 +27,30 @@ def run_bench(sf_dir: str) -> dict:
     spikes (observed 5x on one query in one run); the min of two
     independent JVMs is a stable estimator of the query's real cost."""
     runs = []
+    detail = os.path.join(REPO, "BENCH_DETAIL.json")
     for _ in range(2):
+        start = time.time()
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-        subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             capture_output=True, text=True, env=env, timeout=3600,
         )
         # stdout carries only a bounded summary (the driver's tail window
         # is ~2000 chars); the full per-query dict lives in the detail
-        # file bench.py writes next to itself.
-        with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+        # file bench.py writes next to itself.  BENCH_DETAIL.json is
+        # committed in the repo, so a crashed bench.py would otherwise
+        # silently record a STALE file as this SF's numbers — fail loudly
+        # on nonzero exit and on an mtime older than the run start.
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"bench.py failed (rc={proc.returncode}) for {sf_dir}:\n"
+                + proc.stderr[-2000:]
+            )
+        if os.path.getmtime(detail) < start:
+            raise RuntimeError(
+                f"BENCH_DETAIL.json not refreshed by bench.py run for {sf_dir}"
+            )
+        with open(detail) as f:
             runs.append(json.load(f))
     best = dict(runs[0])
     best["queries"] = {

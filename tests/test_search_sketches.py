@@ -288,6 +288,23 @@ def test_bloom_no_false_negatives_and_merge(spark):
     assert merged == set(r.bit_pos for r in bloom.collect())
 
 
+def test_bloom_probe_duplicate_probe_rows(spark):
+    """A probe value that repeats (the join-pruning case: fact keys
+    repeat) must still report maybe_present — hashing raw probe rows
+    instead of distinct keys made __hits = m*k and (m*k == k) false."""
+    from feast_java_old_spark.operators import sketches
+
+    inserted = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    bloom = sketches.bloom_build(inserted, "k", k=4, bits=1024)
+    probes = spark.createDataFrame(
+        [(i,) for i in range(50) for _ in range(3)] + [(999,)], "k long"
+    )
+    out = {r.k: r.maybe_present for r in
+           sketches.bloom_probe(bloom, probes, "k", k=4, bits=1024).collect()}
+    assert len(out) == 51  # one row per distinct probe key
+    assert all(out[i] for i in range(50))
+
+
 def test_phrase_search_positions_and_multiterm(spark):
     df = spark.createDataFrame(
         [
