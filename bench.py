@@ -57,14 +57,13 @@ HEADLINE = [
     "dedup_incremental",
     "dedup_stats",
     "novelty_score",
-    # dedup_verified_simhash is gate-registered but deliberately NOT
-    # benched (like the stream_* queries): on this low-entropy template
-    # corpus SimHash fingerprints cluster, so its band join emits ~6M
-    # incidental pairs at sf0.1 and any full-recall verification of them
-    # costs ~45s — that number measures the corpus/generator mismatch,
-    # not the engine. dedup_verified benches the production generator
-    # (MinHash-LSH, jaccard-calibrated) over the same oracle;
-    # dedup_simhash benches the fingerprint computation itself.
+    # r5: dedup_verified_simhash re-scoped to the Manku composition
+    # (4x8 bands, hamming<=3, pigeonhole-complete recall) — 45s -> ~4s
+    # at sf0.1, so it benches again. Its r1-r4 jaccard-0.4-recall form
+    # was both unbenchable (~5M incidental candidates) and silently
+    # 252/256 at sf0.1 (banding can't be recall-complete at that
+    # distance); see the query docstring.
+    "dedup_verified_simhash",
     "chunk_dedup",
     "dedup_crossmodal",
     "text_stats",

@@ -767,6 +767,13 @@ def simhash_candidates(
             "__fp", F.conv(F.col("simhash"), 2, 10).cast("long")
         )
         carry = ["__fp"]
+    # The band self-join consumes the fingerprint frame TWICE; without a
+    # materialization barrier each side re-runs the whole token-explode +
+    # ``bits`` SUM aggregates (measured 2x the candidate stage's cost at
+    # sf0.1). The frame is tiny — one (id, bitstring[, long]) row per doc
+    # — so an eager localCheckpoint is the leak-free barrier (same call
+    # the other self-join operators use).
+    sh = sh.localCheckpoint(eager=True)
     bandrows = sh.select(
         "doc_id",
         *carry,

@@ -374,6 +374,31 @@ def test_simhash_candidates_max_hamming_prefilter(spark):
     assert (1, 3) not in tight and (2, 3) not in tight
 
 
+def test_simhash_candidates_pigeonhole_complete(spark, sf_dir):
+    """With bands > max_hamming, recall of every pair within the hamming
+    radius is GUARANTEED (a pair differing in <= 3 of 32 bits must agree
+    exactly on one of 4 bands) — the contract the gate query's exact
+    oracle relies on. Brute-force check against all fingerprint pairs."""
+    from itertools import combinations
+
+    from feast_java_old_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=32).collect()}
+    want = {
+        (min(a, b), max(a, b))
+        for a, b in combinations(fps, 2)
+        if sum(x != y for x, y in zip(fps[a], fps[b])) <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_candidates(docs, max_hamming=3).collect()
+    }
+    assert want <= got
+    # and the prefilter admits nothing outside the radius
+    assert got == want
+
+
 def test_verify_strategies_identical_output(spark, sf_dir):
     from feast_java_old_spark.sources.tables import load_table
 
