@@ -3234,7 +3234,6 @@ TOPK_K = 5
 ANN_BITS = 6
 ANN_K = 3
 NEAR_DUP_THRESHOLD = 0.3
-NEAR_DUP_BITS = 4
 
 _DOT = "list_dot_product"
 
@@ -3725,19 +3724,36 @@ FROM per_dim GROUP BY label
 """
 
 
+NEAR_DUP_TARGET_OCC = 32
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine near-dup pairs with ``bits`` DERIVED from the
+    corpus count (suggest_bits occupancy law, integer-exact so the
+    oracle reproduces it from count(*)): expected bucket occupancy stays
+    <= NEAR_DUP_TARGET_OCC as the corpus grows, retiring the
+    fixed-bits=4 gate form whose within-bucket quadratic work grew with
+    the corpus (alpha = 0.68 in r4 SCALING). At 500 embeddings bits=4
+    (unchanged), at 2000 bits=6, at 1e9 bits=25."""
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # bounded driver-side scalar: one count of the corpus
+    bits = similarity.suggest_bits(n, NEAR_DUP_TARGET_OCC)
     return similarity.embedding_near_dups(
-        emb, threshold=NEAR_DUP_THRESHOLD, bits=NEAR_DUP_BITS
+        emb, threshold=NEAR_DUP_THRESHOLD, bits=bits, corpus_rows=n
     )
 
 
 SQL_NEAR_DUPS = f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+WITH nn AS (SELECT count(*) AS n FROM embeddings),
+bb AS (SELECT CASE WHEN n <= {NEAR_DUP_TARGET_OCC} THEN 1
+        ELSE greatest(1, CAST(floor(log2(
+            (n + {NEAR_DUP_TARGET_OCC} - 1) // {NEAR_DUP_TARGET_OCC} - 1
+        )) AS INT) + 1) END AS bits FROM nn),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
     array_to_string([CASE WHEN e >= 0 THEN '1' ELSE '0' END
-                     FOR e IN (embedding::DOUBLE[])[1:{NEAR_DUP_BITS}]], '')
+                     FOR e IN (embedding::DOUBLE[])[1:bits]], '')
       AS bucket
-  FROM embeddings)
+  FROM embeddings, bb)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({_DOT}(a.e, b.e)
              / (sqrt({_DOT}(a.e, a.e)) * sqrt({_DOT}(b.e, b.e))), 6) AS cosine

@@ -184,12 +184,15 @@ def suggest_bits(corpus_rows: int, target_bucket_rows: int = 1024) -> int:
     with ``log2(corpus)`` — a constant default that is fine at 500
     vectors is a scan at 100 TB. Recall lost to more bits is bought back
     with more ``tables`` (OR-amplification), not fewer bits.
-    """
-    import math
 
+    Integer-exact (``ceil(log2(ceil(n/target)))`` via bit_length, no
+    float log), so a SQL oracle can reproduce it from ``count(*)``
+    without 1-ulp ceil hazards near power-of-two boundaries.
+    """
     if corpus_rows <= target_bucket_rows:
         return 1
-    return max(1, math.ceil(math.log2(corpus_rows / target_bucket_rows)))
+    m = -(-corpus_rows // target_bucket_rows)  # ceil(n / target)
+    return max(1, (m - 1).bit_length())
 
 
 def ann_sign_lsh(
