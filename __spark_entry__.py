@@ -4263,6 +4263,85 @@ def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_proto_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 proto payload decode through the real streaming path (parity:
+    ``common/.../util/KafkaSerialization.java:31-68`` — the reference ships
+    ``Message.toByteArray()`` wire bytes on Kafka).
+
+    The events table is encoded row-by-row into proto wire format (one
+    Arrow-batched ``mapInPandas`` pass over
+    :func:`protowire.encode_scalar_message`), staged as Kafka-shaped
+    binary drop files, then read back through
+    :func:`sources.stream.read_stream_source` — a registry-validated
+    ``KinesisSource(record_format='proto')`` resolving to the file
+    transport — which routes the binary ``value`` column through
+    ``decode_payload``'s wire-codec fallback. encode∘decode is the
+    identity on scalar fields (NULL → proto3 default 0, which the oracle
+    mirrors with COALESCE), so the batch events table is the oracle."""
+    import tempfile
+
+    from feast_java_old_spark.functions import protowire
+    from feast_java_old_spark.registry.model import KinesisSource
+    from feast_java_old_spark.sources.stream import read_stream_source
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    fields = protowire.field_map(payload_schema)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+
+    def _encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            # Nullable int64 columns arrive as float64 (NaN = NULL); map
+            # NaN back to None so the encoder skips the field like a real
+            # proto3 serializer (absent field = default on decode).
+            recs = pdf.astype(object).where(pdf.notna(), None).to_dict("records")
+            yield pd.DataFrame(
+                {
+                    "key": [str(r["event_id"]).encode() for r in recs],
+                    "value": [
+                        protowire.encode_scalar_message(r, fields) for r in recs
+                    ],
+                }
+            )
+
+    wire_schema = T.StructType(
+        [T.StructField("key", T.BinaryType()), T.StructField("value", T.BinaryType())]
+    )
+    drop = tempfile.mkdtemp(prefix="fjos_proto_drop_")
+    ev.mapInPandas(_encode, schema=wire_schema).write.mode("overwrite").parquet(drop)
+
+    src = KinesisSource(
+        region="local", stream_name=drop, record_format="proto",
+        event_timestamp_column="ts_us",
+    )
+    decoded = read_stream_source(spark, src, payload_schema=payload_schema)
+    return _stream_to_table(spark, decoded, "append", "stream_proto_decode")
+
+
+SQL_STREAM_PROTO = """
+SELECT COALESCE(user_id, 0) AS user_id,
+       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       event_id, event_type, value
+FROM events
+"""
+
+
 # ------------------------------------------------- feature-engineering surface
 
 
@@ -6378,9 +6457,73 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver gate window: the driver's correctness gate samples the
-        # FIRST 50 entries of this dict (insertion order).  r1-r4 gated 83
-        # distinct queries; positions 1-50 below are queries that have NEVER
-        # had a driver-side correctness row (r5 rotation; see VERDICT r4 #1).
+        # FIRST 50 entries of this dict (insertion order).  r6 rotation
+        # (VERDICT r5 #1): positions 1-50 are exactly the queries whose
+        # driver record is missing or stale — 21 never gated, 3 stale-red
+        # (stream_window_rollup / stream_latest_merge / kmeans_refine),
+        # 2 re-scoped in r5 (dedup_verified_simhash / embedding_near_dups),
+        # 1 new F8 carrier (stream_proto_decode), then the 23
+        # oldest-evidence rows (15×r2, 8×r3).
+        "target_encode": q_target_encode,
+        "winsorize": q_winsorize,
+        "chunk_documents": q_chunk_documents,
+        "resample_ffill": q_resample_ffill,
+        "bpe_pairs": q_bpe_pairs,
+        "line_filter": q_line_filter,
+        "cdc_apply": q_cdc_apply,
+        "normalize_features": q_normalize_features,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "zorder_key": q_zorder_key,
+        "rollup_merge": q_rollup_merge,
+        "boilerplate": q_boilerplate,
+        "top_orders": q_top_orders,
+        "snapshot_diff": q_snapshot_diff,
+        "user_sequences": q_user_sequences,
+        "length_batches": q_length_batches,
+        "negative_samples": q_negative_samples,
+        "session_cooccurrence": q_session_cooccurrence,
+        "calendar_features": q_calendar_features,
+        "pmi_collocations": q_pmi_collocations,
+        "stream_window_rollup": q_stream_window_rollup,
+        "stream_latest_merge": q_stream_latest_merge,
+        "kmeans_refine": q_kmeans_refine,
+        "dedup_verified_simhash": q_dedup_verified_simhash,
+        "embedding_near_dups": q_embedding_near_dups,
+        "stream_proto_decode": q_stream_proto_decode,
+        "odfv_transform": q_odfv_transform,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_centroids": q_embedding_centroids,
+        "lang_id": q_lang_id,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "quality_classifier": q_quality_classifier,
+        "similarity_ann_ivf": q_similarity_ann_ivf,
+        "similarity_ann_lsh": q_similarity_ann_lsh,
+        "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
+        "similarity_topk": q_similarity_topk,
+        "token_count": q_token_count,
+        "training_corpus": q_training_corpus,
+        "vocab_topk": q_vocab_topk,
+        "embedding_outliers": q_embedding_outliers,
+        "corpus_dedup_apply": q_corpus_dedup_apply,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dedup_crossmodal": q_dedup_crossmodal,
+        "corpus_split": q_corpus_split,
+        "domain_topk": q_domain_topk,
+        "sequence_pack": q_sequence_pack,
+        "unigram_logprob": q_unigram_logprob,
+        # --- positions 51+: previously driver-gated queries, newest
+        #     evidence last (r3 remainder, then r4, then r5; all
+        #     re-verified every round by scripts/check_correctness.py
+        #     --driver).
+        "corpus_rollup": q_corpus_rollup,
+        "domain_mix": q_domain_mix,
+        "domain_upsample": q_domain_upsample,
+        "interval_join": q_interval_join,
+        "sessionize": q_sessionize,
+        "stratified_sample": q_stratified_sample,
         "stream_dedup": q_stream_dedup,
         "stream_enrich": q_stream_enrich,
         "stream_stream_join": q_stream_stream_join,
@@ -6431,30 +6574,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "skew_join": q_skew_join,
         "ewma_features": q_ewma_features,
-        # --- positions 51+: remaining never-gated (r6 rotation window),
-        #     then all previously driver-gated queries (r1-r4 green;
-        #     re-verified every round by scripts/check_correctness.py --driver).
-        "target_encode": q_target_encode,
-        "winsorize": q_winsorize,
-        "chunk_documents": q_chunk_documents,
-        "resample_ffill": q_resample_ffill,
-        "bpe_pairs": q_bpe_pairs,
-        "line_filter": q_line_filter,
-        "cdc_apply": q_cdc_apply,
-        "normalize_features": q_normalize_features,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "zorder_key": q_zorder_key,
-        "rollup_merge": q_rollup_merge,
-        "boilerplate": q_boilerplate,
-        "top_orders": q_top_orders,
-        "snapshot_diff": q_snapshot_diff,
-        "user_sequences": q_user_sequences,
-        "length_batches": q_length_batches,
-        "negative_samples": q_negative_samples,
-        "session_cooccurrence": q_session_cooccurrence,
-        "calendar_features": q_calendar_features,
-        "pmi_collocations": q_pmi_collocations,
         "s1_scan_projection": q_s1_scan_projection,
         "a1_latest_per_key": q_a1_latest_per_key,
         "a1_latest_window": q_a1_latest_window,
@@ -6487,7 +6606,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_containment": q_dedup_containment,
         "dedup_verified": q_dedup_verified,
-        "dedup_verified_simhash": q_dedup_verified_simhash,
         "dedup_incremental": q_dedup_incremental,
         "dedup_stats": q_dedup_stats,
         "novelty_score": q_novelty_score,
@@ -6505,39 +6623,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "text_normalize": q_text_normalize,
         "hard_negatives": q_hard_negatives,
-        "domain_mix": q_domain_mix,
-        "corpus_split": q_corpus_split,
-        "domain_topk": q_domain_topk,
-        "kmeans_refine": q_kmeans_refine,
-        "unigram_logprob": q_unigram_logprob,
-        "embedding_outliers": q_embedding_outliers,
-        "interval_join": q_interval_join,
-        "sessionize": q_sessionize,
-        "domain_upsample": q_domain_upsample,
-        "corpus_dedup_apply": q_corpus_dedup_apply,
-        "dedup_keep_best": q_dedup_keep_best,
-        "stratified_sample": q_stratified_sample,
-        "dedup_crossmodal": q_dedup_crossmodal,
-        "corpus_rollup": q_corpus_rollup,
-        "sequence_pack": q_sequence_pack,
-        "quality_classifier": q_quality_classifier,
-        "vocab_topk": q_vocab_topk,
-        "training_corpus": q_training_corpus,
-        "lang_id": q_lang_id,
-        "token_count": q_token_count,
-        "doc_fingerprint": q_doc_fingerprint,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "similarity_topk": q_similarity_topk,
-        "similarity_ann_lsh": q_similarity_ann_lsh,
-        "similarity_ann_ivf": q_similarity_ann_ivf,
-        "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
-        "embedding_centroids": q_embedding_centroids,
-        "embedding_near_dups": q_embedding_near_dups,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_frames": q_multimodal_frames,
-        "odfv_transform": q_odfv_transform,
-        "stream_latest_merge": q_stream_latest_merge,
-        "stream_window_rollup": q_stream_window_rollup,
     }
 
 
@@ -6636,6 +6721,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_window_rollup": SQL_STREAM_WIN,
         "stream_dedup": SQL_STREAM_DEDUP,
         "stream_enrich": SQL_STREAM_ENRICH,
+        "stream_proto_decode": SQL_STREAM_PROTO,
         "stream_stream_join": SQL_STREAM_SS_JOIN,
         "stream_cdc_merge": SQL_CDC_APPLY,
         "multi_window_features": SQL_MULTI_WINDOW,
