@@ -166,6 +166,10 @@ HEADLINE = [
     "fuzzy_match_snm",
     "calendar_features",
     "pmi_collocations",
+    # r6: the two non-stream registered queries that had no bench row
+    # (VERDICT r5 #5) — iterative CC is where a perf surprise would hide.
+    "dedup_components",
+    "kmeans_refine_expr",
 ]
 
 
