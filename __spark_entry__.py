@@ -2544,10 +2544,12 @@ def q_kmeans_refine_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     proving the Arrow/BLAS and Catalyst-expression kernels are
     interchangeable (cosines round to 6 places before the argmax in
     both, so blocked-vs-sequential float summation cannot split them).
-    Not benched: Spark evaluates higher-order array functions
-    interpreted, which makes this kernel the measured ~10x-slower
-    ceiling, and that number characterizes the expression evaluator,
-    not the engine's k-means path."""
+    Benched (bench.py HEADLINE, since r6) as the documented
+    interpreted-evaluator ceiling: Spark evaluates higher-order array
+    functions interpreted, so this kernel measures ~10x slower (≈7.4 s
+    vs 0.86 s at sf0.1) than ``kmeans_refine``'s Arrow/BLAS kernel —
+    the number characterizes the expression evaluator and is tracked
+    deliberately; the production k-means path is the Arrow twin."""
     return _kmeans_refine(spark, sf_dir, kernel="expr")
 
 
@@ -4276,8 +4278,10 @@ def q_stream_proto_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``KinesisSource(record_format='proto')`` resolving to the file
     transport — which routes the binary ``value`` column through
     ``decode_payload``'s wire-codec fallback. encode∘decode is the
-    identity on scalar fields (NULL → proto3 default 0, which the oracle
-    mirrors with COALESCE), so the batch events table is the oracle."""
+    identity on scalar fields (NULL → proto3 default — 0 / 0.0 / '' —
+    which the oracle mirrors with a COALESCE on every field), so the
+    batch events table is the oracle."""
+    import shutil
     import tempfile
 
     from feast_java_old_spark.functions import protowire
@@ -4303,13 +4307,30 @@ def q_stream_proto_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
 
+    int_fields = [
+        f.name
+        for f in payload_schema.fields
+        if isinstance(f.dataType, (T.LongType, T.IntegerType))
+    ]
+
     def _encode(batches):
         import pandas as pd
 
         for pdf in batches:
-            # Nullable int64 columns arrive as float64 (NaN = NULL); map
-            # NaN back to None so the encoder skips the field like a real
-            # proto3 serializer (absent field = default on decode).
+            # A nullable int64 column arrives from Arrow as float64 (NaN
+            # = NULL), which would silently corrupt ints above 2^53
+            # before int(v) in the encoder. convert_dtypes() restores
+            # pandas nullable Int64 for integral columns (pd.NA = NULL);
+            # an int field still non-integral after that means genuinely
+            # fractional values reached an int64 field — fail loudly
+            # rather than encode a rounded value (ADVICE r6).
+            pdf = pdf.convert_dtypes(convert_string=False)
+            bad = [c for c in int_fields if pdf[c].dtype.kind not in "iu"]
+            if bad:
+                raise TypeError(
+                    f"int64 proto fields carry non-integral dtypes: "
+                    f"{[(c, str(pdf[c].dtype)) for c in bad]}"
+                )
             recs = pdf.astype(object).where(pdf.notna(), None).to_dict("records")
             yield pd.DataFrame(
                 {
@@ -4323,21 +4344,32 @@ def q_stream_proto_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire_schema = T.StructType(
         [T.StructField("key", T.BinaryType()), T.StructField("value", T.BinaryType())]
     )
+    # The drop dir only has to outlive the bounded stream run (the memory
+    # sink holds the decoded rows afterwards) — remove it on every exit
+    # path so repeated gate/smoke invocations don't leak a full proto
+    # copy of the table into /tmp each time (ADVICE r6).
     drop = tempfile.mkdtemp(prefix="fjos_proto_drop_")
-    ev.mapInPandas(_encode, schema=wire_schema).write.mode("overwrite").parquet(drop)
+    try:
+        ev.mapInPandas(_encode, schema=wire_schema).write.mode(
+            "overwrite"
+        ).parquet(drop)
 
-    src = KinesisSource(
-        region="local", stream_name=drop, record_format="proto",
-        event_timestamp_column="ts_us",
-    )
-    decoded = read_stream_source(spark, src, payload_schema=payload_schema)
-    return _stream_to_table(spark, decoded, "append", "stream_proto_decode")
+        src = KinesisSource(
+            region="local", stream_name=drop, record_format="proto",
+            event_timestamp_column="ts_us",
+        )
+        decoded = read_stream_source(spark, src, payload_schema=payload_schema)
+        return _stream_to_table(spark, decoded, "append", "stream_proto_decode")
+    finally:
+        shutil.rmtree(drop, ignore_errors=True)
 
 
 SQL_STREAM_PROTO = """
 SELECT COALESCE(user_id, 0) AS user_id,
-       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-       event_id, event_type, value
+       COALESCE(epoch_us(CAST(ts AS TIMESTAMP)), 0) AS ts_us,
+       COALESCE(event_id, 0) AS event_id,
+       COALESCE(event_type, '') AS event_type,
+       COALESCE(value, 0.0) AS value
 FROM events
 """
 

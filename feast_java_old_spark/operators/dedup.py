@@ -737,6 +737,7 @@ def simhash_candidates(
     bands: int = 4,
     max_hamming: int | None = None,
     scheme: str = "nibble",
+    checkpoint: str | None = "local",
 ) -> DataFrame:
     """Near-dup candidates: docs agreeing on any SimHash band (Hamming-
     distance-bounded matches without a pairwise scan).
@@ -771,9 +772,18 @@ def simhash_candidates(
     # materialization barrier each side re-runs the whole token-explode +
     # ``bits`` SUM aggregates (measured 2x the candidate stage's cost at
     # sf0.1). The frame is tiny — one (id, bitstring[, long]) row per doc
-    # — so an eager localCheckpoint is the leak-free barrier (same call
-    # the other self-join operators use).
-    sh = sh.localCheckpoint(eager=True)
+    # — so a checkpoint is the leak-free barrier.  ``checkpoint``:
+    # "local" (default, executor-disk, no fault tolerance — fine on a
+    # driver/local run), "reliable" (``sparkContext.setCheckpointDir``
+    # storage, survives executor loss on a real cluster), or None to
+    # keep the plan fully lazy (explain-only callers; the double
+    # evaluation cost returns).
+    if checkpoint == "reliable":
+        sh = sh.checkpoint(eager=True)
+    elif checkpoint == "local":
+        sh = sh.localCheckpoint(eager=True)
+    elif checkpoint is not None:
+        raise ValueError(f"checkpoint must be 'local', 'reliable' or None, got {checkpoint!r}")
     bandrows = sh.select(
         "doc_id",
         *carry,

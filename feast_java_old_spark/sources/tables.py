@@ -74,14 +74,36 @@ _EPOCH_UNIT_CACHE: dict[tuple[str, tuple[int, int], str], str] = {}
 
 
 def _path_stamp(path: str) -> tuple[int, int]:
-    """(mtime_ns, size) of ``path``; (0, 0) for non-filesystem keys
-    (e.g. a BigQuery table ref).  A parquet overwrite replaces the file
-    or rewrites the directory entry set, so either stat field moves."""
+    """Content stamp of ``path``; (0, 0) for non-filesystem keys (e.g. a
+    BigQuery table ref).  For a single file, (mtime_ns, size).  For a
+    DIRECTORY dataset the directory's own stat is NOT enough: a
+    same-name overwrite (``mode="overwrite"`` with identical part-file
+    names) keeps the entry set — and therefore the dir st_size — constant,
+    and dir mtime can be coarse, so a rewrite with data in a different
+    epoch unit could serve a stale cached unit and misdecode every
+    timestamp by 1000x (ADVICE r6).  Instead fold every child entry's
+    (name, mtime_ns, size) into the stamp, so any part-file rewrite,
+    addition, or removal moves it."""
     try:
         st = os.stat(path)
-        return (st.st_mtime_ns, st.st_size)
     except OSError:
         return (0, 0)
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size)
+    h = 0
+    total = 0
+    try:
+        with os.scandir(path) as it:
+            for e in it:
+                try:
+                    cst = e.stat()
+                except OSError:
+                    continue
+                h ^= hash((e.name, cst.st_mtime_ns, cst.st_size))
+                total += cst.st_size
+    except OSError:
+        return (st.st_mtime_ns, st.st_size)
+    return (h, total)
 
 
 def _infer_unit(max_abs: int) -> str:

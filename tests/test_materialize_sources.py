@@ -434,3 +434,48 @@ def test_normalize_long_epoch_unit_is_per_column_not_per_value(spark):
         got = sorted(r[0] for r in out.select(F.unix_micros("ts")).collect())
     assert got == [pre1976_us, us]  # both decoded as µs
     assert any("unambiguous band" in str(x.message) for x in w)
+
+
+def test_epoch_unit_cache_invalidates_on_directory_rewrite(spark, tmp_path):
+    """The per-path epoch-unit cache must NOT serve a stale unit after a
+    parquet DIRECTORY is overwritten in place with data in a different
+    unit (ADVICE r6): a same-name overwrite keeps the directory's own
+    entry set — so dir st_size is constant and dir mtime can be coarse —
+    but the child part files' stamps move, and _path_stamp folds those
+    in. A stale unit here misdecodes every timestamp by 1000x (the
+    round-2 red-row class)."""
+    import shutil
+
+    from feast_java_old_spark.sources.tables import (
+        _path_stamp,
+        normalize_timestamp_cols,
+    )
+
+    us = 1706000000123456
+    path = str(tmp_path / "events.parquet")
+
+    spark.createDataFrame([(us,)], "ts long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    df1 = normalize_timestamp_cols(
+        spark.read.parquet(path), "ts", cache_key=path
+    )
+    assert df1.select(F.unix_micros("ts")).first()[0] == us
+    stamp1 = _path_stamp(path)
+
+    # Rewrite the SAME directory with the same instant in MILLIS. Write
+    # to a scratch dir and move the part files over so the directory's
+    # own inode (name set) is maximally unchanged — the hostile case.
+    scratch = str(tmp_path / "scratch.parquet")
+    spark.createDataFrame([(us // 1000,)], "ts long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(scratch)
+    shutil.rmtree(path)
+    shutil.move(scratch, path)
+
+    assert _path_stamp(path) != stamp1, "directory rewrite must move the stamp"
+    df2 = normalize_timestamp_cols(
+        spark.read.parquet(path), "ts", cache_key=path
+    )
+    # A stale cached 'us' unit would return us // 1000 here (1000x off).
+    assert df2.select(F.unix_micros("ts")).first()[0] == (us // 1000) * 1000
