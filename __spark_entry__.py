@@ -3921,6 +3921,126 @@ FROM latest
 """
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end-to-end (parity: content-hash schema registry,
+    ``BigTableSchemaRegistry.java:33-107``; per-row-schema decode,
+    ``BigTableOnlineRetriever.java:169-207``,
+    ``CassandraOnlineRetriever.java:225-246``): rows materialized under a
+    v1 feature set stay servable — conformed to the CURRENT schema —
+    after the spec ADDS (``etype``), DROPS (``event_type``) and RETYPES
+    (``user_id`` INT64→DOUBLE) features and re-materializes only the
+    post-change window.
+
+    v1 (revision 1): features (value DOUBLE, user_id INT64, event_type
+    STRING), materialized over events with ts ≤ Jan-15. v2 (revision 2):
+    (value DOUBLE, user_id DOUBLE, etype STRING via field-mapping rename),
+    materialized over ts > Jan-15 into a second ``rev=<spec_hash>``
+    epoch. Serving unions both epochs under v2's schema: v1 rows cast
+    user_id long→double, surface etype as NULL, and never expose the
+    dropped event_type; ``src_rev`` records which epoch won each key.
+    Entity = event_id (unique per event), so every source row is
+    servable and the epoch boundary is exactly the time split — the
+    oracle is the events table split at Jan-15 with the same
+    conformance applied per half.
+
+    The result is localCheckpoint'd so the scratch store can be removed
+    before returning (no /tmp leak per invocation)."""
+    import shutil
+    import tempfile
+
+    import feast_java_old_spark as fs
+    from feast_java_old_spark.operators.materialize import (
+        materialize_versioned,
+        read_online_versioned,
+    )
+    from feast_java_old_spark.registry.model import FileSource
+
+    import os
+
+    split = dt.datetime(2024, 1, 15)
+    src_path = os.path.join(sf_dir, "events.parquet")
+    reg = fs.Registry()
+    reg.apply_entity(fs.Entity("event_id", fs.ValueType.INT64))
+    reg.apply_feature_table(
+        fs.FeatureTable(
+            name="ev_evo",
+            entities=["event_id"],
+            features=[
+                fs.Feature("value", fs.ValueType.DOUBLE),
+                fs.Feature("user_id", fs.ValueType.INT64),
+                fs.Feature("event_type", fs.ValueType.STRING),
+            ],
+            batch_source=FileSource(
+                file_url=src_path, event_timestamp_column="ts"
+            ),
+        )
+    )
+    store = tempfile.mkdtemp(prefix="fjos_schemaevo_")
+    try:
+        with _small_shuffle(spark):
+            return _schema_evolution_run(spark, reg, store, split, src_path)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _schema_evolution_run(spark, reg, store, split, src_path):
+    import feast_java_old_spark as fs
+    from feast_java_old_spark.operators.materialize import (
+        materialize_versioned,
+        read_online_versioned,
+    )
+    from feast_java_old_spark.registry.model import FileSource
+
+    materialize_versioned(spark, reg, "ev_evo", store, end_ts=split)
+    reg.apply_feature_table(
+        fs.FeatureTable(
+            name="ev_evo",
+            entities=["event_id"],
+            features=[
+                fs.Feature("value", fs.ValueType.DOUBLE),
+                fs.Feature("user_id", fs.ValueType.DOUBLE),
+                fs.Feature("etype", fs.ValueType.STRING),
+            ],
+            batch_source=FileSource(
+                file_url=src_path,
+                event_timestamp_column="ts",
+                field_mapping={"event_type": "etype"},
+            ),
+        )
+    )
+    # ts has µs resolution, so ts ≥ split+1µs ⟺ ts > split: the two
+    # epochs partition the table exactly like the oracle's <=/> split.
+    materialize_versioned(
+        spark, reg, "ev_evo", store,
+        start_ts=split + dt.timedelta(microseconds=1),
+    )
+    out = read_online_versioned(
+        spark, reg, "ev_evo", store, revision_col="src_rev"
+    ).select(
+        "event_id",
+        F.unix_micros("event_timestamp").alias("ts_us"),
+        "value",
+        "user_id",
+        "etype",
+        "src_rev",
+    )
+    # eager checkpoint: the caller deletes the scratch store right after
+    return out.localCheckpoint(eager=True)
+
+
+SQL_SCHEMA_EVOLUTION = """
+SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+       CAST(user_id AS DOUBLE) AS user_id,
+       CAST(NULL AS VARCHAR) AS etype, 1 AS src_rev
+FROM events WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15 00:00:00'
+UNION ALL
+SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+       CAST(user_id AS DOUBLE) AS user_id,
+       event_type AS etype, 2 AS src_rev
+FROM events WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-15 00:00:00'
+"""
+
+
 # ------------------------------------------------------- streaming (bounded)
 
 
@@ -6496,6 +6616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 2 re-scoped in r5 (dedup_verified_simhash / embedding_near_dups),
         # 1 new F8 carrier (stream_proto_decode), then the 23
         # oldest-evidence rows (15×r2, 8×r3).
+        "schema_evolution": q_schema_evolution,
         "target_encode": q_target_encode,
         "winsorize": q_winsorize,
         "chunk_documents": q_chunk_documents,
@@ -6660,6 +6781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "schema_evolution": SQL_SCHEMA_EVOLUTION,
         "s1_scan_projection": SQL_S1,
         "a1_latest_per_key": SQL_A1,
         "a1_latest_window": SQL_A1,

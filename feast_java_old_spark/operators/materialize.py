@@ -469,3 +469,202 @@ def forget_keys(
     if broadcast_forget:
         f = F.broadcast(f)
     return df.join(f, on=keys, how="left_anti")
+
+
+# ------------------------------------------------- schema-versioned store
+
+SCHEMAS_FILE = "_schemas.json"
+
+
+def _load_schema_registry(table_path: str) -> dict:
+    p = os.path.join(table_path, SCHEMAS_FILE)
+    if not os.path.exists(p):
+        return {}
+    import json
+
+    with open(p) as f:
+        return json.load(f)
+
+
+def _save_schema_registry(table_path: str, reg: dict) -> None:
+    """Atomic write — a serving reader may re-read at any moment."""
+    import json
+    import tempfile
+
+    os.makedirs(table_path, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=table_path)
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(reg, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(table_path, SCHEMAS_FILE))
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def materialize_versioned(
+    spark: SparkSession,
+    registry: Registry,
+    table_name: str,
+    store_path: str,
+    project: str = "default",
+    end_ts=None,
+    start_ts=None,
+    strategy: str = "agg",
+) -> str:
+    """:func:`materialize` into a **schema-versioned** online table: each
+    write lands in a ``rev=<spec_hash[:8]>/`` epoch directory and records
+    the spec's schema in a ``_schemas.json`` content-hash registry at the
+    table root.
+
+    This is the Spark shape of the reference's schema registry
+    (``BigTableSchemaRegistry.java:33-107``: avro schemas stored under
+    ``schema#<hash>`` metadata rows; every data cell's value carries a
+    4-byte schema-hash prefix so rows written under different feature-set
+    revisions stay decodable, ``BigTableOnlineRetriever.java:169-186``;
+    same per-row scheme in ``CassandraOnlineRetriever.java:225-246``).
+    Putting the hash on the epoch *directory* instead of each row
+    amortizes the reference's per-row 4 bytes to zero and — because the
+    epoch is a real partition path — lets a reader prune whole schema
+    epochs at file-listing time, which a per-row prefix never can.
+
+    Feature columns are cast to the spec's declared types at write time
+    (``try_cast``: unconvertible → NULL, the P5 rule), so an epoch's
+    parquet footer schema IS the schema the spec declared when it was
+    written — exactly the avro-schema-at-serialization-time contract.
+    Re-materializing an unchanged spec overwrites its own epoch
+    (content hash ⇒ idempotent location); a revised spec lands in a new
+    epoch and old epochs keep serving rows the new window didn't touch.
+
+    Returns the epoch directory path.
+    """
+    table: FeatureTable = registry.get_feature_table(table_name, project)
+    df = conform_batch_source(spark, table, end_ts=end_ts, start_ts=start_ts)
+    created_col = table.batch_source.created_timestamp_column or None
+
+    latest = latest_per_key(
+        df,
+        keys=list(table.entities),
+        event_ts_col="event_timestamp",
+        created_ts_col=created_col,
+        strategy=strategy,
+    )
+    if created_col and created_col in latest.columns:
+        latest = latest.drop(created_col)
+    for feat in table.features:
+        if feat.name in latest.columns:
+            declared = feat.value_type.to_spark()
+            if latest.schema[feat.name].dataType != declared:
+                latest = latest.withColumn(
+                    feat.name, F.col(feat.name).try_cast(declared)
+                )
+
+    h = table.spec_hash()[:8]
+    tpath = online_table_path(store_path, project, table_name)
+    epoch = os.path.join(tpath, f"rev={h}")
+    latest.repartition(*[F.col(k) for k in table.entities]).sortWithinPartitions(
+        *table.entities
+    ).write.mode("overwrite").parquet(epoch)
+
+    reg = _load_schema_registry(tpath)
+    reg[h] = {
+        "revision": table.revision,
+        "spec_hash": table.spec_hash(),
+        "entities": sorted(table.entities),
+        "features": sorted(
+            ({"name": f.name, "value_type": f.value_type.value}
+             for f in table.features),
+            key=lambda d: d["name"],
+        ),
+    }
+    _save_schema_registry(tpath, reg)
+    return epoch
+
+
+def read_online_versioned(
+    spark: SparkSession,
+    registry: Registry,
+    table_name: str,
+    store_path: str,
+    project: str = "default",
+    revision_col: Optional[str] = None,
+) -> Optional[DataFrame]:
+    """Serve a schema-versioned online table under the spec's **current**
+    schema, across every epoch ever written.
+
+    Per epoch (the reference's per-row ``decodeFeatures``,
+    ``BigTableOnlineRetriever.java:169-207``, hoisted to plan time —
+    one resolution per schema hash instead of per row, which is also
+    what its Guava schema cache was approximating):
+
+    - declared feature present in the epoch → stored value, ``try_cast``
+      to the current declared type when the epoch stored a different
+      type (P5: unconvertible → NULL);
+    - declared feature missing from the epoch (added since) → NULL
+      (``AvroRuntimeException → null`` in the reference);
+    - epoch column not in the current spec (dropped since) → pruned at
+      the scan (never read: column pruning reaches the parquet footer).
+
+    The conformed epochs are unioned and reduced by
+    :func:`latest_per_key` with the epoch revision as the tiebreak —
+    when the same entity key carries the same event timestamp in two
+    epochs, the later revision's row wins (its write observed the
+    earlier one). One scan per epoch + one map-side-combining aggregate:
+    epoch count tracks *schema changes*, not data volume, so the union
+    adds scan width only — the shuffle still carries one row per
+    (key, partition) at 100 TB.
+
+    Entity-set changes are NOT an evolution (the row key layout is the
+    table's identity — the reference would write a new KV table):
+    epochs missing a current entity column raise.
+
+    ``revision_col`` keeps the winning epoch's revision number as a
+    column (audit / gate use). Returns None for a never-materialized
+    table.
+    """
+    table: FeatureTable = registry.get_feature_table(table_name, project)
+    tpath = online_table_path(store_path, project, table_name)
+    schemas = _load_schema_registry(tpath)
+    if not schemas:
+        return None
+
+    rev_tag = "__rev"
+    frames = []
+    for h, meta in sorted(schemas.items(), key=lambda kv: kv[1]["revision"]):
+        df = spark.read.parquet(os.path.join(tpath, f"rev={h}"))
+        missing_keys = [k for k in table.entities if k not in df.columns]
+        if missing_keys:
+            raise ValueError(
+                f"epoch rev={h} of {project}/{table_name} lacks entity "
+                f"column(s) {missing_keys}: entity-set changes are a new "
+                f"table, not a schema evolution"
+            )
+        sel = [F.col(c) for c in [*table.entities, "event_timestamp"]]
+        for feat in table.features:
+            declared = feat.value_type.to_spark()
+            if feat.name in df.columns:
+                actual = df.schema[feat.name].dataType
+                col = (
+                    F.col(feat.name)
+                    if actual == declared
+                    else F.col(feat.name).try_cast(declared)
+                )
+            else:
+                col = F.lit(None).cast(declared)
+            sel.append(col.alias(feat.name))
+        sel.append(F.lit(int(meta["revision"])).alias(rev_tag))
+        frames.append(df.select(*sel))
+
+    allf = frames[0]
+    for f in frames[1:]:
+        allf = allf.unionByName(f)
+    merged = latest_per_key(
+        allf,
+        keys=list(table.entities),
+        event_ts_col="event_timestamp",
+        created_ts_col=rev_tag,  # revision breaks event-time ties
+    )
+    if revision_col:
+        return merged.withColumnRenamed(rev_tag, revision_col)
+    return merged.drop(rev_tag)

@@ -1,0 +1,219 @@
+"""Schema evolution across the materialize/serve boundary (parity:
+``BigTableSchemaRegistry.java:33-107`` content-hash schema registry +
+``BigTableOnlineRetriever.decodeFeatures:169-207`` per-row-schema decode;
+``CassandraOnlineRetriever.java:225-246``): rows written under an old
+feature-set revision stay servable after the spec adds / drops / retypes
+a feature, conformed to the CURRENT schema at read time."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+import feast_java_old_spark as fs
+from feast_java_old_spark.operators.materialize import (
+    materialize_versioned,
+    read_online_versioned,
+    _load_schema_registry,
+)
+from feast_java_old_spark.registry.model import FileSource
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, tag string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _table_v1(src):
+    return fs.FeatureTable(
+        name="ut",
+        entities=["user_id"],
+        features=[
+            fs.Feature("value", fs.ValueType.DOUBLE),
+            fs.Feature("tag", fs.ValueType.STRING),
+        ],
+        batch_source=src,
+    )
+
+
+def _table_v2(src):
+    # drop: tag; retype: value DOUBLE -> STRING; add: vdup (field-mapped)
+    return fs.FeatureTable(
+        name="ut",
+        entities=["user_id"],
+        features=[
+            fs.Feature("value", fs.ValueType.STRING),
+            fs.Feature("vdup", fs.ValueType.DOUBLE),
+        ],
+        batch_source=src,
+    )
+
+
+@pytest.fixture()
+def registry():
+    reg = fs.Registry()
+    reg.apply_entity(fs.Entity("user_id", fs.ValueType.INT64))
+    return reg
+
+
+def test_versioned_materialize_serves_across_schema_change(
+    spark, registry, tmp_path
+):
+    src_path = str(tmp_path / "events.parquet")
+    store = str(tmp_path / "store")
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 10)
+    _write_events(
+        spark,
+        src_path,
+        [(1, t0, 1.5, "a"), (2, t0, 2.5, "b")],
+    )
+    src1 = FileSource(file_url=src_path, event_timestamp_column="ts")
+    v1 = registry.apply_feature_table(_table_v1(src1))
+    assert v1.revision == 1
+    materialize_versioned(spark, registry, "ut", store)
+
+    # revise: user 2 gets a NEW event under the new spec; user 1's latest
+    # row still lives in the v1 epoch.
+    _write_events(spark, src_path, [(2, t1, 9.5, "z")])
+    src2 = FileSource(
+        file_url=src_path,
+        event_timestamp_column="ts",
+        field_mapping={"value": "vdup"},
+    )
+    # vdup is value renamed; the retyped `value` column is absent from
+    # the v2 source after the rename -> stored NULL in the v2 epoch.
+    v2 = registry.apply_feature_table(_table_v2(src2))
+    assert v2.revision == 2
+    materialize_versioned(spark, registry, "ut", store)
+
+    out = read_online_versioned(
+        spark, registry, "ut", store, revision_col="src_rev"
+    ).orderBy("user_id")
+    rows = {r.user_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    # user 1: served from the v1 epoch under the v2 schema —
+    # value retyped double->string at read, vdup (added) -> NULL,
+    # tag (dropped) gone entirely.
+    assert rows[1].src_rev == 1
+    assert rows[1].value == "1.5"
+    assert rows[1].vdup is None
+    assert "tag" not in out.columns
+    # user 2: later event in the v2 epoch wins; value was never in the
+    # v2 source (renamed away) -> NULL, vdup carries it.
+    assert rows[2].src_rev == 2
+    assert rows[2].value is None
+    assert rows[2].vdup == 9.5
+
+
+def test_versioned_epoch_idempotent_and_registry_contents(
+    spark, registry, tmp_path
+):
+    src_path = str(tmp_path / "events.parquet")
+    store = str(tmp_path / "store")
+    _write_events(spark, src_path, [(1, dt.datetime(2024, 1, 1), 1.0, "a")])
+    src = FileSource(file_url=src_path, event_timestamp_column="ts")
+    registry.apply_feature_table(_table_v1(src))
+    p1 = materialize_versioned(spark, registry, "ut", store)
+    p2 = materialize_versioned(spark, registry, "ut", store)
+    # content-hash epoch: unchanged spec overwrites its own directory
+    assert p1 == p2
+    reg = _load_schema_registry(p1.rsplit("/rev=", 1)[0])
+    assert len(reg) == 1
+    (meta,) = reg.values()
+    assert meta["revision"] == 1
+    assert [f["name"] for f in meta["features"]] == ["tag", "value"]
+
+
+def test_versioned_event_time_beats_revision(spark, registry, tmp_path):
+    """Latest event wins across epochs regardless of which revision wrote
+    it; revision only breaks exact event-time ties (the later revision's
+    write observed the earlier one)."""
+    src_path = str(tmp_path / "events.parquet")
+    store = str(tmp_path / "store")
+    t_new = dt.datetime(2024, 1, 20)
+    t_tie = dt.datetime(2024, 1, 5)
+    _write_events(
+        spark, src_path, [(1, t_new, 7.0, "new"), (2, t_tie, 1.0, "v1")]
+    )
+    src = FileSource(file_url=src_path, event_timestamp_column="ts")
+    registry.apply_feature_table(_table_v1(src))
+    materialize_versioned(spark, registry, "ut", store)
+
+    # v2 epoch: user 1 only has an OLDER event; user 2 ties exactly.
+    _write_events(
+        spark, src_path,
+        [(1, dt.datetime(2024, 1, 2), 3.0, "old"), (2, t_tie, 2.0, "v2")],
+    )
+    src2 = FileSource(file_url=src_path, event_timestamp_column="ts")
+    t2 = _table_v1(src2)
+    t2.features = t2.features + [fs.Feature("vdup", fs.ValueType.DOUBLE)]
+    registry.apply_feature_table(t2)
+    materialize_versioned(spark, registry, "ut", store)
+
+    rows = {
+        r.user_id: r
+        for r in read_online_versioned(
+            spark, registry, "ut", store, revision_col="src_rev"
+        ).collect()
+    }
+    assert rows[1].value == 7.0 and rows[1].src_rev == 1  # newest event wins
+    assert rows[2].value == 2.0 and rows[2].src_rev == 2  # tie -> later rev
+
+
+def test_versioned_entity_change_raises(spark, registry, tmp_path):
+    src_path = str(tmp_path / "events.parquet")
+    store = str(tmp_path / "store")
+    _write_events(spark, src_path, [(1, dt.datetime(2024, 1, 1), 1.0, "a")])
+    src = FileSource(file_url=src_path, event_timestamp_column="ts")
+    registry.apply_feature_table(_table_v1(src))
+    materialize_versioned(spark, registry, "ut", store)
+
+    registry.apply_entity(fs.Entity("other_id", fs.ValueType.INT64))
+    t2 = _table_v1(src)
+    t2.entities = ["other_id"]
+    registry.apply_feature_table(t2)
+    with pytest.raises(ValueError, match="entity-set"):
+        read_online_versioned(spark, registry, "ut", store)
+
+
+def test_versioned_never_materialized_returns_none(spark, registry, tmp_path):
+    src = FileSource(
+        file_url=str(tmp_path / "nope.parquet"), event_timestamp_column="ts"
+    )
+    registry.apply_feature_table(_table_v1(src))
+    assert (
+        read_online_versioned(spark, registry, "ut", str(tmp_path / "store"))
+        is None
+    )
+
+
+def test_versioned_frame_serves_through_get_online_features(
+    spark, registry, tmp_path
+):
+    """The conformed cross-epoch frame plugs straight into the J1 online
+    lookup (``online_frames``) — versioning is invisible to serving."""
+    from feast_java_old_spark.operators import get_online_features
+
+    src_path = str(tmp_path / "events.parquet")
+    store = str(tmp_path / "store")
+    _write_events(
+        spark, src_path,
+        [(1, dt.datetime(2024, 1, 1), 1.5, "a")],
+    )
+    src = FileSource(file_url=src_path, event_timestamp_column="ts")
+    registry.apply_feature_table(_table_v1(src))
+    materialize_versioned(spark, registry, "ut", store)
+    frame = read_online_versioned(spark, registry, "ut", store)
+    out = get_online_features(
+        spark,
+        registry,
+        [{"user_id": 1}, {"user_id": 404}],
+        ["ut:value"],
+        online_frames={"ut": frame},
+        request_ts=dt.datetime(2024, 1, 31),
+    ).collect()
+    assert out[0]["ut__value"] == 1.5
+    assert out[0]["ut__value__status"] == "PRESENT"
+    assert out[1]["ut__value__status"] == "NOT_FOUND"
