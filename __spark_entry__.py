@@ -6609,74 +6609,69 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver gate window: the driver's correctness gate samples the
-        # FIRST 50 entries of this dict (insertion order).  r6 rotation
-        # (VERDICT r5 #1): positions 1-50 are exactly the queries whose
-        # driver record is missing or stale — 21 never gated, 3 stale-red
-        # (stream_window_rollup / stream_latest_merge / kmeans_refine),
-        # 2 re-scoped in r5 (dedup_verified_simhash / embedding_near_dups),
-        # 1 new F8 carrier (stream_proto_decode), then the 23
-        # oldest-evidence rows (15×r2, 8×r3).
+        # FIRST 50 entries of this dict (insertion order).  r7 rotation
+        # (VERDICT r6 #5 standing invariant: no query's driver row ages
+        # past ~3 rounds): position 1 is the brand-new schema_evolution
+        # (never gated), then the 6 queries whose newest row is r3, then
+        # the 43 oldest r4 rows.  Positions 51+ are the remaining r4/r5/r6
+        # rows, oldest evidence first — next round's window starts there.
         "schema_evolution": q_schema_evolution,
-        "target_encode": q_target_encode,
-        "winsorize": q_winsorize,
-        "chunk_documents": q_chunk_documents,
-        "resample_ffill": q_resample_ffill,
-        "bpe_pairs": q_bpe_pairs,
-        "line_filter": q_line_filter,
-        "cdc_apply": q_cdc_apply,
-        "normalize_features": q_normalize_features,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "zorder_key": q_zorder_key,
-        "rollup_merge": q_rollup_merge,
-        "boilerplate": q_boilerplate,
-        "top_orders": q_top_orders,
-        "snapshot_diff": q_snapshot_diff,
-        "user_sequences": q_user_sequences,
-        "length_batches": q_length_batches,
-        "negative_samples": q_negative_samples,
-        "session_cooccurrence": q_session_cooccurrence,
-        "calendar_features": q_calendar_features,
-        "pmi_collocations": q_pmi_collocations,
-        "stream_window_rollup": q_stream_window_rollup,
-        "stream_latest_merge": q_stream_latest_merge,
-        "kmeans_refine": q_kmeans_refine,
-        "dedup_verified_simhash": q_dedup_verified_simhash,
-        "embedding_near_dups": q_embedding_near_dups,
-        "stream_proto_decode": q_stream_proto_decode,
-        "odfv_transform": q_odfv_transform,
-        "doc_fingerprint": q_doc_fingerprint,
-        "embedding_centroids": q_embedding_centroids,
-        "lang_id": q_lang_id,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_frames": q_multimodal_frames,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "quality_classifier": q_quality_classifier,
-        "similarity_ann_ivf": q_similarity_ann_ivf,
-        "similarity_ann_lsh": q_similarity_ann_lsh,
-        "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
-        "similarity_topk": q_similarity_topk,
-        "token_count": q_token_count,
-        "training_corpus": q_training_corpus,
-        "vocab_topk": q_vocab_topk,
-        "embedding_outliers": q_embedding_outliers,
-        "corpus_dedup_apply": q_corpus_dedup_apply,
-        "dedup_keep_best": q_dedup_keep_best,
-        "dedup_crossmodal": q_dedup_crossmodal,
-        "corpus_split": q_corpus_split,
-        "domain_topk": q_domain_topk,
-        "sequence_pack": q_sequence_pack,
-        "unigram_logprob": q_unigram_logprob,
-        # --- positions 51+: previously driver-gated queries, newest
-        #     evidence last (r3 remainder, then r4, then r5; all
-        #     re-verified every round by scripts/check_correctness.py
-        #     --driver).
         "corpus_rollup": q_corpus_rollup,
         "domain_mix": q_domain_mix,
         "domain_upsample": q_domain_upsample,
         "interval_join": q_interval_join,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
+        "s1_scan_projection": q_s1_scan_projection,
+        "a1_latest_per_key": q_a1_latest_per_key,
+        "a1_latest_window": q_a1_latest_window,
+        "j1_entity_lookup": q_j1_entity_lookup,
+        "j1_lookup_shuffle": q_j1_lookup_shuffle,
+        "j2_compound_key": q_j2_compound_key,
+        "j3_max_age": q_j3_max_age,
+        "historical_asof": q_historical_asof,
+        "historical_asof_range": q_historical_asof_range,
+        "historical_asof_bucketed": q_historical_asof_bucketed,
+        "historical_training_set": q_historical_training_set,
+        "a2_metrics_rollup": q_a2_metrics_rollup,
+        "a3_window_rollup": q_a3_window_rollup,
+        "a4_sliding_rollup": q_a4_sliding_rollup,
+        "sliding_distinct": q_sliding_distinct,
+        "sliding_distinct_approx": q_sliding_distinct_approx,
+        "a5_sessions": q_a5_sessions,
+        "a6_percentiles": q_a6_percentiles,
+        "a7_rollup_revenue": q_a7_rollup_revenue,
+        "a8_cube_revenue": q_a8_cube_revenue,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "p5_type_conformance": q_p5_type_conformance,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_containment": q_dedup_containment,
+        "dedup_verified": q_dedup_verified,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_stats": q_dedup_stats,
+        "novelty_score": q_novelty_score,
+        "stream_incremental_dedup": q_stream_incremental_dedup,
+        "dedup_components": q_dedup_components,
+        "text_stats": q_text_stats,
+        "text_repetition": q_text_repetition,
+        "pii_scrub": q_pii_scrub,
+        "chunk_dedup": q_chunk_dedup,
+        "feature_drift": q_feature_drift,
+        "key_skew": q_key_skew,
+        # --- below here: not in the r7 gate window (positions 51+)
+        "decontaminate": q_decontaminate,
+        "dsir_weights": q_dsir_weights,
+        "corpus_shuffle": q_corpus_shuffle,
+        "shard_manifest": q_shard_manifest,
+        "text_normalize": q_text_normalize,
+        "hard_negatives": q_hard_negatives,
         "stream_dedup": q_stream_dedup,
         "stream_enrich": q_stream_enrich,
         "stream_stream_join": q_stream_stream_join,
@@ -6727,55 +6722,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "skew_join": q_skew_join,
         "ewma_features": q_ewma_features,
-        "s1_scan_projection": q_s1_scan_projection,
-        "a1_latest_per_key": q_a1_latest_per_key,
-        "a1_latest_window": q_a1_latest_window,
-        "j1_entity_lookup": q_j1_entity_lookup,
-        "j1_lookup_shuffle": q_j1_lookup_shuffle,
-        "j2_compound_key": q_j2_compound_key,
-        "j3_max_age": q_j3_max_age,
-        "historical_asof": q_historical_asof,
-        "historical_asof_range": q_historical_asof_range,
-        "historical_asof_bucketed": q_historical_asof_bucketed,
-        "historical_training_set": q_historical_training_set,
-        "a2_metrics_rollup": q_a2_metrics_rollup,
-        "a3_window_rollup": q_a3_window_rollup,
-        "a4_sliding_rollup": q_a4_sliding_rollup,
-        "sliding_distinct": q_sliding_distinct,
-        "sliding_distinct_approx": q_sliding_distinct_approx,
-        "a5_sessions": q_a5_sessions,
-        "a6_percentiles": q_a6_percentiles,
-        "a7_rollup_revenue": q_a7_rollup_revenue,
-        "a8_cube_revenue": q_a8_cube_revenue,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q18": q_tpch_q18,
-        "p5_type_conformance": q_p5_type_conformance,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_containment": q_dedup_containment,
-        "dedup_verified": q_dedup_verified,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_stats": q_dedup_stats,
-        "novelty_score": q_novelty_score,
-        "stream_incremental_dedup": q_stream_incremental_dedup,
-        "dedup_components": q_dedup_components,
-        "text_stats": q_text_stats,
-        "text_repetition": q_text_repetition,
-        "pii_scrub": q_pii_scrub,
-        "chunk_dedup": q_chunk_dedup,
-        "feature_drift": q_feature_drift,
-        "key_skew": q_key_skew,
-        "decontaminate": q_decontaminate,
-        "dsir_weights": q_dsir_weights,
-        "corpus_shuffle": q_corpus_shuffle,
-        "shard_manifest": q_shard_manifest,
-        "text_normalize": q_text_normalize,
-        "hard_negatives": q_hard_negatives,
+        "target_encode": q_target_encode,
+        "winsorize": q_winsorize,
+        "chunk_documents": q_chunk_documents,
+        "resample_ffill": q_resample_ffill,
+        "bpe_pairs": q_bpe_pairs,
+        "line_filter": q_line_filter,
+        "cdc_apply": q_cdc_apply,
+        "normalize_features": q_normalize_features,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "zorder_key": q_zorder_key,
+        "rollup_merge": q_rollup_merge,
+        "boilerplate": q_boilerplate,
+        "top_orders": q_top_orders,
+        "snapshot_diff": q_snapshot_diff,
+        "user_sequences": q_user_sequences,
+        "length_batches": q_length_batches,
+        "negative_samples": q_negative_samples,
+        "session_cooccurrence": q_session_cooccurrence,
+        "calendar_features": q_calendar_features,
+        "pmi_collocations": q_pmi_collocations,
+        "stream_window_rollup": q_stream_window_rollup,
+        "stream_latest_merge": q_stream_latest_merge,
+        "kmeans_refine": q_kmeans_refine,
+        "dedup_verified_simhash": q_dedup_verified_simhash,
+        "embedding_near_dups": q_embedding_near_dups,
+        "stream_proto_decode": q_stream_proto_decode,
+        "odfv_transform": q_odfv_transform,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_centroids": q_embedding_centroids,
+        "lang_id": q_lang_id,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "quality_classifier": q_quality_classifier,
+        "similarity_ann_ivf": q_similarity_ann_ivf,
+        "similarity_ann_lsh": q_similarity_ann_lsh,
+        "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
+        "similarity_topk": q_similarity_topk,
+        "token_count": q_token_count,
+        "training_corpus": q_training_corpus,
+        "vocab_topk": q_vocab_topk,
+        "embedding_outliers": q_embedding_outliers,
+        "corpus_dedup_apply": q_corpus_dedup_apply,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dedup_crossmodal": q_dedup_crossmodal,
+        "corpus_split": q_corpus_split,
+        "domain_topk": q_domain_topk,
+        "sequence_pack": q_sequence_pack,
+        "unigram_logprob": q_unigram_logprob,
     }
 
 
