@@ -359,3 +359,56 @@ def test_cms_join_size_upper_bounds_exact(spark):
     assert est >= 10101
     # few distinct keys, wide sketch -> collisions unlikely: est exact
     assert est <= 10101 * 1.2
+
+
+def test_count_min_epsilon_bound_contract(spark):
+    """CMS guarantee contract (Cormode–Muthukrishnan): with width w and
+    depth d, every estimate overcounts by at most eps*N where
+    eps = e/w, with probability >= 1 - e^-d. The corpus and hash
+    functions are deterministic, so the bound is checked exactly: every
+    probed key's overcount must sit within eps*N (d=4 -> failure mass
+    e^-4 ~ 1.8%, and a deterministic pass stays a pass)."""
+    from feast_java_old_spark.operators import sketches
+
+    depth, width = 4, 256
+    n = 1000
+    rows = [(i,) for i in range(n)]
+    df = spark.createDataFrame(rows, "k long")
+    cells = sketches.count_min_cells(df, "k", depth=depth, width=width)
+    probes = df.select("k").distinct()
+    est = {
+        r.k: r.est_cnt
+        for r in sketches.count_min_estimate(
+            cells, probes, "k", depth=depth, width=width
+        ).collect()
+    }
+    eps_n = math.e * n / width  # ~10.6
+    assert len(est) == n
+    worst = max(e - 1 for e in est.values())
+    assert worst <= eps_n, f"worst overcount {worst} > eps*N {eps_n:.1f}"
+    # and the sketch is not vacuous: collisions exist at n >> width
+    assert worst > 0
+
+
+def test_bloom_fp_rate_formula_bound(spark):
+    """Bloom FP-rate contract: with n inserted keys, m bits, k hashes,
+    the expected false-positive rate is p = (1 - e^(-k*n/m))^k. The
+    measured rate over a large uninserted probe set must sit within 2x
+    of the formula (deterministic hashes + fixed probe set -> the
+    assertion is stable), and must be nonzero — the filter is
+    approximate by design, a 0% rate at n*k ~ m would mean the probe
+    never touches set bits (broken hashing)."""
+    from feast_java_old_spark.operators import sketches
+
+    n, bits, k = 200, 1024, 4
+    inserted = spark.createDataFrame([(i,) for i in range(n)], "k long")
+    bloom = sketches.bloom_build(inserted, "k", k=k, bits=bits)
+    n_probe = 2000
+    probes = spark.createDataFrame(
+        [(i,) for i in range(10_000, 10_000 + n_probe)], "k long"
+    )
+    out = sketches.bloom_probe(bloom, probes, "k", k=k, bits=bits)
+    fps = sum(1 for r in out.collect() if r.maybe_present)
+    p_theory = (1 - math.exp(-k * n / bits)) ** k  # ~0.0865
+    rate = fps / n_probe
+    assert 0 < rate < 2 * p_theory, (rate, p_theory)

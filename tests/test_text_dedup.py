@@ -471,3 +471,59 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     jac = {(r.doc_a, r.doc_b)
            for r in ngram_jaccard_pairs(df, threshold=0.8).collect()}
     assert (1, 2) not in jac
+
+
+def test_minhash_lsh_banding_exact_contract(spark):
+    """LSH banding contract, brute-forced at the signature level: the
+    candidate set must be EXACTLY the pairs whose k-minhash signatures
+    agree on at least one full band — no missed band collision (recall
+    completeness over the banding scheme) and no phantom pair (the
+    band join adds nothing the signatures don't imply). Also asserts
+    the pigeonhole recall floor: signatures differing in fewer than
+    `bands` positions cannot avoid a full-band collision.
+
+    This validates the whole production pipeline — the explode+agg
+    signature computation (minhash_band_buckets) against the per-row
+    expression form (minhash_signature), plus the band self-join —
+    because the brute force is computed from the EXPRESSION signatures
+    while the candidates come from the aggregate path."""
+    import itertools
+
+    k, bands = 12, 4
+    rows_per_band = k // bands
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base),
+        (2, base.replace("kappa", "lambda")),
+        (3, base.replace("alpha beta", "alpha mu")),
+        (4, "totally different content about query optimizers and joins"),
+        (5, base),  # exact dup of 1: all bands agree
+        (6, "another unrelated short document entirely"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = {
+        r.doc_id: tuple(r.sig)
+        for r in df.select(
+            "doc_id", dedup.minhash_signature(F.col("text"), k=k).alias("sig")
+        ).collect()
+    }
+    expected = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        sa, sb = sigs[a], sigs[b]
+        for band in range(bands):
+            lo = band * rows_per_band
+            if sa[lo : lo + rows_per_band] == sb[lo : lo + rows_per_band]:
+                expected.add((a, b))
+                break
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_candidates(df, k=k, bands=bands).collect()
+    }
+    assert got == expected
+    # the corpus must actually exercise both sides of the contract
+    assert (1, 5) in expected and (4, 6) not in expected
+    # pigeonhole floor: < bands disagreeing positions => must collide
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        diff = sum(1 for x, y in zip(sigs[a], sigs[b]) if x != y)
+        if diff < bands:
+            assert (a, b) in expected
