@@ -219,7 +219,12 @@ def main() -> None:
     prior: dict[str, float] = {}
     try:
         with open(detail_path) as f:
-            prior = json.load(f).get("queries", {}) or {}
+            _pj = json.load(f)
+        # Same-SF baselines only: gen_scaling.py runs this harness across
+        # sf0.001/0.01/0.1 back-to-back, and a smaller-SF detail file
+        # would flag every query at the next SF up.
+        if _pj.get("sf") == sf:
+            prior = _pj.get("queries", {}) or {}
     except Exception:
         pass
 
