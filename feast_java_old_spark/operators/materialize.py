@@ -668,3 +668,81 @@ def read_online_versioned(
     if revision_col:
         return merged.withColumnRenamed(rev_tag, revision_col)
     return merged.drop(rev_tag)
+
+
+def compact_versioned(
+    spark: SparkSession,
+    registry: Registry,
+    table_name: str,
+    store_path: str,
+    project: str = "default",
+) -> str:
+    """Rewrite every schema epoch of a versioned online table into ONE
+    epoch under the spec's current schema — the backfill/migration job
+    the reference's design implies but never ships (its content-hash
+    schema registry grows monotonically; old avro schemas must be kept
+    forever because rows referencing them are never rewritten,
+    ``BigTableSchemaRegistry.java:33-107``).
+
+    Semantics-preserving by construction: the input is
+    :func:`read_online_versioned`'s conformed cross-epoch latest-wins
+    frame — exactly what serving would return — written as the current
+    spec's ``rev=<spec_hash>`` epoch; stale epoch directories and their
+    registry entries are then dropped. After compaction, serving reads
+    one epoch (one conformance branch, one scan) until the next schema
+    change. At 100 TB this is the periodic job that keeps the
+    epoch-union's scan width bounded: run it after each schema
+    migration settles, like any table-format compaction.
+
+    The rewrite stages into a temp directory first: the union plan
+    READS the current epoch dir, so writing over it in place would
+    overwrite an input of the running job.
+
+    Returns the surviving epoch path.
+    """
+    import shutil
+    import tempfile
+
+    table: FeatureTable = registry.get_feature_table(table_name, project)
+    merged = read_online_versioned(
+        spark, registry, table_name, store_path, project
+    )
+    if merged is None:
+        raise KeyError(
+            f"{project}/{table_name} has no versioned epochs to compact"
+        )
+    tpath = online_table_path(store_path, project, table_name)
+    h = table.spec_hash()[:8]
+    epoch = os.path.join(tpath, f"rev={h}")
+
+    staging = tempfile.mkdtemp(prefix="fjos_compact_", dir=tpath)
+    try:
+        merged.repartition(
+            *[F.col(k) for k in table.entities]
+        ).sortWithinPartitions(*table.entities).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        if os.path.isdir(epoch):
+            shutil.rmtree(epoch)
+        os.replace(staging, epoch)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+
+    schemas = _load_schema_registry(tpath)
+    for old_h in list(schemas):
+        if old_h != h:
+            shutil.rmtree(os.path.join(tpath, f"rev={old_h}"), ignore_errors=True)
+            del schemas[old_h]
+    schemas[h] = {
+        "revision": table.revision,
+        "spec_hash": table.spec_hash(),
+        "entities": sorted(table.entities),
+        "features": sorted(
+            ({"name": f.name, "value_type": f.value_type.value}
+             for f in table.features),
+            key=lambda d: d["name"],
+        ),
+    }
+    _save_schema_registry(tpath, schemas)
+    return epoch

@@ -217,3 +217,72 @@ def test_versioned_frame_serves_through_get_online_features(
     assert out[0]["ut__value"] == 1.5
     assert out[0]["ut__value__status"] == "PRESENT"
     assert out[1]["ut__value__status"] == "NOT_FOUND"
+
+
+def test_compact_versioned_preserves_serving_and_bounds_epochs(
+    spark, registry, tmp_path
+):
+    """Compaction contract: the served frame is IDENTICAL before and
+    after (conformed latest-wins is what gets rewritten), exactly one
+    epoch + one registry entry survive (under the CURRENT spec hash),
+    and stale epoch dirs are gone from disk."""
+    import os
+
+    from feast_java_old_spark.operators.materialize import (
+        compact_versioned,
+        online_table_path,
+    )
+
+    src_path = str(tmp_path / "events.parquet")
+    store = str(tmp_path / "store")
+    _write_events(
+        spark, src_path,
+        [(1, dt.datetime(2024, 1, 1), 1.5, "a"), (2, dt.datetime(2024, 1, 1), 2.5, "b")],
+    )
+    src1 = FileSource(file_url=src_path, event_timestamp_column="ts")
+    registry.apply_feature_table(_table_v1(src1))
+    materialize_versioned(spark, registry, "ut", store)
+
+    _write_events(spark, src_path, [(2, dt.datetime(2024, 1, 10), 9.5, "z")])
+    src2 = FileSource(
+        file_url=src_path, event_timestamp_column="ts",
+        field_mapping={"value": "vdup"},
+    )
+    registry.apply_feature_table(_table_v2(src2))
+    materialize_versioned(spark, registry, "ut", store)
+
+    def snap():
+        return sorted(
+            map(tuple, read_online_versioned(
+                spark, registry, "ut", store
+            ).collect())
+        )
+
+    before = snap()
+    epoch = compact_versioned(spark, registry, "ut", store)
+    after = snap()
+    assert after == before
+
+    tpath = online_table_path(store, "default", "ut")
+    revs = [d for d in os.listdir(tpath) if d.startswith("rev=")]
+    assert revs == [os.path.basename(epoch)]
+    reg = _load_schema_registry(tpath)
+    assert len(reg) == 1
+    (meta,) = reg.values()
+    assert meta["revision"] == 2
+    # compaction is idempotent
+    compact_versioned(spark, registry, "ut", store)
+    assert snap() == before
+
+
+def test_compact_versioned_never_materialized_raises(
+    spark, registry, tmp_path
+):
+    from feast_java_old_spark.operators.materialize import compact_versioned
+
+    src = FileSource(
+        file_url=str(tmp_path / "nope.parquet"), event_timestamp_column="ts"
+    )
+    registry.apply_feature_table(_table_v1(src))
+    with pytest.raises(KeyError, match="no versioned epochs"):
+        compact_versioned(spark, registry, "ut", str(tmp_path / "store"))
