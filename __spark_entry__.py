@@ -3955,7 +3955,30 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from feast_java_old_spark.registry.model import FileSource
 
+    store = tempfile.mkdtemp(prefix="fjos_schemaevo_")
+    try:
+        with _small_shuffle(spark):
+            out = _schema_evolution_frame(spark, sf_dir, store)
+            # eager checkpoint: the finally deletes the scratch store,
+            # and the driver collects only after this function returns
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _schema_evolution_frame(spark, sf_dir: str, store: str) -> DataFrame:
+    """Build the schema-evolution serve frame LAZILY against ``store``
+    (caller owns the scratch dir's lifetime) — split out so the plan
+    audit (scripts/gen_plans.py) can explain the real cross-epoch
+    union plan instead of a checkpoint scan."""
     import os
+
+    import feast_java_old_spark as fs
+    from feast_java_old_spark.operators.materialize import (
+        materialize_versioned,
+        read_online_versioned,
+    )
+    from feast_java_old_spark.registry.model import FileSource
 
     split = dt.datetime(2024, 1, 15)
     src_path = os.path.join(sf_dir, "events.parquet")
@@ -3975,22 +3998,6 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    store = tempfile.mkdtemp(prefix="fjos_schemaevo_")
-    try:
-        with _small_shuffle(spark):
-            return _schema_evolution_run(spark, reg, store, split, src_path)
-    finally:
-        shutil.rmtree(store, ignore_errors=True)
-
-
-def _schema_evolution_run(spark, reg, store, split, src_path):
-    import feast_java_old_spark as fs
-    from feast_java_old_spark.operators.materialize import (
-        materialize_versioned,
-        read_online_versioned,
-    )
-    from feast_java_old_spark.registry.model import FileSource
-
     materialize_versioned(spark, reg, "ev_evo", store, end_ts=split)
     reg.apply_feature_table(
         fs.FeatureTable(
@@ -4024,8 +4031,7 @@ def _schema_evolution_run(spark, reg, store, split, src_path):
         "etype",
         "src_rev",
     )
-    # eager checkpoint: the caller deletes the scratch store right after
-    return out.localCheckpoint(eager=True)
+    return out
 
 
 SQL_SCHEMA_EVOLUTION = """

@@ -95,8 +95,7 @@ side exists, `partial_*` aggregate functions before every `Exchange`
 (map-side combine), and the *absence* of wide shuffles on the hot path.
 
 """)
-for name, blurb in PICKS:
-    df = qs[name](spark, sf)
+def emit(name, blurb, df):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # strip expr ids and truncate very long lines for readability
     clean = re.sub(r"#\d+L?", "", plan)
@@ -105,6 +104,29 @@ for name, blurb in PICKS:
     out.write(f"## {name}\n\n{blurb}\n\n```\n")
     out.write("\n".join(lines[:40]))
     out.write("\n```\n\n")
+
+for name, blurb in PICKS:
+    emit(name, blurb, qs[name](spark, sf))
+
+# schema_evolution's queries() entry returns an eager localCheckpoint (its
+# scratch store is deleted before return), which would explain as a bare
+# checkpoint scan — audit the real cross-epoch serve plan instead.
+import shutil, tempfile
+_store = tempfile.mkdtemp(prefix="fjos_plans_schemaevo_")
+try:
+    emit(
+        "schema_evolution (cross-epoch serve)",
+        "Schema-versioned serve: one pruned FileScan per schema epoch "
+        "(per-epoch conformance — try_cast retype, NULL for added "
+        "features — is plan-time projection, the reference's per-ROW "
+        "avro decode hoisted to per-EPOCH), union, then ONE "
+        "max(struct) latest-wins aggregate with partial_max map-side; "
+        "the shuffle carries one row per (key, partition) however many "
+        "epochs exist.",
+        e._schema_evolution_frame(spark, sf, _store),
+    )
+finally:
+    shutil.rmtree(_store, ignore_errors=True)
 with open("/root/repo/docs/PLANS.md", "w") as f:
     f.write(out.getvalue())
 print("written", len(out.getvalue()), "chars")
