@@ -503,6 +503,34 @@ def _save_schema_registry(table_path: str, reg: dict) -> None:
         raise
 
 
+def _epoch_schema_entry(table: FeatureTable) -> dict:
+    """The ``_schemas.json`` record for one spec revision."""
+    return {
+        "revision": table.revision,
+        "spec_hash": table.spec_hash(),
+        "entities": sorted(table.entities),
+        "features": sorted(
+            ({"name": f.name, "value_type": f.value_type.value}
+             for f in table.features),
+            key=lambda d: d["name"],
+        ),
+    }
+
+
+def register_epoch_schema(store_path: str, project: str, table: FeatureTable) -> str:
+    """Idempotently record ``table``'s current spec in the online
+    table's content-hash schema registry and return its epoch path —
+    shared by the batch writer (:func:`materialize_versioned`), the
+    streaming writer (``streaming.ingest.stream_materialize_versioned``)
+    and compaction."""
+    tpath = online_table_path(store_path, project, table.name)
+    h = table.spec_hash()[:8]
+    reg = _load_schema_registry(tpath)
+    reg[h] = _epoch_schema_entry(table)
+    _save_schema_registry(tpath, reg)
+    return os.path.join(tpath, f"rev={h}")
+
+
 def materialize_versioned(
     spark: SparkSession,
     registry: Registry,
@@ -567,18 +595,7 @@ def materialize_versioned(
         *table.entities
     ).write.mode("overwrite").parquet(epoch)
 
-    reg = _load_schema_registry(tpath)
-    reg[h] = {
-        "revision": table.revision,
-        "spec_hash": table.spec_hash(),
-        "entities": sorted(table.entities),
-        "features": sorted(
-            ({"name": f.name, "value_type": f.value_type.value}
-             for f in table.features),
-            key=lambda d: d["name"],
-        ),
-    }
-    _save_schema_registry(tpath, reg)
+    register_epoch_schema(store_path, project, table)
     return epoch
 
 
@@ -629,10 +646,21 @@ def read_online_versioned(
     if not schemas:
         return None
 
+    # epochs may be written by the batch writer (bare parquet dir) or the
+    # streaming merge (version dirs + _LATEST pointer) — the
+    # streaming-aware reader handles both, so batch and stream epochs
+    # are interchangeable under one serve plan.
+    from feast_java_old_spark.streaming.ingest import read_online_table
+
     rev_tag = "__rev"
     frames = []
     for h, meta in sorted(schemas.items(), key=lambda kv: kv[1]["revision"]):
-        df = spark.read.parquet(os.path.join(tpath, f"rev={h}"))
+        df = read_online_table(spark, os.path.join(tpath, f"rev={h}"))
+        if df is None:
+            raise ValueError(
+                f"epoch rev={h} of {project}/{table_name} is registered in "
+                f"{SCHEMAS_FILE} but has no readable data directory"
+            )
         missing_keys = [k for k in table.entities if k not in df.columns]
         if missing_keys:
             raise ValueError(
@@ -734,15 +762,6 @@ def compact_versioned(
         if old_h != h:
             shutil.rmtree(os.path.join(tpath, f"rev={old_h}"), ignore_errors=True)
             del schemas[old_h]
-    schemas[h] = {
-        "revision": table.revision,
-        "spec_hash": table.spec_hash(),
-        "entities": sorted(table.entities),
-        "features": sorted(
-            ({"name": f.name, "value_type": f.value_type.value}
-             for f in table.features),
-            key=lambda d: d["name"],
-        ),
-    }
+    schemas[h] = _epoch_schema_entry(table)
     _save_schema_registry(tpath, schemas)
     return epoch

@@ -667,3 +667,81 @@ def stream_incremental_dedup(
             F.array_min(F.array_distinct("__m")).isNull().alias("is_new"),
         )
     )
+
+
+def stream_materialize_versioned(
+    spark: SparkSession,
+    registry,
+    stream: DataFrame,
+    table_name: str,
+    store_path: str,
+    project: str = "default",
+    event_ts_col: str = "event_timestamp",
+    watermark: str = "1 hour",
+    checkpoint: Optional[str] = None,
+    trigger_once: bool = False,
+):
+    """:func:`stream_materialize` into the **schema-versioned** online
+    layout: micro-batches merge into the epoch directory of the spec's
+    CURRENT revision (``rev=<spec_hash8>``), registered in the table's
+    content-hash ``_schemas.json`` exactly like the batch writer
+    (``operators.materialize.materialize_versioned``).
+
+    This closes the schema-evolution loop for streaming pipelines
+    (parity: the reference's stream ingest serializes against the
+    feature set's avro schema *at write time* and stamps each row with
+    its hash — ``BigTableSchemaRegistry.java:33-107``): when the spec
+    is revised mid-stream, restart the streaming job — the new run
+    resolves the new spec hash and lands in a NEW epoch, old epochs
+    keep serving rows the stream hasn't overwritten, and
+    ``read_online_versioned`` conforms and merges across all of them.
+    Batch backfills and streaming epochs are interchangeable under
+    that one reader (epoch dirs written by either layout are handled
+    by :func:`read_online_table`).
+
+    The stream's columns are conformed to the declared spec at write
+    time: pruned to entities + event time + declared features, each
+    feature ``try_cast`` to its declared type (P5 at ingest — a
+    mistyped stream value stores NULL rather than poisoning the epoch's
+    parquet schema).
+
+    Returns the StreamingQuery.
+    """
+    from feast_java_old_spark.operators.materialize import (
+        register_epoch_schema,
+    )
+
+    table = registry.get_feature_table(table_name, project)
+    epoch = register_epoch_schema(store_path, project, table)
+
+    cols = [F.col(k) for k in table.entities]
+    cols.append(F.col(event_ts_col).alias("event_timestamp"))
+    for feat in table.features:
+        declared = feat.value_type.to_spark()
+        if feat.name in stream.columns:
+            actual = stream.schema[feat.name].dataType
+            c = (
+                F.col(feat.name)
+                if actual == declared
+                else F.col(feat.name).try_cast(declared)
+            )
+        else:
+            c = F.lit(None).cast(declared)
+        cols.append(c.alias(feat.name))
+    conformed = stream.select(*cols)
+
+    wm = conformed.withWatermark("event_timestamp", watermark)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merge_latest_batch(
+            spark, batch, epoch, list(table.entities), batch_id
+        )
+
+    writer = wm.writeStream.foreachBatch(sink).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -286,3 +286,76 @@ def test_compact_versioned_never_materialized_raises(
     registry.apply_feature_table(_table_v1(src))
     with pytest.raises(KeyError, match="no versioned epochs"):
         compact_versioned(spark, registry, "ut", str(tmp_path / "store"))
+
+
+def test_stream_epoch_joins_batch_epoch_under_current_schema(
+    spark, registry, tmp_path
+):
+    """Streaming half of schema evolution: a v1 BATCH epoch and a v2
+    STREAMING epoch (written after the spec added `vdup` and retyped
+    `value`) serve together through read_online_versioned — the stream
+    lands in the current spec's content-hash epoch, late-vs-new rows
+    merge latest-wins across the writers, and v1 rows conform to the
+    v2 schema."""
+    import os
+
+    from feast_java_old_spark.streaming.ingest import (
+        stream_materialize_versioned,
+    )
+
+    src_path = str(tmp_path / "events.parquet")
+    store = str(tmp_path / "store")
+    stream_src = str(tmp_path / "stream_src")
+    os.makedirs(stream_src)
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 10)
+
+    _write_events(
+        spark, src_path,
+        [(1, t0, 1.5, "a"), (2, t0, 2.5, "b")],
+    )
+    src1 = FileSource(file_url=src_path, event_timestamp_column="ts")
+    registry.apply_feature_table(_table_v1(src1))
+    materialize_versioned(spark, registry, "ut", store)
+
+    # spec revision: value DOUBLE -> STRING (retype), tag dropped,
+    # vdup DOUBLE added — the stream carries (value, vdup) natively.
+    registry.apply_feature_table(
+        _table_v2(FileSource(file_url=src_path, event_timestamp_column="ts"))
+    )
+    # stream: user 2 gets a NEWER row (wins over its batch epoch row);
+    # user 3 is stream-only; value arrives as a double -> try_cast to
+    # the declared STRING at ingest.
+    spark.createDataFrame(
+        [(2, t1, 9.5, 90.0), (3, t1, 3.5, 30.0)],
+        "user_id long, event_timestamp timestamp, value double, vdup double",
+    ).coalesce(1).write.mode("overwrite").parquet(stream_src)
+    stream = spark.readStream.schema(
+        "user_id long, event_timestamp timestamp, value double, vdup double"
+    ).parquet(stream_src)
+    q = stream_materialize_versioned(
+        spark, registry, stream, "ut", store,
+        checkpoint=str(tmp_path / "ckpt"), trigger_once=True,
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+
+    out = read_online_versioned(
+        spark, registry, "ut", store, revision_col="src_rev"
+    )
+    rows = {r.user_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    # batch v1 row conformed to v2 schema
+    assert rows[1].src_rev == 1 and rows[1].value == "1.5" and rows[1].vdup is None
+    # stream v2 row wins over the batch v1 row for user 2
+    assert rows[2].src_rev == 2 and rows[2].value == "9.5" and rows[2].vdup == 90.0
+    assert rows[3].src_rev == 2 and rows[3].vdup == 30.0
+
+    # and compaction folds the mixed batch/stream epochs into one
+    from feast_java_old_spark.operators.materialize import compact_versioned
+
+    before = sorted(map(tuple, out.drop("src_rev").collect()))
+    compact_versioned(spark, registry, "ut", store)
+    after = sorted(
+        map(tuple, read_online_versioned(spark, registry, "ut", store).collect())
+    )
+    assert after == before
