@@ -4034,6 +4034,113 @@ def _schema_evolution_frame(spark, sf_dir: str, store: str) -> DataFrame:
     return out
 
 
+def q_stream_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``schema_evolution``, hash-matched against the
+    SAME oracle: the v1 epoch is batch-materialized (ts ≤ Jan-15), the
+    v2 epoch is written by a REAL Structured Streaming run
+    (``stream_materialize_versioned``: file-stream source →
+    foreachBatch latest-wins merge into the current spec's content-hash
+    epoch), and ``read_online_versioned`` serves the pair identically —
+    proving the batch and streaming epoch writers interchangeable under
+    one conformed serve plan (the a1/j1/asof strategy-twin pattern,
+    applied across the batch/stream boundary)."""
+    import os
+    import shutil
+    import tempfile
+
+    import feast_java_old_spark as fs
+    from feast_java_old_spark.operators.materialize import (
+        materialize_versioned,
+        read_online_versioned,
+    )
+    from feast_java_old_spark.registry.model import FileSource
+    from feast_java_old_spark.streaming.ingest import (
+        stream_materialize_versioned,
+    )
+
+    split = dt.datetime(2024, 1, 15)
+    src_path = os.path.join(sf_dir, "events.parquet")
+    reg = fs.Registry()
+    reg.apply_entity(fs.Entity("event_id", fs.ValueType.INT64))
+    reg.apply_feature_table(
+        fs.FeatureTable(
+            name="ev_evo_s",
+            entities=["event_id"],
+            features=[
+                fs.Feature("value", fs.ValueType.DOUBLE),
+                fs.Feature("user_id", fs.ValueType.INT64),
+                fs.Feature("event_type", fs.ValueType.STRING),
+            ],
+            batch_source=FileSource(
+                file_url=src_path, event_timestamp_column="ts"
+            ),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="fjos_streamevo_")
+    store, drop, ckpt = f"{work}/store", f"{work}/drop", f"{work}/ckpt"
+    try:
+        with _small_shuffle(spark):
+            materialize_versioned(spark, reg, "ev_evo_s", store, end_ts=split)
+            reg.apply_feature_table(
+                fs.FeatureTable(
+                    name="ev_evo_s",
+                    entities=["event_id"],
+                    features=[
+                        fs.Feature("value", fs.ValueType.DOUBLE),
+                        fs.Feature("user_id", fs.ValueType.DOUBLE),
+                        fs.Feature("etype", fs.ValueType.STRING),
+                    ],
+                    batch_source=FileSource(
+                        file_url=src_path,
+                        event_timestamp_column="ts",
+                        field_mapping={"event_type": "etype"},
+                    ),
+                )
+            )
+            # Stage the post-split slice as the stream's drop dir (the
+            # file-stream transport stands in for the broker, as in
+            # every other gate stream; the rename to the v2 feature
+            # name happens in the staging projection — the stream
+            # writer conforms by declared-feature NAME, field_mapping
+            # is the batch source's reader concern).
+            ev = load_table(spark, sf_dir, "events").where(
+                F.col("ts") > F.lit(split)
+            ).select(
+                "event_id",
+                F.col("ts").alias("event_timestamp"),
+                "value",
+                "user_id",
+                F.col("event_type").alias("etype"),
+            )
+            ev.write.mode("overwrite").parquet(drop)
+            stream = spark.readStream.schema(
+                "event_id long, event_timestamp timestamp, value double, "
+                "user_id long, etype string"
+            ).parquet(drop)
+            q = stream_materialize_versioned(
+                spark, reg, stream, "ev_evo_s", store,
+                checkpoint=ckpt, trigger_once=True,
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError(
+                    "stream_schema_evolution did not finish in 600s"
+                )
+            out = read_online_versioned(
+                spark, reg, "ev_evo_s", store, revision_col="src_rev"
+            ).select(
+                "event_id",
+                F.unix_micros("event_timestamp").alias("ts_us"),
+                "value",
+                "user_id",
+                "etype",
+                "src_rev",
+            )
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 SQL_SCHEMA_EVOLUTION = """
 SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
        CAST(user_id AS DOUBLE) AS user_id,
@@ -6617,11 +6724,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver gate window: the driver's correctness gate samples the
         # FIRST 50 entries of this dict (insertion order).  r7 rotation
         # (VERDICT r6 #5 standing invariant: no query's driver row ages
-        # past ~3 rounds): position 1 is the brand-new schema_evolution
-        # (never gated), then the 6 queries whose newest row is r3, then
-        # the 43 oldest r4 rows.  Positions 51+ are the remaining r4/r5/r6
-        # rows, oldest evidence first — next round's window starts there.
+        # past ~3 rounds): positions 1-2 are the brand-new
+        # schema_evolution + stream_schema_evolution twins (never gated),
+        # then the 6 queries whose newest row is r3, then the 42 oldest
+        # r4 rows.  Positions 51+ are the remaining r4/r5/r6 rows, oldest
+        # evidence first — next round's window starts there.
         "schema_evolution": q_schema_evolution,
+        "stream_schema_evolution": q_stream_schema_evolution,
         "corpus_rollup": q_corpus_rollup,
         "domain_mix": q_domain_mix,
         "domain_upsample": q_domain_upsample,
@@ -6784,6 +6893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "schema_evolution": SQL_SCHEMA_EVOLUTION,
+        "stream_schema_evolution": SQL_SCHEMA_EVOLUTION,
         "s1_scan_projection": SQL_S1,
         "a1_latest_per_key": SQL_A1,
         "a1_latest_window": SQL_A1,
