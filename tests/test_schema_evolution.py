@@ -359,3 +359,99 @@ def test_stream_epoch_joins_batch_epoch_under_current_schema(
         map(tuple, read_online_versioned(spark, registry, "ut", store).collect())
     )
     assert after == before
+
+
+# ---------------------------------------------------------------- property
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# unique (entity, minute) pairs per epoch -> no intra-epoch tie ambiguity;
+# the same (entity, minute) MAY appear in both epochs (the cross-epoch
+# revision tiebreak is exactly what we want generated).
+_epoch_hist = st.dictionaries(
+    keys=st.tuples(st.integers(0, 3), st.integers(0, 50)),
+    values=st.sampled_from([1.5, 2.0, -3.25, 0.5, 99.0]),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _vers_oracle(h1: dict, h2: dict):
+    """Pure-python versioned serve: per entity pick max (minute, rev);
+    conform v1 winners to the v2 schema (b -> None, c dropped)."""
+    best: dict[int, tuple[int, int, float]] = {}
+    for rev, h in ((1, h1), (2, h2)):
+        for (e, minute), v in h.items():
+            cur = best.get(e)
+            if cur is None or (minute, rev) > (cur[0], cur[1]):
+                best[e] = (minute, rev, v)
+    return {
+        e: (v, (v * 10 if rev == 2 else None), rev)
+        for e, (minute, rev, v) in best.items()
+    }
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(h1=_epoch_hist, h2=_epoch_hist)
+def test_property_versioned_serve_matches_python_oracle(
+    spark, tmp_path_factory, h1, h2
+):
+    """Randomized two-epoch histories against an independent pure-python
+    oracle: cross-epoch latest-wins with revision tiebreak + conformance
+    of old-epoch rows to the current schema (added feature -> NULL,
+    dropped feature -> absent)."""
+    tmp = tmp_path_factory.mktemp("versprop")
+    store = str(tmp / "store")
+    src = str(tmp / "src.parquet")
+
+    reg = fs.Registry()
+    reg.apply_entity(fs.Entity("user_id", fs.ValueType.INT64))
+
+    def write(h, with_b):
+        rows = [
+            (e, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), v,
+             (v * 10 if with_b else None), -v)
+            for (e, m), v in h.items()
+        ] or [(999, dt.datetime(2024, 1, 1), 0.0, None, 0.0)]
+        spark.createDataFrame(
+            rows,
+            "user_id long, ts timestamp, a double, b double, c double",
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    fsrc = FileSource(file_url=src, event_timestamp_column="ts")
+    write(h1, with_b=False)
+    reg.apply_feature_table(
+        fs.FeatureTable(
+            name="pt", entities=["user_id"],
+            features=[fs.Feature("a", fs.ValueType.DOUBLE),
+                      fs.Feature("c", fs.ValueType.DOUBLE)],
+            batch_source=fsrc,
+        )
+    )
+    materialize_versioned(spark, reg, "pt", store)
+
+    write(h2, with_b=True)
+    v2 = fs.FeatureTable(
+        name="pt", entities=["user_id"],
+        features=[fs.Feature("a", fs.ValueType.DOUBLE),
+                  fs.Feature("b", fs.ValueType.DOUBLE)],
+        batch_source=FileSource(file_url=src, event_timestamp_column="ts"),
+    )
+    reg.apply_feature_table(v2)
+    materialize_versioned(spark, reg, "pt", store)
+
+    got = {
+        r.user_id: (r.a, r.b, r.src_rev)
+        for r in read_online_versioned(
+            spark, reg, "pt", store, revision_col="src_rev"
+        ).collect()
+        if r.user_id != 999  # the empty-epoch sentinel row
+    }
+    expected = _vers_oracle(h1, h2)
+    expected.pop(999, None)
+    assert got == expected
