@@ -6710,6 +6710,76 @@ GROUP BY doc_id
 """
 
 
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup, discovery half (Lee et al. ACL 2022): maximal
+    token spans covered by corpus-duplicated 8-grams
+    (operators/dedup.py:duplicated_spans) — duplicated-gram seeds via a
+    hashed frequency aggregate, merged per document by the
+    gap-and-islands window.  The suffix-array modality the repo's other
+    dedup families (exact / MinHash / SimHash / chunk / line) did not
+    cover."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(docs, k=8, min_count=2)
+
+
+def _sql_substring_grams(k: int) -> str:
+    return f"""
+d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+g AS (SELECT doc_id, i.i - 1 AS pos,
+             array_to_string(toks[i.i : i.i + {k - 1}], ' ') AS gram
+      FROM d, unnest(range(1, len(toks) - {k} + 2)) AS i(i)),
+f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)"""
+
+
+SQL_SUBSTRING_SPANS = f"""
+WITH {_sql_substring_grams(8)},
+s AS (SELECT g.doc_id, g.pos, g.pos + 7 AS e FROM g JOIN f USING (gram)),
+m AS (SELECT doc_id, pos, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM s),
+i2 AS (SELECT doc_id, pos, e,
+              CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                   THEN 1 ELSE 0 END AS brk
+       FROM m),
+i3 AS (SELECT doc_id, pos, e,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       FROM i2)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_seeds
+FROM i3 GROUP BY doc_id, isl
+"""
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup, apply half: delete every token covered by a
+    corpus-duplicated 8-gram and reassemble the survivors in order
+    (operators/dedup.py:substring_dedup) — keeps the novel remainder of
+    a partially-copied document instead of dropping it whole."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.substring_dedup(docs, k=8, min_count=2)
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH {_sql_substring_grams(8)},
+cov AS (SELECT DISTINCT g.doc_id, g.pos + o.o AS cpos
+        FROM g JOIN f USING (gram), unnest(range(0, 8)) AS o(o)),
+tp AS (SELECT doc_id, i.i - 1 AS pos, toks[i.i] AS tok
+       FROM d, unnest(range(1, len(toks) + 1)) AS i(i))
+SELECT tp.doc_id,
+       coalesce(string_agg(CASE WHEN cov.cpos IS NULL THEN tp.tok END,
+                           ' ' ORDER BY tp.pos), '') AS text,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN cov.cpos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.cpos
+GROUP BY tp.doc_id
+"""
+
+
 # ---------------------------------------------------------------- the contract
 
 
@@ -6731,6 +6801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence first — next round's window starts there.
         "schema_evolution": q_schema_evolution,
         "stream_schema_evolution": q_stream_schema_evolution,
+        "substring_spans": q_substring_spans,
+        "substring_dedup": q_substring_dedup,
         "corpus_rollup": q_corpus_rollup,
         "domain_mix": q_domain_mix,
         "domain_upsample": q_domain_upsample,
@@ -6894,6 +6966,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "schema_evolution": SQL_SCHEMA_EVOLUTION,
         "stream_schema_evolution": SQL_SCHEMA_EVOLUTION,
+        "substring_spans": SQL_SUBSTRING_SPANS,
+        "substring_dedup": SQL_SUBSTRING_DEDUP,
         "s1_scan_projection": SQL_S1,
         "a1_latest_per_key": SQL_A1,
         "a1_latest_window": SQL_A1,

@@ -970,3 +970,196 @@ def dedup_keep_best(
         .select((-F.col("__top.n")).alias(id_col))
     )
     return df.join(winners, on=id_col, how="left_semi")
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    count_distinct_docs: bool = False,
+) -> DataFrame:
+    """Maximal duplicated token spans — the ExactSubstr dedup modality
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022): a token position is *covered* when some
+    ``k``-token gram starting at-or-spanning it occurs at least
+    ``min_count`` times in the corpus (including repeats inside one
+    document, matching the suffix-array formulation); the operator
+    returns each document's maximal runs of covered positions.
+
+    Returns (id_col, span_start, span_end, span_tokens, n_seeds), one
+    row per maximal span, positions 0-based token offsets into
+    ``tokens(text)``; ``n_seeds`` counts the duplicated grams merged
+    into the span. ``count_distinct_docs=True`` switches the seed rule
+    to cross-document frequency only (the C4/passage variant).
+
+    Plan, sized for the 100 TB case: one explode to (doc, pos) rows —
+    the same corpus-token-count magnitude as every inverted-index
+    operator here — with the gram built by codegen ``slice``+
+    ``concat_ws`` over the pre-split token array (never an interpreted
+    ``transform(sequence(...))`` lambda); grams travel as ``xxhash64``
+    longs, so the frequency shuffle carries 8-byte keys, not text (at
+    10^13 corpus grams the 64-bit birthday bound expects ~10^6 colliding
+    pairs — an over-removal rate of 10^-7, irrelevant for dedup; the
+    sf-scale oracle is collision-free). Frequency is a two-phase hash
+    aggregate with map-side combine; seeds come back via one equi-join
+    on the hash (both sides already hash-partitioned by the aggregate);
+    span merge is the gap-and-islands window per document — a single
+    doc-keyed sort, no self-join, no quadratic step anywhere. Unlike the
+    paper's monolithic suffix array (which needs the corpus in one
+    address space), every stage is a shuffle-partitioned scan.
+    """
+    arr = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"), arr.alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    g = base.where(F.col("n") >= k).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n") - k)).alias("pos"),
+        "toks",
+    )
+    g = g.select(
+        "doc_id",
+        "pos",
+        F.xxhash64(F.concat_ws(" ", F.slice("toks", F.col("pos") + 1, k))).alias(
+            "gh"
+        ),
+    )
+    cnt = (
+        F.countDistinct("doc_id") if count_distinct_docs else F.count(F.lit(1))
+    )
+    freq = g.groupBy("gh").agg(cnt.alias("__cnt"))
+    seeds = g.join(freq.where(F.col("__cnt") >= min_count), on="gh").select(
+        "doc_id", "pos", (F.col("pos") + k - 1).alias("end")
+    )
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = seeds.select(
+        "doc_id",
+        "pos",
+        "end",
+        F.when(
+            F.max("end").over(w_prev).isNull()
+            | (F.col("pos") > F.max("end").over(w_prev) + 1),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.select(
+        "doc_id", "pos", "end", F.sum("brk").over(w_run).alias("isl")
+    )
+    return islands.groupBy("doc_id", "isl").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        F.max("end").cast("long").alias("span_end"),
+        (F.max("end") - F.min("pos") + 1).cast("long").alias("span_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_seeds"),
+    ).select(
+        F.col("doc_id").alias(id_col),
+        "span_start",
+        "span_end",
+        "span_tokens",
+        "n_seeds",
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    count_distinct_docs: bool = False,
+) -> DataFrame:
+    """Apply ExactSubstr dedup: delete every token position covered by a
+    corpus-duplicated ``k``-gram (see :func:`duplicated_spans`) and
+    reassemble each document from its surviving tokens in order —
+    Lee et al.'s deletion policy, which keeps the novel remainder of a
+    partially-copied document instead of dropping it whole.
+
+    Returns (id_col, text_col, n_tokens, n_removed); every document of
+    the input appears in the output (a fully-duplicated one with empty
+    text). Coverage positions come from exploding each seed gram into
+    its ``k`` offsets (a bounded constant-factor amplification) and
+    deduplicating (doc, pos) — an equi-join against the token rows, so
+    the whole apply is explode → join → one doc-keyed aggregate, the
+    :func:`chunk_dedup` reassembly shape (``collect_list`` of a
+    ``when(...)`` struct skips removed positions; text never shuffles
+    except inside that final aggregate).
+    """
+    arr = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"), arr.alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    g = base.where(F.col("n") >= k).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n") - k)).alias("pos"),
+        "toks",
+    )
+    g = g.select(
+        "doc_id",
+        "pos",
+        F.xxhash64(F.concat_ws(" ", F.slice("toks", F.col("pos") + 1, k))).alias(
+            "gh"
+        ),
+    )
+    cnt = (
+        F.countDistinct("doc_id") if count_distinct_docs else F.count(F.lit(1))
+    )
+    freq = g.groupBy("gh").agg(cnt.alias("__cnt"))
+    covered = (
+        g.join(freq.where(F.col("__cnt") >= min_count), on="gh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + k - 1)
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    tokpos = base.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    joined = tokpos.join(
+        covered,
+        (tokpos["doc_id"] == covered["doc_id"])
+        & (tokpos["pos"] == covered["cpos"]),
+        "left",
+    ).select(tokpos["doc_id"], "pos", "tok", "cpos")
+    out = joined.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("cpos").isNull(),
+                            F.struct("pos", "tok"),
+                        )
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("__text"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("cpos").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_removed"),
+    )
+    return out.select(
+        F.col("doc_id").alias(id_col),
+        F.col("__text").alias(text_col),
+        "n_tokens",
+        "n_removed",
+    )

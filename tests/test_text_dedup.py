@@ -527,3 +527,78 @@ def test_minhash_lsh_banding_exact_contract(spark):
         diff = sum(1 for x, y in zip(sigs[a], sigs[b]) if x != y)
         if diff < bands:
             assert (a, b) in expected
+
+
+# ---------------------------------------------------------------- ExactSubstr
+
+
+@pytest.fixture(scope="module")
+def substr_corpus(spark):
+    # 12-token shared passage across docs 1 and 2 (different surroundings),
+    # doc 3 repeats a 8-token phrase internally (within-doc duplication
+    # counts, per the suffix-array formulation), doc 4 is novel, doc 5 is
+    # shorter than k and must survive untouched.
+    shared = "the quick brown fox jumps over the lazy dog near the river"
+    rep = "alpha beta gamma delta epsilon zeta eta theta"
+    return spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} outro trailing words"),
+            (2, f"{shared} completely different ending material follows now"),
+            (3, f"{rep} middle filler text goes here {rep}"),
+            (4, "entirely novel content with no duplicated grams at all "
+                "and some more unique words to pad the length out"),
+            (5, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_duplicated_spans_cross_doc(substr_corpus):
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens, r.n_seeds)
+        for r in dedup.duplicated_spans(substr_corpus, k=8).collect()
+    }
+    # doc 1: shared passage is tokens 3..14 (12 tokens); 5 seed 8-grams
+    # (starts 3..7) merge into ONE maximal span by gap-and-islands.
+    assert spans[1] == (3, 14, 12, 5)
+    # doc 2: same passage at tokens 0..11.
+    assert spans[2] == (0, 11, 12, 5)
+    # doc 3: the repeated 8-gram occurs twice within one document —
+    # min_count=2 counts total occurrences, so both copies are covered.
+    s3 = dedup.duplicated_spans(substr_corpus, k=8).where(
+        F.col("doc_id") == 3
+    ).orderBy("span_start").collect()
+    assert [(r.span_start, r.span_end) for r in s3] == [(0, 7), (13, 20)]
+    # docs 4 and 5: nothing duplicated / shorter than k -> no spans.
+    assert 4 not in spans and 5 not in spans
+
+
+def test_duplicated_spans_distinct_doc_rule(substr_corpus):
+    # count_distinct_docs=True ignores within-doc repetition: doc 3's
+    # phrase appears in only one document -> no spans there, while the
+    # cross-doc passage still seeds docs 1 and 2.
+    out = dedup.duplicated_spans(
+        substr_corpus, k=8, count_distinct_docs=True
+    )
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == {1, 2}
+
+
+def test_substring_dedup_apply(substr_corpus):
+    out = {
+        r.doc_id: r for r in dedup.substring_dedup(substr_corpus, k=8).collect()
+    }
+    # every input doc comes back, exactly once
+    assert set(out) == {1, 2, 3, 4, 5}
+    # doc 1 keeps its novel surroundings only
+    assert out[1].text == "intro words here outro trailing words"
+    assert out[1].n_removed == 12
+    # doc 3 loses both copies of the repeated phrase
+    assert out[3].n_removed == 16
+    assert "alpha" not in out[3].text
+    assert "filler" in out[3].text
+    # novel + short docs are untouched
+    assert out[4].n_removed == 0
+    assert out[5].text == "too short" and out[5].n_removed == 0
+    # token accounting: n_tokens is the pre-removal count
+    assert out[2].n_tokens == 12 + 6
