@@ -6780,6 +6780,67 @@ GROUP BY tp.doc_id
 """
 
 
+def q_stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ExactSubstr apply (§2.6): incoming documents replay as a
+    LIVE stream; every token inside an 8-gram already present in the
+    static corpus is deleted on arrival and the survivors reassembled —
+    gram marking is one stream-static join, coverage + reassembly live
+    in the single stateful per-document aggregate
+    (streaming/ingest.py:stream_substring_dedup). Oracle mirrors the
+    batch span algebra restricted to incoming-vs-corpus seeds."""
+    import shutil
+    import tempfile
+
+    from feast_java_old_spark.streaming.ingest import stream_substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % INC_BATCH_MOD == 0).select(
+        "doc_id", "text"
+    )
+    corpus = docs.where(F.col("doc_id") % INC_BATCH_MOD != 0)
+    src = tempfile.mkdtemp(prefix="fjos_subsrc_")
+    try:
+        batch.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(
+            src
+        )
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = stream_substring_dedup(stream, corpus, k=8)
+        res = _stream_to_table(
+            spark, out, "complete", "stream_substring_dedup"
+        ).select("doc_id", "text", "n_tokens", "n_removed")
+        res = res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return res
+
+
+SQL_STREAM_SUBSTRING = f"""
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+inc AS (SELECT * FROM d WHERE doc_id % {INC_BATCH_MOD} = 0),
+corp AS (SELECT * FROM d WHERE doc_id % {INC_BATCH_MOD} <> 0),
+cg AS (SELECT DISTINCT array_to_string(toks[i.i : i.i + 7], ' ') AS gram
+       FROM corp, unnest(range(1, len(toks) - 8 + 2)) AS i(i)),
+g AS (SELECT doc_id, i.i - 1 AS pos,
+             array_to_string(toks[i.i : i.i + 7], ' ') AS gram
+      FROM inc, unnest(range(1, len(toks) - 8 + 2)) AS i(i)),
+s AS (SELECT g.doc_id, g.pos FROM g JOIN cg USING (gram)),
+cov AS (SELECT DISTINCT s.doc_id, s.pos + o.o AS cpos
+        FROM s, unnest(range(0, 8)) AS o(o)),
+tp AS (SELECT doc_id, i.i - 1 AS pos, toks[i.i] AS tok
+       FROM inc, unnest(range(1, len(toks) + 1)) AS i(i))
+SELECT tp.doc_id,
+       coalesce(string_agg(CASE WHEN cov.cpos IS NULL THEN tp.tok END,
+                           ' ' ORDER BY tp.pos), '') AS text,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN cov.cpos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.cpos
+GROUP BY tp.doc_id
+"""
+
+
 # ---------------------------------------------------------------- the contract
 
 
@@ -6803,6 +6864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_schema_evolution": q_stream_schema_evolution,
         "substring_spans": q_substring_spans,
         "substring_dedup": q_substring_dedup,
+        "stream_substring_dedup": q_stream_substring_dedup,
         "corpus_rollup": q_corpus_rollup,
         "domain_mix": q_domain_mix,
         "domain_upsample": q_domain_upsample,
@@ -6968,6 +7030,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_schema_evolution": SQL_SCHEMA_EVOLUTION,
         "substring_spans": SQL_SUBSTRING_SPANS,
         "substring_dedup": SQL_SUBSTRING_DEDUP,
+        "stream_substring_dedup": SQL_STREAM_SUBSTRING,
         "s1_scan_projection": SQL_S1,
         "a1_latest_per_key": SQL_A1,
         "a1_latest_window": SQL_A1,

@@ -33,6 +33,7 @@ from feast_java_old_spark.operators.materialize import (
     latest_per_key,
     online_table_path,
 )
+from feast_java_old_spark.operators.text import tokens
 
 _POINTER = "_LATEST"
 
@@ -745,3 +746,109 @@ def stream_materialize_versioned(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_substring_dedup(
+    doc_stream: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Streaming arm of :func:`operators.dedup.substring_dedup`
+    (ExactSubstr, Lee et al. ACL 2022) for continuous ingestion: every
+    token of an incoming document that sits inside a ``k``-gram already
+    present in the STATIC corpus is deleted, and the survivors are
+    reassembled in order — the "strip known boilerplate/copies on
+    arrival" policy, dual to :func:`stream_incremental_dedup`'s
+    whole-document verdicts.
+
+    Streaming shape: position explode + gram hash is a stateless
+    projection (codegen ``slice``/``concat_ws``/``xxhash64`` over the
+    pre-split token array); duplicated-gram marking is ONE stream-STATIC
+    left join against the corpus's distinct gram-hash set (static sides
+    re-evaluate per micro-batch — a long-lived production stream should
+    pass ``corpus_docs`` already staged as its materialized gram table,
+    exactly like :func:`stream_incremental_dedup`'s persisted LSH
+    index); coverage and
+    reassembly happen inside the SINGLE stateful per-document aggregate —
+    a token at ``pos`` is covered iff some marked gram starts in
+    ``[pos-k+1, pos]``, checked per token against the collected start
+    set (O(n·k) per document, no self-join, so the stream side never
+    joins itself). Emits the batch operator's exact contract:
+    ``(id, text, n_tokens, n_removed)``.
+    """
+    arr = tokens(F.col(text_col))
+    base = doc_stream.select(
+        F.col(id_col).alias("doc_id"), arr.alias("toks")
+    ).withColumn("n", F.size("toks"))
+    tok_rows = base.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.posexplode("toks").alias("pos", "tok"),
+    ).select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.when(
+            F.col("pos") <= F.col("n") - k,
+            F.xxhash64(
+                F.concat_ws(" ", F.slice("toks", F.col("pos") + 1, k))
+            ),
+        ).alias("gh"),
+    )
+    corpus_grams = _corpus_gram_set(corpus_docs, text_col, k)
+    marked = tok_rows.join(corpus_grams, on="gh", how="left")
+    agg = marked.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "tok"))
+        ).alias("__toks"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("__dup") == 1, F.col("pos")))
+        ).alias("__starts"),
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t: ~F.exists(
+            F.sequence(
+                F.greatest(t["pos"] - F.lit(k - 1), F.lit(0)), t["pos"]
+            ),
+            lambda s: F.array_contains(F.col("__starts"), s),
+        ),
+    )
+    return agg.select(
+        F.col("doc_id").alias(id_col),
+        F.array_join(
+            F.transform(kept, lambda t: t["tok"]), " "
+        ).alias(text_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+def _corpus_gram_set(
+    corpus_docs: DataFrame, text_col: str, k: int
+) -> DataFrame:
+    """Distinct ``xxhash64`` hashes of the corpus's ``k``-grams, with a
+    constant ``__dup`` marker column — the static right side of the
+    stream-static join above. One explode + one distinct aggregate over
+    8-byte keys; the text itself never shuffles."""
+    arr = tokens(F.col(text_col))
+    b = corpus_docs.select(arr.alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    return (
+        b.where(F.col("n") >= k)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.col("n") - k)).alias("pos"),
+            "toks",
+        )
+        .select(
+            F.xxhash64(
+                F.concat_ws(" ", F.slice("toks", F.col("pos") + 1, k))
+            ).alias("gh")
+        )
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )

@@ -688,3 +688,55 @@ def test_stream_incremental_dedup_probes_static_index(spark, tmp_path):
         assert got[100].dup_of == 1  # earlier doc's verdict unchanged
     finally:
         q.stop()
+
+
+def test_stream_substring_dedup_strips_known_grams(spark, tmp_path):
+    """Incoming docs lose exactly the tokens covered by 8-grams present
+    in the static corpus; within-doc repetition alone does NOT remove
+    (the stream twin seeds only against the corpus); a second
+    micro-batch extends the complete-mode result without touching the
+    first doc's verdict."""
+    from feast_java_old_spark.streaming.ingest import stream_substring_dedup
+
+    shared = "the quick brown fox jumps over the lazy dog near the river"
+    rep = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(1, f"{shared} completely different ending material follows now")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "sub_src")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+
+    def write(rows, n):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if len([f for f in os.listdir(src) if f.endswith(".parquet")]) >= n:
+                return
+            time.sleep(0.1)
+
+    write([(100, f"intro words here {shared} outro trailing words")], 1)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_substring_dedup(stream, corpus, k=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssubdedup")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id: r for r in spark.sql("select * from ssubdedup").collect()}
+        assert got[100].text == "intro words here outro trailing words"
+        assert got[100].n_removed == 12 and got[100].n_tokens == 18
+        # within-doc repetition is not a corpus hit -> untouched
+        write([(101, f"{rep} filler middle words {rep}")], 2)
+        q.processAllAvailable()
+        got = {r.doc_id: r for r in spark.sql("select * from ssubdedup").collect()}
+        assert got[101].n_removed == 0
+        assert got[100].n_removed == 12
+    finally:
+        q.stop()
