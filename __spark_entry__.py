@@ -6841,6 +6841,59 @@ GROUP BY tp.doc_id
 """
 
 
+COMPACT_TARGET = 4000  # bytes per output bin in the gate-scale plan
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (operators/layout.py:
+    compaction_plan — the Delta/Iceberg OPTIMIZE bin-packing step):
+    per-source cumulative-offset binning of file metadata sorted size
+    DESC, bins ≈ target_bytes with at-most-one-file overflow. The gate
+    models each document as a file (size = char length) partitioned by
+    source."""
+    from feast_java_old_spark.operators.layout import compaction_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = docs.select(
+        "source",
+        F.concat_ws("/", "source", F.col("doc_id").cast("string")).alias(
+            "path"
+        ),
+        F.length("text").cast("long").alias("size_bytes"),
+    )
+    plan = compaction_plan(
+        files,
+        size_col="size_bytes",
+        order_col="path",
+        part_cols=["source"],
+        target_bytes=COMPACT_TARGET,
+    )
+    return plan.select(
+        "source", "path", "size_bytes", "bin_id", "bin_bytes", "bin_files"
+    )
+
+
+SQL_COMPACTION_PLAN = f"""
+WITH f AS (SELECT source,
+                  source || '/' || CAST(doc_id AS VARCHAR) AS path,
+                  CAST(length(text) AS BIGINT) AS size_bytes
+           FROM documents),
+b AS (SELECT source, path, size_bytes,
+             CAST(floor(coalesce(sum(size_bytes) OVER (
+                    PARTITION BY source
+                    ORDER BY size_bytes DESC, path
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / {COMPACT_TARGET}) AS BIGINT) AS bin_id
+      FROM f)
+SELECT source, path, size_bytes, bin_id,
+       CAST(sum(size_bytes) OVER (PARTITION BY source, bin_id) AS BIGINT)
+         AS bin_bytes,
+       CAST(count(*) OVER (PARTITION BY source, bin_id) AS BIGINT)
+         AS bin_files
+FROM b
+"""
+
+
 # ---------------------------------------------------------------- the contract
 
 
@@ -6865,6 +6918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_spans": q_substring_spans,
         "substring_dedup": q_substring_dedup,
         "stream_substring_dedup": q_stream_substring_dedup,
+        "compaction_plan": q_compaction_plan,
         "corpus_rollup": q_corpus_rollup,
         "domain_mix": q_domain_mix,
         "domain_upsample": q_domain_upsample,
@@ -7031,6 +7085,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_spans": SQL_SUBSTRING_SPANS,
         "substring_dedup": SQL_SUBSTRING_DEDUP,
         "stream_substring_dedup": SQL_STREAM_SUBSTRING,
+        "compaction_plan": SQL_COMPACTION_PLAN,
         "s1_scan_projection": SQL_S1,
         "a1_latest_per_key": SQL_A1,
         "a1_latest_window": SQL_A1,

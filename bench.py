@@ -175,6 +175,8 @@ HEADLINE = [
     # r7: ExactSubstr dedup (Lee et al. ACL 2022) — span discovery + apply.
     "substring_spans",
     "substring_dedup",
+    # r7: small-file compaction planner.
+    "compaction_plan",
 ]
 
 

@@ -20,7 +20,7 @@ boundaries; the only shuffle) and a within-partition sort.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -94,3 +94,52 @@ def layout_zorder(
         .repartitionByRange(num_files, F.col("__z"))
         .sortWithinPartitions("__z")
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str = "size_bytes",
+    order_col: str = "path",
+    part_cols: list[str] | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-file compaction planner (the Delta/Iceberg ``OPTIMIZE``
+    bin-packing step, engine-native): assign every input file to an
+    output bin of ~``target_bytes`` so a rewrite pass can coalesce the
+    long tail of tiny files that otherwise dominates task-scheduling and
+    footer-read overhead at 100 TB (a day of streaming ingest easily
+    leaves millions of KB-sized files; scan cost becomes per-FILE, not
+    per-byte).
+
+    The rule is cumulative-offset binning per table partition: files
+    sorted (size DESC, then ``order_col`` for determinism) are assigned
+    ``bin_id = floor(bytes_before / target_bytes)``. Unlike greedy
+    first-fit — whose bin boundaries depend on every prior decision and
+    therefore can't be expressed as a window — this is one
+    ``sum() OVER (ORDER BY ...)`` with bins overflowing ``target_bytes``
+    by at most one file; size-descending order keeps that overflow to
+    the smallest files' scale. Returns the input plus
+    ``(bin_id, bin_bytes, bin_files)``.
+
+    Scale shape: this is a PLANNER over file *metadata* rows (~100
+    bytes each), never data — one shuffle keyed by the table partition
+    columns, one in-partition sort; 10M files of metadata is ~1 GB in
+    one partition's task, far below executor memory, and real tables
+    spread it across their partition keys. The rewrite itself is the
+    caller's ``repartition(bins)``-style pass reading the plan.
+    """
+    parts = part_cols or []
+    w = Window.partitionBy(*parts).orderBy(
+        F.col(size_col).desc(), F.col(order_col)
+    )
+    before = F.coalesce(
+        F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    planned = files.withColumn(
+        "bin_id", F.floor(before / F.lit(target_bytes)).cast("long")
+    )
+    wb = Window.partitionBy(*(parts + ["bin_id"]))
+    return planned.withColumn(
+        "bin_bytes", F.sum(size_col).over(wb).cast("long")
+    ).withColumn("bin_files", F.count(F.lit(1)).over(wb).cast("long"))

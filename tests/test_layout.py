@@ -82,3 +82,61 @@ def test_layout_zorder_preserves_rows(spark):
         499500,
         df.select(F.sum("b")).collect()[0][0],
     )
+
+
+def test_compaction_plan_golden(spark):
+    from feast_java_old_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [
+            ("a", "a/1", 70),
+            ("a", "a/2", 60),
+            ("a", "a/3", 50),
+            ("a", "a/4", 10),
+            ("b", "b/1", 250),  # bigger than target: own bin, ids go sparse
+            ("b", "b/2", 40),
+        ],
+        "source string, path string, size_bytes long",
+    )
+    plan = {
+        r.path: (r.bin_id, r.bin_bytes, r.bin_files)
+        for r in compaction_plan(
+            files, part_cols=["source"], target_bytes=100
+        ).collect()
+    }
+    # source a, size-desc order 70,60,50,10 -> offsets 0,70,130,180
+    assert plan["a/1"] == (0, 130, 2)
+    assert plan["a/2"] == (0, 130, 2)
+    assert plan["a/3"] == (1, 60, 2)
+    assert plan["a/4"] == (1, 60, 2)
+    # source b: 250 starts at 0 (bin 0), next file starts at 250 -> bin 2
+    assert plan["b/1"] == (0, 250, 1)
+    assert plan["b/2"] == (2, 40, 1)
+
+
+def test_compaction_plan_overflow_bound(spark, sf_dir):
+    """Contract: a bin never exceeds target_bytes by more than its own
+    largest member (the straddling file)."""
+    from feast_java_old_spark.operators.layout import compaction_plan
+    from feast_java_old_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = docs.select(
+        "source",
+        F.concat_ws("/", "source", F.col("doc_id").cast("string")).alias("path"),
+        F.length("text").cast("long").alias("size_bytes"),
+    )
+    target = 4000
+    plan = compaction_plan(
+        files, part_cols=["source"], target_bytes=target
+    )
+    bad = (
+        plan.groupBy("source", "bin_id")
+        .agg(
+            F.max("bin_bytes").alias("bb"),
+            F.max("size_bytes").alias("mx"),
+        )
+        .where(F.col("bb") > target + F.col("mx"))
+        .count()
+    )
+    assert bad == 0
