@@ -6894,6 +6894,72 @@ FROM b
 """
 
 
+def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch file-source format breadth (sources/batch.py:
+    read_batch_source, the engine extension past the reference's
+    parquet-only validator DataSourceValidator.java:34-43): the orders
+    table staged as csv (header, declared DDL schema — single-pass, no
+    inference scan), json, and orc, each read back through the
+    registry-validated FileSource path and aggregated; every format
+    must reproduce the parquet numbers exactly (integer-cents sums, so
+    text-format double round-trips must be bit-faithful). Avro is
+    env-gated (no spark-avro jar here) and covered by the pure-python
+    wire codec gates instead."""
+    import shutil
+    import tempfile
+
+    from feast_java_old_spark.registry.model import FileSource
+    from feast_java_old_spark.sources.batch import read_batch_source
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    ddl = (
+        "o_orderkey BIGINT, o_custkey BIGINT, "
+        "o_orderpriority STRING, o_totalprice DOUBLE"
+    )
+    base = tempfile.mkdtemp(prefix="fjos_srcfmt_")
+    frames = []
+    try:
+        orders.write.mode("overwrite").option("header", "true").csv(
+            f"{base}/csv"
+        )
+        orders.write.mode("overwrite").json(f"{base}/json")
+        orders.write.mode("overwrite").orc(f"{base}/orc")
+        for fmt in ("csv", "json", "orc"):
+            src = FileSource(
+                file_url=f"{base}/{fmt}",
+                file_format=fmt,
+                schema_ddl=ddl,
+            )
+            df = read_batch_source(spark, src)
+            frames.append(
+                df.groupBy("o_orderpriority").agg(
+                    F.count(F.lit(1)).alias("n_orders"),
+                    F.sum(
+                        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                    ).alias("revenue_cents"),
+                ).withColumn("fmt", F.lit(fmt))
+            )
+        out = frames[0].unionByName(frames[1]).unionByName(frames[2])
+        out = out.select(
+            "fmt", "o_orderpriority", "n_orders", "revenue_cents"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+SQL_SOURCE_FORMATS = """
+SELECT f.fmt, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+CROSS JOIN (SELECT unnest(['csv', 'json', 'orc']) AS fmt) f
+GROUP BY f.fmt, o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------- the contract
 
 
@@ -6919,6 +6985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "stream_substring_dedup": q_stream_substring_dedup,
         "compaction_plan": q_compaction_plan,
+        "source_formats": q_source_formats,
         "corpus_rollup": q_corpus_rollup,
         "domain_mix": q_domain_mix,
         "domain_upsample": q_domain_upsample,
@@ -7086,6 +7153,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": SQL_SUBSTRING_DEDUP,
         "stream_substring_dedup": SQL_STREAM_SUBSTRING,
         "compaction_plan": SQL_COMPACTION_PLAN,
+        "source_formats": SQL_SOURCE_FORMATS,
         "s1_scan_projection": SQL_S1,
         "a1_latest_per_key": SQL_A1,
         "a1_latest_window": SQL_A1,
