@@ -6960,6 +6960,94 @@ GROUP BY f.fmt, o_orderpriority
 """
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations suite (operators/expectations.py:
+    run_checks — the Deequ-style assertion layer over the audit stats):
+    six declarative rules over orders — completeness, exact uniqueness,
+    numeric range, accepted set, anchored regex format, and referential
+    integrity of o_custkey against the broadcast customer dimension —
+    every row-local rule folded into ONE aggregate over one scan."""
+    from feast_java_old_spark.operators import expectations as ex
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    checks = [
+        ex.completeness("o_custkey"),
+        ex.uniqueness("o_orderkey"),
+        ex.in_range("o_totalprice", 0.0, 250000.0, threshold=0.9),
+        ex.accepted_values("o_orderstatus", ["O", "F", "P"]),
+        ex.matches_regex("o_orderpriority", r"^[1-5]-[A-Z ]+$"),
+        ex.referential("o_custkey", "customer", "c_custkey"),
+    ]
+    return ex.run_checks(orders, checks, refs={"customer": cust})
+
+
+SQL_EXPECTATIONS = """
+SELECT 'completeness(o_custkey)' AS "check", 'o_custkey' AS "column",
+       round(CASE WHEN count(*) = 0 THEN 1.0
+             ELSE CAST(count(o_custkey) AS DOUBLE) / count(*) END, 6)
+         AS metric,
+       1.0 AS threshold,
+       CAST(round(CASE WHEN count(*) = 0 THEN 1.0
+             ELSE CAST(count(o_custkey) AS DOUBLE) / count(*) END, 6) >= 1.0
+            AS BIGINT) AS passed
+FROM orders
+UNION ALL
+SELECT 'uniqueness(o_orderkey)', 'o_orderkey',
+       round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6),
+       1.0,
+       CAST(round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6)
+            >= 1.0 AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'in_range(o_totalprice)', 'o_totalprice',
+       round(CAST(sum(CASE WHEN o_totalprice >= 0.0
+                            AND o_totalprice <= 250000.0
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(o_totalprice), 6),
+       0.9,
+       CAST(round(CAST(sum(CASE WHEN o_totalprice >= 0.0
+                                 AND o_totalprice <= 250000.0
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(o_totalprice), 6) >= 0.9 AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'accepted_values(o_orderstatus)', 'o_orderstatus',
+       round(CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(o_orderstatus), 6),
+       1.0,
+       CAST(round(CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(o_orderstatus), 6) >= 1.0 AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'matches_regex(o_orderpriority)', 'o_orderpriority',
+       round(CAST(sum(CASE WHEN regexp_matches(o_orderpriority,
+                                               '^[1-5]-[A-Z ]+$')
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(o_orderpriority), 6),
+       1.0,
+       CAST(round(CAST(sum(CASE WHEN regexp_matches(o_orderpriority,
+                                                    '^[1-5]-[A-Z ]+$')
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(o_orderpriority), 6) >= 1.0 AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'referential(o_custkey->customer.c_custkey)', 'o_custkey',
+       round(CAST(sum(CASE WHEN c.c_custkey IS NOT NULL
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(o.o_custkey), 6),
+       1.0,
+       CAST(round(CAST(sum(CASE WHEN c.c_custkey IS NOT NULL
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(o.o_custkey), 6) >= 1.0 AS BIGINT)
+FROM orders o
+LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+"""
+
+
 # ---------------------------------------------------------------- the contract
 
 
@@ -6986,6 +7074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_substring_dedup": q_stream_substring_dedup,
         "compaction_plan": q_compaction_plan,
         "source_formats": q_source_formats,
+        "expectations": q_expectations,
         "corpus_rollup": q_corpus_rollup,
         "domain_mix": q_domain_mix,
         "domain_upsample": q_domain_upsample,
@@ -7154,6 +7243,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_substring_dedup": SQL_STREAM_SUBSTRING,
         "compaction_plan": SQL_COMPACTION_PLAN,
         "source_formats": SQL_SOURCE_FORMATS,
+        "expectations": SQL_EXPECTATIONS,
         "s1_scan_projection": SQL_S1,
         "a1_latest_per_key": SQL_A1,
         "a1_latest_window": SQL_A1,

@@ -177,6 +177,9 @@ HEADLINE = [
     "substring_dedup",
     # r7: small-file compaction planner.
     "compaction_plan",
+    # r7: source-format round-trip + data-quality expectations suite.
+    "source_formats",
+    "expectations",
 ]
 
 
