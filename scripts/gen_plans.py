@@ -80,6 +80,10 @@ PICKS = [
     ("ann_eval", "Retrieval metrics: the qrels (truth) join + ONE per-query aggregate with an integer micro gain table — metric components are exact integers; no per-query driver loop anywhere."),
     ("novelty_score", "Novelty: shuffle-free distinct-shingle explode, map-side-combined DF aggregate, AQE-skew-safe join back, per-doc conditional aggregate — the text column never crosses an exchange."),
     ("tpch_q6", "TPC-H Q6: ALL four range predicates in PushedFilters, 4-column ReadSchema, one map-side-combined partial sum, one row out — pure zone-map pruning + scan bandwidth at 100 TB."),
+    ("substring_spans", "ExactSubstr span discovery: codegen slice/concat_ws gram build under the position explode, grams travel as xxhash64 LONGS into the map-side-combined frequency aggregate, seeds equi-join back on the hash (both sides already hash-partitioned), and the gap-and-islands merge is two window passes sharing ONE doc-keyed exchange — no suffix array, no self-join."),
+    ("substring_dedup", "ExactSubstr apply: the same hashed-gram seed plan, coverage positions explode k-wide then distinct (a k-bounded amplification of SEED rows only), and reassembly is the chunk_dedup collect_list(when) aggregate — document text crosses exactly one exchange, inside the final doc-keyed aggregate."),
+    ("compaction_plan", "Compaction planner: one hash exchange on the table-partition key, one in-partition size-DESC sort shared by the running-sum window and the per-bin totals window — a metadata-only plan (file stat rows, never data)."),
+    ("expectations", "Expectations suite: every row-local rule is ONE expression in a single map-side-combined aggregate over one scan (uniqueness adds the exact-distinct Expand); the referential rule is a distinct-build + broadcast left join sized by the dimension — verdict rows out, nothing collected."),
 ]
 
 out = io.StringIO()

@@ -1,0 +1,64 @@
+"""Global physical-plan contracts over every registered gate query.
+
+The correctness gate proves VALUES; this sweep proves SHAPES — the
+properties that decide whether a plan survives a 1000× scale-up. The
+one contract no query may break: no `CartesianProduct` anywhere (an
+unkeyed non-broadcast join is quadratic in data and cannot be saved by
+AQE). 1-row-broadcast stat frames legitimately appear as
+`BroadcastNestedLoopJoin`, so that operator is NOT banned globally —
+but the big-fact-table queries assert it absent too.
+"""
+
+import pytest
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
+    import __spark_entry__ as e
+
+    offenders = []
+    for name, fn in e.queries().items():
+        # streaming gates run a real query each (~10 s apiece) and end in
+        # a memory-sink LogicalRDD whose upstream plan the batch twin
+        # already covers; skip them here.
+        if name.startswith("stream_"):
+            continue
+        df = fn(spark, sf_dir)
+        if "CartesianProduct" in _plan(df):
+            offenders.append(name)
+    assert offenders == []
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q5",
+        "tpch_q18",
+        "j1_entity_lookup",
+        "j2_compound_key",
+        # historical_asof is exempt: its request GRID is built as
+        # distinct-keys × a literal timestamp list — a deliberate
+        # tiny-side broadcast cross join, not a lost join key.
+        "interval_join",
+        "asof_nearest",
+        "dedup_minhash_lsh",
+        # similarity_ann_* are exempt: centroid assignment is corpus ×
+        # broadcast k-row centroid table — a deliberate bounded fan-out,
+        # not a lost key (probing itself is the bucket equi-join).
+        "substring_spans",
+        "substring_dedup",
+    ],
+)
+def test_fact_table_paths_have_no_nested_loop_join(spark, sf_dir, name):
+    """The hot fact-table queries must resolve every join to a keyed
+    hash/sort-merge join — a nested-loop anywhere in these plans means a
+    join key was lost (the r4 interval-join lesson: banded equi-joins,
+    never BNLJ)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()[name](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
