@@ -5773,6 +5773,54 @@ LEFT JOIN hot ON hot.o_custkey = c.c_custkey
 """
 
 
+BLOOM_JOIN_PRICE = 300_000.0
+
+
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned join (operators/sketches.py:bloom_prune_join): the
+    high-price orders sliver's key set compresses to one dense
+    ``array<long>`` bitmap row that broadcasts; lineitem rows probe it
+    map-side (``element_at`` + AND — O(1) per probe, codegen) and only
+    possible matches reach the exact join.  Result is row-identical to
+    the plain join — Bloom FPs die in the join, and no false negative
+    exists — so the oracle is the UNPRUNED SQL join: the gate proves the
+    prune is invisible.  The 100 TB case is a big-big join where the
+    dim sliver can't broadcast as a hash set but its fixed-size bitmap
+    can: the fact's non-matching majority never reaches the exchange."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    hot = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > BLOOM_JOIN_PRICE
+    ).select("o_orderkey", "o_orderpriority")
+    joined = sketches.bloom_prune_join(
+        li, hot, "o_orderkey", k=4, bits=1 << 15
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                0,
+            ).cast("long")
+        ).alias("revenue_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
+SQL_BLOOM_PRUNE_JOIN = f"""
+SELECT o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > {BLOOM_JOIN_PRICE}
+GROUP BY o_orderpriority
+"""
+
+
 EWMA_ALPHA = 0.1
 
 
@@ -6710,6 +6758,60 @@ GROUP BY doc_id
 """
 
 
+def q_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff LM scoring under a HELD-OUT reference
+    model (operators/text.py:stupid_backoff_logprob; Brants et al.,
+    EMNLP 2007): even doc_ids train the count model, odd doc_ids are
+    scored — so unlike the self-scored add-k twins (`unigram_logprob`,
+    `bigram_logprob`), the trigram→bigram→unigram→OOV backoff branches
+    all genuinely fire (the CCNet "perplexity under a reference LM"
+    filter shape).  Every backoff branch is pre-resolved model-side on
+    vocab-sized tables; the eval trigram stream is consumed once."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.stupid_backoff_logprob(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        alpha=0.4,
+        oov_k=0.5,
+    )
+
+
+SQL_LM_BACKOFF = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+tr3 AS (SELECT unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       FOR i IN range(1, len(t) - 1)]) AS g
+        FROM toks WHERE doc_id % 2 = 0),
+tr2 AS (SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS g
+        FROM toks WHERE doc_id % 2 = 0),
+tr1 AS (SELECT unnest(t) AS g FROM toks WHERE doc_id % 2 = 0),
+c3 AS (SELECT g, count(*) AS c FROM tr3 GROUP BY g),
+c2 AS (SELECT g, count(*) AS c FROM tr2 GROUP BY g),
+c1 AS (SELECT g, count(*) AS c FROM tr1 GROUP BY g),
+n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c1),
+ev AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                              FOR i IN range(1, len(t) - 1)]) AS g
+       FROM toks WHERE doc_id % 2 = 1),
+sc AS (SELECT ev.doc_id,
+              coalesce(ln(c3.c / c2a.c),
+                       ln((0.4 * c2b.c) / c1a.c),
+                       ln(((0.4 * 0.4) * c1b.c) / n.n),
+                       ln((0.4 * 0.4 * 0.5) / n.n)) AS lp
+       FROM ev
+       LEFT JOIN c3 ON c3.g = ev.g
+       LEFT JOIN c2 c2a
+         ON c2a.g = split_part(ev.g, ' ', 1) || ' ' || split_part(ev.g, ' ', 2)
+       LEFT JOIN c2 c2b
+         ON c2b.g = split_part(ev.g, ' ', 2) || ' ' || split_part(ev.g, ' ', 3)
+       LEFT JOIN c1 c1a ON c1a.g = split_part(ev.g, ' ', 2)
+       LEFT JOIN c1 c1b ON c1b.g = split_part(ev.g, ' ', 3)
+       CROSS JOIN n)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(avg(lp), 6) AS logprob
+FROM sc
+GROUP BY doc_id
+"""
+
+
 def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr dedup, discovery half (Lee et al. ACL 2022): maximal
     token spans covered by corpus-duplicated 8-grams
@@ -7067,6 +7169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then the 6 queries whose newest row is r3, then the 42 oldest
         # r4 rows.  Positions 51+ are the remaining r4/r5/r6 rows, oldest
         # evidence first — next round's window starts there.
+        "lm_backoff": q_lm_backoff,
+        "bloom_prune_join": q_bloom_prune_join,
         "schema_evolution": q_schema_evolution,
         "stream_schema_evolution": q_stream_schema_evolution,
         "substring_spans": q_substring_spans,
@@ -7236,6 +7340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lm_backoff": SQL_LM_BACKOFF,
+        "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
         "schema_evolution": SQL_SCHEMA_EVOLUTION,
         "stream_schema_evolution": SQL_SCHEMA_EVOLUTION,
         "substring_spans": SQL_SUBSTRING_SPANS,

@@ -180,6 +180,9 @@ HEADLINE = [
     # r7: source-format round-trip + data-quality expectations suite.
     "source_formats",
     "expectations",
+    # r7: held-out trigram stupid-backoff LM + Bloom-pruned join.
+    "lm_backoff",
+    "bloom_prune_join",
 ]
 
 

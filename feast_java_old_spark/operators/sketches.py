@@ -247,6 +247,95 @@ def bloom_probe(
     )
 
 
+def bloom_prune(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    k: int = 4,
+    bits: int = 4096,
+) -> DataFrame:
+    """Map-side Bloom prune of ``fact`` against ``dim``'s join-key set:
+    returns the fact rows that MIGHT match (a superset of the true
+    matches — no false negatives, FPs at the classic Bloom rate).
+
+    The filter's set-bit rows pack into ONE dense ``array<long>`` word
+    row (``bits/64`` longs — 2 MB at 2^24 bits) that broadcasts, and
+    each probe is ``element_at`` (constant-time on arrays) + an AND
+    mask, all codegen'd map-side on the scan — NOT an
+    ``array_contains`` scan of the set-bit list, which would be
+    O(set bits) per row. Everything stays lazy — no driver collect.
+    The 100 TB case is a big-big join where the dim side is filtered to
+    a sliver: a billion-key dim can't broadcast as a hash set, but its
+    fixed-size bitmap can, so the fact's non-matching majority never
+    reaches the exchange.
+    """
+    nwords = (bits + 63) // 64
+    words = (
+        bloom_build(dim, on, k=k, bits=bits)
+        .groupBy(F.floor(F.col("bit_pos") / 64).cast("int").alias("__wi"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.col("bit_pos") % 64).cast("int"),
+                )
+            ).alias("__w")
+        )
+    )
+    mask = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("__wi", "__w"))).alias("__m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nwords - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("__m"), i), F.lit(0).cast("long")
+            ),
+        ).alias("__mask")
+    )
+    digest = F.md5(F.col(on).cast("string"))
+    probe = F.lit(True)
+    for i in range(k):
+        pos = _cms_col_hash(digest, i, bits)
+        word = F.element_at(
+            F.col("__mask"), F.floor(pos / 64).cast("int") + 1
+        )
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        probe = probe & (word.bitwiseAND(bit) != 0)
+    return (
+        fact.crossJoin(F.broadcast(mask))
+        .where(F.col(on).isNotNull() & probe)
+        .drop("__mask")
+    )
+
+
+def bloom_prune_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    k: int = 4,
+    bits: int = 4096,
+    how: str = "inner",
+) -> DataFrame:
+    """Bloom-pruned join: :func:`bloom_prune` ``fact`` against ``dim``'s
+    keys BEFORE the join, then join exactly. False positives survive the
+    prune but die in the exact join, and a Bloom filter has no false
+    negatives — so the result is row-identical to
+    ``fact.join(dim, on, how)`` for inner/semi joins, while the shuffle
+    (or the broadcast-probe stream) carries only the fact rows that
+    might match. This is the explicit, persistable form of Spark's
+    runtime row-level filtering
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`).
+    """
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(
+            "bloom pruning preserves semantics only for inner/semi joins"
+        )
+    return bloom_prune(fact, dim, on, k=k, bits=bits).join(dim, on, how)
+
+
 def _misra_gries_batches(col: str, m: int):
     """mapInPandas kernel: fold each partition's Arrow batches through
     one Misra-Gries summary of at most ``m`` counters, emitting the

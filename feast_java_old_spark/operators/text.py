@@ -833,3 +833,105 @@ def length_bucket_batches(
         ).alias("batch_id"),
         F.max("n_tokens").over(wb).alias("pad_to"),
     )
+
+
+def stupid_backoff_logprob(
+    eval_df: DataFrame,
+    train_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    oov_k: float = 0.5,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Trigram stupid-backoff LM scoring (Brants et al., EMNLP 2007) —
+    the held-out completion of the :func:`unigram_logprob` /
+    :func:`bigram_logprob` ladder: score ``eval_df`` documents under a
+    reference model counted from ``train_df``, per trigram
+
+    ``S(w3|w1 w2) = c(w1w2w3)/c(w1w2)``          if the trigram is seen,
+    ``           = α · c(w2w3)/c(w2)``            else if the bigram is,
+    ``           = α² · c(w3)/N``                 else if the word is,
+    ``           = α² · k/N``                     for OOV words,
+
+    in log domain, averaged per document. Unlike the add-k twins (which
+    score a corpus on its own counts, so every n-gram is seen), the
+    train/eval split makes the backoff branches real — this is the CCNet
+    "perplexity under a reference LM" filter shape.
+
+    Plan shape: every CASE branch is pre-resolved MODEL-SIDE on
+    vocab-sized tables (trigram counts join their context-bigram counts,
+    bigram counts join their first-word counts, word counts cross-join
+    the single-row corpus total), so the corpus-sized eval trigram
+    stream does exactly three left joins against scored vocab tables
+    plus one broadcast single-row join for the OOV floor — no corpus
+    re-scan per branch. ``broadcast_model=False`` switches the vocab
+    joins to AQE shuffle joins for 100 TB vocabularies.
+
+    Returns ``(doc_id, n_trigrams, logprob)`` rounded to 6.
+    """
+    from feast_java_old_spark.operators.dedup import exploded_shingles
+
+    train = eval_df if train_df is None else train_df
+    w1 = F.split_part(F.col("shingle"), F.lit(" "), F.lit(1))
+    w2 = F.split_part(F.col("shingle"), F.lit(" "), F.lit(2))
+    w3 = F.split_part(F.col("shingle"), F.lit(" "), F.lit(3))
+
+    uni = (
+        exploded_shingles(train, text_col, id_col, n=1)
+        .groupBy(F.col("shingle").alias("__w"))
+        .agg(F.count(F.lit(1)).alias("__c1"))
+    )
+    total = uni.agg(F.sum("__c1").cast("double").alias("__n"))
+    bi = (
+        exploded_shingles(train, text_col, id_col, n=2)
+        .groupBy(F.col("shingle").alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c2"))
+    )
+    tri = (
+        exploded_shingles(train, text_col, id_col, n=3)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__c3"))
+    )
+
+    b1 = F.split_part(F.col("__b"), F.lit(" "), F.lit(1))
+    ctx12 = F.concat_ws(" ", w1, w2)
+    # Seen-trigram branch: a trigram's context bigram always exists in the
+    # same train corpus, so this inner join drops nothing.
+    tri_scored = tri.join(bi, ctx12 == F.col("__b")).select(
+        F.col("shingle").alias("__t3"),
+        F.log(F.col("__c3") / F.col("__c2")).alias("__lp3"),
+    )
+    bi_scored = bi.join(uni, b1 == F.col("__w")).select(
+        F.col("__b").alias("__b23"),
+        F.log(F.lit(alpha) * F.col("__c2") / F.col("__c1")).alias("__lp2"),
+    )
+    uni_scored = uni.crossJoin(F.broadcast(total)).select(
+        F.col("__w").alias("__w3"),
+        F.log(F.lit(alpha * alpha) * F.col("__c1") / F.col("__n")).alias("__lp1"),
+    )
+    if broadcast_model:
+        tri_scored = F.broadcast(tri_scored)
+        bi_scored = F.broadcast(bi_scored)
+        uni_scored = F.broadcast(uni_scored)
+
+    ev = exploded_shingles(eval_df, text_col, id_col, n=3)
+    scored = (
+        ev.join(tri_scored, ev["shingle"] == F.col("__t3"), "left")
+        .join(bi_scored, F.concat_ws(" ", w2, w3) == F.col("__b23"), "left")
+        .join(uni_scored, w3 == F.col("__w3"), "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.coalesce(
+                "__lp3",
+                "__lp2",
+                "__lp1",
+                F.log(F.lit(alpha * alpha * oov_k) / F.col("__n")),
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.round(F.avg("__lp"), 6).alias("logprob"),
+    )

@@ -443,3 +443,57 @@ def test_semantic_decontaminate_flags_paraphrase_twins(spark):
     assert out[1].max_cos > 0.99
     assert out[2].contaminated is False and out[2].max_cos == 0.0
     assert out[3].closest_bench_id == 10 and out[3].contaminated is False
+
+
+# ------------------------------------------------- stupid_backoff_logprob
+
+
+def test_stupid_backoff_all_four_branches_exact(spark):
+    """Hand-computed corpus where each backoff branch fires: train
+    'a b c a b d' gives c1={a:2,b:2,c:1,d:1}, N=6,
+    c2={'a b':2,'b c':1,'c a':1,'b d':1}, all trigrams count 1."""
+    import math
+
+    from feast_java_old_spark.operators.text import stupid_backoff_logprob
+
+    train = spark.createDataFrame(
+        [(0, "a b c a b d")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [
+            (1, "a b c x"),    # seen trigram + full OOV
+            (2, "c a b d"),    # two seen trigrams
+            (3, "x b c q d"),  # bigram backoff + OOV + unigram backoff
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in stupid_backoff_logprob(ev, train).collect()}
+    oov = math.log(0.4 * 0.4 * 0.5 / 6)
+    want = {
+        1: (2, (math.log(1 / 2) + oov) / 2),
+        2: (2, (math.log(1 / 1) + math.log(1 / 2)) / 2),
+        3: (3, (math.log(0.4 * 1 / 2) + oov + math.log(0.4 * 0.4 * 1 / 6)) / 3),
+    }
+    for d, (n, lp) in want.items():
+        assert out[d].n_trigrams == n
+        assert abs(out[d].logprob - round(lp, 6)) < 1e-9
+
+
+def test_stupid_backoff_self_scored_and_short_docs(spark):
+    """Default train = eval corpus: every trigram is seen, so scores
+    are pure ML trigram logprobs (<= 0); docs under 3 tokens emit no
+    trigram and drop out — same as the SQL oracle's group-by."""
+    from feast_java_old_spark.operators.text import stupid_backoff_logprob
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps") for i in range(5)]
+        + [(9, "too short")],
+        "doc_id long, text string",
+    )
+    rows = stupid_backoff_logprob(df).collect()
+    ids = {r.doc_id for r in rows}
+    assert ids == set(range(5))  # doc 9 has no trigram
+    assert all(r.logprob <= 0 for r in rows)
+    # five identical docs: trigram c3=5, context bigram c2=5 -> ML
+    # probability 1 per trigram -> logprob exactly 0
+    assert all(abs(r.logprob) < 1e-9 for r in rows)

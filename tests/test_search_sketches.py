@@ -412,3 +412,71 @@ def test_bloom_fp_rate_formula_bound(spark):
     p_theory = (1 - math.exp(-k * n / bits)) ** k  # ~0.0865
     rate = fps / n_probe
     assert 0 < rate < 2 * p_theory, (rate, p_theory)
+
+
+# ---------------------------------------------------------- bloom_prune_join
+
+
+def test_bloom_prune_join_row_identical_to_plain_join(spark):
+    """The prune must be invisible: FPs die in the exact join, and a
+    Bloom filter has no false negatives, so inner/semi results are
+    row-identical to the unpruned join."""
+    from feast_java_old_spark.operators import sketches
+
+    fact = spark.createDataFrame(
+        [(i % 300, i) for i in range(1200)], "k long, payload long"
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 300, 7)], "k long, attr string"
+    )
+    for how in ("inner", "semi"):
+        got = sorted(
+            map(tuple, sketches.bloom_prune_join(
+                fact, dim, "k", k=4, bits=1024, how=how).collect())
+        )
+        want = sorted(map(tuple, fact.join(dim, "k", how).collect()))
+        assert got == want and len(got) > 0
+
+
+def test_bloom_prune_join_word_boundaries_and_outer_rejected(spark):
+    """bits=64 packs every position into ONE word and bits=128 into two
+    — the element_at/shiftleft packing edge; a bit-packing off-by-one
+    would drop true matches. Outer joins are rejected (pruned fact rows
+    would lose their null-extended outputs)."""
+    import pytest as _pytest
+
+    from feast_java_old_spark.operators import sketches
+
+    fact = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    dim = spark.createDataFrame([(i,) for i in range(0, 500, 3)], "k long")
+    for bits in (64, 128):
+        got = sorted(
+            r.k for r in sketches.bloom_prune_join(
+                fact, dim, "k", k=2, bits=bits).collect()
+        )
+        want = sorted(r.k for r in fact.join(dim, "k").collect())
+        assert got == want
+    with _pytest.raises(ValueError):
+        sketches.bloom_prune_join(fact, dim, "k", how="left")
+
+
+def test_bloom_prune_actually_prunes(spark):
+    """On a fact whose keys are disjoint from the dim's, the pruned
+    stream must shrink to roughly the Bloom FP rate — the operator's
+    entire reason to exist; an always-true probe would still pass the
+    row-identity tests."""
+    from feast_java_old_spark.operators import sketches
+
+    fact = spark.createDataFrame([(i,) for i in range(1000, 3000)], "k long")
+    dim = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    kept = sketches.bloom_prune(fact, dim, "k", k=4, bits=4096).count()
+    # n=100 keys in 4096 bits, k=4: FP rate ~ (1-e^{-400/4096})^4 ~ 8e-5;
+    # allow two orders of magnitude slack — the point is "almost all cut"
+    assert kept <= 40
+    # every true match always survives the prune (superset property)
+    overlap = spark.createDataFrame([(i,) for i in range(50, 150)], "k long")
+    kept_keys = {
+        r.k for r in sketches.bloom_prune(overlap, dim, "k", k=4,
+                                          bits=4096).collect()
+    }
+    assert set(range(50, 100)) <= kept_keys
