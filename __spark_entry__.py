@@ -5773,7 +5773,7 @@ LEFT JOIN hot ON hot.o_custkey = c.c_custkey
 """
 
 
-BLOOM_JOIN_PRICE = 300_000.0
+BLOOM_JOIN_PRICE = 450_000.0
 
 
 def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5786,7 +5786,11 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists — so the oracle is the UNPRUNED SQL join: the gate proves the
     prune is invisible.  The 100 TB case is a big-big join where the
     dim sliver can't broadcast as a hash set but its fixed-size bitmap
-    can: the fact's non-matching majority never reaches the exchange."""
+    can: the fact's non-matching majority never reaches the exchange.
+    Sizing matters: bits must scale with the dim key count (~15k keys
+    at sf0.1 here; 2^20 bits → FP ≈ 1e-5, a 128 KB broadcast) — an
+    undersized filter saturates and prunes nothing while staying
+    correct, the silent failure mode of every Bloom deployment."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"),
         "l_extendedprice",
@@ -5796,7 +5800,7 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice") > BLOOM_JOIN_PRICE
     ).select("o_orderkey", "o_orderpriority")
     joined = sketches.bloom_prune_join(
-        li, hot, "o_orderkey", k=4, bits=1 << 15
+        li, hot, "o_orderkey", k=4, bits=1 << 20
     )
     return joined.groupBy("o_orderpriority").agg(
         F.sum(

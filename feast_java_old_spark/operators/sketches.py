@@ -185,8 +185,26 @@ def cms_join_size(
     return per_row.agg(F.min("__ip").alias("est_pairs"))
 
 
+def _bloom_pos_array(col: str, k: int, bits: int, family: str):
+    """The ``k`` Bloom bit positions of ``col`` as one array column.
+    Values are cast to string first so build and probe sides agree even
+    when their key column types differ (int vs bigint)."""
+    if family == "md5":
+        if k > 4:
+            raise ValueError("k > 4 exceeds the 28-bit slices of one md5")
+        digest = F.md5(F.col(col).cast("string"))
+        return F.array(*[_cms_col_hash(digest, i, bits) for i in range(k)])
+    if family == "xxhash":
+        s = F.col(col).cast("string")
+        return F.array(
+            *[F.pmod(F.xxhash64(s, F.lit(i)), F.lit(bits)) for i in range(k)]
+        )
+    raise ValueError(f"unknown bloom hash family {family!r}")
+
+
 def bloom_build(
-    df: DataFrame, col: str, k: int = 4, bits: int = 4096
+    df: DataFrame, col: str, k: int = 4, bits: int = 4096,
+    family: str = "md5",
 ) -> DataFrame:
     """Bloom filter of a key set as its SET-BIT rows ``(bit_pos)`` —
     the distributed representation: shard filters union (distinct) into
@@ -197,18 +215,22 @@ def bloom_build(
     cannot match — Spark's own runtime row-level filtering does exactly
     this, and this operator is the explicit, persistable form.
 
-    Hash family: the ``k`` disjoint 28-bit md5 slices (engine-
-    reproducible — see :func:`_cms_col_hash`), ``k ≤ 4``. One digest
-    per row; the aggregate is a map-side-combined distinct bounded by
-    ``bits``.
+    Hash family (``family="md5"``, default): the ``k`` disjoint 28-bit
+    md5 slices (engine-reproducible — see :func:`_cms_col_hash`),
+    ``k ≤ 4``. One digest per row; the aggregate is a map-side-combined
+    distinct bounded by ``bits``. ``family="xxhash"`` switches to
+    seeded ``xxhash64`` — ~4× cheaper (native codegen long hash, no
+    hex-string conv) and unbounded ``k``, but NOT reproducible in SQL
+    engines: use it when no oracle needs to replay the positions, e.g.
+    :func:`bloom_prune`, whose oracle is the unpruned join itself.
     """
-    if k > 4:
-        raise ValueError("k > 4 exceeds the 28-bit slices of one md5")
-    digest = F.md5(F.col(col).cast("string"))
-    pos = F.array(*[_cms_col_hash(digest, i, bits) for i in range(k)])
     return (
         df.where(F.col(col).isNotNull())
-        .select(F.explode(pos).alias("bit_pos"))
+        .select(
+            F.explode(_bloom_pos_array(col, k, bits, family)).alias(
+                "bit_pos"
+            )
+        )
         .distinct()
     )
 
@@ -261,17 +283,28 @@ def bloom_prune(
     The filter's set-bit rows pack into ONE dense ``array<long>`` word
     row (``bits/64`` longs — 2 MB at 2^24 bits) that broadcasts, and
     each probe is ``element_at`` (constant-time on arrays) + an AND
-    mask, all codegen'd map-side on the scan — NOT an
-    ``array_contains`` scan of the set-bit list, which would be
-    O(set bits) per row. Everything stays lazy — no driver collect.
-    The 100 TB case is a big-big join where the dim side is filtered to
-    a sliver: a billion-key dim can't broadcast as a hash set, but its
-    fixed-size bitmap can, so the fact's non-matching majority never
-    reaches the exchange.
+    mask — NOT an ``array_contains`` scan of the set-bit list, which
+    would be O(set bits) per row. Everything stays lazy — no driver
+    collect. The 100 TB case is a big-big join where the dim side is
+    filtered to a sliver: a billion-key dim can't broadcast as a hash
+    set, but its fixed-size bitmap can, so the fact's non-matching
+    majority never reaches the exchange.
+
+    Plan shape detail: Catalyst folds the probe predicate into the
+    single-row BroadcastNestedLoopJoin's condition, and BNLJ conditions
+    are evaluated INTERPRETED — so the hash computation is projected
+    fact-side FIRST (whole-stage codegen); only the trivial
+    ``element_at(mask, wi) & bit`` residual lands in the join
+    condition. Folding the full probe into the condition instead
+    re-evaluates k interpreted hashes per fact row (measured ~4× the
+    whole prune at sf0.1). The hash family is seeded ``xxhash64``, not
+    the engine-reproducible md5 slices: no oracle ever replays these
+    positions (the oracle is the UNPRUNED join), and native long
+    hashing is ~4× cheaper than md5+hex-conv per probe.
     """
     nwords = (bits + 63) // 64
     words = (
-        bloom_build(dim, on, k=k, bits=bits)
+        bloom_build(dim, on, k=k, bits=bits, family="xxhash")
         .groupBy(F.floor(F.col("bit_pos") / 64).cast("int").alias("__wi"))
         .agg(
             F.bit_or(
@@ -283,31 +316,48 @@ def bloom_prune(
             ).alias("__w")
         )
     )
-    mask = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("__wi", "__w"))).alias("__m")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(nwords - 1)),
-            lambda i: F.coalesce(
-                F.element_at(F.col("__m"), i), F.lit(0).cast("long")
-            ),
-        ).alias("__mask")
+    # Densify (__wi, __w) into ONE positional array<long> row.  The
+    # obvious map_from_entries + element_at(map, i) per index is a TRAP:
+    # Spark map lookup is a linear scan, so the fill is O(nwords²)
+    # interpreted (measured 18 s at 2^20 bits).  Instead union a zero
+    # row for EVERY word index (bit_or identity), so after the word
+    # aggregate the collect_list is gap-free and sort_array + a field
+    # extract lays the words out positionally in O(n log n).
+    zeros = dim.sparkSession.range(nwords).select(
+        F.col("id").cast("int").alias("__wi"),
+        F.lit(0).cast("long").alias("__w"),
     )
-    digest = F.md5(F.col(on).cast("string"))
-    probe = F.lit(True)
-    for i in range(k):
-        pos = _cms_col_hash(digest, i, bits)
-        word = F.element_at(
-            F.col("__mask"), F.floor(pos / 64).cast("int") + 1
+    mask = (
+        words.unionByName(zeros)
+        .groupBy("__wi")
+        .agg(F.bit_or("__w").alias("__w"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("__wi", "__w"))).alias("__s")
         )
-        bit = F.call_function(
+        .select(
+            F.transform(F.col("__s"), lambda x: x["__w"]).alias("__mask")
+        )
+    )
+    key = F.col(on).cast("string")
+    wi_cols = [f"__bp_wi{i}" for i in range(k)]
+    bit_cols = [f"__bp_bit{i}" for i in range(k)]
+    staged = fact.where(F.col(on).isNotNull())
+    pos_exprs = {}
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(bits))
+        pos_exprs[wi_cols[i]] = F.floor(pos / 64).cast("int") + 1
+        pos_exprs[bit_cols[i]] = F.call_function(
             "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
         )
-        probe = probe & (word.bitwiseAND(bit) != 0)
+    staged = staged.withColumns(pos_exprs)
+    probe = F.lit(True)
+    for i in range(k):
+        word = F.element_at(F.col("__mask"), F.col(wi_cols[i]))
+        probe = probe & (word.bitwiseAND(F.col(bit_cols[i])) != 0)
     return (
-        fact.crossJoin(F.broadcast(mask))
-        .where(F.col(on).isNotNull() & probe)
-        .drop("__mask")
+        staged.crossJoin(F.broadcast(mask))
+        .where(probe)
+        .drop("__mask", *wi_cols, *bit_cols)
     )
 
 
