@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from feast_java_old_spark.operators import (
+    classify,
     curation,
     dedup,
     features,
@@ -809,15 +810,15 @@ def _sql_minhash() -> str:
         f"SELECT doc_id, {b} AS band, b{b} AS bucket FROM sig" for b in range(MINHASH_BANDS)
     )
     return f"""
-WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+WITH toks AS MATERIALIZED (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
 sh AS (SELECT doc_id,
         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                        FOR i IN range(1, len(t) - 1)]) AS s
        FROM toks WHERE len(t) >= 3),
-ex AS (SELECT doc_id,
+ex AS MATERIALIZED (SELECT doc_id,
         ('0x' || substr(unnest(s), 1, 7))::BIGINT AS h
        FROM (SELECT doc_id, list_transform(s, x -> md5(x)) AS s FROM sh)),
-sigm AS (SELECT doc_id,
+sigm AS MATERIALIZED (SELECT doc_id,
     {mins}
   FROM ex GROUP BY doc_id),
 sig AS (SELECT doc_id,
@@ -1453,7 +1454,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_REPETITION = """
 WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
 u1 AS (SELECT doc_id, unnest(toks) AS g FROM d),
-c1 AS (SELECT doc_id, g, count(*) AS cnt FROM u1 GROUP BY doc_id, g),
+c1 AS MATERIALIZED (SELECT doc_id, g, count(*) AS cnt FROM u1 GROUP BY doc_id, g),
 a1 AS (SELECT doc_id,
          round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_1gram_frac,
          round(CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
@@ -2073,7 +2074,7 @@ WITH r AS (SELECT doc_id, source,
         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
           / 268435456.0 AS frac
       FROM documents),
-n AS (SELECT doc_id, source,
+n AS MATERIALIZED (SELECT doc_id, source,
         CAST(floor(rate) + CASE WHEN frac < rate - floor(rate)
                                 THEN 1 ELSE 0 END AS BIGINT) AS n
       FROM r)
@@ -5392,7 +5393,7 @@ SQL_FUNNEL = f"""
 WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
                   event_type FROM events
            WHERE event_type IN ('signup', 'view', 'purchase')),
-t1 AS (SELECT user_id, min(ts_us) AS ts_1_us FROM e
+t1 AS MATERIALIZED (SELECT user_id, min(ts_us) AS ts_1_us FROM e
        WHERE event_type = 'signup' GROUP BY user_id),
 t2 AS (SELECT e.user_id, min(ts_us) AS ts_2_us
        FROM e JOIN t1 ON e.user_id = t1.user_id
@@ -6250,7 +6251,7 @@ nodes AS (SELECT DISTINCT src AS node FROM e
 od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
 c1 AS (SELECT e.dst, sum(1.0 / od.outdeg) AS cin
        FROM e JOIN od USING (src) GROUP BY e.dst),
-pr1 AS (SELECT n.node, round(0.15 + 0.85 * coalesce(c1.cin, 0), 9) AS pr
+pr1 AS MATERIALIZED (SELECT n.node, round(0.15 + 0.85 * coalesce(c1.cin, 0), 9) AS pr
         FROM nodes n LEFT JOIN c1 ON c1.dst = n.node),
 c2 AS (SELECT e.dst, sum(pr1.pr / od.outdeg) AS cin
        FROM e JOIN od USING (src) JOIN pr1 ON pr1.node = e.src
@@ -6762,6 +6763,124 @@ GROUP BY doc_id
 """
 
 
+LOGREG_DIMS = 64
+LOGREG_STEPS = 4
+LOGREG_LR = 4.0
+LOGREG_TARGET = "stream"
+LOGREG_THR = 28
+
+
+def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training
+    (operators/classify.py:logreg_train): a hashed bag-of-words
+    classifier trained IN the engine by 4 full-batch gradient steps —
+    each step ONE corpus-pass aggregate shuffling dims+2 partial rows,
+    weights collected as bounded driver scalars and re-embedded as
+    literals (the kmeans lineage-cut pattern).  Label: does the doc use
+    the token 'stream' at > 2.8% frequency — a frequency rule the
+    trainer must rediscover through 64 hashed centered features
+    (~97% train accuracy in 4 steps).  Every arithmetic step is on an
+    integer grid (per-mille features, micro-unit weights/residuals)
+    with single-IEEE-op float crossings, so the DuckDB oracle unrolls
+    the SAME 4 steps term for term and the final per-doc probabilities
+    hash-match at 6dp.  The fastText/CCNet quality-filter shape."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    freq = (
+        F.size(F.filter(toks, lambda t: t == F.lit(LOGREG_TARGET)))
+        * 1000.0
+        / F.size(toks)
+    )
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "y_hi", (freq > LOGREG_THR).cast("int")
+    )
+    # Training collects inside this frame, so the per-step shuffles
+    # (and the persisted feature frame's layout) must not inherit the
+    # driver session's 200-partition default — 200 tasks per stage per
+    # step for a bounded feature table.
+    with _small_shuffle(spark):
+        w, b, m = classify.logreg_train(
+            docs,
+            "y_hi",
+            dims=LOGREG_DIMS,
+            steps=LOGREG_STEPS,
+            lr=LOGREG_LR,
+        )
+    return classify.logreg_score(
+        docs, w, b, m, "y_hi", dims=LOGREG_DIMS
+    ).select(
+        "doc_id",
+        F.col("y").cast("int").alias("y"),
+        "p",
+        F.col("pred").cast("int").alias("pred"),
+    )
+
+
+def _logreg_sql_step(k: int) -> str:
+    """CTE group for gradient step k ≥ 2 (step 1 is closed-form:
+    w=0 → p=0.5 exactly).  Mirrors classify.logreg_train: centered
+    gradient in exact BIGINTs, one double mult+div+round per dim."""
+    p = k - 1
+    return f"""
+z{k} AS MATERIALIZED (SELECT y.doc_id, y.y,
+         (COALESCE(s.s, 0) - (SELECT c FROM c{p}) + (SELECT b FROM b{p}) * 1000) / 1.0e9 AS z
+         FROM y LEFT JOIN (SELECT doc_id, sum(w * x) AS s
+                           FROM x JOIN w{p} USING (j) GROUP BY doc_id) s
+         USING (doc_id)),
+r{k} AS MATERIALIZED (SELECT doc_id, y, CAST(round((1.0 / (1.0 + exp(-z)) - y) * 1000000, 0) AS BIGINT) AS r FROM z{k}),
+t{k} AS MATERIALIZED (SELECT CAST(sum(r) AS BIGINT) AS t FROM r{k}),
+g{k} AS MATERIALIZED (SELECT j, CAST(sum(x * r) AS BIGINT) AS g FROM x JOIN r{k} USING (doc_id) GROUP BY j),
+w{k} AS MATERIALIZED (SELECT m.j,
+         COALESCE(wp.w, 0) - CAST(round({LOGREG_LR} * (COALESCE(g.g, 0) - m.m * (SELECT t FROM t{k})) / ((SELECT nn FROM n) * 1000), 0) AS BIGINT) AS w
+         FROM m LEFT JOIN g{k} g USING (j) LEFT JOIN w{p} wp USING (j)),
+b{k} AS MATERIALIZED (SELECT (SELECT b FROM b{p}) - CAST(round({LOGREG_LR} * (SELECT t FROM t{k}) / (SELECT nn FROM n), 0) AS BIGINT) AS b),
+c{k} AS MATERIALIZED (SELECT COALESCE(CAST(sum(w * m) AS BIGINT), 0) AS c FROM w{k} JOIN m USING (j))"""
+
+
+SQL_LOGREG_QUALITY = (
+    f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents),
+feat AS MATERIALIZED (SELECT doc_id,
+                CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) % {LOGREG_DIMS} AS j,
+                count(*) AS c
+         FROM toks GROUP BY doc_id, j),
+lens AS MATERIALIZED (SELECT doc_id, sum(c) AS l FROM feat GROUP BY doc_id),
+x AS (SELECT f.doc_id, f.j,
+             CAST(round(f.c * {LOGREG_DIMS * 1000}.0 / lens.l, 0) AS BIGINT) AS x
+      FROM feat f JOIN lens USING (doc_id)),
+n AS (SELECT count(*) AS nn FROM documents),
+m AS (SELECT j, CAST(round(sum(x) * 1.0 / (SELECT nn FROM n), 0) AS BIGINT) AS m
+      FROM x GROUP BY j),
+y AS MATERIALIZED (SELECT doc_id,
+             CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                       t -> t = '{LOGREG_TARGET}')) * 1000.0
+                       / len(string_split(lower(text), ' ')) > {LOGREG_THR}
+                  THEN 1 ELSE 0 END AS y
+      FROM documents),
+-- step 1 closed-form: w = 0 -> z = 0, p = 0.5 exactly
+r1 AS (SELECT doc_id, y, CAST(round((0.5 - y) * 1000000, 0) AS BIGINT) AS r FROM y),
+t1 AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM r1),
+g1 AS MATERIALIZED (SELECT j, CAST(sum(x * r) AS BIGINT) AS g FROM x JOIN r1 USING (doc_id) GROUP BY j),
+w1 AS MATERIALIZED (SELECT m.j,
+       -CAST(round({LOGREG_LR} * (COALESCE(g.g, 0) - m.m * (SELECT t FROM t1)) / ((SELECT nn FROM n) * 1000), 0) AS BIGINT) AS w
+       FROM m LEFT JOIN g1 g USING (j)),
+b1 AS MATERIALIZED (SELECT -CAST(round({LOGREG_LR} * (SELECT t FROM t1) / (SELECT nn FROM n), 0) AS BIGINT) AS b),
+c1 AS (SELECT COALESCE(CAST(sum(w * m) AS BIGINT), 0) AS c FROM w1 JOIN m USING (j)),"""
+    + ",".join(_logreg_sql_step(k) for k in range(2, LOGREG_STEPS + 1))
+    + f""",
+zf AS MATERIALIZED (SELECT y.doc_id, y.y,
+       (COALESCE(s.s, 0) - (SELECT c FROM c{LOGREG_STEPS}) + (SELECT b FROM b{LOGREG_STEPS}) * 1000) / 1.0e9 AS z
+       FROM y LEFT JOIN (SELECT doc_id, sum(w * x) AS s
+                         FROM x JOIN w{LOGREG_STEPS} USING (j) GROUP BY doc_id) s
+       USING (doc_id))
+SELECT doc_id, CAST(y AS INT) AS y,
+       round(1.0 / (1.0 + exp(-z)), 6) AS p,
+       CAST(CASE WHEN 1.0 / (1.0 + exp(-z)) > 0.5 THEN 1 ELSE 0 END AS INT) AS pred
+FROM zf
+"""
+)
+
+
 def q_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram stupid-backoff LM scoring under a HELD-OUT reference
     model (operators/text.py:stupid_backoff_logprob; Brants et al.,
@@ -7173,6 +7292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then the 6 queries whose newest row is r3, then the 42 oldest
         # r4 rows.  Positions 51+ are the remaining r4/r5/r6 rows, oldest
         # evidence first — next round's window starts there.
+        "logreg_quality": q_logreg_quality,
         "lm_backoff": q_lm_backoff,
         "bloom_prune_join": q_bloom_prune_join,
         "schema_evolution": q_schema_evolution,
@@ -7344,6 +7464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "logreg_quality": SQL_LOGREG_QUALITY,
         "lm_backoff": SQL_LM_BACKOFF,
         "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
         "schema_evolution": SQL_SCHEMA_EVOLUTION,

@@ -183,6 +183,8 @@ HEADLINE = [
     # r7: held-out trigram stupid-backoff LM + Bloom-pruned join.
     "lm_backoff",
     "bloom_prune_join",
+    # r7: in-engine distributed logistic-regression training.
+    "logreg_quality",
 ]
 
 

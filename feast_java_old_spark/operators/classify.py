@@ -1,0 +1,259 @@
+"""Distributed linear-model training as relational aggregates.
+
+The reference engine ships no model training; this module exists for the
+LLM-data-pipeline surface: a fastText-style quality / language classifier
+(GPT-3 WebText filter, CCNet) trained IN the engine, so corpus curation
+does not round-trip 100 TB through a separate ML system.
+
+Design for exact cross-engine reproducibility (the same discipline as
+functions/hashing.py and the MMR integer-micro-unit lesson):
+
+* Features are hashed token FREQUENCIES on the 1e-3 integer grid:
+  ``X_dj = round(c_dj · dims · 1000 / len_d)`` — the per-mille grid of
+  ``frequency × dims``, which puts the average feature at ~1.0, the
+  same scale as the bias, so one learning rate moves every coordinate.
+  The hash is the 28-bit md5-slice family
+  (``('0x' || substr(md5(tok), 1, 7))::BIGINT % dims`` in ANSI SQL),
+  so an oracle can replay the featurization term for term.
+* Features are CENTERED (``X̃ = X - M``, ``M_j = round(mean X_j)``) —
+  without centering, all-positive correlated features force gradient
+  descent to spend its few full-batch steps discovering the bias
+  direction (measured: uncentered ~chance after 8 steps on a perfectly
+  separable label; centered 100% in 4).  Centering is FREE in sparse
+  form: fold ``M_j·Σr`` into each gradient and ``Σ_j W_j·M_j`` into
+  the bias at score time — the stored features stay sparse.
+* Weights live on the 1e-6 integer grid ("micro-units").  Every
+  gradient is an INT64 sum of X·R products (R = the per-doc residual
+  rounded to micro-units) — exact and order-independent, so
+  shuffle/combine order can never flip a low bit.  The per-step
+  floating-point ops (one division, one ``exp``, one ``round`` per
+  doc; one mult+div+round per dim) are each a single IEEE op on
+  identical inputs in any engine.  Driver-side rounding is HALF-AWAY
+  (matching Spark/DuckDB ``round``), never Python's banker's.
+* Batch gradient descent, one corpus pass per step; the step's
+  gradient vector (``dims``+1 INT64s) is collected to the driver and
+  re-embedded as literals — the kmeans_train lineage-cut pattern
+  (similarity.py): step N+1's plan contains constants, not step N's
+  DAG.  Driver traffic is dims+1 scalars per step, independent of
+  corpus size.
+
+At 100 TB: the feature explode is a projection (no shuffle); each step
+shuffles only ``(dims+2)``-row partial aggregates (map-side combined);
+nothing is per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+MILLE = 1_000
+
+
+def _half_away(v: float) -> int:
+    """Round half AWAY from zero — the ``round`` of Spark and DuckDB.
+    Python's built-in ``round`` is banker's and would diverge from the
+    SQL oracle on exact .5 values (the EWMA lesson)."""
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+
+def _feature_hash(tok: Column, dims: int) -> Column:
+    """28-bit md5-slice feature hash — engine-reproducible (see
+    sketches._cms_col_hash / dedup.shingle_base_hash)."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 7), 16, 10).cast("long")
+        % F.lit(dims)
+    ).cast("int")
+
+
+def hashed_token_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 64,
+) -> DataFrame:
+    """Hashed bag-of-words frequencies: ``(doc_id, j, x)`` with
+    ``x = round(c_j · dims · 1000 / len)`` — per-mille ints of
+    ``frequency × dims``.  Whitespace tokenization of lowercased text
+    (exactly ``string_split(lower(text), ' ')``).  One explode + one
+    map-side-combined (doc, j) count + one doc-keyed aggregate for the
+    length; text itself never shuffles."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__tok"),
+    )
+    counts = (
+        toks.select("doc_id", _feature_hash(F.col("__tok"), dims).alias("j"))
+        .groupBy("doc_id", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    lens = counts.groupBy("doc_id").agg(F.sum("__c").alias("__len"))
+    return counts.join(lens, "doc_id").select(
+        "doc_id",
+        "j",
+        F.round(F.col("__c") * F.lit(float(dims * MILLE)) / F.col("__len"), 0)
+        .cast("long")
+        .alias("x"),
+    )
+
+
+def feature_means(feat: DataFrame, n_docs: int) -> DataFrame:
+    """Per-dimension mean feature on the same per-mille grid:
+    ``M_j = round(Σ_d X_dj / n)`` (absent rows count as 0 via the
+    corpus-total denominator).  dims rows — bounded driver material."""
+    return feat.groupBy("j").agg(
+        F.round(F.sum("x") / F.lit(n_docs), 0).cast("long").alias("m")
+    )
+
+
+def _scores(
+    feat: DataFrame,
+    labels: DataFrame,
+    w_micro: dict[int, int],
+    b_micro: int,
+    m_mille: dict[int, int],
+) -> DataFrame:
+    """Per-doc margin and probability under micro-unit weights over
+    CENTERED features: ``z = (Σ_j W_j·X_j - Σ_j W_j·M_j + B·1000)/1e9``
+    (both sums exact INT64; the centering sum is a driver-side Python
+    int folded into the bias term; one IEEE division), then
+    ``p = 1 / (1 + exp(-z))``.  Docs with no feature rows fall back to
+    the centered bias via the left join + coalesce.  The weight vector
+    rides as a dims-term CASE chain of literals — codegen'd, no join,
+    the kmeans literal-embedding pattern (64–256 terms, nowhere near
+    the janino method-size cliff)."""
+    contrib = F.lit(0).cast("long")
+    for j in sorted(w_micro):
+        w = int(w_micro[j])
+        if w:
+            contrib = contrib + F.when(
+                F.col("j") == j, F.lit(w) * F.col("x")
+            ).otherwise(F.lit(0).cast("long"))
+    center = sum(
+        int(w_micro[j]) * int(m_mille.get(j, 0)) for j in w_micro
+    )
+    per_doc = feat.groupBy("doc_id").agg(F.sum(contrib).alias("__zw"))
+    z = (
+        (
+            F.coalesce(F.col("__zw"), F.lit(0))
+            + F.lit(int(b_micro) * MILLE - center)
+        )
+        / F.lit(1.0e9)
+    ).alias("z")
+    return (
+        labels.join(per_doc, "doc_id", "left")
+        .select("doc_id", "y", z)
+        .withColumn("p", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))))
+    )
+
+
+def logreg_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 64,
+    steps: int = 4,
+    lr: float = 4.0,
+) -> tuple[dict[int, int], int, dict[int, int]]:
+    """Train a hashed bag-of-words logistic regression by ``steps``
+    full-batch gradient-descent passes over centered features; returns
+    ``(w_micro, b_micro, m_mille)`` — per-dimension micro-unit weights,
+    bias, and the per-mille feature means the weights are centered on.
+
+    Per step, with current weights:
+    ``R_d = round((p_d - y_d) · 1e6)``        (INT64 residual),
+    ``G_j = Σ_d X_dj·R_d - M_j·Σ_d R_d``      (exact INT64 aggregate;
+    the second term is the centering correction, computed from the
+    bias pseudo-feature's gradient — no extra pass),
+    ``W_j -= round(lr · G_j / (n·1000))``     (one FP mult+div, then
+    half-away round).
+
+    The bias is the pseudo-feature ``j = -1`` with ``X = 1000`` on
+    every doc, so its gradient falls out of the SAME aggregate — each
+    step is exactly ONE corpus pass shuffling dims+2 partial rows
+    (map-side combined).  The collected gradient is dims+1 INT64s
+    (bounded driver scalars, the kmeans centroid precedent).
+    """
+    labels = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).cast("int").alias("y"),
+    ).persist()
+    featb = (
+        hashed_token_features(df, text_col, id_col, dims)
+        .unionByName(
+            labels.select(
+                "doc_id",
+                F.lit(-1).alias("j"),
+                F.lit(MILLE).cast("long").alias("x"),
+            )
+        )
+        .persist()
+    )
+    feat = featb.where(F.col("j") >= 0)
+    try:
+        # One pass for doc count AND feature means: the bias row has
+        # x = 1000 on every doc, so Σx over j = -1 is exactly 1000·n.
+        sums = {
+            r.j: int(r.sx)
+            for r in featb.groupBy("j")
+            .agg(F.sum("x").alias("sx"))
+            .collect()
+        }
+        n = sums.pop(-1) // MILLE
+        m_mille = {j: _half_away(sx / n) for j, sx in sums.items()}
+        w_micro: dict[int, int] = {j: 0 for j in range(dims)}
+        b_micro = 0
+        for _ in range(steps):
+            resid = _scores(feat, labels, w_micro, b_micro, m_mille).select(
+                "doc_id",
+                F.round((F.col("p") - F.col("y")) * MICRO, 0)
+                .cast("long")
+                .alias("r"),
+            )
+            grads = {
+                row.j: int(row.g)
+                for row in featb.join(resid, "doc_id")
+                .groupBy("j")
+                .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
+                .collect()
+            }
+            r_total = grads.get(-1, 0) // MILLE  # bias x is exactly 1000
+            for j in range(dims):
+                g = grads.get(j, 0) - m_mille.get(j, 0) * r_total
+                w_micro[j] -= _half_away(lr * g / (n * MILLE))
+            b_micro -= _half_away(lr * r_total / n)
+    finally:
+        featb.unpersist()
+        labels.unpersist()
+    return w_micro, b_micro, m_mille
+
+
+def logreg_score(
+    df: DataFrame,
+    w_micro: dict[int, int],
+    b_micro: int,
+    m_mille: dict[int, int],
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 64,
+) -> DataFrame:
+    """Score ``df`` under trained micro-unit weights: returns
+    ``(doc_id, y, p, pred)`` with ``p`` rounded to 6 (the engine's
+    cross-engine float discipline) and ``pred = p > 0.5``."""
+    feat = hashed_token_features(df, text_col, id_col, dims)
+    labels = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).cast("int").alias("y"),
+    )
+    s = _scores(feat, labels, w_micro, b_micro, m_mille)
+    return s.select(
+        "doc_id",
+        "y",
+        F.round("p", 6).alias("p"),
+        (F.col("p") > 0.5).cast("int").alias("pred"),
+    )
