@@ -6763,6 +6763,61 @@ GROUP BY doc_id
 """
 
 
+def q_global_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row numbers WITHOUT a single-partition sort
+    (operators/layout.py:global_sort_ranks): the scale-correct form of
+    ``row_number() OVER (ORDER BY ...)`` — Spark executes the naive
+    global window as an Exchange to ONE partition holding the whole
+    table.  Here: percentile_approx bucket boundaries (bounded driver
+    scalars) → value-pure bucket assignment (equal keys can't straddle
+    buckets) → per-bucket counts → cumulative offsets over ≤64 metadata
+    rows → broadcast offset join + per-bucket row_number.  The oracle
+    IS the naive global window — the gate proves the decomposition is
+    invisible."""
+    from feast_java_old_spark.operators.layout import global_sort_ranks
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    return global_sort_ranks(
+        docs, "n_chars", tiebreak_cols=["doc_id"], buckets=64
+    )
+
+
+SQL_GLOBAL_RANKS = """
+SELECT doc_id, n_chars,
+       ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS global_rank
+FROM documents
+"""
+
+
+STRATA_FRACS = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling
+    (operators/curation.py:stratified_sample; the reproducible sampleBy
+    twin): language rebalancing that halves 'en', quarters de/fr/es,
+    and keeps 10% of zh — The Pile / ROOTS mixture-recipe shape.
+    Membership is a pure integer md5 function of (doc_id, seed,
+    stratum), so the oracle replays it exactly; one codegen'd filter on
+    the scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.stratified_sample(
+        docs, "lang", STRATA_FRACS, seed=0
+    ).select("doc_id", "lang", "source")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST(('0x' || substr(md5(doc_id || ':0'), 1, 7)) AS BIGINT) % 1000000
+      < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                  WHEN 'fr' THEN 250000 WHEN 'es' THEN 250000
+                  WHEN 'zh' THEN 100000 ELSE 0 END
+"""
+
+
 LOGREG_DIMS = 64
 LOGREG_STEPS = 4
 LOGREG_LR = 4.0
@@ -7293,6 +7348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 rows.  Positions 51+ are the remaining r4/r5/r6 rows, oldest
         # evidence first — next round's window starts there.
         "logreg_quality": q_logreg_quality,
+        "global_ranks": q_global_ranks,
+        "stratified_sample": q_stratified_sample,
         "lm_backoff": q_lm_backoff,
         "bloom_prune_join": q_bloom_prune_join,
         "schema_evolution": q_schema_evolution,
@@ -7465,6 +7522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "logreg_quality": SQL_LOGREG_QUALITY,
+        "global_ranks": SQL_GLOBAL_RANKS,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "lm_backoff": SQL_LM_BACKOFF,
         "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
         "schema_evolution": SQL_SCHEMA_EVOLUTION,

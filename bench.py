@@ -185,6 +185,9 @@ HEADLINE = [
     "bloom_prune_join",
     # r7: in-engine distributed logistic-regression training.
     "logreg_quality",
+    # r7: global ranks without a global sort; deterministic sampleBy twin.
+    "global_ranks",
+    "stratified_sample",
 ]
 
 

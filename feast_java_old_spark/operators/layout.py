@@ -143,3 +143,75 @@ def compaction_plan(
     return planned.withColumn(
         "bin_bytes", F.sum(size_col).over(wb).cast("long")
     ).withColumn("bin_files", F.count(F.lit(1)).over(wb).cast("long"))
+
+
+def global_sort_ranks(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_cols: list[str] | None = None,
+    buckets: int = 64,
+    rank_name: str = "global_rank",
+) -> DataFrame:
+    """Contiguous global row numbers 1..N in ``(order_col,
+    *tiebreak_cols)`` ascending order WITHOUT a single-partition sort —
+    the scale-correct form of ``row_number() OVER (ORDER BY ...)``,
+    which Spark executes as an Exchange to ONE partition holding the
+    entire table (the classic global-window trap; fine at 60k rows,
+    fatal at 100 TB).
+
+    Decomposition: a global rank is (rows in all lower value-ranges) +
+    (rank within my range).  So:
+
+    1. ``percentile_approx`` boundaries of ``order_col`` (one aggregate;
+       ``buckets-1`` doubles collected — bounded driver material, the
+       kmeans-centroid precedent);
+    2. bucket assignment as a chained-comparison codegen expression
+       (``Σ_i v > b_i`` — a pure function of the VALUE, so equal keys
+       can never straddle a bucket and determinism survives recompute,
+       unlike ``repartitionByRange``'s sampled, job-local boundaries);
+    3. per-bucket counts → cumulative offsets: a window over ≤
+       ``buckets`` rows (the only single-partition exchange — metadata,
+       not data);
+    4. offsets broadcast-joined back; ``row_number`` over a window
+       PARTITIONED by bucket (each partition sorts only its slice);
+       rank = offset + in-bucket row number.
+
+    NULL order values rank first (bucket 0 + Spark's asc-nulls-first),
+    matching ``NULLS FIRST`` semantics.  Skewed boundaries collapse to
+    fewer distinct buckets (duplicates are dropped); correctness never
+    depends on balance — only parallelism does.  Three passes over the
+    input (boundaries, counts, rank) — at 100 TB persist the input or
+    accept the rescans; each pass is a scan + map-side work only.
+    """
+    ties = tiebreak_cols or []
+    fracs = [i / buckets for i in range(1, buckets)]
+    bnds_row = df.agg(
+        F.percentile_approx(order_col, fracs, 10_000).alias("b")
+    ).collect()[0].b
+    bnds = sorted({float(b) for b in (bnds_row or []) if b is not None})
+    v = F.col(order_col)
+    bucket = F.lit(0)
+    for b in bnds:
+        bucket = bucket + F.when(v > F.lit(b), 1).otherwise(0)
+    bucket = F.when(v.isNull(), F.lit(0)).otherwise(bucket).cast("int")
+    with_b = df.withColumn("__bkt", bucket)
+    counts = with_b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = (
+        Window.orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__bkt",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_rank = Window.partitionBy("__bkt").orderBy(
+        F.col(order_col).asc(), *[F.col(c).asc() for c in ties]
+    )
+    return (
+        with_b.join(F.broadcast(offsets), "__bkt")
+        .withColumn(
+            rank_name,
+            (F.col("__off") + F.row_number().over(w_rank)).cast("long"),
+        )
+        .drop("__bkt", "__off")
+    )

@@ -497,3 +497,47 @@ def test_stupid_backoff_self_scored_and_short_docs(spark):
     # five identical docs: trigram c3=5, context bigram c2=5 -> ML
     # probability 1 per trigram -> logprob exactly 0
     assert all(abs(r.logprob) < 1e-9 for r in rows)
+
+
+# ---------------------------------------------------------- stratified_sample
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    """Same seed -> identical membership; raising a stratum's fraction
+    only ADDS rows (threshold sampling is nested), so train subsets
+    built from the same seed are consistent across budget changes."""
+    from feast_java_old_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(4000)],
+        "doc_id long, lang string",
+    )
+    s1 = {r.doc_id for r in stratified_sample(df, "lang", {"a": 0.3, "b": 0.6}).collect()}
+    s2 = {r.doc_id for r in stratified_sample(df, "lang", {"a": 0.3, "b": 0.6}).collect()}
+    assert s1 == s2
+    bigger = {r.doc_id for r in stratified_sample(df, "lang", {"a": 0.5, "b": 0.8}).collect()}
+    assert s1 <= bigger
+    other_seed = {
+        r.doc_id
+        for r in stratified_sample(df, "lang", {"a": 0.3, "b": 0.6}, seed=7).collect()
+    }
+    assert other_seed != s1
+
+
+def test_stratified_sample_fractions_and_defaults(spark):
+    """Per-stratum kept fractions land near their targets (md5 is
+    uniform); strata missing from the dict drop entirely; fraction 1.0
+    keeps a stratum whole."""
+    from feast_java_old_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, ["x", "y", "z"][i % 3]) for i in range(9000)],
+        "doc_id long, lang string",
+    )
+    out = stratified_sample(df, "lang", {"x": 0.25, "y": 1.0}).groupBy(
+        "lang"
+    ).count().collect()
+    got = {r.lang: r["count"] for r in out}
+    assert "z" not in got
+    assert got["y"] == 3000
+    assert abs(got["x"] - 750) < 90  # ~3 sigma of Binomial(3000, .25)

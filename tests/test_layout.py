@@ -140,3 +140,48 @@ def test_compaction_plan_overflow_bound(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+# ------------------------------------------------------- global_sort_ranks
+
+
+def test_global_sort_ranks_matches_global_window(spark):
+    """Skewed values, heavy duplicates, and NULLs: the bucketed
+    decomposition must equal the naive global row_number exactly
+    (contiguous 1..N, nulls first, ties broken by the tiebreak col)."""
+    from feast_java_old_spark.operators.layout import global_sort_ranks
+
+    rows = [(i, float(i % 7)) for i in range(2000)]
+    rows += [(10_000 + i, 3.0) for i in range(500)]   # skew spike on 3.0
+    rows += [(20_000 + i, None) for i in range(5)]    # nulls rank first
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r.id: r.global_rank
+        for r in global_sort_ranks(
+            df, "v", tiebreak_cols=["id"], buckets=16
+        ).collect()
+    }
+    want = {
+        rid: i + 1
+        for i, (rid, _) in enumerate(
+            sorted(rows, key=lambda t: (t[1] is not None, t[1] or 0.0, t[0]))
+        )
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(1, len(rows) + 1))
+
+
+def test_global_sort_ranks_avoids_data_global_sort(spark):
+    """The plan must rank inside value buckets (window partitioned by
+    the bucket column), not sort the whole table in one partition —
+    the reason this operator exists."""
+    from feast_java_old_spark.operators.layout import global_sort_ranks
+
+    df = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    plan = global_sort_ranks(df, "v", tiebreak_cols=["id"])._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt" in plan  # the row_number window is bucket-partitioned
+    # exactly one single-partition exchange: the <=buckets-row offsets
+    # window (metadata), never the data
+    assert plan.count("Exchange SinglePartition") <= 1
