@@ -6791,33 +6791,6 @@ FROM documents
 """
 
 
-STRATA_FRACS = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1}
-
-
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-stratum Bernoulli sampling
-    (operators/curation.py:stratified_sample; the reproducible sampleBy
-    twin): language rebalancing that halves 'en', quarters de/fr/es,
-    and keeps 10% of zh — The Pile / ROOTS mixture-recipe shape.
-    Membership is a pure integer md5 function of (doc_id, seed,
-    stratum), so the oracle replays it exactly; one codegen'd filter on
-    the scan, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    return curation.stratified_sample(
-        docs, "lang", STRATA_FRACS, seed=0
-    ).select("doc_id", "lang", "source")
-
-
-SQL_STRATIFIED_SAMPLE = """
-SELECT doc_id, lang, source
-FROM documents
-WHERE CAST(('0x' || substr(md5(doc_id || ':0'), 1, 7)) AS BIGINT) % 1000000
-      < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
-                  WHEN 'fr' THEN 250000 WHEN 'es' THEN 250000
-                  WHEN 'zh' THEN 100000 ELSE 0 END
-"""
-
-
 LOGREG_DIMS = 64
 LOGREG_STEPS = 4
 LOGREG_LR = 4.0
@@ -7349,7 +7322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence first — next round's window starts there.
         "logreg_quality": q_logreg_quality,
         "global_ranks": q_global_ranks,
-        "stratified_sample": q_stratified_sample,
         "lm_backoff": q_lm_backoff,
         "bloom_prune_join": q_bloom_prune_join,
         "schema_evolution": q_schema_evolution,
@@ -7523,7 +7495,6 @@ def oracle_sql() -> dict[str, str]:
     return {
         "logreg_quality": SQL_LOGREG_QUALITY,
         "global_ranks": SQL_GLOBAL_RANKS,
-        "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "lm_backoff": SQL_LM_BACKOFF,
         "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
         "schema_evolution": SQL_SCHEMA_EVOLUTION,

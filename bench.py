@@ -185,9 +185,8 @@ HEADLINE = [
     "bloom_prune_join",
     # r7: in-engine distributed logistic-regression training.
     "logreg_quality",
-    # r7: global ranks without a global sort; deterministic sampleBy twin.
+    # r7: global ranks without a global sort.
     "global_ranks",
-    "stratified_sample",
 ]
 
 

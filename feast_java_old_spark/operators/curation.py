@@ -909,50 +909,3 @@ def dsir_weights(
         )
     )
 
-
-def stratified_sample(
-    df: DataFrame,
-    strata_col: str,
-    fractions: dict,
-    seed: int = 0,
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Deterministic per-stratum Bernoulli sampling — the reproducible
-    twin of ``DataFrame.sampleBy``: domain/language rebalancing where
-    each stratum keeps its own fraction (The Pile / ROOTS mixture
-    recipes downsample dominant sources, keep rare ones whole).
-
-    Each row draws ``u = md5_28bit("<id>:<seed>") % 1e6`` and survives
-    iff ``u < round(frac[stratum] · 1e6)`` — a pure integer function of
-    (id, seed, stratum), so membership is bit-reproducible on any
-    cluster size and in the SQL oracle (``rand()`` is
-    partitioning-dependent in Spark and irreproducible across engines).
-    Unsampled strata default to fraction 0 (dropped) — pass 1.0 to keep
-    a stratum whole.  One codegen'd filter on the scan: no shuffle, no
-    state; per-row cost is one md5.  Expected |out| = Σ n_s·frac_s;
-    complement (``u >= thr``) is exactly the disjoint rest, so
-    train/holdout splits built from the same seed never overlap.
-    """
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col(id_col).cast("string"), F.lit(f":{seed}")
-                    )
-                ),
-                1,
-                7,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % F.lit(1_000_000)
-    )
-    thr = F.lit(0).cast("long")
-    for stratum, frac in sorted(fractions.items()):
-        thr = F.when(
-            F.col(strata_col) == stratum,
-            F.lit(int(round(frac * 1_000_000))).cast("long"),
-        ).otherwise(thr)
-    return df.where(u < thr)

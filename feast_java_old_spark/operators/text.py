@@ -209,6 +209,7 @@ def stratified_sample(
     rates: dict[str, float],
     key_col: str = "doc_id",
     default_rate: float = 0.0,
+    seed: int | None = None,
 ) -> DataFrame:
     """Deterministic stratified sampling — the data-mixing primitive for
     training-corpus assembly (per-source/per-language/per-quality-band
@@ -219,7 +220,17 @@ def stratified_sample(
     keeps maximal overlap (raising a rate strictly grows the sample),
     mixes are reproducible bit-for-bit on any cluster, and the filter is
     a codegen projection — zero shuffles, pushdown-friendly.
+
+    ``seed`` (optional) salts the hash (``"<key>:<seed>"``) for an
+    INDEPENDENT redraw — e.g. disjoint ablation subsets at the same
+    rates.  ``seed=None`` keeps the historical unsalted draw, so
+    existing mixes (and the SQL oracle) are unchanged.  Within one
+    seed, threshold draws stay nested and complements stay exactly
+    disjoint.
     """
+    key = F.col(key_col)
+    if seed is not None:
+        key = F.concat(key.cast("string"), F.lit(f":{seed}"))
     rate = None
     for stratum, r in sorted(rates.items()):
         branch = F.when(F.col(strata_col) == stratum, F.lit(float(r)))
@@ -231,7 +242,7 @@ def stratified_sample(
         if rate is not None
         else F.lit(float(default_rate))
     )
-    return df.where(hash_fraction(F.col(key_col)) < rate)
+    return df.where(hash_fraction(key) < rate)
 
 
 def top_k_vocabulary(

@@ -502,11 +502,12 @@ def test_stupid_backoff_self_scored_and_short_docs(spark):
 # ---------------------------------------------------------- stratified_sample
 
 
-def test_stratified_sample_deterministic_and_nested(spark):
-    """Same seed -> identical membership; raising a stratum's fraction
-    only ADDS rows (threshold sampling is nested), so train subsets
-    built from the same seed are consistent across budget changes."""
-    from feast_java_old_spark.operators.curation import stratified_sample
+def test_stratified_sample_deterministic_nested_and_seeded(spark):
+    """Rerun -> identical membership; raising a stratum's rate only
+    ADDS rows (threshold sampling is nested), so budget changes never
+    churn the kept set; a seed produces an INDEPENDENT redraw while
+    seed=None preserves the historical unsalted draw."""
+    from feast_java_old_spark.operators.text import stratified_sample
 
     df = spark.createDataFrame(
         [(i, "a" if i % 2 else "b") for i in range(4000)],
@@ -517,18 +518,18 @@ def test_stratified_sample_deterministic_and_nested(spark):
     assert s1 == s2
     bigger = {r.doc_id for r in stratified_sample(df, "lang", {"a": 0.5, "b": 0.8}).collect()}
     assert s1 <= bigger
-    other_seed = {
+    seeded = {
         r.doc_id
         for r in stratified_sample(df, "lang", {"a": 0.3, "b": 0.6}, seed=7).collect()
     }
-    assert other_seed != s1
+    assert seeded != s1  # independent permutation, same rates
 
 
 def test_stratified_sample_fractions_and_defaults(spark):
     """Per-stratum kept fractions land near their targets (md5 is
-    uniform); strata missing from the dict drop entirely; fraction 1.0
-    keeps a stratum whole."""
-    from feast_java_old_spark.operators.curation import stratified_sample
+    uniform); strata missing from the rate map drop entirely
+    (default_rate=0); rate 1.0 keeps a stratum whole."""
+    from feast_java_old_spark.operators.text import stratified_sample
 
     df = spark.createDataFrame(
         [(i, ["x", "y", "z"][i % 3]) for i in range(9000)],
