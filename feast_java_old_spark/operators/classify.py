@@ -100,15 +100,6 @@ def hashed_token_features(
     )
 
 
-def feature_means(feat: DataFrame, n_docs: int) -> DataFrame:
-    """Per-dimension mean feature on the same per-mille grid:
-    ``M_j = round(Σ_d X_dj / n)`` (absent rows count as 0 via the
-    corpus-total denominator).  dims rows — bounded driver material."""
-    return feat.groupBy("j").agg(
-        F.round(F.sum("x") / F.lit(n_docs), 0).cast("long").alias("m")
-    )
-
-
 def _scores(
     feat: DataFrame,
     labels: DataFrame,
