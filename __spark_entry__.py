@@ -6763,6 +6763,123 @@ GROUP BY doc_id
 """
 
 
+ZONE_LO, ZONE_HI = 30_000.0, 35_000.0
+
+
+def q_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping, audited in-engine
+    (operators/layout.py:zone_map_stats/zone_map_prune): lineitem rows
+    are assigned to 64 pseudo-files under two layouts — range-CLUSTERED
+    on price (what layout_zorder/repartitionByRange produce) and HASHED
+    on order key (what raw ingest produces) — then each layout's
+    per-file min/max zone maps are pruned with the same price-range
+    predicate.  Emits per layout: files scanned / files total / rows
+    scanned / rows matched.  The clustered layout scans ~the predicate's
+    value fraction; the hashed layout scans everything — the measured
+    argument for paying a 100 TB layout rewrite, produced from
+    metadata-sized stats rows before rewriting anything.  Superset
+    guarantee inherited from the overlap rule: matched rows are never
+    in a skipped file."""
+    from feast_java_old_spark.operators import layout
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    mm = li.agg(
+        F.min("l_extendedprice").alias("__lo"),
+        F.max("l_extendedprice").alias("__hi"),
+    )
+    clustered = li.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.lit(63),
+            F.floor(
+                (F.col("l_extendedprice") - F.col("__lo"))
+                * 64.0
+                / (F.col("__hi") - F.col("__lo"))
+            ).cast("int"),
+        ).alias("fid"),
+        "l_extendedprice",
+    )
+    hashed = li.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 7),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        ).cast("int").alias("fid"),
+        "l_extendedprice",
+    )
+    matched = li.where(
+        F.col("l_extendedprice").between(ZONE_LO, ZONE_HI)
+    ).agg(F.count(F.lit(1)).cast("long").alias("rows_matched"))
+    parts = []
+    for name, frame in (("clustered", clustered), ("hashed", hashed)):
+        stats = layout.zone_map_stats(frame, "fid", ["l_extendedprice"])
+        pruned = layout.zone_map_prune(
+            stats, "l_extendedprice", ZONE_LO, ZONE_HI
+        )
+        summary = (
+            pruned.agg(
+                F.count(F.lit(1)).cast("long").alias("files_scanned"),
+                F.sum("n_rows").cast("long").alias("rows_scanned"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    stats.agg(
+                        F.count(F.lit(1)).cast("long").alias("files_total")
+                    )
+                )
+            )
+            .select(
+                F.lit(name).alias("layout"),
+                "files_total",
+                "files_scanned",
+                "rows_scanned",
+            )
+        )
+        parts.append(summary)
+    return (
+        parts[0]
+        .unionByName(parts[1])
+        .crossJoin(F.broadcast(matched))
+    )
+
+
+SQL_ZONE_MAP_PRUNE = f"""
+WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+            FROM lineitem),
+cl AS (SELECT LEAST(63, CAST(floor((l_extendedprice - lo) * 64.0 / (hi - lo))
+                             AS INT)) AS fid, l_extendedprice
+       FROM lineitem, mm),
+hs AS (SELECT CAST(CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 7))
+                        AS BIGINT) % 64 AS INT) AS fid, l_extendedprice
+       FROM lineitem),
+scl AS (SELECT fid, count(*) AS n, min(l_extendedprice) AS mn,
+               max(l_extendedprice) AS mx FROM cl GROUP BY fid),
+shs AS (SELECT fid, count(*) AS n, min(l_extendedprice) AS mn,
+               max(l_extendedprice) AS mx FROM hs GROUP BY fid),
+m AS (SELECT CAST(count(*) AS BIGINT) AS rows_matched FROM lineitem
+      WHERE l_extendedprice BETWEEN {ZONE_LO} AND {ZONE_HI})
+SELECT 'clustered' AS layout,
+       CAST(count(*) AS BIGINT) AS files_total,
+       CAST(count(*) FILTER (mx >= {ZONE_LO} AND mn <= {ZONE_HI})
+            AS BIGINT) AS files_scanned,
+       CAST(COALESCE(sum(n) FILTER (mx >= {ZONE_LO} AND mn <= {ZONE_HI}), 0)
+            AS BIGINT) AS rows_scanned,
+       (SELECT rows_matched FROM m) AS rows_matched
+FROM scl
+UNION ALL
+SELECT 'hashed', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (mx >= {ZONE_LO} AND mn <= {ZONE_HI}) AS BIGINT),
+       CAST(COALESCE(sum(n) FILTER (mx >= {ZONE_LO} AND mn <= {ZONE_HI}), 0)
+            AS BIGINT),
+       (SELECT rows_matched FROM m)
+FROM shs
+"""
+
+
 def q_global_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous global row numbers WITHOUT a single-partition sort
     (operators/layout.py:global_sort_ranks): the scale-correct form of
@@ -7322,6 +7439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence first — next round's window starts there.
         "logreg_quality": q_logreg_quality,
         "global_ranks": q_global_ranks,
+        "zone_map_prune": q_zone_map_prune,
         "lm_backoff": q_lm_backoff,
         "bloom_prune_join": q_bloom_prune_join,
         "schema_evolution": q_schema_evolution,
@@ -7495,6 +7613,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "logreg_quality": SQL_LOGREG_QUALITY,
         "global_ranks": SQL_GLOBAL_RANKS,
+        "zone_map_prune": SQL_ZONE_MAP_PRUNE,
         "lm_backoff": SQL_LM_BACKOFF,
         "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
         "schema_evolution": SQL_SCHEMA_EVOLUTION,

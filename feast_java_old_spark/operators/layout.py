@@ -215,3 +215,59 @@ def global_sort_ranks(
         )
         .drop("__bkt", "__off")
     )
+
+
+def zone_map_stats(
+    df: DataFrame,
+    file_col: str,
+    stat_cols: list[str],
+) -> DataFrame:
+    """Per-file zone maps — the parquet footer min/max/null-count stats
+    table, engine-native: one row per pseudo-file with
+    ``(n_rows, min_<c>, max_<c>, nulls_<c>)`` per tracked column.
+
+    This is what a table format's metadata layer (Delta/Iceberg
+    manifests, parquet row-group footers) materializes; computing it in
+    the engine lets layout decisions be AUDITED: the zone maps under a
+    candidate layout quantify exactly how many files a predicate would
+    skip BEFORE rewriting 100 TB.  One map-side-combined aggregate
+    keyed by the file id; stats rows are metadata-sized (files × cols),
+    never data.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in stat_cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+        ]
+    return df.groupBy(F.col(file_col).alias("file_id")).agg(*aggs)
+
+
+def zone_map_prune(
+    stats: DataFrame,
+    col: str,
+    lo=None,
+    hi=None,
+) -> DataFrame:
+    """Files that MIGHT contain rows with ``lo <= col <= hi``: a file
+    survives iff its ``[min, max]`` interval overlaps the predicate's —
+    the row-group skipping rule every parquet reader applies.  SUPERSET
+    guarantee: a file holding a matching row always survives (no false
+    skips); files of only-NULL values carry NULL min/max and are kept
+    (NULL-safe conservatism, like the readers).  Selectivity depends
+    entirely on layout: range-clustered files prune to ~the predicate's
+    value fraction, hash/random layouts prune nothing — measuring that
+    difference is the point of auditing layouts through
+    :func:`zone_map_stats` before a rewrite.
+    """
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (
+            F.col(f"max_{col}").isNull() | (F.col(f"max_{col}") >= F.lit(lo))
+        )
+    if hi is not None:
+        cond = cond & (
+            F.col(f"min_{col}").isNull() | (F.col(f"min_{col}") <= F.lit(hi))
+        )
+    return stats.where(cond)

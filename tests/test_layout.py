@@ -185,3 +185,61 @@ def test_global_sort_ranks_avoids_data_global_sort(spark):
     # exactly one single-partition exchange: the <=buckets-row offsets
     # window (metadata), never the data
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+# ------------------------------------------------------------- zone maps
+
+
+def test_zone_map_prune_superset_and_null_conservatism(spark):
+    """Every file holding a matching row MUST survive the prune (no
+    false skips), and a file of only-NULL stats is kept — the parquet
+    reader's NULL-safe conservatism."""
+    from feast_java_old_spark.operators.layout import (
+        zone_map_prune,
+        zone_map_stats,
+    )
+
+    rows = [(i % 17, float((i * 37) % 1000)) for i in range(3000)]
+    rows += [(99, None), (99, None)]  # a NULL-only file
+    df = spark.createDataFrame(rows, "fid int, v double")
+    stats = zone_map_stats(df, "fid", ["v"])
+    kept = {r.file_id for r in zone_map_prune(stats, "v", 200.0, 260.0).collect()}
+    must_keep = {
+        r.fid
+        for r in df.where((F.col("v") >= 200.0) & (F.col("v") <= 260.0))
+        .select("fid")
+        .distinct()
+        .collect()
+    }
+    assert must_keep <= kept
+    assert 99 in kept  # NULL min/max never skips
+
+
+def test_zone_map_prune_selectivity_depends_on_layout(spark):
+    """Range-clustered files prune to ~the predicate's value fraction;
+    a hash layout prunes nothing — the measurable difference the
+    operator exists to expose."""
+    from feast_java_old_spark.operators.layout import (
+        zone_map_prune,
+        zone_map_stats,
+    )
+
+    n, files = 6400, 32
+    base = spark.range(n).select(
+        F.col("id"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    clustered = base.withColumn(
+        "fid", F.least(F.lit(files - 1), F.floor(F.col("v") * files / 1000).cast("int"))
+    )
+    hashed = base.withColumn(
+        "fid", F.pmod(F.xxhash64("id"), F.lit(files)).cast("int")
+    )
+    lo, hi = 100.0, 199.0  # 10% of the value range
+    kc = zone_map_prune(
+        zone_map_stats(clustered, "fid", ["v"]), "v", lo, hi
+    ).count()
+    kh = zone_map_prune(
+        zone_map_stats(hashed, "fid", ["v"]), "v", lo, hi
+    ).count()
+    assert kc <= files // 8   # ~10% of files (+boundary slack)
+    assert kh == files        # hash layout: every file overlaps
