@@ -3175,6 +3175,104 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → LEFT SEMI join): orders with at least
+    one returned lineitem, counted per priority.  The semi join never
+    materializes the lineitem side's payload — the probe emits each
+    order at most once regardless of how many lineitems match, so the
+    join output is bounded by |orders|, not |lineitem| (the reason
+    EXISTS compiles to semi, not inner+distinct: the distinct would
+    shuffle the full match multiset first).  Filter pushed to the
+    lineitem scan; the aggregate is map-side combined."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        orders.join(returned, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (LEFT OUTER join → count distribution):
+    customers bucketed by how many orders they placed, INCLUDING the
+    zero-order customers the outer join preserves (an inner join would
+    silently drop the most interesting bucket).  count(o_orderkey) —
+    not count(*) — so the null-extended row counts 0.  Two aggregates:
+    the per-customer count shuffles (custkey, partial) rows, the
+    distribution is distribution-sized."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    )
+    per_cust = (
+        customer.join(orders, "c_custkey", "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) t
+GROUP BY c_count
+"""
+
+
+Q16_MIN_DISCOUNT = 0.09
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (NOT EXISTS → LEFT ANTI join): parts never sold
+    at a deep discount, counted per brand.  The anti join is the
+    correct plan for NOT EXISTS — a NOT IN subquery over a nullable
+    column would need null-aware anti-join semantics (one NULL poisons
+    the whole predicate), and an outer-join + IS NULL filter shuffles
+    the full match multiset first.  The discount filter pushes to the
+    lineitem scan; the build side carries only the matching key set."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    deep = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_discount") > Q16_MIN_DISCOUNT)
+        .select(F.col("l_partkey").alias("p_partkey"))
+    )
+    return (
+        part.join(deep, "p_partkey", "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("never_deep_discounted"))
+    )
+
+
+SQL_TPCH_Q16 = f"""
+SELECT p_brand, CAST(count(*) AS BIGINT) AS never_deep_discounted
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey
+                    AND l_discount > {Q16_MIN_DISCOUNT})
+GROUP BY p_brand
+"""
+
+
 CLEAN_MIN_QUALITY = 0.55
 CLEAN_LANG = "en"
 
@@ -7440,6 +7538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_quality": q_logreg_quality,
         "global_ranks": q_global_ranks,
         "zone_map_prune": q_zone_map_prune,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q16": q_tpch_q16,
         "lm_backoff": q_lm_backoff,
         "bloom_prune_join": q_bloom_prune_join,
         "schema_evolution": q_schema_evolution,
@@ -7614,6 +7715,9 @@ def oracle_sql() -> dict[str, str]:
         "logreg_quality": SQL_LOGREG_QUALITY,
         "global_ranks": SQL_GLOBAL_RANKS,
         "zone_map_prune": SQL_ZONE_MAP_PRUNE,
+        "tpch_q4": SQL_TPCH_Q4,
+        "tpch_q13": SQL_TPCH_Q13,
+        "tpch_q16": SQL_TPCH_Q16,
         "lm_backoff": SQL_LM_BACKOFF,
         "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
         "schema_evolution": SQL_SCHEMA_EVOLUTION,

@@ -188,6 +188,10 @@ HEADLINE = [
     # r7: global ranks without a global sort; zone-map skip audit.
     "global_ranks",
     "zone_map_prune",
+    # r7: join-shape breadth — semi (Q4), outer-distribution (Q13), anti (Q16).
+    "tpch_q4",
+    "tpch_q13",
+    "tpch_q16",
 ]
 
 
