@@ -6861,6 +6861,81 @@ GROUP BY doc_id
 """
 
 
+def q_stream_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming zone-map maintenance — the Iceberg/Delta manifest-stats
+    pattern on the INGEST path: as micro-batches arrive, per-file
+    min/max/count zone maps update incrementally (complete-mode
+    aggregate; state is exactly one row per file — bounded metadata,
+    never data), so the skip index of q_zone_map_prune is always
+    current without a full recompute.  Bounded availableNow run; the
+    oracle is the batch stats SQL — streaming aggregate semantics equal
+    batch semantics on bounded input, proving the ingest-time and
+    rebuild-time manifests interchange."""
+    import os
+    import tempfile
+    import uuid
+
+    from feast_java_old_spark.operators import layout
+
+    d = tempfile.mkdtemp(prefix="fjos_zm_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/lineitem.parquet"),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 7),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        ).cast("int").alias("fid"),
+        "l_extendedprice",
+    )
+    stats = layout.zone_map_stats(stream, "fid", ["l_extendedprice"])
+    name = f"szm_{uuid.uuid4().hex[:8]}"
+    try:
+        with _small_shuffle(spark):
+            q = (
+                stats.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError("stream_zone_map did not finish in 600s")
+    finally:
+        # the memory sink holds the results; the staged source dir is
+        # dead once the bounded stream terminates (r6 temp-leak advice)
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).select(
+        "file_id",
+        "n_rows",
+        F.col("min_l_extendedprice").alias("mn"),
+        F.col("max_l_extendedprice").alias("mx"),
+        F.col("nulls_l_extendedprice").alias("n_nulls"),
+    )
+
+
+SQL_STREAM_ZONE_MAP = """
+SELECT CAST(CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 7))
+            AS BIGINT) % 64 AS INT) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(l_extendedprice) AS mn,
+       max(l_extendedprice) AS mx,
+       CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nulls
+FROM lineitem
+GROUP BY 1
+"""
+
+
 ZONE_LO, ZONE_HI = 30_000.0, 35_000.0
 
 
@@ -7538,6 +7613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_quality": q_logreg_quality,
         "global_ranks": q_global_ranks,
         "zone_map_prune": q_zone_map_prune,
+        "stream_zone_map": q_stream_zone_map,
         "tpch_q4": q_tpch_q4,
         "tpch_q13": q_tpch_q13,
         "tpch_q16": q_tpch_q16,
@@ -7715,6 +7791,7 @@ def oracle_sql() -> dict[str, str]:
         "logreg_quality": SQL_LOGREG_QUALITY,
         "global_ranks": SQL_GLOBAL_RANKS,
         "zone_map_prune": SQL_ZONE_MAP_PRUNE,
+        "stream_zone_map": SQL_STREAM_ZONE_MAP,
         "tpch_q4": SQL_TPCH_Q4,
         "tpch_q13": SQL_TPCH_Q13,
         "tpch_q16": SQL_TPCH_Q16,
