@@ -6861,6 +6861,31 @@ GROUP BY doc_id
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user next-event Markov transitions
+    (operators/windows.py:event_transitions): one entity-keyed window
+    with a deterministic (ts, event_id) order — timestamp ties are real
+    in this data, and an untied lead() silently yields
+    partition-dependent pairs — then a |types|²-bounded aggregate.
+    Cross-user pairs never form (the window partition is the fence)."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.event_transitions(ev)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev_type), 6)
+         AS prob
+FROM pairs WHERE next_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
 def q_stream_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming zone-map maintenance — the Iceberg/Delta manifest-stats
     pattern on the INGEST path: as micro-batches arrive, per-file
@@ -7614,6 +7639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_ranks": q_global_ranks,
         "zone_map_prune": q_zone_map_prune,
         "stream_zone_map": q_stream_zone_map,
+        "event_transitions": q_event_transitions,
         "tpch_q4": q_tpch_q4,
         "tpch_q13": q_tpch_q13,
         "tpch_q16": q_tpch_q16,
@@ -7792,6 +7818,7 @@ def oracle_sql() -> dict[str, str]:
         "global_ranks": SQL_GLOBAL_RANKS,
         "zone_map_prune": SQL_ZONE_MAP_PRUNE,
         "stream_zone_map": SQL_STREAM_ZONE_MAP,
+        "event_transitions": SQL_EVENT_TRANSITIONS,
         "tpch_q4": SQL_TPCH_Q4,
         "tpch_q13": SQL_TPCH_Q13,
         "tpch_q16": SQL_TPCH_Q16,

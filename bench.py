@@ -192,6 +192,8 @@ HEADLINE = [
     "tpch_q4",
     "tpch_q13",
     "tpch_q16",
+    # r7: per-user Markov transition matrix.
+    "event_transitions",
 ]
 
 

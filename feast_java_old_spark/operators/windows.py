@@ -27,7 +27,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -297,4 +297,47 @@ def session_cooccurrence(
         pairs.groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .where(F.col("n_sessions") >= min_count)
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    streams: ``(prev_type, next_type, n, prob)`` with ``prob`` the
+    maximum-likelihood row-conditional ``n / Σ_next n`` rounded to 6 —
+    the next-event model behind session recommendation and
+    funnel-escape analysis, and the categorical counterpart of
+    :func:`user sequences <feast_java_old_spark.operators.features.event_sequences>`.
+
+    Plan shape: ONE entity-keyed shuffle into a ``lead()`` window
+    (deterministic under timestamp ties via the tiebreak column —
+    nondeterministic pair extraction is the classic silent bug here),
+    then a transition-matrix-sized aggregate (|types|² rows at most)
+    with map-side combine; row totals derive from a window over that
+    tiny matrix, never a second corpus pass.  Cross-entity pairs never
+    form: the window partition bound is the correctness fence.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(type_col).alias("prev_type"),
+            F.lead(type_col).over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wt = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("prob"),
     )

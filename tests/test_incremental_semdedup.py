@@ -486,3 +486,54 @@ def test_sorted_neighborhood_finds_adjacent_typos(spark):
         df, "id", "name", window=0, max_distance=9, block_chars=8
     ).collect()
     assert none == []
+
+
+# ---------------------------------------------------------- event_transitions
+
+
+def test_event_transitions_fence_ties_and_row_conditional(spark):
+    """Cross-user pairs must never form (the window partition fence);
+    timestamp ties resolve by the tiebreak column deterministically;
+    each prev_type's probabilities sum to 1."""
+    import datetime as dt
+
+    from feast_java_old_spark.operators.windows import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> c (plus a TIE at t0+1 between b(id2) and c(id3))
+        (1, 1, "a", t0),
+        (1, 2, "b", t0 + dt.timedelta(seconds=1)),
+        (1, 3, "c", t0 + dt.timedelta(seconds=1)),
+        # user 2: c alone — would chain c->a if the fence leaked
+        (2, 4, "c", t0 + dt.timedelta(seconds=2)),
+        (2, 5, "a", t0 + dt.timedelta(seconds=3)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    got = {
+        (r.prev_type, r.next_type): (r.n, r.prob)
+        for r in event_transitions(df).collect()
+    }
+    # tie at +1s: id 2 (b) precedes id 3 (c) -> a->b, b->c; user 2: c->a
+    assert got == {
+        ("a", "b"): (1, 1.0),
+        ("b", "c"): (1, 1.0),
+        ("c", "a"): (1, 1.0),
+    }
+    # row-conditional: probs per prev_type sum to 1 on a bigger stream
+    big = spark.createDataFrame(
+        [(u, i, ["x", "y", "z"][(u * i) % 3], t0 + dt.timedelta(seconds=i))
+         for u in range(1, 9) for i in range(1, 40)],
+        "user_id long, event_id long, event_type string, ts timestamp",
+    )
+    from pyspark.sql import functions as F2
+
+    sums = (
+        event_transitions(big)
+        .groupBy("prev_type")
+        .agg(F2.round(F2.sum("prob"), 4).alias("s"))
+        .collect()
+    )
+    assert all(abs(r.s - 1.0) < 5e-4 for r in sums)
