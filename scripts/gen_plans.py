@@ -88,6 +88,11 @@ PICKS = [
     ("bloom_prune_join", "Bloom-pruned join: the dim key set packs into ONE dense array<long> bitmap row (gap-filled union + sort_array — never the O(n²) map-lookup densify) that broadcasts; probe hashes are codegen fact-side projections, so the interpreted BNLJ condition evaluates only element_at+AND residuals; FPs die in the exact join — the plan is row-identical to the unpruned join with the fact's non-matching majority cut before the exchange."),
     ("logreg_quality", "Distributed logreg training: the per-step plan is featb (persisted hashed-frequency rows) ⋈ residual frame → ONE map-side-combined (dims+2)-row gradient aggregate; weights return as literals (CASE-chain projection, no weight join), so step N+1's plan contains constants, not step N's DAG — the kmeans lineage-cut pattern at classifier scale."),
     ("global_ranks", "Global sort ranks: percentile boundaries collapse to literals, bucket assignment is a chained-comparison codegen projection, the ONLY SinglePartition exchange carries ≤64 count rows (metadata), and row_number windows are PARTITIONED by bucket — the naive plan's whole-table single-partition sort never appears."),
+    ("zone_map_prune", "Zone-map skip audit: both layouts' stats are metadata-sized aggregates (one map-side-combined groupBy per layout); the prune is a filter over ≤64 stats rows; the only data-sized work is the two layout projections and the exact matched-count scan — the audit itself never rewrites or re-reads data per candidate layout."),
+    ("tpch_q4", "EXISTS as LEFT SEMI: the pushed returnflag filter reaches the lineitem scan, the semi join emits each order at most once (output bounded by |orders| regardless of lineitem fan-out), and the priority aggregate is map-side combined."),
+    ("tpch_q13", "LEFT OUTER count distribution: customer keeps its null-extended rows through the join, count(o_orderkey) maps them to bucket 0, and the second aggregate is distribution-sized — two shuffles total, both key-width."),
+    ("tpch_q16", "NOT EXISTS as LEFT ANTI: the deep-discount filter pushes below the anti join so the build side is the matching key set only; no null-aware NOT IN machinery, no outer-join+IS NULL multiset shuffle."),
+    ("event_transitions", "Markov transitions: ONE entity-keyed exchange feeds the deterministic (ts, id)-ordered lead() window; the transition aggregate is |types|²-bounded with map-side combine, and row conditionals are a window over that tiny matrix — the corpus is scanned exactly once."),
 ]
 
 out = io.StringIO()
