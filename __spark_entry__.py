@@ -6861,6 +6861,33 @@ GROUP BY doc_id
 """
 
 
+GAP_MIN_SECS = 6 * 3600
+
+
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feed-silence report
+    (operators/features.py:event_gaps): consecutive-event gaps ≥ 6 h —
+    the data-driven monitor for keys whose upstream silently stopped
+    emitting (which corrupts every downstream as-of join).  One
+    entity-keyed deterministic lead() window + a codegen filter; gap
+    bounds are exact integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    return features.event_gaps(ev, min_gap_secs=GAP_MIN_SECS)
+
+
+SQL_EVENT_GAPS = f"""
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS gap_start_us,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)) AS gap_end_us
+  FROM events)
+SELECT user_id, gap_start_us, gap_end_us,
+       gap_end_us - gap_start_us AS gap_us
+FROM seq
+WHERE gap_end_us - gap_start_us >= CAST({GAP_MIN_SECS} AS BIGINT) * 1000000
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user next-event Markov transitions
     (operators/windows.py:event_transitions): one entity-keyed window
@@ -7640,6 +7667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_map_prune": q_zone_map_prune,
         "stream_zone_map": q_stream_zone_map,
         "event_transitions": q_event_transitions,
+        "event_gaps": q_event_gaps,
         "tpch_q4": q_tpch_q4,
         "tpch_q13": q_tpch_q13,
         "tpch_q16": q_tpch_q16,
@@ -7819,6 +7847,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_map_prune": SQL_ZONE_MAP_PRUNE,
         "stream_zone_map": SQL_STREAM_ZONE_MAP,
         "event_transitions": SQL_EVENT_TRANSITIONS,
+        "event_gaps": SQL_EVENT_GAPS,
         "tpch_q4": SQL_TPCH_Q4,
         "tpch_q13": SQL_TPCH_Q13,
         "tpch_q16": SQL_TPCH_Q16,

@@ -192,8 +192,9 @@ HEADLINE = [
     "tpch_q4",
     "tpch_q13",
     "tpch_q16",
-    # r7: per-user Markov transition matrix.
+    # r7: per-user Markov transition matrix + feed-silence report.
     "event_transitions",
+    "event_gaps",
 ]
 
 

@@ -894,3 +894,42 @@ def event_sequences(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         seq.alias("sequence"),
     )
+
+
+def event_gaps(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    min_gap_secs: int = 86_400,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-entity silence report: every consecutive-event gap of at
+    least ``min_gap_secs`` as ``(key, gap_start_us, gap_end_us,
+    gap_us)`` — the feed-health / sensor-dropout monitor (a feature
+    pipeline that silently stops emitting for a key corrupts every
+    downstream as-of join; this surfaces it from the data itself).
+
+    One entity-keyed ``lead()`` window (deterministic under timestamp
+    ties via the tiebreak column) + a codegen filter — a single shuffle
+    and a single sorted pass, like every ordered-sequence operator
+    here.  Gap bounds are exact integer microseconds (no float
+    division), so the report is engine-reproducible bit for bit.
+    Trailing silence (after a key's last event) is out of scope by
+    design: it needs a reference "now", which is the caller's policy.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    cur = F.unix_micros(F.col(ts_col))
+    nxt = F.unix_micros(F.lead(ts_col).over(w))
+    return (
+        events.select(
+            F.col(key_col),
+            cur.alias("gap_start_us"),
+            nxt.alias("gap_end_us"),
+            (nxt - cur).alias("gap_us"),
+        )
+        .where(F.col("gap_us") >= min_gap_secs * 1_000_000)
+    )

@@ -537,3 +537,27 @@ def test_event_transitions_fence_ties_and_row_conditional(spark):
         .collect()
     )
     assert all(abs(r.s - 1.0) < 5e-4 for r in sums)
+
+
+def test_event_gaps_threshold_ties_and_per_key_fence(spark):
+    """Gaps are exact integer microseconds; ties in ts order
+    deterministically (0-gap, filtered); gaps never span users; the
+    trailing open interval after a key's last event is excluded."""
+    import datetime as dt
+
+    from feast_java_old_spark.operators.features import event_gaps
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0),
+        (1, 2, t0 + dt.timedelta(hours=2)),     # 2h gap: below threshold
+        (1, 3, t0 + dt.timedelta(hours=9)),     # 7h gap: reported
+        (2, 4, t0 + dt.timedelta(days=3)),      # user fence: no 1->2 gap
+        (2, 5, t0 + dt.timedelta(days=3)),      # exact tie: 0 gap
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = [
+        (r.user_id, r.gap_us)
+        for r in event_gaps(df, min_gap_secs=6 * 3600).collect()
+    ]
+    assert got == [(1, 7 * 3600 * 1_000_000)]
