@@ -4650,12 +4650,16 @@ def q_stream_proto_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             # A nullable int64 column arrives from Arrow as float64 (NaN
-            # = NULL), which would silently corrupt ints above 2^53
-            # before int(v) in the encoder. convert_dtypes() restores
-            # pandas nullable Int64 for integral columns (pd.NA = NULL);
-            # an int field still non-integral after that means genuinely
-            # fractional values reached an int64 field — fail loudly
-            # rather than encode a rounded value (ADVICE r6).
+            # = NULL). convert_dtypes() restores pandas nullable Int64
+            # (pd.NA = NULL); an int field still non-integral after that
+            # means fractional values reached an int64 field — fail
+            # loudly rather than encode a rounded value (ADVICE r6).
+            # Honest limit: a value above 2^53 has ALREADY been rounded
+            # to an integral float by the Arrow->pandas conversion
+            # upstream of this code, and this guard cannot see that; it
+            # is safe here because the events fixture's int64 columns
+            # are null-free (they transit as int64, never float64) and
+            # unix-micros magnitudes (~1.7e15) sit far below 2^53.
             pdf = pdf.convert_dtypes(convert_string=False)
             bad = [c for c in int_fields if pdf[c].dtype.kind not in "iu"]
             if bad:
@@ -7128,7 +7132,7 @@ def q_global_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_GLOBAL_RANKS = """
 SELECT doc_id, n_chars,
-       ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS global_rank
+       ROW_NUMBER() OVER (ORDER BY n_chars NULLS FIRST, doc_id) AS global_rank
 FROM documents
 """
 

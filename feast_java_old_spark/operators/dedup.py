@@ -972,6 +972,59 @@ def dedup_keep_best(
     return df.join(winners, on=id_col, how="left_semi")
 
 
+
+def gram_hash_at(toks, pos, k: int):
+    """xxhash64 of the ``k``-token gram of ``toks`` starting at ``pos``
+    (0-based) — THE ExactSubstr gram identity, shared by span discovery,
+    the batch apply, and the streaming apply twin so the three can never
+    silently diverge on gram hashing (codegen slice + concat_ws; grams
+    travel as 8-byte longs, text never shuffles)."""
+    return F.xxhash64(F.concat_ws(" ", F.slice(toks, pos + 1, k)))
+
+
+def _gram_seeds(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    min_count: int,
+    count_distinct_docs: bool,
+):
+    """Shared ExactSubstr seed pipeline (the single source of truth for
+    :func:`duplicated_spans`, :func:`substring_dedup`, and the
+    streaming apply twin's corpus pass): tokenize — NULL text is
+    treated as empty text so every input document survives to the
+    output contract — explode k-gram start positions, hash each gram
+    (xxhash64 of the space-joined slice; codegen, grams travel as
+    LONGs), aggregate gram frequency, and keep seeds whose gram meets
+    ``min_count``.  Returns ``(base, seeds)``: ``base`` is
+    ``(doc_id, toks, n)`` for reassembly, ``seeds`` is frequent-gram
+    ``(doc_id, pos)`` rows.
+    """
+    arr = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(
+        F.col(id_col).alias("doc_id"), arr.alias("toks")
+    ).withColumn("n", F.size("toks"))
+    g = base.where(F.col("n") >= k).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n") - k)).alias("pos"),
+        "toks",
+    )
+    g = g.select(
+        "doc_id",
+        "pos",
+        gram_hash_at(F.col("toks"), F.col("pos"), k).alias("gh"),
+    )
+    cnt = (
+        F.countDistinct("doc_id") if count_distinct_docs else F.count(F.lit(1))
+    )
+    freq = g.groupBy("gh").agg(cnt.alias("__cnt"))
+    seeds = g.join(freq.where(F.col("__cnt") >= min_count), on="gh").select(
+        "doc_id", "pos"
+    )
+    return base, seeds
+
+
 def duplicated_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -1010,27 +1063,10 @@ def duplicated_spans(
     paper's monolithic suffix array (which needs the corpus in one
     address space), every stage is a shuffle-partitioned scan.
     """
-    arr = tokens(F.col(text_col))
-    base = df.select(F.col(id_col).alias("doc_id"), arr.alias("toks")).withColumn(
-        "n", F.size("toks")
+    _, seed_pos = _gram_seeds(
+        df, text_col, id_col, k, min_count, count_distinct_docs
     )
-    g = base.where(F.col("n") >= k).select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.col("n") - k)).alias("pos"),
-        "toks",
-    )
-    g = g.select(
-        "doc_id",
-        "pos",
-        F.xxhash64(F.concat_ws(" ", F.slice("toks", F.col("pos") + 1, k))).alias(
-            "gh"
-        ),
-    )
-    cnt = (
-        F.countDistinct("doc_id") if count_distinct_docs else F.count(F.lit(1))
-    )
-    freq = g.groupBy("gh").agg(cnt.alias("__cnt"))
-    seeds = g.join(freq.where(F.col("__cnt") >= min_count), on="gh").select(
+    seeds = seed_pos.select(
         "doc_id", "pos", (F.col("pos") + k - 1).alias("end")
     )
     from pyspark.sql import Window
@@ -1098,28 +1134,11 @@ def substring_dedup(
     ``when(...)`` struct skips removed positions; text never shuffles
     except inside that final aggregate).
     """
-    arr = tokens(F.col(text_col))
-    base = df.select(F.col(id_col).alias("doc_id"), arr.alias("toks")).withColumn(
-        "n", F.size("toks")
+    base, seed_pos = _gram_seeds(
+        df, text_col, id_col, k, min_count, count_distinct_docs
     )
-    g = base.where(F.col("n") >= k).select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.col("n") - k)).alias("pos"),
-        "toks",
-    )
-    g = g.select(
-        "doc_id",
-        "pos",
-        F.xxhash64(F.concat_ws(" ", F.slice("toks", F.col("pos") + 1, k))).alias(
-            "gh"
-        ),
-    )
-    cnt = (
-        F.countDistinct("doc_id") if count_distinct_docs else F.count(F.lit(1))
-    )
-    freq = g.groupBy("gh").agg(cnt.alias("__cnt"))
     covered = (
-        g.join(freq.where(F.col("__cnt") >= min_count), on="gh")
+        seed_pos
         .select(
             "doc_id",
             F.explode(

@@ -103,12 +103,17 @@ def run_checks(
     df: DataFrame,
     checks: list[Check],
     refs: Optional[dict[str, DataFrame]] = None,
+    broadcast_refs: bool = True,
 ) -> DataFrame:
     """Evaluate ``checks`` against ``df``; referential rules look their
     ``ref_table`` up in ``refs``. Returns one row per rule:
     ``(check, column, metric, threshold, passed)`` with ``metric``
-    rounded to 6 places (engine-portable) and ``passed`` as 0/1 long.
+    rounded to 6 places (engine-portable) and ``passed`` as 0/1 long —
+    an EMPTY verdict frame (same schema) for an empty rule list.
     Row order is the declaration order of ``checks``.
+    ``broadcast_refs=False`` drops the broadcast hint on referential
+    dimensions so AQE picks the join strategy — use it when a dimension
+    key set is too big to broadcast.
     """
     refs = refs or {}
     aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
@@ -152,9 +157,16 @@ def run_checks(
                 .alias("passed"),
             )
         )
-    out = one.select(
-        F.explode(F.array(*structs)).alias("r")
-    ).select("r.*") if structs else None
+    if structs:
+        out = one.select(F.explode(F.array(*structs)).alias("r")).select(
+            "r.*"
+        )
+    else:
+        out = df.sparkSession.createDataFrame(
+            [],
+            "check string, column string, metric double, "
+            "threshold double, passed long",
+        )
 
     for c in checks:
         if c.kind != "referential":
@@ -169,8 +181,10 @@ def run_checks(
             .distinct()
         )
         col = F.col(c.column)
+        if broadcast_refs:
+            dim = F.broadcast(dim)
         joined = df.select(col.alias("__k")).join(
-            F.broadcast(dim), F.col("__k") == F.col("__rk"), "left"
+            dim, F.col("__k") == F.col("__rk"), "left"
         )
         m = joined.agg(
             F.round(
@@ -194,5 +208,5 @@ def run_checks(
             F.lit(float(c.threshold)).alias("threshold"),
             (F.col("metric") >= c.threshold).cast("long").alias("passed"),
         )
-        out = m if out is None else out.unionByName(m)
+        out = out.unionByName(m)
     return out

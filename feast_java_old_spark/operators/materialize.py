@@ -522,12 +522,26 @@ def register_epoch_schema(store_path: str, project: str, table: FeatureTable) ->
     table's content-hash schema registry and return its epoch path —
     shared by the batch writer (:func:`materialize_versioned`), the
     streaming writer (``streaming.ingest.stream_materialize_versioned``)
-    and compaction."""
+    and compaction.
+
+    The load-modify-save runs under an exclusive file lock: the atomic
+    rename in :func:`_save_schema_registry` protects READERS from torn
+    files, but two concurrent WRITERS (a batch backfill racing the
+    streaming writer) would otherwise lose one of their entries — a
+    written epoch that no reader ever scans, silently."""
+    import fcntl
+
     tpath = online_table_path(store_path, project, table.name)
+    os.makedirs(tpath, exist_ok=True)
     h = table.spec_hash()[:8]
-    reg = _load_schema_registry(tpath)
-    reg[h] = _epoch_schema_entry(table)
-    _save_schema_registry(tpath, reg)
+    with open(os.path.join(tpath, SCHEMAS_FILE + ".lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            reg = _load_schema_registry(tpath)
+            reg[h] = _epoch_schema_entry(table)
+            _save_schema_registry(tpath, reg)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
     return os.path.join(tpath, f"rev={h}")
 
 
@@ -655,7 +669,15 @@ def read_online_versioned(
     rev_tag = "__rev"
     frames = []
     for h, meta in sorted(schemas.items(), key=lambda kv: kv[1]["revision"]):
-        df = read_online_table(spark, os.path.join(tpath, f"rev={h}"))
+        epoch_dir = os.path.join(tpath, f"rev={h}")
+        if not os.path.isdir(epoch_dir):
+            # Registered but not yet materialized: the streaming writer
+            # records its spec at stream start, BEFORE the first
+            # micro-batch commits — a legitimate transient state that
+            # must not make the table's other epochs unservable. A dir
+            # that exists but is unreadable is still an error below.
+            continue
+        df = read_online_table(spark, epoch_dir)
         if df is None:
             raise ValueError(
                 f"epoch rev={h} of {project}/{table_name} is registered in "
@@ -684,6 +706,9 @@ def read_online_versioned(
         sel.append(F.lit(int(meta["revision"])).alias(rev_tag))
         frames.append(df.select(*sel))
 
+    if not frames:
+        # every registered epoch is still awaiting its first write
+        return None
     allf = frames[0]
     for f in frames[1:]:
         allf = allf.unionByName(f)

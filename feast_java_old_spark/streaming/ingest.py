@@ -778,7 +778,11 @@ def stream_substring_dedup(
     joins itself). Emits the batch operator's exact contract:
     ``(id, text, n_tokens, n_removed)``.
     """
-    arr = tokens(F.col(text_col))
+    from feast_java_old_spark.operators.dedup import gram_hash_at
+
+    # NULL text == empty text, matching the batch operator's contract
+    # (every input document appears in the output).
+    arr = tokens(F.coalesce(F.col(text_col), F.lit("")))
     base = doc_stream.select(
         F.col(id_col).alias("doc_id"), arr.alias("toks")
     ).withColumn("n", F.size("toks"))
@@ -793,9 +797,7 @@ def stream_substring_dedup(
         "tok",
         F.when(
             F.col("pos") <= F.col("n") - k,
-            F.xxhash64(
-                F.concat_ws(" ", F.slice("toks", F.col("pos") + 1, k))
-            ),
+            gram_hash_at(F.col("toks"), F.col("pos"), k),
         ).alias("gh"),
     )
     corpus_grams = _corpus_gram_set(corpus_docs, text_col, k)
@@ -834,7 +836,9 @@ def _corpus_gram_set(
     constant ``__dup`` marker column — the static right side of the
     stream-static join above. One explode + one distinct aggregate over
     8-byte keys; the text itself never shuffles."""
-    arr = tokens(F.col(text_col))
+    from feast_java_old_spark.operators.dedup import gram_hash_at
+
+    arr = tokens(F.coalesce(F.col(text_col), F.lit("")))
     b = corpus_docs.select(arr.alias("toks")).withColumn(
         "n", F.size("toks")
     )
@@ -844,11 +848,7 @@ def _corpus_gram_set(
             F.explode(F.sequence(F.lit(0), F.col("n") - k)).alias("pos"),
             "toks",
         )
-        .select(
-            F.xxhash64(
-                F.concat_ws(" ", F.slice("toks", F.col("pos") + 1, k))
-            ).alias("gh")
-        )
+        .select(gram_hash_at(F.col("toks"), F.col("pos"), k).alias("gh"))
         .distinct()
         .withColumn("__dup", F.lit(1))
     )

@@ -101,3 +101,14 @@ def test_declaration_order_and_mixed_suite(spark, tbl):
 def test_unknown_kind_raises(tbl):
     with pytest.raises(ValueError):
         ex.run_checks(tbl, [ex.Check("bogus", "id")])
+
+
+def test_run_checks_empty_rule_list_returns_empty_frame(spark):
+    """Zero rules (e.g. a config-driven caller) must yield an EMPTY
+    verdict frame with the documented schema, not None."""
+    from feast_java_old_spark.operators.expectations import run_checks
+
+    df = spark.range(5).selectExpr("id", "cast(id as double) v")
+    out = run_checks(df, [])
+    assert out.columns == ["check", "column", "metric", "threshold", "passed"]
+    assert out.count() == 0

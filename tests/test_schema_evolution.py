@@ -455,3 +455,40 @@ def test_property_versioned_serve_matches_python_oracle(
     expected = _vers_oracle(h1, h2)
     expected.pop(999, None)
     assert got == expected
+
+
+def test_dangling_epoch_registration_does_not_break_serving(
+    spark, registry, tmp_path
+):
+    """The streaming writer registers its spec at stream start, BEFORE
+    the first micro-batch commits. A registered-but-dataless epoch must
+    be skipped — not make every other epoch unservable — and a table
+    whose only epoch is dangling reads as never-materialized."""
+    from feast_java_old_spark.operators.materialize import (
+        register_epoch_schema,
+    )
+
+    src_path = str(tmp_path / "events.parquet")
+    store = str(tmp_path / "store")
+    t0 = dt.datetime(2024, 1, 1)
+    _write_events(spark, src_path, [(1, t0, 1.5, "a")])
+    src1 = FileSource(file_url=src_path, event_timestamp_column="ts")
+    registry.apply_feature_table(_table_v1(src1))
+
+    # dangling-only: registered, no data dir -> never-materialized
+    register_epoch_schema(store, "default", registry.get_feature_table("ut"))
+    assert read_online_versioned(spark, registry, "ut", store) is None
+
+    # materialize v1, then register (but never write) a v2 epoch
+    materialize_versioned(spark, registry, "ut", store)
+    src2 = FileSource(
+        file_url=src_path,
+        event_timestamp_column="ts",
+        field_mapping={"value": "vdup"},
+    )
+    registry.apply_feature_table(_table_v2(src2))
+    register_epoch_schema(store, "default", registry.get_feature_table("ut"))
+    out = read_online_versioned(spark, registry, "ut", store)
+    rows = {r.user_id: r for r in out.collect()}
+    assert set(rows) == {1}
+    assert rows[1].value == "1.5"  # v1 row conformed to the v2 schema

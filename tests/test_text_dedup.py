@@ -602,3 +602,16 @@ def test_substring_dedup_apply(substr_corpus):
     assert out[5].text == "too short" and out[5].n_removed == 0
     # token accounting: n_tokens is the pre-removal count
     assert out[2].n_tokens == 12 + 6
+
+
+def test_substring_dedup_null_text_survives(spark):
+    """NULL text is treated as empty text: the document must still
+    appear in the output (the contract: every input doc appears), not
+    vanish through a NULL token array's empty posexplode."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h a b c d e f g h"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.substring_dedup(df, k=8).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2].text == "" and out[2].n_removed == 0
