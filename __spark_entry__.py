@@ -6865,6 +6865,53 @@ GROUP BY doc_id
 """
 
 
+ATTR_LOOKBACK_SECS = 2 * 86_400
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution
+    (operators/windows.py:last_touch_attribution): every purchase is
+    credited to the latest strictly-preceding click/view by the same
+    user within a 2-day lookback — ONE entity-keyed window pass
+    (last(when(touch), ignorenulls) over unbounded-preceding→-1), no
+    self-join, no per-conversion scan; unattributed purchases kept with
+    NULL touch columns.  Exact integer microseconds end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.last_touch_attribution(
+        ev,
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        lookback_secs=ATTR_LOOKBACK_SECS,
+    )
+
+
+SQL_ATTRIBUTION = f"""
+WITH carried AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         last_value(CASE WHEN event_type IN ('click','view')
+                         THEN event_id END IGNORE NULLS)
+           OVER w AS t_id,
+         last_value(CASE WHEN event_type IN ('click','view')
+                         THEN event_type END IGNORE NULLS)
+           OVER w AS t_type,
+         last_value(CASE WHEN event_type IN ('click','view')
+                         THEN epoch_us(ts) END IGNORE NULLS)
+           OVER w AS t_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT user_id, event_id AS conversion_id, ts_us AS conversion_us,
+       CASE WHEN ts_us - t_us <= CAST({ATTR_LOOKBACK_SECS} AS BIGINT) * 1000000
+            THEN t_id END AS touch_id,
+       CASE WHEN ts_us - t_us <= CAST({ATTR_LOOKBACK_SECS} AS BIGINT) * 1000000
+            THEN t_type END AS touch_type,
+       CASE WHEN ts_us - t_us <= CAST({ATTR_LOOKBACK_SECS} AS BIGINT) * 1000000
+            THEN ts_us - t_us END AS touch_age_us
+FROM carried
+WHERE event_type = 'purchase'
+"""
+
+
 GAP_MIN_SECS = 6 * 3600
 
 
@@ -7672,6 +7719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_zone_map": q_stream_zone_map,
         "event_transitions": q_event_transitions,
         "event_gaps": q_event_gaps,
+        "attribution": q_attribution,
         "tpch_q4": q_tpch_q4,
         "tpch_q13": q_tpch_q13,
         "tpch_q16": q_tpch_q16,
@@ -7852,6 +7900,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_zone_map": SQL_STREAM_ZONE_MAP,
         "event_transitions": SQL_EVENT_TRANSITIONS,
         "event_gaps": SQL_EVENT_GAPS,
+        "attribution": SQL_ATTRIBUTION,
         "tpch_q4": SQL_TPCH_Q4,
         "tpch_q13": SQL_TPCH_Q13,
         "tpch_q16": SQL_TPCH_Q16,

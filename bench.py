@@ -195,6 +195,7 @@ HEADLINE = [
     # r7: per-user Markov transition matrix + feed-silence report.
     "event_transitions",
     "event_gaps",
+    "attribution",
 ]
 
 

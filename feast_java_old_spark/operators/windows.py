@@ -341,3 +341,75 @@ def event_transitions(
         "n",
         F.round(F.col("n") / F.sum("n").over(wt), 6).alias("prob"),
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_secs: int,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: each conversion event is credited to the
+    LATEST strictly-preceding touch event of an eligible type within
+    ``lookback_secs`` on the same entity — the marketing/causal
+    companion of :func:`funnel <feast_java_old_spark.operators.features.funnel>`
+    (which asks "did the sequence complete", where this asks "which
+    touch gets the credit").
+
+    Plan shape: ONE entity-keyed window pass — ``last(when(touch),
+    ignorenulls)`` over ``rows unbounded preceding → -1`` carries the
+    most recent touch to every row (strictly preceding: a conversion
+    sharing a timestamp with a touch credits only if the touch sorts
+    first by the tiebreak) — then a codegen lookback filter.  No
+    self-join, no per-conversion scan: cost is one shuffle + one sorted
+    pass regardless of touch fan-out, the same O(n) shape as every
+    ordered-sequence operator here.  Unattributed conversions are kept
+    with NULL touch columns (they are the interesting rows: paid
+    conversions with no tracked touch).  Timestamps are exact integer
+    microseconds end-to-end.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col).isin(list(touch_types))
+    touch = F.last(
+        F.when(
+            is_touch,
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("t_us"),
+                F.col(tiebreak_col).alias("t_id"),
+                F.col(type_col).alias("t_type"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    conv = (
+        events.withColumn("__touch", touch)
+        .where(F.col(type_col) == conversion_type)
+        .select(
+            F.col(key_col),
+            F.col(tiebreak_col).alias("conversion_id"),
+            F.unix_micros(F.col(ts_col)).alias("conversion_us"),
+            F.col("__touch.t_id").alias("touch_id"),
+            F.col("__touch.t_type").alias("touch_type"),
+            (F.unix_micros(F.col(ts_col)) - F.col("__touch.t_us")).alias(
+                "touch_age_us"
+            ),
+        )
+    )
+    horizon = F.lit(int(lookback_secs)).cast("long") * 1_000_000
+    in_window = F.col("touch_age_us") <= horizon
+    return conv.select(
+        key_col,
+        "conversion_id",
+        "conversion_us",
+        F.when(in_window, F.col("touch_id")).alias("touch_id"),
+        F.when(in_window, F.col("touch_type")).alias("touch_type"),
+        F.when(in_window, F.col("touch_age_us")).alias("touch_age_us"),
+    )

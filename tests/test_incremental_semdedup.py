@@ -561,3 +561,37 @@ def test_event_gaps_threshold_ties_and_per_key_fence(spark):
         for r in event_gaps(df, min_gap_secs=6 * 3600).collect()
     ]
     assert got == [(1, 7 * 3600 * 1_000_000)]
+
+
+def test_last_touch_attribution_strict_precedence_and_lookback(spark):
+    """The credited touch is the LATEST strictly-preceding eligible
+    event: a touch sharing the conversion's timestamp credits only if
+    it sorts first by the tiebreak; stale touches beyond the lookback
+    yield NULLs (the row is kept); other users' touches never leak."""
+    import datetime as dt
+
+    from feast_java_old_spark.operators.windows import last_touch_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "click", t0),
+        (1, 2, "view", t0 + dt.timedelta(hours=1)),
+        (1, 3, "purchase", t0 + dt.timedelta(hours=2)),   # -> view (id 2)
+        (1, 4, "purchase", t0 + dt.timedelta(days=5)),    # stale -> NULL
+        (2, 5, "click", t0 + dt.timedelta(hours=2)),      # other user
+        (2, 6, "purchase", t0 + dt.timedelta(hours=2)),   # tie: click id 5
+        (3, 7, "purchase", t0),                            # no touch ever
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r.conversion_id: (r.touch_id, r.touch_type, r.touch_age_us)
+        for r in last_touch_attribution(
+            df, "purchase", ["click", "view"], lookback_secs=86400
+        ).collect()
+    }
+    assert got[3] == (2, "view", 3600 * 1_000_000)
+    assert got[4] == (None, None, None)
+    assert got[6] == (5, "click", 0)  # same-ts touch, lower tiebreak
+    assert got[7] == (None, None, None)
