@@ -7629,7 +7629,8 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EXPECTATIONS = """
-SELECT 'completeness(o_custkey)' AS "check", 'o_custkey' AS "column",
+SELECT CAST(0 AS BIGINT) AS ord,
+       'completeness(o_custkey)' AS "check", 'o_custkey' AS "column",
        round(CASE WHEN count(*) = 0 THEN 1.0
              ELSE CAST(count(o_custkey) AS DOUBLE) / count(*) END, 6)
          AS metric,
@@ -7639,14 +7640,14 @@ SELECT 'completeness(o_custkey)' AS "check", 'o_custkey' AS "column",
             AS BIGINT) AS passed
 FROM orders
 UNION ALL
-SELECT 'uniqueness(o_orderkey)', 'o_orderkey',
+SELECT CAST(1 AS BIGINT), 'uniqueness(o_orderkey)', 'o_orderkey',
        round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6),
        1.0,
        CAST(round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6)
             >= 1.0 AS BIGINT)
 FROM orders
 UNION ALL
-SELECT 'in_range(o_totalprice)', 'o_totalprice',
+SELECT CAST(2 AS BIGINT), 'in_range(o_totalprice)', 'o_totalprice',
        round(CAST(sum(CASE WHEN o_totalprice >= 0.0
                             AND o_totalprice <= 250000.0
                            THEN 1 ELSE 0 END) AS DOUBLE)
@@ -7658,7 +7659,7 @@ SELECT 'in_range(o_totalprice)', 'o_totalprice',
                   / count(o_totalprice), 6) >= 0.9 AS BIGINT)
 FROM orders
 UNION ALL
-SELECT 'accepted_values(o_orderstatus)', 'o_orderstatus',
+SELECT CAST(3 AS BIGINT), 'accepted_values(o_orderstatus)', 'o_orderstatus',
        round(CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
                            THEN 1 ELSE 0 END) AS DOUBLE)
              / count(o_orderstatus), 6),
@@ -7668,7 +7669,7 @@ SELECT 'accepted_values(o_orderstatus)', 'o_orderstatus',
                   / count(o_orderstatus), 6) >= 1.0 AS BIGINT)
 FROM orders
 UNION ALL
-SELECT 'matches_regex(o_orderpriority)', 'o_orderpriority',
+SELECT CAST(4 AS BIGINT), 'matches_regex(o_orderpriority)', 'o_orderpriority',
        round(CAST(sum(CASE WHEN regexp_matches(o_orderpriority,
                                                '^[1-5]-[A-Z ]+$')
                            THEN 1 ELSE 0 END) AS DOUBLE)
@@ -7680,7 +7681,7 @@ SELECT 'matches_regex(o_orderpriority)', 'o_orderpriority',
                   / count(o_orderpriority), 6) >= 1.0 AS BIGINT)
 FROM orders
 UNION ALL
-SELECT 'referential(o_custkey->customer.c_custkey)', 'o_custkey',
+SELECT CAST(5 AS BIGINT), 'referential(o_custkey->customer.c_custkey)', 'o_custkey',
        round(CAST(sum(CASE WHEN c.c_custkey IS NOT NULL
                            THEN 1 ELSE 0 END) AS DOUBLE)
              / count(o.o_custkey), 6),

@@ -273,9 +273,11 @@ def main() -> None:
     # ~75% one-time codegen/plan cost (r6's historical_asof false flag:
     # 2.93 s in-suite vs 0.78 s isolated). Adjudicate in-process: any
     # query >1.5x its prior-round number is rerun once warm, BOTH
-    # numbers are recorded, and the headline carries the better one —
-    # so round-over-round totals compare steady-state plans, not
-    # whichever query happened to absorb a JIT pause this run.
+    # numbers are recorded, and the headline carries the WARM (second)
+    # run — a number one real run actually produced, so round-over-round
+    # totals compare steady-state plans. (Not min(cold, warm): a
+    # best-of composite would mask a genuine regression whenever one of
+    # the two runs happened to be fast — ADVICE r7 bench.py:286.)
     cold_total = round(sum(timings.values()), 3)
     reruns: dict[str, dict[str, float]] = {}
     for name, cold in list(timings.items()):
@@ -283,7 +285,7 @@ def main() -> None:
         if p and cold > 1.5 * p and cold > 1.0:
             warm = run_once(qs[name], name)
             reruns[name] = {"cold": cold, "warm": warm, "prior_round": p}
-            timings[name] = min(cold, warm)
+            timings[name] = warm
 
     total = round(sum(timings.values()), 3)
     # The round driver records only the last ~2000 chars of stdout; the

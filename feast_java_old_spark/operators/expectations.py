@@ -8,7 +8,7 @@ type conformance); the data itself it trusts. At 100 TB that trust is
 where training corpora rot, so this module turns declarative rules —
 completeness, uniqueness, value ranges, accepted sets, regex formats,
 referential integrity — into ONE measured verdict row per rule:
-``(check, column, metric, threshold, passed)``.
+``(ord, check, column, metric, threshold, passed)``.
 
 Scale shape: every row-local rule (completeness / range / accepted /
 regex) folds into a single aggregate over a single scan — adding a rule
@@ -51,6 +51,11 @@ class Check:
 
     @property
     def name(self) -> str:
+        if self.kind == "referential":
+            return (
+                f"referential({self.column}->"
+                f"{self.ref_table}.{self.ref_column})"
+            )
         return f"{self.kind}({self.column})"
 
 
@@ -107,10 +112,16 @@ def run_checks(
 ) -> DataFrame:
     """Evaluate ``checks`` against ``df``; referential rules look their
     ``ref_table`` up in ``refs``. Returns one row per rule:
-    ``(check, column, metric, threshold, passed)`` with ``metric``
+    ``(ord, check, column, metric, threshold, passed)`` with ``metric``
     rounded to 6 places (engine-portable) and ``passed`` as 0/1 long —
     an EMPTY verdict frame (same schema) for an empty rule list.
-    Row order is the declaration order of ``checks``.
+
+    Row ORDER is not guaranteed (referential rules are unioned after the
+    row-local aggregate, and Spark does not promise union order on
+    collect anyway); ``ord`` carries each rule's declaration index —
+    ``.orderBy("ord")`` recovers declaration order. The ``check`` label
+    always equals :attr:`Check.name`.
+
     ``broadcast_refs=False`` drops the broadcast hint on referential
     dimensions so AQE picks the join strategy — use it when a dimension
     key set is too big to broadcast.
@@ -148,6 +159,7 @@ def run_checks(
             continue
         structs.append(
             F.struct(
+                F.lit(i).cast("long").alias("ord"),
                 F.lit(c.name).alias("check"),
                 F.lit(c.column).alias("column"),
                 F.col(f"__m_{i}").cast("double").alias("metric"),
@@ -164,11 +176,11 @@ def run_checks(
     else:
         out = df.sparkSession.createDataFrame(
             [],
-            "check string, column string, metric double, "
+            "ord long, check string, column string, metric double, "
             "threshold double, passed long",
         )
 
-    for c in checks:
+    for i, c in enumerate(checks):
         if c.kind != "referential":
             continue
         if c.ref_table not in refs:
@@ -201,8 +213,8 @@ def run_checks(
                 6,
             ).alias("metric")
         ).select(
-            F.lit(f"referential({c.column}->{c.ref_table}.{c.ref_column})")
-            .alias("check"),
+            F.lit(i).cast("long").alias("ord"),
+            F.lit(c.name).alias("check"),
             F.lit(c.column).alias("column"),
             F.col("metric").cast("double"),
             F.lit(float(c.threshold)).alias("threshold"),

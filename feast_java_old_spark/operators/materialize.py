@@ -476,6 +476,45 @@ def forget_keys(
 SCHEMAS_FILE = "_schemas.json"
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _registry_lock(table_path: str):
+    """Exclusive cross-process lock over one online table's
+    ``_schemas.json`` *and* its epoch-directory layout.
+
+    The atomic rename in :func:`_save_schema_registry` protects READERS
+    from torn files; this lock serializes WRITERS. Every
+    load-modify-save of the registry — and every deletion of an epoch
+    directory — must run under it, or a batch backfill racing the
+    streaming writer can lose a just-registered entry (lost update) or
+    delete an epoch directory the other writer is mid-write into."""
+    import fcntl
+
+    os.makedirs(table_path, exist_ok=True)
+    with open(os.path.join(table_path, SCHEMAS_FILE + ".lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+
+
+def _next_epoch_seq(reg: dict) -> int:
+    """Next registry-independent monotonic epoch stamp: 1 + the max
+    ``epoch_seq`` ever recorded in this table's ``_schemas.json``
+    (falling back to ``revision`` for pre-seq legacy entries). Computed
+    under :func:`_registry_lock`, so it survives Registry restarts —
+    unlike the in-memory ``Registry.revision`` counter, which restarts
+    at 1 with every fresh registry and can collide across the
+    documented stop-stream → re-apply → restart workflow."""
+    return 1 + max(
+        (int(m.get("epoch_seq", m.get("revision", 0))) for m in reg.values()),
+        default=0,
+    )
+
+
 def _load_schema_registry(table_path: str) -> dict:
     p = os.path.join(table_path, SCHEMAS_FILE)
     if not os.path.exists(p):
@@ -524,24 +563,28 @@ def register_epoch_schema(store_path: str, project: str, table: FeatureTable) ->
     streaming writer (``streaming.ingest.stream_materialize_versioned``)
     and compaction.
 
-    The load-modify-save runs under an exclusive file lock: the atomic
+    The load-modify-save runs under :func:`_registry_lock`: the atomic
     rename in :func:`_save_schema_registry` protects READERS from torn
     files, but two concurrent WRITERS (a batch backfill racing the
     streaming writer) would otherwise lose one of their entries — a
-    written epoch that no reader ever scans, silently."""
-    import fcntl
+    written epoch that no reader ever scans, silently.
 
+    New epochs are stamped with ``epoch_seq`` (:func:`_next_epoch_seq`),
+    the registry-restart-safe marker serving uses to break event-time
+    ties; re-registering an already-known spec hash is idempotent and
+    keeps the epoch's original seq (a spec that changes A→B→A reuses
+    A's epoch — same content hash, same directory — exactly the
+    reference's content-hash registry behavior,
+    ``BigTableSchemaRegistry.java:33-107``)."""
     tpath = online_table_path(store_path, project, table.name)
-    os.makedirs(tpath, exist_ok=True)
     h = table.spec_hash()[:8]
-    with open(os.path.join(tpath, SCHEMAS_FILE + ".lock"), "w") as lock:
-        fcntl.flock(lock, fcntl.LOCK_EX)
-        try:
-            reg = _load_schema_registry(tpath)
-            reg[h] = _epoch_schema_entry(table)
-            _save_schema_registry(tpath, reg)
-        finally:
-            fcntl.flock(lock, fcntl.LOCK_UN)
+    with _registry_lock(tpath):
+        reg = _load_schema_registry(tpath)
+        entry = _epoch_schema_entry(table)
+        prior = reg.get(h, {})
+        entry["epoch_seq"] = int(prior.get("epoch_seq", 0)) or _next_epoch_seq(reg)
+        reg[h] = entry
+        _save_schema_registry(tpath, reg)
     return os.path.join(tpath, f"rev={h}")
 
 
@@ -638,10 +681,17 @@ def read_online_versioned(
       the scan (never read: column pruning reaches the parquet footer).
 
     The conformed epochs are unioned and reduced by
-    :func:`latest_per_key` with the epoch revision as the tiebreak —
-    when the same entity key carries the same event timestamp in two
-    epochs, the later revision's row wins (its write observed the
-    earlier one). One scan per epoch + one map-side-combining aggregate:
+    :func:`latest_per_key` with the epoch's ``epoch_seq`` stamp as the
+    tiebreak — when the same entity key carries the same event
+    timestamp in two epochs, the later-*registered* epoch's row wins
+    (its write observed the earlier one). ``epoch_seq`` is assigned
+    under the registry file lock as max-existing+1
+    (:func:`_next_epoch_seq`), so it stays monotone across Registry
+    restarts — the in-memory ``revision`` integer restarts at 1 with
+    every fresh Registry, and two epochs sharing a revision would break
+    ties on arbitrary payload values instead of "later spec wins".
+    Pre-seq legacy entries fall back to their recorded revision.
+    One scan per epoch + one map-side-combining aggregate:
     epoch count tracks *schema changes*, not data volume, so the union
     adds scan width only — the shuffle still carries one row per
     (key, partition) at 100 TB.
@@ -650,9 +700,10 @@ def read_online_versioned(
     table's identity — the reference would write a new KV table):
     epochs missing a current entity column raise.
 
-    ``revision_col`` keeps the winning epoch's revision number as a
-    column (audit / gate use). Returns None for a never-materialized
-    table.
+    ``revision_col`` keeps the winning epoch's ``epoch_seq`` stamp as a
+    column (audit / gate use; equals the registry revision whenever all
+    epochs were registered by one registry lifetime, as in the gate).
+    Returns None for a never-materialized table.
     """
     table: FeatureTable = registry.get_feature_table(table_name, project)
     tpath = online_table_path(store_path, project, table_name)
@@ -666,9 +717,12 @@ def read_online_versioned(
     # are interchangeable under one serve plan.
     from feast_java_old_spark.streaming.ingest import read_online_table
 
+    def _seq(meta: dict) -> int:
+        return int(meta.get("epoch_seq", meta.get("revision", 0)))
+
     rev_tag = "__rev"
     frames = []
-    for h, meta in sorted(schemas.items(), key=lambda kv: kv[1]["revision"]):
+    for h, meta in sorted(schemas.items(), key=lambda kv: _seq(kv[1])):
         epoch_dir = os.path.join(tpath, f"rev={h}")
         if not os.path.isdir(epoch_dir):
             # Registered but not yet materialized: the streaming writer
@@ -703,7 +757,7 @@ def read_online_versioned(
             else:
                 col = F.lit(None).cast(declared)
             sel.append(col.alias(feat.name))
-        sel.append(F.lit(int(meta["revision"])).alias(rev_tag))
+        sel.append(F.lit(_seq(meta)).alias(rev_tag))
         frames.append(df.select(*sel))
 
     if not frames:
@@ -770,23 +824,45 @@ def compact_versioned(
 
     staging = tempfile.mkdtemp(prefix="fjos_compact_", dir=tpath)
     try:
+        # The Spark rewrite runs OUTSIDE the registry lock — it only
+        # touches the private staging dir, and holding the lock for a
+        # full cluster job would stall every concurrent writer's
+        # register_epoch_schema call.
         merged.repartition(
             *[F.col(k) for k in table.entities]
         ).sortWithinPartitions(*table.entities).write.mode(
             "overwrite"
         ).parquet(staging)
-        if os.path.isdir(epoch):
-            shutil.rmtree(epoch)
-        os.replace(staging, epoch)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
 
-    schemas = _load_schema_registry(tpath)
-    for old_h in list(schemas):
-        if old_h != h:
-            shutil.rmtree(os.path.join(tpath, f"rev={old_h}"), ignore_errors=True)
-            del schemas[old_h]
-    schemas[h] = _epoch_schema_entry(table)
-    _save_schema_registry(tpath, schemas)
+    # Swap + prune + registry rewrite are one critical section under
+    # the same lock register_epoch_schema takes: without it, a
+    # concurrent writer registering (or merging into) another epoch
+    # between our load and save loses its registry entry, and its live
+    # epoch directory can be rmtree'd mid-write — the lost-update race
+    # the lock exists to prevent.
+    with _registry_lock(tpath):
+        try:
+            schemas = _load_schema_registry(tpath)
+            # stamp before pruning so the survivor outranks every epoch
+            # it absorbed, even ones about to be deleted
+            new_seq = _next_epoch_seq(schemas)
+            if os.path.isdir(epoch):
+                shutil.rmtree(epoch)
+            os.replace(staging, epoch)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        for old_h in list(schemas):
+            if old_h != h:
+                shutil.rmtree(
+                    os.path.join(tpath, f"rev={old_h}"), ignore_errors=True
+                )
+                del schemas[old_h]
+        entry = _epoch_schema_entry(table)
+        entry["epoch_seq"] = new_seq
+        schemas[h] = entry
+        _save_schema_registry(tpath, schemas)
     return epoch

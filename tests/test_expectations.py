@@ -91,9 +91,12 @@ def test_declaration_order_and_mixed_suite(spark, tbl):
         [ex.uniqueness("id", threshold=0.5), ex.referential("id", "dim", "k")],
         refs={"dim": dim},
     ).collect()
-    assert [r.check for r in rows] == [
-        "uniqueness(id)",
-        "referential(id->dim.k)",
+    # declaration order is recovered via the explicit ord column
+    # (Spark does not guarantee union row order); labels == Check.name
+    rows = sorted(rows, key=lambda r: r.ord)
+    assert [(r.ord, r.check) for r in rows] == [
+        (0, "uniqueness(id)"),
+        (1, "referential(id->dim.k)"),
     ]
     assert rows[0].passed == 1 and rows[1].passed == 1
 
@@ -110,5 +113,33 @@ def test_run_checks_empty_rule_list_returns_empty_frame(spark):
 
     df = spark.range(5).selectExpr("id", "cast(id as double) v")
     out = run_checks(df, [])
-    assert out.columns == ["check", "column", "metric", "threshold", "passed"]
+    assert out.columns == [
+        "ord", "check", "column", "metric", "threshold", "passed",
+    ]
     assert out.count() == 0
+
+
+def test_interleaved_referential_ord_recovers_declaration(spark, tbl):
+    """Referential rules are physically unioned after every row-local
+    rule; an interleaved declaration [local, referential, local] must
+    still be recoverable as declared via ord (ADVICE r7
+    expectations.py:113)."""
+    dim = spark.createDataFrame([(1,), (2,), (4,)], "k long")
+    rows = (
+        ex.run_checks(
+            tbl,
+            [
+                ex.completeness("id"),
+                ex.referential("id", "dim", "k"),
+                ex.uniqueness("id", threshold=0.5),
+            ],
+            refs={"dim": dim},
+        )
+        .orderBy("ord")
+        .collect()
+    )
+    assert [r.check for r in rows] == [
+        "completeness(id)",
+        "referential(id->dim.k)",
+        "uniqueness(id)",
+    ]

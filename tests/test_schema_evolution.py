@@ -492,3 +492,88 @@ def test_dangling_epoch_registration_does_not_break_serving(
     rows = {r.user_id: r for r in out.collect()}
     assert set(rows) == {1}
     assert rows[1].value == "1.5"  # v1 row conformed to the v2 schema
+
+
+def test_epoch_seq_monotone_across_registry_restarts(
+    spark, registry, tmp_path
+):
+    """Event-time ties between epochs must break on *registration
+    order*, not the in-memory Registry ``revision`` counter: a fresh
+    Registry (the documented restart-the-stream workflow) restarts
+    revisions at 1, so two epochs can share revision==1 — only the
+    ``epoch_seq`` stamp persisted in ``_schemas.json`` under the file
+    lock is restart-safe (ADVICE r7 materialize.py:719)."""
+    src_path = str(tmp_path / "events.parquet")
+    store = str(tmp_path / "store")
+    t0 = dt.datetime(2024, 1, 1)
+
+    # registry lifetime 1: v1 epoch, user 1 @ t0 with value 1.5
+    _write_events(spark, src_path, [(1, t0, 1.5, "a")])
+    src1 = FileSource(file_url=src_path, event_timestamp_column="ts")
+    v1 = registry.apply_feature_table(_table_v1(src1))
+    assert v1.revision == 1
+    materialize_versioned(spark, registry, "ut", store)
+
+    # registry lifetime 2 (fresh Registry => revision restarts at 1):
+    # v2 epoch writes the SAME key at the SAME event timestamp
+    reg2 = fs.Registry()
+    reg2.apply_entity(fs.Entity("user_id", fs.ValueType.INT64))
+    _write_events(spark, src_path, [(1, t0, 9.5, "z")])
+    src2 = FileSource(
+        file_url=src_path,
+        event_timestamp_column="ts",
+        field_mapping={"value": "vdup"},
+    )
+    v2 = reg2.apply_feature_table(_table_v2(src2))
+    assert v2.revision == 1  # the collision the seq stamp exists for
+    materialize_versioned(spark, reg2, "ut", store)
+
+    schemas = _load_schema_registry(store + "/default/ut")
+    seqs = sorted(m["epoch_seq"] for m in schemas.values())
+    assert seqs == [1, 2]  # persisted max+1, not the reset revision
+
+    # later-REGISTERED epoch wins the exact event-time tie
+    rows = {
+        r.user_id: r
+        for r in read_online_versioned(
+            spark, reg2, "ut", store, revision_col="src_rev"
+        ).collect()
+    }
+    assert rows[1].src_rev == 2
+    assert rows[1].vdup == 9.5  # v2 payload, not v1's
+
+
+def test_compact_assigns_fresh_epoch_seq_under_lock(
+    spark, registry, tmp_path
+):
+    """compact_versioned's surviving epoch outranks every epoch it
+    absorbed: its seq is max-existing+1 (stamped before the prune), so
+    a late writer re-registering an old spec can never tie with it."""
+    from feast_java_old_spark.operators.materialize import (
+        compact_versioned,
+    )
+
+    src_path = str(tmp_path / "events.parquet")
+    store = str(tmp_path / "store")
+    t0 = dt.datetime(2024, 1, 1)
+    _write_events(spark, src_path, [(1, t0, 1.5, "a")])
+    src1 = FileSource(file_url=src_path, event_timestamp_column="ts")
+    registry.apply_feature_table(_table_v1(src1))
+    materialize_versioned(spark, registry, "ut", store)
+
+    _write_events(spark, src_path, [(2, t0, 2.5, "b")])
+    src2 = FileSource(
+        file_url=src_path,
+        event_timestamp_column="ts",
+        field_mapping={"value": "vdup"},
+    )
+    registry.apply_feature_table(_table_v2(src2))
+    materialize_versioned(spark, registry, "ut", store)
+
+    compact_versioned(spark, registry, "ut", store)
+    schemas = _load_schema_registry(store + "/default/ut")
+    assert len(schemas) == 1
+    (meta,) = schemas.values()
+    assert meta["epoch_seq"] == 3  # 1,2 absorbed -> survivor stamps 3
+    out = read_online_versioned(spark, registry, "ut", store)
+    assert {r.user_id for r in out.collect()} == {1, 2}
