@@ -3273,6 +3273,257 @@ GROUP BY p_brand
 """
 
 
+# --- TPC-H decorrelation pack (r8): unlike the hand-decorrelated q4/q13/
+# q16 forms above, q17/q21/q22 are submitted to Spark AS correlated-
+# subquery SQL — the gate then proves Catalyst's DecorrelateInnerQuery /
+# RewritePredicateSubquery rewrites (scalar-subquery → aggregate join,
+# EXISTS → semi, NOT EXISTS → anti) against a DuckDB oracle running the
+# same text. A user porting reference SQL keeps their subqueries.
+
+
+def _tpch_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    """Register gate tables as temp views for the spark.sql surface
+    (idempotent; one shared session per gate run)."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated SCALAR subquery): lineitems whose
+    quantity is below 20% of their part's own average, aggregated per
+    brand. Submitted as correlated SQL; Catalyst decorrelates the
+    per-part average into ONE aggregate over lineitem (groupBy
+    l_partkey, map-side combined) joined back on the correlation key —
+    the fact is scanned twice but never per-outer-row (the naive
+    interpretation would be |lineitem| subquery executions). part is a
+    broadcast dim. Money in cents before summing (order-free)."""
+    _tpch_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(SQL_TPCH_Q17)
+
+
+SQL_TPCH_Q17 = """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_small_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS small_revenue_cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+GROUP BY p_brand
+"""
+
+
+Q21_LATE_DAYS = 80
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS, both correlated): suppliers
+    who were the ONLY late supplier in a multi-supplier finalized order
+    (adaptation: no l_commitdate/l_receiptdate in this testdata, so
+    "late" = shipped > {Q21_LATE_DAYS} days after the order date; the
+    lateness flag is precomputed once in the `lo` CTE instead of
+    re-deriving it inside each subquery). Catalyst compiles the EXISTS
+    to a left-semi and the NOT EXISTS to a left-anti, both equi-keyed
+    on l_orderkey with the <> supplier residual — the CTE inlines, so
+    this plan scans lineitem⋈orders three times; `tpch_q21_agg` is the
+    hand-fused one-pass twin, hash-matched against the SAME oracle."""
+    _tpch_views(spark, sf_dir, "lineitem", "orders", "supplier")
+    return spark.sql(SQL_TPCH_Q21)
+
+
+SQL_TPCH_Q21 = f"""
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL '{Q21_LATE_DAYS}' DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lo l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.late = 1
+  AND EXISTS (SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
+GROUP BY s_name
+"""
+
+
+def q_tpch_q21_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass twin of ``tpch_q21`` (same oracle): both correlated
+    subqueries collapse into ONE per-order aggregate — n_supp =
+    count(distinct supplier), n_late_supp = count(distinct supplier
+    among late lines) — and a late line qualifies iff its order has
+    n_supp > 1 and n_late_supp = 1 (l1 itself is late, so the single
+    late supplier IS l1's). lineitem⋈orders is built once, aggregated
+    once (map-side combined), and re-joined on l_orderkey; at 100 TB
+    this replaces q21's three fact scans + semi + anti with one scan +
+    one self-join — the rewrite Catalyst cannot find on its own."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lo = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAY")
+        ).cast("int").alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    qualifying = (
+        lo.where(F.col("late") == 1)
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        qualifying.join(
+            F.broadcast(supp), qualifying.l_suppkey == supp.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+Q22_CUTOFF = "2000-01-01"
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (uncorrelated scalar subquery + correlated NOT
+    EXISTS): above-average-balance customers gone quiet — no order
+    since {Q22_CUTOFF} (adaptation: every synthetic customer has
+    ordered at least once, so the classic "never ordered" predicate is
+    date-bounded instead). The scalar average compiles to a one-row
+    broadcast (computed once, not per row); the NOT EXISTS to a left
+    anti join on o_custkey with the date filter pushed to the orders
+    scan — the anti build side carries only the active-customer key
+    set, not order payloads."""
+    _tpch_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(SQL_TPCH_Q22)
+
+
+SQL_TPCH_Q22 = f"""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS totacctbal_cents
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{Q22_CUTOFF} 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
+Q15_FROM, Q15_TO = "1996-01-01", "1996-04-01"
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top-revenue supplier = agg-of-agg): quarterly
+    revenue per supplier, keep the supplier(s) achieving the maximum.
+    The max-of-aggregate is NOT a whole-frame window (that would
+    single-partition the per-supplier frame — fine at 100 suppliers,
+    wrong at 10M) and not a re-scan of the fact (the SQL-standard
+    scalar-subquery form inlines the CTE twice): the per-supplier
+    aggregate is computed ONCE, its one-row max is cross-joined back as
+    a broadcast scalar, and the supplier dim broadcasts onto the
+    winners. One fact scan total."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q15_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_TO).cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                0,
+            ).cast("long")
+        ).alias("total_cents")
+    )
+    # self-reuse: max comes FROM the aggregate, not another fact scan
+    mx = rev.agg(F.max("total_cents").alias("__mx"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.join(F.broadcast(mx), rev.total_cents == F.col("__mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_cents")
+    )
+
+
+SQL_TPCH_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+             AS BIGINT)) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_FROM} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{Q15_TO} 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_cents AS BIGINT) AS total_cents
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+"""
+
+
+Q11_FRACTION_DENOM = 1250  # keep parts holding > 1/1250 of total value
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (HAVING vs a global-total scalar — value
+    concentration; adaptation: no partsupp table, so "value" is each
+    part's summed lineitem revenue). The global total is derived FROM
+    the per-part aggregate (one fact scan) and broadcast back as a
+    one-row cross join; the threshold compare is pure integer math —
+    val_cents * {Q11_FRACTION_DENOM} > total — because 1/1250 in
+    binary double truncates differently under DuckDB's rounding CAST
+    vs Spark's truncating CAST exactly at the boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        ).alias("val_cents")
+    )
+    total = pv.agg(F.sum("val_cents").alias("__total"))
+    return (
+        pv.join(F.broadcast(total))
+        .where(F.col("val_cents") * Q11_FRACTION_DENOM > F.col("__total"))
+        .select(F.col("l_partkey").alias("partkey"), "val_cents")
+    )
+
+
+SQL_TPCH_Q11 = f"""
+WITH pv AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS val_cents
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey AS partkey, CAST(val_cents AS BIGINT) AS val_cents
+FROM pv
+WHERE val_cents * {Q11_FRACTION_DENOM} > (SELECT sum(val_cents) FROM pv)
+"""
+
+
 CLEAN_MIN_QUALITY = 0.55
 CLEAN_LANG = "en"
 
@@ -7714,6 +7965,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then the 6 queries whose newest row is r3, then the 42 oldest
         # r4 rows.  Positions 51+ are the remaining r4/r5/r6 rows, oldest
         # evidence first — next round's window starts there.
+        "tpch_q17": q_tpch_q17,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q21_agg": q_tpch_q21_agg,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q11": q_tpch_q11,
         "logreg_quality": q_logreg_quality,
         "global_ranks": q_global_ranks,
         "zone_map_prune": q_zone_map_prune,
@@ -7905,6 +8162,12 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q4": SQL_TPCH_Q4,
         "tpch_q13": SQL_TPCH_Q13,
         "tpch_q16": SQL_TPCH_Q16,
+        "tpch_q17": SQL_TPCH_Q17,
+        "tpch_q21": SQL_TPCH_Q21,
+        "tpch_q21_agg": SQL_TPCH_Q21,  # one-pass twin, same oracle
+        "tpch_q22": SQL_TPCH_Q22,
+        "tpch_q15": SQL_TPCH_Q15,
+        "tpch_q11": SQL_TPCH_Q11,
         "lm_backoff": SQL_LM_BACKOFF,
         "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
         "schema_evolution": SQL_SCHEMA_EVOLUTION,

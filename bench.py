@@ -192,6 +192,12 @@ HEADLINE = [
     "tpch_q4",
     "tpch_q13",
     "tpch_q16",
+    "tpch_q17",
+    "tpch_q21",
+    "tpch_q21_agg",
+    "tpch_q22",
+    "tpch_q15",
+    "tpch_q11",
     # r7: per-user Markov transition matrix + feed-silence report.
     "event_transitions",
     "event_gaps",

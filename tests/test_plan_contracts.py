@@ -37,6 +37,14 @@ def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
     [
         "tpch_q5",
         "tpch_q18",
+        # the r8 decorrelation pack: Catalyst must compile the correlated
+        # scalar subquery (q17) and EXISTS/NOT EXISTS (q21) to keyed
+        # aggregate-join / semi / anti — a BNLJ here means decorrelation
+        # fell back to per-row evaluation. (q22/q15/q11 carry deliberate
+        # 1-row-broadcast scalar joins, covered by the global contract.)
+        "tpch_q17",
+        "tpch_q21",
+        "tpch_q21_agg",
         "j1_entity_lookup",
         "j2_compound_key",
         # historical_asof is exempt: its request GRID is built as
