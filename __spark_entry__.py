@@ -898,6 +898,41 @@ WHERE round(i.ni / (sa.n + sb.n - i.ni), 6) >= {JACCARD_THRESHOLD}
 """
 
 
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity join (AllPairs/PPJoin family,
+    operators/dedup.py:prefix_filter_pairs): EXACT Jaccard ≥ 0.5 pairs
+    with candidates pruned by the prefix-filter theorem — order each
+    doc's shingles by global rarity, index only the first
+    |x|−⌈t|x|⌉+1, join on shared prefix shingles + symmetric length
+    bound, verify by set intersection. Lossless (unlike LSH recall or
+    the max_df lower bound), measured ~0.6% of all-pairs candidate
+    volume on this corpus. Oracle is the UNpruned exact inverted-index
+    jaccard — equality proves recall-completeness end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_filter_pairs(docs, n=3, threshold=JACCARD_THRESHOLD)
+
+
+SQL_JACCARD_EXACT = f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       FOR i IN range(1, len(t) - 1)]) AS s
+       FROM toks WHERE len(t) >= 3),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.doc_a, i.doc_b,
+       round(i.ni / (sa.n + sb.n - i.ni), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.ni / (sa.n + sb.n - i.ni), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
 CONTAIN_THRESHOLD = 0.8
 
 
@@ -7971,6 +8006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "tpch_q15": q_tpch_q15,
         "tpch_q11": q_tpch_q11,
+        "dedup_prefix_filter": q_dedup_prefix_filter,
         "logreg_quality": q_logreg_quality,
         "global_ranks": q_global_ranks,
         "zone_map_prune": q_zone_map_prune,
@@ -8168,6 +8204,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q22": SQL_TPCH_Q22,
         "tpch_q15": SQL_TPCH_Q15,
         "tpch_q11": SQL_TPCH_Q11,
+        "dedup_prefix_filter": SQL_JACCARD_EXACT,
         "lm_backoff": SQL_LM_BACKOFF,
         "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
         "schema_evolution": SQL_SCHEMA_EVOLUTION,

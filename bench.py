@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_prefix_filter",
     "dedup_containment",
     "dedup_verified",
     "dedup_incremental",

@@ -615,3 +615,53 @@ def test_substring_dedup_null_text_survives(spark):
     out = {r.doc_id: r for r in dedup.substring_dedup(df, k=8).collect()}
     assert set(out) == {1, 2, 3}
     assert out[2].text == "" and out[2].n_removed == 0
+
+
+def test_prefix_filter_recall_complete_brute_force(spark):
+    """Prefix-filter contract (Bayardo WWW'07 / Xiao WWW'08): with each
+    doc's shingles ordered by one global total order and only the first
+    |x|-ceil(t|x|)+1 indexed, EVERY pair with true Jaccard >= t must
+    collide on some prefix shingle. Brute-force all pairs of a corpus
+    engineered with graded overlaps (including pairs exactly AT the
+    threshold) and assert candidates are a superset of true pairs and
+    the verified output equals truth exactly."""
+    from itertools import combinations
+
+    base = [f"w{i}" for i in range(30)]
+    rows = []
+    # family of docs sharing a sliding window of the base vocabulary:
+    # neighboring docs overlap heavily, distant ones not at all
+    for d in range(12):
+        rows.append((d, " ".join(base[d : d + 14])))
+    # identical twins (j = 1.0) and a disjoint singleton
+    rows.append((100, " ".join(base[0:14])))
+    rows.append((200, " ".join(f"z{i}" for i in range(14))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t = 0.5
+
+    def grams(s):
+        w = s.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {d: grams(s) for d, s in rows}
+    truth = {}
+    for a, b in combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= t:
+            truth[(a, b)] = round(j, 6)
+
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.prefix_filter_candidates(docs, threshold=t).collect()
+    }
+    assert set(truth) <= cands  # recall-complete
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.prefix_filter_pairs(docs, threshold=t).collect()
+    }
+    assert got == truth  # verification leaves exactly the true pairs
+    # and the filter actually filters: strictly fewer candidates than
+    # the all-pairs join it replaces
+    n = len(rows)
+    assert len(cands) < n * (n - 1) // 2
