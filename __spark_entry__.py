@@ -4351,17 +4351,18 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(store, ignore_errors=True)
 
 
-def _schema_evolution_frame(spark, sf_dir: str, store: str) -> DataFrame:
-    """Build the schema-evolution serve frame LAZILY against ``store``
-    (caller owns the scratch dir's lifetime) — split out so the plan
-    audit (scripts/gen_plans.py) can explain the real cross-epoch
-    union plan instead of a checkpoint scan."""
+def _build_evo_store(spark, sf_dir: str, store: str):
+    """Materialize the two-epoch schema-evolution store (v1: value
+    DOUBLE / user_id INT64 / event_type STRING over ts ≤ Jan-15; v2:
+    user_id retyped DOUBLE, event_type renamed etype, over ts >
+    Jan-15) and return the registry — shared by the current-schema
+    serve (``schema_evolution``) and the as-of snapshot
+    (``schema_time_travel``)."""
     import os
 
     import feast_java_old_spark as fs
     from feast_java_old_spark.operators.materialize import (
         materialize_versioned,
-        read_online_versioned,
     )
     from feast_java_old_spark.registry.model import FileSource
 
@@ -4406,6 +4407,71 @@ def _schema_evolution_frame(spark, sf_dir: str, store: str) -> DataFrame:
         spark, reg, "ev_evo", store,
         start_ts=split + dt.timedelta(microseconds=1),
     )
+    return reg
+
+
+def q_schema_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the versioned online store
+    (operators/materialize.py:read_online_versioned(as_of_seq=1)): the
+    same two-epoch evolved store as ``schema_evolution``, served AS OF
+    the v1 registration — only the v1 epoch participates, conformed to
+    the schema *recorded in* ``_schemas.json`` at that moment (user_id
+    is still INT64, event_type not yet renamed), regardless of the
+    registry having since moved to v2. The content-hash registry the
+    reference keeps for per-row decode
+    (``BigTableSchemaRegistry.java:33-107``) already pays for this —
+    a snapshot read is the same bookkeeping pointed backwards
+    (Iceberg/Delta ``VERSION AS OF``). Oracle: the v1 half of events
+    under the v1 schema."""
+    import shutil
+    import tempfile
+
+    from feast_java_old_spark.operators.materialize import (
+        read_online_versioned,
+    )
+
+    store = tempfile.mkdtemp(prefix="fjos_timetravel_")
+    try:
+        with _small_shuffle(spark):
+            reg = _build_evo_store(spark, sf_dir, store)
+            out = read_online_versioned(
+                spark, reg, "ev_evo", store,
+                revision_col="src_rev", as_of_seq=1,
+            ).select(
+                "event_id",
+                F.unix_micros("event_timestamp").alias("ts_us"),
+                "value",
+                "user_id",
+                "event_type",
+                "src_rev",
+            )
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+SQL_SCHEMA_TIME_TRAVEL = """
+SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+       CAST(user_id AS BIGINT) AS user_id, event_type, 1 AS src_rev
+FROM events WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15 00:00:00'
+"""
+
+
+def _schema_evolution_frame(spark, sf_dir: str, store: str) -> DataFrame:
+    """Build the schema-evolution serve frame LAZILY against ``store``
+    (caller owns the scratch dir's lifetime) — split out so the plan
+    audit (scripts/gen_plans.py) can explain the real cross-epoch
+    union plan instead of a checkpoint scan."""
+    import os
+
+    import feast_java_old_spark as fs
+    from feast_java_old_spark.operators.materialize import (
+        materialize_versioned,
+        read_online_versioned,
+    )
+    from feast_java_old_spark.registry.model import FileSource
+
+    reg = _build_evo_store(spark, sf_dir, store)
     out = read_online_versioned(
         spark, reg, "ev_evo", store, revision_col="src_rev"
     ).select(
@@ -8007,6 +8073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q11": q_tpch_q11,
         "dedup_prefix_filter": q_dedup_prefix_filter,
+        "schema_time_travel": q_schema_time_travel,
         "logreg_quality": q_logreg_quality,
         "global_ranks": q_global_ranks,
         "zone_map_prune": q_zone_map_prune,
@@ -8205,6 +8272,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q15": SQL_TPCH_Q15,
         "tpch_q11": SQL_TPCH_Q11,
         "dedup_prefix_filter": SQL_JACCARD_EXACT,
+        "schema_time_travel": SQL_SCHEMA_TIME_TRAVEL,
         "lm_backoff": SQL_LM_BACKOFF,
         "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
         "schema_evolution": SQL_SCHEMA_EVOLUTION,

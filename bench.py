@@ -173,6 +173,7 @@ HEADLINE = [
     "kmeans_refine_expr",
     # r7: schema-versioned materialize -> cross-epoch conformed serve.
     "schema_evolution",
+    "schema_time_travel",
     # r7: ExactSubstr dedup (Lee et al. ACL 2022) — span discovery + apply.
     "substring_spans",
     "substring_dedup",

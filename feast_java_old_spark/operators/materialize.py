@@ -663,9 +663,24 @@ def read_online_versioned(
     store_path: str,
     project: str = "default",
     revision_col: Optional[str] = None,
+    as_of_seq: Optional[int] = None,
 ) -> Optional[DataFrame]:
     """Serve a schema-versioned online table under the spec's **current**
     schema, across every epoch ever written.
+
+    ``as_of_seq`` is TIME TRAVEL over the schema registry: serve the
+    table exactly as it served right after epoch ``as_of_seq`` was
+    registered — only epochs with ``epoch_seq ≤ as_of_seq``
+    participate, conformed to the schema *recorded in* the newest
+    participating epoch's ``_schemas.json`` entry (NOT the live
+    registry spec, which may have moved on or been restarted since).
+    The content-hash registry already keeps every revision's full
+    schema forever — the property the reference's design pays for but
+    only uses for decode (``BigTableSchemaRegistry.java:33-107``); a
+    snapshot read is the same bookkeeping pointed backwards, the
+    table-format time-travel idiom (Iceberg/Delta ``VERSION AS OF``).
+    Raises KeyError when no epoch is registered at or below
+    ``as_of_seq``.
 
     Per epoch (the reference's per-row ``decodeFeatures``,
     ``BigTableOnlineRetriever.java:169-207``, hoisted to plan time —
@@ -705,20 +720,45 @@ def read_online_versioned(
     epochs were registered by one registry lifetime, as in the gate).
     Returns None for a never-materialized table.
     """
-    table: FeatureTable = registry.get_feature_table(table_name, project)
     tpath = online_table_path(store_path, project, table_name)
     schemas = _load_schema_registry(tpath)
     if not schemas:
         return None
+
+    def _seq(meta: dict) -> int:
+        return int(meta.get("epoch_seq", meta.get("revision", 0)))
+
+    if as_of_seq is not None:
+        schemas = {
+            h: m for h, m in schemas.items() if _seq(m) <= as_of_seq
+        }
+        if not schemas:
+            raise KeyError(
+                f"{project}/{table_name} has no epoch registered at or "
+                f"below epoch_seq={as_of_seq}"
+            )
+        # the serve schema as of that moment = the newest participating
+        # epoch's RECORDED spec (restart-safe: no live registry needed)
+        from feast_java_old_spark.registry.model import ValueType
+
+        snap = max(schemas.values(), key=_seq)
+        entities = list(snap["entities"])
+        feats = [
+            (f["name"], ValueType(f["value_type"]).to_spark())
+            for f in snap["features"]
+        ]
+    else:
+        table: FeatureTable = registry.get_feature_table(
+            table_name, project
+        )
+        entities = list(table.entities)
+        feats = [(f.name, f.value_type.to_spark()) for f in table.features]
 
     # epochs may be written by the batch writer (bare parquet dir) or the
     # streaming merge (version dirs + _LATEST pointer) — the
     # streaming-aware reader handles both, so batch and stream epochs
     # are interchangeable under one serve plan.
     from feast_java_old_spark.streaming.ingest import read_online_table
-
-    def _seq(meta: dict) -> int:
-        return int(meta.get("epoch_seq", meta.get("revision", 0)))
 
     rev_tag = "__rev"
     frames = []
@@ -737,26 +777,25 @@ def read_online_versioned(
                 f"epoch rev={h} of {project}/{table_name} is registered in "
                 f"{SCHEMAS_FILE} but has no readable data directory"
             )
-        missing_keys = [k for k in table.entities if k not in df.columns]
+        missing_keys = [k for k in entities if k not in df.columns]
         if missing_keys:
             raise ValueError(
                 f"epoch rev={h} of {project}/{table_name} lacks entity "
                 f"column(s) {missing_keys}: entity-set changes are a new "
                 f"table, not a schema evolution"
             )
-        sel = [F.col(c) for c in [*table.entities, "event_timestamp"]]
-        for feat in table.features:
-            declared = feat.value_type.to_spark()
-            if feat.name in df.columns:
-                actual = df.schema[feat.name].dataType
+        sel = [F.col(c) for c in [*entities, "event_timestamp"]]
+        for fname, declared in feats:
+            if fname in df.columns:
+                actual = df.schema[fname].dataType
                 col = (
-                    F.col(feat.name)
+                    F.col(fname)
                     if actual == declared
-                    else F.col(feat.name).try_cast(declared)
+                    else F.col(fname).try_cast(declared)
                 )
             else:
                 col = F.lit(None).cast(declared)
-            sel.append(col.alias(feat.name))
+            sel.append(col.alias(fname))
         sel.append(F.lit(_seq(meta)).alias(rev_tag))
         frames.append(df.select(*sel))
 
@@ -768,9 +807,9 @@ def read_online_versioned(
         allf = allf.unionByName(f)
     merged = latest_per_key(
         allf,
-        keys=list(table.entities),
+        keys=entities,
         event_ts_col="event_timestamp",
-        created_ts_col=rev_tag,  # revision breaks event-time ties
+        created_ts_col=rev_tag,  # epoch_seq breaks event-time ties
     )
     if revision_col:
         return merged.withColumnRenamed(rev_tag, revision_col)

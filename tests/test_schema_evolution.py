@@ -577,3 +577,62 @@ def test_compact_assigns_fresh_epoch_seq_under_lock(
     assert meta["epoch_seq"] == 3  # 1,2 absorbed -> survivor stamps 3
     out = read_online_versioned(spark, registry, "ut", store)
     assert {r.user_id for r in out.collect()} == {1, 2}
+
+
+def test_time_travel_as_of_seq(spark, registry, tmp_path):
+    """as_of_seq=N serves the table exactly as it served right after
+    epoch N was registered: only epochs seq<=N participate, conformed
+    to epoch N's RECORDED schema — independent of the live registry
+    (which here has already moved to v2, and is then replaced by a
+    fresh restarted registry entirely)."""
+    src_path = str(tmp_path / "events.parquet")
+    store = str(tmp_path / "store")
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 10)
+    _write_events(spark, src_path, [(1, t0, 1.5, "a"), (2, t0, 2.5, "b")])
+    src1 = FileSource(file_url=src_path, event_timestamp_column="ts")
+    registry.apply_feature_table(_table_v1(src1))
+    materialize_versioned(spark, registry, "ut", store)
+
+    _write_events(spark, src_path, [(2, t1, 9.5, "z"), (3, t1, 3.5, "c")])
+    src2 = FileSource(
+        file_url=src_path,
+        event_timestamp_column="ts",
+        field_mapping={"value": "vdup"},
+    )
+    registry.apply_feature_table(_table_v2(src2))
+    materialize_versioned(spark, registry, "ut", store)
+
+    # snapshot at seq=1: v1 schema (value double + tag), v1 rows only
+    snap = read_online_versioned(
+        spark, registry, "ut", store, as_of_seq=1
+    )
+    # recorded entries store features sorted by name (spec-hash
+    # canonicalization), so the snapshot serves name-ordered columns
+    assert snap.columns == ["user_id", "event_timestamp", "tag", "value"]
+    rows = {r.user_id: r for r in snap.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2].value == 2.5 and rows[2].tag == "b"  # pre-v2 state
+    assert dict(snap.dtypes)["value"] == "double"  # v1 type, not string
+
+    # snapshot works without the original registry (restart-safe) —
+    # the recorded entry, not the live spec, defines the schema
+    fresh = fs.Registry()
+    fresh.apply_entity(fs.Entity("user_id", fs.ValueType.INT64))
+    snap2 = read_online_versioned(
+        spark, fresh, "ut", store, as_of_seq=1
+    )
+    assert {r.user_id for r in snap2.collect()} == {1, 2}
+
+    # as_of the latest seq == the current serve frame
+    cur = read_online_versioned(spark, registry, "ut", store)
+    asof2 = read_online_versioned(
+        spark, registry, "ut", store, as_of_seq=2
+    )
+    assert sorted(map(tuple, cur.collect())) == sorted(
+        map(tuple, asof2.collect())
+    )
+
+    # below the first epoch -> KeyError
+    with pytest.raises(KeyError):
+        read_online_versioned(spark, registry, "ut", store, as_of_seq=0)
