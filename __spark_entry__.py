@@ -4737,6 +4737,105 @@ GROUP BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
 """
 
 
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor (streaming/ingest.py:stream_drift_psi):
+    the post-split half of events is REALLY STREAMED (file-stream →
+    stream-static broadcast join against the pre-split reference
+    histogram → one watermarked daily-window aggregate emitting all
+    bucket counts as columns → stateless PSI fold). The production
+    shape of the batch ``feature_drift``: same edges, same smoothing,
+    so the oracle is a batch replay of the same windows. Single
+    stateful operator; per-(type, day) state is ~bins longs."""
+    import uuid
+
+    from feast_java_old_spark.streaming.ingest import stream_drift_psi
+
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    reference = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts") < split)
+        .select("event_type", "value")
+    )
+    stream = _events_stream(spark, sf_dir).where(
+        F.col("event_timestamp") >= split
+    )
+    out = stream_drift_psi(
+        stream,
+        reference,
+        value_col="value",
+        group_col="event_type",
+        bins=DRIFT_BINS,
+        window_duration="1 day",
+        watermark="1 day",
+    )
+    name = f"sdr_{uuid.uuid4().hex[:8]}"
+    with _small_shuffle(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream_drift did not finish in 600s")
+    return spark.table(name).select(
+        "event_type",
+        F.unix_micros("event_timestamp").alias("window_end_us"),
+        "psi",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+    )
+
+
+SQL_STREAM_DRIFT = f"""
+WITH sided AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v, CAST(ts AS TIMESTAMP) AS t
+  FROM events),
+edges AS (SELECT event_type, min(v) AS vmin, max(v) AS vmax
+          FROM sided WHERE t < TIMESTAMP '{DRIFT_SPLIT}' GROUP BY event_type),
+b AS (
+  SELECT s.event_type, s.t,
+         CASE WHEN e.vmax = e.vmin THEN 0
+              ELSE greatest(0, least({DRIFT_BINS - 1},
+                CAST(floor((s.v - e.vmin) / (e.vmax - e.vmin) * {DRIFT_BINS}) AS INT)))
+         END AS bucket
+  FROM sided s JOIN edges e USING (event_type)),
+refc AS (SELECT event_type, bucket, count(*) AS cnt FROM b
+         WHERE t < TIMESTAMP '{DRIFT_SPLIT}' GROUP BY event_type, bucket),
+reft AS (SELECT event_type, count(*) AS tref FROM b
+         WHERE t < TIMESTAMP '{DRIFT_SPLIT}' GROUP BY event_type),
+curc AS (SELECT event_type, date_trunc('day', t) AS day, bucket,
+                count(*) AS cnt
+         FROM b WHERE t >= TIMESTAMP '{DRIFT_SPLIT}'
+         GROUP BY event_type, day, bucket),
+curt AS (SELECT event_type, date_trunc('day', t) AS day, count(*) AS tcur
+         FROM b WHERE t >= TIMESTAMP '{DRIFT_SPLIT}'
+         GROUP BY event_type, day),
+frame AS (SELECT ct.event_type, ct.day, ct.tcur, i.i AS bucket
+          FROM curt ct, unnest(range(0, {DRIFT_BINS})) AS i(i)),
+pb AS (
+  SELECT f.event_type, f.day, f.tcur, f.bucket,
+         coalesce(r.cnt, 0) AS ref_cnt, coalesce(c.cnt, 0) AS cur_cnt
+  FROM frame f
+  LEFT JOIN refc r ON r.event_type = f.event_type AND r.bucket = f.bucket
+  LEFT JOIN curc c ON c.event_type = f.event_type AND c.day = f.day
+       AND c.bucket = f.bucket)
+SELECT pb.event_type,
+       epoch_us(pb.day + INTERVAL 1 DAY) AS window_end_us,
+       round(sum(((cur_cnt + 0.5) / (tcur + {0.5 * DRIFT_BINS})
+                  - (ref_cnt + 0.5) / (rt.tref + {0.5 * DRIFT_BINS}))
+                 * ln(((cur_cnt + 0.5) / (tcur + {0.5 * DRIFT_BINS}))
+                      / ((ref_cnt + 0.5) / (rt.tref + {0.5 * DRIFT_BINS})))), 6)
+         AS psi,
+       CAST(min(rt.tref) AS BIGINT) AS n_ref,
+       CAST(min(pb.tcur) AS BIGINT) AS n_cur
+FROM pb JOIN reft rt USING (event_type)
+GROUP BY pb.event_type, pb.day
+"""
+
+
 class _small_shuffle:
     """Temporarily pin ``spark.sql.shuffle.partitions`` for a bounded
     streaming run: the stateful-operator partition count is frozen from
@@ -8074,6 +8173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11": q_tpch_q11,
         "dedup_prefix_filter": q_dedup_prefix_filter,
         "schema_time_travel": q_schema_time_travel,
+        "stream_drift": q_stream_drift,
         "logreg_quality": q_logreg_quality,
         "global_ranks": q_global_ranks,
         "zone_map_prune": q_zone_map_prune,
@@ -8273,6 +8373,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q11": SQL_TPCH_Q11,
         "dedup_prefix_filter": SQL_JACCARD_EXACT,
         "schema_time_travel": SQL_SCHEMA_TIME_TRAVEL,
+        "stream_drift": SQL_STREAM_DRIFT,
         "lm_backoff": SQL_LM_BACKOFF,
         "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
         "schema_evolution": SQL_SCHEMA_EVOLUTION,

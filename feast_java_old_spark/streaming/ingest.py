@@ -265,6 +265,142 @@ def stream_window_features(
     )
 
 
+def stream_drift_psi(
+    stream: DataFrame,
+    reference: DataFrame,
+    value_col: str,
+    group_col: str,
+    event_ts_col: str = "event_timestamp",
+    bins: int = 10,
+    window_duration: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming PSI drift monitor: windowed Population Stability Index
+    of the live stream's ``value_col`` distribution against a static
+    *reference* window, per ``group_col`` × tumbling window — the
+    production form of :func:`~feast_java_old_spark.operators.drift.
+    feature_drift` (same bin edges, same Laplace smoothing, so a batch
+    replay of the same rows is the oracle).
+
+    Chain-free single-stateful-operator design (a second aggregation to
+    fold buckets into PSI would chain stateful operators — the r4
+    lesson): the reference histogram (per-group vmin/vmax + ``bins``
+    bucket counts + total, one SMALL row per group) is computed ONCE
+    from the static frame and stream-static-broadcast-joined onto every
+    arriving row BEFORE the aggregation; the windowed aggregate then
+    emits all ``bins`` bucket counts as conditional-sum COLUMNS of one
+    row per (group, window), and the PSI fold over those columns is a
+    stateless projection. State per group-window: one row of ~``bins``
+    longs, independent of stream volume.
+    """
+    ref_edges = reference.groupBy(group_col).agg(
+        F.min(F.col(value_col).cast("double")).alias("__vmin"),
+        F.max(F.col(value_col).cast("double")).alias("__vmax"),
+    )
+
+    def bucket_of(v, vmin, vmax):
+        return (
+            F.when(vmax == vmin, F.lit(0))
+            .otherwise(
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.lit(bins - 1),
+                        F.floor((v - vmin) / (vmax - vmin) * bins).cast(
+                            "int"
+                        ),
+                    ),
+                )
+            )
+        )
+
+    ref_hist = (
+        reference.select(
+            group_col, F.col(value_col).cast("double").alias("__v")
+        )
+        .join(F.broadcast(ref_edges), group_col)
+        .select(
+            group_col,
+            bucket_of(
+                F.col("__v"), F.col("__vmin"), F.col("__vmax")
+            ).alias("__b"),
+        )
+        .groupBy(group_col)
+        .agg(
+            *[
+                F.sum(F.when(F.col("__b") == b, 1).otherwise(0)).alias(
+                    f"__r{b}"
+                )
+                for b in range(bins)
+            ],
+            F.count(F.lit(1)).alias("__tref"),
+        )
+        .join(F.broadcast(ref_edges), group_col)
+    )
+
+    bucketed = (
+        stream.select(
+            group_col,
+            event_ts_col,
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .join(F.broadcast(ref_hist), group_col)  # stream-static join
+        .select(
+            group_col,
+            event_ts_col,
+            bucket_of(
+                F.col("__v"), F.col("__vmin"), F.col("__vmax")
+            ).alias("__b"),
+            *[f"__r{b}" for b in range(bins)],
+            "__tref",
+        )
+    )
+    agg = (
+        bucketed.withWatermark(event_ts_col, watermark)
+        .groupBy(
+            F.col(group_col),
+            F.window(F.col(event_ts_col), window_duration).alias("__w"),
+        )
+        .agg(
+            *[
+                F.sum(F.when(F.col("__b") == b, 1).otherwise(0)).alias(
+                    f"__c{b}"
+                )
+                for b in range(bins)
+            ],
+            F.count(F.lit(1)).alias("__tcur"),
+            # ref columns are functionally dependent on the group key
+            *[F.first(f"__r{b}").alias(f"__fr{b}") for b in range(bins)],
+            F.first("__tref").alias("__ftref"),
+        )
+    )
+
+    def p(cnt, tot):
+        return (cnt + F.lit(0.5)) / (tot + F.lit(0.5 * bins))
+
+    contribs = [
+        (
+            p(F.col(f"__c{b}"), F.col("__tcur"))
+            - p(F.col(f"__fr{b}"), F.col("__ftref"))
+        )
+        * F.log(
+            p(F.col(f"__c{b}"), F.col("__tcur"))
+            / p(F.col(f"__fr{b}"), F.col("__ftref"))
+        )
+        for b in range(bins)
+    ]
+    psi = contribs[0]
+    for c in contribs[1:]:
+        psi = psi + c
+    return agg.select(
+        F.col(group_col),
+        F.col("__w.end").alias("event_timestamp"),
+        F.round(psi, 6).alias("psi"),
+        F.col("__ftref").alias("n_ref"),
+        F.col("__tcur").alias("n_cur"),
+    )
+
+
 def stream_running_features(
     stream: DataFrame,
     keys: Sequence[str],

@@ -740,3 +740,69 @@ def test_stream_substring_dedup_strips_known_grams(spark, tmp_path):
         assert got[100].n_removed == 12
     finally:
         q.stop()
+
+
+def test_stream_drift_psi_matches_batch_feature_drift(spark, tmp_path):
+    """With one window spanning every current row, the streaming PSI
+    must equal the batch feature_drift PSI bit-for-bit: same edges from
+    the static reference, same bucket rule, same Laplace smoothing —
+    the stream is just the per-window incremental form."""
+    import uuid
+
+    from feast_java_old_spark.operators.drift import feature_drift
+    from feast_java_old_spark.streaming.ingest import stream_drift_psi
+
+    split = dt.datetime(2024, 1, 16)
+    rows = []
+    # ref: values clustered low; cur: shifted up for type 'a', stable 'b'
+    for i in range(40):
+        rows.append(("a", dt.datetime(2024, 1, 1 + i % 14), 1.0 + (i % 7)))
+        rows.append(("b", dt.datetime(2024, 1, 1 + i % 14), 5.0 + (i % 3)))
+    for i in range(30):
+        rows.append(("a", dt.datetime(2024, 1, 17 + i % 10), 5.0 + (i % 7)))
+        rows.append(("b", dt.datetime(2024, 1, 17 + i % 10), 5.0 + (i % 3)))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    batch = {
+        r.event_type: (r.psi, r.n_ref, r.n_cur)
+        for r in feature_drift(
+            df, "value", "ts", split, ["event_type"], bins=10
+        ).collect()
+    }
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    df.where(F.col("ts") >= F.lit(split)).select(
+        "event_type", F.col("ts").alias("event_timestamp"), "value"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "event_type string, event_timestamp timestamp, value double"
+    ).parquet(src)
+    out = stream_drift_psi(
+        stream,
+        df.where(F.col("ts") < F.lit(split)).select("event_type", "value"),
+        value_col="value",
+        group_col="event_type",
+        bins=10,
+        window_duration="365 days",  # one epoch-aligned window
+        # ([2023-12-20, 2024-12-19), day 19710+365) swallows every cur row;
+        # 60-day windows would split Jan-17 from Jan-18+ at day 19740
+        watermark="1 day",
+    )
+    name = f"sdp_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    got = {
+        r.event_type: (r.psi, r.n_ref, r.n_cur)
+        for r in spark.table(name).collect()
+    }
+    assert got == batch
+    # and the monitor actually detects the engineered shift
+    assert got["a"][0] > 0.25 > got["b"][0]
