@@ -7753,6 +7753,98 @@ FROM zf
 )
 
 
+def q_linreg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped closed-form OLS (operators/classify.py:linreg_grouped):
+    one model per order priority — predict an order's total (integer
+    dollars) from its lineitem count and summed quantity — trained by
+    the grouped NORMAL EQUATIONS: nine BIGINT-exact sufficient sums in
+    one map-side-combined aggregate, then a stateless 3×3 Cramer solve
+    per group.  The "train a million small models" shape: no driver
+    loop, no per-group fit call — the shuffle carries 10 longs per
+    group whatever the row count.  Every sum is integer-exact in any
+    aggregation order and the solve is one identical double-expression
+    chain, so the DuckDB oracle reproduces the coefficients bit-for-bit
+    at 6dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("x1"),
+        F.sum(F.col("l_quantity").cast("long")).alias("x2"),
+    )
+    feat = per_order.join(
+        orders,
+        per_order.l_orderkey == orders.o_orderkey,
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice"), 0).cast("long").alias("y"),
+        "x1",
+        "x2",
+    )
+    return classify.linreg_grouped(
+        feat, F.col("y"), F.col("x1"), F.col("x2"), ["priority"]
+    )
+
+
+SQL_LINREG_ORDERS = """
+WITH feat AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(round(o.o_totalprice, 0) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS x1,
+         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS x2
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_totalprice),
+sums AS (
+  SELECT priority,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(x1*x1) AS BIGINT) AS s11,
+         CAST(sum(x1*x2) AS BIGINT) AS s12,
+         CAST(sum(x2*x2) AS BIGINT) AS s22,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x1*y) AS BIGINT) AS s1y,
+         CAST(sum(x2*y) AS BIGINT) AS s2y,
+         CAST(sum(y*y) AS BIGINT) AS syy
+  FROM feat GROUP BY priority),
+c AS (
+  SELECT priority, n,
+         CAST(n AS DOUBLE) AS n_, CAST(s1 AS DOUBLE) AS s1_,
+         CAST(s2 AS DOUBLE) AS s2_, CAST(s11 AS DOUBLE) AS s11_,
+         CAST(s12 AS DOUBLE) AS s12_, CAST(s22 AS DOUBLE) AS s22_,
+         CAST(sy AS DOUBLE) AS sy_, CAST(s1y AS DOUBLE) AS s1y_,
+         CAST(s2y AS DOUBLE) AS s2y_, CAST(syy AS DOUBLE) AS syy_
+  FROM sums),
+k AS (
+  SELECT priority, n, sy_, s1y_, s2y_, syy_, n_,
+         (n_ * (s11_ * s22_ - s12_ * s12_)
+          - s1_ * (s1_ * s22_ - s12_ * s2_)
+          + s2_ * (s1_ * s12_ - s11_ * s2_)) AS det,
+         (sy_ * (s11_ * s22_ - s12_ * s12_)
+          - s1_ * (s1y_ * s22_ - s12_ * s2y_)
+          + s2_ * (s1y_ * s12_ - s11_ * s2y_)) AS det0,
+         (n_ * (s1y_ * s22_ - s12_ * s2y_)
+          - sy_ * (s1_ * s22_ - s12_ * s2_)
+          + s2_ * (s1_ * s2y_ - s1y_ * s2_)) AS det1,
+         (n_ * (s11_ * s2y_ - s1y_ * s12_)
+          - s1_ * (s1_ * s2y_ - s1y_ * s2_)
+          + sy_ * (s1_ * s12_ - s11_ * s2_)) AS det2
+  FROM c)
+SELECT priority, n,
+       CASE WHEN n >= 3 AND det <> 0
+            THEN round(det0 / det, 6) END AS b0,
+       CASE WHEN n >= 3 AND det <> 0
+            THEN round(det1 / det, 6) END AS b1,
+       CASE WHEN n >= 3 AND det <> 0
+            THEN round(det2 / det, 6) END AS b2,
+       CASE WHEN n >= 3 AND det <> 0
+                 AND (syy_ - sy_ * sy_ / n_) <> 0
+            THEN round(1.0 - (syy_ - ((det0 / det) * sy_
+                                      + (det1 / det) * s1y_
+                                      + (det2 / det) * s2y_))
+                           / (syy_ - sy_ * sy_ / n_), 6) END AS r2
+FROM k
+"""
+
+
 def q_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram stupid-backoff LM scoring under a HELD-OUT reference
     model (operators/text.py:stupid_backoff_logprob; Brants et al.,
@@ -8174,6 +8266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_filter": q_dedup_prefix_filter,
         "schema_time_travel": q_schema_time_travel,
         "stream_drift": q_stream_drift,
+        "linreg_orders": q_linreg_orders,
         "logreg_quality": q_logreg_quality,
         "global_ranks": q_global_ranks,
         "zone_map_prune": q_zone_map_prune,
@@ -8374,6 +8467,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_prefix_filter": SQL_JACCARD_EXACT,
         "schema_time_travel": SQL_SCHEMA_TIME_TRAVEL,
         "stream_drift": SQL_STREAM_DRIFT,
+        "linreg_orders": SQL_LINREG_ORDERS,
         "lm_backoff": SQL_LM_BACKOFF,
         "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
         "schema_evolution": SQL_SCHEMA_EVOLUTION,

@@ -187,6 +187,7 @@ HEADLINE = [
     "bloom_prune_join",
     # r7: in-engine distributed logistic-regression training.
     "logreg_quality",
+    "linreg_orders",
     # r7: global ranks without a global sort; zone-map skip audit.
     "global_ranks",
     "zone_map_prune",

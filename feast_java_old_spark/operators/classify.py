@@ -248,3 +248,92 @@ def logreg_score(
         F.round("p", 6).alias("p"),
         (F.col("p") > 0.5).cast("int").alias("pred"),
     )
+
+
+def linreg_grouped(
+    df: DataFrame,
+    y_col: Column,
+    x1_col: Column,
+    x2_col: Column,
+    group_cols: list[str],
+) -> DataFrame:
+    """Closed-form OLS — ``y ≈ b0 + b1·x1 + b2·x2`` — fit INDEPENDENTLY
+    per group in ONE aggregate pass: the grouped normal equations.
+
+    This is the "train a million small models" shape (per-tenant
+    forecasters, per-segment calibrations) that at 100 TB must not
+    round-trip through a driver loop: the sufficient statistics of OLS
+    are nine sums (n, Σx1, Σx2, Σx1², Σx1x2, Σx2², Σy, Σx1y, Σx2y) —
+    all map-side-combinable — and the 3×3 Cramer solve is a stateless
+    per-group projection. One shuffle of 9 longs per group, whatever
+    the row count; no model-fitting library, no collect.
+
+    Cross-engine determinism (the module discipline): inputs must be
+    INTEGER-VALUED (counts, quantities, money in cents) so the nine
+    sums are exact BIGINTs in any aggregation order; each sum is then
+    cast once to double (exact below 2^53) and the Cramer determinants
+    are evaluated in ONE identical double-expression chain — bit-equal
+    across engines. Emits per group: n, b0/b1/b2 (rounded 6dp) and r2
+    (1 − SSE/SST, from the same sums).
+
+    Degenerate groups (det = 0: constant or collinear features, or
+    n < 3) emit NULL coefficients rather than dividing by zero.
+    """
+    y = y_col.cast("long")
+    x1 = x1_col.cast("long")
+    x2 = x2_col.cast("long")
+    # Σy² can exceed 2^53 — keep every sum BIGINT-exact, cast once.
+    sums = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    d = {
+        c: F.col(c).cast("double")
+        for c in ["n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y"]
+    }
+    # det of [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] and Cramer numerators
+    det = (
+        d["n"] * (d["s11"] * d["s22"] - d["s12"] * d["s12"])
+        - d["s1"] * (d["s1"] * d["s22"] - d["s12"] * d["s2"])
+        + d["s2"] * (d["s1"] * d["s12"] - d["s11"] * d["s2"])
+    )
+    det0 = (
+        d["sy"] * (d["s11"] * d["s22"] - d["s12"] * d["s12"])
+        - d["s1"] * (d["s1y"] * d["s22"] - d["s12"] * d["s2y"])
+        + d["s2"] * (d["s1y"] * d["s12"] - d["s11"] * d["s2y"])
+    )
+    det1 = (
+        d["n"] * (d["s1y"] * d["s22"] - d["s12"] * d["s2y"])
+        - d["sy"] * (d["s1"] * d["s22"] - d["s12"] * d["s2"])
+        + d["s2"] * (d["s1"] * d["s2y"] - d["s1y"] * d["s2"])
+    )
+    det2 = (
+        d["n"] * (d["s11"] * d["s2y"] - d["s1y"] * d["s12"])
+        - d["s1"] * (d["s1"] * d["s2y"] - d["s1y"] * d["s2"])
+        + d["sy"] * (d["s1"] * d["s12"] - d["s11"] * d["s2"])
+    )
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    # SSE = Σy² − (b0·Σy + b1·Σx1y + b2·Σx2y); SST = Σy² − (Σy)²/n.
+    dyy = F.col("syy").cast("double")
+    sse = dyy - (b0 * d["sy"] + b1 * d["s1y"] + b2 * d["s2y"])
+    sst = dyy - d["sy"] * d["sy"] / d["n"]
+    ok = (F.col("n") >= 3) & (det != 0)
+    out = sums.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.when(ok, F.round(b0, 6)).alias("b0"),
+        F.when(ok, F.round(b1, 6)).alias("b1"),
+        F.when(ok, F.round(b2, 6)).alias("b2"),
+        F.when(ok & (sst != 0), F.round(F.lit(1.0) - sse / sst, 6)).alias(
+            "r2"
+        ),
+    )
+    return out

@@ -129,3 +129,43 @@ def test_hashed_token_features_grid_and_hash(spark):
     jx = int(hashlib.md5(b"x").hexdigest()[:7], 16) % 8
     assert {r.j for r in rows if r.doc_id == 1} == {jx}
     assert [r.x for r in rows if r.doc_id == 1] == [8000]
+
+
+def test_linreg_grouped_recovers_exact_plane_and_degenerates(spark):
+    """On noiseless integer data y = b0 + b1*x1 + b2*x2 the grouped
+    normal equations must recover the plane exactly per group; a
+    collinear group (x2 = 2*x1 -> det = 0) and a tiny group (n < 3)
+    yield NULL coefficients, not a division blow-up."""
+    from feast_java_old_spark.operators.classify import linreg_grouped
+
+    rows = []
+    # group g1: y = 7 + 3*x1 - 2*x2 over a non-degenerate grid
+    for x1 in range(1, 7):
+        for x2 in range(1, 5):
+            rows.append(("g1", x1, x2, 7 + 3 * x1 - 2 * x2))
+    # group g2: different plane y = -5 + x1 + 10*x2
+    for x1 in range(1, 7):
+        for x2 in range(1, 5):
+            rows.append(("g2", x1, x2, -5 + x1 + 10 * x2))
+    # g3: collinear features
+    for x1 in range(1, 10):
+        rows.append(("g3", x1, 2 * x1, x1))
+    # g4: too small
+    rows += [("g4", 1, 1, 1), ("g4", 2, 3, 4)]
+    df = spark.createDataFrame(
+        rows, "g string, x1 long, x2 long, y long"
+    )
+    import pyspark.sql.functions as F
+
+    out = {
+        r.g: r
+        for r in linreg_grouped(
+            df, F.col("y"), F.col("x1"), F.col("x2"), ["g"]
+        ).collect()
+    }
+    assert (out["g1"].b0, out["g1"].b1, out["g1"].b2) == (7.0, 3.0, -2.0)
+    assert out["g1"].r2 == 1.0
+    assert (out["g2"].b0, out["g2"].b1, out["g2"].b2) == (-5.0, 1.0, 10.0)
+    assert out["g3"].b0 is None and out["g3"].r2 is None
+    assert out["g4"].b0 is None
+    assert out["g4"].n == 2
