@@ -7845,6 +7845,116 @@ FROM k
 """
 
 
+VACUUM_AS_OF = dt.datetime(2024, 2, 1)
+VACUUM_MAX_AGE_S = 10 * 86400  # threshold = 2024-01-22
+
+
+def q_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online-store TTL retention
+    (operators/materialize.py:vacuum_store): events materialized keyed
+    by event_id with a 10-day max_age, then PHYSICALLY vacuumed at
+    as_of = Feb-1 — rows with ts < Jan-22 are reclaimed by a staged
+    atomic rewrite that preserves the keyed layout. The returned frame
+    is the store READ BACK from disk after the swap; the oracle is the
+    serve-time staleness predicate's complement (ts ≥ as_of − max_age)
+    applied to the source — a vacuumed store must serve exactly what
+    an unvacuumed one would at request_ts = as_of."""
+    import shutil
+    import tempfile
+
+    import feast_java_old_spark as fs
+    from feast_java_old_spark.operators.materialize import (
+        materialize,
+        vacuum_store,
+    )
+    from feast_java_old_spark.registry.model import FileSource
+
+    store = tempfile.mkdtemp(prefix="fjos_vacuum_gate_")
+    try:
+        with _small_shuffle(spark):
+            reg = fs.Registry()
+            reg.apply_entity(fs.Entity("event_id", fs.ValueType.INT64))
+            reg.apply_feature_table(
+                fs.FeatureTable(
+                    name="ev_ttl",
+                    entities=["event_id"],
+                    features=[
+                        fs.Feature("user_id", fs.ValueType.INT64),
+                        fs.Feature("value", fs.ValueType.DOUBLE),
+                    ],
+                    max_age_secs=VACUUM_MAX_AGE_S,
+                    batch_source=FileSource(
+                        file_url=f"{sf_dir}/events.parquet",
+                        event_timestamp_column="ts",
+                    ),
+                )
+            )
+            materialize(spark, reg, "ev_ttl", store)
+            stats = vacuum_store(
+                spark, reg, "ev_ttl", store, as_of=VACUUM_AS_OF
+            )
+            assert stats["n_kept"] + stats["n_expired"] > 0
+            out = spark.read.parquet(stats["path"]).select(
+                "event_id",
+                F.unix_micros("event_timestamp").alias("ts_us"),
+                "user_id",
+                "value",
+            )
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+SQL_STORE_VACUUM = """
+SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, value
+FROM events
+WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-22 00:00:00'
+"""
+
+
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted quantiles per group
+    (operators/features.py:weighted_quantiles): quartiles of lineitem
+    price-in-cents weighted by quantity, per return flag — the weighted
+    CDF inverse ``min{v : W(≤v) ≥ q·W_total}`` evaluated as a pure
+    BIGINT inequality (den·cumw ≥ num·total), so the oracle cannot
+    disagree on a float boundary. One (group, value) pre-aggregate, one
+    per-group window over distinct values, one conditional-min fold."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return features.weighted_quantiles(
+        li,
+        value_col="price_cents",
+        weight_col="qty",
+        group_cols=["flag"],
+        quantiles=[(1, 4), (2, 4), (3, 4)],
+    )
+
+
+SQL_WEIGHTED_QUANTILES = """
+WITH pv AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+c AS (
+  SELECT flag, v,
+         sum(w) OVER (PARTITION BY flag ORDER BY v) AS cw,
+         sum(w) OVER (PARTITION BY flag) AS tw
+  FROM pv)
+SELECT flag, CAST(max(tw) AS BIGINT) AS total_weight,
+       min(CASE WHEN cw * 4 >= tw * 1 THEN v END) AS p25,
+       min(CASE WHEN cw * 4 >= tw * 2 THEN v END) AS p50,
+       min(CASE WHEN cw * 4 >= tw * 3 THEN v END) AS p75
+FROM c GROUP BY flag
+"""
+
+
 def q_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram stupid-backoff LM scoring under a HELD-OUT reference
     model (operators/text.py:stupid_backoff_logprob; Brants et al.,
@@ -8267,6 +8377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_time_travel": q_schema_time_travel,
         "stream_drift": q_stream_drift,
         "linreg_orders": q_linreg_orders,
+        "weighted_quantiles": q_weighted_quantiles,
+        "store_vacuum": q_store_vacuum,
         "logreg_quality": q_logreg_quality,
         "global_ranks": q_global_ranks,
         "zone_map_prune": q_zone_map_prune,
@@ -8468,6 +8580,8 @@ def oracle_sql() -> dict[str, str]:
         "schema_time_travel": SQL_SCHEMA_TIME_TRAVEL,
         "stream_drift": SQL_STREAM_DRIFT,
         "linreg_orders": SQL_LINREG_ORDERS,
+        "weighted_quantiles": SQL_WEIGHTED_QUANTILES,
+        "store_vacuum": SQL_STORE_VACUUM,
         "lm_backoff": SQL_LM_BACKOFF,
         "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
         "schema_evolution": SQL_SCHEMA_EVOLUTION,

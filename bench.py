@@ -188,6 +188,8 @@ HEADLINE = [
     # r7: in-engine distributed logistic-regression training.
     "logreg_quality",
     "linreg_orders",
+    "weighted_quantiles",
+    "store_vacuum",
     # r7: global ranks without a global sort; zone-map skip audit.
     "global_ranks",
     "zone_map_prune",

@@ -432,6 +432,62 @@ def quantile_bin(
     )
 
 
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: list[str],
+    quantiles: list[tuple[int, int]] = [(1, 4), (2, 4), (3, 4)],
+) -> DataFrame:
+    """EXACT weighted quantiles per group: the q-quantile is the
+    smallest value v with cumulative weight W(≤v) ≥ q·W_total — the
+    weighted generalization :func:`quantile_bin` can't express
+    (``percentile_cont`` weighs every row equally; a corpus quantile
+    weighted by token count, or a price quantile weighted by quantity,
+    needs the weighted CDF).
+
+    ``quantiles`` are INTEGER fractions (num, den): with integer
+    weights the defining inequality is evaluated as
+    ``den·W(≤v) ≥ num·W_total`` — pure BIGINT comparison, no float
+    boundary for an oracle to disagree on.
+
+    Plan shape: (1) pre-aggregate weight per (group, value) —
+    map-side-combined, collapses ties so the window never sees
+    duplicate ordering keys; (2) ONE per-group window pass computes the
+    running and total weight (same partitioning, one sort — rows =
+    distinct values per group, not input rows); (3) a conditional-min
+    aggregate emits all requested quantiles in one row per group.
+    Nothing collects; the only shuffle after the pre-aggregate carries
+    distinct (group, value) rows.
+    """
+    from pyspark.sql.window import Window
+
+    pv = df.groupBy(
+        *group_cols, F.col(value_col).alias("__v")
+    ).agg(F.sum(F.col(weight_col).cast("long")).alias("__w"))
+    wcum = Window.partitionBy(*group_cols).orderBy("__v")
+    wall = Window.partitionBy(*group_cols)
+    c = pv.select(
+        *group_cols,
+        "__v",
+        F.sum("__w").over(wcum).alias("__cw"),
+        F.sum("__w").over(wall).alias("__tw"),
+    )
+    aggs = []
+    for num, den in quantiles:
+        name = f"p{round(100 * num / den)}"
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cw") * den >= F.col("__tw") * num, F.col("__v")
+                )
+            ).alias(name)
+        )
+    return c.groupBy(*group_cols).agg(
+        F.max("__tw").alias("total_weight"), *aggs
+    )
+
+
 def robust_outliers(
     df: DataFrame,
     keys: list[str],

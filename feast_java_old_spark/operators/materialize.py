@@ -473,6 +473,80 @@ def forget_keys(
 
 # ------------------------------------------------- schema-versioned store
 
+def vacuum_store(
+    spark: SparkSession,
+    registry: Registry,
+    table_name: str,
+    store_path: str,
+    as_of,
+    project: str = "default",
+) -> dict:
+    """Physically expire TTL-dead rows from a materialized online table
+    — the retention job behind the reference's serve-time staleness
+    rule (J3: a row older than ``max_age`` serves OUTSIDE_MAX_AGE,
+    ``OnlineServingServiceV2.java`` staleness check): serving already
+    *hides* expired rows; this job RECLAIMS them, the way Redis TTLs
+    evict or a table-format VACUUM drops dead files. Without it an
+    online store grows with key-cardinality history forever — at 100 TB
+    the periodic vacuum is what keeps lookup scans bounded to live
+    keys.
+
+    Keeps rows with ``event_timestamp ≥ as_of − max_age_secs`` (the
+    exact complement of the serve-time staleness predicate, so a
+    vacuumed store serves identical VALUES to an unvacuumed one at
+    ``request_ts = as_of``; the status detail degrades from
+    OUTSIDE_MAX_AGE to NOT_FOUND — the same observable difference a
+    Redis key TTL eviction produces in the reference, and both are
+    non-PRESENT). The rewrite preserves the keyed layout
+    (repartition by entity key + sort within partitions — row-group
+    key statistics survive) and stages into a temp dir before an
+    atomic swap, because the plan READS the live directory. Plain
+    online tables have a single materializing writer by contract
+    (``materialize`` overwrites); run vacuum from that same scheduler
+    slot. ``as_of`` is explicit — retention jobs must be replayable,
+    never wall-clock-implicit.
+
+    Returns ``{"path", "n_kept", "n_expired", "threshold"}`` (driver
+    scalars — two bounded counts, no row data).
+    """
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    table: FeatureTable = registry.get_feature_table(table_name, project)
+    if not table.max_age_secs or table.max_age_secs <= 0:
+        raise ValueError(
+            f"{project}/{table_name} has no max_age_secs: nothing to vacuum"
+        )
+    threshold = as_of - _dt.timedelta(seconds=table.max_age_secs)
+    path = online_table_path(store_path, project, table_name)
+    df = spark.read.parquet(path)
+    n_total = df.count()
+    kept = df.where(
+        F.col("event_timestamp") >= F.lit(threshold).cast("timestamp")
+    )
+    parent = os.path.dirname(path.rstrip("/"))
+    staging = tempfile.mkdtemp(prefix="fjos_vacuum_", dir=parent)
+    try:
+        kept.repartition(
+            *[F.col(k) for k in table.entities]
+        ).sortWithinPartitions(*table.entities).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        n_kept = spark.read.parquet(staging).count()
+        shutil.rmtree(path)
+        os.replace(staging, path)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return {
+        "path": path,
+        "n_kept": n_kept,
+        "n_expired": n_total - n_kept,
+        "threshold": threshold,
+    }
+
+
 SCHEMAS_FILE = "_schemas.json"
 
 

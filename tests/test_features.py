@@ -267,3 +267,40 @@ def test_robust_outliers_resists_extreme_value(spark):
     # degenerate group b: MAD = 0 -> null z, only exact deviants flagged
     assert out[("b", 200)].mod_z is None and out[("b", 200)].is_outlier is True
     assert out[("b", 100)].is_outlier is False
+
+
+def test_weighted_quantiles_hand_computed(spark):
+    """Weighted CDF inverse on hand-checkable data: values 10/20/30
+    with weights 1/1/2 -> W=4: p25 is the first value reaching cw>=1
+    (10), p50 the first reaching cw>=2 (20), p75 the first reaching
+    cw>=3 (30). An unweighted twin (all weights 1) must reduce to the
+    plain lower-quantile; duplicate values pre-aggregate (two w=1 rows
+    of the same value act as one w=2 row)."""
+    from feast_java_old_spark.operators.features import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [
+            ("a", 10, 1), ("a", 20, 1), ("a", 30, 2),
+            # b: duplicates of 5 (1+1) then 9 (2): W=4, p50 at cw>=2 -> 5
+            ("b", 5, 1), ("b", 5, 1), ("b", 9, 2),
+        ],
+        "g string, v long, w long",
+    )
+    out = {
+        r.g: r
+        for r in weighted_quantiles(
+            df, "v", "w", ["g"], quantiles=[(1, 4), (2, 4), (3, 4)]
+        ).collect()
+    }
+    assert (out["a"].p25, out["a"].p50, out["a"].p75) == (10, 20, 30)
+    assert out["a"].total_weight == 4
+    assert (out["b"].p25, out["b"].p50, out["b"].p75) == (5, 5, 9)
+
+    # unweighted (w=1) == plain lower quantile over the multiset
+    uw = spark.createDataFrame(
+        [("u", v, 1) for v in [3, 1, 4, 1, 5, 9, 2, 6]],
+        "g string, v long, w long",
+    )
+    r = weighted_quantiles(uw, "v", "w", ["g"], [(2, 4)]).collect()[0]
+    # sorted: 1 1 2 3 4 5 6 9, W=8, first cw>=4 is value 3
+    assert r.p50 == 3

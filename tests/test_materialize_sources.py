@@ -479,3 +479,83 @@ def test_epoch_unit_cache_invalidates_on_directory_rewrite(spark, tmp_path):
     )
     # A stale cached 'us' unit would return us // 1000 here (1000x off).
     assert df2.select(F.unix_micros("ts")).first()[0] == (us // 1000) * 1000
+
+
+def test_vacuum_store_serves_identically_at_as_of(spark, tmp_path):
+    """The vacuum invariant: a vacuumed store serves EXACTLY what the
+    unvacuumed one serves at request_ts = as_of (expired rows were
+    already hidden by the J3 staleness rule; vacuum only reclaims
+    them). Also: counts add up, layout survives, no-max-age raises."""
+    from feast_java_old_spark.operators import get_online_features
+    from feast_java_old_spark.operators.materialize import (
+        materialize,
+        vacuum_store,
+    )
+
+    src = str(tmp_path / "ev.parquet")
+    t = dt.datetime
+    rows = [
+        (1, t(2024, 1, 1), 1.0),   # stale for user 1 (newer exists)
+        (1, t(2024, 1, 20), 2.0),  # live
+        (2, t(2024, 1, 5), 3.0),   # latest for user 2, but EXPIRED
+        (3, t(2024, 1, 25), 4.0),  # live
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    reg = fs.Registry()
+    reg.apply_entity(fs.Entity("user_id", fs.ValueType.INT64))
+    reg.apply_feature_table(
+        fs.FeatureTable(
+            name="ue", entities=["user_id"],
+            features=[fs.Feature("value", fs.ValueType.DOUBLE)],
+            max_age_secs=10 * 86400,
+            batch_source=FileSource(
+                file_url=src, event_timestamp_column="ts"
+            ),
+        )
+    )
+    store = str(tmp_path / "store")
+    materialize(spark, reg, "ue", store)
+    as_of = t(2024, 1, 28)
+    ereq = [{"user_id": u} for u in (1, 2, 3)]
+
+    def serve():
+        return sorted(
+            map(
+                tuple,
+                get_online_features(
+                    spark, reg, ereq, ["ue:value"], store,
+                    request_ts=as_of,
+                ).collect(),
+            )
+        )
+
+    before = serve()
+    stats = vacuum_store(spark, reg, "ue", store, as_of=as_of)
+    # threshold = Jan-18: user 2's only (latest) row is reclaimed
+    assert stats["n_kept"] == 2 and stats["n_expired"] == 1
+    after = serve()
+    # identical VALUES; the status detail degrades OUTSIDE_MAX_AGE ->
+    # NOT_FOUND for the reclaimed key (the Redis-TTL-eviction shape) --
+    # both non-PRESENT, so no caller can observe a value change
+    assert [r[:-1] for r in after] == [r[:-1] for r in before]
+    sb = {r[0]: r[-1] for r in before}
+    sa = {r[0]: r[-1] for r in after}
+    assert sb[2] == "OUTSIDE_MAX_AGE" and sa[2] == "NOT_FOUND"
+    assert sa[1] == "PRESENT" and sa[3] == "PRESENT"
+
+    # no max_age -> nothing to vacuum, explicit error
+    reg.apply_feature_table(
+        fs.FeatureTable(
+            name="nottl", entities=["user_id"],
+            features=[fs.Feature("value", fs.ValueType.DOUBLE)],
+            batch_source=FileSource(
+                file_url=src, event_timestamp_column="ts"
+            ),
+        )
+    )
+    materialize(spark, reg, "nottl", store)
+    with pytest.raises(ValueError):
+        vacuum_store(spark, reg, "nottl", store, as_of=as_of)
