@@ -6060,6 +6060,99 @@ SELECT o_orderkey, CAST({" + ".join(terms)} AS BIGINT) AS z FROM s
 """
 
 
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustering key over the same (customer, order-day) plane
+    as ``zorder_key`` (operators/layout.py:hilbert_key): the
+    better-locality space-filling curve — consecutive indices are
+    always edge-adjacent cells (contract-tested by brute force), so
+    range scans of the sort key touch fewer files per 2-D selection
+    box than the Morton key's quadrant-seam jumps. 8 unrolled
+    shift/mask/CASE steps with explode-struct barriers pinning plan
+    growth linear; the oracle replays the identical quadrant-fold
+    recurrence as materialized CTE steps."""
+    from feast_java_old_spark.operators.layout import (
+        hilbert_key,
+        zorder_scale,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("__x"),
+        (F.unix_micros("o_orderdate") / F.lit(86400_000_000))
+        .cast("long")
+        .alias("__y"),
+    )
+    mm = orders.agg(
+        F.min("__x").alias("__lo_x"),
+        F.max("__x").alias("__hi_x"),
+        F.min("__y").alias("__lo_y"),
+        F.max("__y").alias("__hi_y"),
+    )
+    scaled = orders.crossJoin(F.broadcast(mm)).select(
+        "o_orderkey",
+        zorder_scale(
+            F.col("__x"), F.col("__lo_x"), F.col("__hi_x"), ZORDER_BITS
+        ).alias("__sx"),
+        zorder_scale(
+            F.col("__y"), F.col("__lo_y"), F.col("__hi_y"), ZORDER_BITS
+        ).alias("__sy"),
+    )
+    return hilbert_key(scaled, "__sx", "__sy", ZORDER_BITS, out_col="h").select(
+        "o_orderkey", "h"
+    )
+
+
+def _sql_hilbert() -> str:
+    b = ZORDER_BITS
+    n = 1 << b
+    top = n - 1
+
+    def scale(x, lo, hi):
+        return (
+            f"CASE WHEN ({hi} - {lo}) > 0 THEN "
+            f"least(CAST(floor((CAST({x} AS DOUBLE) - {lo}) / ({hi} - {lo})"
+            f" * {top + 1}) AS BIGINT), {top}) ELSE 0 END"
+        )
+
+    # one MATERIALIZED CTE per curve level: each step references the
+    # previous step's x/y several times — non-materialized CTEs would
+    # re-inline exponentially (the r7 DuckDB recurrence-hang lesson)
+    steps = []
+    prev = "h0"
+    for i, k in enumerate(range(b - 1, -1, -1), start=1):
+        s = 1 << k
+        rx = f"((x >> {k}) & 1)"
+        ry = f"((y >> {k}) & 1)"
+        quad = (
+            f"CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+            f"WHEN {rx} = 0 THEN 1 WHEN {ry} = 1 THEN 2 ELSE 3 END"
+        )
+        steps.append(
+            f"h{i} AS MATERIALIZED (SELECT o_orderkey,\n"
+            f"  CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1"
+            f" THEN {top} - y ELSE y END ELSE x END AS x,\n"
+            f"  CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1"
+            f" THEN {top} - x ELSE x END ELSE y END AS y,\n"
+            f"  d + {s * s} * ({quad}) AS d\n"
+            f"  FROM {prev})"
+        )
+        prev = f"h{i}"
+    return f"""
+WITH o AS (SELECT o_orderkey, o_custkey AS rx,
+                  epoch_us(o_orderdate) // 86400000000 AS ry FROM orders),
+mm AS (SELECT CAST(min(rx) AS DOUBLE) AS lox, CAST(max(rx) AS DOUBLE) AS hix,
+              CAST(min(ry) AS DOUBLE) AS loy, CAST(max(ry) AS DOUBLE) AS hiy
+       FROM o),
+h0 AS (SELECT o_orderkey,
+              {scale("rx", "mm.lox", "mm.hix")} AS x,
+              {scale("ry", "mm.loy", "mm.hiy")} AS y,
+              CAST(0 AS BIGINT) AS d
+       FROM o, mm),
+{",".join(steps)}
+SELECT o_orderkey, CAST(d AS BIGINT) AS h FROM {prev}
+"""
+
+
 SNAPSHOT_AT = "2024-01-20 00:00:00"
 
 
@@ -8379,6 +8472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linreg_orders": q_linreg_orders,
         "weighted_quantiles": q_weighted_quantiles,
         "store_vacuum": q_store_vacuum,
+        "hilbert_key": q_hilbert_key,
         "logreg_quality": q_logreg_quality,
         "global_ranks": q_global_ranks,
         "zone_map_prune": q_zone_map_prune,
@@ -8582,6 +8676,7 @@ def oracle_sql() -> dict[str, str]:
         "linreg_orders": SQL_LINREG_ORDERS,
         "weighted_quantiles": SQL_WEIGHTED_QUANTILES,
         "store_vacuum": SQL_STORE_VACUUM,
+        "hilbert_key": _sql_hilbert(),
         "lm_backoff": SQL_LM_BACKOFF,
         "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
         "schema_evolution": SQL_SCHEMA_EVOLUTION,

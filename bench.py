@@ -141,6 +141,7 @@ HEADLINE = [
     "funnel",
     "cohort_retention",
     "zorder_key",
+    "hilbert_key",
     "scd2_snapshot",
     "token_encode",
     "heavy_hitters",

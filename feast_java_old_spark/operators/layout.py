@@ -58,6 +58,106 @@ def zorder_scale(col: Column, lo: Column, hi: Column, bits: int = 16) -> Column:
     return F.least(F.floor(frac * (top + 1)).cast("long"), top.cast("long"))
 
 
+def hilbert_key(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    out_col: str = "hkey",
+    barrier_every: int = 3,
+) -> DataFrame:
+    """2-D HILBERT curve index of two pre-scaled ``[0, 2^bits)`` integer
+    columns — the better-locality alternative to the Morton key
+    (:func:`interleave_bits`): consecutive Hilbert indices are always
+    edge-adjacent cells (unit Manhattan step, the property the contract
+    test brute-forces), while a Z-curve jumps a half-grid at every
+    quadrant seam. Fewer seams ⇒ range scans over the sort key touch
+    fewer files for the same 2-D selection box.
+
+    Standard bitwise xy→d transform (the public-domain quadrant-fold
+    recurrence, cf. Hamilton's compact Hilbert indices): per output bit
+    level, accumulate ``s²·quadrant`` and rotate/reflect the frame —
+    ``bits`` unrolled steps of plain shift/mask/CASE arithmetic, no
+    UDF. Takes and returns a DataFrame (not a Column) because each
+    step's (x, y) reference the previous step's ~3 times: after
+    CollapseProject re-inlining, a pure-Column form would grow ~3^bits
+    expression nodes; every ``barrier_every`` steps the running columns
+    are materialized behind an ``explode(array(struct(…)))`` barrier
+    (projections do not collapse across a Generate), pinning plan size
+    linear in ``bits``.
+    """
+    n = 1 << bits
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    d = F.lit(0).cast("long")
+    keep = df.columns
+    for step, k in enumerate(range(bits - 1, -1, -1), start=1):
+        s = 1 << k
+        rx = F.shiftright(x, k).bitwiseAND(F.lit(1))
+        ry = F.shiftright(y, k).bitwiseAND(F.lit(1))
+        quad = (
+            F.when((rx == 0) & (ry == 0), 0)
+            .when(rx == 0, 1)
+            .when(ry == 1, 2)
+            .otherwise(3)
+        )
+        d = d + F.lit(s * s).cast("long") * quad
+        nx = F.when(
+            ry == 0, F.when(rx == 1, F.lit(n - 1) - y).otherwise(y)
+        ).otherwise(x)
+        ny = F.when(
+            ry == 0, F.when(rx == 1, F.lit(n - 1) - x).otherwise(x)
+        ).otherwise(y)
+        x, y = nx, ny
+        if step % barrier_every == 0 and k > 0:
+            df = df.select(
+                *keep,
+                x.alias("__hx"),
+                y.alias("__hy"),
+                d.alias("__hd"),
+            )
+            df = df.select(
+                F.explode(F.array(F.struct(*df.columns))).alias("r")
+            ).select("r.*")
+            x, y, d = F.col("__hx"), F.col("__hy"), F.col("__hd")
+    return df.select(*keep, d.alias(out_col))
+
+
+def layout_hilbert(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int = 32,
+) -> DataFrame:
+    """:func:`layout_zorder` with the Hilbert key: min/max-scale the two
+    dimensions (one broadcast aggregate), index, range-partition and
+    sort on the index. Same plan shape — one tiny aggregate, one range
+    exchange, one within-partition sort — with strictly better
+    file-box locality on 2-D selections."""
+    if len(cols) != 2:
+        raise ValueError("layout_hilbert is 2-D; use layout_zorder for d≠2")
+    cx, cy = cols
+    mm = df.agg(
+        F.min(cx).alias("__lo_x"), F.max(cx).alias("__hi_x"),
+        F.min(cy).alias("__lo_y"), F.max(cy).alias("__hi_y"),
+    )
+    scaled = df.crossJoin(F.broadcast(mm)).select(
+        *df.columns,
+        zorder_scale(
+            F.col(cx), F.col("__lo_x"), F.col("__hi_x"), bits
+        ).alias("__sx"),
+        zorder_scale(
+            F.col(cy), F.col("__lo_y"), F.col("__hi_y"), bits
+        ).alias("__sy"),
+    )
+    keyed = hilbert_key(scaled, "__sx", "__sy", bits, out_col="__h")
+    return (
+        keyed.drop("__sx", "__sy")
+        .repartitionByRange(num_files, F.col("__h"))
+        .sortWithinPartitions("__h")
+    )
+
+
 def layout_zorder(
     df: DataFrame,
     cols: list[str],

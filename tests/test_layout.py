@@ -243,3 +243,75 @@ def test_zone_map_prune_selectivity_depends_on_layout(spark):
     ).count()
     assert kc <= files // 8   # ~10% of files (+boundary slack)
     assert kh == files        # hash layout: every file overlaps
+
+
+def _xy2d(n, x, y):
+    """Pure-python Hilbert reference (the public quadrant-fold form)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_and_is_bijective(spark):
+    from feast_java_old_spark.operators.layout import hilbert_key
+
+    import random
+
+    random.seed(11)
+    pts = [(i, random.randrange(256), random.randrange(256)) for i in range(600)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {r.id: r.hkey for r in hilbert_key(df, "x", "y", bits=8).collect()}
+    assert all(got[i] == _xy2d(256, x, y) for i, x, y in pts)
+
+    # full 16x16 grid at bits=4: a bijection onto 0..255
+    grid = [(i, i % 16, i // 16) for i in range(256)]
+    g = spark.createDataFrame(grid, "id long, x long, y long")
+    vals = sorted(
+        r.hkey for r in hilbert_key(g, "x", "y", bits=4).collect()
+    )
+    assert vals == list(range(256))
+
+
+def test_hilbert_locality_contract_vs_zorder(spark):
+    """THE Hilbert property, brute-forced: consecutive indices are
+    always edge-adjacent cells (unit Manhattan step) — so a file
+    holding an index range covers one connected region. The Morton
+    curve breaks this at every quadrant seam (jumps up to half the
+    grid), which is exactly the file-skipping advantage."""
+    from feast_java_old_spark.operators.layout import (
+        hilbert_key,
+        interleave_bits,
+    )
+
+    grid = [(i % 16, i // 16) for i in range(256)]
+    g = spark.createDataFrame(grid, "x long, y long")
+    hil = {
+        r.hkey: (r.x, r.y)
+        for r in hilbert_key(g, "x", "y", bits=4).collect()
+    }
+    zor = {
+        r.z: (r.x, r.y)
+        for r in g.select(
+            "x", "y",
+            interleave_bits([F.col("x"), F.col("y")], 4).alias("z"),
+        ).collect()
+    }
+
+    def jumps(curve):
+        return [
+            abs(curve[d][0] - curve[d + 1][0])
+            + abs(curve[d][1] - curve[d + 1][1])
+            for d in range(255)
+        ]
+
+    assert all(j == 1 for j in jumps(hil))          # every step adjacent
+    assert max(jumps(zor)) > 1                      # Morton seam jumps
