@@ -2685,6 +2685,126 @@ GROUP BY pb.event_type
 """
 
 
+KMV_K = 256
+
+
+def q_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-overlap matrix between corpus segments: for every pair
+    of lineitem return flags, the distinct parts sold under both —
+    |A|, |B|, |A∩B|, Jaccard. One distinct-pair aggregate + a
+    self-join on the key; the exact twin (and gate oracle) of the KMV
+    sketch estimate ``segment_overlap_kmv``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_returnflag").alias("t"), F.col("l_partkey").alias("k")
+    ).distinct()
+    n = d.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    a = d.select(F.col("t").alias("type_a"), "k")
+    b = d.select(F.col("t").alias("type_b"), "k")
+    p = (
+        a.join(b, ["k"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = n.select(F.col("t").alias("type_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("t").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        p.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_SEGMENT_OVERLAP = """
+WITH d AS (SELECT DISTINCT l_returnflag AS t, l_partkey AS k FROM lineitem),
+n AS (SELECT t, count(*) AS n FROM d GROUP BY t),
+p AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+      FROM d a JOIN d b ON a.k = b.k AND a.t < b.t
+      GROUP BY a.t, b.t)
+SELECT type_a, type_b,
+       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       round(CAST(n_both AS DOUBLE) / (na.n + nb.n - n_both), 6) AS jaccard
+FROM p JOIN n na ON na.t = type_a JOIN n nb ON nb.t = type_b
+"""
+
+
+def q_segment_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta-family) sketch estimate of the same overlap matrix
+    (operators/sketches.py:kmv_overlap_pairs): the raw data is scanned
+    ONCE to build k=256-minimum-hash sketches per segment; union size,
+    Jaccard and intersection are then pure sketch algebra — at 100 TB a
+    10 000-segment overlap matrix never rescans the corpus, which the
+    exact self-join must. Deterministic (xxhash64) but approximate
+    (~1/√k error): no oracle by design — ``segment_overlap`` is the
+    hash-matched exact twin, and the contract tests bound the error."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("t"), F.col("l_partkey").alias("k")
+    )
+    from feast_java_old_spark.operators.sketches import kmv_overlap_pairs
+
+    with _small_shuffle(spark):
+        return kmv_overlap_pairs(li, "k", "t", k=KMV_K).localCheckpoint(
+            eager=True
+        )
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift per event type
+    (operators/drift.py:ks_drift) — the binning-free complement of the
+    PSI monitor: sup-norm gap of the two empirical CDFs, evaluated on
+    the integer lattice |cref·n_cur − ccur·n_ref| (one division at the
+    very end), so both engines find the max before any float rounding.
+    One (group, value, side) aggregate + one per-group window over
+    distinct values."""
+    from feast_java_old_spark.operators.drift import ks_drift
+
+    events = load_table(spark, sf_dir, "events")
+    return ks_drift(
+        events, "value", "ts", DRIFT_SPLIT, ["event_type"]
+    ).select(
+        "event_type",
+        "ks",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+    )
+
+
+SQL_KS_DRIFT = f"""
+WITH pv AS (
+  SELECT event_type, value AS v,
+         sum(CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}' THEN 1 ELSE 0 END) AS rc,
+         sum(CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}' THEN 0 ELSE 1 END) AS cc
+  FROM events GROUP BY event_type, value),
+c AS (
+  SELECT event_type,
+         sum(rc) OVER (PARTITION BY event_type ORDER BY v) AS cref,
+         sum(cc) OVER (PARTITION BY event_type ORDER BY v) AS ccur,
+         sum(rc) OVER (PARTITION BY event_type) AS nref,
+         sum(cc) OVER (PARTITION BY event_type) AS ncur
+  FROM pv)
+SELECT event_type,
+       CASE WHEN max(nref) > 0 AND max(ncur) > 0
+            THEN round(CAST(max(abs(cref * ncur - ccur * nref)) AS DOUBLE)
+                       / (max(nref) * max(ncur)), 6) END AS ks,
+       CAST(max(nref) AS BIGINT) AS n_ref,
+       CAST(max(ncur) AS BIGINT) AS n_cur
+FROM c GROUP BY event_type
+"""
+
+
 CHUNK_TOKENS = 8
 CHUNK_MAX_DF = 1
 
@@ -8473,6 +8593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_quantiles": q_weighted_quantiles,
         "store_vacuum": q_store_vacuum,
         "hilbert_key": q_hilbert_key,
+        "ks_drift": q_ks_drift,
+        "segment_overlap": q_segment_overlap,
+        "segment_overlap_kmv": q_segment_overlap_kmv,
         "logreg_quality": q_logreg_quality,
         "global_ranks": q_global_ranks,
         "zone_map_prune": q_zone_map_prune,
@@ -8677,6 +8800,10 @@ def oracle_sql() -> dict[str, str]:
         "weighted_quantiles": SQL_WEIGHTED_QUANTILES,
         "store_vacuum": SQL_STORE_VACUUM,
         "hilbert_key": _sql_hilbert(),
+        "ks_drift": SQL_KS_DRIFT,
+        "segment_overlap": SQL_SEGMENT_OVERLAP,
+        # segment_overlap_kmv: approx by design, no oracle — the exact
+        # twin above is the hash-matched query (sketch_distinct pattern)
         "lm_backoff": SQL_LM_BACKOFF,
         "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
         "schema_evolution": SQL_SCHEMA_EVOLUTION,

@@ -38,6 +38,9 @@ HEADLINE = [
     "a5_sessions",
     "a6_percentiles",
     "feature_drift",
+    "ks_drift",
+    "segment_overlap",
+    "segment_overlap_kmv",
     "key_skew",
     "a7_rollup_revenue",
     "a8_cube_revenue",

@@ -128,3 +128,81 @@ def feature_drift(
             F.first("__tcur").alias("n_cur"),
         )
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    split_ts,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov distance between the
+    reference (before ``split_ts``) and current value distributions,
+    per group — the binning-free complement of :func:`feature_drift`:
+    PSI depends on a bin count and edges; KS is the sup-norm gap of the
+    empirical CDFs themselves, sensitive to any distributional change
+    anywhere on the axis.
+
+    Relational evaluation (no sampling, no scipy): aggregate counts per
+    (group, value, side) — map-side combined, collapses duplicates —
+    then ONE per-group window pass turns the two count columns into
+    running CDFs over the merged value order, and the statistic is
+    ``max |F_ref(v) − F_cur(v)|`` over observed values (the sup of a
+    step-function difference is attained at a step). The comparison is
+    evaluated on the INTEGER lattice — ``|cref·n_cur − ccur·n_ref|`` —
+    and divided once at the end, so any engine reproduces the max
+    before a single float rounding. (The integer cross-product needs
+    n_ref·n_cur < 2^63: per-GROUP sample sizes up to ~3·10⁹ each —
+    beyond that, pre-aggregate or sample.)
+
+    Returns (group_cols…, ks, n_ref, n_cur) with ks rounded to 6.
+    """
+    from pyspark.sql.window import Window
+
+    group_cols = list(group_cols or [])
+    split = F.lit(split_ts).cast("timestamp")
+    pv = (
+        df.select(
+            *group_cols,
+            F.col(value_col).alias("__v"),
+            F.when(F.col(ts_col) < split, 1).otherwise(0).alias("__is_ref"),
+        )
+        .groupBy(*group_cols, "__v")
+        .agg(
+            F.sum("__is_ref").alias("__rc"),
+            F.sum(1 - F.col("__is_ref")).alias("__cc"),
+        )
+    )
+    wcum = Window.partitionBy(*group_cols).orderBy("__v")
+    wall = Window.partitionBy(*group_cols)
+    c = pv.select(
+        *group_cols,
+        F.sum("__rc").over(wcum).alias("__cref"),
+        F.sum("__cc").over(wcum).alias("__ccur"),
+        F.sum("__rc").over(wall).alias("__nref"),
+        F.sum("__cc").over(wall).alias("__ncur"),
+    )
+    gap = F.abs(
+        F.col("__cref") * F.col("__ncur") - F.col("__ccur") * F.col("__nref")
+    )
+    return (
+        c.groupBy(*group_cols)
+        .agg(
+            F.max(gap).alias("__g"),
+            F.max("__nref").alias("n_ref"),
+            F.max("__ncur").alias("n_cur"),
+        )
+        .select(
+            *group_cols,
+            # one-sided groups have no two-sample statistic -> NULL
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                F.round(
+                    F.col("__g") / (F.col("n_ref") * F.col("n_cur")), 6
+                ),
+            ).alias("ks"),
+            "n_ref",
+            "n_cur",
+        )
+    )

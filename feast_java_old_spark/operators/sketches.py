@@ -454,3 +454,123 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return exact.orderBy(F.desc("cnt"), col).limit(k)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """K-Minimum-Values distinct sketch per group (Bar-Yossef et al.
+    2002; the theta-sketch family's core): the ``k`` smallest
+    ``xxhash64`` values of the group's distinct keys. ``k`` longs per
+    group — mergeable by "union then keep k smallest", the property
+    :func:`kmv_overlap_pairs` exploits for set operations that plain
+    HLL (:func:`approx_distinct`) cannot answer.
+
+    One distinct-aggregate + one per-group window (rows = distinct keys
+    per group); deterministic — same keys, same sketch, any engine.
+    """
+    from pyspark.sql.window import Window
+
+    h = df.select(
+        F.col(group_col).alias("g"), F.xxhash64(key_col).alias("__h")
+    ).dropDuplicates(["g", "__h"])
+    w = Window.partitionBy("g").orderBy("__h")
+    return (
+        h.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .select("g", "__h", "__r")
+    )
+
+
+def _kmv_unit(h) -> "F.Column":
+    """Map a signed xxhash64 uniformly onto (0, 1): (h + 2^63 + 1)/2^64."""
+    return (h / F.lit(2.0**64)) + F.lit(0.5 + 1.0 / 2.0**64)
+
+
+def kmv_overlap_pairs(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Estimated set overlap for EVERY pair of groups from their KMV
+    sketches — |A∪B|, Jaccard, |A∩B| — without touching the raw data
+    again: the union sketch is the k smallest of the two sketches
+    merged, ĵ = fraction of union-sketch members present in BOTH input
+    sketches, |A∪B| ≈ (k−1)/u₍ₖ₎ (exact count when the union carries
+    fewer than k hashes), |A∩B| ≈ ĵ·|A∪B|.
+
+    Everything downstream of the sketch is sketch-sized: pair
+    enumeration and the membership joins touch k rows per (pair, side).
+    At 100 TB the raw data is scanned ONCE (sketch build); a 10 000-
+    group overlap matrix is then pure sketch algebra. Standard error
+    ~1/√(k−2) on the union size and ~√(j(1−j)/k) on Jaccard; the gate
+    keeps the exact twin (``segment_overlap``) as the oracle-bearing
+    query and contract tests bound the error.
+    """
+    from pyspark.sql.window import Window
+
+    sk = kmv_sketch(df, key_col, group_col, k).persist()
+    groups = sk.select("g").distinct()
+    pairs = (
+        groups.alias("x")
+        .crossJoin(groups.alias("y"))
+        .where(F.col("x.g") < F.col("y.g"))
+        .select(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
+    )
+    a = sk.select(F.col("g").alias("ga"), "__h")
+    b = sk.select(F.col("g").alias("gb"), "__h")
+    merged = (
+        pairs.join(a, "ga").select("ga", "gb", "__h")
+        .unionByName(pairs.join(b, "gb").select("ga", "gb", "__h"))
+        .dropDuplicates(["ga", "gb", "__h"])
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("__h")
+    union_k = merged.withColumn("__r", F.row_number().over(w)).where(
+        F.col("__r") <= k
+    )
+    amem = sk.select(
+        F.col("g").alias("__ag"), F.col("__h").alias("__ha")
+    )
+    bmem = sk.select(
+        F.col("g").alias("__bg"), F.col("__h").alias("__hb")
+    )
+    flagged = (
+        union_k.join(
+            amem,
+            (F.col("ga") == F.col("__ag")) & (F.col("__h") == F.col("__ha")),
+            "left",
+        )
+        .drop("__ag")
+        .join(
+            bmem,
+            (F.col("gb") == F.col("__bg")) & (F.col("__h") == F.col("__hb")),
+            "left",
+        )
+        .drop("__bg")
+    )
+    agg = flagged.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("__ku"),
+        F.sum(
+            (F.col("__ha").isNotNull() & F.col("__hb").isNotNull()).cast(
+                "long"
+            )
+        ).alias("__nboth"),
+        F.max(F.when(F.col("__r") == k, _kmv_unit(F.col("__h")))).alias(
+            "__uk"
+        ),
+    )
+    est_union = F.when(
+        F.col("__ku") < k, F.col("__ku").cast("double")
+    ).otherwise((k - 1) / F.col("__uk"))
+    j_hat = F.col("__nboth") / F.col("__ku")
+    return agg.select(
+        F.col("ga").alias("type_a"),
+        F.col("gb").alias("type_b"),
+        F.round(est_union, 1).alias("est_union"),
+        F.round(j_hat, 6).alias("est_jaccard"),
+        F.round(est_union * j_hat, 1).alias("est_both"),
+    )

@@ -59,3 +59,50 @@ def test_psi_ungrouped(spark):
     )
     out = feature_drift(df, "v", "ts", SPLIT).collect()
     assert len(out) == 1 and out[0].psi > 0.1
+
+
+def test_ks_drift_matches_pure_python_and_edges(spark):
+    """Exact KS against a brute-force python CDF sweep, plus the
+    analytic edges: identical samples -> 0, disjoint supports -> 1,
+    one-sided groups -> NULL."""
+    import datetime as dt
+
+    from feast_java_old_spark.operators.drift import ks_drift
+
+    split = dt.datetime(2024, 1, 16)
+    t_ref, t_cur = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 20)
+    import random
+
+    random.seed(3)
+    rows = []
+    ref_a = [round(random.gauss(0, 1), 3) for _ in range(80)]
+    cur_a = [round(random.gauss(0.7, 1.3), 3) for _ in range(60)]
+    rows += [("a", t_ref, v) for v in ref_a]
+    rows += [("a", t_cur, v) for v in cur_a]
+    rows += [("same", t_ref, float(v % 7)) for v in range(50)]
+    rows += [("same", t_cur, float(v % 7)) for v in range(50)]
+    rows += [("disj", t_ref, float(v)) for v in range(10)]
+    rows += [("disj", t_cur, float(v + 100)) for v in range(10)]
+    rows += [("oneside", t_ref, 1.0)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+
+    def brute(ref, cur):
+        vals = sorted(set(ref) | set(cur))
+        nr, nc = len(ref), len(cur)
+        return max(
+            abs(
+                sum(1 for x in ref if x <= v) * nc
+                - sum(1 for x in cur if x <= v) * nr
+            )
+            for v in vals
+        ) / (nr * nc)
+
+    out = {
+        r.event_type: r
+        for r in ks_drift(df, "value", "ts", split, ["event_type"]).collect()
+    }
+    assert out["a"].ks == round(brute(ref_a, cur_a), 6)
+    assert out["same"].ks == 0.0
+    assert out["disj"].ks == 1.0
+    assert out["oneside"].ks is None
+    assert out["a"].n_ref == 80 and out["a"].n_cur == 60

@@ -480,3 +480,44 @@ def test_bloom_prune_actually_prunes(spark):
                                           bits=4096).collect()
     }
     assert set(range(50, 100)) <= kept_keys
+
+
+def test_kmv_overlap_error_bounds_and_exact_small_sets(spark):
+    """KMV contract (Bar-Yossef et al.): union-size estimate within
+    4σ = 4/sqrt(k-2) relative error, Jaccard within 4*sqrt(j(1-j)/k),
+    and EXACT answers when the union fits inside the sketch (the
+    small-set regime where (k-1)/u_k would be noise)."""
+    from feast_java_old_spark.operators.sketches import kmv_overlap_pairs
+
+    k = 256
+    rows = []
+    for v in range(2000):
+        rows.append(("A", v))
+    for v in range(1500, 3000):
+        rows.append(("B", v))
+    for v in range(10000, 10100):
+        rows.append(("C", v))       # |C|=100: unions with C may be small
+    for v in range(10000, 10050):
+        rows.append(("D", v))       # C∪D = 100 < k -> exact path
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = {
+        (r.type_a, r.type_b): r
+        for r in kmv_overlap_pairs(df, "k", "g", k=k).collect()
+    }
+    import math
+
+    tol_u = 4 / math.sqrt(k - 2)
+    ab = out[("A", "B")]
+    assert abs(ab.est_union - 3000) / 3000 < tol_u
+    j = 500 / 3000
+    assert abs(ab.est_jaccard - j) < 4 * math.sqrt(j * (1 - j) / k)
+    assert abs(ab.est_both - 500) / 500 < tol_u + 4 * math.sqrt(
+        j * (1 - j) / k
+    ) / j
+    # disjoint pairs: exactly zero overlap estimated
+    assert out[("A", "C")].est_jaccard == 0.0
+    assert out[("A", "C")].est_both == 0.0
+    # small-set regime: union smaller than k is counted EXACTLY
+    cd = out[("C", "D")]
+    assert cd.est_union == 100.0
+    assert cd.est_jaccard == 0.5 and cd.est_both == 50.0
