@@ -3566,11 +3566,15 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS): above-average-balance customers gone quiet — no order
     since {Q22_CUTOFF} (adaptation: every synthetic customer has
     ordered at least once, so the classic "never ordered" predicate is
-    date-bounded instead). The scalar average compiles to a one-row
-    broadcast (computed once, not per row); the NOT EXISTS to a left
-    anti join on o_custkey with the date filter pushed to the orders
-    scan — the anti build side carries only the active-customer key
-    set, not order payloads."""
+    date-bounded instead). The above-average test is evaluated on the
+    integer lattice — cents·count > Σcents — because avg() over
+    non-integer doubles is aggregation-order-dependent in its last ulp
+    and a customer tying the average within that ulp would flip
+    between engines (the q11 discipline). Both scalar subqueries
+    compile to one-row broadcasts (computed once, not per row); the
+    NOT EXISTS to a left anti join on o_custkey with the date filter
+    pushed to the orders scan — the anti build side carries only the
+    active-customer key set, not order payloads."""
     _tpch_views(spark, sf_dir, "customer", "orders")
     return spark.sql(SQL_TPCH_Q22)
 
@@ -3581,8 +3585,11 @@ SELECT c_mktsegment,
        CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
          AS totacctbal_cents
 FROM customer
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                   WHERE c_acctbal > 0.0)
+WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT)
+      * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+      > (SELECT CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+                AS BIGINT)
+         FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '{Q22_CUTOFF} 00:00:00')
@@ -6115,17 +6122,13 @@ FROM j GROUP BY 1, 2
 ZORDER_BITS = 8
 
 
-def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton) clustering key over (customer, order-day):
-    min/max scale each dimension to 8 bits from one broadcast
-    aggregate, then interleave bits with pure shift/mask codegen — the
-    sort key behind multi-dimensional file skipping
-    (operators/layout.py). The full layout rewrite
-    (``layout_zorder``) adds only a range exchange on this key."""
-    from feast_java_old_spark.operators.layout import (
-        interleave_bits,
-        zorder_scale,
-    )
+def _cust_day_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared prep for the two space-filling-curve gate queries: the
+    (customer, order-day) plane min/max-scaled to ZORDER_BITS bits —
+    one broadcast 1-row aggregate, assignment a pure projection. One
+    definition so the next events/orders type drift (a recurring
+    testdata hazard) is fixed in one place."""
+    from feast_java_old_spark.operators.layout import zorder_scale
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -6140,14 +6143,28 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("__y").alias("__lo_y"),
         F.max("__y").alias("__hi_y"),
     )
-    scaled = orders.crossJoin(F.broadcast(mm))
-    z = interleave_bits(
-        [
-            zorder_scale(F.col("__x"), F.col("__lo_x"), F.col("__hi_x"), ZORDER_BITS),
-            zorder_scale(F.col("__y"), F.col("__lo_y"), F.col("__hi_y"), ZORDER_BITS),
-        ],
-        ZORDER_BITS,
+    return orders.crossJoin(F.broadcast(mm)).select(
+        "o_orderkey",
+        zorder_scale(
+            F.col("__x"), F.col("__lo_x"), F.col("__hi_x"), ZORDER_BITS
+        ).alias("__sx"),
+        zorder_scale(
+            F.col("__y"), F.col("__lo_y"), F.col("__hi_y"), ZORDER_BITS
+        ).alias("__sy"),
     )
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-day):
+    min/max scale each dimension to 8 bits from one broadcast
+    aggregate, then interleave bits with pure shift/mask codegen — the
+    sort key behind multi-dimensional file skipping
+    (operators/layout.py). The full layout rewrite
+    (``layout_zorder``) adds only a range exchange on this key."""
+    from feast_java_old_spark.operators.layout import interleave_bits
+
+    scaled = _cust_day_scaled(spark, sf_dir)
+    z = interleave_bits([F.col("__sx"), F.col("__sy")], ZORDER_BITS)
     return scaled.select("o_orderkey", z.alias("z"))
 
 
@@ -6190,36 +6207,12 @@ def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     shift/mask/CASE steps with explode-struct barriers pinning plan
     growth linear; the oracle replays the identical quadrant-fold
     recurrence as materialized CTE steps."""
-    from feast_java_old_spark.operators.layout import (
-        hilbert_key,
-        zorder_scale,
-    )
+    from feast_java_old_spark.operators.layout import hilbert_key
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_custkey").alias("__x"),
-        (F.unix_micros("o_orderdate") / F.lit(86400_000_000))
-        .cast("long")
-        .alias("__y"),
-    )
-    mm = orders.agg(
-        F.min("__x").alias("__lo_x"),
-        F.max("__x").alias("__hi_x"),
-        F.min("__y").alias("__lo_y"),
-        F.max("__y").alias("__hi_y"),
-    )
-    scaled = orders.crossJoin(F.broadcast(mm)).select(
-        "o_orderkey",
-        zorder_scale(
-            F.col("__x"), F.col("__lo_x"), F.col("__hi_x"), ZORDER_BITS
-        ).alias("__sx"),
-        zorder_scale(
-            F.col("__y"), F.col("__lo_y"), F.col("__hi_y"), ZORDER_BITS
-        ).alias("__sy"),
-    )
-    return hilbert_key(scaled, "__sx", "__sy", ZORDER_BITS, out_col="h").select(
-        "o_orderkey", "h"
-    )
+    scaled = _cust_day_scaled(spark, sf_dir)
+    return hilbert_key(
+        scaled, "__sx", "__sy", ZORDER_BITS, out_col="h"
+    ).select("o_orderkey", "h")
 
 
 def _sql_hilbert() -> str:
@@ -8573,13 +8566,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver gate window: the driver's correctness gate samples the
-        # FIRST 50 entries of this dict (insertion order).  r7 rotation
-        # (VERDICT r6 #5 standing invariant: no query's driver row ages
-        # past ~3 rounds): positions 1-2 are the brand-new
-        # schema_evolution + stream_schema_evolution twins (never gated),
-        # then the 6 queries whose newest row is r3, then the 42 oldest
-        # r4 rows.  Positions 51+ are the remaining r4/r5/r6 rows, oldest
-        # evidence first — next round's window starts there.
+        # FIRST 50 entries of this dict (insertion order).  r8 rotation
+        # (the r6 #5 standing invariant: no query's driver row ages past
+        # ~3 rounds): positions 1-16 are the 16 never-gated r8 queries,
+        # then the 25 queries whose newest row is r4, then the 9 oldest
+        # r5 rows.  Positions 51+ are the remaining r5/r6/r7 rows,
+        # oldest evidence first — next round's window starts there.
         "tpch_q17": q_tpch_q17,
         "tpch_q21": q_tpch_q21,
         "tpch_q21_agg": q_tpch_q21_agg,
@@ -8596,56 +8588,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "segment_overlap": q_segment_overlap,
         "segment_overlap_kmv": q_segment_overlap_kmv,
-        "logreg_quality": q_logreg_quality,
-        "global_ranks": q_global_ranks,
-        "zone_map_prune": q_zone_map_prune,
-        "stream_zone_map": q_stream_zone_map,
-        "event_transitions": q_event_transitions,
-        "event_gaps": q_event_gaps,
-        "attribution": q_attribution,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q16": q_tpch_q16,
-        "lm_backoff": q_lm_backoff,
-        "bloom_prune_join": q_bloom_prune_join,
-        "schema_evolution": q_schema_evolution,
-        "stream_schema_evolution": q_stream_schema_evolution,
-        "substring_spans": q_substring_spans,
-        "substring_dedup": q_substring_dedup,
-        "stream_substring_dedup": q_stream_substring_dedup,
-        "compaction_plan": q_compaction_plan,
-        "source_formats": q_source_formats,
-        "expectations": q_expectations,
-        "corpus_rollup": q_corpus_rollup,
-        "domain_mix": q_domain_mix,
-        "domain_upsample": q_domain_upsample,
-        "interval_join": q_interval_join,
-        "sessionize": q_sessionize,
-        "stratified_sample": q_stratified_sample,
-        "s1_scan_projection": q_s1_scan_projection,
-        "a1_latest_per_key": q_a1_latest_per_key,
-        "a1_latest_window": q_a1_latest_window,
-        "j1_entity_lookup": q_j1_entity_lookup,
-        "j1_lookup_shuffle": q_j1_lookup_shuffle,
-        "j2_compound_key": q_j2_compound_key,
-        "j3_max_age": q_j3_max_age,
-        "historical_asof": q_historical_asof,
-        "historical_asof_range": q_historical_asof_range,
-        "historical_asof_bucketed": q_historical_asof_bucketed,
-        "historical_training_set": q_historical_training_set,
-        "a2_metrics_rollup": q_a2_metrics_rollup,
-        "a3_window_rollup": q_a3_window_rollup,
-        "a4_sliding_rollup": q_a4_sliding_rollup,
-        "sliding_distinct": q_sliding_distinct,
-        "sliding_distinct_approx": q_sliding_distinct_approx,
-        "a5_sessions": q_a5_sessions,
-        "a6_percentiles": q_a6_percentiles,
-        "a7_rollup_revenue": q_a7_rollup_revenue,
-        "a8_cube_revenue": q_a8_cube_revenue,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "p5_type_conformance": q_p5_type_conformance,
         "dedup_exact": q_dedup_exact,
@@ -8665,7 +8607,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "feature_drift": q_feature_drift,
         "key_skew": q_key_skew,
-        # --- below here: not in the r7 gate window (positions 51+)
         "decontaminate": q_decontaminate,
         "dsir_weights": q_dsir_weights,
         "corpus_shuffle": q_corpus_shuffle,
@@ -8772,6 +8713,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_topk": q_domain_topk,
         "sequence_pack": q_sequence_pack,
         "unigram_logprob": q_unigram_logprob,
+        "logreg_quality": q_logreg_quality,
+        "global_ranks": q_global_ranks,
+        "zone_map_prune": q_zone_map_prune,
+        "stream_zone_map": q_stream_zone_map,
+        "event_transitions": q_event_transitions,
+        "event_gaps": q_event_gaps,
+        "attribution": q_attribution,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q16": q_tpch_q16,
+        "lm_backoff": q_lm_backoff,
+        "bloom_prune_join": q_bloom_prune_join,
+        "schema_evolution": q_schema_evolution,
+        "stream_schema_evolution": q_stream_schema_evolution,
+        "substring_spans": q_substring_spans,
+        "substring_dedup": q_substring_dedup,
+        "stream_substring_dedup": q_stream_substring_dedup,
+        "compaction_plan": q_compaction_plan,
+        "source_formats": q_source_formats,
+        "expectations": q_expectations,
+        "corpus_rollup": q_corpus_rollup,
+        "domain_mix": q_domain_mix,
+        "domain_upsample": q_domain_upsample,
+        "interval_join": q_interval_join,
+        "sessionize": q_sessionize,
+        "stratified_sample": q_stratified_sample,
+        "s1_scan_projection": q_s1_scan_projection,
+        "a1_latest_per_key": q_a1_latest_per_key,
+        "a1_latest_window": q_a1_latest_window,
+        "j1_entity_lookup": q_j1_entity_lookup,
+        "j1_lookup_shuffle": q_j1_lookup_shuffle,
+        "j2_compound_key": q_j2_compound_key,
+        "j3_max_age": q_j3_max_age,
+        "historical_asof": q_historical_asof,
+        "historical_asof_range": q_historical_asof_range,
+        "historical_asof_bucketed": q_historical_asof_bucketed,
+        "historical_training_set": q_historical_training_set,
+        "a2_metrics_rollup": q_a2_metrics_rollup,
+        "a3_window_rollup": q_a3_window_rollup,
+        "a4_sliding_rollup": q_a4_sliding_rollup,
+        "sliding_distinct": q_sliding_distinct,
+        "sliding_distinct_approx": q_sliding_distinct_approx,
+        "a5_sessions": q_a5_sessions,
+        "a6_percentiles": q_a6_percentiles,
+        "a7_rollup_revenue": q_a7_rollup_revenue,
+        "a8_cube_revenue": q_a8_cube_revenue,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q14": q_tpch_q14,
     }
 
 

@@ -163,7 +163,12 @@ def ks_drift(
     group_cols = list(group_cols or [])
     split = F.lit(split_ts).cast("timestamp")
     pv = (
-        df.select(
+        # NULL measurements are not sample points of an empirical CDF —
+        # and engines disagree on NULL sort position (Spark ASC = NULLS
+        # FIRST, DuckDB ASC = NULLS LAST), so keeping them would also
+        # shift every running count differently per engine.
+        df.where(F.col(value_col).isNotNull())
+        .select(
             *group_cols,
             F.col(value_col).alias("__v"),
             F.when(F.col(ts_col) < split, 1).otherwise(0).alias("__is_ref"),

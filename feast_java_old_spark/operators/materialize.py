@@ -499,12 +499,18 @@ def vacuum_store(
     Redis key TTL eviction produces in the reference, and both are
     non-PRESENT). The rewrite preserves the keyed layout
     (repartition by entity key + sort within partitions — row-group
-    key statistics survive) and stages into a temp dir before an
-    atomic swap, because the plan READS the live directory. Plain
-    online tables have a single materializing writer by contract
-    (``materialize`` overwrites); run vacuum from that same scheduler
-    slot. ``as_of`` is explicit — retention jobs must be replayable,
-    never wall-clock-implicit.
+    key statistics survive) and stages into a temp dir because the
+    plan READS the live directory; the swap is two directory renames
+    (live→``.vacuum_old``, staging→live), so a crash never loses data
+    — the old table survives on disk until the new one is in place —
+    but it is NOT transactional: a reader racing the swap can
+    transiently miss the directory. Plain online tables have a single
+    materializing writer by contract (``materialize`` overwrites); run
+    vacuum from that same scheduler slot, and pause readers or
+    tolerate one retry. Schema-VERSIONED tables are refused — their
+    epoch layout + ``_schemas.json`` would be flattened; use
+    :func:`compact_versioned` for those. ``as_of`` is explicit —
+    retention jobs must be replayable, never wall-clock-implicit.
 
     Returns ``{"path", "n_kept", "n_expired", "threshold"}`` (driver
     scalars — two bounded counts, no row data).
@@ -520,6 +526,12 @@ def vacuum_store(
         )
     threshold = as_of - _dt.timedelta(seconds=table.max_age_secs)
     path = online_table_path(store_path, project, table_name)
+    if os.path.exists(os.path.join(path, SCHEMAS_FILE)):
+        raise ValueError(
+            f"{project}/{table_name} is a schema-VERSIONED table "
+            f"({SCHEMAS_FILE} present): vacuum_store would flatten its "
+            f"epoch layout — use compact_versioned instead"
+        )
     df = spark.read.parquet(path)
     n_total = df.count()
     kept = df.where(
@@ -534,8 +546,18 @@ def vacuum_store(
             "overwrite"
         ).parquet(staging)
         n_kept = spark.read.parquet(staging).count()
-        shutil.rmtree(path)
-        os.replace(staging, path)
+        # rename-swap, never rmtree-then-replace: the old table stays
+        # on disk (trash dir) until the new one is live, so a crash
+        # between the renames loses nothing recoverable
+        trash = path.rstrip("/") + ".vacuum_old"
+        shutil.rmtree(trash, ignore_errors=True)  # stale from a crash
+        os.replace(path, trash)
+        try:
+            os.replace(staging, path)
+        except BaseException:
+            os.replace(trash, path)  # roll the live table back
+            raise
+        shutil.rmtree(trash, ignore_errors=True)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
@@ -794,6 +816,12 @@ def read_online_versioned(
     epochs were registered by one registry lifetime, as in the gate).
     Returns None for a never-materialized table.
     """
+    if as_of_seq is None:
+        # resolve the table FIRST so a typo'd name raises the registry's
+        # unknown-table error instead of reading as never-materialized
+        table: FeatureTable = registry.get_feature_table(
+            table_name, project
+        )
     tpath = online_table_path(store_path, project, table_name)
     schemas = _load_schema_registry(tpath)
     if not schemas:
@@ -822,9 +850,6 @@ def read_online_versioned(
             for f in snap["features"]
         ]
     else:
-        table: FeatureTable = registry.get_feature_table(
-            table_name, project
-        )
         entities = list(table.entities)
         feats = [(f.name, f.value_type.to_spark()) for f in table.features]
 
@@ -918,12 +943,26 @@ def compact_versioned(
     READS the current epoch dir, so writing over it in place would
     overwrite an input of the running job.
 
+    Concurrency: the prune set is SNAPSHOTTED before the merge plan is
+    built, so an epoch a concurrent writer registers while the rewrite
+    runs is never deleted — its rows may additionally appear in the
+    compacted epoch (the merge plan can observe it), which is benign:
+    the cross-epoch latest-wins read resolves the duplication, and the
+    next compaction absorbs it. The one remaining unsupported overlap
+    is a writer streaming INTO an epoch this job is absorbing (its dir
+    is replaced/pruned mid-write) — run compaction after a migration
+    settles, like any table-format OPTIMIZE.
+
     Returns the surviving epoch path.
     """
     import shutil
     import tempfile
 
     table: FeatureTable = registry.get_feature_table(table_name, project)
+    tpath = online_table_path(store_path, project, table_name)
+    # snapshot FIRST: only epochs known before the merge began may be
+    # pruned afterwards (everything the merge could have fully read)
+    prunable = set(_load_schema_registry(tpath))
     merged = read_online_versioned(
         spark, registry, table_name, store_path, project
     )
@@ -931,7 +970,6 @@ def compact_versioned(
         raise KeyError(
             f"{project}/{table_name} has no versioned epochs to compact"
         )
-    tpath = online_table_path(store_path, project, table_name)
     h = table.spec_hash()[:8]
     epoch = os.path.join(tpath, f"rev={h}")
 
@@ -952,10 +990,10 @@ def compact_versioned(
 
     # Swap + prune + registry rewrite are one critical section under
     # the same lock register_epoch_schema takes: without it, a
-    # concurrent writer registering (or merging into) another epoch
-    # between our load and save loses its registry entry, and its live
-    # epoch directory can be rmtree'd mid-write — the lost-update race
-    # the lock exists to prevent.
+    # concurrent writer registering another epoch between our load and
+    # save loses its registry entry (the lost-update race). The
+    # pre-merge `prunable` snapshot additionally guarantees a
+    # registered-during-the-rewrite epoch is never deleted here.
     with _registry_lock(tpath):
         try:
             schemas = _load_schema_registry(tpath)
@@ -969,7 +1007,7 @@ def compact_versioned(
             shutil.rmtree(staging, ignore_errors=True)
             raise
         for old_h in list(schemas):
-            if old_h != h:
+            if old_h != h and old_h in prunable:
                 shutil.rmtree(
                     os.path.join(tpath, f"rev={old_h}"), ignore_errors=True
                 )

@@ -495,6 +495,7 @@ def kmv_overlap_pairs(
     key_col: str,
     group_col: str,
     k: int = 256,
+    eager: bool = True,
 ) -> DataFrame:
     """Estimated set overlap for EVERY pair of groups from their KMV
     sketches — |A∪B|, Jaccard, |A∩B| — without touching the raw data
@@ -510,6 +511,14 @@ def kmv_overlap_pairs(
     ~1/√(k−2) on the union size and ~√(j(1−j)/k) on Jaccard; the gate
     keeps the exact twin (``segment_overlap``) as the oracle-bearing
     query and contract tests bound the error.
+
+    The sketch frame is persisted for its three consumers (union build
+    + two membership joins). ``eager=True`` (default) materializes the
+    pair-count-sized result (``localCheckpoint``) and UNPERSISTS the
+    sketch before returning — no storage-memory leak per call.
+    ``eager=False`` keeps the plan lazy (for ``.explain`` / plan
+    audits) and leaves the persisted sketch to the caller's cache
+    management (the ``simhash_candidates`` checkpoint-flag lesson).
     """
     from pyspark.sql.window import Window
 
@@ -567,10 +576,14 @@ def kmv_overlap_pairs(
         F.col("__ku") < k, F.col("__ku").cast("double")
     ).otherwise((k - 1) / F.col("__uk"))
     j_hat = F.col("__nboth") / F.col("__ku")
-    return agg.select(
+    out = agg.select(
         F.col("ga").alias("type_a"),
         F.col("gb").alias("type_b"),
         F.round(est_union, 1).alias("est_union"),
         F.round(j_hat, 6).alias("est_jaccard"),
         F.round(est_union * j_hat, 1).alias("est_both"),
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        sk.unpersist()
+    return out

@@ -93,6 +93,17 @@ PICKS = [
     ("tpch_q13", "LEFT OUTER count distribution: customer keeps its null-extended rows through the join, count(o_orderkey) maps them to bucket 0, and the second aggregate is distribution-sized — two shuffles total, both key-width."),
     ("tpch_q16", "NOT EXISTS as LEFT ANTI: the deep-discount filter pushes below the anti join so the build side is the matching key set only; no null-aware NOT IN machinery, no outer-join+IS NULL multiset shuffle."),
     ("event_transitions", "Markov transitions: ONE entity-keyed exchange feeds the deterministic (ts, id)-ordered lead() window; the transition aggregate is |types|²-bounded with map-side combine, and row conditionals are a window over that tiny matrix — the corpus is scanned exactly once."),
+    # r8 additions
+    ("tpch_q17", "Correlated scalar subquery, submitted AS correlated SQL: Catalyst decorrelates the per-part average into ONE lineitem aggregate joined back on the correlation key — two fact scans total, never a per-outer-row subquery; part broadcasts."),
+    ("tpch_q21_agg", "Hand-fused Q21 twin: the EXISTS and NOT EXISTS collapse into one per-order countDistinct aggregate re-joined on l_orderkey — one fact build + one self-join replaces the correlated form's three scans + semi + anti (Catalyst cannot find this rewrite; the gate proves both against one oracle)."),
+    ("tpch_q15", "Agg-of-agg max: the per-supplier revenue aggregate is computed ONCE; its one-row max cross-joins back as a broadcast scalar (no whole-frame window, no CTE re-inlining second fact scan)."),
+    ("tpch_q11", "HAVING vs global total: the total derives FROM the per-part aggregate and returns as a 1-row BroadcastNestedLoopJoin — the documented legitimate BNLJ shape (1-row build), keeping ONE fact scan."),
+    ("dedup_prefix_filter", "Prefix-filtered set-similarity join: df-aggregate ranks shingles by rarity, a per-doc window keeps the |x|−⌈t|x|⌉+1 prefix, the self-join sees only prefix rows (0.6% of all-pairs here) with a floor'd symmetric length bound, and verification is per-candidate array_intersect — recall-complete with no max_df lossiness."),
+    ("weighted_quantiles", "Weighted CDF inverse: ties collapse in a per-(group, value) pre-aggregate, ONE per-group window computes running+total weight over distinct values, and every quantile is a conditional-min in one fold — the defining inequality is pure BIGINT (den·cumw ≥ num·total)."),
+    ("linreg_orders", "Grouped normal equations: nine BIGINT-exact sufficient sums in one map-side-combined aggregate; the 3×3 Cramer solve is a stateless projection — per group the shuffle carries 10 longs, whatever the row count."),
+    ("hilbert_key", "Hilbert curve index: 8 unrolled shift/mask/CASE levels with explode-struct barriers pinning expression growth linear (CollapseProject would re-inline each level's x/y ~3×); scaling mins/maxes ride one broadcast 1-row aggregate."),
+    ("ks_drift", "Exact two-sample KS: per-(group, value, side) counts collapse duplicates map-side; one per-group window turns counts into integer-lattice CDFs; the sup gap is a max aggregate — binning-free drift with no float comparison until the final division."),
+    ("segment_overlap", "Exact segment overlap: ONE distinct (segment, key) projection self-joins on the key; per-segment cardinalities broadcast onto the pair counts — the oracle-bearing exact twin of the KMV sketch path."),
 ]
 
 out = io.StringIO()

@@ -84,6 +84,9 @@ def test_ks_drift_matches_pure_python_and_edges(spark):
     rows += [("disj", t_ref, float(v)) for v in range(10)]
     rows += [("disj", t_cur, float(v + 100)) for v in range(10)]
     rows += [("oneside", t_ref, 1.0)]
+    # NULL measurements are not CDF sample points (and engines disagree
+    # on NULL sort position) -- they must not move the statistic
+    rows += [("a", t_ref, None), ("a", t_cur, None)]
     df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
 
     def brute(ref, cur):

@@ -559,3 +559,44 @@ def test_vacuum_store_serves_identically_at_as_of(spark, tmp_path):
     materialize(spark, reg, "nottl", store)
     with pytest.raises(ValueError):
         vacuum_store(spark, reg, "nottl", store, as_of=as_of)
+
+
+def test_vacuum_refuses_versioned_tables_and_unknown_raises(
+    spark, tmp_path
+):
+    """vacuum_store on a schema-versioned table would flatten the epoch
+    layout + _schemas.json -> refused with a pointer to
+    compact_versioned; read_online_versioned on a typo'd table raises
+    the registry's unknown-table error (not a silent None)."""
+    from feast_java_old_spark.operators.materialize import (
+        materialize_versioned,
+        read_online_versioned,
+        vacuum_store,
+    )
+
+    src = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)],
+        "user_id long, ts timestamp, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    reg = fs.Registry()
+    reg.apply_entity(fs.Entity("user_id", fs.ValueType.INT64))
+    reg.apply_feature_table(
+        fs.FeatureTable(
+            name="vt", entities=["user_id"],
+            features=[fs.Feature("value", fs.ValueType.DOUBLE)],
+            max_age_secs=86400,
+            batch_source=FileSource(
+                file_url=src, event_timestamp_column="ts"
+            ),
+        )
+    )
+    store = str(tmp_path / "store")
+    materialize_versioned(spark, reg, "vt", store)
+    with pytest.raises(ValueError, match="compact_versioned"):
+        vacuum_store(spark, reg, "vt", store, as_of=dt.datetime(2024, 2, 1))
+    # the epoch layout survived the refused call
+    assert read_online_versioned(spark, reg, "vt", store).count() == 1
+
+    with pytest.raises(KeyError):
+        read_online_versioned(spark, reg, "no_such_table", store)
