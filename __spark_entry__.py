@@ -2688,6 +2688,68 @@ GROUP BY pb.event_type
 KMV_K = 256
 
 
+CUSUM_ALLOWANCE_CENTS = 0
+CUSUM_THRESHOLD_CENTS = 50_000
+
+
+def q_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential change-point monitor (operators/drift.py:
+    cusum_alerts): one-sided Page CUSUM of post-split values against
+    the pre-split per-type mean — the detector that fires on a
+    SUSTAINED small shift long before a windowed snapshot statistic
+    moves. The max(0, S+d) recursion is evaluated as the closed
+    windowed form cumsum − min(0, running-min(cumsum)): two window
+    functions over one (type)-partitioned (ts, id)-ordered pass, all
+    on the cents integer lattice (running DOUBLE window sums are
+    engine-divergent: DuckDB's segment-tree association ≠ Spark's
+    sequential frame accumulation; BIGINT sums are exact either
+    way)."""
+    from feast_java_old_spark.operators.drift import cusum_alerts
+
+    events = load_table(spark, sf_dir, "events")
+    out = cusum_alerts(
+        events,
+        "value",
+        "ts",
+        DRIFT_SPLIT,
+        ["event_type"],
+        allowance_cents=CUSUM_ALLOWANCE_CENTS,
+        threshold_cents=CUSUM_THRESHOLD_CENTS,
+        id_col="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.unix_micros("__ts").alias("ts_us"),
+        F.col("s_cents").cast("long").alias("s_cents"),
+    )
+
+
+SQL_CUSUM_ALERTS = f"""
+WITH base AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL),
+k AS (SELECT event_type,
+             CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS k0
+      FROM base WHERE ts < TIMESTAMP '{DRIFT_SPLIT}' GROUP BY event_type),
+cur AS (SELECT b.event_type, b.ts, b.event_id,
+               b.c - k.k0 - {CUSUM_ALLOWANCE_CENTS} AS d
+        FROM base b JOIN k USING (event_type)
+        WHERE ts >= TIMESTAMP '{DRIFT_SPLIT}'),
+cs AS (SELECT event_type, ts, event_id,
+              sum(d) OVER (PARTITION BY event_type
+                           ORDER BY ts, event_id) AS csum
+       FROM cur),
+s AS (SELECT event_type, ts,
+             csum - least(0, min(csum) OVER (PARTITION BY event_type
+                                             ORDER BY ts, event_id))
+               AS s_cents
+      FROM cs)
+SELECT event_type, epoch_us(ts) AS ts_us, CAST(s_cents AS BIGINT) AS s_cents
+FROM s WHERE s_cents > {CUSUM_THRESHOLD_CENTS}
+"""
+
+
 def q_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact set-overlap matrix between corpus segments: for every pair
     of lineitem return flags, the distinct parts sold under both —
@@ -6266,6 +6328,238 @@ SELECT o_orderkey, CAST(d AS BIGINT) AS h FROM {prev}
 """
 
 
+CURVE_BOX_LO, CURVE_BOX_HI = 100, 155  # straddles the 128 seam, MISALIGNED
+# with every 2^k tile boundary (aligned boxes decompose into whole
+# quadrant tiles, which are contiguous in BOTH curves and hide the
+# locality difference)
+CURVE_FILES = 32  # NOT a power of 4: a file then spans two 32x32 curve
+# tiles, and WHICH two get merged is the locality difference (any
+# 4^k-aligned tile is contiguous in BOTH curves, so power-of-4 file
+# counts cannot distinguish them)
+
+
+def q_curve_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured file-skipping comparison of the two space-filling-curve
+    layouts on the SAME 2-D box selection (one straddling the 128
+    quadrant seam, where the Morton curve's locality breaks): rows are
+    assigned to {CURVE_FILES} pseudo-files by curve-key range (what
+    ``repartitionByRange`` on the key produces), and per layout the
+    audit reports files touched by ≥1 match, files total, rows scanned
+    (rows in touched files — the cost a zone-map reader pays) and rows
+    matched. The Hilbert layout's adjacency law (unit-Manhattan steps,
+    contract-tested) concentrates any connected box into fewer key
+    ranges than Morton's seam jumps — this query turns that law into
+    the scan-cost number a 100 TB layout decision needs, from
+    metadata-sized aggregates, before rewriting anything."""
+    from pyspark.sql.window import Window
+
+    from feast_java_old_spark.operators.layout import (
+        hilbert_key,
+        interleave_bits,
+    )
+
+    scaled = _cust_day_scaled(spark, sf_dir)
+    keyed = hilbert_key(
+        scaled, "__sx", "__sy", ZORDER_BITS, out_col="__h"
+    ).withColumn(
+        "__z", interleave_bits([F.col("__sx"), F.col("__sy")], ZORDER_BITS)
+    )
+    match = (
+        F.col("__sx").between(CURVE_BOX_LO, CURVE_BOX_HI)
+        & F.col("__sy").between(CURVE_BOX_LO, CURVE_BOX_HI)
+    ).cast("long")
+    denom = (1 << (2 * ZORDER_BITS)) // CURVE_FILES
+    both = keyed.select(
+        F.lit("zorder").alias("layout"),
+        F.col("__z").alias("key"),
+        F.expr(f"__z div {denom}").alias("fid"),
+        match.alias("m"),
+    ).unionByName(
+        keyed.select(
+            F.lit("hilbert").alias("layout"),
+            F.col("__h").alias("key"),
+            F.expr(f"__h div {denom}").alias("fid"),
+            match.alias("m"),
+        )
+    )
+    wfile = Window.partitionBy("layout", "fid")
+    flagged = both.select(
+        "layout", "fid", "m", "key",
+        F.max("m").over(wfile).alias("touched"),
+    )
+    # n_key_ranges: maximal contiguous key runs covering the box REGION
+    # (all its cells, not just occupied ones) — the range-scan count a
+    # key-ordered reader issues for the box, the canonical curve-
+    # locality metric. Dense by construction: sparse occupancy makes
+    # point-islands curve-independent noise. Measured here: hilbert 21
+    # vs zorder 40 ranges for this box (the adjacency law, quantified).
+    cells = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(F.lit(CURVE_BOX_LO), F.lit(CURVE_BOX_HI))
+            ).alias("__sx")
+        )
+        .select(
+            "__sx",
+            F.explode(
+                F.sequence(F.lit(CURVE_BOX_LO), F.lit(CURVE_BOX_HI))
+            ).alias("__sy"),
+        )
+    )
+    ckeys = hilbert_key(
+        cells, "__sx", "__sy", ZORDER_BITS, out_col="__h"
+    ).withColumn(
+        "__z", interleave_bits([F.col("__sx"), F.col("__sy")], ZORDER_BITS)
+    )
+    ckl = ckeys.select(
+        F.lit("zorder").alias("layout"), F.col("__z").alias("key")
+    ).unionByName(
+        ckeys.select(
+            F.lit("hilbert").alias("layout"), F.col("__h").alias("key")
+        )
+    )
+    wkey = Window.partitionBy("layout").orderBy("key")
+    ranges = (
+        ckl.select(
+            "layout",
+            (F.col("key") - F.row_number().over(wkey)).alias("__island"),
+        )
+        .groupBy("layout")
+        .agg(F.countDistinct("__island").alias("n_key_ranges"))
+    )
+    per_file = (
+        flagged.groupBy("layout")
+        .agg(
+            F.countDistinct(F.when(F.col("m") == 1, F.col("fid"))).alias(
+                "files_touched"
+            ),
+            F.countDistinct("fid").alias("files_total"),
+            F.sum("touched").alias("rows_scanned"),
+            F.sum("m").alias("rows_matched"),
+        )
+    )
+    return per_file.join(ranges, "layout").select(
+        "layout",
+        F.col("files_touched").cast("long").alias("files_touched"),
+        F.col("files_total").cast("long").alias("files_total"),
+        F.col("rows_scanned").cast("long").alias("rows_scanned"),
+        F.col("rows_matched").cast("long").alias("rows_matched"),
+        F.col("n_key_ranges").cast("long").alias("n_key_ranges"),
+    )
+
+
+def _sql_curve_audit() -> str:
+    b = ZORDER_BITS
+    n = 1 << b
+    top = n - 1
+    denom = (1 << (2 * b)) // CURVE_FILES
+
+    def scale(x, lo, hi):
+        return (
+            f"CASE WHEN ({hi} - {lo}) > 0 THEN "
+            f"least(CAST(floor((CAST({x} AS DOUBLE) - {lo}) / ({hi} - {lo})"
+            f" * {top + 1}) AS BIGINT), {top}) ELSE 0 END"
+        )
+
+    zterms = []
+    for j, srccol in enumerate(("x0", "y0")):
+        for i in range(b):
+            zterms.append(f"((({srccol} >> {i}) & 1) << {i * 2 + j})")
+
+    def chain(prefix, id_cols):
+        """Hilbert quadrant-fold steps as MATERIALIZED CTEs (the r7
+        DuckDB lesson: non-materialized would re-inline exponentially)."""
+        out = []
+        prev = f"{prefix}0"
+        ids = ", ".join(id_cols)
+        for i, k in enumerate(range(b - 1, -1, -1), start=1):
+            step = 1 << k
+            rx = f"((x >> {k}) & 1)"
+            ry = f"((y >> {k}) & 1)"
+            quad = (
+                f"CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+                f"WHEN {rx} = 0 THEN 1 WHEN {ry} = 1 THEN 2 ELSE 3 END"
+            )
+            out.append(
+                f"{prefix}{i} AS MATERIALIZED (SELECT {ids},\n"
+                f"  CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1"
+                f" THEN {top} - y ELSE y END ELSE x END AS x,\n"
+                f"  CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1"
+                f" THEN {top} - x ELSE x END ELSE y END AS y,\n"
+                f"  d + {step * step} * ({quad}) AS d\n"
+                f"  FROM {prev})"
+            )
+            prev = f"{prefix}{i}"
+        return ",".join(out), prev
+
+    hsteps, hlast = chain("h", ["o_orderkey", "x0", "y0"])
+    csteps, clast = chain("c", ["x0", "y0"])
+    return f"""
+WITH o AS (SELECT o_orderkey, o_custkey AS rx,
+                  epoch_us(o_orderdate) // 86400000000 AS ry FROM orders),
+mm AS (SELECT CAST(min(rx) AS DOUBLE) AS lox, CAST(max(rx) AS DOUBLE) AS hix,
+              CAST(min(ry) AS DOUBLE) AS loy, CAST(max(ry) AS DOUBLE) AS hiy
+       FROM o),
+h0 AS (SELECT o_orderkey,
+              {scale("rx", "mm.lox", "mm.hix")} AS x0,
+              {scale("ry", "mm.loy", "mm.hiy")} AS y0,
+              {scale("rx", "mm.lox", "mm.hix")} AS x,
+              {scale("ry", "mm.loy", "mm.hiy")} AS y,
+              CAST(0 AS BIGINT) AS d
+       FROM o, mm),
+{hsteps},
+keyed AS (SELECT o_orderkey, x0, y0, d AS h,
+                 CAST({" + ".join(zterms)} AS BIGINT) AS z
+          FROM {hlast}),
+both_layouts AS (
+  SELECT 'zorder' AS layout, z // {denom} AS fid,
+         CASE WHEN x0 BETWEEN {CURVE_BOX_LO} AND {CURVE_BOX_HI}
+               AND y0 BETWEEN {CURVE_BOX_LO} AND {CURVE_BOX_HI}
+              THEN 1 ELSE 0 END AS m
+  FROM keyed
+  UNION ALL
+  SELECT 'hilbert', h // {denom},
+         CASE WHEN x0 BETWEEN {CURVE_BOX_LO} AND {CURVE_BOX_HI}
+               AND y0 BETWEEN {CURVE_BOX_LO} AND {CURVE_BOX_HI}
+              THEN 1 ELSE 0 END
+  FROM keyed),
+flagged AS (
+  SELECT layout, fid, m,
+         max(m) OVER (PARTITION BY layout, fid) AS touched
+  FROM both_layouts),
+c0 AS (SELECT CAST(i.i AS BIGINT) AS x0, CAST(j.j AS BIGINT) AS y0,
+              CAST(i.i AS BIGINT) AS x, CAST(j.j AS BIGINT) AS y,
+              CAST(0 AS BIGINT) AS d
+       FROM unnest(range({CURVE_BOX_LO}, {CURVE_BOX_HI + 1})) AS i(i),
+            unnest(range({CURVE_BOX_LO}, {CURVE_BOX_HI + 1})) AS j(j)),
+{csteps},
+ckeys AS (SELECT d AS h,
+                 CAST({" + ".join(zterms)} AS BIGINT) AS z
+          FROM {clast}),
+ckl AS (SELECT 'zorder' AS layout, z AS key FROM ckeys
+        UNION ALL
+        SELECT 'hilbert', h FROM ckeys),
+isl AS (SELECT layout,
+               key - row_number() OVER (PARTITION BY layout ORDER BY key)
+                 AS island
+        FROM ckl),
+rng AS (SELECT layout, count(DISTINCT island) AS n_key_ranges
+        FROM isl GROUP BY layout),
+per_file AS (
+  SELECT layout,
+         CAST(count(DISTINCT CASE WHEN m = 1 THEN fid END) AS BIGINT)
+           AS files_touched,
+         CAST(count(DISTINCT fid) AS BIGINT) AS files_total,
+         CAST(sum(touched) AS BIGINT) AS rows_scanned,
+         CAST(sum(m) AS BIGINT) AS rows_matched
+  FROM flagged GROUP BY layout)
+SELECT p.layout, p.files_touched, p.files_total, p.rows_scanned,
+       p.rows_matched, CAST(r.n_key_ranges AS BIGINT) AS n_key_ranges
+FROM per_file p JOIN rng r ON r.layout = p.layout
+"""
+
+
 SNAPSHOT_AT = "2024-01-20 00:00:00"
 
 
@@ -8588,6 +8882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "segment_overlap": q_segment_overlap,
         "segment_overlap_kmv": q_segment_overlap_kmv,
+        "cusum_alerts": q_cusum_alerts,
+        "curve_skip_audit": q_curve_skip_audit,
         "tpch_q18": q_tpch_q18,
         "p5_type_conformance": q_p5_type_conformance,
         "dedup_exact": q_dedup_exact,
@@ -8793,6 +9089,8 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_key": _sql_hilbert(),
         "ks_drift": SQL_KS_DRIFT,
         "segment_overlap": SQL_SEGMENT_OVERLAP,
+        "cusum_alerts": SQL_CUSUM_ALERTS,
+        "curve_skip_audit": _sql_curve_audit(),
         # segment_overlap_kmv: approx by design, no oracle — the exact
         # twin above is the hash-matched query (sketch_distinct pattern)
         "lm_backoff": SQL_LM_BACKOFF,

@@ -39,6 +39,7 @@ HEADLINE = [
     "a6_percentiles",
     "feature_drift",
     "ks_drift",
+    "cusum_alerts",
     "segment_overlap",
     "segment_overlap_kmv",
     "key_skew",
@@ -145,6 +146,7 @@ HEADLINE = [
     "cohort_retention",
     "zorder_key",
     "hilbert_key",
+    "curve_skip_audit",
     "scd2_snapshot",
     "token_encode",
     "heavy_hitters",

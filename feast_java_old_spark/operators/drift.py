@@ -211,3 +211,92 @@ def ks_drift(
             "n_cur",
         )
     )
+
+
+def cusum_alerts(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    split_ts,
+    group_cols: Optional[Sequence[str]] = None,
+    allowance_cents: int = 0,
+    threshold_cents: int = 1000,
+    id_col: Optional[str] = None,
+) -> DataFrame:
+    """One-sided CUSUM change-point monitor per group: alert rows where
+    the Page (1954) cumulative-sum statistic exceeds the threshold —
+    the sequential detector that fires on a sustained small mean shift
+    long before a windowed PSI/KS snapshot moves.
+
+    The CUSUM recursion ``S_i = max(0, S_{i-1} + (x_i − k))`` is not a
+    prefix sum — but it has a closed windowed form:
+    ``S_i = C_i − min(0, min_{j≤i} C_j)`` where ``C`` is the plain
+    running sum of deviations. So the whole detector is two window
+    functions over one (group)-partitioned (ts, id)-ordered pass — no
+    recursion, no UDF, no driver loop.
+
+    Integer-lattice discipline: values are quantized to cents and the
+    reference level is the PRE-SPLIT per-group mean computed as
+    ``sum_cents DIV n`` (exact integer division) — running window sums
+    over doubles are engine-divergent in their last ulp (DuckDB's
+    segment-tree moving aggregates associate differently from Spark's
+    sequential frame accumulation), while BIGINT sums are exact in any
+    association order. ``k = mean_cents + allowance_cents``;
+    alert when ``S > threshold_cents``.
+
+    Emits (group_cols…, ts, s_cents) for post-split alert rows.
+    """
+    from pyspark.sql.window import Window
+
+    group_cols = list(group_cols or [])
+    split = F.lit(split_ts).cast("timestamp")
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    base = df.select(
+        *group_cols,
+        F.col(ts_col).alias("__ts"),
+        *( [F.col(id_col).alias("__id")] if id_col else [] ),
+        cents.alias("__c"),
+    ).where(F.col("__c").isNotNull())
+    # floor(sum/n): both operands are exact integers < 2^53, so the
+    # IEEE quotient errs < 1 ulp and a non-integer true quotient sits
+    # ≥ 1/n from any integer — floor is engine-identical for any
+    # realistic n (< ~5·10^11 at cent scale). cast('long') would
+    # TRUNCATE (toward zero), diverging from SQL floor on negatives.
+    ref_mean = (
+        base.where(F.col("__ts") < split)
+        .groupBy(*group_cols)
+        .agg(
+            F.floor(F.sum("__c") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("__k0")
+        )
+    )
+    order = [F.col("__ts")] + ([F.col("__id")] if id_col else [])
+    wcum = Window.partitionBy(*group_cols).orderBy(*order)
+    cur = (
+        base.where(F.col("__ts") >= split)
+        .join(F.broadcast(ref_mean), on=group_cols)
+        .select(
+            *group_cols,
+            "__ts",
+            *(["__id"] if id_col else []),
+            (F.col("__c") - F.col("__k0") - F.lit(allowance_cents)).alias(
+                "__d"
+            ),
+        )
+    )
+    c = cur.select(
+        *group_cols,
+        "__ts",
+        *(["__id"] if id_col else []),
+        F.sum("__d").over(wcum).alias("__cs"),
+    )
+    s = c.select(
+        *group_cols,
+        "__ts",
+        (
+            F.col("__cs")
+            - F.least(F.lit(0), F.min("__cs").over(wcum))
+        ).alias("s_cents"),
+    )
+    return s.where(F.col("s_cents") > threshold_cents)

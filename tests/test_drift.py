@@ -109,3 +109,49 @@ def test_ks_drift_matches_pure_python_and_edges(spark):
     assert out["disj"].ks == 1.0
     assert out["oneside"].ks is None
     assert out["a"].n_ref == 80 and out["a"].n_cur == 60
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    """The windowed closed form C_i - min(0, min_j<=i C_j) must equal
+    the textbook recursion S_i = max(0, S_{i-1} + d_i) point for point,
+    and the detector fires on a sustained shift but not on noise."""
+    import datetime as dt
+
+    from feast_java_old_spark.operators.drift import cusum_alerts
+
+    split = dt.datetime(2024, 1, 16)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # ref: mean 10.00 exactly
+    for i in range(20):
+        rows.append(("g", t0 + dt.timedelta(hours=i), i, 10.0))
+    # cur: oscillates +-3 around 10 (no alarm), then sustained +2 shift
+    cur_vals = [13.0, 7.0, 13.0, 7.0] + [12.0] * 12
+    for i, v in enumerate(cur_vals):
+        rows.append(
+            ("g", dt.datetime(2024, 1, 20) + dt.timedelta(hours=i), 100 + i, v)
+        )
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    out = cusum_alerts(
+        df, "value", "ts", split, ["event_type"],
+        allowance_cents=50,       # k = 10.00 + 0.50
+        threshold_cents=400,      # alarm at S > 4.00
+        id_col="event_id",
+    ).collect()
+
+    # python recursion over the same cur sequence
+    s, alarms = 0, []
+    for i, v in enumerate(cur_vals):
+        d = round(v * 100) - 1000 - 50
+        s = max(0, s + d)
+        if s > 400:
+            alarms.append((100 + i, s))
+    got = sorted((r.s_cents) for r in out)
+    assert got == sorted(s for _, s in alarms)
+    assert len(alarms) > 0  # the shift IS detected
+    # oscillation alone never alarms: first alarm index is in the
+    # sustained-shift tail
+    first = min(i for i, _ in alarms)
+    assert first >= 104
