@@ -8862,8 +8862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver gate window: the driver's correctness gate samples the
         # FIRST 50 entries of this dict (insertion order).  r8 rotation
         # (the r6 #5 standing invariant: no query's driver row ages past
-        # ~3 rounds): positions 1-16 are the 16 never-gated r8 queries,
-        # then the 25 queries whose newest row is r4, then the 9 oldest
+        # ~3 rounds): positions 1-18 are the 18 never-gated r8 queries,
+        # then the 25 queries whose newest row is r4, then the 7 oldest
         # r5 rows.  Positions 51+ are the remaining r5/r6/r7 rows,
         # oldest evidence first — next round's window starts there.
         "tpch_q17": q_tpch_q17,

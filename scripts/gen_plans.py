@@ -104,6 +104,8 @@ PICKS = [
     ("hilbert_key", "Hilbert curve index: 8 unrolled shift/mask/CASE levels with explode-struct barriers pinning expression growth linear (CollapseProject would re-inline each level's x/y ~3×); scaling mins/maxes ride one broadcast 1-row aggregate."),
     ("ks_drift", "Exact two-sample KS: per-(group, value, side) counts collapse duplicates map-side; one per-group window turns counts into integer-lattice CDFs; the sup gap is a max aggregate — binning-free drift with no float comparison until the final division."),
     ("segment_overlap", "Exact segment overlap: ONE distinct (segment, key) projection self-joins on the key; per-segment cardinalities broadcast onto the pair counts — the oracle-bearing exact twin of the KMV sketch path."),
+    ("cusum_alerts", "Page CUSUM as windows: the max(0,S+d) recursion is cumsum − min(0, running-min) — two window functions over one (group)-partitioned (ts,id)-ordered pass on the cents lattice; the pre-split reference mean broadcasts as one row per group."),
+    ("curve_skip_audit", "Curve locality audit: both layouts' pseudo-file metrics come from ONE union + per-(layout,file) window over key/fid projections; the dense-region range count is a generated 4096-cell grid (explode(sequence)), never a data rescan — hilbert 21 vs zorder 40 ranges on the seam-straddling box."),
 ]
 
 out = io.StringIO()
