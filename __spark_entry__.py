@@ -3748,6 +3748,72 @@ WHERE val_cents * {Q11_FRACTION_DENOM} > (SELECT sum(val_cents) FROM pv)
 """
 
 
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general grouping lattice a7's
+    ROLLUP and a8's CUBE are special cases of: three hand-picked sets
+    ((year, priority), (year, status), (status)) that neither rollup
+    nor cube can express. Spark expands all sets through ONE Expand
+    node into ONE exchange (rows × |sets| partials, map-side combined)
+    — never one scan per set. Per-column grouping() flags are emitted
+    instead of the packed grouping_id (bit order is engine-specific;
+    the flags are portable) and disambiguate a real NULL group key
+    from a rolled-up one."""
+    _tpch_views(spark, sf_dir, "orders")
+    return spark.sql(SQL_GROUPING_SETS)
+
+
+SQL_GROUPING_SETS = """
+SELECT year(o_orderdate) AS order_year,
+       o_orderpriority,
+       o_orderstatus,
+       CAST(grouping(year(o_orderdate)) AS BIGINT) AS g_year,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+GROUP BY GROUPING SETS (
+  (year(o_orderdate), o_orderpriority),
+  (year(o_orderdate), o_orderstatus),
+  (o_orderstatus)
+)
+"""
+
+
+def q_not_in_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS null semantics — the SQL trap the q16
+    docstring warns about, proven executable: a NOT IN whose subquery
+    contains even ONE NULL is vacuously false for every outer row
+    (three-valued logic: x <> NULL is UNKNOWN), so Spark must plan a
+    null-aware anti join and return ZERO rows; the NULL-free variant
+    and the NOT EXISTS form return the real anti-join count. One query,
+    three labeled counts — an engine that silently compiles NOT IN to
+    a plain anti join fails the first row."""
+    _tpch_views(spark, sf_dir, "part", "lineitem")
+    return spark.sql(SQL_NOT_IN_SEMANTICS)
+
+
+SQL_NOT_IN_SEMANTICS = """
+SELECT 'not_in_with_null' AS variant, CAST(count(*) AS BIGINT) AS n_parts
+FROM part
+WHERE p_partkey NOT IN (
+  SELECT CASE WHEN l_discount <= 0.09 THEN NULL ELSE l_partkey END
+  FROM lineitem)
+UNION ALL
+SELECT 'not_in_null_free', CAST(count(*) AS BIGINT)
+FROM part
+WHERE p_partkey NOT IN (
+  SELECT l_partkey FROM lineitem WHERE l_discount > 0.09)
+UNION ALL
+SELECT 'not_exists', CAST(count(*) AS BIGINT)
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_partkey = p.p_partkey AND l_discount > 0.09)
+"""
+
+
 CLEAN_MIN_QUALITY = 0.55
 CLEAN_LANG = "en"
 
@@ -8862,8 +8928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver gate window: the driver's correctness gate samples the
         # FIRST 50 entries of this dict (insertion order).  r8 rotation
         # (the r6 #5 standing invariant: no query's driver row ages past
-        # ~3 rounds): positions 1-18 are the 18 never-gated r8 queries,
-        # then the 25 queries whose newest row is r4, then the 7 oldest
+        # ~3 rounds): positions 1-20 are the 20 never-gated r8 queries,
+        # then the 25 queries whose newest row is r4, then the 5 oldest
         # r5 rows.  Positions 51+ are the remaining r5/r6/r7 rows,
         # oldest evidence first — next round's window starts there.
         "tpch_q17": q_tpch_q17,
@@ -8884,6 +8950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_overlap_kmv": q_segment_overlap_kmv,
         "cusum_alerts": q_cusum_alerts,
         "curve_skip_audit": q_curve_skip_audit,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "not_in_semantics": q_not_in_semantics,
         "tpch_q18": q_tpch_q18,
         "p5_type_conformance": q_p5_type_conformance,
         "dedup_exact": q_dedup_exact,
@@ -9091,6 +9159,8 @@ def oracle_sql() -> dict[str, str]:
         "segment_overlap": SQL_SEGMENT_OVERLAP,
         "cusum_alerts": SQL_CUSUM_ALERTS,
         "curve_skip_audit": _sql_curve_audit(),
+        "grouping_sets_revenue": SQL_GROUPING_SETS,
+        "not_in_semantics": SQL_NOT_IN_SEMANTICS,
         # segment_overlap_kmv: approx by design, no oracle — the exact
         # twin above is the hash-matched query (sketch_distinct pattern)
         "lm_backoff": SQL_LM_BACKOFF,

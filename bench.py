@@ -209,6 +209,8 @@ HEADLINE = [
     "tpch_q22",
     "tpch_q15",
     "tpch_q11",
+    "grouping_sets_revenue",
+    "not_in_semantics",
     # r7: per-user Markov transition matrix + feed-silence report.
     "event_transitions",
     "event_gaps",
