@@ -70,3 +70,33 @@ def test_fact_table_paths_have_no_nested_loop_join(spark, sf_dir, name):
     plan = _plan(e.queries()[name](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name,pushed_frag,max_read_cols",
+    [
+        # Q6: all four range predicates must reach the parquet footer,
+        # and the scan must read exactly the 4 referenced columns.
+        ("tpch_q6", "PushedFilters: [", 4),
+        # S1: projection pruning — the events scan carries the 4
+        # projected columns + the filter column, never the full row
+        # (the props payload column must not be read).
+        ("s1_scan_projection", "ReadSchema", 5),
+    ],
+)
+def test_scan_bound_queries_push_and_prune(
+    spark, sf_dir, name, pushed_frag, max_read_cols
+):
+    """The scan-bound contract: a filter that stays above the FileScan
+    or a ReadSchema wider than the projection silently multiplies a
+    100 TB scan. Checked on the live executed plan, not docs."""
+    import re
+
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()[name](spark, sf_dir))
+    assert pushed_frag in plan, name
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, name
+    ncols = len([c for c in m.group(1).split(",") if c])
+    assert ncols <= max_read_cols, (name, m.group(1))
