@@ -6448,10 +6448,11 @@ def q_curve_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             match.alias("m"),
         )
     )
-    wfile = Window.partitionBy("layout", "fid")
-    flagged = both.select(
-        "layout", "fid", "m", "key",
-        F.max("m").over(wfile).alias("touched"),
+    # per-(layout, fid) stats via a map-side-combined aggregate — NOT a
+    # window over every row (a window would shuffle and sort the full
+    # 2×|orders| union; the aggregate shuffles one row per file)
+    files = both.groupBy("layout", "fid").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("m").alias("__nm")
     )
     # n_key_ranges: maximal contiguous key runs covering the box REGION
     # (all its cells, not just occupied ones) — the range-scan count a
@@ -6494,16 +6495,13 @@ def q_curve_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("layout")
         .agg(F.countDistinct("__island").alias("n_key_ranges"))
     )
-    per_file = (
-        flagged.groupBy("layout")
-        .agg(
-            F.countDistinct(F.when(F.col("m") == 1, F.col("fid"))).alias(
-                "files_touched"
-            ),
-            F.countDistinct("fid").alias("files_total"),
-            F.sum("touched").alias("rows_scanned"),
-            F.sum("m").alias("rows_matched"),
-        )
+    per_file = files.groupBy("layout").agg(
+        F.sum((F.col("__nm") > 0).cast("long")).alias("files_touched"),
+        F.count(F.lit(1)).alias("files_total"),
+        F.sum(F.when(F.col("__nm") > 0, F.col("__n"))).alias(
+            "rows_scanned"
+        ),
+        F.sum("__nm").alias("rows_matched"),
     )
     return per_file.join(ranges, "layout").select(
         "layout",
