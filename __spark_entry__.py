@@ -2750,6 +2750,58 @@ FROM s WHERE s_cents > {CUSUM_THRESHOLD_CENTS}
 """
 
 
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``cusum_alerts``, hash-matched against the
+    SAME oracle (streaming/ingest.py:stream_cusum_alerts): the
+    post-split half of events is REALLY STREAMED through
+    ``applyInPandasWithState`` — the one Structured Streaming primitive
+    that can express a *sequential* statistic (each row's S depends on
+    all prior rows; no window or aggregate is incremental in it). The
+    running S is one long per group in the state store; within a batch
+    the recursion is vectorized via its closed form with carry-in.
+    Batch/stream interchangeability, proven at the alert-row level."""
+    import uuid
+
+    from feast_java_old_spark.streaming.ingest import stream_cusum_alerts
+
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    reference = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts") < split)
+        .select("event_type", "value")
+    )
+    stream = _events_stream(spark, sf_dir).where(
+        F.col("event_timestamp") >= split
+    )
+    out = stream_cusum_alerts(
+        stream,
+        reference,
+        value_col="value",
+        group_col="event_type",
+        event_ts_col="event_timestamp",
+        id_col="event_id",
+        allowance_cents=CUSUM_ALLOWANCE_CENTS,
+        threshold_cents=CUSUM_THRESHOLD_CENTS,
+    )
+    name = f"scu_{uuid.uuid4().hex[:8]}"
+    with _small_shuffle(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream_cusum did not finish in 600s")
+    return spark.table(name).select(
+        "event_type",
+        F.unix_micros("event_timestamp").alias("ts_us"),
+        "s_cents",
+    )
+
+
 def q_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact set-overlap matrix between corpus segments: for every pair
     of lineitem return flags, the distinct parts sold under both —
@@ -8926,8 +8978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver gate window: the driver's correctness gate samples the
         # FIRST 50 entries of this dict (insertion order).  r8 rotation
         # (the r6 #5 standing invariant: no query's driver row ages past
-        # ~3 rounds): positions 1-20 are the 20 never-gated r8 queries,
-        # then the 25 queries whose newest row is r4, then the 5 oldest
+        # ~3 rounds): positions 1-21 are the 21 never-gated r8 queries,
+        # then the 25 queries whose newest row is r4, then the 4 oldest
         # r5 rows.  Positions 51+ are the remaining r5/r6/r7 rows,
         # oldest evidence first — next round's window starts there.
         "tpch_q17": q_tpch_q17,
@@ -8950,6 +9002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curve_skip_audit": q_curve_skip_audit,
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "not_in_semantics": q_not_in_semantics,
+        "stream_cusum": q_stream_cusum,
         "tpch_q18": q_tpch_q18,
         "p5_type_conformance": q_p5_type_conformance,
         "dedup_exact": q_dedup_exact,
@@ -9159,6 +9212,7 @@ def oracle_sql() -> dict[str, str]:
         "curve_skip_audit": _sql_curve_audit(),
         "grouping_sets_revenue": SQL_GROUPING_SETS,
         "not_in_semantics": SQL_NOT_IN_SEMANTICS,
+        "stream_cusum": SQL_CUSUM_ALERTS,  # batch/stream twin, one oracle
         # segment_overlap_kmv: approx by design, no oracle — the exact
         # twin above is the hash-matched query (sketch_distinct pattern)
         "lm_backoff": SQL_LM_BACKOFF,

@@ -507,6 +507,123 @@ def stream_running_features(
     )
 
 
+def stream_cusum_alerts(
+    stream: DataFrame,
+    reference: DataFrame,
+    value_col: str,
+    group_col: str,
+    event_ts_col: str = "event_timestamp",
+    id_col: str = "event_id",
+    allowance_cents: int = 0,
+    threshold_cents: int = 1000,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming twin of :func:`~feast_java_old_spark.operators.drift.
+    cusum_alerts`: the Page CUSUM evaluated ON ARRIVAL, per group, with
+    the running statistic carried across micro-batches in the state
+    store — the alerting form of the batch monitor (same reference
+    level, same lattice, same alerts; the gate hash-matches both
+    against ONE oracle).
+
+    Why ``applyInPandasWithState`` and not windows: CUSUM is a
+    *sequential* statistic — each row's S depends on every prior row's
+    — which no watermark window or aggregate expresses incrementally.
+    State per group is ONE long (the running S). Within a batch the
+    rows are sorted by (event time, id) and the recursion is evaluated
+    VECTORIZED via its closed form with carry-in
+    ``S_i = C_i − min(−S₀, running_min(C)_i)`` (numpy cumsum +
+    minimum.accumulate — no per-row python loop); across batches the
+    carry S₀ resumes it. Cross-batch correctness assumes per-group
+    in-order arrival (the usual keyed-log contract); late rows beyond
+    the watermark would need reprocessing, as with any sequential
+    statistic.
+
+    All arithmetic is on the cents lattice and the deviation
+    ``d = cents − k₀ − allowance`` is computed SPARK-side (the
+    reference level k₀ = floor(Σcents/n) joins in as a broadcast
+    static frame), so the pandas kernel only ever adds exact int64s.
+    Emits (group, event_timestamp, s_cents) alert rows.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    ref_mean = (
+        reference.select(
+            F.col(group_col).alias("g"), cents.alias("__c")
+        )
+        .where(F.col("__c").isNotNull())
+        .groupBy("g")
+        .agg(
+            F.floor(F.sum("__c") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("__k0")
+        )
+    )
+    prepared = (
+        stream.select(
+            F.col(group_col).alias("g"),
+            F.col(event_ts_col).alias("__ts"),
+            F.col(id_col).alias("__id"),
+            cents.alias("__c"),
+        )
+        .where(F.col("__c").isNotNull())
+        .join(F.broadcast(ref_mean), "g")  # stream-static join
+        .select(
+            "g",
+            "__ts",
+            "__id",
+            (F.col("__c") - F.col("__k0") - F.lit(allowance_cents)).alias(
+                "__d"
+            ),
+        )
+    )
+    key_field = prepared.schema["g"]
+    out_schema = StructType(
+        [
+            StructField("g", key_field.dataType),
+            StructField("event_timestamp", TimestampType()),
+            StructField("s_cents", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("s", LongType())])
+
+    def update(key, pdfs, state):
+        s0 = int(state.get[0]) if state.exists else 0
+        parts = [pdf for pdf in pdfs if not pdf.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values(["__ts", "__id"])
+        c = pdf["__d"].to_numpy(dtype="int64").cumsum()
+        floor = np.minimum(np.minimum.accumulate(c), -s0)
+        s = c - floor
+        mask = s > threshold_cents
+        if mask.any():
+            yield pd.DataFrame(
+                {
+                    "g": [key[0]] * int(mask.sum()),
+                    "event_timestamp": pdf["__ts"].to_numpy()[mask],
+                    "s_cents": s[mask],
+                }
+            )
+        state.update((int(s[-1]),))
+
+    return (
+        prepared.withWatermark("__ts", watermark)
+        .groupBy("g")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
+        )
+        .withColumnRenamed("g", group_col)
+    )
+
+
 def stream_session_features(
     stream: DataFrame,
     keys: Sequence[str],

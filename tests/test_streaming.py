@@ -806,3 +806,61 @@ def test_stream_drift_psi_matches_batch_feature_drift(spark, tmp_path):
     assert got == batch
     # and the monitor actually detects the engineered shift
     assert got["a"][0] > 0.25 > got["b"][0]
+
+
+def test_stream_cusum_carries_state_across_batches(spark, tmp_path):
+    """The running S must survive micro-batch boundaries: batch 1
+    drives S just below the threshold, batch 2's rows only alarm if
+    the carry S0 is live in the state store — a fresh S=0 would stay
+    silent. Alerts equal the textbook recursion over the concatenated
+    sequence. (Memory sinks cannot resume from a checkpoint, so the
+    carry is exercised across micro-batches of ONE query — the same
+    state-store path a checkpoint restart replays.)"""
+    import uuid
+
+    from feast_java_old_spark.streaming.ingest import stream_cusum_alerts
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ref = spark.createDataFrame(
+        [("g", 10.0)] * 10, "event_type string, value double"
+    )
+    # k0 = 1000 cents; threshold 500. batch1 deviations: +200 x2 -> S 400
+    b1 = [("g", t(10 + i), i, 12.0) for i in range(2)]
+    # batch2: +200 x2 -> S 600, 800: alarms ONLY with carry (fresh S
+    # would reach 200, 400)
+    b2 = [("g", t(20 + i), 10 + i, 12.0) for i in range(2)]
+
+    def write(rows):
+        spark.createDataFrame(
+            rows,
+            "event_type string, event_timestamp timestamp, "
+            "event_id long, value double",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write(b1)
+    stream = spark.readStream.schema(
+        "event_type string, event_timestamp timestamp, "
+        "event_id long, value double"
+    ).parquet(src)
+    out = stream_cusum_alerts(
+        stream, ref, "value", "event_type",
+        allowance_cents=0, threshold_cents=500,
+    )
+    name = f"scu_{uuid.uuid4().hex[:6]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 0  # S peaked at 400 <= 500
+        write(b2)
+        q.processAllAvailable()
+        alerts = sorted(r.s_cents for r in spark.table(name).collect())
+        # recursion over the full sequence: S = 200, 400, 600, 800
+        assert alerts == [600, 800]
+    finally:
+        q.stop()
