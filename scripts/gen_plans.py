@@ -105,7 +105,9 @@ PICKS = [
     ("ks_drift", "Exact two-sample KS: per-(group, value, side) counts collapse duplicates map-side; one per-group window turns counts into integer-lattice CDFs; the sup gap is a max aggregate — binning-free drift with no float comparison until the final division."),
     ("segment_overlap", "Exact segment overlap: ONE distinct (segment, key) projection self-joins on the key; per-segment cardinalities broadcast onto the pair counts — the oracle-bearing exact twin of the KMV sketch path."),
     ("cusum_alerts", "Page CUSUM as windows: the max(0,S+d) recursion is cumsum − min(0, running-min) — two window functions over one (group)-partitioned (ts,id)-ordered pass on the cents lattice; the pre-split reference mean broadcasts as one row per group."),
-    ("curve_skip_audit", "Curve locality audit: both layouts' pseudo-file metrics come from ONE union + per-(layout,file) window over key/fid projections; the dense-region range count is a generated 4096-cell grid (explode(sequence)), never a data rescan — hilbert 21 vs zorder 40 ranges on the seam-straddling box."),
+    ("curve_skip_audit", "Curve locality audit: both layouts' pseudo-file metrics come from ONE union + a per-(layout,fid) map-side-combined aggregate (one row per file crosses the exchange, not a window over every row); the dense-region range count is a generated 4096-cell grid (explode(sequence)), never a data rescan — hilbert 21 vs zorder 40 ranges on the seam-straddling box."),
+    ("grouping_sets_revenue", "Arbitrary GROUPING SETS: all three sets expand through ONE Expand node into ONE exchange (rows x |sets| partials, map-side combined) — never one scan per set; grouping() flags ride the Expand."),
+    ("not_in_semantics", "NOT IN three-valued logic: the NULL-poisoned variant must plan a null-aware anti join (returns zero rows); the NULL-free variant and NOT EXISTS compile to plain left-anti — three labeled counts from one union."),
 ]
 
 out = io.StringIO()
