@@ -3922,6 +3922,67 @@ WHERE rn = 1 AND quality_score >= {CLEAN_MIN_QUALITY}
 """
 
 
+def q_rejection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lineage of the clean-corpus pipeline
+    (operators/pipeline.py:rejection_report): a verdict for EVERY input
+    doc — kept, or the first rejecting gate (duplicate ≻ low_quality ≻
+    wrong_lang). Same one-scan/one-shuffle shape as the pipeline: the
+    dedup group-by becomes a row_number window over the fingerprint so
+    each row sees its canonical, and the text never crosses the
+    exchange. The curation-debugging surface the cleaned output
+    hides."""
+    from feast_java_old_spark.operators import pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.rejection_report(
+        docs, min_quality=CLEAN_MIN_QUALITY, lang=CLEAN_LANG
+    )
+
+
+def _sql_rejection_report() -> str:
+    langs = sorted(text.LANG_STOPWORDS)
+    score_exprs = ",\n    ".join(
+        "len(list_filter(string_split(lower(text), ' '), t -> list_contains(["
+        + ",".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang])
+        + f"], t))) AS score_{lang}"
+        for lang in langs
+    )
+    best_s, best_l = f"score_{langs[0]}", f"'{langs[0]}'"
+    for lang in langs[1:]:
+        cond = f"score_{lang} > ({best_s})"
+        best_s = f"CASE WHEN {cond} THEN score_{lang} ELSE ({best_s}) END"
+        best_l = f"CASE WHEN {cond} THEN '{lang}' ELSE ({best_l}) END"
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         length(text) AS n_chars,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains({_STOPLIST_SQL}, t))) AS n_stop,
+         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+           AS n_alnum_space,
+         {score_exprs}
+  FROM documents),
+s AS (
+  SELECT doc_id, fp, n_tokens,
+         round(least(n_tokens / 50.0, 1.0) * 0.5
+               + least((n_stop / n_tokens) * 5.0, 1.0) * 0.3
+               + (1.0 - least(((n_chars - n_alnum_space) / n_chars) * 10.0,
+                              1.0)) * 0.2, 6) AS quality_score,
+         {best_l} AS predicted_lang,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM b)
+SELECT doc_id,
+       CASE WHEN rn > 1 THEN 'duplicate'
+            WHEN quality_score < {CLEAN_MIN_QUALITY} THEN 'low_quality'
+            WHEN predicted_lang <> '{CLEAN_LANG}' THEN 'wrong_lang'
+            ELSE 'kept' END AS verdict,
+       CAST(n_tokens AS BIGINT) AS n_tokens, quality_score, predicted_lang
+FROM s
+"""
+
+
 # ------------------------------------------------------------- similarity ops
 
 TOPK_K = 5
@@ -8978,8 +9039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver gate window: the driver's correctness gate samples the
         # FIRST 50 entries of this dict (insertion order).  r8 rotation
         # (the r6 #5 standing invariant: no query's driver row ages past
-        # ~3 rounds): positions 1-21 are the 21 never-gated r8 queries,
-        # then the 25 queries whose newest row is r4, then the 4 oldest
+        # ~3 rounds): positions 1-22 are the 22 never-gated r8 queries,
+        # then the 25 queries whose newest row is r4, then the 3 oldest
         # r5 rows.  Positions 51+ are the remaining r5/r6/r7 rows,
         # oldest evidence first — next round's window starts there.
         "tpch_q17": q_tpch_q17,
@@ -9003,6 +9064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "not_in_semantics": q_not_in_semantics,
         "stream_cusum": q_stream_cusum,
+        "rejection_report": q_rejection_report,
         "tpch_q18": q_tpch_q18,
         "p5_type_conformance": q_p5_type_conformance,
         "dedup_exact": q_dedup_exact,
@@ -9213,6 +9275,7 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets_revenue": SQL_GROUPING_SETS,
         "not_in_semantics": SQL_NOT_IN_SEMANTICS,
         "stream_cusum": SQL_CUSUM_ALERTS,  # batch/stream twin, one oracle
+        "rejection_report": _sql_rejection_report(),
         # segment_overlap_kmv: approx by design, no oracle — the exact
         # twin above is the hash-matched query (sketch_distinct pattern)
         "lm_backoff": SQL_LM_BACKOFF,

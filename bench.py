@@ -81,6 +81,7 @@ HEADLINE = [
     "quality_classifier",
     "lang_id",
     "pipeline_clean_corpus",
+    "rejection_report",
     "training_corpus",
     "similarity_topk",
     "mmr_rerank",

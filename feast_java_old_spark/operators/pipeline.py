@@ -153,3 +153,59 @@ def build_training_corpus(
     return rejoined.select(
         id_col, "lang", "quality_score", text_col, "n_chunks", "n_removed"
     )
+
+
+def rejection_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.55,
+    lang: str = "en",
+) -> DataFrame:
+    """Per-document LINEAGE of :func:`clean_corpus`: one verdict row for
+    EVERY input document — ``kept``, or the first gate that rejected it
+    (``duplicate`` ≻ ``low_quality`` ≻ ``wrong_lang``, the pipeline's
+    evaluation order). The cleaned corpus hides why 80% of a crawl
+    vanished; at 100 TB the rejection distribution IS the debugging
+    surface (a lang-ID regression or a boilerplate surge shows up here
+    first, and per-reason counts feed the curation dashboard).
+
+    Same plan discipline as the pipeline itself: every signal is
+    computed in ONE projection over ONE scan; the duplicate verdict
+    needs each row to see its group's canonical id, so the dedup
+    group-by becomes a row_number window over the same fingerprint key
+    — still exactly one shuffle, and the text column never crosses it.
+    """
+    from pyspark.sql.window import Window
+
+    stats = text.text_stat_cols(text_col)
+    scores = text.lang_score_cols(text_col)
+    proj = df.select(
+        F.col(id_col),
+        text.fingerprint(F.col(text_col)).alias("__fp"),
+        stats["n_tokens"].alias("n_tokens"),
+        stats["quality_score"].alias("quality_score"),
+        *[c.alias(n) for n, c in scores.items()],
+    ).select(
+        id_col,
+        "__fp",
+        "n_tokens",
+        "quality_score",
+        text.predicted_lang_col().alias("predicted_lang"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("__fp").orderBy(F.col(id_col))
+    )
+    verdict = (
+        F.when(rn > 1, F.lit("duplicate"))
+        .when(F.col("quality_score") < min_quality, F.lit("low_quality"))
+        .when(F.col("predicted_lang") != lang, F.lit("wrong_lang"))
+        .otherwise(F.lit("kept"))
+    )
+    return proj.select(
+        F.col(id_col),
+        verdict.alias("verdict"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality_score",
+        "predicted_lang",
+    )
