@@ -112,4 +112,17 @@ def test_rejection_report_partitions_input_and_agrees_with_clean(
         by_verdict.setdefault(r.verdict, 0)
         by_verdict[r.verdict] += 1
     assert set(by_verdict) <= {"kept", "duplicate", "low_quality", "wrong_lang"}
-    assert by_verdict.get("duplicate", 0) > 0  # the corpus has dups
+
+    # precedence on a constructed corpus: doc 2 duplicates doc 1's
+    # LOW-QUALITY text — it must report 'duplicate' (the first gate),
+    # not 'low_quality'; the canonical copy reports the quality gate
+    junk = "zzz qqq xxx"  # short, stopword-free -> low quality, non-en
+    synth = spark.createDataFrame(
+        [(1, junk), (2, junk)], "doc_id long, text string"
+    )
+    sv = {
+        r.doc_id: r.verdict
+        for r in rejection_report(synth, min_quality=0.55).collect()
+    }
+    assert sv[2] == "duplicate"
+    assert sv[1] in ("low_quality", "wrong_lang")  # judged, not dup
