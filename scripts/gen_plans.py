@@ -107,6 +107,7 @@ PICKS = [
     ("cusum_alerts", "Page CUSUM as windows: the max(0,S+d) recursion is cumsum − min(0, running-min) — two window functions over one (group)-partitioned (ts,id)-ordered pass on the cents lattice; the pre-split reference mean broadcasts as one row per group."),
     ("curve_skip_audit", "Curve locality audit: both layouts' pseudo-file metrics come from ONE union + a per-(layout,fid) map-side-combined aggregate (one row per file crosses the exchange, not a window over every row); the dense-region range count is a generated 4096-cell grid (explode(sequence)), never a data rescan — hilbert 21 vs zorder 40 ranges on the seam-straddling box."),
     ("grouping_sets_revenue", "Arbitrary GROUPING SETS: all three sets expand through ONE Expand node into ONE exchange (rows x |sets| partials, map-side combined) — never one scan per set; grouping() flags ride the Expand."),
+    ("rejection_report", "Rejection lineage: one projection computes every gate signal; the dedup group-by is a fingerprint-partitioned row_number window (one exchange), verdicts a stateless CASE — the per-doc form of clean_corpus at identical plan cost."),
     ("not_in_semantics", "NOT IN three-valued logic: the NULL-poisoned variant must plan a null-aware anti join (returns zero rows); the NULL-free variant and NOT EXISTS compile to plain left-anti — three labeled counts from one union."),
 ]
 
