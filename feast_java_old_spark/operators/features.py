@@ -437,7 +437,7 @@ def weighted_quantiles(
     value_col: str,
     weight_col: str,
     group_cols: list[str],
-    quantiles: list[tuple[int, int]] = [(1, 4), (2, 4), (3, 4)],
+    quantiles: tuple[tuple[int, int], ...] | None = None,
 ) -> DataFrame:
     """EXACT weighted quantiles per group: the q-quantile is the
     smallest value v with cumulative weight W(≤v) ≥ q·W_total — the
@@ -462,6 +462,8 @@ def weighted_quantiles(
     """
     from pyspark.sql.window import Window
 
+    if quantiles is None:
+        quantiles = ((1, 4), (2, 4), (3, 4))
     pv = df.groupBy(
         *group_cols, F.col(value_col).alias("__v")
     ).agg(F.sum(F.col(weight_col).cast("long")).alias("__w"))

@@ -1000,9 +1000,22 @@ def compact_versioned(
             # stamp before pruning so the survivor outranks every epoch
             # it absorbed, even ones about to be deleted
             new_seq = _next_epoch_seq(schemas)
-            if os.path.isdir(epoch):
-                shutil.rmtree(epoch)
-            os.replace(staging, epoch)
+            # Swap via rename-to-trash + rollback (vacuum_store's
+            # pattern): rmtree(epoch) THEN replace would lose BOTH the
+            # old epoch and the merged rewrite if the replace failed
+            # after the rmtree (the except path deletes staging too).
+            trash = epoch.rstrip("/") + ".compact_old"
+            shutil.rmtree(trash, ignore_errors=True)  # stale from a crash
+            had_old = os.path.isdir(epoch)
+            if had_old:
+                os.replace(epoch, trash)
+            try:
+                os.replace(staging, epoch)
+            except BaseException:
+                if had_old:
+                    os.replace(trash, epoch)  # roll the live epoch back
+                raise
+            shutil.rmtree(trash, ignore_errors=True)
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             raise
