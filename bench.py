@@ -219,12 +219,50 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+def freeze_baseline() -> None:
+    """Snapshot the current BENCH_DETAIL.json as the next round's
+    adjudication baseline. Run EXACTLY ONCE per round, at round close,
+    right after the final full bench run — mid-round regens must never
+    touch BENCH_BASELINE.json (VERDICT r8 #1: a live-detail baseline
+    ratchets intra-round and lets real drift cross rounds unflagged)."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH_DETAIL.json")) as f:
+        detail = json.load(f)
+    with open(os.path.join(repo, "BENCH_BASELINE.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(
+        f"froze baseline: {len(detail.get('queries', {}))} queries, "
+        f"total {detail.get('value')}s at sf{detail.get('sf')}"
+    )
 
+
+def isolated_once(names: list[str]) -> None:
+    """Adjudication mode: run ONLY the named queries, once each, in this
+    fresh JVM (same session confs + warm-up as the full suite), and
+    print one JSON line. Drive best-of-3 by invoking this three times
+    in separate processes:  python bench.py --only q1 q2 ..."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _build_session()
+    _warm(spark, sf_dir)
     import __spark_entry__ as e
+
+    qs = e.queries()
+    out = {}
+    for name in names:
+        runs = []
+        for _ in range(2):  # cold (plan compile + codegen) then warm
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            runs.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+        out[name] = {"cold": runs[0], "warm": runs[1]}
+    print(json.dumps({"isolated": out}, separators=(",", ":")))
+
+
+def _build_session():
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     from feast_java_old_spark.sources.tables import session_builder
 
     spark = session_builder(
@@ -238,7 +276,10 @@ def main() -> None:
         },
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
+
+def _warm(spark, sf_dir: str) -> None:
     # Warm the JVM (codegen, parquet footer caches, shuffle + broadcast
     # machinery) so the first timed queries don't absorb session fixed
     # costs — a 1-row read leaves the first real shuffle/join to pay
@@ -255,14 +296,31 @@ def main() -> None:
         _F.broadcast(agg.limit(100).withColumnRenamed("n", "m")), "user_id"
     ).write.mode("overwrite").format("noop").save()
 
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    # Prior round's per-query numbers (the committed BENCH_DETAIL.json):
-    # the in-process adjudication baseline for cold-plan flags.
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    import __spark_entry__ as e
+
+    spark = _build_session()
+    _warm(spark, sf_dir)
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo, "BENCH_DETAIL.json")
+    baseline_path = os.path.join(repo, "BENCH_BASELINE.json")
+    # Prior ROUND's per-query numbers: the in-process adjudication
+    # baseline for cold-plan flags. Read from BENCH_BASELINE.json — a
+    # snapshot frozen exactly once per round close (`--freeze-baseline`),
+    # never touched by mid-round regens. Reading the live
+    # BENCH_DETAIL.json here (the pre-r9 behavior) meant every mid-round
+    # rerun ratcheted the baseline, so a query could drift past the
+    # flag threshold ACROSS the round without ever being adjudicated
+    # (r8: j3_max_age 2.01x vs r7, never flagged — VERDICT r8 #1).
     prior: dict[str, float] = {}
     try:
-        with open(detail_path) as f:
+        with open(baseline_path) as f:
             _pj = json.load(f)
         # Same-SF baselines only: gen_scaling.py runs this harness across
         # sf0.001/0.01/0.1 back-to-back, and a smaller-SF detail file
@@ -349,4 +407,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--freeze-baseline":
+        freeze_baseline()
+    elif len(sys.argv) > 2 and sys.argv[1] == "--only":
+        isolated_once(sys.argv[2:])
+    else:
+        main()
