@@ -9037,62 +9037,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver gate window: the driver's correctness gate samples the
-        # FIRST 50 entries of this dict (insertion order).  r8 rotation
+        # FIRST 50 entries of this dict (insertion order).  r9 rotation
         # (the r6 #5 standing invariant: no query's driver row ages past
-        # ~3 rounds): positions 1-22 are the 22 never-gated r8 queries,
-        # then the 25 queries whose newest row is r4, then the 3 oldest
-        # r5 rows.  Positions 51+ are the remaining r5/r6/r7 rows,
-        # oldest evidence first — next round's window starts there.
-        "tpch_q17": q_tpch_q17,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q21_agg": q_tpch_q21_agg,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q11": q_tpch_q11,
-        "dedup_prefix_filter": q_dedup_prefix_filter,
-        "schema_time_travel": q_schema_time_travel,
-        "stream_drift": q_stream_drift,
-        "linreg_orders": q_linreg_orders,
-        "weighted_quantiles": q_weighted_quantiles,
-        "store_vacuum": q_store_vacuum,
-        "hilbert_key": q_hilbert_key,
-        "ks_drift": q_ks_drift,
-        "segment_overlap": q_segment_overlap,
-        "segment_overlap_kmv": q_segment_overlap_kmv,
-        "cusum_alerts": q_cusum_alerts,
-        "curve_skip_audit": q_curve_skip_audit,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "not_in_semantics": q_not_in_semantics,
-        "stream_cusum": q_stream_cusum,
-        "rejection_report": q_rejection_report,
-        "tpch_q18": q_tpch_q18,
-        "p5_type_conformance": q_p5_type_conformance,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_containment": q_dedup_containment,
-        "dedup_verified": q_dedup_verified,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_stats": q_dedup_stats,
-        "novelty_score": q_novelty_score,
-        "stream_incremental_dedup": q_stream_incremental_dedup,
-        "dedup_components": q_dedup_components,
-        "text_stats": q_text_stats,
-        "text_repetition": q_text_repetition,
-        "pii_scrub": q_pii_scrub,
-        "chunk_dedup": q_chunk_dedup,
-        "feature_drift": q_feature_drift,
-        "key_skew": q_key_skew,
-        "decontaminate": q_decontaminate,
-        "dsir_weights": q_dsir_weights,
-        "corpus_shuffle": q_corpus_shuffle,
-        "shard_manifest": q_shard_manifest,
-        "text_normalize": q_text_normalize,
-        "hard_negatives": q_hard_negatives,
-        "stream_dedup": q_stream_dedup,
-        "stream_enrich": q_stream_enrich,
-        "stream_stream_join": q_stream_stream_join,
+        # ~3 rounds): new never-gated r9 queries go at the very front
+        # (inserted above this comment), then the 47 queries whose newest
+        # row is r5 (the staleness boundary), then r6 / r7 / r8 rows in
+        # evidence order — next round's window starts at the r6 block.
         "stream_cdc_merge": q_stream_cdc_merge,
         "stream_sessions": q_stream_sessions,
         "stream_clean_corpus": q_stream_clean_corpus,
@@ -9240,6 +9190,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
         "tpch_q14": q_tpch_q14,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q21_agg": q_tpch_q21_agg,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q11": q_tpch_q11,
+        "dedup_prefix_filter": q_dedup_prefix_filter,
+        "schema_time_travel": q_schema_time_travel,
+        "stream_drift": q_stream_drift,
+        "linreg_orders": q_linreg_orders,
+        "weighted_quantiles": q_weighted_quantiles,
+        "store_vacuum": q_store_vacuum,
+        "hilbert_key": q_hilbert_key,
+        "ks_drift": q_ks_drift,
+        "segment_overlap": q_segment_overlap,
+        "segment_overlap_kmv": q_segment_overlap_kmv,
+        "cusum_alerts": q_cusum_alerts,
+        "curve_skip_audit": q_curve_skip_audit,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "not_in_semantics": q_not_in_semantics,
+        "stream_cusum": q_stream_cusum,
+        "rejection_report": q_rejection_report,
+        "tpch_q18": q_tpch_q18,
+        "p5_type_conformance": q_p5_type_conformance,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_containment": q_dedup_containment,
+        "dedup_verified": q_dedup_verified,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_stats": q_dedup_stats,
+        "novelty_score": q_novelty_score,
+        "stream_incremental_dedup": q_stream_incremental_dedup,
+        "dedup_components": q_dedup_components,
+        "text_stats": q_text_stats,
+        "text_repetition": q_text_repetition,
+        "pii_scrub": q_pii_scrub,
+        "chunk_dedup": q_chunk_dedup,
+        "feature_drift": q_feature_drift,
+        "key_skew": q_key_skew,
+        "decontaminate": q_decontaminate,
+        "dsir_weights": q_dsir_weights,
+        "corpus_shuffle": q_corpus_shuffle,
+        "shard_manifest": q_shard_manifest,
+        "text_normalize": q_text_normalize,
+        "hard_negatives": q_hard_negatives,
+        "stream_dedup": q_stream_dedup,
+        "stream_enrich": q_stream_enrich,
+        "stream_stream_join": q_stream_stream_join,
     }
 
 
