@@ -9025,6 +9025,196 @@ LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
 """
 
 
+# ------------------------------------------------------------- audit trail
+
+
+AUDIT_BATCHES = 3
+
+
+def q_audit_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audit trail of a register → materialize → serve
+    session (registry/audit.py — parity with the reference's
+    ``common/.../logging/AuditLogger.java`` ACTION / TRANSITION /
+    MESSAGE entries, shapes pinned by ``AuditLogEntryTest.java``).
+
+    Scenario (deterministic clock ⇒ deterministic seq): CREATE the
+    entity + feature table, an UPDATE re-apply, one materialize run
+    (RUNNING → READY job transitions), then the %7 custkey request set
+    served in ``AUDIT_BATCHES`` batches split by ``custkey % 3`` — each
+    batch emits one MESSAGE entry whose response summary carries the
+    DATA-DEPENDENT per-status field counts (PRESENT / NOT_FOUND /
+    OUTSIDE_MAX_AGE at the J3 request timestamp). The JSONL trail is
+    read back through ``read_audit_log`` (one flat relation, explicit
+    schema) and projected to scalars; the oracle recomputes the serving
+    counts from customer × orders and pins the control-plane rows.
+
+    The request assembly is driver-side BY CONTRACT (a serving request
+    is ≤ thousands of rows — the reference serializes the same rows
+    into its gRPC request); everything the counts summarize ran as the
+    distributed broadcast-lookup plan. localCheckpoint before the tmp
+    dirs are removed (the driver collects after return)."""
+    import shutil
+    import tempfile
+
+    import feast_java_old_spark as fs
+    from feast_java_old_spark.operators import materialize
+    from feast_java_old_spark.plans.serving_json import serve_logged
+    from feast_java_old_spark.registry.audit import AuditLogger, read_audit_log
+    from feast_java_old_spark.registry.model import FileSource
+    from feast_java_old_spark.registry.registry import Registry
+
+    tmp = tempfile.mkdtemp(prefix="fjos_audit_")
+    try:
+        seq = iter(range(1_000_000))
+        ids = iter(range(1_000_000))
+        log = AuditLogger(
+            path=f"{tmp}/audit.jsonl",
+            clock=lambda: next(seq),
+            id_factory=lambda: f"m{next(ids)}",
+        )
+        reg = Registry(audit=log)
+        reg.apply_entity(fs.Entity("c_custkey", fs.ValueType.INT64))
+
+        def ft(labels):
+            return fs.FeatureTable(
+                name="customer_orders_audit",
+                entities=["c_custkey"],
+                features=[fs.Feature("total_price", fs.ValueType.DOUBLE)],
+                max_age_secs=MAX_AGE_1Y,
+                labels=labels,
+                batch_source=FileSource(
+                    file_url=f"{sf_dir}/orders.parquet",
+                    event_timestamp_column="o_orderdate",
+                    field_mapping={
+                        "o_custkey": "c_custkey",
+                        "o_totalprice": "total_price",
+                    },
+                ),
+            )
+
+        reg.apply_feature_table(ft({}))  # CREATE
+        reg.apply_feature_table(ft({"tier": "gold"}))  # UPDATE (spec change)
+        with _small_shuffle(spark):
+            materialize(spark, reg, "customer_orders_audit", tmp)  # RUNNING/READY
+            keys = [
+                r.c_custkey
+                for r in load_table(spark, sf_dir, "customer")
+                .where(F.col("c_custkey") % 7 == 0)
+                .select("c_custkey")
+                .collect()
+            ]
+            for b in range(AUDIT_BATCHES):
+                serve_logged(
+                    spark,
+                    reg,
+                    [{"c_custkey": int(k)} for k in keys if k % AUDIT_BATCHES == b],
+                    ["customer_orders_audit:total_price"],
+                    store_path=tmp,
+                    request_ts=REQ_TS_J3,
+                    full_feature_names=True,
+                )
+            out = read_audit_log(spark, f"{tmp}/audit.jsonl").select(
+                F.col("timestamp").alias("seq"),
+                "kind",
+                "action",
+                "status",
+                F.col("resource.type").alias("rtype"),
+                F.col("resource.id").alias("rid"),
+                "method",
+                F.col("statusCode").alias("status_code"),
+                F.element_at("response", "rows").cast("long").alias("n_rows"),
+                F.coalesce(
+                    F.element_at("response", "PRESENT").cast("long"), F.lit(0)
+                ).alias("n_present"),
+                F.coalesce(
+                    F.element_at("response", "NOT_FOUND").cast("long"), F.lit(0)
+                ).alias("n_not_found"),
+                F.coalesce(
+                    F.element_at("response", "OUTSIDE_MAX_AGE").cast("long"),
+                    F.lit(0),
+                ).alias("n_outside"),
+            )
+            # MESSAGE count columns are NULL→0-coalesced only for
+            # MESSAGE rows; control-plane rows keep NULLs.
+            out = out.select(
+                "seq",
+                "kind",
+                "action",
+                "status",
+                "rtype",
+                "rid",
+                "method",
+                "status_code",
+                *[
+                    F.when(F.col("kind") == "MESSAGE", F.col(c)).alias(c)
+                    for c in ("n_rows", "n_present", "n_not_found", "n_outside")
+                ],
+            )
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_AUDIT_TRAIL = f"""
+WITH req AS (
+  SELECT c_custkey, c_custkey % {AUDIT_BATCHES} AS b
+  FROM customer WHERE c_custkey % 7 = 0),
+l1 AS (
+  SELECT o_custkey, o_orderdate FROM (
+    SELECT o_custkey, o_orderdate,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+    FROM orders) WHERE rn = 1),
+st AS (
+  SELECT r.b,
+         CASE WHEN l1.o_custkey IS NULL THEN 'NOT_FOUND'
+              WHEN (CAST(epoch(TIMESTAMP '1998-10-01 00:00:00') AS BIGINT)
+                    - CAST(epoch(l1.o_orderdate) AS BIGINT)) > {MAX_AGE_1Y}
+                   THEN 'OUTSIDE_MAX_AGE'
+              ELSE 'PRESENT' END AS s
+  FROM req r LEFT JOIN l1 ON l1.o_custkey = r.c_custkey),
+m AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN s = 'PRESENT' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_present,
+         CAST(sum(CASE WHEN s = 'NOT_FOUND' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_not_found,
+         CAST(sum(CASE WHEN s = 'OUTSIDE_MAX_AGE' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outside
+  FROM st GROUP BY b)
+SELECT CAST(5 + b AS BIGINT) AS seq, 'MESSAGE' AS kind,
+       CAST(NULL AS VARCHAR) AS action, CAST(NULL AS VARCHAR) AS status,
+       CAST(NULL AS VARCHAR) AS rtype, CAST(NULL AS VARCHAR) AS rid,
+       'getOnlineFeatures' AS method, 'OK' AS status_code,
+       n_rows, n_present, n_not_found, n_outside
+FROM m
+UNION ALL
+SELECT * FROM (VALUES
+ (CAST(0 AS BIGINT), 'ACTION', 'CREATE', CAST(NULL AS VARCHAR),
+  'ENTITY', 'default/c_custkey', CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+ (CAST(1 AS BIGINT), 'ACTION', 'CREATE', CAST(NULL AS VARCHAR),
+  'FEATURE_TABLE', 'default/customer_orders_audit', CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+ (CAST(2 AS BIGINT), 'ACTION', 'UPDATE', CAST(NULL AS VARCHAR),
+  'FEATURE_TABLE', 'default/customer_orders_audit', CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+ (CAST(3 AS BIGINT), 'TRANSITION', CAST(NULL AS VARCHAR), 'RUNNING',
+  'JOB', 'materialize:default/customer_orders_audit',
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+ (CAST(4 AS BIGINT), 'TRANSITION', CAST(NULL AS VARCHAR), 'READY',
+  'JOB', 'materialize:default/customer_orders_audit',
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))
+) v(seq, kind, action, status, rtype, rid, method, status_code,
+    n_rows, n_present, n_not_found, n_outside)
+"""
+
+
 # ---------------------------------------------------------------- the contract
 
 
@@ -9043,6 +9233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (inserted above this comment), then the 47 queries whose newest
         # row is r5 (the staleness boundary), then r6 / r7 / r8 rows in
         # evidence order — next round's window starts at the r6 block.
+        "audit_trail": q_audit_trail,
         "stream_cdc_merge": q_stream_cdc_merge,
         "stream_sessions": q_stream_sessions,
         "stream_clean_corpus": q_stream_clean_corpus,
@@ -9245,6 +9436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "audit_trail": SQL_AUDIT_TRAIL,
         "logreg_quality": SQL_LOGREG_QUALITY,
         "global_ranks": SQL_GLOBAL_RANKS,
         "zone_map_prune": SQL_ZONE_MAP_PRUNE,

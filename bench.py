@@ -216,6 +216,8 @@ HEADLINE = [
     "event_transitions",
     "event_gaps",
     "attribution",
+    # r9: audit-trail lineage of a register->materialize->serve session.
+    "audit_trail",
 ]
 
 

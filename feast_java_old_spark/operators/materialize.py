@@ -176,29 +176,50 @@ def materialize(
     table as parquet.
 
     Returns the online table path.
+
+    If the registry carries an audit logger, the run emits the
+    reference's job-status TRANSITION entries (RUNNING at submit,
+    READY on success, ERROR on failure — the lifecycle the reference's
+    core logs for its ingestion jobs via ``AuditLogger.logTransition``,
+    ``AuditLogger.java:108-119``), resource = JOB
+    ``materialize:{project}/{table}``.
     """
     table: FeatureTable = registry.get_feature_table(table_name, project)
-    df = conform_batch_source(spark, table, end_ts=end_ts, start_ts=start_ts)
-    created_col = table.batch_source.created_timestamp_column or None
+    audit = getattr(registry, "audit", None)
+    job_id = f"materialize:{project}/{table_name}"
+    if audit is not None:
+        audit.log_transition("RUNNING", "JOB", job_id)
+    try:
+        df = conform_batch_source(spark, table, end_ts=end_ts, start_ts=start_ts)
+        created_col = table.batch_source.created_timestamp_column or None
 
-    latest = latest_per_key(
-        df,
-        keys=list(table.entities),
-        event_ts_col="event_timestamp",
-        created_ts_col=created_col,
-        strategy=strategy,
-    )
-    if created_col and created_col in latest.columns:
-        latest = latest.drop(created_col)
+        latest = latest_per_key(
+            df,
+            keys=list(table.entities),
+            event_ts_col="event_timestamp",
+            created_ts_col=created_col,
+            strategy=strategy,
+        )
+        if created_col and created_col in latest.columns:
+            latest = latest.drop(created_col)
 
-    path = online_table_path(store_path, project, table_name)
-    # Keyed layout: repartition by entity key (each output file covers one
-    # hash bucket of keys) and sort within partitions by key — parquet
-    # row-group min/max statistics on the key columns then let point
-    # lookups skip row groups inside each file, the poor-man's Z-ORDER.
-    latest.repartition(*[F.col(k) for k in table.entities]).sortWithinPartitions(
-        *table.entities
-    ).write.mode("overwrite").parquet(path)
+        path = online_table_path(store_path, project, table_name)
+        # Keyed layout: repartition by entity key (each output file covers
+        # one hash bucket of keys) and sort within partitions by key —
+        # parquet row-group min/max statistics on the key columns then let
+        # point lookups skip row groups inside each file, the poor-man's
+        # Z-ORDER.
+        latest.repartition(
+            *[F.col(k) for k in table.entities]
+        ).sortWithinPartitions(*table.entities).write.mode(
+            "overwrite"
+        ).parquet(path)
+    except BaseException:
+        if audit is not None:
+            audit.log_transition("ERROR", "JOB", job_id, level="ERROR")
+        raise
+    if audit is not None:
+        audit.log_transition("READY", "JOB", job_id)
     return path
 
 

@@ -98,3 +98,85 @@ def response_to_json(
     ``Value`` extracts to ``null`` in the reference
     (``ResponseJSONMapper.java:44-71``)."""
     return [r["fields"] for r in response_rows(df, feature_refs)]
+
+
+def serve_logged(
+    spark,
+    registry,
+    entity_rows,
+    feature_refs: Sequence[str],
+    audit=None,
+    identity: str = "",
+    **kwargs,
+) -> list[dict]:
+    """``get_online_features`` + response assembly + one MESSAGE audit
+    entry — the serving-path twin of the reference's
+    ``GrpcMessageInterceptor`` (``interceptors/GrpcMessageInterceptor
+    .java:60-98``): the interceptor snapshots the request on the way in,
+    the response on the way out, and logs OK calls at INFO / failures at
+    ERROR with the status code.
+
+    The logged payloads are SUMMARIES, not the full frames: request =
+    the feature refs + entity row count (the reference logs the proto
+    verbatim; a JSONL trail that inlines every row would grow with
+    traffic, and the *counts* are what a rollup queries), response =
+    row count + per-status field counts (PRESENT / NOT_FOUND /
+    NULL_VALUE / OUTSIDE_MAX_AGE) — data-dependent, so an audit rollup
+    can cross-check serving health against the store.
+
+    Uses ``audit`` if given, else ``registry.audit``. Returns the
+    response rows (``response_rows`` shape).
+    """
+    from feast_java_old_spark.operators.retrieval import get_online_features
+
+    audit = audit if audit is not None else getattr(registry, "audit", None)
+    n_req = (
+        len(entity_rows) if isinstance(entity_rows, (list, tuple)) else -1
+    )
+    request_summary = {
+        "features": ",".join(str(r) for r in feature_refs),
+        "entity_rows": n_req,
+    }
+    try:
+        df = get_online_features(
+            spark, registry, entity_rows, feature_refs, **kwargs
+        )
+        rows = response_rows(df, feature_refs)
+    except Exception as ex:
+        if audit is not None:
+            audit.log_message(
+                service="ServingService",
+                method="getOnlineFeatures",
+                request=request_summary,
+                response={"error": type(ex).__name__},
+                identity=identity,
+                status_code="INVALID_ARGUMENT",
+            )
+        raise
+    if audit is not None:
+        # Feature fields only: entity echo-backs are PRESENT by
+        # construction and would dilute the health signal. A feature's
+        # response key is its full "table:feature" ref or the bare
+        # feature name (full_feature_names=False) — resolve from the
+        # request's ref list, same mapping response_rows used.
+        feat_keys = set()
+        if rows:
+            for ref in feature_refs:
+                _, _, bare = str(ref).partition(":")
+                feat_keys.add(
+                    str(ref) if str(ref) in rows[0]["statuses"] else bare
+                )
+        counts: dict[str, int] = {}
+        for r in rows:
+            for key, st in r["statuses"].items():
+                if key in feat_keys:
+                    counts[st] = counts.get(st, 0) + 1
+        audit.log_message(
+            service="ServingService",
+            method="getOnlineFeatures",
+            request=request_summary,
+            response={"rows": len(rows), **{k: counts[k] for k in sorted(counts)}},
+            identity=identity,
+            status_code="OK",
+        )
+    return rows

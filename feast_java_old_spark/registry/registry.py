@@ -49,8 +49,16 @@ DEFAULT_PROJECT = "default"
 class Registry:
     """In-memory registry with optional JSON-file persistence."""
 
-    def __init__(self, path: Optional[str] = None):
+    def __init__(self, path: Optional[str] = None, audit=None):
         self.path = path
+        # Optional structured audit trail (registry/audit.py): every
+        # control-plane MUTATION emits one ACTION entry (CREATE / UPDATE /
+        # DELETE / ARCHIVE + resource ref) — the reference's
+        # AuditLogger.logAction surface (AuditLogger.java:90-101) wired
+        # into SpecService-equivalent methods. No-op feature-table
+        # upserts (equal spec hash — the early return) emit nothing:
+        # the log records state changes, not calls.
+        self.audit = audit
         self._projects: dict[str, Project] = {}
         self._entities: dict[tuple[str, str], Entity] = {}
         self._tables: dict[tuple[str, str], FeatureTable] = {}
@@ -102,6 +110,10 @@ class Registry:
                 os.unlink(tmp)
             raise
 
+    def _log_action(self, action: str, resource_type: str, rid: str) -> None:
+        if self.audit is not None:
+            self.audit.log_action(action, resource_type, rid)
+
     # ------------------------------------------------------------ projects
 
     def create_project(self, name: str) -> Project:
@@ -111,6 +123,7 @@ class Registry:
         p = Project(name)
         self._projects[name] = p
         self.save()
+        self._log_action("CREATE", "PROJECT", name)
         return p
 
     def archive_project(self, name: str) -> None:
@@ -122,6 +135,7 @@ class Registry:
             raise KeyError(f"project {name!r} not found")
         p.archived = True
         self.save()
+        self._log_action("ARCHIVE", "PROJECT", name)
 
     def list_projects(self, include_archived: bool = False) -> list[Project]:
         return [
@@ -156,6 +170,11 @@ class Registry:
             )
         self._entities[(project, entity.name)] = copy.deepcopy(entity)
         self.save()
+        self._log_action(
+            "UPDATE" if existing is not None else "CREATE",
+            "ENTITY",
+            f"{project}/{entity.name}",
+        )
         return entity
 
     def get_entity(self, name: str, project: str = DEFAULT_PROJECT) -> Entity:
@@ -196,12 +215,14 @@ class Registry:
             updated.is_deleted = False
             self._tables[(project, table.name)] = updated
             self.save()
+            self._log_action("UPDATE", "FEATURE_TABLE", f"{project}/{table.name}")
             return updated
         created = copy.deepcopy(table)
         created.revision = (existing.revision + 1) if existing is not None else 1
         created.is_deleted = False
         self._tables[(project, table.name)] = created
         self.save()
+        self._log_action("CREATE", "FEATURE_TABLE", f"{project}/{table.name}")
         return created
 
     def get_feature_table(
@@ -253,13 +274,18 @@ class Registry:
             raise KeyError(f"feature table {project}/{name} not found")
         t.is_deleted = True
         self.save()
+        self._log_action("DELETE", "FEATURE_TABLE", f"{project}/{name}")
 
     # --------------------------------------------------------------- stores
 
     def update_store(self, store: Store) -> Store:
         """Parity: ``SpecService.updateStore:332-360``."""
+        existing_store = store.name in self._stores
         self._stores[store.name] = copy.deepcopy(store)
         self.save()
+        self._log_action(
+            "UPDATE" if existing_store else "CREATE", "STORE", store.name
+        )
         return store
 
     def list_stores(self) -> list[Store]:
