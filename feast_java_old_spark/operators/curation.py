@@ -535,7 +535,6 @@ def token_budget_select(
 
     from feast_java_old_spark.operators.text import tokens
 
-    spark = df.sparkSession
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(order_col).alias("__q"),
@@ -563,16 +562,21 @@ def token_budget_select(
             "long"
         ),
     )
-    totals = [
-        (r["__b"], r["t"])
-        for r in base.groupBy("__b").agg(F.sum("n_tokens").alias("t")).collect()
-    ]
-    offsets, acc = {}, 0
-    for b, t in sorted(totals, reverse=True):  # DESC: best bucket first
-        offsets[b] = acc
-        acc += t
-    off_df = spark.createDataFrame(
-        [(b, o) for b, o in offsets.items()], "__b long, __off long"
+    # Per-bucket totals → cumulative offsets DESC (best bucket first):
+    # a single-partition window over the TOTALS frame (≤ `buckets` rows
+    # — metadata, not data; the layout.global_sort_ranks pattern). The
+    # prefix sum never leaves the cluster — a driver collect here would
+    # move millions of rows at 100 TB with fine-grained buckets.
+    w_off = Window.orderBy(F.col("__b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off_df = (
+        base.groupBy("__b")
+        .agg(F.sum("n_tokens").alias("__t"))
+        .select(
+            "__b",
+            F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
+        )
     )
     w = Window.partitionBy("__b").orderBy(
         F.col("__q").desc(), F.col("doc_id").asc()

@@ -289,7 +289,11 @@ def sequence_pack(
 
     1. bucket docs by ``id div bucket_size``;
     2. per-bucket token subtotals (tiny aggregate: corpus/bucket_size
-       rows) are collected and prefix-summed on the driver;
+       rows) prefix-sum through a single-partition window over the
+       TOTALS frame — metadata-sized, never leaves the cluster (the
+       ``layout.global_sort_ranks`` offset pattern; a driver collect
+       here would funnel millions of rows at 100 TB with a small
+       ``bucket_size``);
     3. offsets broadcast-join back; a *within-bucket* window (partitioned
        by bucket — parallel) adds the local running sum.
 
@@ -299,22 +303,21 @@ def sequence_pack(
     """
     from pyspark.sql.window import Window
 
-    spark = df.sparkSession
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
         (F.col(id_col) / bucket_size).cast("long").alias("__b"),
     )
-    totals = [
-        (r["__b"], r["t"])
-        for r in base.groupBy("__b").agg(F.sum("n_tokens").alias("t")).collect()
-    ]
-    offsets, acc = {}, 0
-    for b, t in sorted(totals):
-        offsets[b] = acc
-        acc += t
-    off_df = spark.createDataFrame(
-        [(b, o) for b, o in offsets.items()], "__b long, __off long"
+    w_off = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off_df = (
+        base.groupBy("__b")
+        .agg(F.sum("n_tokens").alias("__t"))
+        .select(
+            "__b",
+            F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
+        )
     )
     w = Window.partitionBy("__b").orderBy("doc_id")
     out = (
