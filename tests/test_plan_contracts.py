@@ -100,3 +100,91 @@ def test_scan_bound_queries_push_and_prune(
     assert m, name
     ncols = len([c for c in m.group(1).split(",") if c])
     assert ncols <= max_read_cols, (name, m.group(1))
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["j1_entity_lookup", "j2_compound_key", "j3_max_age"],
+)
+def test_serving_path_joins_all_broadcast(spark, sf_dir, name):
+    """The serving contract: the entity/request side of an online
+    lookup is never shuffled for the join — every join in the serving
+    plan is a broadcast hash join (the request set is bounded by the
+    serving protocol; a SortMergeJoin here would range-exchange the
+    ONLINE table per request batch). The exchanges that remain belong
+    to the latest-per-key reduction upstream, not the lookup."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()[name](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, name
+    assert "BroadcastHashJoin" in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the TPC-H pack: every dimension side fits the broadcast
+        # threshold at gate scale — a SortMergeJoin means a join lost
+        # its equi-key or a broadcast was barred by a plan barrier.
+        # (q21_agg is exempt: its fused twin joins lineitem against a
+        # per-order aggregate OF lineitem — two fact-sized sides, SMJ
+        # is the correct strategy. q11/q22/q15 carry deliberate
+        # 1-row-scalar BNLJs, covered by the global cartesian ban.)
+        "tpch_q1",
+        "tpch_q4",
+        "tpch_q5",
+        "tpch_q6",
+        "tpch_q13",
+        "tpch_q14",
+        "tpch_q16",
+        "tpch_q17",
+        "tpch_q18",
+        "tpch_q22",
+    ],
+)
+def test_tpch_small_sides_broadcast(spark, sf_dir, name):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()[name](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, name
+    if name not in ("tpch_q1", "tpch_q6"):  # single-table scans: no join
+        assert "BroadcastHashJoin" in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # pure projections: the whole operator must ride the scan —
+        # ANY exchange multiplies a 100 TB pass.
+        "text_normalize",
+        "pii_scrub",
+        "text_stats",
+        "token_count",
+        "doc_fingerprint",
+        "lang_id",
+        "p5_type_conformance",
+        "calendar_features",
+        "s1_scan_projection",
+    ],
+)
+def test_scan_riding_projections_are_exchange_free(spark, sf_dir, name):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()[name](spark, sf_dir))
+    assert "Exchange" not in plan, name
+
+
+@pytest.mark.parametrize("name", ["hilbert_key", "zorder_key"])
+def test_curve_keys_shuffle_only_metadata(spark, sf_dir, name):
+    """The space-filling-curve keys are projections plus ONE broadcast
+    1-row min/max stats frame: the only exchanges allowed are the
+    stats aggregate's SinglePartition collapse and its broadcast —
+    never a hashpartitioning of the fact rows."""
+    import re
+
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()[name](spark, sf_dir))
+    kinds = re.findall(r"Exchange (\w+)|(BroadcastExchange)", plan)
+    for hashkind, _bcast in kinds:
+        assert hashkind in ("", "SinglePartition"), (name, hashkind)
