@@ -48,9 +48,12 @@ def _current_version_dir(path: str) -> Optional[str]:
     return vdir if os.path.isdir(vdir) else None
 
 
-def read_online_table(spark: SparkSession, path: str) -> Optional[DataFrame]:
+def read_online_table(
+    spark: SparkSession, path: str, table_format: str = "parquet"
+) -> Optional[DataFrame]:
     """Read an online table written by either batch ``materialize`` (bare
-    parquet dir) or the streaming merge (versioned dir + pointer).
+    parquet dir) or the streaming merge (versioned dir + pointer), or —
+    with ``table_format="delta"`` — the Delta MERGE sink variant.
 
     Returns ``None`` only for a never-materialized table (missing path /
     empty dir) — real read errors (corrupt files, permissions) propagate
@@ -58,6 +61,12 @@ def read_online_table(spark: SparkSession, path: str) -> Optional[DataFrame]:
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
+    if table_format == "delta":
+        from delta.tables import DeltaTable
+
+        if not DeltaTable.isDeltaTable(spark, path):
+            return None
+        return spark.read.format("delta").load(path)
     vdir = _current_version_dir(path)
     try:
         return spark.read.parquet(vdir if vdir else path)
@@ -68,6 +77,18 @@ def read_online_table(spark: SparkSession, path: str) -> Optional[DataFrame]:
         raise
 
 
+def delta_available() -> bool:
+    """True when the ``delta-spark`` bindings are importable (the
+    Delta jars must also be on the session's classpath — the standard
+    ``configure_spark_with_delta_pip`` session setup)."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def merge_latest_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -75,17 +96,34 @@ def merge_latest_batch(
     keys: Sequence[str],
     batch_id: int,
     event_ts_col: str = "event_timestamp",
+    table_format: str = "parquet",
 ) -> None:
     """Latest-wins upsert of one micro-batch into the online table.
 
+    ``table_format="parquet"`` (default, environment-free):
     union(current, batch-latest) → latest-per-key → write new version →
     flip pointer → GC old versions. Idempotent per batch id (re-running a
     batch converges to the same state — latest-wins is commutative and
     idempotent), which is what makes foreachBatch's at-least-once
     delivery exactly-once in effect.
+
+    ``table_format="delta"`` (requires delta-spark): the same upsert as
+    a transactional ``MERGE INTO`` — on a real lake the rewrite-the-
+    world version swap becomes a keyed merge that rewrites only the
+    files holding matched keys (plus the log commit), which is the
+    correct cost model at 100 TB: O(batch ∩ table), not O(table).
+    Reader semantics are identical (:func:`read_online_table`
+    dispatches on the same flag).
     """
     keys = list(keys)
     batch_latest = latest_per_key(batch, keys, event_ts_col)
+    if table_format == "delta":
+        _merge_latest_batch_delta(
+            spark, batch_latest, path, keys, event_ts_col
+        )
+        return
+    if table_format != "parquet":
+        raise ValueError(f"unknown online table_format {table_format!r}")
     current = read_online_table(spark, path)
     merged = (
         latest_per_key(
@@ -97,6 +135,44 @@ def merge_latest_batch(
         else batch_latest
     )
     _write_version(merged, path, keys, batch_id)
+
+
+def _merge_latest_batch_delta(
+    spark: SparkSession,
+    batch_latest: DataFrame,
+    path: str,
+    keys: list[str],
+    event_ts_col: str,
+) -> None:
+    """The ``foreachBatch`` body as a Delta ``MERGE INTO``.
+
+    Tie semantics match the parquet path EXACTLY: the parquet merge
+    reduces via ``max(struct(event_ts, payload...))`` (lexicographic),
+    so the MERGE's update condition is the same struct comparison —
+    the source row wins iff its (event_ts, payload...) tuple is
+    strictly greater than the target's. ``<=>`` on the join keys keeps
+    NULL keys mergeable instead of duplicating them.
+    """
+    from delta.tables import DeltaTable  # import-gated: delta_available()
+
+    if not DeltaTable.isDeltaTable(spark, path):
+        # First batch bootstraps the table; Delta's log commit is the
+        # atomic pointer-flip equivalent.
+        batch_latest.write.format("delta").mode("overwrite").save(path)
+        return
+    target = DeltaTable.forPath(spark, path)
+    on = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+    value_cols = [c for c in batch_latest.columns if c not in keys]
+    ordered = [event_ts_col] + [c for c in value_cols if c != event_ts_col]
+    s_struct = "struct(" + ", ".join(f"s.`{c}`" for c in ordered) + ")"
+    t_struct = "struct(" + ", ".join(f"t.`{c}`" for c in ordered) + ")"
+    (
+        target.alias("t")
+        .merge(batch_latest.alias("s"), on)
+        .whenMatchedUpdateAll(condition=f"{s_struct} > {t_struct}")
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
 
 
 def _write_version(
@@ -209,20 +285,32 @@ def stream_materialize(
     watermark: str = "1 hour",
     checkpoint: Optional[str] = None,
     trigger_once: bool = False,
+    table_format: str = "parquet",
 ):
     """Run latest-wins streaming materialization of ``stream`` into the
     online store. Returns the StreamingQuery.
 
     The watermark bounds state for any upstream stateful stage; the merge
     itself is stateless across batches (state lives in the online table).
+    ``table_format="delta"`` swaps the parquet pointer-swap sink for the
+    transactional Delta ``MERGE INTO`` (requires delta-spark; identical
+    serving semantics — see :func:`merge_latest_batch`).
     """
+    if table_format == "delta" and not delta_available():
+        raise RuntimeError(
+            "table_format='delta' requires the delta-spark package "
+            "(pip install delta-spark + Delta jars on the classpath)"
+        )
     path = online_table_path(store_path, project, table_name)
     wm = stream.withWatermark(event_ts_col, watermark)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        merge_latest_batch(spark, batch, path, keys, batch_id, event_ts_col)
+        merge_latest_batch(
+            spark, batch, path, keys, batch_id, event_ts_col,
+            table_format=table_format,
+        )
 
     writer = wm.writeStream.foreachBatch(sink).outputMode("update")
     if checkpoint:

@@ -864,3 +864,99 @@ def test_stream_cusum_carries_state_across_batches(spark, tmp_path):
         assert alerts == [600, 800]
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------- delta sink twin
+
+
+def _merge_two_batches(spark, store, fmt):
+    """Drive merge_latest_batch twice (late-older row must lose, newer
+    must win, fresh key inserts) and read the table back sorted."""
+    import datetime as dt
+
+    from feast_java_old_spark.streaming.ingest import (
+        merge_latest_batch,
+        read_online_table,
+    )
+
+    b1 = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 10), 10.0),
+            (2, dt.datetime(2024, 1, 12), 20.0),
+        ],
+        "user_id long, event_timestamp timestamp, value double",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 11), 11.0),  # newer → wins
+            (2, dt.datetime(2024, 1, 5), 99.0),  # late-older → must lose
+            (3, dt.datetime(2024, 1, 1), 30.0),  # fresh key → insert
+        ],
+        "user_id long, event_timestamp timestamp, value double",
+    )
+    merge_latest_batch(spark, b1, store, ["user_id"], 0, table_format=fmt)
+    merge_latest_batch(spark, b2, store, ["user_id"], 1, table_format=fmt)
+    out = read_online_table(spark, store, table_format=fmt)
+    return sorted(
+        (r.user_id, r.event_timestamp, r.value) for r in out.collect()
+    )
+
+
+def test_delta_merge_sink_matches_parquet_sink(spark, tmp_path):
+    """Serving identity of the two sink variants: the Delta MERGE INTO
+    body and the parquet pointer-swap body converge to the same online
+    table from the same micro-batches (latest-wins, late-older rows
+    rejected, inserts applied)."""
+    from feast_java_old_spark.streaming.ingest import delta_available
+
+    got_parquet = _merge_two_batches(spark, str(tmp_path / "pq"), "parquet")
+    import datetime as dt
+
+    assert got_parquet == [
+        (1, dt.datetime(2024, 1, 11), 11.0),
+        (2, dt.datetime(2024, 1, 12), 20.0),
+        (3, dt.datetime(2024, 1, 1), 30.0),
+    ]
+    if not delta_available():
+        pytest.skip("delta-spark not installed in this environment")
+    got_delta = _merge_two_batches(spark, str(tmp_path / "dl"), "delta")
+    assert got_delta == got_parquet
+
+
+def test_delta_sink_unavailable_raises_actionable_error(spark, tmp_path):
+    from feast_java_old_spark.streaming.ingest import (
+        delta_available,
+        stream_materialize,
+    )
+
+    if delta_available():
+        pytest.skip("delta-spark present: the guard path is not reachable")
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with pytest.raises(RuntimeError, match="delta-spark"):
+        stream_materialize(
+            spark,
+            stream.selectExpr(
+                "value AS user_id", "timestamp AS event_timestamp"
+            ),
+            str(tmp_path),
+            "t",
+            ["user_id"],
+            table_format="delta",
+        )
+
+
+def test_unknown_table_format_rejected(spark, tmp_path):
+    import datetime as dt
+
+    from feast_java_old_spark.streaming.ingest import merge_latest_batch
+
+    b = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)],
+        "user_id long, event_timestamp timestamp, value double",
+    )
+    with pytest.raises(ValueError, match="table_format"):
+        merge_latest_batch(
+            spark, b, str(tmp_path), ["user_id"], 0, table_format="orc"
+        )
