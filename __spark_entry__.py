@@ -9031,6 +9031,63 @@ LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
 AUDIT_BATCHES = 3
 
 
+def _register_serve_scenario(spark, sf_dir, tmp, audit=None, metrics=None):
+    """The shared register → materialize → serve-in-3-batches scenario
+    behind ``audit_trail`` and ``serving_metrics``: entity + feature
+    table (CREATE then UPDATE re-apply), one materialize run, then the
+    %7 custkey request set served in ``AUDIT_BATCHES`` batches split by
+    ``custkey % AUDIT_BATCHES`` at the J3 request timestamp (max_age
+    1y ⇒ a deterministic PRESENT / NOT_FOUND / OUTSIDE_MAX_AGE mix the
+    oracles recompute from customer × orders)."""
+    import feast_java_old_spark as fs
+    from feast_java_old_spark.operators import materialize
+    from feast_java_old_spark.plans.serving_json import serve_logged
+    from feast_java_old_spark.registry.model import FileSource
+    from feast_java_old_spark.registry.registry import Registry
+
+    reg = Registry(audit=audit)
+    reg.apply_entity(fs.Entity("c_custkey", fs.ValueType.INT64))
+
+    def ft(labels):
+        return fs.FeatureTable(
+            name="customer_orders_audit",
+            entities=["c_custkey"],
+            features=[fs.Feature("total_price", fs.ValueType.DOUBLE)],
+            max_age_secs=MAX_AGE_1Y,
+            labels=labels,
+            batch_source=FileSource(
+                file_url=f"{sf_dir}/orders.parquet",
+                event_timestamp_column="o_orderdate",
+                field_mapping={
+                    "o_custkey": "c_custkey",
+                    "o_totalprice": "total_price",
+                },
+            ),
+        )
+
+    reg.apply_feature_table(ft({}))  # CREATE
+    reg.apply_feature_table(ft({"tier": "gold"}))  # UPDATE (spec change)
+    materialize(spark, reg, "customer_orders_audit", tmp)  # RUNNING/READY
+    keys = [
+        r.c_custkey
+        for r in load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey")
+        .collect()
+    ]
+    for b in range(AUDIT_BATCHES):
+        serve_logged(
+            spark,
+            reg,
+            [{"c_custkey": int(k)} for k in keys if k % AUDIT_BATCHES == b],
+            ["customer_orders_audit:total_price"],
+            metrics=metrics,
+            store_path=tmp,
+            request_ts=REQ_TS_J3,
+            full_feature_names=True,
+        )
+
+
 def q_audit_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audit trail of a register → materialize → serve
     session (registry/audit.py — parity with the reference's
@@ -9056,12 +9113,7 @@ def q_audit_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    import feast_java_old_spark as fs
-    from feast_java_old_spark.operators import materialize
-    from feast_java_old_spark.plans.serving_json import serve_logged
     from feast_java_old_spark.registry.audit import AuditLogger, read_audit_log
-    from feast_java_old_spark.registry.model import FileSource
-    from feast_java_old_spark.registry.registry import Registry
 
     tmp = tempfile.mkdtemp(prefix="fjos_audit_")
     try:
@@ -9072,47 +9124,8 @@ def q_audit_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
             clock=lambda: next(seq),
             id_factory=lambda: f"m{next(ids)}",
         )
-        reg = Registry(audit=log)
-        reg.apply_entity(fs.Entity("c_custkey", fs.ValueType.INT64))
-
-        def ft(labels):
-            return fs.FeatureTable(
-                name="customer_orders_audit",
-                entities=["c_custkey"],
-                features=[fs.Feature("total_price", fs.ValueType.DOUBLE)],
-                max_age_secs=MAX_AGE_1Y,
-                labels=labels,
-                batch_source=FileSource(
-                    file_url=f"{sf_dir}/orders.parquet",
-                    event_timestamp_column="o_orderdate",
-                    field_mapping={
-                        "o_custkey": "c_custkey",
-                        "o_totalprice": "total_price",
-                    },
-                ),
-            )
-
-        reg.apply_feature_table(ft({}))  # CREATE
-        reg.apply_feature_table(ft({"tier": "gold"}))  # UPDATE (spec change)
         with _small_shuffle(spark):
-            materialize(spark, reg, "customer_orders_audit", tmp)  # RUNNING/READY
-            keys = [
-                r.c_custkey
-                for r in load_table(spark, sf_dir, "customer")
-                .where(F.col("c_custkey") % 7 == 0)
-                .select("c_custkey")
-                .collect()
-            ]
-            for b in range(AUDIT_BATCHES):
-                serve_logged(
-                    spark,
-                    reg,
-                    [{"c_custkey": int(k)} for k in keys if k % AUDIT_BATCHES == b],
-                    ["customer_orders_audit:total_price"],
-                    store_path=tmp,
-                    request_ts=REQ_TS_J3,
-                    full_feature_names=True,
-                )
+            _register_serve_scenario(spark, sf_dir, tmp, audit=log)
             out = read_audit_log(spark, f"{tmp}/audit.jsonl").select(
                 F.col("timestamp").alias("seq"),
                 "kind",
@@ -9215,6 +9228,110 @@ SELECT * FROM (VALUES
 """
 
 
+def q_serving_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-runtime Prometheus surface (plans/metrics.py —
+    parity with ``serving/util/Metrics.java:24-57`` and the population
+    sites ``OnlineServingServiceV2.java:380-427``), driven through the
+    same register → materialize → serve-3-batches scenario as
+    ``audit_trail`` and exported as the flat (metric, labels, value)
+    relation: per-feature NOT_FOUND / stale counters (+1 per response
+    row — DATA-dependent, recomputed by the oracle from customer ×
+    orders), the per-request feature counter and gRPC counter, and the
+    three request-shape histograms as cumulative Prometheus buckets
+    (batch sizes land in different ``le`` buckets at different scale
+    factors). ``request_latency_seconds`` is wall-clock and excluded
+    from the deterministic export by contract (scrape-only)."""
+    import shutil
+    import tempfile
+
+    from feast_java_old_spark.plans.metrics import ServingMetrics
+
+    tmp = tempfile.mkdtemp(prefix="fjos_metrics_")
+    try:
+        metrics = ServingMetrics()
+        with _small_shuffle(spark):
+            _register_serve_scenario(spark, sf_dir, tmp, metrics=metrics)
+            return metrics.as_dataframe(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_METRICS_REF = "customer_orders_audit:total_price"
+
+SQL_SERVING_METRICS = f"""
+WITH req AS (
+  SELECT c_custkey, c_custkey % {AUDIT_BATCHES} AS b
+  FROM customer WHERE c_custkey % 7 = 0),
+l1 AS (
+  SELECT o_custkey, o_orderdate FROM (
+    SELECT o_custkey, o_orderdate,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+    FROM orders) WHERE rn = 1),
+st AS (
+  SELECT r.b,
+         CASE WHEN l1.o_custkey IS NULL THEN 'NOT_FOUND'
+              WHEN (CAST(epoch(TIMESTAMP '1998-10-01 00:00:00') AS BIGINT)
+                    - CAST(epoch(l1.o_orderdate) AS BIGINT)) > {MAX_AGE_1Y}
+                   THEN 'OUTSIDE_MAX_AGE'
+              ELSE 'PRESENT' END AS s
+  FROM req r LEFT JOIN l1 ON l1.o_custkey = r.c_custkey),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_req,
+         CAST(sum(CASE WHEN s = 'NOT_FOUND' THEN 1 ELSE 0 END) AS BIGINT)
+           AS nf,
+         CAST(sum(CASE WHEN s = 'OUTSIDE_MAX_AGE' THEN 1 ELSE 0 END)
+              AS BIGINT) AS stale
+  FROM st),
+bs AS (SELECT b, count(*) AS n FROM st GROUP BY b)
+SELECT 'request_entity_count_distribution_bucket' AS metric,
+       'le=' || v.le || ',project=default' AS labels,
+       (SELECT CAST(count(*) AS BIGINT) FROM bs WHERE bs.n <= v.lim) AS value
+FROM (VALUES ('1', 1), ('2', 2), ('5', 5), ('10', 10), ('20', 20),
+             ('50', 50), ('100', 100), ('200', 200),
+             ('+Inf', 9223372036854775807)) v(le, lim)
+UNION ALL
+SELECT 'request_feature_count_distribution_bucket',
+       'le=' || v.le || ',project=default', CAST({AUDIT_BATCHES} AS BIGINT)
+FROM (VALUES ('1'), ('2'), ('5'), ('10'), ('15'), ('20'), ('30'), ('50'),
+             ('+Inf')) v(le)
+UNION ALL
+SELECT 'request_feature_table_count_distribution_bucket',
+       'le=' || v.le || ',project=default', CAST({AUDIT_BATCHES} AS BIGINT)
+FROM (VALUES ('1'), ('2'), ('5'), ('10'), ('20'), ('+Inf')) v(le)
+UNION ALL
+SELECT m, 'project=default', v FROM (VALUES
+  ('request_entity_count_distribution_count',
+   CAST({AUDIT_BATCHES} AS BIGINT)),
+  ('request_feature_count_distribution_count',
+   CAST({AUDIT_BATCHES} AS BIGINT)),
+  ('request_feature_count_distribution_sum',
+   CAST({AUDIT_BATCHES} AS BIGINT)),
+  ('request_feature_table_count_distribution_count',
+   CAST({AUDIT_BATCHES} AS BIGINT)),
+  ('request_feature_table_count_distribution_sum',
+   CAST({AUDIT_BATCHES} AS BIGINT))) c(m, v)
+UNION ALL
+SELECT 'request_entity_count_distribution_sum', 'project=default', n_req
+FROM tot
+UNION ALL
+SELECT 'grpc_request_count', 'method=getOnlineFeatures,status_code=OK',
+       CAST({AUDIT_BATCHES} AS BIGINT)
+UNION ALL
+SELECT 'request_feature_count',
+       'feature_name={_METRICS_REF},project=default',
+       CAST({AUDIT_BATCHES} AS BIGINT)
+UNION ALL
+SELECT 'not_found_feature_count',
+       'feature_name={_METRICS_REF},project=default', nf
+FROM tot WHERE nf > 0
+UNION ALL
+SELECT 'stale_feature_count',
+       'feature_name={_METRICS_REF},project=default', stale
+FROM tot WHERE stale > 0
+"""
+
+
 # ---------------------------------------------------------------- the contract
 
 
@@ -9234,6 +9351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row is r5 (the staleness boundary), then r6 / r7 / r8 rows in
         # evidence order — next round's window starts at the r6 block.
         "audit_trail": q_audit_trail,
+        "serving_metrics": q_serving_metrics,
         "stream_cdc_merge": q_stream_cdc_merge,
         "stream_sessions": q_stream_sessions,
         "stream_clean_corpus": q_stream_clean_corpus,
@@ -9437,6 +9555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "audit_trail": SQL_AUDIT_TRAIL,
+        "serving_metrics": SQL_SERVING_METRICS,
         "logreg_quality": SQL_LOGREG_QUALITY,
         "global_ranks": SQL_GLOBAL_RANKS,
         "zone_map_prune": SQL_ZONE_MAP_PRUNE,

@@ -215,8 +215,10 @@ HEADLINE = [
     "event_transitions",
     "event_gaps",
     "attribution",
-    # r9: audit-trail lineage of a register->materialize->serve session.
+    # r9: audit-trail lineage of a register->materialize->serve session;
+    # the Prometheus-parity metrics export of the same scenario.
     "audit_trail",
+    "serving_metrics",
 ]
 
 # Deliberate-ceiling twins: benched every run and recorded in

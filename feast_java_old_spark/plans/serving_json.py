@@ -107,6 +107,8 @@ def serve_logged(
     feature_refs: Sequence[str],
     audit=None,
     identity: str = "",
+    metrics=None,
+    project: str = "default",
     **kwargs,
 ) -> list[dict]:
     """``get_online_features`` + response assembly + one MESSAGE audit
@@ -124,9 +126,17 @@ def serve_logged(
     NULL_VALUE / OUTSIDE_MAX_AGE) — data-dependent, so an audit rollup
     can cross-check serving health against the store.
 
-    Uses ``audit`` if given, else ``registry.audit``. Returns the
-    response rows (``response_rows`` shape).
+    Uses ``audit`` if given, else ``registry.audit``; ``metrics`` (a
+    :class:`~feast_java_old_spark.plans.metrics.ServingMetrics`) gets
+    the full instrument set the reference populates per call —
+    request-shape histograms, per-feature NOT_FOUND/stale counters, the
+    gRPC request counter and the latency histogram
+    (``OnlineServingServiceV2.java:380-427`` +
+    ``GrpcMonitoringInterceptor.java:43-56``). Returns the response
+    rows (``response_rows`` shape).
     """
+    import time as _time
+
     from feast_java_old_spark.operators.retrieval import get_online_features
 
     audit = audit if audit is not None else getattr(registry, "audit", None)
@@ -137,6 +147,7 @@ def serve_logged(
         "features": ",".join(str(r) for r in feature_refs),
         "entity_rows": n_req,
     }
+    t0 = _time.time()
     try:
         df = get_online_features(
             spark, registry, entity_rows, feature_refs, **kwargs
@@ -152,7 +163,22 @@ def serve_logged(
                 identity=identity,
                 status_code="INVALID_ARGUMENT",
             )
+        if metrics is not None:
+            metrics.inc(
+                "grpc_request_count",
+                {
+                    "method": "getOnlineFeatures",
+                    "status_code": "INVALID_ARGUMENT",
+                },
+            )
         raise
+    if metrics is not None:
+        metrics.observe_request(
+            project,
+            [str(r) for r in feature_refs],
+            rows,
+            latency_s=_time.time() - t0,
+        )
     if audit is not None:
         # Feature fields only: entity echo-backs are PRESENT by
         # construction and would dilute the health signal. A feature's

@@ -1,0 +1,149 @@
+"""Serving-metrics parity tests (serving/util/Metrics.java +
+OnlineServingServiceV2.populate*Metrics + GrpcMonitoringInterceptor)."""
+
+import datetime as dt
+
+import pytest
+
+import feast_java_old_spark as fs
+from feast_java_old_spark.plans.metrics import ServingMetrics
+from feast_java_old_spark.registry.model import FileSource
+from feast_java_old_spark.registry.registry import Registry
+
+
+def _rows(statuses_list):
+    return [{"fields": {}, "statuses": s} for s in statuses_list]
+
+
+def test_counters_follow_reference_population_rules():
+    m = ServingMetrics()
+    refs = ["t1:f1", "t1:f2"]
+    # 3 rows: f1 PRESENT/NOT_FOUND/OUTSIDE_MAX_AGE; f2 always NOT_FOUND
+    m.observe_request(
+        "default",
+        refs,
+        _rows(
+            [
+                {"t1:f1": "PRESENT", "t1:f2": "NOT_FOUND"},
+                {"t1:f1": "NOT_FOUND", "t1:f2": "NOT_FOUND"},
+                {"t1:f1": "OUTSIDE_MAX_AGE", "t1:f2": "NOT_FOUND"},
+            ]
+        ),
+    )
+    c = dict(m.counters)
+    # +1 per requested feature ref per REQUEST (populateFeatureCountMetrics)
+    assert c[("request_feature_count", "feature_name=t1:f1,project=default")] == 1
+    assert c[("request_feature_count", "feature_name=t1:f2,project=default")] == 1
+    # +1 per response ROW with that status (populateCountMetrics)
+    assert c[("not_found_feature_count", "feature_name=t1:f1,project=default")] == 1
+    assert c[("not_found_feature_count", "feature_name=t1:f2,project=default")] == 3
+    assert c[("stale_feature_count", "feature_name=t1:f1,project=default")] == 1
+    assert ("stale_feature_count", "feature_name=t1:f2,project=default") not in c
+    assert c[("grpc_request_count", "method=getOnlineFeatures,status_code=OK")] == 1
+
+
+def test_histograms_are_cumulative_prometheus_buckets():
+    m = ServingMetrics()
+    for n in (3, 7, 250):  # entity-row counts of three requests
+        m.observe_request("default", ["t:f"], _rows([{}] * n))
+    rows = {
+        (r[0], r[1]): r[2]
+        for r in m.as_rows()
+        if r[0] == "request_entity_count_distribution_bucket"
+        or r[0].startswith("request_entity_count_distribution_")
+    }
+    b = "request_entity_count_distribution_bucket"
+    # buckets (1,2,5,10,20,50,100,200): 3≤5, 7≤10, 250 only ≤ +Inf
+    assert rows[(b, "le=2,project=default")] == 0
+    assert rows[(b, "le=5,project=default")] == 1
+    assert rows[(b, "le=10,project=default")] == 2
+    assert rows[(b, "le=200,project=default")] == 2
+    assert rows[(b, "le=+Inf,project=default")] == 3
+    assert rows[("request_entity_count_distribution_count", "project=default")] == 3
+    assert rows[("request_entity_count_distribution_sum", "project=default")] == 260
+
+
+def test_latency_excluded_from_deterministic_rows_present_in_exposition():
+    m = ServingMetrics()
+    m.observe_request(
+        "default", ["t:f"], _rows([{}]), latency_s=0.042
+    )
+    assert not any(
+        r[0].startswith("request_latency_seconds") for r in m.as_rows()
+    )
+    expo = m.exposition()
+    assert 'feast_serving_request_latency_seconds_bucket{le="0.05"' in expo
+    assert "feast_serving_request_latency_seconds_count" in expo
+    # counters carry the subsystem prefix in scrape output
+    assert "feast_serving_grpc_request_count" in expo
+
+
+def test_feature_table_count_distribution_counts_distinct_tables():
+    m = ServingMetrics()
+    m.observe_request("default", ["t1:a", "t1:b", "t2:c"], _rows([{}]))
+    rows = dict(
+        ((r[0], r[1]), r[2])
+        for r in m.as_rows()
+        if r[0] == "request_feature_table_count_distribution_bucket"
+    )
+    # 2 distinct tables → le=1 misses, le=2 hits
+    assert rows[("request_feature_table_count_distribution_bucket",
+                 "le=1,project=default")] == 0
+    assert rows[("request_feature_table_count_distribution_bucket",
+                 "le=2,project=default")] == 1
+
+
+def test_serve_logged_populates_metrics(spark, sf_dir, tmp_store):
+    from feast_java_old_spark.operators import materialize
+    from feast_java_old_spark.plans.serving_json import serve_logged
+
+    reg = Registry()
+    reg.apply_entity(fs.Entity("user_id", fs.ValueType.INT64))
+    reg.apply_feature_table(
+        fs.FeatureTable(
+            name="user_events",
+            entities=["user_id"],
+            features=[fs.Feature("value", fs.ValueType.DOUBLE)],
+            max_age_secs=7 * 86400,
+            batch_source=FileSource(
+                file_url=f"{sf_dir}/events.parquet",
+                event_timestamp_column="ts",
+            ),
+        )
+    )
+    materialize(spark, reg, "user_events", tmp_store)
+    m = ServingMetrics()
+    serve_logged(
+        spark,
+        reg,
+        [{"user_id": 1}, {"user_id": 999_999}],
+        ["user_events:value"],
+        metrics=m,
+        store_path=tmp_store,
+        request_ts=dt.datetime(2024, 1, 31),
+    )
+    c = dict(m.counters)
+    assert c[
+        ("not_found_feature_count",
+         "feature_name=user_events:value,project=default")
+    ] == 1
+    assert (
+        "stale_feature_count",
+        "feature_name=user_events:value,project=default",
+    ) not in c
+    assert c[("grpc_request_count", "method=getOnlineFeatures,status_code=OK")] == 1
+    # the error path increments the gRPC counter with the error code
+    with pytest.raises(Exception):
+        serve_logged(
+            spark, reg, [{"user_id": 1}], ["no:such;ref!"],
+            metrics=m, store_path=tmp_store,
+        )
+    assert c != dict(m.counters)
+    assert dict(m.counters)[
+        ("grpc_request_count",
+         "method=getOnlineFeatures,status_code=INVALID_ARGUMENT")
+    ] == 1
+    # dataframe export round-trips the rows
+    df = m.as_dataframe(spark)
+    assert df.columns == ["metric", "labels", "value"]
+    assert df.count() == len(m.as_rows())
