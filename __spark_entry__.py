@@ -3582,6 +3582,54 @@ GROUP BY p_brand
 """
 
 
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion) — the deepest
+    decorrelation nest in the suite: IN over a derived partsupp
+    relation, whose WHERE carries both another IN (the part-name
+    family) and a CORRELATED scalar aggregate with the half-of-shipped
+    threshold. Adaptation: no partsupp table in this testdata, so the
+    "on-hand ledger" availqty is each (supplier, part)'s total quantity
+    shipped BEFORE 1998, tested against half the quantity shipped
+    DURING 1998 (stock keeping pace with demand). The threshold is
+    integer-lattice (2·availqty > window_sum — quantities are
+    integer-valued) and the empty-window case exercises the classic
+    COUNT-bug edge: sum() over zero correlated rows must stay NULL
+    (row filtered), not become 0 — a wrong decorrelation rewrite
+    flips those rows and the oracle catches it. Catalyst compiles the
+    nest to: one pre-1998 aggregate, one 1998-window aggregate, an
+    equi-join on (suppkey, partkey), a broadcast semi against the part
+    family, and a semi into the supplier dim — the fact table is
+    scanned twice, never per-row (same contract as q17/q21; the
+    plan-contract sweep asserts no BNLJ)."""
+    _tpch_views(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    return spark.sql(SQL_TPCH_Q20)
+
+
+# One SQL text, both engines: Spark executes it (Catalyst decorrelates),
+# DuckDB runs it verbatim as the oracle.
+SQL_TPCH_Q20 = """
+WITH ps AS (
+  SELECT l_suppkey AS ps_suppkey, l_partkey AS ps_partkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS availqty
+  FROM lineitem
+  WHERE l_shipdate < DATE '1998-01-01'
+  GROUP BY l_suppkey, l_partkey)
+SELECT s.s_name, CAST(round(s.s_acctbal * 100, 0) AS BIGINT) AS acctbal_cents
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_12')
+  AND s.s_suppkey IN (
+    SELECT ps.ps_suppkey FROM ps
+    WHERE ps.ps_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+      AND 2 * ps.availqty > (
+        SELECT CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+        FROM lineitem l
+        WHERE l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+          AND l.l_shipdate >= DATE '1998-01-01'
+          AND l.l_shipdate < DATE '1999-01-01'))
+"""
+
+
 Q21_LATE_DAYS = 80
 
 
@@ -9352,6 +9400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence order — next round's window starts at the r6 block.
         "audit_trail": q_audit_trail,
         "serving_metrics": q_serving_metrics,
+        "tpch_q20": q_tpch_q20,
         "stream_cdc_merge": q_stream_cdc_merge,
         "stream_sessions": q_stream_sessions,
         "stream_clean_corpus": q_stream_clean_corpus,
@@ -9556,6 +9605,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "audit_trail": SQL_AUDIT_TRAIL,
         "serving_metrics": SQL_SERVING_METRICS,
+        "tpch_q20": SQL_TPCH_Q20,
         "logreg_quality": SQL_LOGREG_QUALITY,
         "global_ranks": SQL_GLOBAL_RANKS,
         "zone_map_prune": SQL_ZONE_MAP_PRUNE,

@@ -209,6 +209,8 @@ HEADLINE = [
     "tpch_q22",
     "tpch_q15",
     "tpch_q11",
+    # r9: the deepest decorrelation nest (IN > IN + correlated scalar agg).
+    "tpch_q20",
     "grouping_sets_revenue",
     "not_in_semantics",
     # r7: per-user Markov transition matrix + feed-silence report.

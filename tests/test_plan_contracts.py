@@ -45,6 +45,9 @@ def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
         "tpch_q17",
         "tpch_q21",
         "tpch_q21_agg",
+        # r9: the three-level Q20 nest (IN > IN + correlated scalar agg)
+        # must also decorrelate to keyed joins end-to-end.
+        "tpch_q20",
         "j1_entity_lookup",
         "j2_compound_key",
         # historical_asof is exempt: its request GRID is built as
@@ -139,6 +142,7 @@ def test_serving_path_joins_all_broadcast(spark, sf_dir, name):
         "tpch_q16",
         "tpch_q17",
         "tpch_q18",
+        "tpch_q20",
         "tpch_q22",
     ],
 )
