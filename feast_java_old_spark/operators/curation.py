@@ -515,21 +515,24 @@ def token_budget_select(
     order (the :func:`~feast_java_old_spark.operators.text.sequence_pack`
     pattern — a bare global ``Window.orderBy`` would funnel the corpus
     through ONE task): docs bucket by quantized ``order_col`` (bucket
-    ranges are contiguous in the global order by construction), tiny
-    per-bucket subtotals prefix-sum on the driver, offsets broadcast
-    back, and the within-bucket running sum is a parallel window.
+    ranges are contiguous in the global order by construction), the
+    tiny per-bucket subtotals prefix-sum through
+    :func:`~feast_java_old_spark.operators.layout.cumulative_offsets`
+    (a single-partition window over ≤ ``buckets`` metadata rows — the
+    sum never leaves the cluster), offsets broadcast-join back, and the
+    within-bucket running sum is a parallel window.
 
     Returns ``(id, n_tokens, cum_tokens, selected)`` — ``selected`` is
     the greedy prefix whose total ≤ budget. Oracle-equal to the flat
     global-window form.
 
     ``order_col`` must be NULL-free (a NULL has no defined place in the
-    quality order — fail fast rather than crash the driver-side prefix
-    sum) but may have ANY numeric range: scores are min-max normalized
-    before quantization, so the driver-side bucket-subtotal list is
-    always ≤ ``buckets``+1 entries — a wide-range raw score cannot blow
-    it up. Normalization is order-preserving and equal scores stay
-    equal, so the selected set is unchanged.
+    quality order — fail fast rather than select an arbitrary subset)
+    but may have ANY numeric range: scores are min-max normalized
+    before quantization, so the bucket-subtotal frame is always
+    ≤ ``buckets``+1 rows — a wide-range raw score cannot blow it up.
+    Normalization is order-preserving and equal scores stay equal, so
+    the selected set is unchanged.
     """
     from pyspark.sql.window import Window
 
@@ -563,20 +566,16 @@ def token_budget_select(
         ),
     )
     # Per-bucket totals → cumulative offsets DESC (best bucket first):
-    # a single-partition window over the TOTALS frame (≤ `buckets` rows
-    # — metadata, not data; the layout.global_sort_ranks pattern). The
-    # prefix sum never leaves the cluster — a driver collect here would
-    # move millions of rows at 100 TB with fine-grained buckets.
-    w_off = Window.orderBy(F.col("__b").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    off_df = (
-        base.groupBy("__b")
-        .agg(F.sum("n_tokens").alias("__t"))
-        .select(
-            "__b",
-            F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
-        )
+    # the shared layout.cumulative_offsets step — a single-partition
+    # window over the TOTALS frame (≤ `buckets` rows, metadata not
+    # data). The prefix sum never leaves the cluster.
+    from feast_java_old_spark.operators.layout import cumulative_offsets
+
+    off_df = cumulative_offsets(
+        base.groupBy("__b").agg(F.sum("n_tokens").alias("__t")),
+        "__b",
+        "__t",
+        descending=True,
     )
     w = Window.partitionBy("__b").orderBy(
         F.col("__q").desc(), F.col("doc_id").asc()

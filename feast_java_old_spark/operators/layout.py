@@ -245,6 +245,31 @@ def compaction_plan(
     ).withColumn("bin_files", F.count(F.lit(1)).over(wb).cast("long"))
 
 
+def cumulative_offsets(
+    totals: DataFrame,
+    bucket_col: str,
+    total_col: str,
+    out_col: str = "__off",
+    descending: bool = False,
+) -> DataFrame:
+    """Exclusive prefix sum over a per-bucket TOTALS frame — the shared
+    offset step of every distributed prefix-sum operator in the repo
+    (:func:`global_sort_ranks`, ``text.sequence_pack``,
+    ``curation.token_budget_select``): a single-partition window over
+    ≤ ``buckets`` rows (metadata, not data — never a driver collect,
+    never the full table through one task). The first bucket's empty
+    frame coalesces to offset 0. ``descending=True`` walks buckets
+    best-first (the token-budget order)."""
+    order = (
+        F.col(bucket_col).desc() if descending else F.col(bucket_col).asc()
+    )
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    return totals.select(
+        bucket_col,
+        F.coalesce(F.sum(total_col).over(w), F.lit(0)).alias(out_col),
+    )
+
+
 def global_sort_ranks(
     df: DataFrame,
     order_col: str,
@@ -296,14 +321,7 @@ def global_sort_ranks(
     bucket = F.when(v.isNull(), F.lit(0)).otherwise(bucket).cast("int")
     with_b = df.withColumn("__bkt", bucket)
     counts = with_b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__n"))
-    w_off = (
-        Window.orderBy("__bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "__bkt",
-        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
-    )
+    offsets = cumulative_offsets(counts, "__bkt", "__n")
     w_rank = Window.partitionBy("__bkt").orderBy(
         F.col(order_col).asc(), *[F.col(c).asc() for c in ties]
     )

@@ -308,16 +308,10 @@ def sequence_pack(
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
         (F.col(id_col) / bucket_size).cast("long").alias("__b"),
     )
-    w_off = Window.orderBy("__b").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    off_df = (
-        base.groupBy("__b")
-        .agg(F.sum("n_tokens").alias("__t"))
-        .select(
-            "__b",
-            F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
-        )
+    from feast_java_old_spark.operators.layout import cumulative_offsets
+
+    off_df = cumulative_offsets(
+        base.groupBy("__b").agg(F.sum("n_tokens").alias("__t")), "__b", "__t"
     )
     w = Window.partitionBy("__b").orderBy("doc_id")
     out = (

@@ -62,6 +62,21 @@ def _labels_key(labels: dict[str, str]) -> str:
     return ",".join(f"{k}={labels[k]}" for k in sorted(labels))
 
 
+def _prom_labels(key: str) -> str:
+    """Re-render a canonical ``k=v,k=v`` label key as the Prometheus
+    TEXT-format label body — values must be double-quoted
+    (``k="v",k="v"``) or the scrape parser rejects the whole exposition.
+    Label values in this registry (projects, feature refs, methods,
+    status codes, ``le`` boundaries) never contain ``,`` or ``=``."""
+    if not key:
+        return ""
+    parts = []
+    for kv in key.split(","):
+        k, _, v = kv.partition("=")
+        parts.append(f'{k}="{v}"')
+    return ",".join(parts)
+
+
 class _Histogram:
     def __init__(self, buckets: Sequence[float]):
         self.buckets = tuple(buckets)
@@ -189,7 +204,8 @@ class ServingMetrics:
             for (metric, labels), v in self.counters.items():
                 out.append((metric, labels, int(v)))
             for name, h in self.histograms.items():
-                if name == "request_latency_seconds" and not include_latency:
+                latency = name == "request_latency_seconds"
+                if latency and not include_latency:
                     continue
                 for key in h.n:
                     les = [str(b) for b in h.buckets] + ["+Inf"]
@@ -197,12 +213,24 @@ class ServingMetrics:
                         lbl = f"le={le},{key}" if key else f"le={le}"
                         out.append((f"{name}_bucket", lbl, int(c)))
                     out.append((f"{name}_count", key, int(h.n[key])))
-                    out.append((f"{name}_sum", key, int(h.sums[key])))
+                    # latency sums are sub-second floats — int() would
+                    # floor every total under 1s to 0 and corrupt
+                    # mean = _sum/_count; the three deterministic
+                    # request-shape histograms observe integers only.
+                    s = h.sums[key]
+                    out.append(
+                        (f"{name}_sum", key, float(s) if latency else int(s))
+                    )
         return sorted(out)
 
-    def as_dataframe(self, spark):
+    def as_dataframe(self, spark, include_latency: bool = False):
+        """``value`` stays BIGINT for the deterministic export (what
+        the gate hashes); the latency-inclusive export carries a
+        fractional ``_sum``, so it widens to DOUBLE."""
         return spark.createDataFrame(
-            self.as_rows(), "metric string, labels string, value long"
+            self.as_rows(include_latency=include_latency),
+            "metric string, labels string, value "
+            + ("double" if include_latency else "long"),
         )
 
     def exposition(self) -> str:
@@ -211,19 +239,22 @@ class ServingMetrics:
         lines = []
         with self._lock:
             for (metric, labels), v in sorted(self.counters.items()):
-                lines.append(f"{SUBSYSTEM}_{metric}{{{labels}}} {v}")
+                lines.append(
+                    f"{SUBSYSTEM}_{metric}{{{_prom_labels(labels)}}} {v}"
+                )
             for name, h in sorted(self.histograms.items()):
                 for key in sorted(h.n):
+                    pkey = _prom_labels(key)
                     les = [str(b) for b in h.buckets] + ["+Inf"]
                     for le, c in zip(les, h.counts[key]):
-                        lbl = f'le="{le}",{key}' if key else f'le="{le}"'
+                        lbl = f'le="{le}",{pkey}' if pkey else f'le="{le}"'
                         lines.append(
                             f"{SUBSYSTEM}_{name}_bucket{{{lbl}}} {c}"
                         )
                     lines.append(
-                        f"{SUBSYSTEM}_{name}_count{{{key}}} {h.n[key]}"
+                        f"{SUBSYSTEM}_{name}_count{{{pkey}}} {h.n[key]}"
                     )
                     lines.append(
-                        f"{SUBSYSTEM}_{name}_sum{{{key}}} {h.sums[key]}"
+                        f"{SUBSYSTEM}_{name}_sum{{{pkey}}} {h.sums[key]}"
                     )
         return "\n".join(lines) + "\n"

@@ -154,6 +154,18 @@ def serve_logged(
         )
         rows = response_rows(df, feature_refs)
     except Exception as ex:
+        # Status codes follow the gRPC mapping the reference's
+        # interceptor would report: request-shape problems →
+        # INVALID_ARGUMENT, unknown registry objects → NOT_FOUND,
+        # everything else (store IO, corrupt files) → INTERNAL — a
+        # health dashboard must not attribute a store outage to
+        # client-side bad requests.
+        if isinstance(ex, (ValueError, TypeError)):
+            code = "INVALID_ARGUMENT"  # includes ValidationError
+        elif isinstance(ex, KeyError):
+            code = "NOT_FOUND"
+        else:
+            code = "INTERNAL"
         if audit is not None:
             audit.log_message(
                 service="ServingService",
@@ -161,15 +173,12 @@ def serve_logged(
                 request=request_summary,
                 response={"error": type(ex).__name__},
                 identity=identity,
-                status_code="INVALID_ARGUMENT",
+                status_code=code,
             )
         if metrics is not None:
             metrics.inc(
                 "grpc_request_count",
-                {
-                    "method": "getOnlineFeatures",
-                    "status_code": "INVALID_ARGUMENT",
-                },
+                {"method": "getOnlineFeatures", "status_code": code},
             )
         raise
     if metrics is not None:

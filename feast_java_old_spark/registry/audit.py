@@ -189,8 +189,13 @@ class AuditLogger:
             **body,
         }
         with self._lock:
-            self.entries.append(entry)
-            if self.path:
+            if self.path is None:
+                # In-memory sink ONLY when file-less: a path-backed
+                # logger in a long-lived serving driver must not also
+                # retain every entry in RAM (one dict per request is a
+                # steady leak; the file IS the log).
+                self.entries.append(entry)
+            else:
                 line = json.dumps(entry, sort_keys=True)
                 with open(self.path, "a") as f:
                     fcntl.flock(f.fileno(), fcntl.LOCK_EX)

@@ -151,6 +151,11 @@ class Registry:
         p = self._projects.get(project)
         if p is None:
             self._projects[project] = Project(project)
+            # Auto-create is the same persisted state change as an
+            # explicit create_project — an audit trail that only logs
+            # the explicit path would show entities inside a project
+            # whose creation was never recorded.
+            self._log_action("CREATE", "PROJECT", project)
         elif p.archived:
             raise ValidationError(f"project {project!r} is archived")
 

@@ -58,10 +58,26 @@ def read_online_table(
     Returns ``None`` only for a never-materialized table (missing path /
     empty dir) — real read errors (corrupt files, permissions) propagate
     rather than silently degrading to all-NOT_FOUND results.
+
+    Delta tables are also AUTO-DETECTED (``_delta_log`` present) even
+    when the caller asks for parquet: serving readers
+    (``retrieval.get_online_features``) don't thread a format flag, and
+    reading a Delta dir as raw parquet would include tombstoned
+    pre-MERGE files — duplicate keys and stale values served silently.
+    Detection without delta-spark installed raises an actionable error
+    instead of mis-reading.
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
-    if table_format == "delta":
+    if table_format == "delta" or os.path.isdir(
+        os.path.join(path, "_delta_log")
+    ):
+        if not delta_available():
+            raise RuntimeError(
+                f"online table at {path!r} is a Delta table but "
+                "delta-spark is not installed — reading it as parquet "
+                "would serve tombstoned pre-MERGE rows"
+            )
         from delta.tables import DeltaTable
 
         if not DeltaTable.isDeltaTable(spark, path):

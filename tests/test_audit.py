@@ -221,18 +221,28 @@ def test_materialize_error_transition(spark, tmp_store):
     assert last["level"] == "ERROR"
 
 
-def test_serving_error_logs_invalid_argument(spark, sf_dir, tmp_store):
+def test_serving_error_status_codes(spark, sf_dir, tmp_store):
+    """Failure MESSAGE entries carry the mapped gRPC code: malformed
+    request → INVALID_ARGUMENT, unknown registry object → NOT_FOUND;
+    both at ERROR level."""
     from feast_java_old_spark.plans.serving_json import serve_logged
 
     log = _mem_logger()
     reg = Registry(audit=log)
     _events_env(reg, sf_dir)
-    with pytest.raises(Exception):
+    with pytest.raises(ValueError):
+        serve_logged(
+            spark, reg, [{"user_id": 1}], ["not_a_ref"], store_path=tmp_store
+        )
+    msg = [e for e in log.entries if e["kind"] == "MESSAGE"][-1]
+    assert msg["statusCode"] == "INVALID_ARGUMENT"
+    assert msg["level"] == "ERROR"
+    with pytest.raises(KeyError):
         serve_logged(
             spark, reg, [{"user_id": 1}], ["no:such;ref!"], store_path=tmp_store
         )
     msg = [e for e in log.entries if e["kind"] == "MESSAGE"][-1]
-    assert msg["statusCode"] == "INVALID_ARGUMENT"
+    assert msg["statusCode"] == "NOT_FOUND"
     assert msg["level"] == "ERROR"
 
 

@@ -74,8 +74,20 @@ def test_latency_excluded_from_deterministic_rows_present_in_exposition():
     expo = m.exposition()
     assert 'feast_serving_request_latency_seconds_bucket{le="0.05"' in expo
     assert "feast_serving_request_latency_seconds_count" in expo
-    # counters carry the subsystem prefix in scrape output
-    assert "feast_serving_grpc_request_count" in expo
+    # Prometheus text format requires DOUBLE-QUOTED label values — an
+    # unquoted value fails the whole scrape.
+    assert (
+        'feast_serving_grpc_request_count{method="getOnlineFeatures",'
+        'status_code="OK"} 1' in expo
+    )
+    assert 'project="default"' in expo
+    # latency _sum stays fractional in the latency-inclusive export
+    # (int() would floor every sub-second total to 0)
+    rows = {
+        (r[0], r[1]): r[2] for r in m.as_rows(include_latency=True)
+    }
+    key = "method=getOnlineFeatures,project=default"
+    assert rows[("request_latency_seconds_sum", key)] == pytest.approx(0.042)
 
 
 def test_feature_table_count_distribution_counts_distinct_tables():
@@ -132,13 +144,24 @@ def test_serve_logged_populates_metrics(spark, sf_dir, tmp_store):
         "feature_name=user_events:value,project=default",
     ) not in c
     assert c[("grpc_request_count", "method=getOnlineFeatures,status_code=OK")] == 1
-    # the error path increments the gRPC counter with the error code
-    with pytest.raises(Exception):
+    # error paths increment the gRPC counter with the MAPPED code:
+    # unknown feature table → NOT_FOUND (KeyError), malformed ref →
+    # INVALID_ARGUMENT (ValidationError) — never conflated (a store
+    # outage must not read as client error on a dashboard)
+    with pytest.raises(KeyError):
         serve_logged(
             spark, reg, [{"user_id": 1}], ["no:such;ref!"],
             metrics=m, store_path=tmp_store,
         )
-    assert c != dict(m.counters)
+    with pytest.raises(ValueError):
+        serve_logged(
+            spark, reg, [{"user_id": 1}], ["not_a_ref"],
+            metrics=m, store_path=tmp_store,
+        )
+    assert dict(m.counters)[
+        ("grpc_request_count",
+         "method=getOnlineFeatures,status_code=NOT_FOUND")
+    ] == 1
     assert dict(m.counters)[
         ("grpc_request_count",
          "method=getOnlineFeatures,status_code=INVALID_ARGUMENT")

@@ -960,3 +960,21 @@ def test_unknown_table_format_rejected(spark, tmp_path):
         merge_latest_batch(
             spark, b, str(tmp_path), ["user_id"], 0, table_format="orc"
         )
+
+
+def test_delta_table_autodetected_on_parquet_read(spark, tmp_path):
+    """The serving read path never threads a table_format flag — a
+    Delta dir read as raw parquet would serve tombstoned pre-MERGE
+    rows. read_online_table must auto-detect `_delta_log` and either
+    read through Delta or (delta-spark absent) fail actionably."""
+    from feast_java_old_spark.streaming.ingest import (
+        delta_available,
+        read_online_table,
+    )
+
+    store = tmp_path / "dl"
+    (store / "_delta_log").mkdir(parents=True)
+    if delta_available():
+        pytest.skip("delta-spark present: covered by the identity test")
+    with pytest.raises(RuntimeError, match="Delta table"):
+        read_online_table(spark, str(store))
