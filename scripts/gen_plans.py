@@ -30,7 +30,7 @@ PICKS = [
     ("text_repetition", "Repetition signals: per-n explode -> two-level hash aggregate with partial_max/partial_sum map-side; the text column is consumed at the explode and never crosses an exchange."),
     ("feature_drift", "PSI drift: reference-window edges broadcast back to one bucketing scan; the bucket frame is generated, not scanned; every aggregate is map-side combined."),
     ("training_corpus", "Flagship composition: ONE fingerprint-partitioned full-document shuffle (canonical pick), then chunk-sized aggregates and codegen filters; the persisted scrubbed frame is reused by the chunk phase and rejoin instead of re-executing the window."),
-    ("sequence_pack", "Distributed prefix sum: per-bucket subtotals aggregate, driver prefix-sums a tiny list, broadcast-join offsets, within-bucket windows in parallel — no global-order single-partition window."),
+    ("sequence_pack", "Distributed prefix sum: per-bucket subtotals aggregate, cumulative offsets via a single-partition window over the metadata-sized TOTALS frame (layout.cumulative_offsets — never a driver collect), broadcast-join offsets, within-bucket windows in parallel — no global-order single-partition window over DATA rows."),
     ("decontaminate", "Benchmark decontamination: the benchmark n-gram set broadcasts; corpus shingles stream through the broadcast inner join, and the count-distinct aggregate sees only MATCHED shingles — corpus text never shuffles."),
     ("corpus_shuffle", "Deterministic training shuffle: shard = md5 bucket, rank windows partitioned BY SHARD — parallel per-shard sorts; no stage orders the full corpus through one task."),
     ("kmeans_refine", "k-means Lloyd step (Arrow kernel): assignment is one BLAS GEMM per Arrow batch inside mapInPandas — no join, vectors ride through the kernel; the centroid mean is 64 fixed-width avg aggregates with partial_avg map-side — partial sums shuffle, vectors never do."),
@@ -59,7 +59,7 @@ PICKS = [
     ("semdedup", "SemDeDup: mean_pool centroids shuffle only (cluster, dim) scalars and broadcast back; ranking is one window per cluster; the pair join is a cluster-id equi-join — pairwise work exists only WITHIN clusters."),
     ("pagerank", "PageRank iteration: edges join the node-sized rank frame on src (shuffled hash join), contributions aggregate map-side-combined on dst; no adjacency matrix, no driver-side graph state."),
     ("scd2_join", "SCD2 point-in-time join: hash EQUI-join on the entity key with the validity interval as a residual filter - bounded by versions x facts per key, AQE-skew-safe, never a nested loop."),
-    ("token_budget", "Token-budget selection: distributed prefix sum over the quality order - bucket subtotals, driver prefix, broadcast offsets, parallel within-bucket windows; no global single-task sort."),
+    ("token_budget", "Token-budget selection: distributed prefix sum over the quality order - bucket subtotals, cluster-side cumulative_offsets window over the tiny totals frame, broadcast offsets, parallel within-bucket windows; no global single-task sort, no driver collect."),
     ("top_orders", "TPC-H Q3 shape: all three filters in PushedFilters, dims broadcast, map-side-combined revenue aggregate, TakeOrderedAndProject top-k (per-partition k rows, no full sort)."),
     ("pmi_collocations", "PMI collocations: ONE corpus pass into the map-side-combined bigram model; marginals and the total derive from the vocab-sized table (model-to-model joins); TakeOrdered top-k."),
     ("negative_samples", "Negative sampling: explode(sequence) fan-out + md5 hash projection generates candidates in-expression; the false-negative flag is one (user, candidate)-keyed join - no resample loop, no driver-side randomness."),
@@ -109,6 +109,8 @@ PICKS = [
     ("grouping_sets_revenue", "Arbitrary GROUPING SETS: all three sets expand through ONE Expand node into ONE exchange (rows x |sets| partials, map-side combined) — never one scan per set; grouping() flags ride the Expand."),
     ("rejection_report", "Rejection lineage: one projection computes every gate signal; the dedup group-by is a fingerprint-partitioned row_number window (one exchange), verdicts a stateless CASE — the per-doc form of clean_corpus at identical plan cost."),
     ("not_in_semantics", "NOT IN three-valued logic: the NULL-poisoned variant must plan a null-aware anti join (returns zero rows); the NULL-free variant and NOT EXISTS compile to plain left-anti — three labeled counts from one union."),
+    # r9 additions
+    ("tpch_q20", "Q20's three-level nest (IN over a derived partsupp whose WHERE holds another IN + a correlated scalar agg), submitted AS correlated SQL: Catalyst decorrelates to one pre-window aggregate, one in-window aggregate, an equi-join on the correlation keys, a broadcast semi against the part family and a semi into supplier — every join keyed, the fact scanned twice, never per-row; the empty-window rows keep NULL sums (count-bug edge) and fall out at the filter."),
 ]
 
 out = io.StringIO()
