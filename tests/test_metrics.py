@@ -170,3 +170,37 @@ def test_serve_logged_populates_metrics(spark, sf_dir, tmp_store):
     df = m.as_dataframe(spark)
     assert df.columns == ["metric", "labels", "value"]
     assert df.count() == len(m.as_rows())
+
+
+def test_histogram_properties_hypothesis():
+    """Prometheus-semantics invariants for ANY observation sequence:
+    bucket counts cumulative (monotone in le), +Inf bucket == _count ==
+    n observations, _sum == total."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=500), max_size=30),
+    )
+    def check(obs):
+        m = ServingMetrics()
+        for n in obs:
+            m.observe(
+                "request_entity_count_distribution",
+                {"project": "p"},
+                float(n),
+            )
+        h = m.histograms["request_entity_count_distribution"]
+        if not obs:
+            assert not h.n
+            return
+        counts = h.counts["project=p"]
+        assert all(a <= b for a, b in zip(counts, counts[1:]))
+        assert counts[-1] == len(obs) == h.n["project=p"]
+        assert h.sums["project=p"] == sum(obs)
+        # cumulative le semantics against a brute-force recount
+        for i, b in enumerate(h.buckets):
+            assert counts[i] == sum(1 for v in obs if v <= b)
+
+    check()
