@@ -288,7 +288,16 @@ def test_token_budget_no_global_window(spark):
     # the prefix sum must be per-bucket windows, never a global
     # single-partition sort (rangepartitioning with no partition key)
     assert "Exchange rangepartitioning" not in plan
-    assert "Exchange SinglePartition" not in plan
+    # r9: the cumulative-offsets step (layout.cumulative_offsets) runs a
+    # single-partition window over the BUCKET-TOTALS frame — one
+    # SinglePartition exchange of ≤ `buckets` aggregated rows (metadata,
+    # the global_sort_ranks pattern), fed by a partial-combined
+    # aggregate. It must be the only one, and it must sit ABOVE the
+    # per-bucket aggregate (so no data row ever crosses it).
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "partial_sum" in plan
+    # the data-row running sum stays per-bucket (parallel)
+    assert "windowspecdefinition(__b" in plan
 
 
 def test_top_orders_takeordered_plan(spark, sf_dir):
