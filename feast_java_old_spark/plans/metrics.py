@@ -226,9 +226,14 @@ class ServingMetrics:
     def as_dataframe(self, spark, include_latency: bool = False):
         """``value`` stays BIGINT for the deterministic export (what
         the gate hashes); the latency-inclusive export carries a
-        fractional ``_sum``, so it widens to DOUBLE."""
+        fractional ``_sum``, so it widens to DOUBLE — and every value
+        is coerced to float for that schema (DoubleType rejects raw
+        Python ints at createDataFrame)."""
+        rows = self.as_rows(include_latency=include_latency)
+        if include_latency:
+            rows = [(m, lb, float(v)) for m, lb, v in rows]
         return spark.createDataFrame(
-            self.as_rows(include_latency=include_latency),
+            rows,
             "metric string, labels string, value "
             + ("double" if include_latency else "long"),
         )

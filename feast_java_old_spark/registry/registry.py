@@ -144,27 +144,30 @@ class Registry:
             if include_archived or not p.archived
         ]
 
-    def _ensure_project(self, project: str) -> None:
+    def _ensure_project(self, project: str) -> bool:
         """Auto-create on apply (``SpecService.applyEntity:279-283``);
-        archived projects reject writes."""
+        archived projects reject writes. Returns True when the project
+        was newly created — the CALLER logs the CREATE PROJECT audit
+        entry after its save() succeeds (auto-create is the same
+        persisted state change as an explicit create_project, but an
+        entry written BEFORE validation/save would durably record a
+        creation a failed apply never persisted)."""
         check_project_name(project)
         p = self._projects.get(project)
+        created = False
         if p is None:
             self._projects[project] = Project(project)
-            # Auto-create is the same persisted state change as an
-            # explicit create_project — an audit trail that only logs
-            # the explicit path would show entities inside a project
-            # whose creation was never recorded.
-            self._log_action("CREATE", "PROJECT", project)
+            created = True
         elif p.archived:
             raise ValidationError(f"project {project!r} is archived")
+        return created
 
     # ------------------------------------------------------------ entities
 
     def apply_entity(self, entity: Entity, project: str = DEFAULT_PROJECT) -> Entity:
         """Idempotent upsert; type change forbidden
         (parity: ``SpecService.applyEntity:268-312``)."""
-        self._ensure_project(project)
+        new_project = self._ensure_project(project)
         check_name(entity.name, "entity name")
         existing = self._entities.get((project, entity.name))
         if existing is not None and existing.value_type != entity.value_type:
@@ -175,6 +178,8 @@ class Registry:
             )
         self._entities[(project, entity.name)] = copy.deepcopy(entity)
         self.save()
+        if new_project:
+            self._log_action("CREATE", "PROJECT", project)
         self._log_action(
             "UPDATE" if existing is not None else "CREATE",
             "ENTITY",
@@ -203,7 +208,10 @@ class Registry:
     ) -> FeatureTable:
         """Validate -> resolve entities -> upsert
         (parity: ``SpecService.applyFeatureTable:373-407``)."""
-        self._ensure_project(project)
+        # A just-created project has no entities, so entity resolution
+        # below always rejects a table applied into one — new_project
+        # only matters for the audit ordering contract.
+        new_project = self._ensure_project(project)
         validate_feature_table(table)
         for ent in table.entities:
             if (project, ent) not in self._entities:
@@ -227,6 +235,8 @@ class Registry:
         created.is_deleted = False
         self._tables[(project, table.name)] = created
         self.save()
+        if new_project:
+            self._log_action("CREATE", "PROJECT", project)
         self._log_action("CREATE", "FEATURE_TABLE", f"{project}/{table.name}")
         return created
 

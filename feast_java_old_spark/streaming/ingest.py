@@ -133,6 +133,21 @@ def merge_latest_batch(
     """
     keys = list(keys)
     batch_latest = latest_per_key(batch, keys, event_ts_col)
+    # Write-side auto-detect, mirroring the reader: a parquet-format
+    # merge onto a Delta-initialized table would write version dirs the
+    # Delta-dispatching reader never sees — every batch would merge
+    # against the frozen Delta snapshot and serving would silently
+    # never advance. Upgrade the write to the table's actual layout.
+    if table_format == "parquet" and os.path.isdir(
+        os.path.join(path, "_delta_log")
+    ):
+        if not delta_available():
+            raise RuntimeError(
+                f"online table at {path!r} is a Delta table but "
+                "delta-spark is not installed — a parquet merge would "
+                "write updates the Delta reader never serves"
+            )
+        table_format = "delta"
     if table_format == "delta":
         _merge_latest_batch_delta(
             spark, batch_latest, path, keys, event_ts_col

@@ -261,3 +261,29 @@ def test_jsonl_roundtrip_via_spark(spark, tmp_path):
     # kind-specific fields are NULL on other kinds (one flat relation)
     assert got["ACTION"]["service"] is None
     assert got["MESSAGE"]["action"] is None
+
+
+def test_auto_created_project_audited_after_successful_apply():
+    """apply_entity into a new project logs CREATE PROJECT (after the
+    save) then CREATE ENTITY; a FAILED apply into a new project logs
+    NOTHING (an entry written before validation would durably record a
+    creation that was never persisted)."""
+    log = _mem_logger()
+    reg = Registry(audit=log)
+    reg.apply_entity(fs.Entity("k", fs.ValueType.INT64), project="p_new")
+    got = [
+        (e["action"], e["resource"]["type"], e["resource"]["id"])
+        for e in log.entries
+    ]
+    assert got == [
+        ("CREATE", "PROJECT", "p_new"),
+        ("CREATE", "ENTITY", "p_new/k"),
+    ]
+    # failed apply (invalid entity name) into another fresh project
+    n0 = len(log.entries)
+    with pytest.raises(Exception):
+        reg.apply_entity(
+            fs.Entity("9bad name!", fs.ValueType.INT64),
+            project="p_doomed",
+        )
+    assert len(log.entries) == n0  # no partial trail

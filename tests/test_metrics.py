@@ -204,3 +204,17 @@ def test_histogram_properties_hypothesis():
             assert counts[i] == sum(1 for v in obs if v <= b)
 
     check()
+
+
+def test_latency_inclusive_dataframe_export(spark):
+    m = ServingMetrics()
+    m.observe_request("default", ["t:f"], _rows([{}]), latency_s=0.042)
+    df = m.as_dataframe(spark, include_latency=True)
+    assert dict(df.dtypes)["value"] == "double"
+    got = {
+        (r.metric, r.labels): r.value
+        for r in df.collect()
+        if r.metric == "request_latency_seconds_sum"
+    }
+    key = "method=getOnlineFeatures,project=default"
+    assert got[("request_latency_seconds_sum", key)] == pytest.approx(0.042)

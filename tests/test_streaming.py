@@ -978,3 +978,29 @@ def test_delta_table_autodetected_on_parquet_read(spark, tmp_path):
         pytest.skip("delta-spark present: covered by the identity test")
     with pytest.raises(RuntimeError, match="Delta table"):
         read_online_table(spark, str(store))
+
+
+def test_parquet_merge_onto_delta_table_is_refused_without_delta(
+    spark, tmp_path
+):
+    """Write-side twin of the read auto-detect: a parquet-format merge
+    onto a Delta-initialized table would write version dirs the
+    Delta-dispatching reader never serves — refuse loudly when
+    delta-spark can't upgrade the write."""
+    import datetime as dt
+
+    from feast_java_old_spark.streaming.ingest import (
+        delta_available,
+        merge_latest_batch,
+    )
+
+    if delta_available():
+        pytest.skip("delta-spark present: the write auto-upgrades")
+    store = tmp_path / "dl2"
+    (store / "_delta_log").mkdir(parents=True)
+    b = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)],
+        "user_id long, event_timestamp timestamp, value double",
+    )
+    with pytest.raises(RuntimeError, match="Delta table"):
+        merge_latest_batch(spark, b, str(store), ["user_id"], 0)
