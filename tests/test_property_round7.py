@@ -123,3 +123,54 @@ def test_event_transitions_matches_python_bigrams(spark, events):
         for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
             want[(a, b)] += 1
     assert got == dict(want)
+
+
+def test_q20_count_bug_edge_empty_window_filters_row(spark):
+    """The classic decorrelation COUNT bug, pinned as a unit test: a
+    (supplier, part) with pre-1998 stock but ZERO shipments in the
+    1998 window must NOT qualify — sum() over the empty correlated
+    group is NULL, the `2*avail > NULL` comparison is NULL, and the
+    row falls out. A wrong decorrelation rewrite (outer join + 0-fill
+    before the comparison) would flip it to qualifying, since
+    2*avail > 0 always holds."""
+    import datetime as dt
+
+    rows = [
+        # s1/p1: stock 10 before 1998, NOTHING shipped in 1998 → the
+        # count-bug row (must not qualify)
+        (100, 1, 1, 10.0, dt.datetime(1997, 5, 1)),
+        # s2/p1: stock 10 before 1998, 30 shipped in 1998 → 2*10 > 30
+        # is FALSE → not qualifying
+        (101, 2, 1, 10.0, dt.datetime(1997, 5, 1)),
+        (102, 2, 1, 30.0, dt.datetime(1998, 5, 1)),
+        # s3/p1: stock 20 before 1998, 30 shipped in 1998 → 2*20 > 30
+        # → qualifies
+        (103, 3, 1, 20.0, dt.datetime(1997, 5, 1)),
+        (104, 3, 1, 30.0, dt.datetime(1998, 5, 1)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_suppkey long, l_partkey long,"
+        " l_quantity double, l_shipdate timestamp",
+    ).createOrReplaceTempView("lineitem")
+    spark.createDataFrame(
+        [(1, "small widget")], "p_partkey long, p_name string"
+    ).createOrReplaceTempView("part")
+    spark.createDataFrame(
+        [(1, "S1", 0, 1.0), (2, "S2", 0, 2.0), (3, "S3", 0, 3.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    ).createOrReplaceTempView("supplier")
+    spark.createDataFrame(
+        [(0, "NATION_3")], "n_nationkey long, n_name string"
+    ).createOrReplaceTempView("nation")
+
+    import __spark_entry__ as e
+
+    try:
+        got = [r.s_name for r in spark.sql(e.SQL_TPCH_Q20).collect()]
+        assert got == ["S3"]
+    finally:
+        # session-scoped fixture: don't leave toy tables shadowing the
+        # names gate queries re-register from parquet
+        for v in ("lineitem", "part", "supplier", "nation"):
+            spark.catalog.dropTempView(v)
