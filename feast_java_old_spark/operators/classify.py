@@ -182,6 +182,12 @@ def logreg_train(
                 F.lit(MILLE).cast("long").alias("x"),
             )
         )
+        # Persist PRE-PARTITIONED on doc_id: every step's score
+        # aggregate and residual join cluster on doc_id, so the cached
+        # partitioning satisfies their distribution and the per-step
+        # plans skip re-exchanging the (docs × dims)-row feature frame
+        # — each step shuffles only the n-row residual frame.
+        .repartition(F.col("doc_id"))
         .persist()
     )
     feat = featb.where(F.col("j") >= 0)
