@@ -86,7 +86,7 @@ PICKS = [
     ("expectations", "Expectations suite: every row-local rule is ONE expression in a single map-side-combined aggregate over one scan (uniqueness adds the exact-distinct Expand); the referential rule is a distinct-build + broadcast left join sized by the dimension — verdict rows out, nothing collected."),
     ("lm_backoff", "Stupid-backoff LM under a held-out model: every CASE branch pre-resolved MODEL-side (trigram⋈context-bigram, bigram⋈unigram, unigram⋈total — all vocab-sized), so the corpus-sized eval trigram stream is consumed ONCE through three broadcast left joins + a coalesce ladder; no per-branch corpus re-scan."),
     ("bloom_prune_join", "Bloom-pruned join: the dim key set packs into ONE dense array<long> bitmap row (gap-filled union + sort_array — never the O(n²) map-lookup densify) that broadcasts; probe hashes are codegen fact-side projections, so the interpreted BNLJ condition evaluates only element_at+AND residuals; FPs die in the exact join — the plan is row-identical to the unpruned join with the fact's non-matching majority cut before the exchange."),
-    ("logreg_quality", "Distributed logreg training: the per-step plan is featb (persisted hashed-frequency rows) ⋈ residual frame → ONE map-side-combined (dims+2)-row gradient aggregate; weights return as literals (CASE-chain projection, no weight join), so step N+1's plan contains constants, not step N's DAG — the kmeans lineage-cut pattern at classifier scale."),
+    ("logreg_quality", "Distributed logreg training: the per-step plan is featb (persisted hashed-frequency rows, PRE-PARTITIONED on doc_id so the cached partitioning satisfies every step's join/aggregate distribution — only the n-row residual frame re-shuffles) ⋈ residual frame → ONE map-side-combined (dims+2)-row gradient aggregate; weights return as literals (CASE-chain projection, no weight join), so step N+1's plan contains constants, not step N's DAG — the kmeans lineage-cut pattern at classifier scale."),
     ("global_ranks", "Global sort ranks: percentile boundaries collapse to literals, bucket assignment is a chained-comparison codegen projection, the ONLY SinglePartition exchange carries ≤64 count rows (metadata), and row_number windows are PARTITIONED by bucket — the naive plan's whole-table single-partition sort never appears."),
     ("zone_map_prune", "Zone-map skip audit: both layouts' stats are metadata-sized aggregates (one map-side-combined groupBy per layout); the prune is a filter over ≤64 stats rows; the only data-sized work is the two layout projections and the exact matched-count scan — the audit itself never rewrites or re-reads data per candidate layout."),
     ("tpch_q4", "EXISTS as LEFT SEMI: the pushed returnflag filter reaches the lineitem scan, the semi join emits each order at most once (output bounded by |orders| regardless of lineitem fan-out), and the priority aggregate is map-side combined."),
