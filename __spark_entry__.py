@@ -6339,8 +6339,10 @@ SELECT event_type, event_id, round(value, 6) AS value,
              THEN (value - min(value) OVER w)
                   / (max(value) OVER w - min(value) OVER w)
              END, 6) AS minmax,
-       round(percent_rank() OVER
-             (PARTITION BY event_type ORDER BY value), 6) AS pct_rank
+       CASE WHEN value IS NOT NULL THEN
+            round(percent_rank() OVER
+                  (PARTITION BY event_type ORDER BY value NULLS LAST), 6)
+       END AS pct_rank
 FROM events
 WINDOW w AS (PARTITION BY event_type)
 """
@@ -6881,6 +6883,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_HEAVY_HITTERS = f"""
 SELECT user_id, count(*) AS cnt FROM events
+WHERE user_id IS NOT NULL
 GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT {HH_K}
 """
 

@@ -637,11 +637,18 @@ def normalize_features(
     ``percent_rank`` share a rank (SQL standard), so the output is
     deterministic without an id tiebreak; z-score and min-max guard
     zero-variance groups with NULL.
+
+    NULL contract: a NULL value gets NULL for all three normalizations
+    (the moments already ignore NULLs in every engine), and the rank
+    ordering pins NULLS LAST explicitly — Spark's ASC default is NULLS
+    FIRST while DuckDB/Postgres default NULLS LAST, which would shift
+    every non-NULL row's percent_rank between engines (caught by the
+    NULL-injected oracle sweep, r9).
     """
     from pyspark.sql.window import Window
 
     wg = Window.partitionBy(*keys)
-    wo = Window.partitionBy(*keys).orderBy(F.col(col))
+    wo = Window.partitionBy(*keys).orderBy(F.col(col).asc_nulls_last())
     v = F.col(col)
     mean = F.avg(v).over(wg)
     sd = F.stddev_samp(v).over(wg)
@@ -657,7 +664,9 @@ def normalize_features(
         F.round(
             F.when(mx > mn, (v - mn) / (mx - mn)), 6
         ).alias("minmax"),
-        F.round(F.percent_rank().over(wo), 6).alias("pct_rank"),
+        F.when(
+            v.isNotNull(), F.round(F.percent_rank().over(wo), 6)
+        ).alias("pct_rank"),
     )
 
 
