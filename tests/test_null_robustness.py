@@ -90,3 +90,64 @@ def test_oracle_agreement_under_nulls(spark, null_sf_dir, name):
         "oracle — align the oracle with the operator's documented NULL "
         "handling (see module docstring)"
     )
+
+
+NULL_TEXT_SENSITIVE = [
+    "dedup_exact",
+    "doc_fingerprint",
+    "token_count",
+    "text_stats",
+    "lang_id",
+    "pii_scrub",
+    "text_normalize",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "decontaminate",
+    "token_budget",
+    "sequence_pack",
+]
+
+
+@pytest.fixture(scope="module")
+def null_doc_sf_dir(tmp_path_factory, sf_dir):
+    d = tmp_path_factory.mktemp("sfnulldoc")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (SELECT * REPLACE (CASE WHEN doc_id % 29 = 0 THEN NULL
+                                     ELSE text END AS text)
+              FROM '{sf_dir}/documents.parquet')
+        TO '{d}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events embeddings"
+    ).split():
+        os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", NULL_TEXT_SENSITIVE)
+def test_oracle_agreement_under_null_text(spark, null_doc_sf_dir, name):
+    """The r7 NULL-text contract (substring/text ops), exercised
+    engine-vs-oracle over a documents table with ~4% NULL text."""
+    import __spark_entry__ as e
+    from scripts.check_correctness import (
+        TABLES,
+        kind_mismatches,
+        value_hash,
+    )
+
+    sdf = e.queries()[name](spark, null_doc_sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{null_doc_sf_dir}/{t}.parquet'"
+        )
+    odf = con.sql(e.oracle_sql()[name]).df()
+    assert len(sdf) == len(odf), (name, len(sdf), len(odf))
+    assert sorted(sdf.columns) == sorted(odf.columns), name
+    assert not kind_mismatches(sdf, odf), name
+    assert value_hash(sdf) == value_hash(odf), name
