@@ -2334,7 +2334,10 @@ KM_DIM = 64
 
 def _kmeans_refine(spark: SparkSession, sf_dir: str, kernel: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
+    # NULL-vector ingestion contract (r9): NULL embeddings are not
+    # points in the space — filtered before seeding/assignment (the
+    # oracle reads the same NULL-free relation).
+    v = emb.where(F.col("embedding").isNotNull()).select(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("__v"),
     )
@@ -2390,8 +2393,9 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall gate is the correctness evidence, like the other ANN paths
     (operators/similarity.py:ann_ivf_pq)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qrows = (
-        emb.select("vec_id", F.col("embedding").cast("array<double>"))
+    qrows = (  # query batch = non-NULL vectors (ingestion contract)
+        emb.where(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>"))
         .orderBy("vec_id")
         .limit(PQ_QUERIES)
         .collect()
@@ -2509,8 +2513,9 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:pq_adc_topk)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cbs = similarity.pq_train(emb, m=PQ_M, codes=PQ_CODES, dim=KM_DIM)
-    qrows = (
-        emb.select("vec_id", F.col("embedding").cast("array<double>"))
+    qrows = (  # query batch = non-NULL vectors (ingestion contract)
+        emb.where(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>"))
         .orderBy("vec_id")
         .limit(PQ_QUERIES)
         .collect()

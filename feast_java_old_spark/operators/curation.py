@@ -770,6 +770,12 @@ def semantic_decontaminate(
     """
     from feast_java_old_spark.operators.similarity import _as_double, cosine
 
+    # NULL-vector contract (r9, uniform with similarity.py): a NULL
+    # embedding is not a point in the space — such corpus rows cannot
+    # be screened and are dropped (run the lexical screen on them);
+    # NULL bench rows constrain nothing.
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    bench = bench.where(F.col(vec_col).isNotNull())
     c = corpus.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__cv")
     )

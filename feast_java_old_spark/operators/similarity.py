@@ -89,6 +89,12 @@ def cosine_topk(
     a query batch). Self-matches (same id) are excluded. Ties broken by
     neighbor id ascending for full determinism.
     """
+    # NULL-vector contract (r9): a NULL embedding is not a point in the
+    # space — filter at entry so rankings never carry NULL scores, Arrow
+    # kernels never receive None arrays, and the SQL oracles can mirror
+    # the behavior (DuckDB's list_inner_product errors on NULL input).
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__cv"),
@@ -133,6 +139,12 @@ def hard_negatives(
     cosine is computed. The per-query top-k window shuffles only
     surviving (query, neighbor, cosine) rows.
     """
+    # NULL-vector contract (r9): a NULL embedding is not a point in the
+    # space — filter at entry so rankings never carry NULL scores, Arrow
+    # kernels never receive None arrays, and the SQL oracles can mirror
+    # the behavior (DuckDB's list_inner_product errors on NULL input).
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
@@ -230,6 +242,12 @@ def ann_sign_lsh(
     *after* pair dedup, so the corpus vectors are never replicated per
     table. Requires ``bits * tables <= dim``.
     """
+    # NULL-vector contract (r9): a NULL embedding is not a point in the
+    # space — filter at entry so rankings never carry NULL scores, Arrow
+    # kernels never receive None arrays, and the SQL oracles can mirror
+    # the behavior (DuckDB's list_inner_product errors on NULL input).
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     if tables > 1:
         return _ann_sign_lsh_multi(
             corpus, queries, k, bits, tables, id_col, vec_col, query_id_col
@@ -365,6 +383,11 @@ def ivf_assign(
     centroid id ascending, so an ANSI-SQL oracle reproduces assignments
     exactly.
     """
+    # NULL-vector contract (r9): a NULL embedding is not a point in the
+    # space — filter at entry so rankings never carry NULL scores, Arrow
+    # kernels never receive None arrays, and the SQL oracles can mirror
+    # the behavior (DuckDB's list_inner_product errors on NULL input).
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     other = [c for c in corpus.columns if c != id_col]
     # Hoist norms out of the n_vectors x n_centroids scoring (the
     # dot/sqrt kernels are interpreted HOFs — once per row, not per pair).
@@ -432,6 +455,11 @@ def embedding_outliers(
 
     Returns ``(id, norm, center_cos, outlier)`` for every vector.
     """
+    # NULL-vector contract (r9): a NULL embedding is not a point in the
+    # space — filter at entry so rankings never carry NULL scores, Arrow
+    # kernels never receive None arrays, and the SQL oracles can mirror
+    # the behavior (DuckDB's list_inner_product errors on NULL input).
+    df = df.where(F.col(vec_col).isNotNull())
     v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
     cent = v.agg(
         F.array(*[F.avg(F.col("__v")[i]) for i in range(dim)]).alias("__c")
@@ -523,6 +551,11 @@ def kmeans_step(
 
     Returns ``(centroid_id, n_members, centroid)``.
     """
+    # NULL-vector contract (r9): a NULL embedding is not a point in the
+    # space — filter at entry so rankings never carry NULL scores, Arrow
+    # kernels never receive None arrays, and the SQL oracles can mirror
+    # the behavior (DuckDB's list_inner_product errors on NULL input).
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     import math
 
     if kernel not in ("expr", "arrow"):
@@ -616,6 +649,12 @@ def ann_ivf(
     unchanged, which is the point: swapping the coarse quantizer does not
     touch the distributed query plan.
     """
+    # NULL-vector contract (r9): a NULL embedding is not a point in the
+    # space — filter at entry so rankings never carry NULL scores, Arrow
+    # kernels never receive None arrays, and the SQL oracles can mirror
+    # the behavior (DuckDB's list_inner_product errors on NULL input).
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__cv"),
@@ -676,6 +715,11 @@ def embedding_near_dups(
     ``corpus_rows`` (a known row count; no extra job is run) to get a
     warning when expected occupancy exceeds ``max_bucket_rows``.
     """
+    # NULL-vector contract (r9): a NULL embedding is not a point in the
+    # space — filter at entry so rankings never carry NULL scores, Arrow
+    # kernels never receive None arrays, and the SQL oracles can mirror
+    # the behavior (DuckDB's list_inner_product errors on NULL input).
+    df = df.where(F.col(vec_col).isNotNull())
     if corpus_rows is not None:
         occ = corpus_rows / (1 << bits)
         if occ > max_bucket_rows:
@@ -749,6 +793,12 @@ def cosine_topk_arrow(
     sequential HOF accumulate, so ulp-level differences can flip
     boundary ties — rank ties still break by neighbor id.
     """
+    # NULL-vector contract (r9): a NULL embedding is not a point in the
+    # space — filter at entry so rankings never carry NULL scores, Arrow
+    # kernels never receive None arrays, and the SQL oracles can mirror
+    # the behavior (DuckDB's list_inner_product errors on NULL input).
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     import numpy as np
     import pandas as pd
 
@@ -839,6 +889,12 @@ def mmr_topk(
     between engines; ties break by neighbor id ascending. Emits
     ``(query_id, mmr_rank, neighbor_id, mmr_score_2x_micro)``.
     """
+    # NULL-vector contract (r9): a NULL embedding is not a point in the
+    # space — filter at entry so rankings never carry NULL scores, Arrow
+    # kernels never receive None arrays, and the SQL oracles can mirror
+    # the behavior (DuckDB's list_inner_product errors on NULL input).
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     import numpy as np
     import pandas as pd
 
@@ -933,6 +989,11 @@ def random_projection(
     BigDecimal HALF_UP and DuckDB's double round diverge — observed a
     1-micro split on this exact corpus with a fractional output).
     """
+    # NULL-vector contract (r9): a NULL embedding is not a point in the
+    # space — filter at entry so rankings never carry NULL scores, Arrow
+    # kernels never receive None arrays, and the SQL oracles can mirror
+    # the behavior (DuckDB's list_inner_product errors on NULL input).
+    df = df.where(F.col(vec_col).isNotNull())
     import math
 
     spark = df.sparkSession
@@ -989,6 +1050,11 @@ def mean_pool(
 
     Returns (group_col, embedding array<double>, n_vectors).
     """
+    # NULL-vector contract (r9): a NULL embedding is not a point in the
+    # space — filter at entry so rankings never carry NULL scores, Arrow
+    # kernels never receive None arrays, and the SQL oracles can mirror
+    # the behavior (DuckDB's list_inner_product errors on NULL input).
+    df = df.where(F.col(vec_col).isNotNull())
     ex = df.select(
         F.col(group_col),
         F.posexplode(_as_double(F.col(vec_col))).alias("__dim", "__val"),
@@ -1032,6 +1098,11 @@ def semdedup(
 
     Returns (id, cluster, cos_centroid, kept).
     """
+    # NULL-vector contract (r9): a NULL embedding is not a point in the
+    # space — filter at entry so rankings never carry NULL scores, Arrow
+    # kernels never receive None arrays, and the SQL oracles can mirror
+    # the behavior (DuckDB's list_inner_product errors on NULL input).
+    df = df.where(F.col(vec_col).isNotNull())
     cents = mean_pool(df, cluster_col, vec_col).select(
         F.col(cluster_col), F.col(vec_col).alias("__c")
     )
@@ -1113,6 +1184,11 @@ def pq_train(
     per subspace over ``F.slice`` projections if recall needs it —
     the encode/search plans don't change.
     """
+    # NULL-vector contract (r9): a NULL embedding is not a point in the
+    # space — filter at entry so rankings never carry NULL scores, Arrow
+    # kernels never receive None arrays, and the SQL oracles can mirror
+    # the behavior (DuckDB's list_inner_product errors on NULL input).
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     if dim % m != 0:
         raise ValueError("dim must be divisible by m")
     w = dim // m
@@ -1169,6 +1245,11 @@ def pq_encode(
       ``aggregate``/``zip_with`` dot products interpreted (measured
       ~7 s vs ~0.5 s at 2000 rows × 128 codewords).
     """
+    # NULL-vector contract (r9): a NULL embedding is not a point in the
+    # space — filter at entry so rankings never carry NULL scores, Arrow
+    # kernels never receive None arrays, and the SQL oracles can mirror
+    # the behavior (DuckDB's list_inner_product errors on NULL input).
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     m = len(codebooks)
     codes = len(codebooks[0])
     w = len(codebooks[0][0])
@@ -1326,6 +1407,10 @@ def kmeans_train(
 
     Returns the final step's ``(centroid_id, n_members, centroid)``.
     """
+    # NULL-vector contract (r9): seeds and iterations skip NULL vectors
+    # (kmeans_step filters its corpus; the seed TakeOrdered must match,
+    # or a NULL seed becomes a None centroid the kernels choke on).
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     cent = (
         corpus.select(id_col, vec_col)
         .orderBy(id_col)
@@ -1412,6 +1497,9 @@ def ann_ivf_pq(
         raise ValueError("dim must be divisible by m")
     w = dim // m
     train_n = max(n_lists + codes, min(512, 4 * codes + n_lists))
+    # NULL-vector contract (r9): NULL embeddings are not index points —
+    # filter before seeding/encoding (a None seed row crashes np.array).
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     seed_rows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(train_n).collect()
     )

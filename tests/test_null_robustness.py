@@ -151,3 +151,76 @@ def test_oracle_agreement_under_null_text(spark, null_doc_sf_dir, name):
     assert sorted(sdf.columns) == sorted(odf.columns), name
     assert not kind_mismatches(sdf, odf), name
     assert value_hash(sdf) == value_hash(odf), name
+
+
+# Embedding queries under the NULL-vector ingestion contract (r9): a
+# NULL embedding is not a point in the space — every similarity/ANN/
+# PQ/k-means operator filters NULL vectors at entry, so the oracle side
+# expresses the contract ONCE, as a NULL-filtered embeddings view
+# (DuckDB's list_inner_product cannot even evaluate a NULL list — the
+# unfiltered oracles error, which is why the contract must live at
+# ingestion).
+NULL_VEC_SENSITIVE = [
+    "similarity_topk",
+    "hard_negatives",
+    "embedding_near_dups",
+    "embedding_outliers",
+    "embedding_centroids",
+    "semdedup",
+    "semantic_decontaminate",
+    "random_projection",
+    "kmeans_refine",
+    "pq_encode",
+    "mmr_rerank",
+    "similarity_ann_lsh",
+]
+
+
+@pytest.fixture(scope="module")
+def null_vec_sf_dir(tmp_path_factory, sf_dir):
+    d = tmp_path_factory.mktemp("sfnullvec")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (SELECT * REPLACE (CASE WHEN vec_id % 37 = 0 THEN NULL
+                                     ELSE embedding END AS embedding)
+              FROM '{sf_dir}/embeddings.parquet')
+        TO '{d}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents"
+    ).split():
+        os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", NULL_VEC_SENSITIVE)
+def test_oracle_agreement_under_null_vectors(spark, null_vec_sf_dir, name):
+    import __spark_entry__ as e
+    from scripts.check_correctness import (
+        TABLES,
+        kind_mismatches,
+        value_hash,
+    )
+
+    sdf = e.queries()[name](spark, null_vec_sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "embeddings":
+            con.execute(
+                "CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{null_vec_sf_dir}/embeddings.parquet' "
+                "WHERE embedding IS NOT NULL"
+            )
+        else:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{null_vec_sf_dir}/{t}.parquet'"
+            )
+    odf = con.sql(e.oracle_sql()[name]).df()
+    assert len(sdf) == len(odf), (name, len(sdf), len(odf))
+    assert sorted(sdf.columns) == sorted(odf.columns), name
+    assert not kind_mismatches(sdf, odf), name
+    assert value_hash(sdf) == value_hash(odf), name
