@@ -376,7 +376,12 @@ def main() -> None:
     reruns: dict[str, dict[str, float]] = {}
     for name, cold in list(timings.items()):
         p = prior.get(name)
-        if p and cold > 1.5 * p and cold > 1.0:
+        # Floor at 0.3 s (was 1.0 s): the old floor permanently exempted
+        # sub-second queries from adjudication — two drifted past 1.5x
+        # unadjudicated by r9 close (VERDICT r9 finding #1). 0.3 s is
+        # below the fresh-JVM fixed overhead of any headline query, so
+        # no flag can now escape the rerun.
+        if p and cold > 1.5 * p and cold > 0.3:
             warm = run_once(qs[name], name)
             reruns[name] = {"cold": cold, "warm": warm, "prior_round": p}
             timings[name] = warm
