@@ -981,6 +981,20 @@ def compact_versioned(
 
     table: FeatureTable = registry.get_feature_table(table_name, project)
     tpath = online_table_path(store_path, project, table_name)
+    # Crash recovery ON ENTRY, before any epoch is read: a hard crash
+    # in a prior run's swap window (between replace(epoch, trash) and
+    # replace(staging, epoch)) leaves rev=<h>.compact_old holding the
+    # ONLY live copy of that epoch while the schema registry still
+    # lists it — restore it. A trash dir alongside a PRESENT epoch is
+    # a post-swap leftover; leave it for the swap section's cleanup
+    # (restoring it would roll live data back).
+    if os.path.isdir(tpath):
+        with _registry_lock(tpath):
+            for d in os.listdir(tpath):
+                if d.endswith(".compact_old"):
+                    orig = os.path.join(tpath, d[: -len(".compact_old")])
+                    if not os.path.isdir(orig):
+                        os.replace(os.path.join(tpath, d), orig)
     # snapshot FIRST: only epochs known before the merge began may be
     # pruned afterwards (everything the merge could have fully read)
     prunable = set(_load_schema_registry(tpath))
@@ -1026,6 +1040,16 @@ def compact_versioned(
             # old epoch and the merged rewrite if the replace failed
             # after the rmtree (the except path deletes staging too).
             trash = epoch.rstrip("/") + ".compact_old"
+            # Crash recovery BEFORE cleanup: a hard crash between
+            # replace(epoch, trash) and replace(staging, epoch) leaves
+            # trash holding the only live copy of the epoch (staging
+            # from that run is orphaned under a different pid-suffixed
+            # name). Restore it — deleting trash while the epoch dir is
+            # missing would discard the data the schema registry still
+            # points at. Only a trash dir alongside a PRESENT epoch is
+            # a stale leftover safe to remove.
+            if os.path.isdir(trash) and not os.path.isdir(epoch):
+                os.replace(trash, epoch)
             shutil.rmtree(trash, ignore_errors=True)  # stale from a crash
             had_old = os.path.isdir(epoch)
             if had_old:

@@ -62,6 +62,60 @@ def _labels_key(labels: dict[str, str]) -> str:
     return ",".join(f"{k}={labels[k]}" for k in sorted(labels))
 
 
+def _merge_le(key: str, le: str) -> str:
+    """Merge an ``le`` bucket boundary into an existing canonical label
+    key and RE-canonicalize (sort by label name). String-prefixing
+    ``le=...`` onto the key preserved sorted order only by luck —
+    ``'le'`` happens to sort before every current label name
+    (``method``/``project``) — and would silently break the canonical-
+    label invariant for any future histogram labeled with a key sorting
+    before ``'le'`` (e.g. ``feature_name``)."""
+    labels = {"le": le}
+    if key:
+        for kv in key.split(","):
+            k, _, v = kv.partition("=")
+            labels[k] = v
+    return _labels_key(labels)
+
+
+# Prometheus family metadata for the text exposition: TYPE per family
+# (OpenMetrics-strict scrapers reject untyped series) and a HELP line.
+# Counter/histogram split mirrors Metrics.java's instrument kinds.
+_FAMILY_META = {
+    "request_feature_count": ("counter", "Count of feature requests"),
+    "not_found_feature_count": (
+        "counter",
+        "Count of not found feature requests",
+    ),
+    "stale_feature_count": ("counter", "Count of stale feature requests"),
+    "grpc_request_count": ("counter", "Number of gRPC requests served"),
+    "request_latency_seconds": (
+        "histogram",
+        "Feast serving latency in seconds",
+    ),
+    "request_entity_count_distribution": (
+        "histogram",
+        "Number of entity rows per request",
+    ),
+    "request_feature_count_distribution": (
+        "histogram",
+        "Number of feature rows per request",
+    ),
+    "request_feature_table_count_distribution": (
+        "histogram",
+        "Number of feature tables per request",
+    ),
+}
+
+
+def _prom_le(b) -> str:
+    """Bucket boundary rendered the way the reference's Java Prometheus
+    client does (``doubleToGoString``): always a float literal —
+    ``le="1.0"``, never ``le="1"`` — so series labels match dashboards
+    and recording rules built against the reference's exposition."""
+    return str(float(b))
+
+
 def _prom_labels(key: str) -> str:
     """Re-render a canonical ``k=v,k=v`` label key as the Prometheus
     TEXT-format label body — values must be double-quoted
@@ -95,6 +149,63 @@ class _Histogram:
         row[-1] += 1  # +Inf
         self.sums[key] += value
         self.n[key] += 1
+
+
+CORE_SUBSYSTEM = "feast_core"
+
+_CORE_GAUGE_META = {
+    "feast_core_feature_set_total": (
+        "gauge",
+        "Total number of registered feature tables",
+    ),
+    "feast_core_store_total": ("gauge", "Total number of registered stores"),
+}
+
+
+def core_resource_rows(registry) -> list[tuple]:
+    """Core resource gauges — parity with
+    ``core/src/main/java/feast/core/metrics/collector/
+    FeastResourceCollector.java:46-54``: ``feast_core_feature_set_total``
+    (total registered feature tables) and ``feast_core_store_total``
+    (total registered stores), computed FROM the registry at collect
+    time (the reference is a custom Prometheus ``Collector`` reading
+    repository counts per scrape, not an incremented counter).
+
+    The reference's ``featureTableRepository.count()`` is a JPA row
+    count, which includes soft-DELETED tables (deletion flips a column,
+    the row stays) — matched here by counting every ``_tables`` entry
+    across all projects. Returns the same flat ``(metric, labels,
+    value)`` rows as :meth:`ServingMetrics.as_rows` so both surfaces
+    union into one relation."""
+    n_tables = len(registry._tables)
+    n_stores = len(registry._stores)
+    return [
+        ("feast_core_feature_set_total", "", int(n_tables)),
+        ("feast_core_store_total", "", int(n_stores)),
+    ]
+
+
+def core_resource_dataframe(spark, registry):
+    """Gauge rows as a DataFrame (same schema as the deterministic
+    :meth:`ServingMetrics.as_dataframe` export, union-compatible)."""
+    return spark.createDataFrame(
+        core_resource_rows(registry),
+        "metric string, labels string, value long",
+    )
+
+
+def core_exposition(registry) -> str:
+    """Prometheus text exposition for the core gauges (the reference
+    exports them through the same registry endpoint as the serving
+    instruments, namespaced ``feast_core_*`` with no subsystem
+    prefixing — the collector passes full metric names)."""
+    lines = []
+    for metric, _labels, v in core_resource_rows(registry):
+        kind, help_text = _CORE_GAUGE_META[metric]
+        lines.append(f"# HELP {metric} {help_text}")
+        lines.append(f"# TYPE {metric} {kind}")
+        lines.append(f"{metric} {float(v)}")
+    return "\n".join(lines) + "\n"
 
 
 class ServingMetrics:
@@ -138,17 +249,31 @@ class ServingMetrics:
         method: str = "getOnlineFeatures",
         status_code: str = "OK",
         latency_s: Optional[float] = None,
+        entity_count: Optional[int] = None,
     ) -> None:
         """One ``getOnlineFeatures`` call → every instrument the
         reference populates (``populateHistogramMetrics`` +
         ``populateCountMetrics`` + ``populateFeatureCountMetrics`` +
-        the gRPC interceptor pair)."""
+        the gRPC interceptor pair).
+
+        ``entity_count`` is the REQUEST's entity-row count — the value
+        the reference observes (``populateHistogramMetrics`` reads
+        ``request.getEntityRowsCount()``). Callers that know it
+        (``serve_logged`` computes it as ``n_req``) must pass it;
+        ``len(response_rows)`` is only a fallback, correct solely
+        because today's serving path returns exactly one row per entity
+        row — a path that drops or expands rows would silently skew the
+        histogram."""
         refs = [str(r) for r in feature_refs]
         tables = {r.partition(":")[0] for r in refs}
         self.observe(
             "request_entity_count_distribution",
             {"project": project},
-            float(len(response_rows)),
+            float(
+                entity_count
+                if entity_count is not None
+                else len(response_rows)
+            ),
         )
         self.observe(
             "request_feature_count_distribution",
@@ -208,10 +333,15 @@ class ServingMetrics:
                 if latency and not include_latency:
                     continue
                 for key in h.n:
+                    # as_rows keeps the frozen-at-r9 `le=1` integer
+                    # rendering (the gate's oracle VALUES rows hash
+                    # against it); the Prometheus float form lives in
+                    # exposition(), the only scrape-facing surface.
                     les = [str(b) for b in h.buckets] + ["+Inf"]
                     for le, c in zip(les, h.counts[key]):
-                        lbl = f"le={le},{key}" if key else f"le={le}"
-                        out.append((f"{name}_bucket", lbl, int(c)))
+                        out.append(
+                            (f"{name}_bucket", _merge_le(key, le), int(c))
+                        )
                     out.append((f"{name}_count", key, int(h.n[key])))
                     # latency sums are sub-second floats — int() would
                     # floor every total under 1s to 0 and corrupt
@@ -240,19 +370,39 @@ class ServingMetrics:
 
     def exposition(self) -> str:
         """Prometheus text exposition (scrape format), full-precision
-        sums and latency included — the ``/metrics`` endpoint body."""
+        sums and latency included — the ``/metrics`` endpoint body.
+
+        Family metadata (``# HELP`` / ``# TYPE``) precedes each family's
+        samples and bucket boundaries render as float literals
+        (``le="1.0"``), both matching the reference's Java client
+        output — dashboards and recording rules built against the
+        reference's series carry over unchanged, and OpenMetrics-strict
+        scrapers get typed series."""
         lines = []
+
+        def _meta(metric: str) -> None:
+            kind, help_text = _FAMILY_META.get(metric, ("untyped", metric))
+            lines.append(f"# HELP {SUBSYSTEM}_{metric} {help_text}")
+            lines.append(f"# TYPE {SUBSYSTEM}_{metric} {kind}")
+
         with self._lock:
+            seen: set[str] = set()
             for (metric, labels), v in sorted(self.counters.items()):
+                if metric not in seen:
+                    seen.add(metric)
+                    _meta(metric)
                 lines.append(
                     f"{SUBSYSTEM}_{metric}{{{_prom_labels(labels)}}} {v}"
                 )
             for name, h in sorted(self.histograms.items()):
+                if not h.n:
+                    continue
+                _meta(name)
                 for key in sorted(h.n):
                     pkey = _prom_labels(key)
-                    les = [str(b) for b in h.buckets] + ["+Inf"]
+                    les = [_prom_le(b) for b in h.buckets] + ["+Inf"]
                     for le, c in zip(les, h.counts[key]):
-                        lbl = f'le="{le}",{pkey}' if pkey else f'le="{le}"'
+                        lbl = _prom_labels(_merge_le(key, le))
                         lines.append(
                             f"{SUBSYSTEM}_{name}_bucket{{{lbl}}} {c}"
                         )

@@ -182,11 +182,16 @@ def serve_logged(
             )
         raise
     if metrics is not None:
+        # Pass the REQUEST's entity-row count explicitly (the value the
+        # reference observes); only a non-list request (a DataFrame,
+        # n_req = -1) falls back to the response-row count inside
+        # observe_request.
         metrics.observe_request(
             project,
             [str(r) for r in feature_refs],
             rows,
             latency_s=_time.time() - t0,
+            entity_count=n_req if n_req >= 0 else None,
         )
     if audit is not None:
         # Feature fields only: entity echo-backs are PRESENT by

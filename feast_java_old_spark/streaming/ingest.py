@@ -69,9 +69,25 @@ def read_online_table(
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
-    if table_format == "delta" or os.path.isdir(
-        os.path.join(path, "_delta_log")
-    ):
+    has_delta_log = os.path.isdir(os.path.join(path, "_delta_log"))
+    if table_format == "delta" or has_delta_log:
+        if not has_delta_log:
+            # None is the never-materialized contract (missing/empty
+            # dir). A NON-empty dir without _delta_log under an
+            # explicit table_format="delta" is a real, populated
+            # parquet/versioned table being read with the wrong format
+            # flag — returning None here would silently serve
+            # all-NOT_FOUND for live data. Classified BEFORE the
+            # delta_available() check: this error is about the caller's
+            # flag, not the environment.
+            if os.path.isdir(path) and os.listdir(path):
+                raise ValueError(
+                    f"table_format='delta' but {path!r} holds a "
+                    "non-Delta table (no _delta_log; dir is non-empty) "
+                    "— read it with table_format='parquet', or "
+                    "re-materialize it through the Delta MERGE sink"
+                )
+            return None
         if not delta_available():
             raise RuntimeError(
                 f"online table at {path!r} is a Delta table but "

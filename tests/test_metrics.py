@@ -218,3 +218,116 @@ def test_latency_inclusive_dataframe_export(spark):
     }
     key = "method=getOnlineFeatures,project=default"
     assert got[("request_latency_seconds_sum", key)] == pytest.approx(0.042)
+
+
+def test_exposition_family_metadata_and_float_le():
+    """ADVICE r9 metrics.py:241 — the scrape body must render bucket
+    bounds the way the reference's Java client does (doubleToGoString:
+    ``le="1.0"``, never ``le="1"``) and carry # HELP/# TYPE lines per
+    family (OpenMetrics-strict scrapers reject untyped series)."""
+    m = ServingMetrics()
+    m.observe_request(
+        "default",
+        ["driver_stats:rating"],
+        [{"statuses": {"rating": "PRESENT"}}],
+        latency_s=0.03,
+    )
+    expo = m.exposition()
+    assert '_entity_count_distribution_bucket{le="1.0",project="default"}' in expo
+    assert 'le="1"' not in expo.replace('le="1.0"', "")
+    assert "# TYPE feast_serving_grpc_request_count counter" in expo
+    assert "# HELP feast_serving_grpc_request_count" in expo
+    assert (
+        "# TYPE feast_serving_request_entity_count_distribution histogram"
+        in expo
+    )
+    # HELP/TYPE precede the family's first sample line
+    lines = expo.splitlines()
+    first_sample = next(
+        i for i, ln in enumerate(lines)
+        if ln.startswith("feast_serving_grpc_request_count{")
+    )
+    assert lines[first_sample - 1].startswith(
+        "# TYPE feast_serving_grpc_request_count"
+    )
+
+
+def test_bucket_label_merge_recanonicalizes():
+    """ADVICE r9 metrics.py:213 — ``le`` must merge into the label dict
+    and re-sort, not string-prefix; a histogram labeled with a key
+    sorting BEFORE 'le' (e.g. ``feature_name``) must still produce a
+    canonically sorted label key."""
+    from feast_java_old_spark.plans.metrics import _Histogram, _merge_le
+
+    assert _merge_le("project=default", "1") == "le=1,project=default"
+    assert (
+        _merge_le("feature_name=f1", "5") == "feature_name=f1,le=5"
+    )  # 'feature_name' < 'le': the old string-prefix would invert this
+    assert _merge_le("", "+Inf") == "le=+Inf"
+
+    m = ServingMetrics()
+    m.histograms["by_feature"] = _Histogram((1, 5))
+    m.observe("by_feature", {"feature_name": "f1"}, 3.0)
+    keys = {lb for mt, lb, _ in m.as_rows() if mt == "by_feature_bucket"}
+    assert keys == {
+        "feature_name=f1,le=1",
+        "feature_name=f1,le=5",
+        "feature_name=f1,le=+Inf",
+    }
+
+
+def test_entity_count_comes_from_request_not_response():
+    """ADVICE r9 metrics.py:151 — the reference observes the REQUEST's
+    entity-row count; a response that dropped rows must not skew the
+    histogram when the caller passes the request count."""
+    m = ServingMetrics()
+    m.observe_request(
+        "default",
+        ["t:f"],
+        [{"statuses": {"f": "PRESENT"}}],  # 1 response row
+        entity_count=7,                     # 7 requested entity rows
+    )
+    rows = dict(
+        ((mt, lb), v) for mt, lb, v in m.as_rows()
+        if mt == "request_entity_count_distribution_bucket"
+    )
+    b = "request_entity_count_distribution_bucket"
+    assert rows[(b, "le=5,project=default")] == 0
+    assert rows[(b, "le=10,project=default")] == 1
+
+
+def test_core_resource_gauges_follow_registry(tmp_path):
+    """FeastResourceCollector.java:46-54 parity: gauges computed FROM
+    the registry at collect time; feature-table count includes
+    soft-deleted rows (JPA count() counts flagged rows too)."""
+    from feast_java_old_spark.plans.metrics import (
+        core_exposition,
+        core_resource_rows,
+    )
+    from feast_java_old_spark.registry.model import Entity, Feature, FeatureTable, Store, ValueType
+
+    reg = Registry()
+    assert core_resource_rows(reg) == [
+        ("feast_core_feature_set_total", "", 0),
+        ("feast_core_store_total", "", 0),
+    ]
+    reg.apply_entity(Entity("driver", ValueType.INT64))
+    src = FileSource(file_url="/tmp/x.parquet", event_timestamp_column="ts")
+    reg.apply_feature_table(
+        FeatureTable(
+            "driver_stats", entities=["driver"],
+            features=[Feature("rating", ValueType.DOUBLE)], batch_source=src,
+        )
+    )
+    reg.update_store(Store("online", "REDIS"))
+    assert core_resource_rows(reg) == [
+        ("feast_core_feature_set_total", "", 1),
+        ("feast_core_store_total", "", 1),
+    ]
+    # soft delete keeps the row (JPA semantics)
+    reg.delete_feature_table("driver_stats")
+    assert core_resource_rows(reg)[0][2] == 1
+    expo = core_exposition(reg)
+    assert "# TYPE feast_core_feature_set_total gauge" in expo
+    assert "feast_core_feature_set_total 1.0" in expo
+    assert "feast_core_store_total 1.0" in expo

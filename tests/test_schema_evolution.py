@@ -636,3 +636,85 @@ def test_time_travel_as_of_seq(spark, registry, tmp_path):
     # below the first epoch -> KeyError
     with pytest.raises(KeyError):
         read_online_versioned(spark, registry, "ut", store, as_of_seq=0)
+
+
+def test_compact_versioned_restores_epoch_from_crash_trash(
+    spark, registry, tmp_path
+):
+    """Hard-crash recovery (ADVICE r9): a crash between
+    ``os.replace(epoch, trash)`` and ``os.replace(staging, epoch)``
+    leaves ``rev=<hash>.compact_old`` holding the ONLY live copy while
+    the registry still lists the epoch. The next compaction must
+    RESTORE it before cleaning — not rmtree it — or the data survives
+    only in an orphaned staging dir."""
+    import os
+    import shutil
+
+    from feast_java_old_spark.operators.materialize import (
+        compact_versioned,
+        online_table_path,
+    )
+
+    src_path = str(tmp_path / "events.parquet")
+    store = str(tmp_path / "store")
+    _write_events(
+        spark,
+        src_path,
+        [
+            (1, dt.datetime(2024, 1, 1), 1.5, "a"),
+            (2, dt.datetime(2024, 1, 1), 2.5, "b"),
+        ],
+    )
+    src1 = FileSource(file_url=src_path, event_timestamp_column="ts")
+    registry.apply_feature_table(_table_v1(src1))
+    materialize_versioned(spark, registry, "ut", store)
+
+    def snap():
+        return sorted(
+            map(
+                tuple,
+                read_online_versioned(spark, registry, "ut", store).collect(),
+            )
+        )
+
+    before = snap()
+    tpath = online_table_path(store, "default", "ut")
+    (rev,) = [d for d in os.listdir(tpath) if d.startswith("rev=")]
+    epoch = os.path.join(tpath, rev)
+    # Simulate the crash window: epoch renamed to trash, staging lost.
+    os.replace(epoch, epoch + ".compact_old")
+    assert not os.path.isdir(epoch)
+
+    compact_versioned(spark, registry, "ut", store)
+    assert snap() == before
+    assert not os.path.isdir(epoch + ".compact_old")
+
+    # A trash dir NEXT TO a present epoch is stale and must be removed,
+    # never restored over live data.
+    (rev2,) = [d for d in os.listdir(tpath) if d.startswith("rev=")]
+    epoch2 = os.path.join(tpath, rev2)
+    shutil.copytree(epoch2, epoch2 + ".compact_old")
+    compact_versioned(spark, registry, "ut", store)
+    assert snap() == before
+    assert not os.path.isdir(epoch2 + ".compact_old")
+
+
+def test_read_online_table_explicit_delta_on_parquet_dir_raises(
+    spark, tmp_path
+):
+    """ADVICE r9 ingest.py:76 — ``table_format='delta'`` on a populated
+    NON-Delta dir must raise, not return None (None means
+    never-materialized; silently serving all-NOT_FOUND for a real table
+    breaks the docstring's contract)."""
+    import pytest as _pytest
+
+    from feast_java_old_spark.streaming.ingest import read_online_table
+
+    p = str(tmp_path / "tbl")
+    spark.range(3).write.parquet(p)
+    with _pytest.raises(ValueError, match="non-Delta"):
+        read_online_table(spark, p, table_format="delta")
+    # Missing and empty dirs keep the never-materialized contract.
+    assert read_online_table(
+        spark, str(tmp_path / "missing"), table_format="delta"
+    ) is None
