@@ -9142,6 +9142,7 @@ def _register_serve_scenario(spark, sf_dir, tmp, audit=None, metrics=None):
             request_ts=REQ_TS_J3,
             full_feature_names=True,
         )
+    return reg
 
 
 def q_audit_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9306,8 +9307,19 @@ def q_serving_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         metrics = ServingMetrics()
         with _small_shuffle(spark):
-            _register_serve_scenario(spark, sf_dir, tmp, metrics=metrics)
-            return metrics.as_dataframe(spark).localCheckpoint(eager=True)
+            reg = _register_serve_scenario(spark, sf_dir, tmp, metrics=metrics)
+            # Core resource gauges (FeastResourceCollector.java:46-54)
+            # computed from the scenario's registry at collect time —
+            # one feature table registered, no stores — unioned into
+            # the same flat relation the serving instruments export to.
+            from feast_java_old_spark.plans.metrics import (
+                core_resource_dataframe,
+            )
+
+            out = metrics.as_dataframe(spark).unionByName(
+                core_resource_dataframe(spark, reg)
+            )
+            return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -9385,6 +9397,215 @@ UNION ALL
 SELECT 'stale_feature_count',
        'feature_name={_METRICS_REF},project=default', stale
 FROM tot WHERE stale > 0
+UNION ALL
+SELECT m, '', v FROM (VALUES
+  ('feast_core_feature_set_total', CAST(1 AS BIGINT)),
+  ('feast_core_store_total', CAST(0 AS BIGINT))) g(m, v)
+"""
+
+
+def q_auth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authorization enforcement trail — parity with the reference's
+    auth stack: ``AuthorizationService.authorizeRequest``
+    (``common/.../auth/service/AuthorizationService.java:50-63``)
+    enforced at the four project-mutating control-plane sites
+    (``CoreServiceImpl.java:181,240,295,392``) and at serving
+    (``ServingServiceGRpcController.java:86-91``), with denied calls
+    emitting ERROR MESSAGE audit entries carrying
+    ``statusCode=PERMISSION_DENIED``
+    (``GrpcMessageInterceptor.java:83-89`` semantics).
+
+    Scenario (deterministic clock ⇒ deterministic seq): alice is the
+    sole member of project ``analytics``
+    (:class:`SubjectListAuthorizationProvider` — the
+    ``HttpAuthorizationProvider`` decision table held in-process).
+    Alice creates the project, registers the entity + feature table
+    (ACTION + OK MESSAGE pairs); bob's apply / delete / archive are
+    each denied (one ERROR MESSAGE, NO ACTION entry — denied mutations
+    never touch state); alice then serves the %7 custkey request set
+    against the never-materialized store (every row NOT_FOUND — the
+    documented serving contract — so ``n_rows``/``n_not_found`` are
+    DATA-dependent, recomputed by the oracle from ``customer``); bob's
+    identical serve is denied before the store is touched. The JSONL
+    trail reads back as one flat relation."""
+    import shutil
+    import tempfile
+
+    import feast_java_old_spark as fs
+    from feast_java_old_spark.plans.serving_json import serve_logged
+    from feast_java_old_spark.registry.audit import AuditLogger, read_audit_log
+    from feast_java_old_spark.registry.auth import (
+        AccessDeniedError,
+        Authentication,
+        AuthorizationService,
+        SubjectListAuthorizationProvider,
+    )
+    from feast_java_old_spark.registry.core_service import CoreService
+    from feast_java_old_spark.registry.model import FileSource
+    from feast_java_old_spark.registry.registry import Registry
+
+    tmp = tempfile.mkdtemp(prefix="fjos_auth_")
+    try:
+        seq = iter(range(1_000_000))
+        ids = iter(range(1_000_000))
+        log = AuditLogger(
+            path=f"{tmp}/audit.jsonl",
+            clock=lambda: next(seq),
+            id_factory=lambda: f"m{next(ids)}",
+        )
+        reg = Registry(audit=log)
+        auth = AuthorizationService(
+            enabled=True,
+            provider=SubjectListAuthorizationProvider(
+                {"analytics": {"alice@example.com"}}
+            ),
+        )
+        svc = CoreService(reg, auth=auth)
+        alice = Authentication({"email": "alice@example.com"})
+        bob = Authentication({"email": "bob@example.com"})
+
+        table = fs.FeatureTable(
+            name="customer_orders_auth",
+            entities=["c_custkey"],
+            features=[fs.Feature("total_price", fs.ValueType.DOUBLE)],
+            batch_source=FileSource(
+                file_url=f"{sf_dir}/orders.parquet",
+                event_timestamp_column="o_orderdate",
+                field_mapping={
+                    "o_custkey": "c_custkey",
+                    "o_totalprice": "total_price",
+                },
+            ),
+        )
+        svc.create_project("analytics", authentication=alice)
+        svc.apply_entity(
+            fs.Entity("c_custkey", fs.ValueType.INT64),
+            project="analytics",
+            authentication=alice,
+        )
+        svc.apply_feature_table(
+            table, project="analytics", authentication=alice
+        )
+        for denied in (
+            lambda: svc.apply_feature_table(
+                table, project="analytics", authentication=bob
+            ),
+            lambda: svc.delete_feature_table(
+                "customer_orders_auth", project="analytics",
+                authentication=bob,
+            ),
+            lambda: svc.archive_project("analytics", authentication=bob),
+        ):
+            try:
+                denied()
+            except AccessDeniedError:
+                pass
+
+        with _small_shuffle(spark):
+            keys = [
+                int(r.c_custkey)
+                for r in load_table(spark, sf_dir, "customer")
+                .where(F.col("c_custkey") % 7 == 0)
+                .select("c_custkey")
+                .collect()
+            ]
+            serve_logged(
+                spark,
+                reg,
+                [{"c_custkey": k} for k in keys],
+                ["customer_orders_auth:total_price"],
+                project="analytics",
+                auth=auth,
+                authentication=alice,
+                identity="alice@example.com",
+                store_path=tmp,
+                request_ts=REQ_TS_J3,
+                full_feature_names=True,
+            )
+            try:
+                serve_logged(
+                    spark,
+                    reg,
+                    [{"c_custkey": k} for k in keys],
+                    ["customer_orders_auth:total_price"],
+                    project="analytics",
+                    auth=auth,
+                    authentication=bob,
+                    identity="bob@example.com",
+                    store_path=tmp,
+                    request_ts=REQ_TS_J3,
+                    full_feature_names=True,
+                )
+            except AccessDeniedError:
+                pass
+
+            out = read_audit_log(spark, f"{tmp}/audit.jsonl").select(
+                F.col("timestamp").alias("seq"),
+                "kind",
+                "action",
+                F.col("resource.type").alias("rtype"),
+                F.col("resource.id").alias("rid"),
+                "method",
+                F.col("statusCode").alias("status_code"),
+                F.coalesce(F.col("identity"), F.lit("")).alias("ident"),
+                F.element_at("response", "rows").cast("long").alias("n_rows"),
+                F.element_at("response", "NOT_FOUND")
+                .cast("long")
+                .alias("n_not_found"),
+            )
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_AUTH_AUDIT = """
+WITH n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM customer WHERE c_custkey % 7 = 0)
+SELECT CAST(9 AS BIGINT) AS seq, 'MESSAGE' AS kind,
+       CAST(NULL AS VARCHAR) AS action, CAST(NULL AS VARCHAR) AS rtype,
+       CAST(NULL AS VARCHAR) AS rid, 'getOnlineFeatures' AS method,
+       'OK' AS status_code, 'alice@example.com' AS ident,
+       n AS n_rows, n AS n_not_found
+FROM n
+UNION ALL
+SELECT * FROM (VALUES
+ (CAST(0 AS BIGINT), 'ACTION', 'CREATE', 'PROJECT', 'analytics',
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), '',
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+ (CAST(1 AS BIGINT), 'MESSAGE', CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'CreateProject', 'OK',
+  'alice@example.com', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+ (CAST(2 AS BIGINT), 'ACTION', 'CREATE', 'ENTITY', 'analytics/c_custkey',
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), '',
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+ (CAST(3 AS BIGINT), 'MESSAGE', CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'ApplyEntity', 'OK',
+  'alice@example.com', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+ (CAST(4 AS BIGINT), 'ACTION', 'CREATE', 'FEATURE_TABLE',
+  'analytics/customer_orders_auth', CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), '', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+ (CAST(5 AS BIGINT), 'MESSAGE', CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'ApplyFeatureTable',
+  'OK', 'alice@example.com', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+ (CAST(6 AS BIGINT), 'MESSAGE', CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'ApplyFeatureTable',
+  'PERMISSION_DENIED', 'bob@example.com',
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+ (CAST(7 AS BIGINT), 'MESSAGE', CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'DeleteFeatureTable',
+  'PERMISSION_DENIED', 'bob@example.com',
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+ (CAST(8 AS BIGINT), 'MESSAGE', CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'ArchiveProject',
+  'PERMISSION_DENIED', 'bob@example.com',
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+ (CAST(10 AS BIGINT), 'MESSAGE', CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'getOnlineFeatures',
+  'PERMISSION_DENIED', 'bob@example.com',
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))
+) v(seq, kind, action, rtype, rid, method, status_code, ident,
+    n_rows, n_not_found)
 """
 
 
@@ -9408,6 +9629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence order — next round's window starts at the r6 block.
         "audit_trail": q_audit_trail,
         "serving_metrics": q_serving_metrics,
+        "auth_audit": q_auth_audit,
         "tpch_q20": q_tpch_q20,
         "stream_cdc_merge": q_stream_cdc_merge,
         "stream_sessions": q_stream_sessions,
@@ -9613,6 +9835,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "audit_trail": SQL_AUDIT_TRAIL,
         "serving_metrics": SQL_SERVING_METRICS,
+        "auth_audit": SQL_AUTH_AUDIT,
         "tpch_q20": SQL_TPCH_Q20,
         "logreg_quality": SQL_LOGREG_QUALITY,
         "global_ranks": SQL_GLOBAL_RANKS,

@@ -109,6 +109,8 @@ def serve_logged(
     identity: str = "",
     metrics=None,
     project: str = "default",
+    auth=None,
+    authentication=None,
     **kwargs,
 ) -> list[dict]:
     """``get_online_features`` + response assembly + one MESSAGE audit
@@ -149,8 +151,19 @@ def serve_logged(
     }
     t0 = _time.time()
     try:
+        # Serving-side authorization on the request's project —
+        # ServingServiceGRpcController.getOnlineFeaturesV2:86-91
+        # authorizes BEFORE retrieval; a denied call never touches the
+        # store and surfaces as PERMISSION_DENIED.
+        if auth is not None:
+            auth.authorize_request(authentication, project)
+        # `project` scopes BOTH the authorization decision and the
+        # registry lookup — forwarding it keeps the two aligned (a call
+        # authorized for project X must not silently serve project
+        # default's tables).
         df = get_online_features(
-            spark, registry, entity_rows, feature_refs, **kwargs
+            spark, registry, entity_rows, feature_refs, project=project,
+            **kwargs
         )
         rows = response_rows(df, feature_refs)
     except Exception as ex:
@@ -160,7 +173,9 @@ def serve_logged(
         # everything else (store IO, corrupt files) → INTERNAL — a
         # health dashboard must not attribute a store outage to
         # client-side bad requests.
-        if isinstance(ex, (ValueError, TypeError)):
+        if isinstance(ex, PermissionError):
+            code = "PERMISSION_DENIED"  # AccessDeniedError
+        elif isinstance(ex, (ValueError, TypeError)):
             code = "INVALID_ARGUMENT"  # includes ValidationError
         elif isinstance(ex, KeyError):
             code = "NOT_FOUND"
@@ -220,3 +235,47 @@ def serve_logged(
             status_code="OK",
         )
     return rows
+
+
+# --------------------------------------------------------------- info/health
+
+FEAST_SERVING_TYPE_ONLINE = "FEAST_SERVING_TYPE_ONLINE"
+
+SERVING = "SERVING"
+NOT_SERVING = "NOT_SERVING"
+
+
+def serving_info(version: Optional[str] = None) -> dict:
+    """``GetFeastServingInfo`` — the first call a client library makes.
+
+    Parity: ``OnlineServingServiceV2.getFeastServingInfo:74-79`` (the
+    service reports its type, ``FEAST_SERVING_TYPE_ONLINE``) +
+    ``ServingServiceGRpcController.getFeastServingInfo:72-79`` (the
+    controller stamps the build version onto the response)."""
+    if version is None:
+        from feast_java_old_spark import __version__ as version
+    return {"version": version, "type": FEAST_SERVING_TYPE_ONLINE}
+
+
+def health_check(registry) -> str:
+    """gRPC health probe — ``HealthServiceController.check:41-59``:
+    SERVING when the serving service can answer, NOT_SERVING on any
+    failure (the response is a status, never an exception — health
+    endpoints must not error).
+
+    The reference's probe calls ``getFeastServingInfo`` inside a
+    try/catch (its TODO notes the intended check is store/registry
+    reachability). Here the probe is the registry's readability — the
+    one dependency this serving path has: a file-backed registry must
+    exist and parse (a corrupt or unreadable file means every
+    retrieval would fail), an in-memory registry must enumerate."""
+    import json as _json
+
+    try:
+        if getattr(registry, "path", None):
+            with open(registry.path) as f:
+                _json.load(f)
+        registry.list_projects()
+        return SERVING
+    except Exception:
+        return NOT_SERVING

@@ -1,0 +1,303 @@
+"""Authorization enforcement — mirrors the scenarios of
+``core/src/test/java/feast/core/auth/CoreServiceAuthTest.java`` (denied
+mutate → PERMISSION_DENIED, allowed mutate succeeds) and
+``CoreServiceAuthenticationIT.java`` (reads/version always available),
+plus the provider semantics of ``HttpAuthorizationProvider.java:79-112``
+(subject claim extraction, deny-by-default, decision caching) and the
+health/info surface (``HealthServiceController.java:41-59``,
+``ServingServiceGRpcController.java:72-79``)."""
+
+import json
+
+import pytest
+
+from feast_java_old_spark.registry.auth import (
+    AccessDeniedError,
+    AllowAllAuthorizationProvider,
+    Authentication,
+    AuthorizationProvider,
+    AuthorizationResult,
+    AuthorizationService,
+    SubjectListAuthorizationProvider,
+    get_subject_from_auth,
+)
+from feast_java_old_spark.registry.audit import AuditLogger
+from feast_java_old_spark.registry.core_service import CoreService
+from feast_java_old_spark.registry.model import (
+    Entity,
+    Feature,
+    FeatureTable,
+    FileSource,
+    ValueType,
+)
+from feast_java_old_spark.registry.registry import Registry
+
+
+def _entity(name="driver"):
+    return Entity(name, ValueType.INT64)
+
+
+def _table(name="driver_stats"):
+    src = FileSource(file_url="/tmp/x.parquet", event_timestamp_column="ts")
+    return FeatureTable(
+        name,
+        entities=["driver"],
+        features=[Feature("rating", ValueType.DOUBLE)],
+        batch_source=src,
+    )
+
+
+def _denying_service():
+    class _Deny(AuthorizationProvider):
+        def check_access_to_project(self, project_id, authentication):
+            return AuthorizationResult.failed(None)
+
+    return AuthorizationService(enabled=True, provider=_Deny())
+
+
+ALICE = Authentication({"email": "alice@example.com"})
+BOB = Authentication({"email": "bob@example.com"})
+
+
+# ------------------------------------------------- CoreServiceAuthTest
+
+
+def test_should_not_apply_entity_if_not_project_member():
+    """``shouldNotApplyEntityIfNotProjectMember`` — a failed provider
+    result surfaces as PERMISSION_DENIED with the default reason
+    (`"PERMISSION_DENIED: Access Denied"` in the reference's recorder),
+    and the registry is NOT mutated."""
+    reg = Registry()
+    svc = CoreService(reg, auth=_denying_service())
+    with pytest.raises(AccessDeniedError, match="Access Denied"):
+        svc.apply_entity(_entity(), project="project1", authentication=ALICE)
+    assert reg.list_entities("project1") == []
+
+
+def test_should_apply_entity_if_project_member():
+    """``shouldApplyEntityIfProjectMember``."""
+    reg = Registry()
+    svc = CoreService(
+        reg,
+        auth=AuthorizationService(
+            enabled=True, provider=AllowAllAuthorizationProvider()
+        ),
+    )
+    svc.apply_entity(_entity(), project="project1", authentication=ALICE)
+    assert [e.name for e in reg.list_entities("project1")] == ["driver"]
+
+
+def test_all_four_reference_auth_sites_enforced():
+    """CoreServiceImpl.java:181,240,295,392 — applyEntity,
+    archiveProject, applyFeatureTable, deleteFeatureTable all deny."""
+    reg = Registry()
+    allow_all = CoreService(reg)  # auth disabled: seed state freely
+    allow_all.create_project("p1")
+    allow_all.apply_entity(_entity(), project="p1")
+    allow_all.apply_feature_table(_table(), project="p1")
+
+    svc = CoreService(reg, auth=_denying_service())
+    with pytest.raises(AccessDeniedError):
+        svc.apply_entity(_entity("e2"), project="p1", authentication=ALICE)
+    with pytest.raises(AccessDeniedError):
+        svc.apply_feature_table(
+            _table("t2"), project="p1", authentication=ALICE
+        )
+    with pytest.raises(AccessDeniedError):
+        svc.delete_feature_table(
+            "driver_stats", project="p1", authentication=ALICE
+        )
+    with pytest.raises(AccessDeniedError):
+        svc.archive_project("p1", authentication=ALICE)
+    # state unchanged by any denied call
+    assert [t.name for t in reg.list_feature_tables("p1")] == ["driver_stats"]
+    assert not [p for p in reg.list_projects() if p.name == "p1"][0].archived
+
+
+def test_reads_and_unauthorized_mutations_unaffected_by_denial():
+    """``shouldAllowUnauthenticatedEntityApplyAndListing`` semantics for
+    reads + the two mutations the reference does NOT authorize
+    (createProject, updateStore)."""
+    from feast_java_old_spark.registry.model import Store
+
+    reg = Registry()
+    CoreService(reg).apply_entity(_entity(), project="p1")
+    svc = CoreService(reg, auth=_denying_service())
+    # reads pass through with no authorization
+    assert [e.name for e in svc.list_entities("p1")] == ["driver"]
+    assert svc.get_entity("driver", "p1").name == "driver"
+    assert [p.name for p in svc.list_projects()] == ["default", "p1"]
+    # unauthorized-in-the-reference mutations still work under a
+    # denying provider — coverage parity, not blanket policy
+    svc.create_project("p2", authentication=ALICE)
+    svc.update_store(Store("online", "REDIS"), authentication=ALICE)
+    assert svc.get_store("online").name == "online"
+
+
+def test_auth_disabled_never_consults_provider():
+    """AuthorizationService.java:53-55 — disabled short-circuits."""
+
+    class _Exploding(AllowAllAuthorizationProvider):
+        def check_access_to_project(self, project_id, authentication):
+            raise AssertionError("provider consulted while disabled")
+
+    svc = AuthorizationService(enabled=False, provider=_Exploding())
+    svc.authorize_request(ALICE, "p1")  # no raise
+
+    with pytest.raises(ValueError, match="no AuthorizationProvider"):
+        AuthorizationService(enabled=True, provider=None)
+
+
+# --------------------------------------------- SubjectListProvider
+
+
+def test_subject_list_provider_membership_and_reason():
+    prov = SubjectListAuthorizationProvider(
+        {"p1": {"alice@example.com"}, "pub": {"*"}}
+    )
+    assert prov.check_access_to_project("p1", ALICE).allowed
+    denied = prov.check_access_to_project("p1", BOB)
+    assert not denied.allowed
+    # HttpAuthorizationProvider.java:110-112 message shape
+    assert denied.failure_reason == (
+        "Access denied to project p1 for subject bob@example.com"
+    )
+    # wildcard project admits any authenticated subject
+    assert prov.check_access_to_project("pub", BOB).allowed
+    # unknown project: deny by default
+    assert not prov.check_access_to_project("ghost", ALICE).allowed
+
+
+def test_subject_claim_extraction_contract():
+    """AuthUtils.getSubjectFromAuth:37-60 — missing/empty claim is an
+    error (never an anonymous allow); email claims validate shape."""
+    with pytest.raises(ValueError, match="valid claim email"):
+        get_subject_from_auth(Authentication({}), "email")
+    with pytest.raises(ValueError, match="invalid email"):
+        get_subject_from_auth(Authentication({"email": "not-an-email"}), "email")
+    assert (
+        get_subject_from_auth(Authentication({"sub": "svc-1"}), "sub")
+        == "svc-1"
+    )
+
+
+def test_provider_decision_cache_ttl():
+    """CacheConfiguration.java:46-66 — decisions cached 60 s; a
+    membership change is invisible until the TTL lapses."""
+    t = [0.0]
+    prov = SubjectListAuthorizationProvider(
+        {"p1": {"alice@example.com"}}, clock=lambda: t[0]
+    )
+    assert prov.check_access_to_project("p1", ALICE).allowed
+    assert prov.decision_count == 1
+    prov.members["p1"].clear()  # revoke
+    t[0] = 30.0
+    assert prov.check_access_to_project("p1", ALICE).allowed  # cached
+    assert prov.decision_count == 1
+    t[0] = 61.0
+    assert not prov.check_access_to_project("p1", ALICE).allowed
+    assert prov.decision_count == 2
+
+
+# ----------------------------------------------- audit integration
+
+
+def test_denied_mutation_emits_error_message_entry():
+    """GrpcMessageInterceptor.java:83-89 — the MESSAGE entry for a
+    denied call carries statusCode=PERMISSION_DENIED at ERROR level."""
+    log = AuditLogger(clock=lambda: 0, id_factory=lambda: "m-1")
+    reg = Registry(audit=log)
+    svc = CoreService(
+        reg,
+        auth=AuthorizationService(
+            enabled=True,
+            provider=SubjectListAuthorizationProvider({"p1": set()}),
+        ),
+    )
+    with pytest.raises(AccessDeniedError):
+        svc.apply_feature_table(_table(), project="p1", authentication=ALICE)
+    msgs = [e for e in log.entries if e["kind"] == "MESSAGE"]
+    assert len(msgs) == 1
+    (m,) = msgs
+    assert m["statusCode"] == "PERMISSION_DENIED"
+    assert m["level"] == "ERROR"
+    assert m["method"] == "ApplyFeatureTable"
+    assert m["identity"] == "alice@example.com"
+    assert "Access denied to project p1" in m["response"]["error"]
+    # and no ACTION entry: the mutation never happened
+    assert [e for e in log.entries if e["kind"] == "ACTION"] == []
+
+
+def test_allowed_mutation_emits_ok_message_and_action_entries():
+    log = AuditLogger(clock=lambda: 0, id_factory=lambda: "m-1")
+    reg = Registry(audit=log)
+    svc = CoreService(
+        reg,
+        auth=AuthorizationService(
+            enabled=True,
+            provider=SubjectListAuthorizationProvider(
+                {"p1": {"alice@example.com"}}
+            ),
+        ),
+    )
+    svc.apply_entity(_entity(), project="p1", authentication=ALICE)
+    kinds = [e["kind"] for e in log.entries]
+    assert "ACTION" in kinds and "MESSAGE" in kinds
+    (m,) = [e for e in log.entries if e["kind"] == "MESSAGE"]
+    assert m["statusCode"] == "OK" and m["level"] == "INFO"
+
+
+def test_serving_denial_is_permission_denied(spark, tmp_path):
+    """ServingServiceGRpcController.getOnlineFeaturesV2:86-91 — the
+    serving path authorizes the request's project before touching the
+    store."""
+    from feast_java_old_spark.plans.serving_json import serve_logged
+
+    log = AuditLogger(clock=lambda: 0, id_factory=lambda: "m-1")
+    reg = Registry(audit=log)
+    auth = AuthorizationService(
+        enabled=True,
+        provider=SubjectListAuthorizationProvider({"default": set()}),
+    )
+    with pytest.raises(AccessDeniedError):
+        serve_logged(
+            spark,
+            reg,
+            [{"driver": 1}],
+            ["driver_stats:rating"],
+            auth=auth,
+            authentication=ALICE,
+        )
+    (m,) = [e for e in log.entries if e["kind"] == "MESSAGE"]
+    assert m["statusCode"] == "PERMISSION_DENIED"
+
+
+# ------------------------------------------------- info / health
+
+
+def test_serving_info_golden():
+    from feast_java_old_spark import __version__
+    from feast_java_old_spark.plans.serving_json import serving_info
+
+    assert serving_info() == {
+        "version": __version__,
+        "type": "FEAST_SERVING_TYPE_ONLINE",
+    }
+    assert serving_info(version="1.2.3")["version"] == "1.2.3"
+
+
+def test_health_check_serving_and_not_serving(tmp_path):
+    from feast_java_old_spark.plans.serving_json import health_check
+
+    # in-memory registry: SERVING
+    assert health_check(Registry()) == "SERVING"
+    # file-backed, readable: SERVING
+    p = str(tmp_path / "registry.json")
+    reg = Registry(path=p)
+    reg.create_project("p1")
+    assert health_check(reg) == "SERVING"
+    # corrupt file: NOT_SERVING (never an exception)
+    with open(p, "w") as f:
+        f.write("{ not json")
+    assert health_check(reg) == "NOT_SERVING"
+    json  # keep import used
