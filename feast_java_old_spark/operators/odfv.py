@@ -6,6 +6,17 @@ INT32/INT64/FLOAT/DOUBLE inputs, :325-343). Spark's Python exchange *is*
 Arrow, so the runner collapses to an in-process ``mapInPandas`` with the
 same semantics:
 
+DOCUMENTED DIVERGENCE (input types): the reference REJECTS non-numeric
+ODFV inputs with ``Status.INTERNAL`` ("type that is currently not
+handled", :338-343) — an acknowledged ``// TODO: support all Feast
+types`` limitation of its hand-rolled Arrow serializer, not a semantic
+contract. This runner deliberately PASSES THROUGH every Spark-Arrow-
+convertible input type (strings, arrays, binary, timestamps): Spark's
+exchange already implements the full bridge the reference's TODO asks
+for, and replicating the rejection would only re-introduce an
+implementation gap. Pinned by
+``tests/test_multimodal_odfv.py::test_odfv_accepts_non_numeric_inputs_documented_divergence``.
+
 - inputs = retrieved features ⋈ entity rows ⋈ request-data columns
   (J4; assembled by the caller — typically the output of
   ``get_online_features`` with request-data columns carried through),

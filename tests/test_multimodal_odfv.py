@@ -93,3 +93,39 @@ def test_resize_stub_fixed_shape(spark, sf_dir):
     for r in out:
         assert (r.width, r.height) == (16, 8)
         assert len(r.payload) == 16 * 8
+
+
+def test_odfv_accepts_non_numeric_inputs_documented_divergence(spark):
+    """DOCUMENTED DIVERGENCE pin (VERDICT r9 #7): the reference's Arrow
+    bridge throws INTERNAL for anything but INT32/INT64/FLOAT/DOUBLE
+    (``OnlineTransformationService.java:325-343`` — a `// TODO` of its
+    hand-rolled serializer). Our runner deliberately passes string and
+    array inputs through the pandas transform — Spark's Arrow exchange
+    IS the full bridge — and this test freezes that choice so a future
+    change is a conscious one."""
+    df = spark.createDataFrame(
+        [(1, "alpha", [1.0, 2.0]), (2, "beta-x", [3.0, 4.0])],
+        "user_id long, tag string, emb array<double>",
+    )
+    view = OnDemandFeatureView(
+        name="mixed_types",
+        inputs=["tag", "emb"],
+        output_schema=T.StructType(
+            [
+                T.StructField("tag_len", T.LongType()),
+                T.StructField("emb_sum", T.DoubleType()),
+            ]
+        ),
+        transform=lambda pdf: pd.DataFrame(
+            {
+                "tag_len": pdf["tag"].str.len().astype("int64"),
+                "emb_sum": pdf["emb"].map(sum).astype("float64"),
+            }
+        ),
+    )
+    out = {r.user_id: r for r in apply_odfv(df, view).collect()}
+    assert out[1].tag_len == 5 and out[1].emb_sum == 3.0
+    assert out[2].tag_len == 6 and out[2].emb_sum == 7.0
+    assert out[1].tag_len__status == "PRESENT"
+    # request-data inputs (no ':' prefix) are retained, whatever type
+    assert out[2].tag == "beta-x"

@@ -360,3 +360,69 @@ def test_get_online_features_through_spec_cache(spark, rides_env):
     ).collect()
     assert out == base
     assert len(cached) >= 1  # the spec load went through the cache
+
+
+def test_null_entity_key_is_not_found_not_dropped(spark, rides_env):
+    """NULL-robustness (VERDICT r9 #8): a NULL entity key in the
+    request must surface as a NOT_FOUND response ROW — never a dropped
+    row (the response is positionally aligned with the request), and
+    never a NULL-matches-NULL join (J1 uses `=` semantics, not `<=>`:
+    an unknown key must not pick up a corrupt NULL-keyed store row).
+    Pinned for BOTH join strategies."""
+    reg, store = rides_env
+    for strat in ("broadcast", "shuffle"):
+        out = fetch(
+            spark, reg, store,
+            [{"driver_id": None}, {"driver_id": 1}, {"driver_id": None}],
+            ["rides:trip_cost"],
+            strategy=strat,
+        )
+        assert len(out) == 3, strat
+        assert out[0]["rides__trip_cost__status"] == "NOT_FOUND"
+        assert out[0]["rides__trip_cost"] is None
+        assert out[1]["rides__trip_cost__status"] == "PRESENT"
+        assert out[2]["rides__trip_cost__status"] == "NOT_FOUND"
+
+
+def test_null_component_of_compound_key_is_not_found(
+    spark, tmp_path, tmp_store
+):
+    """J2 with a NULL in ONE component of a compound entity key: the
+    row survives as NOT_FOUND (no partial-key match, no drop)."""
+    src = str(tmp_path / "cmp_src")
+    schema = T.StructType(
+        [
+            T.StructField("merchant_id", T.LongType()),
+            T.StructField("region", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("sales", T.LongType()),
+        ]
+    )
+    spark.createDataFrame([(10, "eu", ts(100), 7)], schema).write.parquet(src)
+    reg = Registry()
+    reg.apply_entity(Entity("merchant_id", ValueType.INT64))
+    reg.apply_entity(Entity("region", ValueType.STRING))
+    reg.apply_feature_table(
+        FeatureTable(
+            name="m_sales",
+            entities=["merchant_id", "region"],
+            features=[Feature("sales", ValueType.INT64)],
+            batch_source=FileSource(file_url=src, event_timestamp_column="ts"),
+        )
+    )
+    materialize(spark, reg, "m_sales", tmp_store)
+    out = fetch(
+        spark, reg, tmp_store,
+        [
+            {"merchant_id": 10, "region": None},
+            {"merchant_id": None, "region": "eu"},
+            {"merchant_id": 10, "region": "eu"},
+        ],
+        ["m_sales:sales"],
+    )
+    assert [r["m_sales__sales__status"] for r in out] == [
+        "NOT_FOUND",
+        "NOT_FOUND",
+        "PRESENT",
+    ]
+    assert out[2]["m_sales__sales"] == 7
