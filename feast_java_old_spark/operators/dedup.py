@@ -45,6 +45,58 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def _barrier(df: DataFrame, checkpoint: str | None) -> DataFrame:
+    """Materialization barrier for a frame consumed by MULTIPLE plan
+    branches (the r3 reused-frame class): without it every consumer
+    re-executes the frame's whole upstream — Catalyst's ReusedExchange
+    only fires on IDENTICAL exchange subtrees, and the per-side alias
+    projections these self-joins need sit BELOW the exchange, so the
+    measured reuse across this family was ZERO (r10 plan audit:
+    ngram_jaccard re-ran the tokenize+shingle explode 6×).
+
+    ``checkpoint``: ``None`` (fully lazy — the family DEFAULT, see the
+    measurements below), ``"local"`` (eager executor-disk checkpoint;
+    severs lineage, downstream AQE unaffected — the right opt-in when
+    the shared frame's upstream is a full-corpus scan+compute pass),
+    ``"persist"`` (lazy MEMORY_AND_DISK cache — optimizer-visible and
+    evictable, BUT a cached subtree's output partitioning is pinned
+    (``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning``
+    default false), so under a plain 200-shuffle-partition session AQE
+    cannot coalesce through it — measured 1.5 s → 21.8 s on
+    ``ngram_jaccard`` at sf0.01 in driver-session conditions; use only
+    in AQE-tuned sessions), or ``"reliable"`` (``setCheckpointDir``
+    storage — survives executor loss on a real cluster).
+
+    Why lazy is the default (r10, fresh-JVM interleaved A/B, best-of-3
+    at sf0.1, reproduced twice): eager barriers were NET-NEGATIVE on
+    every query in this family except the simhash fingerprint —
+    prefix_filter 2.8 → 4.2 s, minhash verified 1.6 → 2.4 s, simhash
+    verify 4.1 → 4.6 s, ngram ±0.1 s. At this scale the duplicated
+    upstream is one cheap codegen explode over 5k docs, while the
+    barrier costs real row-serialization I/O and serializes stages that
+    otherwise pipeline. The exception that PROVES the rule:
+    :func:`simhash_candidates` keeps ``checkpoint="local"`` because its
+    shared frame is expensive per-row (token explode + ``bits`` SUM
+    aggregates, measured 2× the candidate stage when recomputed) and
+    its output is tiny (one fingerprint row per doc). That is the
+    100 TB decision procedure too: barrier when
+    (upstream cost × extra consumers) ≫ (materialize + reread of the
+    frame), which holds for aggregate-shaped frames (small out, big in)
+    and fails for explode-shaped ones (big out, cheap in)."""
+    if checkpoint == "reliable":
+        return df.checkpoint(eager=True)
+    if checkpoint == "local":
+        return df.localCheckpoint(eager=True)
+    if checkpoint == "persist":
+        return df.persist()
+    if checkpoint is not None:
+        raise ValueError(
+            f"checkpoint must be 'local', 'reliable', 'persist' or None, "
+            f"got {checkpoint!r}"
+        )
+    return df
+
+
 def exploded_shingles(
     df: DataFrame,
     text_col: str = "text",
@@ -176,14 +228,20 @@ def minhash_lsh_candidates(
     k: int = 12,
     bands: int = 4,
     n: int = 3,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band bucket.
 
     Plan: project signatures (no shuffle) → explode k/bands band buckets →
     self-join on (band, bucket) → distinct (a, b) with a < b. The join key
     is a 32-char md5; skew only arises from genuinely identical bands.
+
+    The bucket frame (shingle explode + k min-hash aggregates upstream)
+    feeds BOTH self-join sides — barrier'd once (see _barrier).
     """
-    buckets = minhash_band_buckets(df, text_col, id_col, k, bands, n)
+    buckets = _barrier(
+        minhash_band_buckets(df, text_col, id_col, k, bands, n), checkpoint
+    )
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -283,6 +341,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 500,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs above ``threshold``.
 
@@ -315,7 +374,13 @@ def ngram_jaccard_pairs(
     only appears in real corpora, where dup-cluster size is
     corpus-independent and the default 500 clears it by 20x.
     """
-    sh = exploded_shingles(df, text_col, id_col, n, distinct=True)
+    # Four consumers of the exploded-shingle frame (sizes, the df
+    # aggregate, both self-join sides) — barrier-able via `checkpoint`;
+    # lazy by default (recompute of the codegen explode measured cheaper
+    # than the barrier at bench scale, see _barrier).
+    sh = _barrier(
+        exploded_shingles(df, text_col, id_col, n, distinct=True), checkpoint
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     if max_df is not None:
         rare = (
@@ -365,6 +430,7 @@ def prefix_filter_candidates(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """AllPairs/PPJoin-style **prefix-filtered** candidate pairs for
     Jaccard ≥ ``threshold`` — recall-complete by construction, unlike
@@ -397,13 +463,19 @@ def prefix_filter_candidates(
     """
     from pyspark.sql import Window
 
+    # Only the RANKED prefix rows — the frame both self-join sides
+    # consume — are barrier-able (via ``checkpoint``; lazy by default,
+    # eager barriers measured SLOWER here — see _barrier). The exploded
+    # shingles get no barrier hook at all: their two consumers (df
+    # aggregate + ranked input) join back together and the window's
+    # doc_id exchange dominates either way.
     sh = exploded_shingles(df, text_col, id_col, n, distinct=True)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("__df").asc(), F.col("shingle").asc()
     )
     wall = Window.partitionBy("doc_id")
-    ranked = (
+    ranked = _barrier(
         sh.join(dfreq, "shingle")
         .select(
             "doc_id",
@@ -414,7 +486,8 @@ def prefix_filter_candidates(
         .where(
             F.col("__rn")
             <= F.col("__size") - F.ceil(F.lit(threshold) * F.col("__size")) + 1
-        )
+        ),
+        checkpoint,
     )
     a = ranked.select(
         F.col("doc_id").alias("doc_a"), "shingle",
@@ -446,6 +519,7 @@ def prefix_filter_pairs(
     n: int = 3,
     threshold: float = 0.5,
     verify_strategy: str = "sets",
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """EXACT Jaccard pairs ≥ ``threshold`` via prefix-filtered
     candidates + restricted verification — the lossless alternative to
@@ -457,7 +531,7 @@ def prefix_filter_pairs(
     pair × shingle explosion when prefixes of a low-entropy corpus
     still collide a lot). Emits (doc_a, doc_b, jaccard)."""
     cands = prefix_filter_candidates(
-        df, text_col, id_col, n=n, threshold=threshold
+        df, text_col, id_col, n=n, threshold=threshold, checkpoint=checkpoint
     )
     return verify_candidate_pairs(
         df,
@@ -467,6 +541,7 @@ def prefix_filter_pairs(
         n=n,
         threshold=threshold,
         strategy=verify_strategy,
+        checkpoint=checkpoint,
     )
 
 
@@ -477,6 +552,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = 500,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT ``|A∩B| / |A|`` — the excerpt
     detector Jaccard structurally misses: a paragraph quoted inside a
@@ -493,7 +569,12 @@ def containment_pairs(
     (smaller-set) side, ties on set size broken by id; both directions
     are checked from one unordered intersection count.
     """
-    sh = exploded_shingles(df, text_col, id_col, n, distinct=True)
+    # sizes + hot-shingle aggregate + both self-join sides all read the
+    # exploded shingles — barrier-able via `checkpoint`, lazy by default
+    # (see _barrier).
+    sh = _barrier(
+        exploded_shingles(df, text_col, id_col, n, distinct=True), checkpoint
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     joinable = sh
     if max_df is not None:
@@ -538,6 +619,7 @@ def verify_candidate_pairs(
     n: int = 3,
     threshold: float = 0.5,
     strategy: str = "join",
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard **restricted to candidate pairs** — the scale
     path for near-dup verification.
@@ -569,9 +651,16 @@ def verify_candidate_pairs(
     sh = exploded_shingles(df, text_col, id_col, n, distinct=True)
     p = pairs.select("doc_a", "doc_b")
     if strategy == "sets":
-        sets = sh.groupBy("doc_id").agg(
-            F.collect_set(F.xxhash64("shingle")).alias("__set"),
-            F.count(F.lit(1)).alias("n_shingles"),
+        # The per-doc set frame joins the pair list TWICE (doc_a and
+        # doc_b sides); the join-strategy shingle frame feeds three
+        # branches (sizes + both sides) — barrier-able via `checkpoint`,
+        # lazy by default (see _barrier).
+        sets = _barrier(
+            sh.groupBy("doc_id").agg(
+                F.collect_set(F.xxhash64("shingle")).alias("__set"),
+                F.count(F.lit(1)).alias("n_shingles"),
+            ),
+            checkpoint,
         )
         out = (
             p.join(
@@ -595,6 +684,7 @@ def verify_candidate_pairs(
             )
         )
     elif strategy == "join":
+        sh = _barrier(sh, checkpoint)
         sizes = sh.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_shingles")
         )
@@ -889,12 +979,7 @@ def simhash_candidates(
     # storage, survives executor loss on a real cluster), or None to
     # keep the plan fully lazy (explain-only callers; the double
     # evaluation cost returns).
-    if checkpoint == "reliable":
-        sh = sh.checkpoint(eager=True)
-    elif checkpoint == "local":
-        sh = sh.localCheckpoint(eager=True)
-    elif checkpoint is not None:
-        raise ValueError(f"checkpoint must be 'local', 'reliable' or None, got {checkpoint!r}")
+    sh = _barrier(sh, checkpoint)
     bandrows = sh.select(
         "doc_id",
         *carry,
