@@ -9620,64 +9620,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- driver gate window: the driver's correctness gate samples the
-        # FIRST 50 entries of this dict (insertion order).  r9 rotation
-        # (the r6 #5 standing invariant: no query's driver row ages past
-        # ~3 rounds): new never-gated r9 queries go at the very front
-        # (inserted above this comment), then the 47 queries whose newest
-        # row is r5 (the staleness boundary), then r6 / r7 / r8 rows in
-        # evidence order — next round's window starts at the r6 block.
-        "audit_trail": q_audit_trail,
-        "serving_metrics": q_serving_metrics,
         "auth_audit": q_auth_audit,
-        "tpch_q20": q_tpch_q20,
-        "stream_cdc_merge": q_stream_cdc_merge,
-        "stream_sessions": q_stream_sessions,
-        "stream_clean_corpus": q_stream_clean_corpus,
-        "stream_topk": q_stream_topk,
-        "pq_encode": q_pq_encode,
-        "pq_adc": q_pq_adc,
-        "ann_ivf_pq": q_ann_ivf_pq,
-        "mmr_rerank": q_mmr_rerank,
-        "ann_eval": q_ann_eval,
-        "random_projection": q_random_projection,
-        "kmeans_refine_expr": q_kmeans_refine_expr,
-        "kmeans_train": q_kmeans_train,
-        "token_encode": q_token_encode,
-        "quantile_bin": q_quantile_bin,
-        "quantile_bin_approx": q_quantile_bin_approx,
-        "profile_columns": q_profile_columns,
-        "profile_columns_approx": q_profile_columns_approx,
-        "scd2_history": q_scd2_history,
-        "scd2_snapshot": q_scd2_snapshot,
-        "scd2_join": q_scd2_join,
-        "pagerank": q_pagerank,
-        "triangle_count": q_triangle_count,
-        "bm25_search": q_bm25_search,
-        "phrase_search": q_phrase_search,
-        "rrf_fusion": q_rrf_fusion,
-        "tfidf_terms": q_tfidf_terms,
-        "fuzzy_match": q_fuzzy_match,
-        "fuzzy_match_snm": q_fuzzy_match_snm,
-        "robust_outliers": q_robust_outliers,
-        "token_budget": q_token_budget,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "ccnet_buckets": q_ccnet_buckets,
-        "sketch_distinct": q_sketch_distinct,
-        "count_min": q_count_min,
-        "bloom_filter": q_bloom_filter,
-        "cms_join_size": q_cms_join_size,
-        "heavy_hitters": q_heavy_hitters,
-        "semdedup": q_semdedup,
-        "k_anonymity": q_k_anonymity,
-        "bigram_logprob": q_bigram_logprob,
-        "multi_window_features": q_multi_window_features,
-        "rolling_features": q_rolling_features,
-        "feature_pivot": q_feature_pivot,
-        "asof_nearest": q_asof_nearest,
-        "weighted_sample": q_weighted_sample,
-        "skew_join": q_skew_join,
-        "ewma_features": q_ewma_features,
         "target_encode": q_target_encode,
         "winsorize": q_winsorize,
         "chunk_documents": q_chunk_documents,
@@ -9727,6 +9670,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "domain_topk": q_domain_topk,
         "sequence_pack": q_sequence_pack,
+        "audit_trail": q_audit_trail,
+        "serving_metrics": q_serving_metrics,
+        "tpch_q20": q_tpch_q20,
+        "stream_cdc_merge": q_stream_cdc_merge,
+        "stream_sessions": q_stream_sessions,
+        "stream_clean_corpus": q_stream_clean_corpus,
+        "stream_topk": q_stream_topk,
+        "pq_encode": q_pq_encode,
+        "pq_adc": q_pq_adc,
+        "ann_ivf_pq": q_ann_ivf_pq,
+        "mmr_rerank": q_mmr_rerank,
+        "ann_eval": q_ann_eval,
+        "random_projection": q_random_projection,
+        "kmeans_refine_expr": q_kmeans_refine_expr,
+        "kmeans_train": q_kmeans_train,
+        "token_encode": q_token_encode,
+        "quantile_bin": q_quantile_bin,
+        "quantile_bin_approx": q_quantile_bin_approx,
+        "profile_columns": q_profile_columns,
+        "profile_columns_approx": q_profile_columns_approx,
+        "scd2_history": q_scd2_history,
+        "scd2_snapshot": q_scd2_snapshot,
+        "scd2_join": q_scd2_join,
+        "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        "bm25_search": q_bm25_search,
+        "phrase_search": q_phrase_search,
+        "rrf_fusion": q_rrf_fusion,
+        "tfidf_terms": q_tfidf_terms,
+        "fuzzy_match": q_fuzzy_match,
+        "fuzzy_match_snm": q_fuzzy_match_snm,
+        "robust_outliers": q_robust_outliers,
+        "token_budget": q_token_budget,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "ccnet_buckets": q_ccnet_buckets,
+        "sketch_distinct": q_sketch_distinct,
+        "count_min": q_count_min,
+        "bloom_filter": q_bloom_filter,
+        "cms_join_size": q_cms_join_size,
+        "heavy_hitters": q_heavy_hitters,
+        "semdedup": q_semdedup,
+        "k_anonymity": q_k_anonymity,
+        "bigram_logprob": q_bigram_logprob,
+        "multi_window_features": q_multi_window_features,
+        "rolling_features": q_rolling_features,
+        "feature_pivot": q_feature_pivot,
+        "asof_nearest": q_asof_nearest,
+        "weighted_sample": q_weighted_sample,
+        "skew_join": q_skew_join,
+        "ewma_features": q_ewma_features,
         "unigram_logprob": q_unigram_logprob,
         "logreg_quality": q_logreg_quality,
         "global_ranks": q_global_ranks,

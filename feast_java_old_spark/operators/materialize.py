@@ -985,16 +985,26 @@ def compact_versioned(
     # in a prior run's swap window (between replace(epoch, trash) and
     # replace(staging, epoch)) leaves rev=<h>.compact_old holding the
     # ONLY live copy of that epoch while the schema registry still
-    # lists it — restore it. A trash dir alongside a PRESENT epoch is
-    # a post-swap leftover; leave it for the swap section's cleanup
-    # (restoring it would roll live data back).
+    # lists it — restore it. Restore ONLY registered hashes: an
+    # unregistered base name means the epoch was legitimately pruned
+    # after a post-swap crash left its trash behind — restoring it
+    # would resurrect stale pre-compaction data as a ghost dir no
+    # prune loop could ever delete; remove it instead. A trash dir
+    # alongside a PRESENT epoch is a post-swap leftover; also removed
+    # here (restoring it would roll live data back).
     if os.path.isdir(tpath):
         with _registry_lock(tpath):
+            registered = set(_load_schema_registry(tpath))
             for d in os.listdir(tpath):
-                if d.endswith(".compact_old"):
-                    orig = os.path.join(tpath, d[: -len(".compact_old")])
-                    if not os.path.isdir(orig):
-                        os.replace(os.path.join(tpath, d), orig)
+                if not d.endswith(".compact_old"):
+                    continue
+                base = d[: -len(".compact_old")]
+                orig = os.path.join(tpath, base)
+                still_registered = base.removeprefix("rev=") in registered
+                if still_registered and not os.path.isdir(orig):
+                    os.replace(os.path.join(tpath, d), orig)
+                else:
+                    shutil.rmtree(os.path.join(tpath, d), ignore_errors=True)
     # snapshot FIRST: only epochs known before the merge began may be
     # pruned afterwards (everything the merge could have fully read)
     prunable = set(_load_schema_registry(tpath))

@@ -173,8 +173,13 @@ def serve_logged(
         # everything else (store IO, corrupt files) → INTERNAL — a
         # health dashboard must not attribute a store outage to
         # client-side bad requests.
-        if isinstance(ex, PermissionError):
-            code = "PERMISSION_DENIED"  # AccessDeniedError
+        from feast_java_old_spark.registry.auth import AccessDeniedError
+
+        # AccessDeniedError specifically — NOT all PermissionError: an
+        # OS-level file-permission failure reading the store is a
+        # server fault (INTERNAL), not an authorization denial.
+        if isinstance(ex, AccessDeniedError):
+            code = "PERMISSION_DENIED"
         elif isinstance(ex, (ValueError, TypeError)):
             code = "INVALID_ARGUMENT"  # includes ValidationError
         elif isinstance(ex, KeyError):

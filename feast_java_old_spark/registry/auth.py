@@ -182,9 +182,12 @@ class SubjectListAuthorizationProvider(AuthorizationProvider):
                 f"Access denied to project {project_id} "
                 f"for subject {subject}"
             )
-        if len(self._cache) >= self.cache_size:
+        if len(self._cache) >= self.cache_size and key not in self._cache:
             # size-bounded like the reference's Caffeine cache; evict
-            # oldest-written (TTL makes precise LRU unnecessary here)
+            # oldest-written (TTL makes precise LRU unnecessary here).
+            # Refreshing an EXISTING key overwrites in place — evicting
+            # then would drop an unrelated live entry and shrink the
+            # cache by one on every TTL refresh at capacity.
             oldest = min(self._cache, key=lambda k: self._cache[k][0])
             del self._cache[oldest]
         self._cache[key] = (now, result)

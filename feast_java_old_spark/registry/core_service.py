@@ -74,9 +74,15 @@ class CoreService:
         if authentication is not None:
             # The interceptor logs whatever identity it can extract —
             # never fails the call over it (GrpcMessageInterceptor
-            # extracts the subject claim on a best-effort basis).
+            # extracts the subject claim on a best-effort basis). Use
+            # the provider's CONFIGURED subject claim first so the
+            # audited identity is the same subject authorization keyed
+            # its decision on; fall back to email/sub for providers
+            # without one (AllowAll, custom).
+            claim = getattr(self.auth.provider, "subject_claim", None)
             identity = str(
-                authentication.claims.get("email")
+                (claim and authentication.claims.get(claim))
+                or authentication.claims.get("email")
                 or authentication.claims.get("sub")
                 or ""
             )
@@ -90,7 +96,11 @@ class CoreService:
         except Exception as ex:
             if isinstance(ex, AccessDeniedError):
                 code = "PERMISSION_DENIED"
-            elif isinstance(ex, (ValidationError, TypeError)):
+            elif isinstance(ex, (ValidationError, ValueError, TypeError)):
+                # ValueError covers a missing/malformed subject claim
+                # from get_subject_from_auth — a client-side request
+                # problem, and the same code serve_logged assigns it
+                # (the trail must not disagree with itself).
                 code = "INVALID_ARGUMENT"
             elif isinstance(ex, KeyError):
                 code = "NOT_FOUND"

@@ -69,9 +69,15 @@ def read_online_table(
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
-    has_delta_log = os.path.isdir(os.path.join(path, "_delta_log"))
+    # The os.path probes below only see LOCAL paths; a remote URI
+    # (s3://, hdfs://, abfss://) must go straight to DeltaTable, which
+    # resolves through Spark's Hadoop filesystems.
+    is_local = "://" not in path or path.startswith("file:")
+    has_delta_log = is_local and os.path.isdir(
+        os.path.join(path, "_delta_log")
+    )
     if table_format == "delta" or has_delta_log:
-        if not has_delta_log:
+        if is_local and not has_delta_log:
             # None is the never-materialized contract (missing/empty
             # dir). A NON-empty dir without _delta_log under an
             # explicit table_format="delta" is a real, populated
@@ -79,7 +85,8 @@ def read_online_table(
             # flag — returning None here would silently serve
             # all-NOT_FOUND for live data. Classified BEFORE the
             # delta_available() check: this error is about the caller's
-            # flag, not the environment.
+            # flag, not the environment. Local paths only — a remote
+            # Delta table falls through to isDeltaTable below.
             if os.path.isdir(path) and os.listdir(path):
                 raise ValueError(
                     f"table_format='delta' but {path!r} holds a "

@@ -301,3 +301,88 @@ def test_health_check_serving_and_not_serving(tmp_path):
         f.write("{ not json")
     assert health_check(reg) == "NOT_SERVING"
     json  # keep import used
+
+
+def test_missing_subject_claim_is_invalid_argument_not_internal():
+    """Self-review r10: an unauthenticated/claimless request under
+    enabled auth is a CLIENT error — the MESSAGE entry must carry
+    INVALID_ARGUMENT (matching serve_logged's mapping), not INTERNAL."""
+    log = AuditLogger(clock=lambda: 0, id_factory=lambda: "m-1")
+    reg = Registry(audit=log)
+    svc = CoreService(
+        reg,
+        auth=AuthorizationService(
+            enabled=True,
+            provider=SubjectListAuthorizationProvider({"p1": set()}),
+        ),
+    )
+    with pytest.raises(ValueError, match="valid claim"):
+        svc.apply_entity(_entity(), project="p1", authentication=None)
+    (m,) = [e for e in log.entries if e["kind"] == "MESSAGE"]
+    assert m["statusCode"] == "INVALID_ARGUMENT"
+
+
+def test_cache_refresh_at_capacity_does_not_evict_live_entries():
+    """Self-review r10: refreshing an EXISTING key at capacity must
+    overwrite in place, not evict an unrelated live decision."""
+    t = [0.0]
+    prov = SubjectListAuthorizationProvider(
+        {"p1": {"a@x.com", "b@x.com"}},
+        cache_size=2,
+        cache_ttl_secs=60,
+        clock=lambda: t[0],
+    )
+    a = Authentication({"email": "a@x.com"})
+    b = Authentication({"email": "b@x.com"})
+    prov.check_access_to_project("p1", a)  # t=0
+    t[0] = 30.0
+    prov.check_access_to_project("p1", b)  # t=30, cache full
+    t[0] = 61.0  # a's entry expired, b's still live
+    prov.check_access_to_project("p1", a)  # refresh of existing key
+    assert ("p1", "b@x.com") in prov._cache  # b must survive
+    assert prov.check_access_to_project("p1", b).allowed
+    assert prov.decision_count == 3  # b served from cache after refresh
+
+
+def test_audit_identity_uses_provider_subject_claim():
+    """Self-review r10: the audited identity must be the subject the
+    provider keyed its decision on, not a hardcoded email claim."""
+    log = AuditLogger(clock=lambda: 0, id_factory=lambda: "m-1")
+    reg = Registry(audit=log)
+    svc = CoreService(
+        reg,
+        auth=AuthorizationService(
+            enabled=True,
+            provider=SubjectListAuthorizationProvider(
+                {"p1": set()}, subject_claim="sub"
+            ),
+        ),
+    )
+    # token carries BOTH an (unrelated) email and the decision subject
+    tok = Authentication({"email": "human@x.com", "sub": "svc-batch-1"})
+    with pytest.raises(AccessDeniedError):
+        svc.apply_entity(_entity(), project="p1", authentication=tok)
+    (m,) = [e for e in log.entries if e["kind"] == "MESSAGE"]
+    assert m["identity"] == "svc-batch-1"
+    assert "svc-batch-1" in m["response"]["error"]
+
+
+def test_serving_os_permission_error_is_internal_not_denied(
+    spark, monkeypatch
+):
+    """Self-review r10: an OS-level PermissionError from the store path
+    is a server fault (INTERNAL) — only AccessDeniedError maps to
+    PERMISSION_DENIED."""
+    from feast_java_old_spark.operators import retrieval
+    from feast_java_old_spark.plans.serving_json import serve_logged
+
+    def boom(*a, **k):
+        raise PermissionError("store dir unreadable")
+
+    monkeypatch.setattr(retrieval, "get_online_features", boom)
+    log = AuditLogger(clock=lambda: 0, id_factory=lambda: "m-1")
+    reg = Registry(audit=log)
+    with pytest.raises(PermissionError):
+        serve_logged(spark, reg, [{"driver": 1}], ["t:f"])
+    (m,) = [e for e in log.entries if e["kind"] == "MESSAGE"]
+    assert m["statusCode"] == "INTERNAL"

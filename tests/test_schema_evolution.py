@@ -718,3 +718,59 @@ def test_read_online_table_explicit_delta_on_parquet_dir_raises(
     assert read_online_table(
         spark, str(tmp_path / "missing"), table_format="delta"
     ) is None
+
+
+def test_read_online_table_remote_uri_not_misclassified(spark, tmp_path):
+    """Self-review r10: a REMOTE URI (s3://...) under explicit
+    table_format='delta' must reach the Delta reader path (here: the
+    delta-unavailable RuntimeError, since delta-spark isn't installed),
+    never the local never-materialized/None or wrong-format/ValueError
+    shortcuts — os.path probes can't see remote filesystems."""
+    import pytest as _pytest
+
+    from feast_java_old_spark.streaming.ingest import read_online_table
+
+    with _pytest.raises(RuntimeError, match="delta-spark is not installed"):
+        read_online_table(
+            spark, "s3://bucket/online/tbl", table_format="delta"
+        )
+
+
+def test_compact_versioned_never_resurrects_pruned_epoch(
+    spark, registry, tmp_path
+):
+    """Self-review r10: a post-swap trash dir whose hash is NO LONGER in
+    the schema registry (pruned after a crash left the trash behind)
+    must be REMOVED at entry, never restored as a ghost epoch."""
+    import os
+    import shutil
+
+    from feast_java_old_spark.operators.materialize import (
+        _load_schema_registry as load_reg,
+        compact_versioned,
+        online_table_path,
+    )
+
+    src_path = str(tmp_path / "events.parquet")
+    store = str(tmp_path / "store")
+    _write_events(
+        spark, src_path, [(1, dt.datetime(2024, 1, 1), 1.5, "a")]
+    )
+    src1 = FileSource(file_url=src_path, event_timestamp_column="ts")
+    registry.apply_feature_table(_table_v1(src1))
+    materialize_versioned(spark, registry, "ut", store)
+    tpath = online_table_path(store, "default", "ut")
+    (rev,) = [d for d in os.listdir(tpath) if d.startswith("rev=")]
+
+    # Fabricate the ghost state: stale trash for a hash the registry
+    # no longer lists.
+    ghost = os.path.join(tpath, "rev=deadbeef.compact_old")
+    shutil.copytree(os.path.join(tpath, rev), ghost)
+    assert "deadbeef" not in load_reg(tpath)
+
+    compact_versioned(spark, registry, "ut", store)
+    assert not os.path.isdir(ghost)
+    assert not os.path.isdir(os.path.join(tpath, "rev=deadbeef"))
+    # exactly one epoch remains: the current spec's
+    revs = [d for d in os.listdir(tpath) if d.startswith("rev=")]
+    assert len(revs) == 1 and not revs[0].endswith(".compact_old")
