@@ -221,6 +221,7 @@ HEADLINE = [
     # the Prometheus-parity metrics export of the same scenario.
     "audit_trail",
     "serving_metrics",
+    "auth_audit",
 ]
 
 # Deliberate-ceiling twins: benched every run and recorded in

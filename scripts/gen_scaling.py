@@ -114,6 +114,16 @@ partition count.
         f.write(out.getvalue())
     print(f"written {len(out.getvalue())} chars")
 
+    # Persist the sf0.1 BEST-OF-2 as the canonical BENCH_DETAIL (the
+    # round-close artifact `--freeze-baseline` snapshots). Without
+    # this, BENCH_DETAIL holds whichever single shot ran LAST — r9's
+    # canonical best-of-2 had to be carried by hand.
+    canonical = dict(results["sf0.1"])
+    canonical["best_of"] = 2
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(canonical, f, indent=1, sort_keys=True)
+    print(f"BENCH_DETAIL.json <- sf0.1 best-of-2 ({canonical['value']}s)")
+
 
 if __name__ == "__main__":
     main()
