@@ -221,6 +221,15 @@ class CoreService:
             authorize=False,
         )
 
+    def get_version(self) -> str:
+        """``CoreServiceImpl.getFeastCoreVersion:65-77`` — the build
+        version, served to authenticated and anonymous callers alike
+        (``CoreServiceAuthenticationIT.shouldGetVersionFromFeastCoreAlways``:
+        version is never behind authentication or authorization)."""
+        from feast_java_old_spark import __version__
+
+        return __version__
+
     # Reads delegate with no authorization and no MESSAGE entry — the
     # reference's list/get RPCs call authorizeRequest nowhere, and the
     # gate's trail queries count mutations, not read chatter.

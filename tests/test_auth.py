@@ -386,3 +386,15 @@ def test_serving_os_permission_error_is_internal_not_denied(
         serve_logged(spark, reg, [{"driver": 1}], ["t:f"])
     (m,) = [e for e in log.entries if e["kind"] == "MESSAGE"]
     assert m["statusCode"] == "INTERNAL"
+
+
+def test_core_version_available_regardless_of_auth():
+    """``CoreServiceAuthenticationIT.shouldGetVersionFromFeastCoreAlways``
+    — the version endpoint is identical for denied, allowed, and
+    anonymous callers; it sits in front of authentication entirely."""
+    from feast_java_old_spark import __version__
+
+    denied = CoreService(Registry(), auth=_denying_service())
+    open_svc = CoreService(Registry())
+    assert denied.get_version() == __version__
+    assert open_svc.get_version() == __version__
