@@ -9619,6 +9619,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER IS LOAD-BEARING: the round driver's correctness gate
+    # hash-matches the FIRST 50 entries of this dict (insertion order).
+    # Each round the dict is re-ordered — never-gated queries at the
+    # very front, then the oldest-evidence rows (latest round per query
+    # in the CORRECTNESS_r*.json union) — so every registered query
+    # re-verifies within ~4 rounds (policy: docs/COVERAGE.md
+    # "Evidence-freshness policy"). Do NOT append new queries at the
+    # end, insert alphabetically, or let a formatter re-sort this
+    # literal. r10 window: auth_audit (new) + 49 r6-evidence rows;
+    # unigram_logprob deferred to r11.
     return {
         "auth_audit": q_auth_audit,
         "target_encode": q_target_encode,

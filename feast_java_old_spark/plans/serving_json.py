@@ -173,19 +173,9 @@ def serve_logged(
         # everything else (store IO, corrupt files) → INTERNAL — a
         # health dashboard must not attribute a store outage to
         # client-side bad requests.
-        from feast_java_old_spark.registry.auth import AccessDeniedError
+        from feast_java_old_spark.registry.audit import grpc_status_code
 
-        # AccessDeniedError specifically — NOT all PermissionError: an
-        # OS-level file-permission failure reading the store is a
-        # server fault (INTERNAL), not an authorization denial.
-        if isinstance(ex, AccessDeniedError):
-            code = "PERMISSION_DENIED"
-        elif isinstance(ex, (ValueError, TypeError)):
-            code = "INVALID_ARGUMENT"  # includes ValidationError
-        elif isinstance(ex, KeyError):
-            code = "NOT_FOUND"
-        else:
-            code = "INTERNAL"
+        code = grpc_status_code(ex)
         if audit is not None:
             audit.log_message(
                 service="ServingService",

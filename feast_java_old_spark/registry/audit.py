@@ -229,3 +229,30 @@ def read_audit_log(spark, path: str):
     the caller's to cast, the TRAIL's schema must not drift with them.
     """
     return spark.read.schema(AUDIT_SCHEMA).json(path)
+
+
+def grpc_status_code(ex: BaseException) -> str:
+    """The ONE exception → gRPC-status mapping both controller layers
+    audit with (``CoreService._call`` and ``serve_logged``) — extracted
+    after two independent drifts between hand-copies (r10 self-review:
+    PermissionError over-matching in serving; ValueError → INTERNAL in
+    core). The trail must not disagree with itself about the same
+    failure.
+
+    Mapping (the reference's catch-block semantics,
+    ``CoreServiceImpl.java`` + the interceptor): AccessDeniedError →
+    PERMISSION_DENIED (and ONLY it — an OS-level ``PermissionError``
+    reading the store is a server fault); ValueError/TypeError
+    (includes ValidationError and malformed-subject-claim errors) →
+    INVALID_ARGUMENT; KeyError (unknown registry object) → NOT_FOUND;
+    everything else (store IO, corrupt files) → INTERNAL.
+    """
+    from feast_java_old_spark.registry.auth import AccessDeniedError
+
+    if isinstance(ex, AccessDeniedError):
+        return "PERMISSION_DENIED"
+    if isinstance(ex, (ValueError, TypeError)):
+        return "INVALID_ARGUMENT"
+    if isinstance(ex, KeyError):
+        return "NOT_FOUND"
+    return "INTERNAL"

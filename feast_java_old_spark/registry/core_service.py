@@ -31,13 +31,12 @@ from __future__ import annotations
 
 from typing import Optional
 
+from feast_java_old_spark.registry.audit import grpc_status_code
 from feast_java_old_spark.registry.auth import (
-    AccessDeniedError,
     Authentication,
     AuthorizationService,
 )
 from feast_java_old_spark.registry.registry import DEFAULT_PROJECT, Registry
-from feast_java_old_spark.registry.validation import ValidationError
 
 SERVICE_NAME = "CoreService"
 
@@ -94,18 +93,7 @@ class CoreService:
                 self.auth.authorize_request(authentication, project)
             result = fn()
         except Exception as ex:
-            if isinstance(ex, AccessDeniedError):
-                code = "PERMISSION_DENIED"
-            elif isinstance(ex, (ValidationError, ValueError, TypeError)):
-                # ValueError covers a missing/malformed subject claim
-                # from get_subject_from_auth — a client-side request
-                # problem, and the same code serve_logged assigns it
-                # (the trail must not disagree with itself).
-                code = "INVALID_ARGUMENT"
-            elif isinstance(ex, KeyError):
-                code = "NOT_FOUND"
-            else:
-                code = "INTERNAL"
+            code = grpc_status_code(ex)
             if self.audit is not None:
                 self.audit.log_message(
                     service=SERVICE_NAME,

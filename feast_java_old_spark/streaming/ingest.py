@@ -71,11 +71,31 @@ def read_online_table(
 
     # The os.path probes below only see LOCAL paths; a remote URI
     # (s3://, hdfs://, abfss://) must go straight to DeltaTable, which
-    # resolves through Spark's Hadoop filesystems.
-    is_local = "://" not in path or path.startswith("file:")
+    # resolves through Spark's Hadoop filesystems. `file:` URIs ARE
+    # local — strip the scheme so os.path can parse them (leaving it
+    # on would make every probe False and misclassify a live file://
+    # Delta table as never-materialized).
+    probe_path = path
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        probe_path = urlparse(path).path or path
+    is_local = "://" not in probe_path
     has_delta_log = is_local and os.path.isdir(
-        os.path.join(path, "_delta_log")
+        os.path.join(probe_path, "_delta_log")
     )
+    # Remote paths can't be probed with os.path; when the Delta
+    # bindings are present, ask Delta itself so the docstring's
+    # auto-detect contract holds remotely too (one metadata check —
+    # without it a remote Delta table read under the parquet default
+    # would serve tombstoned pre-MERGE files). Without delta-spark a
+    # remote Delta table is NOT detectable; that limitation is why the
+    # availability error below is raised eagerly for explicit delta.
+    if not is_local and table_format != "delta" and delta_available():
+        from delta.tables import DeltaTable
+
+        if DeltaTable.isDeltaTable(spark, path):
+            return spark.read.format("delta").load(path)
     if table_format == "delta" or has_delta_log:
         if is_local and not has_delta_log:
             # None is the never-materialized contract (missing/empty
@@ -87,7 +107,7 @@ def read_online_table(
             # delta_available() check: this error is about the caller's
             # flag, not the environment. Local paths only — a remote
             # Delta table falls through to isDeltaTable below.
-            if os.path.isdir(path) and os.listdir(path):
+            if os.path.isdir(probe_path) and os.listdir(probe_path):
                 raise ValueError(
                     f"table_format='delta' but {path!r} holds a "
                     "non-Delta table (no _delta_log; dir is non-empty) "
@@ -106,7 +126,7 @@ def read_online_table(
         if not DeltaTable.isDeltaTable(spark, path):
             return None
         return spark.read.format("delta").load(path)
-    vdir = _current_version_dir(path)
+    vdir = _current_version_dir(probe_path) if is_local else None
     try:
         return spark.read.parquet(vdir if vdir else path)
     except AnalysisException as ex:

@@ -723,17 +723,54 @@ def test_read_online_table_explicit_delta_on_parquet_dir_raises(
 def test_read_online_table_remote_uri_not_misclassified(spark, tmp_path):
     """Self-review r10: a REMOTE URI (s3://...) under explicit
     table_format='delta' must reach the Delta reader path (here: the
-    delta-unavailable RuntimeError, since delta-spark isn't installed),
-    never the local never-materialized/None or wrong-format/ValueError
-    shortcuts — os.path probes can't see remote filesystems."""
+    delta-unavailable RuntimeError, since delta-spark isn't installed
+    in this environment), never the local never-materialized/None or
+    wrong-format/ValueError shortcuts — os.path probes can't see
+    remote filesystems. Behavior-guarded (second self-review pass):
+    with delta-spark installed the same call reaches
+    ``DeltaTable.isDeltaTable``, which this sandbox can't exercise
+    against a real remote store, so the test skips rather than assert
+    an environment accident."""
     import pytest as _pytest
 
-    from feast_java_old_spark.streaming.ingest import read_online_table
+    from feast_java_old_spark.streaming.ingest import (
+        delta_available,
+        read_online_table,
+    )
 
+    if delta_available():
+        _pytest.skip(
+            "delta-spark installed: the remote path goes to "
+            "DeltaTable.isDeltaTable, which needs a reachable store"
+        )
     with _pytest.raises(RuntimeError, match="delta-spark is not installed"):
         read_online_table(
             spark, "s3://bucket/online/tbl", table_format="delta"
         )
+
+
+def test_read_online_table_file_uri_treated_as_local(spark, tmp_path):
+    """Second self-review pass r10: a ``file:`` URI is LOCAL — the
+    scheme must be stripped before the os.path probes, or a live
+    file:// table is misclassified as never-materialized (None) and
+    serving silently degrades to all-NOT_FOUND."""
+    import pytest as _pytest
+
+    from feast_java_old_spark.streaming.ingest import read_online_table
+
+    p = tmp_path / "tbl"
+    spark.range(3).write.parquet(str(p))
+    # plain-parquet read through a file: URI resolves the table
+    out = read_online_table(spark, f"file://{p}")
+    assert out is not None and out.count() == 3
+    # explicit delta on a populated file:-URI non-Delta dir: the
+    # wrong-format error, NOT the never-materialized None
+    with _pytest.raises(ValueError, match="non-Delta"):
+        read_online_table(spark, f"file://{p}", table_format="delta")
+    # missing file: path keeps the never-materialized contract
+    assert (
+        read_online_table(spark, f"file://{tmp_path}/missing") is None
+    )
 
 
 def test_compact_versioned_never_resurrects_pruned_epoch(
