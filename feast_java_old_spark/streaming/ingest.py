@@ -181,9 +181,23 @@ def merge_latest_batch(
     # Delta-dispatching reader never sees — every batch would merge
     # against the frozen Delta snapshot and serving would silently
     # never advance. Upgrade the write to the table's actual layout.
-    if table_format == "parquet" and os.path.isdir(
-        os.path.join(path, "_delta_log")
-    ):
+    # Same local/remote split as read_online_table: os.path probes
+    # only see local paths (file: scheme stripped); a remote URI asks
+    # Delta itself when the bindings are present.
+    probe = path
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        probe = urlparse(path).path or path
+    if table_format == "parquet" and "://" not in probe:
+        detected = os.path.isdir(os.path.join(probe, "_delta_log"))
+    elif table_format == "parquet" and delta_available():
+        from delta.tables import DeltaTable
+
+        detected = DeltaTable.isDeltaTable(spark, path)
+    else:
+        detected = False
+    if detected:
         if not delta_available():
             raise RuntimeError(
                 f"online table at {path!r} is a Delta table but "
