@@ -194,6 +194,103 @@ class SubjectListAuthorizationProvider(AuthorizationProvider):
         return result
 
 
+@dataclass(frozen=True)
+class AccessPolicy:
+    """One Ory-ACP access-control policy — the record Keto's engine
+    evaluates (`sh.ory.keto` ACP model: subjects × resources × actions
+    with an allow/deny effect)."""
+
+    subjects: tuple[str, ...]
+    resources: tuple[str, ...]
+    actions: tuple[str, ...]
+    effect: str = "allow"  # "allow" | "deny"
+
+    def __post_init__(self):
+        if self.effect not in ("allow", "deny"):
+            raise ValueError(f"effect must be allow|deny, got {self.effect!r}")
+
+
+class PolicyAuthorizationProvider(AuthorizationProvider):
+    """Keto-style provider — ``common/.../auth/providers/keto/
+    KetoAuthorizationProvider.java:138-164`` with the external Keto
+    server's ACP decision engine held in-process (the same
+    environment-bound split as :class:`SubjectListAuthorizationProvider`
+    vs the HTTP provider).
+
+    Request shape mirrors the reference exactly: the check is
+    ``(flavor, subject=subject_prefix+subject, resource=
+    resource_prefix+projectId, action)`` with builder defaults
+    ``flavor="glob"``, ``action="edit"``, ``subject_claim="email"``,
+    empty prefixes (``KetoAuthorizationProvider.Builder:44-100``).
+    Decision semantics are Ory ACP's (public engine contract): a
+    request is allowed iff at least one *allow* policy matches and NO
+    *deny* policy matches (deny overrides allow); no match → default
+    deny. ``flavor`` selects the matcher — ``exact`` (string
+    equality), ``glob`` (``fnmatch``-style patterns, e.g.
+    ``users:*@example.com``), ``regex`` (full-match).
+
+    Denials carry the reference's message
+    (``KetoAuthorizationProvider.java:161-163``).
+    """
+
+    def __init__(
+        self,
+        policies: list[AccessPolicy],
+        flavor: str = "glob",
+        action: str = "edit",
+        subject_claim: str = DEFAULT_SUBJECT_CLAIM,
+        subject_prefix: str = "",
+        resource_prefix: str = "",
+    ) -> None:
+        if flavor not in ("exact", "glob", "regex"):
+            raise ValueError(
+                f"flavor must be one of exact|glob|regex, got {flavor!r}"
+            )
+        self.policies = list(policies)
+        self.flavor = flavor
+        self.action = action
+        self.subject_claim = subject_claim
+        self.subject_prefix = subject_prefix
+        self.resource_prefix = resource_prefix
+
+    def _matches(self, pattern: str, value: str) -> bool:
+        if self.flavor == "exact":
+            return pattern == value
+        if self.flavor == "glob":
+            import fnmatch
+
+            return fnmatch.fnmatchcase(value, pattern)
+        return re.fullmatch(pattern, value) is not None
+
+    def _policy_matches(
+        self, p: AccessPolicy, subject: str, resource: str, action: str
+    ) -> bool:
+        return (
+            any(self._matches(s, subject) for s in p.subjects)
+            and any(self._matches(r, resource) for r in p.resources)
+            and any(self._matches(a, action) for a in p.actions)
+        )
+
+    def check_access_to_project(
+        self, project_id: str, authentication: Authentication
+    ) -> AuthorizationResult:
+        subject = get_subject_from_auth(authentication, self.subject_claim)
+        full_subject = f"{self.subject_prefix}{subject}"
+        resource = f"{self.resource_prefix}{project_id}"
+        allowed = False
+        for p in self.policies:
+            if self._policy_matches(p, full_subject, resource, self.action):
+                if p.effect == "deny":
+                    allowed = False
+                    break  # deny overrides any allow
+                allowed = True
+        if allowed:
+            return AuthorizationResult.success()
+        return AuthorizationResult.failed(
+            f"Access denied to project {project_id} for subject {subject}"
+        )
+
+
 class AuthorizationService:
     """``AuthorizationService.java:50-63`` — the enforcement point."""
 

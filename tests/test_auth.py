@@ -398,3 +398,114 @@ def test_core_version_available_regardless_of_auth():
     open_svc = CoreService(Registry())
     assert denied.get_version() == __version__
     assert open_svc.get_version() == __version__
+
+
+# ------------------------------------------- PolicyProvider (Keto)
+
+
+def test_policy_provider_glob_and_default_deny():
+    """KetoAuthorizationProvider.java:138-164 request shape + Ory ACP
+    decision semantics: glob flavor, default action 'edit', prefixes,
+    default deny, reference denial message."""
+    from feast_java_old_spark.registry.auth import (
+        AccessPolicy,
+        PolicyAuthorizationProvider,
+    )
+
+    prov = PolicyAuthorizationProvider(
+        [
+            AccessPolicy(
+                subjects=("users:*@example.com",),
+                resources=("projects:analytics",),
+                actions=("edit",),
+            )
+        ],
+        subject_prefix="users:",
+        resource_prefix="projects:",
+    )
+    assert prov.check_access_to_project("analytics", ALICE).allowed
+    outsider = Authentication({"email": "eve@intruder.io"})
+    denied = prov.check_access_to_project("analytics", outsider)
+    assert not denied.allowed
+    assert denied.failure_reason == (
+        "Access denied to project analytics for subject eve@intruder.io"
+    )
+    # default deny: resource with no matching policy
+    assert not prov.check_access_to_project("other", ALICE).allowed
+
+
+def test_policy_provider_deny_overrides_allow():
+    from feast_java_old_spark.registry.auth import (
+        AccessPolicy,
+        PolicyAuthorizationProvider,
+    )
+
+    prov = PolicyAuthorizationProvider(
+        [
+            AccessPolicy(("*",), ("p1",), ("edit",), effect="allow"),
+            AccessPolicy(
+                ("bob@example.com",), ("p1",), ("edit",), effect="deny"
+            ),
+        ]
+    )
+    assert prov.check_access_to_project("p1", ALICE).allowed
+    assert not prov.check_access_to_project("p1", BOB).allowed
+
+
+def test_policy_provider_flavors_and_action_scope():
+    from feast_java_old_spark.registry.auth import (
+        AccessPolicy,
+        PolicyAuthorizationProvider,
+    )
+    import pytest as _pytest
+
+    # exact: no pattern expansion
+    exact = PolicyAuthorizationProvider(
+        [AccessPolicy(("alice@example.com",), ("p1",), ("edit",))],
+        flavor="exact",
+    )
+    assert exact.check_access_to_project("p1", ALICE).allowed
+    assert not exact.check_access_to_project("p1", BOB).allowed
+
+    # regex: full-match only
+    rx = PolicyAuthorizationProvider(
+        [AccessPolicy((r"[a-z]+@example\.com",), (r"p\d",), ("edit",))],
+        flavor="regex",
+    )
+    assert rx.check_access_to_project("p1", ALICE).allowed
+    assert not rx.check_access_to_project("p10x", ALICE).allowed
+
+    # a policy granting a DIFFERENT action never authorizes 'edit'
+    view_only = PolicyAuthorizationProvider(
+        [AccessPolicy(("*",), ("p1",), ("view",))]
+    )
+    assert not view_only.check_access_to_project("p1", ALICE).allowed
+
+    with _pytest.raises(ValueError, match="flavor"):
+        PolicyAuthorizationProvider([], flavor="fuzzy")
+    with _pytest.raises(ValueError, match="effect"):
+        AccessPolicy(("*",), ("*",), ("*",), effect="maybe")
+
+
+def test_policy_provider_through_core_service():
+    """End-to-end: the Keto-style provider plugs into the same
+    AuthorizationService/CoreService stack as the subject-list one."""
+    from feast_java_old_spark.registry.auth import (
+        AccessPolicy,
+        PolicyAuthorizationProvider,
+    )
+
+    reg = Registry()
+    svc = CoreService(
+        reg,
+        auth=AuthorizationService(
+            enabled=True,
+            provider=PolicyAuthorizationProvider(
+                [AccessPolicy(("alice@example.com",), ("p1",), ("edit",))]
+            ),
+        ),
+    )
+    svc.apply_entity(_entity(), project="p1", authentication=ALICE)
+    with pytest.raises(AccessDeniedError):
+        svc.apply_entity(_entity("e2"), project="p1", authentication=BOB)
+    assert [e.name for e in reg.list_entities("p1")] == ["driver"]
