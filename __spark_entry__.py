@@ -9627,109 +9627,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verifies within ~4 rounds (policy: docs/COVERAGE.md
     # "Evidence-freshness policy"). Do NOT append new queries at the
     # end, insert alphabetically, or let a formatter re-sort this
-    # literal. r10 window: auth_audit (new) + 49 r6-evidence rows;
-    # unigram_logprob deferred to r11.
+    # literal. r11 window: unigram_logprob (the deferred r6 row,
+    # FIRST) + 49 of the 50 r7-evidence rows — zero NEW queries this
+    # round. The r7 block is 50 rows, so exactly one defers to r12:
+    # sliding_distinct_approx (rows-only no_oracle twin by design;
+    # its hash-matched exact twin sliding_distinct IS in this window,
+    # and its epsilon guarantee is pytest-enforced) — it rotates
+    # first at r12 alongside the 49 oldest r8 rows.
     return {
-        "auth_audit": q_auth_audit,
-        "target_encode": q_target_encode,
-        "winsorize": q_winsorize,
-        "chunk_documents": q_chunk_documents,
-        "resample_ffill": q_resample_ffill,
-        "bpe_pairs": q_bpe_pairs,
-        "line_filter": q_line_filter,
-        "cdc_apply": q_cdc_apply,
-        "normalize_features": q_normalize_features,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "zorder_key": q_zorder_key,
-        "rollup_merge": q_rollup_merge,
-        "boilerplate": q_boilerplate,
-        "top_orders": q_top_orders,
-        "snapshot_diff": q_snapshot_diff,
-        "user_sequences": q_user_sequences,
-        "length_batches": q_length_batches,
-        "negative_samples": q_negative_samples,
-        "session_cooccurrence": q_session_cooccurrence,
-        "calendar_features": q_calendar_features,
-        "pmi_collocations": q_pmi_collocations,
-        "stream_window_rollup": q_stream_window_rollup,
-        "stream_latest_merge": q_stream_latest_merge,
-        "kmeans_refine": q_kmeans_refine,
-        "dedup_verified_simhash": q_dedup_verified_simhash,
-        "embedding_near_dups": q_embedding_near_dups,
-        "stream_proto_decode": q_stream_proto_decode,
-        "odfv_transform": q_odfv_transform,
-        "doc_fingerprint": q_doc_fingerprint,
-        "embedding_centroids": q_embedding_centroids,
-        "lang_id": q_lang_id,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_frames": q_multimodal_frames,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "quality_classifier": q_quality_classifier,
-        "similarity_ann_ivf": q_similarity_ann_ivf,
-        "similarity_ann_lsh": q_similarity_ann_lsh,
-        "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
-        "similarity_topk": q_similarity_topk,
-        "token_count": q_token_count,
-        "training_corpus": q_training_corpus,
-        "vocab_topk": q_vocab_topk,
-        "embedding_outliers": q_embedding_outliers,
-        "corpus_dedup_apply": q_corpus_dedup_apply,
-        "dedup_keep_best": q_dedup_keep_best,
-        "dedup_crossmodal": q_dedup_crossmodal,
-        "corpus_split": q_corpus_split,
-        "domain_topk": q_domain_topk,
-        "sequence_pack": q_sequence_pack,
-        "audit_trail": q_audit_trail,
-        "serving_metrics": q_serving_metrics,
-        "tpch_q20": q_tpch_q20,
-        "stream_cdc_merge": q_stream_cdc_merge,
-        "stream_sessions": q_stream_sessions,
-        "stream_clean_corpus": q_stream_clean_corpus,
-        "stream_topk": q_stream_topk,
-        "pq_encode": q_pq_encode,
-        "pq_adc": q_pq_adc,
-        "ann_ivf_pq": q_ann_ivf_pq,
-        "mmr_rerank": q_mmr_rerank,
-        "ann_eval": q_ann_eval,
-        "random_projection": q_random_projection,
-        "kmeans_refine_expr": q_kmeans_refine_expr,
-        "kmeans_train": q_kmeans_train,
-        "token_encode": q_token_encode,
-        "quantile_bin": q_quantile_bin,
-        "quantile_bin_approx": q_quantile_bin_approx,
-        "profile_columns": q_profile_columns,
-        "profile_columns_approx": q_profile_columns_approx,
-        "scd2_history": q_scd2_history,
-        "scd2_snapshot": q_scd2_snapshot,
-        "scd2_join": q_scd2_join,
-        "pagerank": q_pagerank,
-        "triangle_count": q_triangle_count,
-        "bm25_search": q_bm25_search,
-        "phrase_search": q_phrase_search,
-        "rrf_fusion": q_rrf_fusion,
-        "tfidf_terms": q_tfidf_terms,
-        "fuzzy_match": q_fuzzy_match,
-        "fuzzy_match_snm": q_fuzzy_match_snm,
-        "robust_outliers": q_robust_outliers,
-        "token_budget": q_token_budget,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "ccnet_buckets": q_ccnet_buckets,
-        "sketch_distinct": q_sketch_distinct,
-        "count_min": q_count_min,
-        "bloom_filter": q_bloom_filter,
-        "cms_join_size": q_cms_join_size,
-        "heavy_hitters": q_heavy_hitters,
-        "semdedup": q_semdedup,
-        "k_anonymity": q_k_anonymity,
-        "bigram_logprob": q_bigram_logprob,
-        "multi_window_features": q_multi_window_features,
-        "rolling_features": q_rolling_features,
-        "feature_pivot": q_feature_pivot,
-        "asof_nearest": q_asof_nearest,
-        "weighted_sample": q_weighted_sample,
-        "skew_join": q_skew_join,
-        "ewma_features": q_ewma_features,
         "unigram_logprob": q_unigram_logprob,
         "logreg_quality": q_logreg_quality,
         "global_ranks": q_global_ranks,
@@ -9772,7 +9677,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_window_rollup": q_a3_window_rollup,
         "a4_sliding_rollup": q_a4_sliding_rollup,
         "sliding_distinct": q_sliding_distinct,
-        "sliding_distinct_approx": q_sliding_distinct_approx,
         "a5_sessions": q_a5_sessions,
         "a6_percentiles": q_a6_percentiles,
         "a7_rollup_revenue": q_a7_rollup_revenue,
@@ -9781,6 +9685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
         "tpch_q14": q_tpch_q14,
+        "sliding_distinct_approx": q_sliding_distinct_approx,
         "tpch_q17": q_tpch_q17,
         "tpch_q21": q_tpch_q21,
         "tpch_q21_agg": q_tpch_q21_agg,
@@ -9831,6 +9736,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_enrich": q_stream_enrich,
         "stream_stream_join": q_stream_stream_join,
+        "audit_trail": q_audit_trail,
+        "serving_metrics": q_serving_metrics,
+        "tpch_q20": q_tpch_q20,
+        "stream_cdc_merge": q_stream_cdc_merge,
+        "stream_sessions": q_stream_sessions,
+        "stream_clean_corpus": q_stream_clean_corpus,
+        "stream_topk": q_stream_topk,
+        "pq_encode": q_pq_encode,
+        "pq_adc": q_pq_adc,
+        "ann_ivf_pq": q_ann_ivf_pq,
+        "mmr_rerank": q_mmr_rerank,
+        "ann_eval": q_ann_eval,
+        "random_projection": q_random_projection,
+        "kmeans_refine_expr": q_kmeans_refine_expr,
+        "kmeans_train": q_kmeans_train,
+        "token_encode": q_token_encode,
+        "quantile_bin": q_quantile_bin,
+        "quantile_bin_approx": q_quantile_bin_approx,
+        "profile_columns": q_profile_columns,
+        "profile_columns_approx": q_profile_columns_approx,
+        "scd2_history": q_scd2_history,
+        "scd2_snapshot": q_scd2_snapshot,
+        "scd2_join": q_scd2_join,
+        "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        "bm25_search": q_bm25_search,
+        "phrase_search": q_phrase_search,
+        "rrf_fusion": q_rrf_fusion,
+        "tfidf_terms": q_tfidf_terms,
+        "fuzzy_match": q_fuzzy_match,
+        "fuzzy_match_snm": q_fuzzy_match_snm,
+        "robust_outliers": q_robust_outliers,
+        "token_budget": q_token_budget,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "ccnet_buckets": q_ccnet_buckets,
+        "sketch_distinct": q_sketch_distinct,
+        "count_min": q_count_min,
+        "bloom_filter": q_bloom_filter,
+        "cms_join_size": q_cms_join_size,
+        "heavy_hitters": q_heavy_hitters,
+        "semdedup": q_semdedup,
+        "k_anonymity": q_k_anonymity,
+        "bigram_logprob": q_bigram_logprob,
+        "multi_window_features": q_multi_window_features,
+        "rolling_features": q_rolling_features,
+        "feature_pivot": q_feature_pivot,
+        "asof_nearest": q_asof_nearest,
+        "weighted_sample": q_weighted_sample,
+        "skew_join": q_skew_join,
+        "ewma_features": q_ewma_features,
+        "auth_audit": q_auth_audit,
+        "target_encode": q_target_encode,
+        "winsorize": q_winsorize,
+        "chunk_documents": q_chunk_documents,
+        "resample_ffill": q_resample_ffill,
+        "bpe_pairs": q_bpe_pairs,
+        "line_filter": q_line_filter,
+        "cdc_apply": q_cdc_apply,
+        "normalize_features": q_normalize_features,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "zorder_key": q_zorder_key,
+        "rollup_merge": q_rollup_merge,
+        "boilerplate": q_boilerplate,
+        "top_orders": q_top_orders,
+        "snapshot_diff": q_snapshot_diff,
+        "user_sequences": q_user_sequences,
+        "length_batches": q_length_batches,
+        "negative_samples": q_negative_samples,
+        "session_cooccurrence": q_session_cooccurrence,
+        "calendar_features": q_calendar_features,
+        "pmi_collocations": q_pmi_collocations,
+        "stream_window_rollup": q_stream_window_rollup,
+        "stream_latest_merge": q_stream_latest_merge,
+        "kmeans_refine": q_kmeans_refine,
+        "dedup_verified_simhash": q_dedup_verified_simhash,
+        "embedding_near_dups": q_embedding_near_dups,
+        "stream_proto_decode": q_stream_proto_decode,
+        "odfv_transform": q_odfv_transform,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_centroids": q_embedding_centroids,
+        "lang_id": q_lang_id,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "quality_classifier": q_quality_classifier,
+        "similarity_ann_ivf": q_similarity_ann_ivf,
+        "similarity_ann_lsh": q_similarity_ann_lsh,
+        "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
+        "similarity_topk": q_similarity_topk,
+        "token_count": q_token_count,
+        "training_corpus": q_training_corpus,
+        "vocab_topk": q_vocab_topk,
+        "embedding_outliers": q_embedding_outliers,
+        "corpus_dedup_apply": q_corpus_dedup_apply,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dedup_crossmodal": q_dedup_crossmodal,
+        "corpus_split": q_corpus_split,
+        "domain_topk": q_domain_topk,
+        "sequence_pack": q_sequence_pack,
     }
 
 

@@ -262,13 +262,23 @@ def health_check(registry) -> str:
     try/catch (its TODO notes the intended check is store/registry
     reachability). Here the probe is the registry's readability — the
     one dependency this serving path has: a file-backed registry must
-    exist and parse (a corrupt or unreadable file means every
-    retrieval would fail), an in-memory registry must enumerate."""
+    parse when its file exists (a corrupt or unreadable file means
+    every retrieval would fail), an in-memory registry must enumerate.
+
+    A file-backed registry whose path has NOT been written yet is
+    healthy, not broken — ``Registry(path=...)`` is fully functional
+    in-memory before the first save, so the probe must not report
+    NOT_SERVING for a freshly configured service (r10 ADVICE: the
+    unconditional ``open`` was a false-negative liveness probe). The
+    file is parsed only when present; otherwise the in-memory
+    enumeration is the health signal."""
     import json as _json
+    import os as _os
 
     try:
-        if getattr(registry, "path", None):
-            with open(registry.path) as f:
+        path = getattr(registry, "path", None)
+        if path and _os.path.exists(path):
+            with open(path) as f:
                 _json.load(f)
         registry.list_projects()
         return SERVING

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import re
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
@@ -161,7 +162,14 @@ class SubjectListAuthorizationProvider(AuthorizationProvider):
         self.cache_ttl_secs = cache_ttl_secs
         self.cache_size = cache_size
         self._clock = clock
-        self._cache: dict[tuple[str, str], tuple[float, AuthorizationResult]] = {}
+        # OrderedDict so capacity eviction is O(1) (popitem(last=False)
+        # pops the oldest-WRITTEN entry) — a full min() scan over 10000
+        # entries on every uncached new-key decision put an O(n) step
+        # on the control-plane hot path (r10 ADVICE). Write order ==
+        # iteration order is maintained by move_to_end on refresh.
+        self._cache: "OrderedDict[tuple[str, str], tuple[float, AuthorizationResult]]" = (
+            OrderedDict()
+        )
         self.decision_count = 0  # uncached evaluations, for cache tests
 
     def check_access_to_project(
@@ -188,9 +196,11 @@ class SubjectListAuthorizationProvider(AuthorizationProvider):
             # Refreshing an EXISTING key overwrites in place — evicting
             # then would drop an unrelated live entry and shrink the
             # cache by one on every TTL refresh at capacity.
-            oldest = min(self._cache, key=lambda k: self._cache[k][0])
-            del self._cache[oldest]
+            self._cache.popitem(last=False)
         self._cache[key] = (now, result)
+        # keep iteration order == write order, so popitem(last=False)
+        # above always pops the stalest write even after TTL refreshes.
+        self._cache.move_to_end(key)
         return result
 
 

@@ -92,9 +92,7 @@ def read_online_table(
     # remote Delta table is NOT detectable; that limitation is why the
     # availability error below is raised eagerly for explicit delta.
     if not is_local and table_format != "delta" and delta_available():
-        from delta.tables import DeltaTable
-
-        if DeltaTable.isDeltaTable(spark, path):
+        if _is_delta_table(spark, path, remote=True):
             return spark.read.format("delta").load(path)
     if table_format == "delta" or has_delta_log:
         if is_local and not has_delta_log:
@@ -121,9 +119,7 @@ def read_online_table(
                 "delta-spark is not installed — reading it as parquet "
                 "would serve tombstoned pre-MERGE rows"
             )
-        from delta.tables import DeltaTable
-
-        if not DeltaTable.isDeltaTable(spark, path):
+        if not _is_delta_table(spark, path, remote=not is_local):
             return None
         return spark.read.format("delta").load(path)
     vdir = _current_version_dir(probe_path) if is_local else None
@@ -134,6 +130,34 @@ def read_online_table(
         if "PATH_NOT_FOUND" in cond or "UNABLE_TO_INFER_SCHEMA" in cond:
             return None
         raise
+
+
+# Per-path Delta-layout memo (r10 ADVICE): ``DeltaTable.isDeltaTable``
+# on a REMOTE URI is a filesystem-metadata roundtrip paid per serving
+# read under the parquet default and per micro-batch in
+# merge_latest_batch. A table's layout never downgrades from Delta, so
+# a True result is permanent; a False result is refreshed by OUR
+# writers (_merge_latest_batch_delta marks the path True when it
+# Delta-writes it). An out-of-process parquet→Delta conversion during
+# this process's lifetime is not observed — acceptable for a cache
+# keyed to the serving process, and the reason only REMOTE paths are
+# memoized: local paths keep the live (cheap) os.path/DeltaTable probe,
+# so test tmpdirs that are deleted and recreated never see stale state.
+_delta_layout_memo: dict[str, bool] = {}
+
+
+def _is_delta_table(spark: SparkSession, path: str, remote: bool) -> bool:
+    """isDeltaTable with the remote-path memo described above."""
+    if remote:
+        cached = _delta_layout_memo.get(path)
+        if cached is not None:
+            return cached
+    from delta.tables import DeltaTable
+
+    result = bool(DeltaTable.isDeltaTable(spark, path))
+    if remote:
+        _delta_layout_memo[path] = result
+    return result
 
 
 def delta_available() -> bool:
@@ -192,9 +216,8 @@ def merge_latest_batch(
     if table_format == "parquet" and "://" not in probe:
         detected = os.path.isdir(os.path.join(probe, "_delta_log"))
     elif table_format == "parquet" and delta_available():
-        from delta.tables import DeltaTable
-
-        detected = DeltaTable.isDeltaTable(spark, path)
+        # remote URI (the local branch above handled "://"-free paths)
+        detected = _is_delta_table(spark, path, remote=True)
     else:
         detected = False
     if detected:
@@ -243,10 +266,20 @@ def _merge_latest_batch_delta(
     """
     from delta.tables import DeltaTable  # import-gated: delta_available()
 
-    if not DeltaTable.isDeltaTable(spark, path):
+    remote = "://" in path and not path.startswith("file:")
+    # The bootstrap decision trusts only a memoized TRUE (permanent by
+    # the layout-never-downgrades invariant) — a stale False here would
+    # re-bootstrap and OVERWRITE a live table, so False/missing always
+    # probes live. After batch 1 the memo is True and the per-micro-
+    # batch metadata roundtrip disappears (r10 ADVICE).
+    if not (remote and _delta_layout_memo.get(path)) and not (
+        DeltaTable.isDeltaTable(spark, path)
+    ):
         # First batch bootstraps the table; Delta's log commit is the
         # atomic pointer-flip equivalent.
         batch_latest.write.format("delta").mode("overwrite").save(path)
+        if remote:
+            _delta_layout_memo[path] = True
         return
     target = DeltaTable.forPath(spark, path)
     on = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
@@ -261,6 +294,8 @@ def _merge_latest_batch_delta(
         .whenNotMatchedInsertAll()
         .execute()
     )
+    if remote:
+        _delta_layout_memo[path] = True
 
 
 def _write_version(

@@ -66,7 +66,14 @@ def run_bench(sf_dir: str) -> dict:
     }
     best["value"] = round(sum(best["queries"].values()), 3)
     best.pop("reruns", None)
-    best["cold_total"] = min(r.get("cold_total", 0) for r in runs)
+    # min over only the shots that RECORDED cold_total — defaulting a
+    # missing key to 0 would poison the frozen composite with a fake
+    # zero (r10 ADVICE); if no shot carries it, omit the field.
+    colds = [r["cold_total"] for r in runs if "cold_total" in r]
+    if colds:
+        best["cold_total"] = min(colds)
+    else:
+        best.pop("cold_total", None)
     if any("tracked_ceilings" in r for r in runs):
         keys = set().union(*(r.get("tracked_ceilings", {}) for r in runs))
         best["tracked_ceilings"] = {

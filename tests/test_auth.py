@@ -303,6 +303,16 @@ def test_health_check_serving_and_not_serving(tmp_path):
     json  # keep import used
 
 
+def test_health_check_unwritten_file_registry_is_serving(tmp_path):
+    """r10 ADVICE: Registry(path=...) is fully functional in-memory
+    before the first save — the probe must not report NOT_SERVING for
+    a freshly configured service whose file has not been written yet."""
+    from feast_java_old_spark.plans.serving_json import health_check
+
+    reg = Registry(path=str(tmp_path / "never_written.json"))
+    assert health_check(reg) == "SERVING"
+
+
 def test_missing_subject_claim_is_invalid_argument_not_internal():
     """Self-review r10: an unauthenticated/claimless request under
     enabled auth is a CLIENT error — the MESSAGE entry must carry
@@ -342,6 +352,33 @@ def test_cache_refresh_at_capacity_does_not_evict_live_entries():
     assert ("p1", "b@x.com") in prov._cache  # b must survive
     assert prov.check_access_to_project("p1", b).allowed
     assert prov.decision_count == 3  # b served from cache after refresh
+
+
+def test_cache_capacity_evicts_oldest_write_after_refresh():
+    """r10 ADVICE follow-up: eviction is popitem(last=False) on an
+    OrderedDict, so a TTL refresh must RE-POSITION its key (write order
+    == iteration order) — otherwise a refreshed-live entry would be
+    evicted as 'oldest' while a staler one survives."""
+    t = [0.0]
+    prov = SubjectListAuthorizationProvider(
+        {"p1": {"a@x.com", "b@x.com", "c@x.com"}},
+        cache_size=2,
+        cache_ttl_secs=60,
+        clock=lambda: t[0],
+    )
+    a = Authentication({"email": "a@x.com"})
+    b = Authentication({"email": "b@x.com"})
+    c = Authentication({"email": "c@x.com"})
+    prov.check_access_to_project("p1", a)  # write order: a
+    t[0] = 10.0
+    prov.check_access_to_project("p1", b)  # a, b (full)
+    t[0] = 61.0  # a expired; refresh it -> write order: b, a
+    prov.check_access_to_project("p1", a)
+    t[0] = 62.0
+    prov.check_access_to_project("p1", c)  # evicts b (oldest write)
+    assert ("p1", "b@x.com") not in prov._cache
+    assert ("p1", "a@x.com") in prov._cache  # refreshed entry survives
+    assert ("p1", "c@x.com") in prov._cache
 
 
 def test_audit_identity_uses_provider_subject_claim():

@@ -980,6 +980,36 @@ def test_delta_table_autodetected_on_parquet_read(spark, tmp_path):
         read_online_table(spark, str(store))
 
 
+def test_remote_delta_detection_is_memoized(spark):
+    """r10 ADVICE: isDeltaTable on a remote URI is a metadata roundtrip
+    paid per serving read / per micro-batch — the per-path memo must
+    short-circuit it. A memoized True answers WITHOUT touching the
+    Delta bindings at all (provable here whether or not delta-spark is
+    installed: the cached branch returns before the import), and local
+    paths must bypass the memo entirely (tmpdirs are deleted and
+    recreated across tests — stale layout state would misclassify)."""
+    from feast_java_old_spark.streaming import ingest
+
+    remote = "s3://bucket/online/t1"
+    ingest._delta_layout_memo[remote] = True
+    try:
+        assert ingest._is_delta_table(spark, remote, remote=True) is True
+        # a local path never consults the memo, even when a same-string
+        # key is present — the live probe runs (and with delta absent,
+        # the call sites guard with delta_available() first).
+        local = "/tmp/definitely/not/a/table"
+        ingest._delta_layout_memo[local] = True
+        if not ingest.delta_available():
+            with pytest.raises(ImportError):
+                ingest._is_delta_table(spark, local, remote=False)
+        else:
+            assert (
+                ingest._is_delta_table(spark, local, remote=False) is False
+            )
+    finally:
+        ingest._delta_layout_memo.clear()
+
+
 def test_parquet_merge_onto_delta_table_is_refused_without_delta(
     spark, tmp_path
 ):
