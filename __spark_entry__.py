@@ -9312,12 +9312,33 @@ def q_serving_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             # computed from the scenario's registry at collect time —
             # one feature table registered, no stores — unioned into
             # the same flat relation the serving instruments export to.
+            # r11: + the JVM resource collector
+            # (JVMResourceCollector.java:31-75) through a deterministic
+            # injected runtime source (the live JvmRuntimeSource reads
+            # the actual Spark driver JVM; wall-clock readings can't
+            # hash — the same environment-bound split as the auth
+            # providers' clock injection). GC seconds are scrape-only
+            # by the request_latency_seconds precedent; counts and the
+            # three memory gauges are the deterministic rows.
             from feast_java_old_spark.plans.metrics import (
+                FakeRuntimeSource,
                 core_resource_dataframe,
+                jvm_resource_dataframe,
             )
 
-            out = metrics.as_dataframe(spark).unionByName(
-                core_resource_dataframe(spark, reg)
+            rt = FakeRuntimeSource(
+                max_bytes=4294967296,
+                total_bytes=1073741824,
+                free_bytes=268435456,
+                gcs=[
+                    ("G1 Young Generation", 10, 0.25),
+                    ("G1 Old Generation", 2, 0.05),
+                ],
+            )
+            out = (
+                metrics.as_dataframe(spark)
+                .unionByName(core_resource_dataframe(spark, reg))
+                .unionByName(jvm_resource_dataframe(spark, rt))
             )
             return out.localCheckpoint(eager=True)
     finally:
@@ -9401,6 +9422,15 @@ UNION ALL
 SELECT m, '', v FROM (VALUES
   ('feast_core_feature_set_total', CAST(1 AS BIGINT)),
   ('feast_core_store_total', CAST(0 AS BIGINT))) g(m, v)
+UNION ALL
+SELECT m, l, v FROM (VALUES
+  ('feast_core_max_memory_bytes', '', CAST(4294967296 AS BIGINT)),
+  ('feast_core_total_memory_bytes', '', CAST(1073741824 AS BIGINT)),
+  ('feast_core_free_memory_bytes', '', CAST(268435456 AS BIGINT)),
+  ('feast_core_gc_collection_seconds_count', 'gc=G1 Young Generation',
+   CAST(10 AS BIGINT)),
+  ('feast_core_gc_collection_seconds_count', 'gc=G1 Old Generation',
+   CAST(2 AS BIGINT))) j(m, l, v)
 """
 
 

@@ -194,17 +194,178 @@ def core_resource_dataframe(spark, registry):
     )
 
 
-def core_exposition(registry) -> str:
+def core_exposition(registry, runtime_source=None) -> str:
     """Prometheus text exposition for the core gauges (the reference
     exports them through the same registry endpoint as the serving
     instruments, namespaced ``feast_core_*`` with no subsystem
-    prefixing — the collector passes full metric names)."""
+    prefixing — the collector passes full metric names).
+
+    The reference registers BOTH core collectors
+    (``FeastResourceCollector`` and ``JVMResourceCollector``) in the
+    one endpoint's registry — pass ``runtime_source`` (a
+    :class:`JvmRuntimeSource` or fake) to append the JVM families and
+    scrape the complete ``feast_core_*`` surface in one body."""
     lines = []
     for metric, _labels, v in core_resource_rows(registry):
         kind, help_text = _CORE_GAUGE_META[metric]
         lines.append(f"# HELP {metric} {help_text}")
         lines.append(f"# TYPE {metric} {kind}")
         lines.append(f"{metric} {float(v)}")
+    body = "\n".join(lines) + "\n"
+    if runtime_source is not None:
+        body += jvm_resource_exposition(runtime_source)
+    return body
+
+
+_JVM_GAUGE_META = {
+    "feast_core_max_memory_bytes": (
+        "gauge",
+        "Max amount of memory the Java virtual machine will attempt to use",
+    ),
+    "feast_core_total_memory_bytes": (
+        "gauge",
+        "Total amount of memory in the Java virtual machine",
+    ),
+    "feast_core_free_memory_bytes": (
+        "gauge",
+        "Total amount of free memory in the Java virtual machine",
+    ),
+    "feast_core_gc_collection_seconds": (
+        "summary",
+        "Time spent in a given JVM garbage collector in seconds",
+    ),
+}
+
+
+class JvmRuntimeSource:
+    """Live JVM readings — parity with ``core/src/main/java/feast/core/
+    metrics/collector/JVMResourceCollector.java:31-75``.
+
+    The serving driver here IS a JVM (Spark's driver process, reached
+    through py4j), so this is a direct port, not an analog: the same
+    ``Runtime`` memory readings and the same
+    ``ManagementFactory.getGarbageCollectorMXBeans()`` summary the
+    reference collector samples per scrape. Deterministic tests and the
+    correctness gate inject :class:`FakeRuntimeSource` instead — the
+    same environment-bound split as the authorization providers."""
+
+    def __init__(self, spark) -> None:
+        self._jvm = spark._jvm
+
+    def memory_bytes(self) -> dict[str, int]:
+        rt = self._jvm.java.lang.Runtime.getRuntime()
+        return {
+            "max": int(rt.maxMemory()),
+            "total": int(rt.totalMemory()),
+            "free": int(rt.freeMemory()),
+        }
+
+    def gc_collectors(self) -> list[tuple[str, int, float]]:
+        """``(name, collection_count, collection_seconds)`` per
+        collector — ``getCollectionTime()`` is milliseconds, divided by
+        1000 exactly as ``JVMResourceCollector.collect`` does."""
+        mf = self._jvm.java.lang.management.ManagementFactory
+        out = []
+        for gc in mf.getGarbageCollectorMXBeans():
+            out.append(
+                (
+                    str(gc.getName()),
+                    int(gc.getCollectionCount()),
+                    float(gc.getCollectionTime()) / 1000.0,
+                )
+            )
+        return out
+
+
+class FakeRuntimeSource:
+    """Injectable constant readings for deterministic tests/gates."""
+
+    def __init__(
+        self,
+        max_bytes: int,
+        total_bytes: int,
+        free_bytes: int,
+        gcs: Sequence[tuple[str, int, float]],
+    ) -> None:
+        self._mem = {
+            "max": int(max_bytes),
+            "total": int(total_bytes),
+            "free": int(free_bytes),
+        }
+        self._gcs = [(str(n), int(c), float(s)) for n, c, s in gcs]
+
+    def memory_bytes(self) -> dict[str, int]:
+        return dict(self._mem)
+
+    def gc_collectors(self) -> list[tuple[str, int, float]]:
+        return list(self._gcs)
+
+
+def jvm_resource_rows(
+    runtime_source, include_gc_seconds: bool = False
+) -> list[tuple]:
+    """Flat ``(metric, labels, value)`` rows for the JVM collector —
+    the three memory gauges plus per-collector GC counts.
+
+    ``feast_core_gc_collection_seconds_sum`` is wall-clock and
+    therefore EXCLUDED from the deterministic view by default — the
+    same contract as ``request_latency_seconds`` in
+    :meth:`ServingMetrics.as_rows`; the full summary (count + float
+    seconds sum) always appears in :func:`jvm_resource_exposition`,
+    the scrape-facing surface."""
+    mem = runtime_source.memory_bytes()
+    rows: list[tuple] = [
+        ("feast_core_max_memory_bytes", "", int(mem["max"])),
+        ("feast_core_total_memory_bytes", "", int(mem["total"])),
+        ("feast_core_free_memory_bytes", "", int(mem["free"])),
+    ]
+    for name, count, secs in runtime_source.gc_collectors():
+        rows.append(
+            ("feast_core_gc_collection_seconds_count", f"gc={name}", int(count))
+        )
+        if include_gc_seconds:
+            rows.append(
+                ("feast_core_gc_collection_seconds_sum", f"gc={name}", float(secs))
+            )
+    return sorted(rows)
+
+
+def jvm_resource_dataframe(spark, runtime_source):
+    """Deterministic JVM gauge rows as a DataFrame — same
+    ``(metric, labels, value long)`` schema as the other metric
+    exports, so all three collector surfaces union into one relation."""
+    return spark.createDataFrame(
+        jvm_resource_rows(runtime_source),
+        "metric string, labels string, value long",
+    )
+
+
+def jvm_resource_exposition(runtime_source) -> str:
+    """Prometheus text exposition for the JVM collector: three gauges
+    plus the ``feast_core_gc_collection_seconds`` SUMMARY (per-``gc``
+    ``_count``/``_sum`` sample pairs — ``SummaryMetricFamily.addMetric``
+    emits exactly those two series per collector)."""
+    mem = runtime_source.memory_bytes()
+    lines = []
+    for metric, v in (
+        ("feast_core_max_memory_bytes", mem["max"]),
+        ("feast_core_total_memory_bytes", mem["total"]),
+        ("feast_core_free_memory_bytes", mem["free"]),
+    ):
+        kind, help_text = _JVM_GAUGE_META[metric]
+        lines.append(f"# HELP {metric} {help_text}")
+        lines.append(f"# TYPE {metric} {kind}")
+        lines.append(f"{metric} {float(v)}")
+    kind, help_text = _JVM_GAUGE_META["feast_core_gc_collection_seconds"]
+    lines.append(f"# HELP feast_core_gc_collection_seconds {help_text}")
+    lines.append(f"# TYPE feast_core_gc_collection_seconds {kind}")
+    for name, count, secs in runtime_source.gc_collectors():
+        lines.append(
+            f'feast_core_gc_collection_seconds_count{{gc="{name}"}} {count}'
+        )
+        lines.append(
+            f'feast_core_gc_collection_seconds_sum{{gc="{name}"}} {secs}'
+        )
     return "\n".join(lines) + "\n"
 
 

@@ -331,3 +331,91 @@ def test_core_resource_gauges_follow_registry(tmp_path):
     assert "# TYPE feast_core_feature_set_total gauge" in expo
     assert "feast_core_feature_set_total 1.0" in expo
     assert "feast_core_store_total 1.0" in expo
+
+
+def test_jvm_resource_rows_and_exposition_deterministic():
+    """JVMResourceCollector.java:31-75 parity, deterministic half:
+    three memory gauges + per-collector GC summary, driven by an
+    injected FakeRuntimeSource (the same environment-bound split as
+    the auth providers' clock injection). GC SECONDS are wall-clock →
+    excluded from the deterministic rows by the
+    request_latency_seconds precedent, but always present in the
+    scrape exposition as the summary's _sum."""
+    from feast_java_old_spark.plans.metrics import (
+        FakeRuntimeSource,
+        jvm_resource_exposition,
+        jvm_resource_rows,
+    )
+
+    rt = FakeRuntimeSource(
+        max_bytes=4294967296,
+        total_bytes=1073741824,
+        free_bytes=268435456,
+        gcs=[
+            ("G1 Young Generation", 10, 0.25),
+            ("G1 Old Generation", 2, 0.05),
+        ],
+    )
+    assert jvm_resource_rows(rt) == [
+        ("feast_core_free_memory_bytes", "", 268435456),
+        ("feast_core_gc_collection_seconds_count", "gc=G1 Old Generation", 2),
+        (
+            "feast_core_gc_collection_seconds_count",
+            "gc=G1 Young Generation",
+            10,
+        ),
+        ("feast_core_max_memory_bytes", "", 4294967296),
+        ("feast_core_total_memory_bytes", "", 1073741824),
+    ]
+    rows = jvm_resource_rows(rt, include_gc_seconds=True)
+    assert (
+        "feast_core_gc_collection_seconds_sum",
+        "gc=G1 Young Generation",
+        0.25,
+    ) in rows
+    expo = jvm_resource_exposition(rt)
+    assert "# TYPE feast_core_max_memory_bytes gauge" in expo
+    assert "# TYPE feast_core_gc_collection_seconds summary" in expo
+    assert (
+        "# HELP feast_core_gc_collection_seconds "
+        "Time spent in a given JVM garbage collector in seconds" in expo
+    )
+    assert "feast_core_max_memory_bytes 4294967296.0" in expo
+    # summary samples: label values double-quoted, count + float sum
+    assert (
+        'feast_core_gc_collection_seconds_count{gc="G1 Young Generation"} 10'
+        in expo
+    )
+    assert (
+        'feast_core_gc_collection_seconds_sum{gc="G1 Young Generation"} 0.25'
+        in expo
+    )
+
+
+def test_jvm_runtime_source_reads_live_driver_jvm(spark):
+    """The live half: the Spark driver IS a JVM — JvmRuntimeSource
+    reads the same Runtime / GarbageCollectorMXBean beans the
+    reference collector samples, through py4j. Invariants only
+    (values are wall-clock): max >= total >= free > 0, at least one
+    named collector with non-negative count and seconds."""
+    from feast_java_old_spark.plans.metrics import (
+        JvmRuntimeSource,
+        core_exposition,
+        jvm_resource_rows,
+    )
+
+    rt = JvmRuntimeSource(spark)
+    mem = rt.memory_bytes()
+    assert mem["max"] >= mem["total"] >= mem["free"] > 0
+    gcs = rt.gc_collectors()
+    assert gcs, "a running JVM always exposes at least one GC bean"
+    for name, count, secs in gcs:
+        assert name and count >= 0 and secs >= 0.0
+    rows = dict((m, v) for m, _l, v in jvm_resource_rows(rt) if _l == "")
+    assert rows["feast_core_max_memory_bytes"] == mem["max"]
+    # one-endpoint parity: core_exposition(registry, runtime_source)
+    # carries BOTH core collectors' families, like the reference's
+    # single CollectorRegistry endpoint.
+    expo = core_exposition(Registry(), rt)
+    assert "# TYPE feast_core_feature_set_total gauge" in expo
+    assert "# TYPE feast_core_gc_collection_seconds summary" in expo
