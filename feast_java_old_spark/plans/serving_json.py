@@ -142,6 +142,15 @@ def serve_logged(
     from feast_java_old_spark.operators.retrieval import get_online_features
 
     audit = audit if audit is not None else getattr(registry, "audit", None)
+    if not identity and authentication is not None:
+        # Same best-effort subject extraction as the core controller —
+        # the denial trail must name the subject the provider keyed its
+        # decision on even when the caller didn't thread identity=.
+        from feast_java_old_spark.registry.auth import audited_identity
+
+        identity = audited_identity(
+            getattr(auth, "provider", None), authentication
+        )
     n_req = (
         len(entity_rows) if isinstance(entity_rows, (list, tuple)) else -1
     )

@@ -98,6 +98,26 @@ class Authentication:
         return hash(tuple(sorted((k, str(v)) for k, v in self.claims.items())))
 
 
+def audited_identity(provider, authentication) -> str:
+    """Best-effort identity for audit entries — the interceptor logs
+    whatever subject it can extract and NEVER fails the call over it
+    (``GrpcMessageInterceptor`` reads the claim on a best-effort
+    basis). The provider's CONFIGURED subject claim is tried first so
+    the audited identity is the same subject authorization keyed its
+    decision on; email/sub are fallbacks for providers without one
+    (AllowAll, custom). Shared by the core controller and the serving
+    path so both trails audit the same subject for the same caller."""
+    if authentication is None:
+        return ""
+    claim = getattr(provider, "subject_claim", None)
+    return str(
+        (claim and authentication.claims.get(claim))
+        or authentication.claims.get("email")
+        or authentication.claims.get("sub")
+        or ""
+    )
+
+
 def get_subject_from_auth(
     authentication: Authentication, subject_claim: str
 ) -> str:

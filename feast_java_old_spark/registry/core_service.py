@@ -35,6 +35,7 @@ from feast_java_old_spark.registry.audit import grpc_status_code
 from feast_java_old_spark.registry.auth import (
     Authentication,
     AuthorizationService,
+    audited_identity,
 )
 from feast_java_old_spark.registry.registry import DEFAULT_PROJECT, Registry
 
@@ -69,22 +70,7 @@ class CoreService:
         does), delegate, and emit ONE MESSAGE audit entry with the
         call's gRPC status code — OK at INFO, failures at ERROR
         (``AuditLogger.log_message`` pins the level from the code)."""
-        identity = ""
-        if authentication is not None:
-            # The interceptor logs whatever identity it can extract —
-            # never fails the call over it (GrpcMessageInterceptor
-            # extracts the subject claim on a best-effort basis). Use
-            # the provider's CONFIGURED subject claim first so the
-            # audited identity is the same subject authorization keyed
-            # its decision on; fall back to email/sub for providers
-            # without one (AllowAll, custom).
-            claim = getattr(self.auth.provider, "subject_claim", None)
-            identity = str(
-                (claim and authentication.claims.get(claim))
-                or authentication.claims.get("email")
-                or authentication.claims.get("sub")
-                or ""
-            )
+        identity = audited_identity(self.auth.provider, authentication)
         req = dict(request or {})
         if project is not None:
             req.setdefault("project", project)

@@ -272,6 +272,54 @@ def test_serving_denial_is_permission_denied(spark, tmp_path):
     assert m["statusCode"] == "PERMISSION_DENIED"
 
 
+class _PoisonedSpark:
+    """Sentinel SparkSession stand-in: ANY attribute access means the
+    serving path started building or executing a plan."""
+
+    def __getattr__(self, name):
+        raise AssertionError(
+            f"denied request touched the engine (spark.{name} accessed "
+            "before authorization short-circuited)"
+        )
+
+
+def test_serving_denial_short_circuits_before_any_spark_work(tmp_path):
+    """r10 verdict item 6: enforcement happens BEFORE plan execution —
+    a PERMISSION_DENIED getOnlineFeatures must not read the store, not
+    build a plan, not trigger any Spark action (no read amplification
+    on denial). Proven with a poisoned Spark stand-in that raises on
+    first touch, so the assertion covers plan CONSTRUCTION, not just
+    actions. Also pins the audit ordering: the denial MESSAGE is the
+    only trail entry (no retrieval/transition entries precede it) and
+    carries the denial identity."""
+    from feast_java_old_spark.plans.serving_json import serve_logged
+
+    log = AuditLogger(clock=lambda: 0, id_factory=lambda: "m-1")
+    reg = Registry(audit=log)
+    auth = AuthorizationService(
+        enabled=True,
+        provider=SubjectListAuthorizationProvider({"default": set()}),
+    )
+    store = tmp_path / "never_touched_store"
+    store.mkdir()
+    with pytest.raises(AccessDeniedError):
+        serve_logged(
+            _PoisonedSpark(),
+            reg,
+            [{"driver": 1}],
+            ["driver_stats:rating"],
+            auth=auth,
+            authentication=ALICE,
+            store_path=str(store),
+        )
+    assert list(store.iterdir()) == []  # store dir untouched
+    # audit ordering: exactly one entry, the denial MESSAGE, first.
+    assert [e["kind"] for e in log.entries] == ["MESSAGE"]
+    m = log.entries[0]
+    assert m["statusCode"] == "PERMISSION_DENIED"
+    assert m["identity"] == "alice@example.com"
+
+
 # ------------------------------------------------- info / health
 
 
