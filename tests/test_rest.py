@@ -1,0 +1,106 @@
+"""REST facade goldens — CoreServiceRestController.java:69-133 parity:
+the five GET handlers' response envelopes, the required-param 400
+analog, the exact-entity-set filter, and empty-match-is-empty-JSON."""
+
+import pytest
+
+from feast_java_old_spark import __version__
+from feast_java_old_spark.registry.core_service import CoreService
+from feast_java_old_spark.registry.model import (
+    Entity,
+    Feature,
+    FeatureTable,
+    FileSource,
+    ValueType,
+)
+from feast_java_old_spark.registry.registry import Registry
+from feast_java_old_spark.registry.rest import (
+    CoreServiceRestController,
+    MissingRequestParameter,
+)
+
+
+@pytest.fixture()
+def rest():
+    reg = Registry()
+    reg.apply_entity(Entity("driver", ValueType.INT64))
+    reg.apply_entity(Entity("zone", ValueType.STRING))
+    src = FileSource(file_url="/tmp/x.parquet", event_timestamp_column="ts")
+    reg.apply_feature_table(
+        FeatureTable(
+            "driver_stats",
+            entities=["driver"],
+            features=[
+                Feature("rating", ValueType.DOUBLE),
+                Feature("trips", ValueType.INT64),
+            ],
+            batch_source=src,
+        )
+    )
+    reg.apply_feature_table(
+        FeatureTable(
+            "driver_zone",
+            entities=["driver", "zone"],
+            features=[Feature("surge", ValueType.DOUBLE)],
+            batch_source=src,
+        )
+    )
+    return CoreServiceRestController(CoreService(reg))
+
+
+def test_rest_version_envelope(rest):
+    assert rest.get_version() == {"version": __version__}
+    assert CoreServiceRestController(rest.service, version="9.9").get_version() == {
+        "version": "9.9"
+    }
+
+
+def test_rest_projects_envelope(rest):
+    assert rest.list_projects() == {"projects": ["default"]}
+
+
+def test_rest_entities_envelope_and_default_project(rest):
+    body = rest.list_entities()
+    names = [e["name"] for e in body["entities"]]
+    assert names == ["driver", "zone"]
+    # unknown project: empty JSON array, never an error
+    assert rest.list_entities(project="nope") == {"entities": []}
+
+
+def test_rest_feature_tables_envelope(rest):
+    body = rest.list_feature_tables()
+    assert [t["name"] for t in body["tables"]] == [
+        "driver_stats",
+        "driver_zone",
+    ]
+    assert rest.list_feature_tables(project="nope") == {"tables": []}
+
+
+def test_rest_features_requires_entities_param(rest):
+    """Spring rejects a missing required @RequestParam with 400 before
+    the handler runs — the facade's MissingRequestParameter analog."""
+    with pytest.raises(MissingRequestParameter, match="entities"):
+        rest.list_features()
+    assert MissingRequestParameter.http_status == 400
+
+
+def test_rest_features_exact_entity_set_filter(rest):
+    """FeatureTable.hasAllEntities:281-285 is SET EQUALITY, not subset:
+    [driver] matches only the single-entity table; [driver, zone] only
+    the compound one; order inside the filter is irrelevant."""
+    body = rest.list_features(entities=["driver"])
+    assert sorted(body["features"]) == [
+        "driver_stats:rating",
+        "driver_stats:trips",
+    ]
+    assert body["features"]["driver_stats:rating"]["name"] == "rating"
+    assert sorted(rest.list_features(entities=["zone", "driver"])["features"]) == [
+        "driver_zone:surge"
+    ]
+    # no exact match -> empty JSON object
+    assert rest.list_features(entities=["zone"]) == {"features": {}}
+
+
+def test_rest_features_excludes_soft_deleted(rest):
+    rest.service.registry.delete_feature_table("driver_stats")
+    assert rest.list_features(entities=["driver"]) == {"features": {}}
