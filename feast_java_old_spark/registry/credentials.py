@@ -72,7 +72,15 @@ def jwt_claims(token: str) -> dict:
     try:
         payload = token.split(".")[1]
         payload += "=" * (-len(payload) % 4)
-        return json.loads(base64.urlsafe_b64decode(payload))
+        claims = json.loads(base64.urlsafe_b64decode(payload))
+        if not isinstance(claims, dict):
+            # valid JSON but not an object (e.g. a bare array) — still
+            # not a JWT claims set; without this check a hostile token
+            # would flow a non-dict into Authentication.claims and
+            # surface downstream as an AttributeError (mapped INTERNAL)
+            # instead of a bad-credential error.
+            raise ValueError("payload is not a JSON object")
+        return claims
     except (IndexError, ValueError, binascii.Error) as e:
         raise ValueError(f"not a decodable JWT: {e}") from e
 

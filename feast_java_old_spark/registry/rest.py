@@ -86,6 +86,12 @@ class CoreServiceRestController:
             raise MissingRequestParameter(
                 "Required request parameter 'entities' is not present"
             )
+        # An explicitly EMPTY list is forwarded as an empty filter, and
+        # the reference's SpecService applies the entity filter only
+        # `if (entities.size() > 0)` (SpecService.java:158) — so an
+        # empty filter lists ALL the project's features, NOT the
+        # entity-less tables the exact-set rule would suggest. Reference
+        # parity, pinned by test_rest_features_empty_entity_list.
         features = self.service.list_features(
             project=project if project is not None else DEFAULT_PROJECT,
             entities=list(entities),

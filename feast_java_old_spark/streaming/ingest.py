@@ -124,30 +124,44 @@ def read_online_table(
         return spark.read.format("delta").load(path)
     vdir = _current_version_dir(probe_path) if is_local else None
     try:
-        return spark.read.parquet(vdir if vdir else path)
+        out = spark.read.parquet(vdir if vdir else path)
     except AnalysisException as ex:
         cond = getattr(ex, "getCondition", lambda: None)() or str(ex)
         if "PATH_NOT_FOUND" in cond or "UNABLE_TO_INFER_SCHEMA" in cond:
             return None
         raise
+    if not is_local:
+        # the path is now PROVEN to hold a live parquet-layout table —
+        # the only point where caching False is safe (see the memo's
+        # caching policy above).
+        _delta_layout_memo[path] = False
+    return out
 
 
 # Per-path Delta-layout memo (r10 ADVICE): ``DeltaTable.isDeltaTable``
 # on a REMOTE URI is a filesystem-metadata roundtrip paid per serving
 # read under the parquet default and per micro-batch in
-# merge_latest_batch. A table's layout never downgrades from Delta, so
-# a True result is permanent; a False result is refreshed by OUR
-# writers (_merge_latest_batch_delta marks the path True when it
-# Delta-writes it). An out-of-process parquet→Delta conversion during
-# this process's lifetime is not observed — acceptable for a cache
-# keyed to the serving process, and the reason only REMOTE paths are
-# memoized: local paths keep the live (cheap) os.path/DeltaTable probe,
-# so test tmpdirs that are deleted and recreated never see stale state.
+# merge_latest_batch. Caching policy (r11 self-review hardened):
+# - True is permanent — a table's layout never downgrades from Delta;
+#   probes cache it, and OUR Delta writers mark it on write.
+# - False is cached ONLY once the path is PROVEN to hold a live
+#   non-Delta table (the remote parquet read succeeded) — a probe
+#   alone must never cache False, because "not a Delta table *yet*"
+#   includes never-materialized paths, and pinning False there would
+#   blind this serving process to a table a separate ingest process
+#   bootstraps later (the normal split deployment flow). A live
+#   parquet table converted to Delta out-of-process is the one
+#   unobserved transition — acceptable process-lifetime staleness.
+# Only REMOTE paths are memoized: local paths keep the live (cheap)
+# os.path/DeltaTable probe, so test tmpdirs that are deleted and
+# recreated never see stale state.
 _delta_layout_memo: dict[str, bool] = {}
 
 
 def _is_delta_table(spark: SparkSession, path: str, remote: bool) -> bool:
-    """isDeltaTable with the remote-path memo described above."""
+    """isDeltaTable with the remote-path memo described above (probes
+    cache only the permanent True; False is cached by the successful
+    parquet read in :func:`read_online_table`)."""
     if remote:
         cached = _delta_layout_memo.get(path)
         if cached is not None:
@@ -155,8 +169,8 @@ def _is_delta_table(spark: SparkSession, path: str, remote: bool) -> bool:
     from delta.tables import DeltaTable
 
     result = bool(DeltaTable.isDeltaTable(spark, path))
-    if remote:
-        _delta_layout_memo[path] = result
+    if remote and result:
+        _delta_layout_memo[path] = True
     return result
 
 

@@ -104,8 +104,13 @@ def inflate_emb(mult: int):
     return out.repartition(8 * mult).localCheckpoint(eager=True)
 
 
-def run(name, df, results, mult):
+def run(name, build, results, mult):
+    """build is a THUNK: some operators (dedup_components' per-round
+    eager checkpoints) execute at CONSTRUCTION, so the frame must be
+    built inside the timed region or its cost lands outside the timer
+    (r11 self-review finding on the first version of this script)."""
     t0 = time.time()
+    df = build() if callable(build) else build
     n = df.count()
     dt = round(time.time() - t0, 2)
     results.setdefault(name, {})[mult] = dt
@@ -148,12 +153,14 @@ for mult in MULTS:
         results,
         mult,
     )
-    pairs = dedup.minhash_lsh_candidates(
-        docs, k=e.MINHASH_K, bands=e.MINHASH_BANDS, n=3
-    )
     run(
         "dedup_components",
-        dedup.dedup_components(pairs, docs.select("doc_id")),
+        lambda: dedup.dedup_components(
+            dedup.minhash_lsh_candidates(
+                docs, k=e.MINHASH_K, bands=e.MINHASH_BANDS, n=3
+            ),
+            docs.select("doc_id"),
+        ),
         results,
         mult,
     )

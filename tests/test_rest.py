@@ -101,6 +101,33 @@ def test_rest_features_exact_entity_set_filter(rest):
     assert rest.list_features(entities=["zone"]) == {"features": {}}
 
 
+def test_rest_features_empty_entity_list_is_unfiltered(rest):
+    """SpecService.listFeatures applies the entity filter only
+    `if (entities.size() > 0)` (SpecService.java:158): an explicitly
+    empty filter returns ALL features — reference parity, distinct from
+    both the missing-param 400 and the exact-set rule for non-empty
+    filters."""
+    assert sorted(rest.list_features(entities=[])["features"]) == [
+        "driver_stats:rating",
+        "driver_stats:trips",
+        "driver_zone:surge",
+    ]
+
+
+def test_jwt_claims_rejects_non_object_payload():
+    """r11 self-review: a structurally valid JWT whose payload is valid
+    JSON but not an object must fail as a bad credential (ValueError /
+    UNAUTHENTICATED downstream), never flow a non-dict into
+    Authentication.claims (AttributeError -> INTERNAL)."""
+    import base64 as _b64
+
+    from feast_java_old_spark.registry.credentials import jwt_claims
+
+    payload = _b64.urlsafe_b64encode(b"[1, 2]").decode().rstrip("=")
+    with pytest.raises(ValueError, match="JSON object"):
+        jwt_claims(f"hdr.{payload}.sig")
+
+
 def test_rest_features_excludes_soft_deleted(rest):
     rest.service.registry.delete_feature_table("driver_stats")
     assert rest.list_features(entities=["driver"]) == {"features": {}}

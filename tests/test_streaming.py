@@ -1010,6 +1010,42 @@ def test_remote_delta_detection_is_memoized(spark):
         ingest._delta_layout_memo.clear()
 
 
+def test_delta_probe_never_caches_false(spark, monkeypatch):
+    """r11 self-review: a probe returning False must NOT be memoized —
+    'not a Delta table YET' includes never-materialized remote paths,
+    and pinning False would blind this process to a table a separate
+    ingest bootstraps later. Only a successful parquet READ proves a
+    live non-Delta layout (read_online_table caches False there)."""
+    import sys
+    import types
+
+    from feast_java_old_spark.streaming import ingest
+
+    fake_tables = types.ModuleType("delta.tables")
+
+    class _FakeDeltaTable:
+        @staticmethod
+        def isDeltaTable(_spark, _path):
+            return False
+
+    fake_tables.DeltaTable = _FakeDeltaTable
+    fake_delta = types.ModuleType("delta")
+    fake_delta.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+    ingest._delta_layout_memo.clear()
+    try:
+        remote = "s3://bucket/online/not_yet"
+        assert ingest._is_delta_table(spark, remote, remote=True) is False
+        assert remote not in ingest._delta_layout_memo  # not pinned
+        # ...while True IS pinned (layout never downgrades)
+        _FakeDeltaTable.isDeltaTable = staticmethod(lambda s, p: True)
+        assert ingest._is_delta_table(spark, remote, remote=True) is True
+        assert ingest._delta_layout_memo[remote] is True
+    finally:
+        ingest._delta_layout_memo.clear()
+
+
 def test_parquet_merge_onto_delta_table_is_refused_without_delta(
     spark, tmp_path
 ):
