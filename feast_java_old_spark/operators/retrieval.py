@@ -110,13 +110,24 @@ def get_online_features(
 
     request = _entity_rows_df(spark, entity_rows)
 
-    # Per-row request timestamp (J3 input).
+    # Per-row request timestamp (J3 input). A row WITHOUT a timestamp
+    # in a mixed batch (NULL after createDataFrame fill) falls back to
+    # request_ts, then *now* — the reference's unset-EntityRow-timestamp
+    # semantics (proto seconds 0 → now, OnlineServingServiceV2.java:
+    # 366-368). Without the coalesce a NULL request time poisons the
+    # max-age comparison into an inconsistent row (PRESENT status with
+    # a nulled value).
+    fallback = (
+        F.lit(request_ts).cast("timestamp")
+        if request_ts is not None
+        else F.current_timestamp()
+    )
     if "event_timestamp" in request.columns:
-        req_ts = F.col("event_timestamp")
-    elif request_ts is not None:
-        req_ts = F.lit(request_ts).cast("timestamp")
+        req_ts = F.coalesce(
+            F.col("event_timestamp").cast("timestamp"), fallback
+        )
     else:
-        req_ts = F.current_timestamp()
+        req_ts = fallback
     request = request.withColumn("__req_ts", req_ts)
 
     # Group refs per table, preserving request order for output columns

@@ -69,8 +69,15 @@ def response_rows(
     value_cols = [
         c for c in cols if c not in status_cols and c + STATUS_SUFFIX in cols
     ]
+    # event_timestamp is the request-time INPUT (the EntityRow
+    # timestamp), not an entity field — the reference never echoes it
+    # into the response's fieldValues.
     entity_cols = [
-        c for c in cols if c not in status_cols and c not in value_cols
+        c
+        for c in cols
+        if c not in status_cols
+        and c not in value_cols
+        and c != "event_timestamp"
     ]
     out = []
     for row in df.collect():

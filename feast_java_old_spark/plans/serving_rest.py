@@ -1,0 +1,161 @@
+"""Serving REST controller — ``ServingServiceRestController``.
+
+Parity target: ``serving/src/main/java/feast/serving/controller/
+ServingServiceRestController.java:36-66`` — the serving module's HTTP
+surface, two endpoints over the SAME service the gRPC controller uses:
+
+- ``GET /api/v1/info`` → the ``GetFeastServingInfo`` response with the
+  ``version`` field overwritten from build properties
+  (``getInfo:48-53`` — the controller stamps ``feastProperties
+  .getVersion()`` over whatever the service returned);
+- ``POST /api/v1/features/online`` → ``RequestHelper
+  .validateOnlineRequest`` (``RequestHelper.java:25-42``: entity rows
+  must be non-empty, every feature reference must carry BOTH a
+  FeatureTable name and a Feature name — each violation an
+  ``IllegalArgumentException`` with the reference's exact message),
+  then ``servingService.getOnlineFeatures``, then
+  ``ResponseJSONMapper.mapGetOnlineFeaturesResponse`` — a list of FLAT
+  field→value maps, one per entity row (``response_to_json``).
+
+Request shape: the proto-JSON of ``GetOnlineFeaturesRequestV2`` —
+``features`` (list of ``{"featureTable": ..., "name": ...}`` /
+snake_case twins / ``"table:feature"`` strings), ``entityRows`` /
+``entity_rows`` (list of ``{"fields": {...}}`` with an optional
+ISO-8601 ``timestamp``, or bare field maps), optional ``project``.
+Field values are native JSON scalars; a single-key proto ``Value``
+wrapper (``{"int64Val": 7}``) is unwrapped for proto-JSON clients.
+
+Security parity (documented, not enforced here): the reference's
+``WebSecurityConfig.java:41-48`` gates every non-actuator HTTP path
+behind transport-level AUTHENTICATION when security is enabled, but —
+unlike the gRPC controller's ``authorizeRequest`` — the REST handler
+performs NO per-project authorization before serving. This module
+mirrors the handler exactly (no auth hook); a deployment wanting the
+gRPC path's project authorization should call
+``plans.serving_json.serve_logged`` instead.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Optional, Sequence
+
+from pyspark.sql import SparkSession
+
+from feast_java_old_spark.registry.validation import ValidationError
+
+from .serving_json import response_to_json, serving_info
+
+
+def _parse_feature_refs(features: Sequence) -> list[str]:
+    """``RequestHelper.validateOnlineRequestFeatureReference:35-42``:
+    each reference must carry a FeatureTable name AND a Feature name —
+    the reference's exact IllegalArgumentException messages."""
+    refs = []
+    for f in features or []:
+        if isinstance(f, str):
+            table, _, name = f.partition(":")
+        else:
+            table = f.get("featureTable") or f.get("feature_table") or ""
+            name = f.get("name") or ""
+        if not table:
+            raise ValidationError(
+                "FeatureTable name must be provided in FeatureReference"
+            )
+        if not name:
+            raise ValidationError(
+                "Feature name must be provided in FeatureReference"
+            )
+        refs.append(f"{table}:{name}")
+    return refs
+
+
+def _unwrap_value(v):
+    """Unwrap a single-key proto-JSON ``Value`` oneof (``{"int64Val":
+    7}``, ``{"stringVal": "x"}``) to its native scalar; native scalars
+    pass through."""
+    if isinstance(v, dict) and len(v) == 1:
+        (k, inner), = v.items()
+        if k.endswith("Val") or k.endswith("_val"):
+            return inner
+    return v
+
+
+def _parse_entity_rows(entity_rows: Sequence) -> list[dict]:
+    """``RequestHelper.validateOnlineRequest:26-29``: entity rows must
+    be non-empty. Each proto-JSON EntityRow is ``{"fields": {...}}``
+    with an optional ``timestamp``; a bare field map is accepted for
+    native clients. The per-row timestamp lands as ``event_timestamp``
+    (the column ``get_online_features`` reads as the request time)."""
+    if not entity_rows:
+        raise ValidationError("Entity value must be provided")
+    rows = []
+    for er in entity_rows:
+        fields = er.get("fields", None)
+        if fields is None:
+            fields = {
+                k: v for k, v in er.items() if k != "timestamp"
+            }
+        row = {k: _unwrap_value(v) for k, v in fields.items()}
+        ts = er.get("timestamp")
+        if ts is not None:
+            if isinstance(ts, str):
+                ts = dt.datetime.fromisoformat(ts.replace("Z", "+00:00"))
+                # Spark timestamps are naive-UTC in this engine's
+                # session config; strip the offset after normalizing.
+                if ts.tzinfo is not None:
+                    ts = ts.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            row["event_timestamp"] = ts
+        rows.append(row)
+    return rows
+
+
+class ServingServiceRestController:
+    """The two handlers, returning JSON-able values.
+
+    ``store_path`` and ``**serve_kwargs`` are the engine-side store
+    wiring (the reference resolves its store from configuration); the
+    request→response mapping is the reference's."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry,
+        store_path: Optional[str] = None,
+        version: Optional[str] = None,
+        **serve_kwargs,
+    ) -> None:
+        self.spark = spark
+        self.registry = registry
+        self.store_path = store_path
+        if version is None:
+            from feast_java_old_spark import __version__ as version
+        self.version = version
+        self.serve_kwargs = serve_kwargs
+
+    # GET /api/v1/info — ServingServiceRestController.java:48-53
+    def get_info(self) -> dict:
+        # The service response with the controller's version stamped
+        # over it — serving_info already implements the stamp.
+        return serving_info(self.version)
+
+    # POST /api/v1/features/online — ServingServiceRestController.java:55-66
+    def get_online_features(self, request: dict) -> list[dict]:
+        from feast_java_old_spark.operators.retrieval import (
+            get_online_features,
+        )
+
+        refs = _parse_feature_refs(request.get("features"))
+        rows = _parse_entity_rows(
+            request.get("entityRows", request.get("entity_rows"))
+        )
+        df = get_online_features(
+            self.spark,
+            self.registry,
+            rows,
+            refs,
+            self.store_path,
+            project=request.get("project", "default"),
+            **self.serve_kwargs,
+        )
+        return response_to_json(df, refs)

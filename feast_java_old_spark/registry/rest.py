@@ -24,21 +24,37 @@ entity SETS, not subsets — a table with entities {a, b} matches the
 filter [a, b] but NOT [a]), soft-deleted tables are excluded, and an
 empty match is an empty JSON object/array, never an error.
 
-Documented divergences (docs/COVERAGE.md "REST facade" row):
+Error shape (``controller/exception/handler/
+RestResponseEntityExceptionHandler.java:34-118`` — a ``@ControllerAdvice``
+registered for the whole core HTTP surface, correcting this module's
+earlier no-handler reading): every handled failure produces a JSON body
+``{"error": <message>}``:
 
-- **Error shape.** The reference controller declares no
-  ``@ExceptionHandler``, so Spring's defaults apply: a missing required
-  param → 400 with Spring's JSON error body; an invalid project name
-  (``checkValidCharactersAllowDash`` throwing IllegalArgumentException
-  inside the handler) → 500 Internal Server Error — NOT the
-  INVALID_ARGUMENT the gRPC path maps the same failure to. This module
-  mirrors the SPLIT (missing param → :class:`MissingRequestParameter`
-  = the 400 class; in-handler validation errors propagate as the
-  server-error class) without reproducing Spring's error-body JSON.
-- **Spec JSON field names** are this engine's registry model dicts
-  (``to_dict``), not protobuf-JSON field casing; the KEYS of the
-  response envelope (``version`` / ``features`` / ``projects`` /
-  ``entities`` / ``tables``) match the reference's response protos.
+- missing required request param → **400** (the overridden
+  ``handleMissingServletRequestParameter:104-118`` adds the message to
+  Spring's default empty-body 400);
+- ``IllegalArgumentException`` (e.g. an invalid project name failing
+  ``checkValidCharactersAllowDash`` inside the handler) and
+  ``UnsatisfiedServletRequestParameterException`` → **400**
+  (``handleBadRequest:84-97``) — NOT the Spring-default 500;
+- ``RetrievalException`` (a lookup that failed inside a service) →
+  **500** with the exception's message (``handleRetrieval:57-69``) —
+  note the gRPC path maps the SAME failure to NOT_FOUND
+  (``CoreServiceImpl.java:87``): the two transports intentionally
+  disagree here and this module mirrors both;
+- ``InvalidProtocolBufferException`` (malformed request/response
+  object) → **500** with the constant body ``"An unexpected error
+  occurred in Feast Core."`` (``handleInvalidProtocolBuffer:45-53``).
+
+:func:`handle_rest_exception` is that advice; unhandled exception types
+propagate exactly as they would past a ``@ControllerAdvice`` with no
+matching ``@ExceptionHandler``.
+
+Documented divergence (docs/COVERAGE.md "REST facade" row): **spec JSON
+field names** are this engine's registry model dicts (``to_dict``), not
+protobuf-JSON field casing; the KEYS of the response envelope
+(``version`` / ``features`` / ``projects`` / ``entities`` / ``tables``)
+and of the error body (``error``) match the reference's.
 """
 
 from __future__ import annotations
@@ -55,6 +71,58 @@ class MissingRequestParameter(ValueError):
     field, only leave it empty)."""
 
     http_status = 400
+
+
+# The constant 500 body for a malformed request/response object —
+# RestResponseEntityExceptionHandler.handleInvalidProtocolBuffer:49-50.
+UNEXPECTED_ERROR_BODY = "An unexpected error occurred in Feast Core."
+
+
+def handle_rest_exception(ex: BaseException) -> tuple[int, dict]:
+    """``RestResponseEntityExceptionHandler.java:34-118`` — the core
+    module's ``@ControllerAdvice``: map a handler failure to
+    ``(http_status, {"error": message})`` or re-raise when no
+    ``@ExceptionHandler`` matches (Spring's default then applies).
+
+    Analog mapping (most-derived first — ``MissingRequestParameter``
+    and ``json.JSONDecodeError`` are both ``ValueError`` subclasses):
+
+    - :class:`MissingRequestParameter` → 400 (:104-118);
+    - ``json.JSONDecodeError`` (the engine's malformed-object analog of
+      ``InvalidProtocolBufferException``) → 500 with the CONSTANT body
+      — the one handler that hides its message (:45-53);
+    - ``ValueError`` (``IllegalArgumentException`` — validation
+      failures inside a handler) → 400 (:84-97);
+    - ``KeyError`` (``RetrievalException`` — an object lookup that
+      failed in a service) → 500 with the message (:57-69); the gRPC
+      transport maps the same failure to NOT_FOUND
+      (``CoreServiceImpl.java:87``) — an intentional reference
+      disagreement between its two transports, mirrored here.
+    """
+    import json as _json
+
+    if isinstance(ex, MissingRequestParameter):
+        return 400, {"error": str(ex)}
+    if isinstance(ex, _json.JSONDecodeError):
+        return 500, {"error": UNEXPECTED_ERROR_BODY}
+    if isinstance(ex, ValueError):
+        return 400, {"error": str(ex)}
+    if isinstance(ex, KeyError):
+        # KeyError's str() quotes its arg; the body carries the bare
+        # message like RetrievalException.getMessage().
+        msg = ex.args[0] if ex.args else str(ex)
+        return 500, {"error": str(msg)}
+    raise ex
+
+
+def rest_call(handler, *args, **kwargs) -> tuple[int, dict]:
+    """Run one REST handler under the advice: ``(200, body)`` on
+    success, the :func:`handle_rest_exception` mapping on a handled
+    failure."""
+    try:
+        return 200, handler(*args, **kwargs)
+    except Exception as ex:  # noqa: BLE001 — the advice re-raises unhandled
+        return handle_rest_exception(ex)
 
 
 class CoreServiceRestController:

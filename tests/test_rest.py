@@ -131,3 +131,77 @@ def test_jwt_claims_rejects_non_object_payload():
 def test_rest_features_excludes_soft_deleted(rest):
     rest.service.registry.delete_feature_table("driver_stats")
     assert rest.list_features(entities=["driver"]) == {"features": {}}
+
+
+# ---- RestResponseEntityExceptionHandler.java:34-118 (the core
+# @ControllerAdvice) — every handled failure is (status, {"error": msg}).
+
+
+def test_rest_advice_missing_param_is_400_with_message(rest):
+    from feast_java_old_spark.registry.rest import rest_call
+
+    status, body = rest_call(rest.list_features)
+    assert status == 400
+    assert "entities" in body["error"]
+
+
+def test_rest_advice_illegal_argument_is_400_not_500():
+    """handleBadRequest:84-97 — an in-handler IllegalArgumentException
+    (e.g. an invalid project name) maps to 400 WITH the message, not
+    Spring's default 500."""
+    from feast_java_old_spark.registry.rest import handle_rest_exception
+    from feast_java_old_spark.registry.validation import ValidationError
+
+    status, body = handle_rest_exception(
+        ValidationError("invalid characters in project name")
+    )
+    assert (status, body["error"]) == (
+        400,
+        "invalid characters in project name",
+    )
+
+
+def test_rest_advice_retrieval_is_500_with_bare_message():
+    """handleRetrieval:57-69 — a failed service lookup is 500 with the
+    exception's message (the gRPC transport maps the SAME failure to
+    NOT_FOUND, CoreServiceImpl.java:87 — an intentional reference
+    disagreement between transports). KeyError's quoting must not leak
+    into the body."""
+    from feast_java_old_spark.registry.rest import handle_rest_exception
+
+    status, body = handle_rest_exception(
+        KeyError("feature table default/nope not found")
+    )
+    assert (status, body["error"]) == (
+        500,
+        "feature table default/nope not found",
+    )
+
+
+def test_rest_advice_malformed_object_is_500_constant_body():
+    """handleInvalidProtocolBuffer:45-53 — the one handler that hides
+    its message behind the constant body."""
+    import json
+
+    from feast_java_old_spark.registry.rest import (
+        UNEXPECTED_ERROR_BODY,
+        handle_rest_exception,
+    )
+
+    try:
+        json.loads("{broken")
+    except json.JSONDecodeError as ex:
+        status, body = handle_rest_exception(ex)
+    assert (status, body["error"]) == (500, UNEXPECTED_ERROR_BODY)
+
+
+def test_rest_advice_unhandled_propagates():
+    """No matching @ExceptionHandler -> the exception escapes the
+    advice (Spring's default handling applies)."""
+    from feast_java_old_spark.registry.rest import rest_call
+
+    def boom():
+        raise RuntimeError("not a handled kind")
+
+    with pytest.raises(RuntimeError, match="not a handled kind"):
+        rest_call(boom)

@@ -1,0 +1,184 @@
+"""Serving REST controller goldens — ServingServiceRestController.java
+:36-66 parity: /api/v1/info's version stamp, /api/v1/features/online's
+RequestHelper validation messages, the proto-JSON request shapes
+(camelCase / snake_case / bare field maps / Value-wrapper unwrap /
+per-row timestamps), and the flat ResponseJSONMapper output."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import types as T
+
+from feast_java_old_spark import __version__
+from feast_java_old_spark.operators.materialize import materialize
+from feast_java_old_spark.plans.serving_json import FEAST_SERVING_TYPE_ONLINE
+from feast_java_old_spark.plans.serving_rest import (
+    ServingServiceRestController,
+)
+from feast_java_old_spark.registry.model import (
+    Entity,
+    Feature,
+    FeatureTable,
+    FileSource,
+    ValueType,
+)
+from feast_java_old_spark.registry.registry import Registry
+from feast_java_old_spark.registry.validation import ValidationError
+
+TS = dt.datetime(2024, 1, 15, 12, 0, 0)
+
+
+@pytest.fixture()
+def controller(spark, tmp_path, tmp_store):
+    src = str(tmp_path / "ft1_src")
+    schema = T.StructType(
+        [
+            T.StructField("driver", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("rating", T.DoubleType()),
+        ]
+    )
+    rows = [
+        (1, TS - dt.timedelta(seconds=10), 4.5),
+        (2, TS - dt.timedelta(seconds=10), 3.0),
+    ]
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    reg = Registry()
+    reg.apply_entity(Entity("driver", ValueType.INT64))
+    reg.apply_feature_table(
+        FeatureTable(
+            name="driver_stats",
+            entities=["driver"],
+            features=[Feature("rating", ValueType.DOUBLE)],
+            max_age_secs=3600,
+            batch_source=FileSource(file_url=src, event_timestamp_column="ts"),
+        )
+    )
+    materialize(spark, reg, "driver_stats", tmp_store)
+    return ServingServiceRestController(
+        spark, reg, tmp_store, request_ts=TS
+    )
+
+
+def test_info_stamps_version_over_service_response(controller):
+    """getInfo:48-53 — the controller overwrites the version field with
+    the build properties' version."""
+    assert controller.get_info() == {
+        "version": __version__,
+        "type": FEAST_SERVING_TYPE_ONLINE,
+    }
+    stamped = ServingServiceRestController(
+        controller.spark, controller.registry, version="7.7"
+    )
+    assert stamped.get_info()["version"] == "7.7"
+
+
+def test_online_features_flat_json_rows(controller):
+    """The ResponseJSONMapper shape: one flat field->value map per
+    entity row, entities echoed back, input order preserved."""
+    body = controller.get_online_features(
+        {
+            "features": [{"featureTable": "driver_stats", "name": "rating"}],
+            "entityRows": [
+                {"fields": {"driver": 2}},
+                {"fields": {"driver": 1}},
+            ],
+        }
+    )
+    assert body == [
+        {"driver": 2, "driver_stats:rating": 3.0},
+        {"driver": 1, "driver_stats:rating": 4.5},
+    ]
+
+
+def test_online_features_accepts_snake_case_strings_and_wrappers(controller):
+    """snake_case keys, "table:feature" ref strings, bare field maps,
+    and single-key proto Value wrappers all parse to the same request."""
+    body = controller.get_online_features(
+        {
+            "features": ["driver_stats:rating"],
+            "entity_rows": [{"driver": {"int64Val": 1}}],
+        }
+    )
+    assert body == [{"driver": 1, "driver_stats:rating": 4.5}]
+
+
+def test_online_features_not_found_is_null(controller):
+    body = controller.get_online_features(
+        {
+            "features": ["driver_stats:rating"],
+            "entityRows": [{"fields": {"driver": 404}}],
+        }
+    )
+    assert body == [{"driver": 404, "driver_stats:rating": None}]
+
+
+def test_online_features_row_timestamp_feeds_max_age(controller):
+    """A proto-JSON EntityRow timestamp (ISO-8601, Z suffix) becomes
+    that row's request time in the reference's max-age math
+    (OnlineServingServiceV2.java:365-370): the stored event is at
+    11:59:50 and max_age is 3600 s, so a 12:00:00 request is inside the
+    age window and a 14:00:00 request is OUTSIDE_MAX_AGE (null value in
+    the flat JSON)."""
+    body = controller.get_online_features(
+        {
+            "features": ["driver_stats:rating"],
+            "entityRows": [
+                {"fields": {"driver": 1}, "timestamp": "2024-01-15T12:00:00Z"},
+                {"fields": {"driver": 1}, "timestamp": "2024-01-15T14:00:00Z"},
+            ],
+        }
+    )
+    assert body[0]["driver_stats:rating"] == 4.5
+    assert body[1]["driver_stats:rating"] is None
+
+
+def test_mixed_timestamp_rows_default_to_request_time(controller):
+    """A batch mixing timestamped and untimestamped EntityRows: the
+    unset timestamp falls back to the request time (the reference's
+    proto-seconds-0 → now semantics, OnlineServingServiceV2.java:
+    366-368) instead of a NULL request time poisoning the max-age
+    check; and the event_timestamp input never echoes back as a
+    response field (found by the end-to-end drive, late r11)."""
+    body = controller.get_online_features(
+        {
+            "features": ["driver_stats:rating"],
+            "entityRows": [
+                {"fields": {"driver": 1}},
+                {"fields": {"driver": 2}, "timestamp": "2024-01-15T12:00:00Z"},
+            ],
+        }
+    )
+    assert body == [
+        {"driver": 1, "driver_stats:rating": 4.5},
+        {"driver": 2, "driver_stats:rating": 3.0},
+    ]
+
+
+def test_request_helper_validation_messages(controller):
+    """RequestHelper.java:25-42 — the reference's exact
+    IllegalArgumentException messages, raised BEFORE any retrieval."""
+    with pytest.raises(ValidationError, match="Entity value must be provided"):
+        controller.get_online_features(
+            {"features": ["driver_stats:rating"], "entityRows": []}
+        )
+    with pytest.raises(
+        ValidationError,
+        match="FeatureTable name must be provided in FeatureReference",
+    ):
+        controller.get_online_features(
+            {
+                "features": [{"name": "rating"}],
+                "entityRows": [{"fields": {"driver": 1}}],
+            }
+        )
+    with pytest.raises(
+        ValidationError,
+        match="Feature name must be provided in FeatureReference",
+    ):
+        controller.get_online_features(
+            {
+                "features": [{"featureTable": "driver_stats"}],
+                "entityRows": [{"fields": {"driver": 1}}],
+            }
+        )
