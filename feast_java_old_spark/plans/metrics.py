@@ -194,7 +194,7 @@ def core_resource_dataframe(spark, registry):
     )
 
 
-def core_exposition(registry, runtime_source=None) -> str:
+def core_exposition(registry, runtime_source=None, grpc_metrics=None) -> str:
     """Prometheus text exposition for the core gauges (the reference
     exports them through the same registry endpoint as the serving
     instruments, namespaced ``feast_core_*`` with no subsystem
@@ -214,7 +214,77 @@ def core_exposition(registry, runtime_source=None) -> str:
     body = "\n".join(lines) + "\n"
     if runtime_source is not None:
         body += jvm_resource_exposition(runtime_source)
+    if grpc_metrics is not None:
+        # MonitoringConfig.java registers the interceptor's histogram in
+        # the same default registry the two collectors export through.
+        body += grpc_metrics.exposition()
     return body
+
+
+# io.prometheus.client.Histogram.build() defaults — GrpcMetrics.java
+# registers feast_core_request_latency_seconds without custom buckets.
+GRPC_DEFAULT_BUCKETS = (
+    0.005, 0.01, 0.025, 0.05, 0.075, 0.1, 0.25, 0.5, 0.75,
+    1.0, 2.5, 5.0, 7.5, 10.0,
+)
+
+CORE_GRPC_SERVICE = "feast.core.CoreService"
+
+
+class CoreGrpcMetrics:
+    """``GrpcMetrics.java:21-28`` + ``MonitoringInterceptor.java:33-55``:
+    the core module's one gRPC instrument — a request-latency histogram
+    labeled ``(service, method, status_code)``, observed when each call
+    CLOSES (success and failure alike; the interceptor's
+    ``SimpleForwardingServerCall.close`` fires on every status).
+
+    The reference's interceptor derives service/method from the gRPC
+    method descriptor; here the :class:`~feast_java_old_spark.registry.
+    core_service.CoreService` controller passes its method name and the
+    call's final gRPC status code."""
+
+    NAME = "feast_core_request_latency_seconds"
+    HELP = "Request latency in seconds"
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._h = _Histogram(GRPC_DEFAULT_BUCKETS)
+
+    def observe_call(
+        self,
+        method: str,
+        status_code: str,
+        latency_s: float,
+        service: str = CORE_GRPC_SERVICE,
+    ) -> None:
+        with self._lock:
+            self._h.observe(
+                {
+                    "service": service,
+                    "method": method,
+                    "status_code": status_code,
+                },
+                latency_s,
+            )
+
+    def exposition(self) -> str:
+        """Scrape-format body for the one family — full metric name (no
+        subsystem prefixing, like the other ``feast_core_*`` families),
+        Java-client float ``le`` labels, cumulative buckets."""
+        lines = [
+            f"# HELP {self.NAME} {self.HELP}",
+            f"# TYPE {self.NAME} histogram",
+        ]
+        with self._lock:
+            for key in sorted(self._h.n):
+                pkey = _prom_labels(key)
+                les = [_prom_le(b) for b in self._h.buckets] + ["+Inf"]
+                for le, c in zip(les, self._h.counts[key]):
+                    lbl = _prom_labels(_merge_le(key, le))
+                    lines.append(f"{self.NAME}_bucket{{{lbl}}} {c}")
+                lines.append(f"{self.NAME}_count{{{pkey}}} {self._h.n[key]}")
+                lines.append(f"{self.NAME}_sum{{{pkey}}} {self._h.sums[key]}")
+        return "\n".join(lines) + "\n"
 
 
 _JVM_GAUGE_META = {

@@ -48,12 +48,17 @@ class CoreService:
         registry: Registry,
         auth: Optional[AuthorizationService] = None,
         audit=None,
+        metrics=None,
     ) -> None:
         self.registry = registry
         self.auth = auth or AuthorizationService(enabled=False)
         # MESSAGE entries go to the same trail the registry's ACTION
         # entries use unless the caller splits them.
         self.audit = audit if audit is not None else registry.audit
+        # MonitoringInterceptor analog (a plans.metrics.CoreGrpcMetrics):
+        # every call observes feast_core_request_latency_seconds at
+        # close, success and failure alike.
+        self.metrics = metrics
 
     # ------------------------------------------------------------ internal
 
@@ -70,16 +75,23 @@ class CoreService:
         does), delegate, and emit ONE MESSAGE audit entry with the
         call's gRPC status code — OK at INFO, failures at ERROR
         (``AuditLogger.log_message`` pins the level from the code)."""
+        import time as _time
+
         identity = audited_identity(self.auth.provider, authentication)
         req = dict(request or {})
         if project is not None:
             req.setdefault("project", project)
+        t0 = _time.time()
         try:
             if authorize and project is not None:
                 self.auth.authorize_request(authentication, project)
             result = fn()
         except Exception as ex:
             code = grpc_status_code(ex)
+            if self.metrics is not None:
+                # MonitoringInterceptor.java:45-52 — the latency
+                # histogram observes on close with the FINAL status.
+                self.metrics.observe_call(method, code, _time.time() - t0)
             if self.audit is not None:
                 self.audit.log_message(
                     service=SERVICE_NAME,
@@ -90,6 +102,8 @@ class CoreService:
                     status_code=code,
                 )
             raise
+        if self.metrics is not None:
+            self.metrics.observe_call(method, "OK", _time.time() - t0)
         if self.audit is not None:
             self.audit.log_message(
                 service=SERVICE_NAME,
@@ -206,28 +220,61 @@ class CoreService:
 
     # Reads delegate with no authorization and no MESSAGE entry — the
     # reference's list/get RPCs call authorizeRequest nowhere, and the
-    # gate's trail queries count mutations, not read chatter.
+    # gate's trail queries count mutations, not read chatter. The
+    # MonitoringInterceptor latency histogram, however, observes EVERY
+    # call (it wraps the whole server, MonitoringConfig.java), so reads
+    # still observe when metrics are wired.
+
+    def _timed(self, method: str, fn):
+        if self.metrics is None:
+            return fn()
+        import time as _time
+
+        t0 = _time.time()
+        try:
+            result = fn()
+        except Exception as ex:
+            self.metrics.observe_call(
+                method, grpc_status_code(ex), _time.time() - t0
+            )
+            raise
+        self.metrics.observe_call(method, "OK", _time.time() - t0)
+        return result
 
     def get_entity(self, name: str, project: str = DEFAULT_PROJECT):
-        return self.registry.get_entity(name, project)
+        return self._timed(
+            "GetEntity", lambda: self.registry.get_entity(name, project)
+        )
 
     def list_entities(self, project: str = DEFAULT_PROJECT, **kw):
-        return self.registry.list_entities(project, **kw)
+        return self._timed(
+            "ListEntities", lambda: self.registry.list_entities(project, **kw)
+        )
 
     def get_feature_table(self, name: str, project: str = DEFAULT_PROJECT):
-        return self.registry.get_feature_table(name, project)
+        return self._timed(
+            "GetFeatureTable",
+            lambda: self.registry.get_feature_table(name, project),
+        )
 
     def list_feature_tables(self, project: str = DEFAULT_PROJECT, **kw):
-        return self.registry.list_feature_tables(project, **kw)
+        return self._timed(
+            "ListFeatureTables",
+            lambda: self.registry.list_feature_tables(project, **kw),
+        )
 
     def list_features(self, project: str = DEFAULT_PROJECT, **kw):
-        return self.registry.list_features(project, **kw)
+        return self._timed(
+            "ListFeatures", lambda: self.registry.list_features(project, **kw)
+        )
 
     def list_projects(self, **kw):
-        return self.registry.list_projects(**kw)
+        return self._timed(
+            "ListProjects", lambda: self.registry.list_projects(**kw)
+        )
 
     def list_stores(self):
-        return self.registry.list_stores()
+        return self._timed("ListStores", self.registry.list_stores)
 
     def get_store(self, name: str):
-        return self.registry.get_store(name)
+        return self._timed("GetStore", lambda: self.registry.get_store(name))

@@ -419,3 +419,53 @@ def test_jvm_runtime_source_reads_live_driver_jvm(spark):
     expo = core_exposition(Registry(), rt)
     assert "# TYPE feast_core_feature_set_total gauge" in expo
     assert "# TYPE feast_core_gc_collection_seconds summary" in expo
+
+
+def test_core_grpc_metrics_histogram_and_exposition():
+    """GrpcMetrics.java:21-28 + MonitoringInterceptor.java:33-55 — the
+    core request-latency histogram: (service, method, status_code)
+    labels, Java-client default buckets, cumulative bucket counts,
+    observed on close for success AND failure statuses."""
+    from feast_java_old_spark.plans.metrics import CoreGrpcMetrics
+
+    m = CoreGrpcMetrics()
+    m.observe_call("ApplyEntity", "OK", 0.03)
+    m.observe_call("ApplyEntity", "OK", 0.2)
+    m.observe_call("GetFeatureTable", "NOT_FOUND", 0.001)
+    expo = m.exposition()
+    assert "# HELP feast_core_request_latency_seconds Request latency in seconds" in expo
+    assert "# TYPE feast_core_request_latency_seconds histogram" in expo
+    ok = 'method="ApplyEntity",service="feast.core.CoreService",status_code="OK"'
+    # cumulative: 0.03 lands in le=0.05 and every wider bucket; 0.2 only
+    # from le=0.25 up -> le="0.05" counts 1, le="0.25" counts 2.
+    assert f'feast_core_request_latency_seconds_bucket{{le="0.05",{ok}}} 1' in expo
+    assert f'feast_core_request_latency_seconds_bucket{{le="0.25",{ok}}} 2' in expo
+    assert f'feast_core_request_latency_seconds_count{{{ok}}} 2' in expo
+    nf = 'method="GetFeatureTable",service="feast.core.CoreService",status_code="NOT_FOUND"'
+    assert f'feast_core_request_latency_seconds_count{{{nf}}} 1' in expo
+
+
+def test_core_service_observes_latency_per_call():
+    """The CoreService controller is the interceptor site: one OK call
+    and one failing call each land one observation with the call's
+    FINAL gRPC status; core_exposition(grpc_metrics=...) exports the
+    family through the one endpoint."""
+    import pytest as _pytest
+
+    from feast_java_old_spark.plans.metrics import (
+        CoreGrpcMetrics,
+        core_exposition,
+    )
+    from feast_java_old_spark.registry.core_service import CoreService
+    from feast_java_old_spark.registry.model import Entity, ValueType
+
+    m = CoreGrpcMetrics()
+    svc = CoreService(Registry(), metrics=m)
+    svc.apply_entity(Entity("driver", ValueType.INT64))
+    with _pytest.raises(KeyError):
+        svc.get_feature_table("nope")
+    expo = core_exposition(svc.registry, grpc_metrics=m)
+    assert 'method="ApplyEntity"' in expo and 'status_code="OK"' in expo
+    assert 'method="GetFeatureTable"' in expo and 'status_code="NOT_FOUND"' in expo
+    # the same body still carries the resource gauges (one endpoint).
+    assert "# TYPE feast_core_feature_set_total gauge" in expo
