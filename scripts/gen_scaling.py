@@ -138,9 +138,20 @@ the minimal one (one scan, one shuffle of reduced rows). On a cluster
 the fixed term amortizes to zero and the linear term parallelizes by
 partition count.
 """)
-    with open(os.path.join(REPO, "docs", "SCALING.md"), "w") as f:
-        f.write(out.getvalue())
-    print(f"written {len(out.getvalue())} chars")
+    # Preserve hand-written appendices (the sf1 stress sections) across
+    # regeneration — everything from the first "## Appendix" heading on
+    # survives; only the measured table above it is rewritten.
+    scaling_path = os.path.join(REPO, "docs", "SCALING.md")
+    appendix = ""
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            old = f.read()
+        idx = old.find("## Appendix")
+        if idx != -1:
+            appendix = "\n" + old[idx:]
+    with open(scaling_path, "w") as f:
+        f.write(out.getvalue() + appendix)
+    print(f"written {len(out.getvalue()) + len(appendix)} chars")
 
     # Persist the sf0.1 BEST-OF-2 as the canonical BENCH_DETAIL (the
     # round-close artifact `--freeze-baseline` snapshots). Without
