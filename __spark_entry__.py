@@ -9642,6 +9642,106 @@ SELECT * FROM (VALUES
 # ---------------------------------------------------------------- the contract
 
 
+def q_rest_online_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving REST controller end-to-end as a hash-gated scenario
+    (plans/serving_rest.py — ``ServingServiceRestController.java:55-66``
+    → ``RequestHelper`` validation → ``getOnlineFeatures`` →
+    ``ResponseJSONMapper`` flat rows): ONE ``/api/v1/features/online``
+    request whose proto-JSON body exercises the whole surface —
+    camelCase ``entityRows``, ``int64Val`` Value wrappers on the even
+    custkeys (odd keys ride the native-scalar path), per-row ISO-8601
+    ``Z`` timestamps (even keys request at the J3 timestamp — inside
+    the 1y max_age wherever an order exists; odd keys at 2005-01-01 —
+    every order is OUTSIDE_MAX_AGE → null) — returned as the flat
+    field→value relation (non-PRESENT → NULL, entity echoed, the
+    ``timestamp`` input never echoed). The oracle recomputes the flat
+    maps from customer × orders: latest order per custkey, NULL when
+    missing (NOT_FOUND) or stale at that row's request time."""
+    from feast_java_old_spark.plans.serving_rest import (
+        ServingServiceRestController,
+    )
+
+    reg, online, entities = _customer_orders_env(
+        spark, sf_dir, max_age=MAX_AGE_1Y
+    )
+    ctl = ServingServiceRestController(
+        spark,
+        reg,
+        online_frames={"customer_orders": online},
+        full_feature_names=True,
+    )
+    keys = sorted(int(r.c_custkey) for r in entities.collect())
+    body = ctl.get_online_features(
+        {
+            "features": [
+                {"featureTable": "customer_orders", "name": "total_price"},
+                {"featureTable": "customer_orders", "name": "order_status"},
+            ],
+            "entityRows": [
+                {
+                    "fields": {
+                        "c_custkey": (
+                            {"int64Val": k} if k % 2 == 0 else k
+                        )
+                    },
+                    "timestamp": (
+                        "1998-10-01T00:00:00Z"
+                        if k % 2 == 0
+                        else "2005-01-01T00:00:00Z"
+                    ),
+                }
+                for k in keys
+            ],
+        }
+    )
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("customer_orders:total_price", T.DoubleType()),
+            T.StructField("customer_orders:order_status", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                r["c_custkey"],
+                r["customer_orders:total_price"],
+                r["customer_orders:order_status"],
+            )
+            for r in body
+        ],
+        schema,
+    )
+
+
+SQL_REST_ONLINE = f"""
+WITH latest AS (
+  SELECT o_custkey, o_totalprice AS total_price,
+         o_orderstatus AS order_status, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders),
+l1 AS (SELECT * FROM latest WHERE rn = 1),
+req AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 2 = 0 THEN TIMESTAMP '1998-10-01 00:00:00'
+              ELSE TIMESTAMP '2005-01-01 00:00:00' END AS ts
+  FROM customer WHERE c_custkey % 7 = 0)
+SELECT r.c_custkey,
+       CASE WHEN l1.o_custkey IS NULL THEN NULL
+            WHEN (CAST(epoch(r.ts) AS BIGINT)
+                  - CAST(epoch(l1.o_orderdate) AS BIGINT)) > {MAX_AGE_1Y}
+                 THEN NULL
+            ELSE l1.total_price END AS "customer_orders:total_price",
+       CASE WHEN l1.o_custkey IS NULL THEN NULL
+            WHEN (CAST(epoch(r.ts) AS BIGINT)
+                  - CAST(epoch(l1.o_orderdate) AS BIGINT)) > {MAX_AGE_1Y}
+                 THEN NULL
+            ELSE l1.order_status END AS "customer_orders:order_status"
+FROM req r LEFT JOIN l1 ON l1.o_custkey = r.c_custkey
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the J1 entity-lookup —
     the reference's hot path — over the synthetic star schema."""
@@ -9662,8 +9762,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round. The r7 block is 50 rows, so exactly one defers to r12:
     # sliding_distinct_approx (rows-only no_oracle twin by design;
     # its hash-matched exact twin sliding_distinct IS in this window,
-    # and its epsilon guarantee is pytest-enforced) — it rotates
-    # first at r12 alongside the 49 oldest r8 rows.
+    # and its epsilon guarantee is pytest-enforced). r12 window =
+    # rest_online_features (late-r11 registration, never gated —
+    # FRONT) + sliding_distinct_approx + the 48 oldest r8 rows; the
+    # displaced r8 row joins r13 with the next block.
     return {
         "unigram_logprob": q_unigram_logprob,
         "logreg_quality": q_logreg_quality,
@@ -9866,6 +9968,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "domain_topk": q_domain_topk,
         "sequence_pack": q_sequence_pack,
+        # late-r11 registration, never gated yet — rotates to the FRONT
+        # of the r12 window per the never-gated-first policy (it is
+        # r12's one-new-query budget; local oracle check passed at
+        # registration).
+        "rest_online_features": q_rest_online_features,
     }
 
 
@@ -9874,6 +9981,7 @@ def oracle_sql() -> dict[str, str]:
         "audit_trail": SQL_AUDIT_TRAIL,
         "serving_metrics": SQL_SERVING_METRICS,
         "auth_audit": SQL_AUTH_AUDIT,
+        "rest_online_features": SQL_REST_ONLINE,
         "tpch_q20": SQL_TPCH_Q20,
         "logreg_quality": SQL_LOGREG_QUALITY,
         "global_ranks": SQL_GLOBAL_RANKS,
