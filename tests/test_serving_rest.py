@@ -182,3 +182,61 @@ def test_request_helper_validation_messages(controller):
                 "entityRows": [{"fields": {"driver": 1}}],
             }
         )
+
+
+# ---- property tests (pure Python, no Spark): the request-parsing
+# invariants behind /api/v1/features/online.
+
+
+def test_parse_entity_rows_properties():
+    """Hypothesis sweep: ISO-8601 Z / offset timestamps normalize to
+    naive UTC; wrapper unwrap touches only single-key *Val dicts;
+    bare maps and {"fields": ...} parse identically."""
+    import datetime as _dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from feast_java_old_spark.plans.serving_rest import (
+        _parse_entity_rows,
+        _unwrap_value,
+    )
+
+    @given(
+        st.datetimes(
+            min_value=_dt.datetime(1980, 1, 1),
+            max_value=_dt.datetime(2100, 1, 1),
+        ),
+        st.integers(min_value=-14 * 60, max_value=14 * 60),
+    )
+    @settings(max_examples=200, deadline=None)
+    def iso_roundtrip(ts, off_min):
+        off = _dt.timezone(_dt.timedelta(minutes=off_min))
+        iso = ts.replace(tzinfo=off).isoformat()
+        (row,) = _parse_entity_rows([{"fields": {"k": 1}, "timestamp": iso}])
+        expect = (ts - _dt.timedelta(minutes=off_min)).replace(tzinfo=None)
+        assert row["event_timestamp"] == expect
+
+    iso_roundtrip()
+
+    @given(
+        st.one_of(
+            st.integers(), st.floats(allow_nan=False), st.text(max_size=20)
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def unwrap_passthrough(v):
+        assert _unwrap_value(v) == v
+        assert _unwrap_value({"int64Val": v}) == v
+        # multi-key dicts are NOT wrappers
+        assert _unwrap_value({"int64Val": v, "x": 1}) == {
+            "int64Val": v,
+            "x": 1,
+        }
+
+    unwrap_passthrough()
+
+    # bare map == {"fields": map}
+    a = _parse_entity_rows([{"k": 7}])
+    b = _parse_entity_rows([{"fields": {"k": 7}}])
+    assert a == b == [{"k": 7}]
