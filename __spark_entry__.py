@@ -9757,16 +9757,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verifies within ~4 rounds (policy: docs/COVERAGE.md
     # "Evidence-freshness policy"). Do NOT append new queries at the
     # end, insert alphabetically, or let a formatter re-sort this
-    # literal. r11 window: unigram_logprob (the deferred r6 row,
-    # FIRST) + 49 of the 50 r7-evidence rows — zero NEW queries this
-    # round. The r7 block is 50 rows, so exactly one defers to r12:
-    # sliding_distinct_approx (rows-only no_oracle twin by design;
-    # its hash-matched exact twin sliding_distinct IS in this window,
-    # and its epsilon guarantee is pytest-enforced). r12 window =
-    # rest_online_features (late-r11 registration, never gated —
-    # FRONT) + sliding_distinct_approx + the 48 oldest r8 rows; the
-    # displaced r8 row joins r13 with the next block.
+    # literal. r12 window: rest_online_features (late-r11
+    # registration, never driver-gated — FRONT) + sliding_distinct_approx
+    # (the deferred r7 row; rows-only no_oracle twin by design — its
+    # hash-matched exact twin sliding_distinct passed r11 and its
+    # epsilon guarantee is pytest-enforced) + the first 48 of the 50
+    # r8-evidence rows. The two displaced r8 rows (stream_cusum,
+    # rejection_report) join the r13 window with the r9-evidence block.
     return {
+        "rest_online_features": q_rest_online_features,
+        "sliding_distinct_approx": q_sliding_distinct_approx,
+        "p5_type_conformance": q_p5_type_conformance,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_verified": q_dedup_verified,
+        "dedup_components": q_dedup_components,
+        "text_stats": q_text_stats,
+        "text_repetition": q_text_repetition,
+        "pii_scrub": q_pii_scrub,
+        "chunk_dedup": q_chunk_dedup,
+        "feature_drift": q_feature_drift,
+        "key_skew": q_key_skew,
+        "decontaminate": q_decontaminate,
+        "corpus_shuffle": q_corpus_shuffle,
+        "shard_manifest": q_shard_manifest,
+        "text_normalize": q_text_normalize,
+        "hard_negatives": q_hard_negatives,
+        "tpch_q18": q_tpch_q18,
+        "dedup_containment": q_dedup_containment,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_stats": q_dedup_stats,
+        "novelty_score": q_novelty_score,
+        "stream_incremental_dedup": q_stream_incremental_dedup,
+        "dsir_weights": q_dsir_weights,
+        "stream_dedup": q_stream_dedup,
+        "stream_enrich": q_stream_enrich,
+        "stream_stream_join": q_stream_stream_join,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q21_agg": q_tpch_q21_agg,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q11": q_tpch_q11,
+        "dedup_prefix_filter": q_dedup_prefix_filter,
+        "schema_time_travel": q_schema_time_travel,
+        "stream_drift": q_stream_drift,
+        "linreg_orders": q_linreg_orders,
+        "weighted_quantiles": q_weighted_quantiles,
+        "store_vacuum": q_store_vacuum,
+        "hilbert_key": q_hilbert_key,
+        "ks_drift": q_ks_drift,
+        "segment_overlap": q_segment_overlap,
+        "segment_overlap_kmv": q_segment_overlap_kmv,
+        "cusum_alerts": q_cusum_alerts,
+        "curve_skip_audit": q_curve_skip_audit,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "not_in_semantics": q_not_in_semantics,
         "unigram_logprob": q_unigram_logprob,
         "logreg_quality": q_logreg_quality,
         "global_ranks": q_global_ranks,
@@ -9817,57 +9865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
         "tpch_q14": q_tpch_q14,
-        "sliding_distinct_approx": q_sliding_distinct_approx,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q21_agg": q_tpch_q21_agg,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q11": q_tpch_q11,
-        "dedup_prefix_filter": q_dedup_prefix_filter,
-        "schema_time_travel": q_schema_time_travel,
-        "stream_drift": q_stream_drift,
-        "linreg_orders": q_linreg_orders,
-        "weighted_quantiles": q_weighted_quantiles,
-        "store_vacuum": q_store_vacuum,
-        "hilbert_key": q_hilbert_key,
-        "ks_drift": q_ks_drift,
-        "segment_overlap": q_segment_overlap,
-        "segment_overlap_kmv": q_segment_overlap_kmv,
-        "cusum_alerts": q_cusum_alerts,
-        "curve_skip_audit": q_curve_skip_audit,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "not_in_semantics": q_not_in_semantics,
         "stream_cusum": q_stream_cusum,
         "rejection_report": q_rejection_report,
-        "tpch_q18": q_tpch_q18,
-        "p5_type_conformance": q_p5_type_conformance,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_containment": q_dedup_containment,
-        "dedup_verified": q_dedup_verified,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_stats": q_dedup_stats,
-        "novelty_score": q_novelty_score,
-        "stream_incremental_dedup": q_stream_incremental_dedup,
-        "dedup_components": q_dedup_components,
-        "text_stats": q_text_stats,
-        "text_repetition": q_text_repetition,
-        "pii_scrub": q_pii_scrub,
-        "chunk_dedup": q_chunk_dedup,
-        "feature_drift": q_feature_drift,
-        "key_skew": q_key_skew,
-        "decontaminate": q_decontaminate,
-        "dsir_weights": q_dsir_weights,
-        "corpus_shuffle": q_corpus_shuffle,
-        "shard_manifest": q_shard_manifest,
-        "text_normalize": q_text_normalize,
-        "hard_negatives": q_hard_negatives,
-        "stream_dedup": q_stream_dedup,
-        "stream_enrich": q_stream_enrich,
-        "stream_stream_join": q_stream_stream_join,
         "audit_trail": q_audit_trail,
         "serving_metrics": q_serving_metrics,
         "tpch_q20": q_tpch_q20,
@@ -9968,11 +9967,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "domain_topk": q_domain_topk,
         "sequence_pack": q_sequence_pack,
-        # late-r11 registration, never gated yet — rotates to the FRONT
-        # of the r12 window per the never-gated-first policy (it is
-        # r12's one-new-query budget; local oracle check passed at
-        # registration).
-        "rest_online_features": q_rest_online_features,
     }
 
 
