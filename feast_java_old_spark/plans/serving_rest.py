@@ -73,10 +73,29 @@ def _parse_feature_refs(features: Sequence) -> list[str]:
 def _unwrap_value(v):
     """Unwrap a single-key proto-JSON ``Value`` oneof (``{"int64Val":
     7}``, ``{"stringVal": "x"}``) to its native scalar; native scalars
-    pass through."""
+    pass through. A list-typed oneof arm nests its payload one level
+    deeper (``{"int64ListVal": {"val": [1, 2]}}`` — proto-JSON renders
+    the ``Int64List`` message, whose repeated field is ``val``), so the
+    unwrap must reach through to the list; a wrapper that still yields
+    a dict after unwrapping is malformed and rejected rather than
+    silently forwarded into the request frame."""
     if isinstance(v, dict) and len(v) == 1:
         (k, inner), = v.items()
+        if k.endswith("ListVal") or k.endswith("_list_val"):
+            if isinstance(inner, dict):
+                inner = inner.get("val", [])
+            if not isinstance(inner, list):
+                raise ValidationError(
+                    f"Malformed list Value wrapper {k!r}: expected "
+                    '{"val": [...]} or a JSON array'
+                )
+            return inner
         if k.endswith("Val") or k.endswith("_val"):
+            if isinstance(inner, dict):
+                raise ValidationError(
+                    f"Malformed Value wrapper {k!r}: scalar oneof arms "
+                    "carry a JSON scalar, not an object"
+                )
             return inner
     return v
 
@@ -86,25 +105,46 @@ def _parse_entity_rows(entity_rows: Sequence) -> list[dict]:
     be non-empty. Each proto-JSON EntityRow is ``{"fields": {...}}``
     with an optional ``timestamp``; a bare field map is accepted for
     native clients. The per-row timestamp lands as ``event_timestamp``
-    (the column ``get_online_features`` reads as the request time)."""
+    (the column ``get_online_features`` reads as the request time).
+
+    ``timestamp`` is honored ONLY on the ``{"fields": ...}`` shape —
+    proto-JSON EntityRow is where that field exists
+    (``ServingAPIProto.EntityRow``); on a bare field map an entity
+    field that happens to be named ``timestamp`` stays an entity field
+    instead of being silently stolen as the request time. A timestamp
+    that is neither an ISO-8601 string nor a datetime is rejected here
+    with the field named, not forwarded into ``createDataFrame`` to die
+    as an opaque schema error."""
     if not entity_rows:
         raise ValidationError("Entity value must be provided")
     rows = []
     for er in entity_rows:
         fields = er.get("fields", None)
+        ts = None
         if fields is None:
-            fields = {
-                k: v for k, v in er.items() if k != "timestamp"
-            }
+            fields = er
+        else:
+            ts = er.get("timestamp")
         row = {k: _unwrap_value(v) for k, v in fields.items()}
-        ts = er.get("timestamp")
         if ts is not None:
             if isinstance(ts, str):
-                ts = dt.datetime.fromisoformat(ts.replace("Z", "+00:00"))
+                try:
+                    ts = dt.datetime.fromisoformat(
+                        ts.replace("Z", "+00:00")
+                    )
+                except ValueError:
+                    raise ValidationError(
+                        f"EntityRow timestamp {ts!r} is not ISO-8601"
+                    ) from None
                 # Spark timestamps are naive-UTC in this engine's
                 # session config; strip the offset after normalizing.
                 if ts.tzinfo is not None:
                     ts = ts.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            elif not isinstance(ts, dt.datetime):
+                raise ValidationError(
+                    "EntityRow timestamp must be an ISO-8601 string or "
+                    f"datetime, got {type(ts).__name__}"
+                )
             row["event_timestamp"] = ts
         rows.append(row)
     return rows

@@ -91,8 +91,13 @@ def handle_rest_exception(ex: BaseException) -> tuple[int, dict]:
     - ``json.JSONDecodeError`` (the engine's malformed-object analog of
       ``InvalidProtocolBufferException``) → 500 with the CONSTANT body
       — the one handler that hides its message (:45-53);
-    - ``ValueError`` (``IllegalArgumentException`` — validation
-      failures inside a handler) → 400 (:84-97);
+    - :class:`~feast_java_old_spark.registry.validation.ValidationError`
+      (``IllegalArgumentException`` — validation failures inside a
+      handler) → 400 (:84-97). ONLY that type: the advice handles
+      ``IllegalArgumentException``, not arbitrary runtime errors, so a
+      plain ``ValueError`` raised by an internal bug propagates to the
+      transport's default 500 instead of masquerading as a client
+      fault;
     - ``KeyError`` (``RetrievalException`` — an object lookup that
       failed in a service) → 500 with the message (:57-69); the gRPC
       transport maps the same failure to NOT_FOUND
@@ -101,11 +106,13 @@ def handle_rest_exception(ex: BaseException) -> tuple[int, dict]:
     """
     import json as _json
 
+    from .validation import ValidationError
+
     if isinstance(ex, MissingRequestParameter):
         return 400, {"error": str(ex)}
     if isinstance(ex, _json.JSONDecodeError):
         return 500, {"error": UNEXPECTED_ERROR_BODY}
-    if isinstance(ex, ValueError):
+    if isinstance(ex, ValidationError):
         return 400, {"error": str(ex)}
     if isinstance(ex, KeyError):
         # KeyError's str() quotes its arg; the body carries the bare
@@ -133,6 +140,19 @@ class CoreServiceRestController:
     the gRPC controller)."""
 
     def __init__(self, service, version: Optional[str] = None) -> None:
+        # The reference's MonitoringInterceptor wraps ONLY the gRPC
+        # server (MonitoringConfig.java), so HTTP traffic never lands
+        # in feast_core_request_latency_seconds. A CoreService wired
+        # with metrics would record REST reads through _timed — strip
+        # the histogram on a metrics-free twin sharing the same
+        # registry/auth/audit so the facade observes nothing.
+        if getattr(service, "metrics", None) is not None:
+            service = type(service)(
+                service.registry,
+                auth=service.auth,
+                audit=service.audit,
+                metrics=None,
+            )
         self.service = service
         if version is None:
             from feast_java_old_spark import __version__ as version

@@ -205,3 +205,32 @@ def test_rest_advice_unhandled_propagates():
 
     with pytest.raises(RuntimeError, match="not a handled kind"):
         rest_call(boom)
+
+
+def test_rest_advice_plain_valueerror_propagates():
+    """ADVICE r12: the advice handles IllegalArgumentException
+    (ValidationError here), not arbitrary ValueErrors — an internal
+    bug deep in a service must surface as a server error, not be
+    re-badged a client-fault 400."""
+    from feast_java_old_spark.registry.rest import handle_rest_exception
+
+    with pytest.raises(ValueError, match="internal bug"):
+        handle_rest_exception(ValueError("internal bug"))
+
+
+def test_rest_controller_strips_grpc_latency_histogram(rest):
+    """MonitoringInterceptor wraps only the gRPC server — REST-facade
+    reads must not observe feast_core_request_latency_seconds even
+    when the shared CoreService is metrics-wired."""
+    from feast_java_old_spark.plans.metrics import CoreGrpcMetrics
+
+    metrics = CoreGrpcMetrics()
+    svc = CoreService(rest.service.registry, metrics=metrics)
+    ctl = CoreServiceRestController(svc)
+    ctl.list_entities()
+    ctl.list_feature_tables()
+    ctl.list_features(entities=["driver"])
+    assert "_count" not in metrics.exposition()  # nothing observed
+    # the gRPC path through the SAME service still observes
+    svc.list_entities()
+    assert 'method="ListEntities"' in metrics.exposition()

@@ -240,3 +240,49 @@ def test_parse_entity_rows_properties():
     a = _parse_entity_rows([{"k": 7}])
     b = _parse_entity_rows([{"fields": {"k": 7}}])
     assert a == b == [{"k": 7}]
+
+
+# ---- ADVICE r12: list-Value unwrap, bare-map timestamp, bad timestamps.
+
+
+def test_unwrap_list_value_wrappers():
+    """Proto-JSON list oneof arms nest the payload one level deeper:
+    {"int64ListVal": {"val": [...]}} must unwrap to the LIST, and a
+    dict surviving unwrap is malformed, not forwarded."""
+    from feast_java_old_spark.plans.serving_rest import _unwrap_value
+    from feast_java_old_spark.registry.validation import ValidationError
+
+    assert _unwrap_value({"int64ListVal": {"val": [1, 2]}}) == [1, 2]
+    assert _unwrap_value({"string_list_val": {"val": ["a"]}}) == ["a"]
+    # tolerated shortcut: the arm carrying the JSON array directly
+    assert _unwrap_value({"doubleListVal": [1.5]}) == [1.5]
+    # empty list message → empty list
+    assert _unwrap_value({"int64ListVal": {}}) == []
+    with pytest.raises(ValidationError, match="list Value wrapper"):
+        _unwrap_value({"int64ListVal": {"val": 3}})
+    with pytest.raises(ValidationError, match="scalar oneof"):
+        _unwrap_value({"int64Val": {"val": 3}})
+
+
+def test_bare_map_timestamp_stays_an_entity_field():
+    """Only the {"fields": ...} EntityRow shape carries the proto
+    'timestamp' field; on a bare map a field named timestamp is data."""
+    from feast_java_old_spark.plans.serving_rest import _parse_entity_rows
+
+    (row,) = _parse_entity_rows([{"driver": 1, "timestamp": "x"}])
+    assert row == {"driver": 1, "timestamp": "x"}
+    assert "event_timestamp" not in row
+
+
+def test_bad_timestamp_is_validation_error_not_schema_crash():
+    from feast_java_old_spark.plans.serving_rest import _parse_entity_rows
+    from feast_java_old_spark.registry.validation import ValidationError
+
+    with pytest.raises(ValidationError, match="not ISO-8601"):
+        _parse_entity_rows(
+            [{"fields": {"driver": 1}, "timestamp": "not-a-time"}]
+        )
+    with pytest.raises(ValidationError, match="ISO-8601 string or"):
+        _parse_entity_rows(
+            [{"fields": {"driver": 1}, "timestamp": {"seconds": 5}}]
+        )
