@@ -52,41 +52,63 @@ def attach_binary_payload(
     )
 
 
+try:
+    import PIL.Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:  # pragma: no cover - PIL absent in this container
+    HAVE_PIL = False
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic fake decoder. REAL DECODER GOES HERE:
-
-    .. code-block:: python
-
-        from PIL import Image           # not installed in this container
-        img = Image.open(io.BytesIO(payload))
-        return img.width, img.height, len(img.getbands())
-    """
+    """Deterministic fake decoder — the fallback for payloads that are
+    not decodable images (the synthetic corpus carries UTF-8 text bytes
+    as stand-in payloads)."""
     n = len(payload)
     return (n % 640) + 1, ((n * 7) % 480) + 1, 3
 
 
-try:  # pragma: no cover - the real decoder path
-    import PIL.Image  # noqa: F401
+def _decode_image_meta(payload: bytes) -> tuple[int, int, int]:
+    """Real decode when PIL is available and the bytes are a decodable
+    image; the deterministic fake otherwise. Per-payload fallback (not
+    module-level) so a mixed batch of real images and stand-in bytes
+    decodes what it can — and the operator IMPROVES rather than breaks
+    the moment the environment gains the codec."""
+    if HAVE_PIL:
+        import io
 
-    HAVE_PIL = True
-except ImportError:
-    HAVE_PIL = False
+        try:
+            img = PIL.Image.open(io.BytesIO(payload))
+            return img.width, img.height, len(img.getbands())
+        except Exception:
+            pass  # not an image container — deterministic fake below
+    return _decode_image_stub(payload)
 
 
 def decode_image_metadata(df: DataFrame) -> DataFrame:
     """Arrow-batched decode of binary payloads → typed image metadata.
 
     ``mapInPandas``: one Python worker per partition, Arrow batches in and
-    out, vectorized pandas ops inside.
+    out, vectorized pandas ops inside (the PIL path is per-image by
+    nature; the fake path stays vectorized).
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = pdf["payload"].map(len)
             if HAVE_PIL:
-                raise NotImplementedError(
-                    "real decoder intentionally stubbed in this environment"
+                meta = pdf["payload"].map(_decode_image_meta)
+                out = pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_bytes": n.astype("int32"),
+                        "width": meta.map(lambda m: m[0]).astype("int32"),
+                        "height": meta.map(lambda m: m[1]).astype("int32"),
+                        "channels": meta.map(lambda m: m[2]).astype("int32"),
+                    }
                 )
+                yield out
+                continue
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -159,14 +181,12 @@ RESIZED_SCHEMA = T.StructType(
 def resize_stub(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
     """Resize-to-fixed-shape stub over Arrow batches.
 
-    The stub maps each payload deterministically onto ``width*height``
-    bytes (truncate / cycle-pad) so downstream batch shapes are exactly
-    what a real resize produces. REAL RESIZER GOES HERE:
-
-    .. code-block:: python
-
-        img = Image.open(io.BytesIO(payload)).resize((width, height))
-        buf = io.BytesIO(); img.save(buf, "PNG"); return buf.getvalue()
+    Decodable image payloads (PIL available) resize for real — PNG
+    re-encode at ``(width, height)``; everything else maps
+    deterministically onto ``width*height`` bytes (truncate /
+    cycle-pad) so downstream batch shapes are exactly what a real
+    resize produces. Per-payload fallback, same policy as
+    :func:`_decode_image_meta`.
 
     Shuffle-free: payloads are transformed in place in their partition;
     output batch size is bounded by Arrow batching regardless of input
@@ -174,13 +194,26 @@ def resize_stub(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame
     """
     target = width * height
 
+    def _resize_real(payload: bytes):
+        import io
+
+        try:
+            img = PIL.Image.open(io.BytesIO(payload)).resize(
+                (width, height)
+            )
+            buf = io.BytesIO()
+            img.save(buf, "PNG")
+            return buf.getvalue()
+        except Exception:
+            return None  # not an image container — stub fit below
+
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             def fit(payload: bytes) -> bytes:
                 if HAVE_PIL:
-                    raise NotImplementedError(
-                        "real resizer intentionally stubbed in this environment"
-                    )
+                    real = _resize_real(payload)
+                    if real is not None:
+                        return real
                 if len(payload) >= target:
                     return bytes(payload[:target])
                 reps = -(-target // max(len(payload), 1))

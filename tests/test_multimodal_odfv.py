@@ -1,6 +1,7 @@
 """Multimodal plumbing + ODFV transform tests."""
 
 import pandas as pd
+import pytest
 import pyspark.sql.functions as F
 from pyspark.sql import types as T
 
@@ -129,3 +130,48 @@ def test_odfv_accepts_non_numeric_inputs_documented_divergence(spark):
     assert out[1].tag_len__status == "PRESENT"
     # request-data inputs (no ':' prefix) are retained, whatever type
     assert out[2].tag == "beta-x"
+
+
+# ---- r12: HAVE_PIL guard un-inverted — real decode when the codec
+# exists, deterministic fake as the per-payload fallback.
+
+_PNG_1x1 = __import__("base64").b64decode(
+    # 1x1 opaque-black RGB PNG, standard minimal encoding
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4"
+    "nGNgYGAAAAAEAAH2FzhVAAAAAElFTkSuQmCC"
+)
+
+
+def test_decode_meta_nonimage_bytes_use_deterministic_fake():
+    """Stand-in payloads (UTF-8 text bytes) hit the fake regardless of
+    whether PIL is installed — the gate's oracle arithmetic holds."""
+    from feast_java_old_spark.operators.multimodal import (
+        _decode_image_meta,
+        _decode_image_stub,
+    )
+
+    payload = "not an image at all".encode()
+    assert _decode_image_meta(payload) == _decode_image_stub(payload)
+
+
+def test_decode_meta_real_image_uses_pil_when_available():
+    from feast_java_old_spark.operators import multimodal as mm
+
+    if not mm.HAVE_PIL:
+        pytest.skip("PIL not installed in this environment")
+    assert mm._decode_image_meta(_PNG_1x1)[:2] == (1, 1)
+
+
+def test_resize_real_image_roundtrips_when_pil_available(spark):
+    from feast_java_old_spark.operators import multimodal as mm
+
+    if not mm.HAVE_PIL:
+        pytest.skip("PIL not installed in this environment")
+    df = spark.createDataFrame(
+        [(1, bytearray(_PNG_1x1))], "doc_id long, payload binary"
+    )
+    (row,) = mm.resize_stub(df, width=4, height=3).collect()
+    import io
+
+    img = mm.PIL.Image.open(io.BytesIO(bytes(row.payload)))
+    assert (img.width, img.height) == (4, 3)
