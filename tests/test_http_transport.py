@@ -1,0 +1,303 @@
+"""Loopback end-to-end tests for the real HTTP transport: an actual
+client socket → ThreadingHTTPServer → controller → JSON back.
+
+Parity pins: the five core GETs (CoreServiceRestController.java:69-134)
+with the @ControllerAdvice status bodies
+(RestResponseEntityExceptionHandler.java:34-118), Spring's
+@RequestParam String[] binding, the serving routes
+(ServingServiceRestController.java:48-66) with the serving module's
+NO-advice Spring-default error handling, both /metrics servlets
+(MonitoringConfig.java:33-45, InstrumentationConfig.java:40-43), and
+the actuator health contract."""
+
+import datetime as dt
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import types as T
+
+from feast_java_old_spark import __version__
+from feast_java_old_spark.operators.materialize import materialize
+from feast_java_old_spark.plans.serving_rest import (
+    ServingServiceRestController,
+)
+from feast_java_old_spark.registry.core_service import CoreService
+from feast_java_old_spark.registry.model import (
+    Entity,
+    Feature,
+    FeatureTable,
+    FileSource,
+    ValueType,
+)
+from feast_java_old_spark.registry.registry import Registry
+from feast_java_old_spark.registry.rest import CoreServiceRestController
+from feast_java_old_spark.transport.http import (
+    CoreRestHttpServer,
+    ServingRestHttpServer,
+)
+
+TS = dt.datetime(2024, 1, 15, 12, 0, 0)
+
+
+def http_get(url):
+    try:
+        with urllib.request.urlopen(url) as resp:
+            return resp.status, resp.headers, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers, e.read()
+
+
+def http_post_json(url, obj=None, raw=None):
+    data = raw if raw is not None else json.dumps(obj).encode()
+    req = urllib.request.Request(
+        url, data=data, headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def get_json(url):
+    status, _, body = http_get(url)
+    return status, json.loads(body)
+
+
+# ------------------------------------------------------------------ core
+
+
+@pytest.fixture()
+def core_registry():
+    reg = Registry()
+    reg.apply_entity(Entity("driver", ValueType.INT64))
+    reg.apply_entity(Entity("zone", ValueType.STRING))
+    src = FileSource(file_url="/tmp/x.parquet", event_timestamp_column="ts")
+    reg.apply_feature_table(
+        FeatureTable(
+            "driver_stats",
+            entities=["driver"],
+            features=[Feature("rating", ValueType.DOUBLE)],
+            batch_source=src,
+        )
+    )
+    reg.apply_feature_table(
+        FeatureTable(
+            "driver_zone",
+            entities=["driver", "zone"],
+            features=[Feature("surge", ValueType.DOUBLE)],
+            batch_source=src,
+        )
+    )
+    return reg
+
+
+@pytest.fixture()
+def core_srv(core_registry):
+    from feast_java_old_spark.plans.metrics import core_exposition
+
+    ctl = CoreServiceRestController(CoreService(core_registry))
+    with CoreRestHttpServer(
+        ctl, metrics_exposition=lambda: core_exposition(core_registry)
+    ) as srv:
+        yield srv
+
+
+def test_core_five_gets_over_socket(core_srv):
+    base = core_srv.base_url
+    assert get_json(f"{base}/api/v2/version") == (
+        200,
+        {"version": __version__},
+    )
+    status, body = get_json(f"{base}/api/v2/projects")
+    assert (status, body) == (200, {"projects": ["default"]})
+    status, body = get_json(f"{base}/api/v2/entities")
+    assert status == 200
+    assert sorted(e["name"] for e in body["entities"]) == [
+        "driver",
+        "zone",
+    ]
+    status, body = get_json(f"{base}/api/v2/feature-tables")
+    assert status == 200
+    assert len(body["tables"]) == 2
+    status, body = get_json(f"{base}/api/v2/features?entities=driver")
+    assert status == 200
+    assert list(body["features"]) == ["driver_stats:rating"]
+
+
+def test_core_entities_param_binding(core_srv):
+    base = core_srv.base_url
+    # repeated params and comma-separated bind identically (Spring
+    # String[] conversion)
+    _, a = get_json(f"{base}/api/v2/features?entities=driver&entities=zone")
+    _, b = get_json(f"{base}/api/v2/features?entities=driver,zone")
+    assert a == b
+    assert list(a["features"]) == ["driver_zone:surge"]
+    # present-but-empty -> empty filter -> list ALL (SpecService.java:158)
+    status, body = get_json(f"{base}/api/v2/features?entities=")
+    assert status == 200
+    assert sorted(body["features"]) == [
+        "driver_stats:rating",
+        "driver_zone:surge",
+    ]
+
+
+def test_core_missing_required_param_is_400_advice_body(core_srv):
+    status, body = get_json(f"{core_srv.base_url}/api/v2/features")
+    assert status == 400
+    assert "entities" in body["error"]
+
+
+def test_core_unknown_path_and_wrong_method_whitelabel(core_srv):
+    status, body = get_json(f"{core_srv.base_url}/api/v2/nope")
+    assert (status, body["error"], body["status"]) == (404, "Not Found", 404)
+    assert body["path"] == "/api/v2/nope"
+    status, body = http_post_json(
+        f"{core_srv.base_url}/api/v2/version", obj={}
+    )
+    assert (status, json.loads(body)["error"]) == (405, "Method Not Allowed")
+
+
+def test_core_unhandled_exception_is_default_500(core_srv):
+    """An exception the advice re-raises (no matching @ExceptionHandler)
+    falls through to Spring's default whitelabel 500 — message masked."""
+
+    def boom(q, b):
+        raise RuntimeError("secret internal detail")
+
+    core_srv.route("GET", "/api/v2/boom", boom)
+    status, body = get_json(f"{core_srv.base_url}/api/v2/boom")
+    assert (status, body["error"]) == (500, "Internal Server Error")
+    assert "secret" not in json.dumps(body)
+
+
+def test_core_metrics_servlet(core_srv):
+    status, headers, body = http_get(f"{core_srv.base_url}/metrics")
+    assert status == 200
+    assert headers["Content-Type"].startswith("text/plain")
+    text = body.decode()
+    assert "feast_core_feature_set_total" in text
+    assert "# TYPE" in text
+
+
+def test_core_concurrent_requests(core_srv):
+    """ThreadingHTTPServer really is concurrent: parallel clients all
+    complete (the servlet-thread-pool analog)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    url = f"{core_srv.base_url}/api/v2/projects"
+    with ThreadPoolExecutor(8) as pool:
+        results = list(pool.map(lambda _: get_json(url)[0], range(32)))
+    assert results == [200] * 32
+
+
+# --------------------------------------------------------------- serving
+
+
+@pytest.fixture()
+def serving_srv(spark, tmp_path, tmp_store):
+    src = str(tmp_path / "ft1_src")
+    schema = T.StructType(
+        [
+            T.StructField("driver", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("rating", T.DoubleType()),
+        ]
+    )
+    rows = [
+        (1, TS - dt.timedelta(seconds=10), 4.5),
+        (2, TS - dt.timedelta(seconds=10), 3.0),
+    ]
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    reg = Registry()
+    reg.apply_entity(Entity("driver", ValueType.INT64))
+    reg.apply_feature_table(
+        FeatureTable(
+            name="driver_stats",
+            entities=["driver"],
+            features=[Feature("rating", ValueType.DOUBLE)],
+            max_age_secs=3600,
+            batch_source=FileSource(file_url=src, event_timestamp_column="ts"),
+        )
+    )
+    materialize(spark, reg, "driver_stats", tmp_store)
+    ctl = ServingServiceRestController(spark, reg, tmp_store, request_ts=TS)
+    from feast_java_old_spark.plans.metrics import ServingMetrics
+
+    metrics = ServingMetrics()
+    with ServingRestHttpServer(
+        ctl, metrics_exposition=metrics.exposition
+    ) as srv:
+        yield srv
+
+
+def test_serving_info_over_socket(serving_srv):
+    status, body = get_json(f"{serving_srv.base_url}/api/v1/info")
+    assert status == 200
+    assert body["version"] == __version__
+
+
+def test_serving_online_features_over_socket(serving_srv):
+    status, body = http_post_json(
+        f"{serving_srv.base_url}/api/v1/features/online",
+        {
+            "features": [{"featureTable": "driver_stats", "name": "rating"}],
+            "entityRows": [
+                {"fields": {"driver": 2}},
+                {"fields": {"driver": 1}},
+            ],
+        },
+    )
+    assert status == 200
+    assert json.loads(body) == [
+        {"driver": 2, "driver_stats:rating": 3.0},
+        {"driver": 1, "driver_stats:rating": 4.5},
+    ]
+
+
+def test_serving_malformed_body_is_400(serving_srv):
+    """HttpMessageNotReadableException analog: unreadable JSON is
+    rejected 400 BEFORE the handler runs."""
+    status, body = http_post_json(
+        f"{serving_srv.base_url}/api/v1/features/online", raw=b"{broken"
+    )
+    assert status == 400
+    assert json.loads(body)["error"] == "Bad Request"
+    # a JSON scalar is equally unbindable to the request message
+    status, _ = http_post_json(
+        f"{serving_srv.base_url}/api/v1/features/online", raw=b'"hi"'
+    )
+    assert status == 400
+
+
+def test_serving_validation_failure_is_default_500(serving_srv):
+    """The serving module registers NO @ControllerAdvice: the
+    RequestHelper IllegalArgumentException surfaces as Spring's default
+    500, not a 400 — deliberate reference asymmetry with core."""
+    status, body = http_post_json(
+        f"{serving_srv.base_url}/api/v1/features/online",
+        {"features": [{"name": "rating"}], "entityRows": [{"fields": {}}]},
+    )
+    assert status == 500
+    assert json.loads(body)["error"] == "Internal Server Error"
+
+
+def test_serving_health_and_metrics(serving_srv):
+    status, body = get_json(f"{serving_srv.base_url}/actuator/health")
+    assert (status, body) == (200, {"status": "UP"})
+    status, headers, text = http_get(f"{serving_srv.base_url}/metrics")
+    assert status == 200
+    assert headers["Content-Type"].startswith("text/plain")
+
+
+def test_serving_health_down_is_503(spark):
+    class BrokenRegistry:
+        def list_projects(self):
+            raise RuntimeError("registry unreachable")
+
+    ctl = ServingServiceRestController(spark, BrokenRegistry())
+    with ServingRestHttpServer(ctl) as srv:
+        status, body = get_json(f"{srv.base_url}/actuator/health")
+    assert (status, body) == (503, {"status": "DOWN"})
