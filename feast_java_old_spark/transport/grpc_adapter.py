@@ -1,0 +1,380 @@
+"""gRPC transport seam — servicer adapters over the in-process
+controllers, with grpcio strictly optional.
+
+The reference binds its control and serving planes to gRPC servers
+(``CoreServiceImpl.java`` registered by ``CoreApplication``;
+``ServingServiceGRpcController.java:81-95``; the health probe
+``HealthServiceController.java:41-59``). grpcio is not installed in
+this environment, so the binding is structured as a seam:
+
+- The **adapters** (everything except :func:`build_server`) work with
+  no grpcio at all: RPC method name + JSON-able request dict →
+  controller call → JSON-able response dict, failures raised as
+  :class:`GrpcCallError` carrying the reference's status mapping
+  (``registry.audit.grpc_status_code`` — the same mapping
+  ``CoreService._call`` audits with, so the transport can never
+  disagree with the audit trail about a failure's code). Bearer
+  identity rides call metadata exactly like the reference's
+  ``GrpcMessageInterceptor`` reads it.
+- :func:`build_server` is the thin grpcio half: it registers the
+  adapters as generic RPC handlers on a real ``grpc.server``. Message
+  encoding is JSON bytes, NOT protobuf — there is no protoc or
+  generated stub here, so the wire format is the documented divergence
+  while service names, method names, unary-unary shapes, and status
+  codes are the reference's. The moment the environment gains grpcio
+  the skip-marked test in ``tests/test_grpc_adapter.py`` activates and
+  drives a real channel end-to-end.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from feast_java_old_spark.registry.audit import grpc_status_code
+from feast_java_old_spark.registry.auth import Authentication
+
+try:
+    import grpc
+
+    HAVE_GRPC = True
+except ImportError:  # pragma: no cover - grpcio absent in this container
+    grpc = None
+    HAVE_GRPC = False
+
+CORE_SERVICE = "feast.core.CoreService"
+SERVING_SERVICE = "feast.serving.ServingService"
+HEALTH_SERVICE = "grpc.health.v1.Health"
+
+
+class GrpcCallError(Exception):
+    """An RPC failure with its gRPC status. ``code`` is the status
+    NAME (``INVALID_ARGUMENT``, ``NOT_FOUND``, ``PERMISSION_DENIED``,
+    ``INTERNAL`` — the ``grpc_status_code`` vocabulary) so the adapter
+    layer stays importable without grpcio; :func:`build_server`
+    translates names to ``grpc.StatusCode`` members."""
+
+    def __init__(self, code: str, details: str) -> None:
+        super().__init__(f"{code}: {details}")
+        self.code = code
+        self.details = details
+
+
+def auth_from_metadata(metadata) -> Optional[Authentication]:
+    """``GrpcMessageInterceptor`` reads the bearer token from the
+    ``authorization`` metadata key; absent metadata is an anonymous
+    call (authentication=None), never an error — authorization
+    decisions happen downstream in the controller."""
+    if not metadata:
+        return None
+    for key, value in metadata:
+        if str(key).lower() == "authorization":
+            token = str(value)
+            if token.lower().startswith("bearer "):
+                token = token[7:]
+            from feast_java_old_spark.registry.credentials import (
+                authentication_from_token,
+            )
+
+            try:
+                return authentication_from_token(token)
+            except Exception:
+                return None  # best-effort, like audited_identity
+    return None
+
+
+def _rpc(fn):
+    """Run one controller call under the transport's status mapping."""
+    try:
+        return fn()
+    except GrpcCallError:
+        raise
+    except Exception as ex:
+        raise GrpcCallError(grpc_status_code(ex), str(ex)) from ex
+
+
+class CoreServiceServicer:
+    """``CoreServiceImpl.java`` RPC surface over a
+    :class:`~feast_java_old_spark.registry.core_service.CoreService`.
+    Requests/responses are the proto-JSON-shaped dicts the registry
+    model round-trips (``to_dict``/``from_dict``)."""
+
+    service_name = CORE_SERVICE
+
+    def __init__(self, service) -> None:
+        self.service = service
+
+    # -- reads ---------------------------------------------------------
+    def GetFeastCoreVersion(self, request: dict, metadata=None) -> dict:
+        return _rpc(lambda: {"version": self.service.get_version()})
+
+    def GetEntity(self, request: dict, metadata=None) -> dict:
+        return _rpc(
+            lambda: {
+                "entity": self.service.get_entity(
+                    request["name"], request.get("project", "default")
+                ).to_dict()
+            }
+        )
+
+    def ListEntities(self, request: dict, metadata=None) -> dict:
+        filt = request.get("filter", {})
+        return _rpc(
+            lambda: {
+                "entities": [
+                    e.to_dict()
+                    for e in self.service.list_entities(
+                        filt.get("project", "default"),
+                        labels=filt.get("labels") or None,
+                    )
+                ]
+            }
+        )
+
+    def GetFeatureTable(self, request: dict, metadata=None) -> dict:
+        return _rpc(
+            lambda: {
+                "table": self.service.get_feature_table(
+                    request["name"], request.get("project", "default")
+                ).to_dict()
+            }
+        )
+
+    def ListFeatureTables(self, request: dict, metadata=None) -> dict:
+        filt = request.get("filter", {})
+        return _rpc(
+            lambda: {
+                "tables": [
+                    t.to_dict()
+                    for t in self.service.list_feature_tables(
+                        filt.get("project", "default"),
+                        labels=filt.get("labels") or None,
+                    )
+                ]
+            }
+        )
+
+    def ListFeatures(self, request: dict, metadata=None) -> dict:
+        filt = request.get("filter", {})
+        return _rpc(
+            lambda: {
+                "features": {
+                    ref: f.to_dict()
+                    for ref, f in self.service.list_features(
+                        filt.get("project", "default"),
+                        entities=filt.get("entities") or [],
+                        labels=filt.get("labels") or None,
+                    ).items()
+                }
+            }
+        )
+
+    def ListProjects(self, request: dict, metadata=None) -> dict:
+        return _rpc(
+            lambda: {
+                "projects": [p.name for p in self.service.list_projects()]
+            }
+        )
+
+    def ListStores(self, request: dict, metadata=None) -> dict:
+        return _rpc(
+            lambda: {
+                "store": [s.to_dict() for s in self.service.list_stores()]
+            }
+        )
+
+    # -- mutations -----------------------------------------------------
+    def ApplyEntity(self, request: dict, metadata=None) -> dict:
+        from feast_java_old_spark.registry.model import Entity
+
+        auth = auth_from_metadata(metadata)
+        return _rpc(
+            lambda: {
+                "entity": self.service.apply_entity(
+                    Entity.from_dict(request["spec"]),
+                    request.get("project", "default"),
+                    authentication=auth,
+                ).to_dict()
+            }
+        )
+
+    def ApplyFeatureTable(self, request: dict, metadata=None) -> dict:
+        from feast_java_old_spark.registry.model import FeatureTable
+
+        auth = auth_from_metadata(metadata)
+        return _rpc(
+            lambda: {
+                "table": self.service.apply_feature_table(
+                    FeatureTable.from_dict(request["spec"]),
+                    request.get("project", "default"),
+                    authentication=auth,
+                ).to_dict()
+            }
+        )
+
+    def DeleteFeatureTable(self, request: dict, metadata=None) -> dict:
+        auth = auth_from_metadata(metadata)
+
+        def run():
+            self.service.delete_feature_table(
+                request["name"],
+                request.get("project", "default"),
+                authentication=auth,
+            )
+            return {}
+
+        return _rpc(run)
+
+    def CreateProject(self, request: dict, metadata=None) -> dict:
+        auth = auth_from_metadata(metadata)
+
+        def run():
+            self.service.create_project(
+                request["name"], authentication=auth
+            )
+            return {}
+
+        return _rpc(run)
+
+    def ArchiveProject(self, request: dict, metadata=None) -> dict:
+        auth = auth_from_metadata(metadata)
+
+        def run():
+            self.service.archive_project(
+                request["name"], authentication=auth
+            )
+            return {}
+
+        return _rpc(run)
+
+    def UpdateStore(self, request: dict, metadata=None) -> dict:
+        from feast_java_old_spark.registry.model import Store
+
+        auth = auth_from_metadata(metadata)
+        return _rpc(
+            lambda: {
+                "store": self.service.update_store(
+                    Store.from_dict(request["store"]),
+                    authentication=auth,
+                ).to_dict(),
+                "status": "UPDATED",
+            }
+        )
+
+
+class ServingServiceServicer:
+    """``ServingServiceGRpcController.java:72-95`` over the serving
+    REST controller's wiring (same request→response semantics, same
+    per-project authorization posture as the gRPC path when
+    ``serve_kwargs`` routes through ``serve_logged``)."""
+
+    service_name = SERVING_SERVICE
+
+    def __init__(self, controller) -> None:
+        # a plans.serving_rest.ServingServiceRestController — the one
+        # object already holding (spark, registry, store_path) wiring.
+        self.controller = controller
+
+    def GetFeastServingInfo(self, request: dict, metadata=None) -> dict:
+        return _rpc(self.controller.get_info)
+
+    def GetOnlineFeaturesV2(self, request: dict, metadata=None) -> dict:
+        from feast_java_old_spark.plans.serving_json import response_rows
+        from feast_java_old_spark.plans.serving_rest import (
+            _parse_entity_rows,
+            _parse_feature_refs,
+        )
+        from feast_java_old_spark.operators.retrieval import (
+            get_online_features,
+        )
+
+        def run():
+            c = self.controller
+            refs = _parse_feature_refs(request.get("features"))
+            rows = _parse_entity_rows(
+                request.get("entityRows", request.get("entity_rows"))
+            )
+            df = get_online_features(
+                c.spark,
+                c.registry,
+                rows,
+                refs,
+                c.store_path,
+                project=request.get("project", "default"),
+                **c.serve_kwargs,
+            )
+            # the gRPC response keeps the {fields, statuses} structure
+            # (GetOnlineFeaturesResponse.FieldValues) — REST flattens.
+            return {"fieldValues": response_rows(df, refs)}
+
+        return _rpc(run)
+
+
+class HealthServicer:
+    """``HealthServiceController.check:41-59`` — grpc.health.v1."""
+
+    service_name = HEALTH_SERVICE
+
+    def __init__(self, registry) -> None:
+        self.registry = registry
+
+    def Check(self, request: dict, metadata=None) -> dict:
+        from feast_java_old_spark.plans.serving_json import health_check
+
+        return {"status": health_check(self.registry)}
+
+
+def build_server(
+    servicers,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_workers: int = 8,
+):
+    """Bind the adapters to a REAL ``grpc.server`` (grpcio required).
+
+    Generic handlers with a JSON codec: method path
+    ``/<service_name>/<Method>``, request/response = JSON bytes.
+    Returns ``(server, bound_port)``; caller owns ``server.stop()``.
+    """
+    if not HAVE_GRPC:
+        raise ImportError(
+            "grpcio is not installed — the gRPC binding is an optional "
+            "transport; use transport.http for a socket today"
+        )
+    import json
+    from concurrent.futures import ThreadPoolExecutor
+
+    def make_handler(servicer, method_name):
+        method = getattr(servicer, method_name)
+
+        def unary(request: dict, context):
+            try:
+                return method(
+                    request, metadata=context.invocation_metadata()
+                )
+            except GrpcCallError as ex:
+                context.abort(
+                    getattr(grpc.StatusCode, ex.code), ex.details
+                )
+
+        return grpc.unary_unary_rpc_method_handler(
+            unary,
+            request_deserializer=lambda b: json.loads(b or b"{}"),
+            response_serializer=lambda d: json.dumps(d).encode(),
+        )
+
+    server = grpc.server(ThreadPoolExecutor(max_workers=max_workers))
+    for servicer in servicers:
+        methods = {
+            name: make_handler(servicer, name)
+            for name in dir(servicer)
+            if name[:1].isupper() and callable(getattr(servicer, name))
+        }
+        server.add_generic_rpc_handlers(
+            (
+                grpc.method_handlers_generic_handler(
+                    servicer.service_name, methods
+                ),
+            )
+        )
+    bound = server.add_insecure_port(f"{host}:{port}")
+    return server, bound
