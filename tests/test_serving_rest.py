@@ -286,3 +286,83 @@ def test_bad_timestamp_is_validation_error_not_schema_crash():
         _parse_entity_rows(
             [{"fields": {"driver": 1}, "timestamp": {"seconds": 5}}]
         )
+
+
+# ---- r12: randomized REST-parse ≡ native-rows equivalence (the r11
+# mixed-timestamp bug class, generalized).
+
+
+def test_rest_rows_equal_native_serve_pointwise(controller):
+    """Hypothesis sweep over randomized entity-row batches — mixed
+    present/missing/NULL keys × absent/Z/offset/stale timestamps ×
+    wrapper/native values: the REST path (proto-JSON parse →
+    get_online_features → flat maps) must agree POINTWISE with
+    serve_online_features fed the equivalent native rows, both on
+    values and on statuses (flat None ⟺ status != PRESENT)."""
+    import datetime as _dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from feast_java_old_spark.plans.online_plan import serve_online_features
+    from feast_java_old_spark.plans.serving_json import response_rows
+
+    REF = "driver_stats:rating"
+    FRESH = TS - _dt.timedelta(seconds=5)
+    STALE = TS - _dt.timedelta(seconds=7200)  # beyond max_age 3600
+
+    key_strategy = st.sampled_from([1, 2, 404, None])
+    wrap_strategy = st.booleans()
+    ts_strategy = st.sampled_from(["absent", "z", "offset", "stale"])
+
+    def iso(ts, mode):
+        aware = ts.replace(tzinfo=_dt.timezone.utc)
+        if mode == "z":
+            return aware.isoformat().replace("+00:00", "Z")
+        off = _dt.timezone(_dt.timedelta(hours=5))
+        return aware.astimezone(off).isoformat()
+
+    @given(
+        st.lists(
+            st.tuples(key_strategy, wrap_strategy, ts_strategy),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(batch):
+        rest_rows = []
+        native_rows = []
+        for key, wrap, ts_mode in batch:
+            value = {"int64Val": key} if wrap and key is not None else key
+            er = {"fields": {"driver": value}}
+            native = {"driver": key}
+            if ts_mode != "absent":
+                ts = STALE if ts_mode == "stale" else FRESH
+                er["timestamp"] = iso(ts, ts_mode)
+                native["event_timestamp"] = ts
+            rest_rows.append(er)
+            native_rows.append(native)
+
+        flat = controller.get_online_features(
+            {"features": [REF], "entityRows": rest_rows}
+        )
+        oracle = response_rows(
+            serve_online_features(
+                controller.spark,
+                controller.registry,
+                native_rows,
+                [REF],
+                controller.store_path,
+                request_ts=TS,
+            ),
+            [REF],
+        )
+        assert len(flat) == len(oracle) == len(batch)
+        for frow, orow in zip(flat, oracle):
+            assert frow["driver"] == orow["fields"]["driver"]
+            assert frow[REF] == orow["fields"][REF]
+            status = orow["statuses"][REF]
+            assert (frow[REF] is None) == (status != "PRESENT")
+
+    check()
