@@ -222,6 +222,11 @@ HEADLINE = [
     "audit_trail",
     "serving_metrics",
     "auth_audit",
+    # r12: the serving REST controller scenario (late-r11 registration,
+    # gate-fronted r12) joins the headline — NEW vs the frozen r11
+    # baseline, so its first appearance has no prior to ratio against
+    # and the headline total grows by its cost (noted in REGRESSION.md).
+    "rest_online_features",
 ]
 
 # Deliberate-ceiling twins: benched every run and recorded in
