@@ -57,16 +57,42 @@ ROW_IDX = "__row_idx"
 
 
 def _entity_rows_df(
-    spark: SparkSession, entity_rows: Union[Sequence[dict], DataFrame]
+    spark: SparkSession,
+    entity_rows: Union[Sequence[dict], DataFrame],
+    type_hints: Optional[dict] = None,
 ) -> DataFrame:
     """Request rows + an order-preserving index (the reference guarantees
-    output order == input order)."""
+    output order == input order).
+
+    ``type_hints`` (column name → Spark DataType) types columns whose
+    values are ALL NULL in this batch — Spark's schema inference cannot,
+    but the registry knows every entity column's declared type (the
+    proto EntityRow is typed in the reference), so a batch of nothing
+    but missing keys still serves (all-NOT_FOUND) instead of dying in
+    ``createDataFrame`` with CANNOT_DETERMINE_TYPE."""
     if isinstance(entity_rows, DataFrame):
         if ROW_IDX in entity_rows.columns:
             return entity_rows
         return entity_rows.withColumn(ROW_IDX, F.monotonically_increasing_id())
     rows = [dict(r, **{ROW_IDX: i}) for i, r in enumerate(entity_rows)]
-    return spark.createDataFrame(rows)
+    hints = type_hints or {}
+    cols = list(dict.fromkeys(k for r in rows for k in r))
+    null_only = [
+        c
+        for c in cols
+        if c in hints and all(r.get(c) is None for r in rows)
+    ]
+    if not null_only:
+        return spark.createDataFrame(rows)
+    # infer the typed remainder, re-attach the all-NULL columns as
+    # typed NULL literals in their original positions.
+    stripped = [
+        {k: v for k, v in r.items() if k not in null_only} for r in rows
+    ]
+    df = spark.createDataFrame(stripped)
+    for c in null_only:
+        df = df.withColumn(c, F.lit(None).cast(hints[c]))
+    return df.select(*cols)
 
 
 def _conform_type(col: Column, actual, declared) -> Column:
@@ -108,7 +134,26 @@ def get_online_features(
         [str(r) for r in refs],
     )
 
-    request = _entity_rows_df(spark, entity_rows)
+    # Entity-column types from the registry (the typed half of the
+    # proto EntityRow): lets an all-NULL key column in this batch build
+    # a typed request frame instead of failing schema inference.
+    type_hints: dict = {}
+    for table in {r.table for r in refs}:
+        try:
+            for ent in registry.get_feature_table(table, project).entities:
+                try:
+                    type_hints[ent] = (
+                        registry.get_entity(ent, project).value_type.to_spark()
+                    )
+                except KeyError:
+                    pass
+        except KeyError:
+            pass  # unknown table errors downstream with its own message
+    from pyspark.sql import types as _T
+
+    type_hints.setdefault("event_timestamp", _T.TimestampType())
+
+    request = _entity_rows_df(spark, entity_rows, type_hints)
 
     # Per-row request timestamp (J3 input). A row WITHOUT a timestamp
     # in a mixed batch (NULL after createDataFrame fill) falls back to

@@ -46,6 +46,7 @@ def _field_key(vname: str, ref_by_vname: dict[str, str]) -> str:
 def response_rows(
     df: DataFrame,
     feature_refs: Optional[Sequence[str]] = None,
+    max_rows: int = 100_000,
 ) -> list[dict]:
     """``get_online_features`` / ``serve_online_features`` output →
     the reference's per-row response structure:
@@ -79,8 +80,23 @@ def response_rows(
         and c not in value_cols
         and c != "event_timestamp"
     ]
+    # Driver-pull guard: a serving response is one request batch (the
+    # reference's own latency-histogram design envelope tops out at
+    # hundreds of rows, Metrics.java:32-39) — this collect is correct
+    # for that. But the function accepts an arbitrary DataFrame, and a
+    # mis-wired caller handing it a TABLE would silently pull the table
+    # onto the driver; limit(max_rows+1) keeps the pull bounded (the
+    # upstream plan is orderBy(__row_idx)-sorted, so the limit is an
+    # order-preserving prefix) and turns the mistake into an error.
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"response_rows collected more than max_rows={max_rows} rows "
+            "— serving responses are request-batch-sized; for table-"
+            "sized output keep the DataFrame distributed"
+        )
     out = []
-    for row in df.collect():
+    for row in rows:
         d = row.asDict()
         fields: dict = {}
         statuses: dict = {}

@@ -183,3 +183,17 @@ def test_bare_feature_names_still_map_to_refs(spark, tmp_path, tmp_store):
     )
     [row] = response_rows(df, REFS)
     assert row["fields"]["featuretable_1:feature_1"] == "1"
+
+
+def test_response_rows_guards_table_sized_pull(spark):
+    """r12 (verdict wart #2): response_rows is request-batch-sized by
+    contract; a mis-wired table-sized frame errors instead of silently
+    collecting onto the driver."""
+    import pytest as _pytest
+
+    from feast_java_old_spark.plans.serving_json import response_rows
+
+    df = spark.range(50).withColumnRenamed("id", "driver")
+    with _pytest.raises(ValueError, match="max_rows"):
+        response_rows(df, max_rows=10)
+    assert len(response_rows(df, max_rows=50)) == 50
