@@ -301,3 +301,114 @@ def test_serving_health_down_is_503(spark):
     with ServingRestHttpServer(ctl) as srv:
         status, body = get_json(f"{srv.base_url}/actuator/health")
     assert (status, body) == (503, {"status": "DOWN"})
+
+
+def test_serving_concurrent_posts_drive_spark_safely(serving_srv):
+    """Multiple HTTP client threads POSTing simultaneously: every
+    request completes with the right rows — the SparkSession is shared
+    across servlet threads exactly like the reference's deployment."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    url = f"{serving_srv.base_url}/api/v1/features/online"
+
+    def one(driver_id):
+        status, body = http_post_json(
+            url,
+            {
+                "features": ["driver_stats:rating"],
+                "entityRows": [{"fields": {"driver": driver_id}}],
+            },
+        )
+        return status, json.loads(body)[0]
+
+    with ThreadPoolExecutor(6) as pool:
+        results = list(pool.map(one, [1, 2, 404, 1, 2, 404] * 2))
+    for (status, row), driver_id in zip(results, [1, 2, 404, 1, 2, 404] * 2):
+        assert status == 200
+        assert row["driver"] == driver_id
+        expect = {1: 4.5, 2: 3.0, 404: None}[driver_id]
+        assert row["driver_stats:rating"] == expect
+
+
+def test_keep_alive_connection_reuse(core_srv):
+    """HTTP/1.1 with Content-Length: one TCP connection serves
+    sequential requests (the transport doesn't close per request)."""
+    import http.client
+
+    conn = http.client.HTTPConnection(core_srv.host, core_srv.port)
+    try:
+        for _ in range(3):
+            conn.request("GET", "/api/v2/projects")
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert json.loads(resp.read()) == {"projects": ["default"]}
+    finally:
+        conn.close()
+
+
+def test_full_deployment_scenario(spark, tmp_path, tmp_store):
+    """The reference's two-service deployment over real sockets against
+    ONE registry: register via objects, list via the core HTTP server,
+    materialize, serve via the serving HTTP server."""
+    from feast_java_old_spark.registry.core_service import CoreService
+
+    src = str(tmp_path / "dep_src")
+    schema = T.StructType(
+        [
+            T.StructField("driver", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("rating", T.DoubleType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(7, TS - dt.timedelta(seconds=3), 4.9)], schema
+    ).write.parquet(src)
+    reg = Registry()
+    reg.apply_entity(Entity("driver", ValueType.INT64))
+    reg.apply_feature_table(
+        FeatureTable(
+            name="driver_stats",
+            entities=["driver"],
+            features=[Feature("rating", ValueType.DOUBLE)],
+            max_age_secs=3600,
+            batch_source=FileSource(file_url=src, event_timestamp_column="ts"),
+        )
+    )
+    core_ctl = CoreServiceRestController(CoreService(reg))
+    serving_ctl = ServingServiceRestController(
+        spark, reg, tmp_store, request_ts=TS
+    )
+    with CoreRestHttpServer(core_ctl) as core, ServingRestHttpServer(
+        serving_ctl
+    ) as srv:
+        status, body = get_json(
+            f"{core.base_url}/api/v2/features?entities=driver"
+        )
+        assert (status, list(body["features"])) == (
+            200,
+            ["driver_stats:rating"],
+        )
+        # not yet materialized: served as NOT_FOUND null, not an error
+        status, body = http_post_json(
+            f"{srv.base_url}/api/v1/features/online",
+            {
+                "features": ["driver_stats:rating"],
+                "entityRows": [{"fields": {"driver": 7}}],
+            },
+        )
+        assert (status, json.loads(body)) == (
+            200,
+            [{"driver": 7, "driver_stats:rating": None}],
+        )
+        materialize(spark, reg, "driver_stats", tmp_store)
+        status, body = http_post_json(
+            f"{srv.base_url}/api/v1/features/online",
+            {
+                "features": ["driver_stats:rating"],
+                "entityRows": [{"fields": {"driver": 7}}],
+            },
+        )
+        assert (status, json.loads(body)) == (
+            200,
+            [{"driver": 7, "driver_stats:rating": 4.9}],
+        )
