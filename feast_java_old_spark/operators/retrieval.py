@@ -136,22 +136,27 @@ def get_online_features(
 
     # Entity-column types from the registry (the typed half of the
     # proto EntityRow): lets an all-NULL key column in this batch build
-    # a typed request frame instead of failing schema inference.
+    # a typed request frame instead of failing schema inference. Only
+    # dict-row inputs need hints — a DataFrame input already carries
+    # its schema, so skip the registry lookups entirely there.
     type_hints: dict = {}
-    for table in {r.table for r in refs}:
-        try:
-            for ent in registry.get_feature_table(table, project).entities:
-                try:
-                    type_hints[ent] = (
-                        registry.get_entity(ent, project).value_type.to_spark()
-                    )
-                except KeyError:
-                    pass
-        except KeyError:
-            pass  # unknown table errors downstream with its own message
-    from pyspark.sql import types as _T
+    if not isinstance(entity_rows, DataFrame):
+        for table in {r.table for r in refs}:
+            try:
+                for ent in registry.get_feature_table(
+                    table, project
+                ).entities:
+                    try:
+                        type_hints[ent] = registry.get_entity(
+                            ent, project
+                        ).value_type.to_spark()
+                    except KeyError:
+                        pass
+            except KeyError:
+                pass  # unknown table errors downstream with its message
+        from pyspark.sql import types as _T
 
-    type_hints.setdefault("event_timestamp", _T.TimestampType())
+        type_hints.setdefault("event_timestamp", _T.TimestampType())
 
     request = _entity_rows_df(spark, entity_rows, type_hints)
 

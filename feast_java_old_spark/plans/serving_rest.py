@@ -83,6 +83,15 @@ def _unwrap_value(v):
         (k, inner), = v.items()
         if k.endswith("ListVal") or k.endswith("_list_val"):
             if isinstance(inner, dict):
+                # only the repeated field 'val' (or the empty message)
+                # is a well-formed List payload; any other key is a
+                # client typo, rejected rather than served as [].
+                if inner and set(inner) != {"val"}:
+                    raise ValidationError(
+                        f"Malformed list Value wrapper {k!r}: expected "
+                        '{"val": [...]}, got keys '
+                        f"{sorted(inner)}"
+                    )
                 inner = inner.get("val", [])
             if not isinstance(inner, list):
                 raise ValidationError(
@@ -119,11 +128,21 @@ def _parse_entity_rows(entity_rows: Sequence) -> list[dict]:
         raise ValidationError("Entity value must be provided")
     rows = []
     for er in entity_rows:
+        if not isinstance(er, dict):
+            raise ValidationError(
+                "EntityRow must be a JSON object, got "
+                f"{type(er).__name__}"
+            )
         fields = er.get("fields", None)
         ts = None
         if fields is None:
             fields = er
         else:
+            if not isinstance(fields, dict):
+                raise ValidationError(
+                    "EntityRow 'fields' must be a JSON object, got "
+                    f"{type(fields).__name__}"
+                )
             ts = er.get("timestamp")
         row = {k: _unwrap_value(v) for k, v in fields.items()}
         if ts is not None:

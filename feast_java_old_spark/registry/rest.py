@@ -147,12 +147,12 @@ class CoreServiceRestController:
         # the histogram on a metrics-free twin sharing the same
         # registry/auth/audit so the facade observes nothing.
         if getattr(service, "metrics", None) is not None:
-            service = type(service)(
-                service.registry,
-                auth=service.auth,
-                audit=service.audit,
-                metrics=None,
-            )
+            import copy
+
+            # shallow copy shares registry/auth/audit (and any subclass
+            # state) — only the histogram is suppressed on the twin.
+            service = copy.copy(service)
+            service.metrics = None
         self.service = service
         if version is None:
             from feast_java_old_spark import __version__ as version

@@ -262,17 +262,22 @@ class CoreServiceServicer:
 
 
 class ServingServiceServicer:
-    """``ServingServiceGRpcController.java:72-95`` over the serving
-    REST controller's wiring (same request→response semantics, same
-    per-project authorization posture as the gRPC path when
-    ``serve_kwargs`` routes through ``serve_logged``)."""
+    """``ServingServiceGRpcController.java:70-100`` over the serving
+    REST controller's wiring (same request→response semantics). Unlike
+    the REST path, the gRPC controller AUTHORIZES: when the request
+    carries an explicit non-empty ``project``, ``authorizeRequest`` runs
+    against the metadata-borne identity BEFORE validation/retrieval
+    (``:86-91`` — a defaulted/empty project skips the check, reference
+    parity). Pass ``auth`` (an ``AuthorizationService``) to enable; the
+    denial surfaces as PERMISSION_DENIED like the core mutations."""
 
     service_name = SERVING_SERVICE
 
-    def __init__(self, controller) -> None:
+    def __init__(self, controller, auth=None) -> None:
         # a plans.serving_rest.ServingServiceRestController — the one
         # object already holding (spark, registry, store_path) wiring.
         self.controller = controller
+        self.auth = auth
 
     def GetFeastServingInfo(self, request: dict, metadata=None) -> dict:
         return _rpc(self.controller.get_info)
@@ -289,6 +294,13 @@ class ServingServiceServicer:
 
         def run():
             c = self.controller
+            project = request.get("project")
+            if self.auth is not None and project:
+                # ServingServiceGRpcController:86-91 — explicit project
+                # only; before RequestHelper validation.
+                self.auth.authorize_request(
+                    auth_from_metadata(metadata), project
+                )
             refs = _parse_feature_refs(request.get("features"))
             rows = _parse_entity_rows(
                 request.get("entityRows", request.get("entity_rows"))
@@ -356,10 +368,14 @@ def build_server(
                     getattr(grpc.StatusCode, ex.code), ex.details
                 )
 
+        from feast_java_old_spark.transport.http import encode_json
+
         return grpc.unary_unary_rpc_method_handler(
             unary,
             request_deserializer=lambda b: json.loads(b or b"{}"),
-            response_serializer=lambda d: json.dumps(d).encode(),
+            # base64 for byte payloads, ISO-8601 for timestamps — the
+            # same Jackson-parity fallbacks the HTTP transport uses.
+            response_serializer=encode_json,
         )
 
     server = grpc.server(ThreadPoolExecutor(max_workers=max_workers))

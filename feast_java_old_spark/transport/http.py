@@ -81,6 +81,27 @@ def whitelabel(status: int, path: str) -> dict:
     }
 
 
+def _json_default(obj):
+    """Jackson-parity fallbacks for values JSON lacks: byte payloads
+    render base64 (proto-JSON ``bytesVal`` / Jackson ``byte[]``
+    convention), timestamps ISO-8601."""
+    import base64
+
+    if isinstance(obj, (bytes, bytearray)):
+        return base64.b64encode(bytes(obj)).decode()
+    if isinstance(obj, (dt.datetime, dt.date)):
+        return obj.isoformat()
+    raise TypeError(
+        f"Object of type {type(obj).__name__} is not JSON serializable"
+    )
+
+
+def encode_json(payload) -> bytes:
+    if isinstance(payload, str):
+        return payload.encode()
+    return json.dumps(payload, default=_json_default).encode()
+
+
 class _Route:
     __slots__ = ("method", "handler", "content_type")
 
@@ -100,7 +121,7 @@ class _RestHandler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # silence default stderr chatter
         pass
 
-    def _dispatch(self, method: str) -> None:
+    def _dispatch(self, method: str, head_only: bool = False) -> None:
         parsed = urlparse(self.path)
         path = parsed.path.rstrip("/") or "/"
         routes = self.server.routes.get(path)
@@ -118,28 +139,52 @@ class _RestHandler(BaseHTTPRequestHandler):
             body = self.rfile.read(length) if length else b""
         try:
             status, payload = route.handler(query, body)
+            # serialize INSIDE the guard: a payload json.dumps cannot
+            # encode (beyond the base64/ISO fallbacks) must still
+            # produce a 500 body, not a dropped connection.
+            data = encode_json(payload)
         except Exception:
             # the advice re-raised (no matching @ExceptionHandler) or
             # the serving module has no advice at all → Spring default.
-            status, payload = 500, whitelabel(500, path)
-        self._send(status, payload, route.content_type)
+            status, data = 500, encode_json(whitelabel(500, path))
+        self._send_raw(status, data, route.content_type, head_only)
 
     def _send(self, status: int, payload, content_type: str = "application/json") -> None:
-        if isinstance(payload, str):
-            data = payload.encode()
-        else:
-            data = json.dumps(payload).encode()
+        self._send_raw(status, encode_json(payload), content_type)
+
+    def _send_raw(
+        self,
+        status: int,
+        data: bytes,
+        content_type: str = "application/json",
+        head_only: bool = False,
+    ) -> None:
         self.send_response(status)
         self.send_header("Content-Type", content_type)
         self.send_header("Content-Length", str(len(data)))
         self.end_headers()
-        self.wfile.write(data)
+        if not head_only:
+            self.wfile.write(data)
 
     def do_GET(self):  # noqa: N802 - http.server API
         self._dispatch("GET")
 
     def do_POST(self):  # noqa: N802
         self._dispatch("POST")
+
+    def do_HEAD(self):  # noqa: N802 - Spring answers HEAD for GET maps
+        self._dispatch("GET", head_only=True)
+
+    # unmapped methods on known paths are Spring's 405, not the
+    # stdlib's 501 HTML error page
+    def do_PUT(self):  # noqa: N802
+        self._dispatch("PUT")
+
+    def do_DELETE(self):  # noqa: N802
+        self._dispatch("DELETE")
+
+    def do_PATCH(self):  # noqa: N802
+        self._dispatch("PATCH")
 
 
 class RestHttpServer:
@@ -179,9 +224,12 @@ class RestHttpServer:
         return self
 
     def stop(self) -> None:
-        self._httpd.shutdown()
+        # shutdown() deadlocks unless serve_forever() is running — a
+        # constructed-but-never-started server just closes its socket.
         if self._thread is not None:
+            self._httpd.shutdown()
             self._thread.join(timeout=5)
+            self._thread = None
         self._httpd.server_close()
 
     def __enter__(self) -> "RestHttpServer":

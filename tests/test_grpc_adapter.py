@@ -236,3 +236,52 @@ def test_real_grpc_loopback(core):
         assert ei.value.code() == grpc.StatusCode.NOT_FOUND
     finally:
         server.stop(0)
+
+
+def test_serving_grpc_authorizes_explicit_project(serving):
+    """ServingServiceGRpcController:86-91 — the gRPC serving path
+    authorizes when the request names a project explicitly (a
+    defaulted/empty project skips the check); the REST path never
+    authorizes. Denial is PERMISSION_DENIED."""
+    import base64
+    import json as _json
+
+    from feast_java_old_spark.registry.auth import (
+        AuthorizationService,
+        SubjectListAuthorizationProvider,
+    )
+    from feast_java_old_spark.transport.grpc_adapter import (
+        ServingServiceServicer,
+    )
+
+    servicer = ServingServiceServicer(
+        serving.controller,
+        auth=AuthorizationService(
+            enabled=True,
+            provider=SubjectListAuthorizationProvider(
+                {"default": ["admin@example.com"]}
+            ),
+        ),
+    )
+
+    def md(sub):
+        payload = base64.urlsafe_b64encode(
+            _json.dumps({"email": sub}).encode()
+        ).rstrip(b"=")
+        return [("authorization", "Bearer h." + payload.decode() + ".s")]
+
+    req = {
+        "features": ["driver_stats:rating"],
+        "entityRows": [{"fields": {"driver": 1}}],
+        "project": "default",
+    }
+    with pytest.raises(GrpcCallError) as ei:
+        servicer.GetOnlineFeaturesV2(req, metadata=md("intruder@x.com"))
+    assert ei.value.code == "PERMISSION_DENIED"
+    out = servicer.GetOnlineFeaturesV2(req, metadata=md("admin@example.com"))
+    assert out["fieldValues"][0]["fields"]["driver_stats:rating"] == 4.5
+    # no explicit project -> no authorization (reference parity)
+    anon = dict(req)
+    anon.pop("project")
+    out = servicer.GetOnlineFeaturesV2(anon, metadata=None)
+    assert out["fieldValues"][0]["statuses"]["driver_stats:rating"] == "PRESENT"

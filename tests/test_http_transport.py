@@ -412,3 +412,75 @@ def test_full_deployment_scenario(spark, tmp_path, tmp_store):
             200,
             [{"driver": 7, "driver_stats:rating": 4.9}],
         )
+
+
+# ---- r12 self-review fixes: serialization guard, method parity,
+# lifecycle, malformed-shape rejection.
+
+
+def test_head_and_unmapped_methods(core_srv):
+    import http.client
+
+    conn = http.client.HTTPConnection(core_srv.host, core_srv.port)
+    try:
+        # HEAD answered for a GET mapping: headers only, empty body
+        conn.request("HEAD", "/api/v2/projects")
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 200
+        assert int(resp.headers["Content-Length"]) > 0
+        assert body == b""
+        # DELETE on a known path: 405 whitelabel JSON, not stdlib 501
+        conn.request("DELETE", "/api/v2/projects")
+        resp = conn.getresponse()
+        out = json.loads(resp.read())
+        assert (resp.status, out["error"]) == (405, "Method Not Allowed")
+    finally:
+        conn.close()
+
+
+def test_bytes_and_datetime_payloads_serialize(core_srv):
+    """A handler returning bytes/datetime values must produce a JSON
+    response (base64 / ISO-8601), not a dropped connection; a payload
+    no fallback covers still yields a 500 body."""
+    payload = {"blob": b"\x00\x01", "when": dt.datetime(2024, 1, 15, 12)}
+    core_srv.route("GET", "/api/v2/blob", lambda q, b: (200, payload))
+    core_srv.route(
+        "GET", "/api/v2/unserializable", lambda q, b: (200, {"x": object()})
+    )
+    status, body = get_json(f"{core_srv.base_url}/api/v2/blob")
+    assert (status, body) == (
+        200,
+        {"blob": "AAE=", "when": "2024-01-15T12:00:00"},
+    )
+    status, body = get_json(f"{core_srv.base_url}/api/v2/unserializable")
+    assert (status, body["error"]) == (500, "Internal Server Error")
+
+
+def test_stop_before_start_does_not_deadlock():
+    from feast_java_old_spark.transport.http import RestHttpServer
+
+    srv = RestHttpServer()
+    srv.stop()  # never started: must close the socket, not hang
+    # and a started server stops idempotently
+    srv2 = RestHttpServer().start()
+    srv2.stop()
+    srv2.stop()
+
+
+def test_serving_non_dict_entity_row_is_named_validation(serving_srv):
+    """A non-object EntityRow raises the named ValidationError at the
+    parse layer (surfacing as serving's default 500 over HTTP, and
+    INVALID_ARGUMENT over gRPC — not an AttributeError INTERNAL)."""
+    from feast_java_old_spark.plans.serving_rest import _parse_entity_rows
+    from feast_java_old_spark.registry.validation import ValidationError
+
+    with pytest.raises(ValidationError, match="must be a JSON object"):
+        _parse_entity_rows(["driver=1"])
+    with pytest.raises(ValidationError, match="'fields' must be"):
+        _parse_entity_rows([{"fields": "driver=1"}])
+    # a non-empty List wrapper without 'val' is a typo, not []
+    from feast_java_old_spark.plans.serving_rest import _unwrap_value
+
+    with pytest.raises(ValidationError, match="got keys"):
+        _unwrap_value({"int64ListVal": {"vals": [1, 2]}})
