@@ -1,0 +1,114 @@
+"""Application bootstrap — the ``CoreApplication.java`` /
+``ServingApplication.java`` analog.
+
+The reference boots each module as a Spring Boot app wired from
+configuration (registry store, online store, ports). This module is
+that runner for the Python engine: build the SparkSession, load the
+file registry, bind the core and serving HTTP servers
+(``transport.http``), and serve until interrupted.
+
+Usage (the two-service deployment on one host)::
+
+    python -m feast_java_old_spark.transport \
+        --registry /path/registry.json --store /path/online_store \
+        --core-port 8080 --serving-port 8081
+
+Ports default to 0 (ephemeral, printed at startup). Everything served
+is the already-tested controllers — this file is wiring only.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+from .http import CoreRestHttpServer, ServingRestHttpServer
+
+
+def run_servers(
+    spark,
+    registry,
+    store_path: Optional[str] = None,
+    core_port: int = 0,
+    serving_port: int = 0,
+    host: str = "127.0.0.1",
+):
+    """Start both HTTP servers over one registry; returns
+    ``(core_server, serving_server)`` — caller owns ``.stop()``.
+
+    Metrics parity: the core server exposes the ``feast_core_*``
+    resource gauges at ``/metrics`` (``MonitoringConfig.java``); the
+    serving server exposes the serving instruments observed so far
+    (``InstrumentationConfig.java``) — fresh instances start empty,
+    exactly like a freshly booted reference server."""
+    from feast_java_old_spark.plans.metrics import (
+        ServingMetrics,
+        core_exposition,
+    )
+    from feast_java_old_spark.plans.serving_rest import (
+        ServingServiceRestController,
+    )
+    from feast_java_old_spark.registry.core_service import CoreService
+    from feast_java_old_spark.registry.rest import CoreServiceRestController
+
+    core_ctl = CoreServiceRestController(CoreService(registry))
+    core = CoreRestHttpServer(
+        core_ctl,
+        metrics_exposition=lambda: core_exposition(registry),
+        host=host,
+        port=core_port,
+    ).start()
+    serving_ctl = ServingServiceRestController(spark, registry, store_path)
+    serving = ServingRestHttpServer(
+        serving_ctl,
+        metrics_exposition=ServingMetrics().exposition,
+        host=host,
+        port=serving_port,
+    ).start()
+    return core, serving
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="feast_java_old_spark.transport",
+        description="Serve the core + serving REST APIs over HTTP",
+    )
+    parser.add_argument("--registry", help="registry JSON file path")
+    parser.add_argument("--store", help="online store root path")
+    parser.add_argument("--core-port", type=int, default=0)
+    parser.add_argument("--serving-port", type=int, default=0)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument(
+        "--master", default="local[*]", help="Spark master URL"
+    )
+    args = parser.parse_args(argv)
+
+    from feast_java_old_spark.registry.registry import Registry
+    from feast_java_old_spark.sources.tables import session_builder
+
+    spark = session_builder("feast-serve", master=args.master).getOrCreate()
+    registry = Registry(path=args.registry) if args.registry else Registry()
+    core, serving = run_servers(
+        spark,
+        registry,
+        store_path=args.store,
+        core_port=args.core_port,
+        serving_port=args.serving_port,
+        host=args.host,
+    )
+    print(f"core REST listening on {core.base_url}", flush=True)
+    print(f"serving REST listening on {serving.base_url}", flush=True)
+    try:
+        import threading
+
+        threading.Event().wait()  # serve until interrupted
+    except KeyboardInterrupt:
+        pass
+    finally:
+        core.stop()
+        serving.stop()
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

@@ -484,3 +484,30 @@ def test_serving_non_dict_entity_row_is_named_validation(serving_srv):
 
     with pytest.raises(ValidationError, match="got keys"):
         _unwrap_value({"int64ListVal": {"vals": [1, 2]}})
+
+
+def test_app_run_servers_two_service_bootstrap(spark, tmp_path, tmp_store):
+    """The CoreApplication/ServingApplication analog: one call stands
+    up both servers over a file-backed registry; /metrics live on both."""
+    from feast_java_old_spark.transport.app import run_servers
+
+    reg = Registry(path=str(tmp_path / "registry.json"))
+    reg.apply_entity(Entity("driver", ValueType.INT64))
+    core, serving = run_servers(spark, reg, store_path=tmp_store)
+    try:
+        status, body = get_json(f"{core.base_url}/api/v2/entities")
+        assert (status, [e["name"] for e in body["entities"]]) == (
+            200,
+            ["driver"],
+        )
+        status, _, text = http_get(f"{core.base_url}/metrics")
+        assert status == 200 and b"feast_core" in text
+        status, body = get_json(f"{serving.base_url}/api/v1/info")
+        assert status == 200 and "version" in body
+        status, _, _ = http_get(f"{serving.base_url}/metrics")
+        assert status == 200
+        status, body = get_json(f"{serving.base_url}/actuator/health")
+        assert (status, body) == (200, {"status": "UP"})
+    finally:
+        core.stop()
+        serving.stop()
