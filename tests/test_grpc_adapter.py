@@ -285,3 +285,33 @@ def test_serving_grpc_authorizes_explicit_project(serving):
     anon.pop("project")
     out = servicer.GetOnlineFeaturesV2(anon, metadata=None)
     assert out["fieldValues"][0]["statuses"]["driver_stats:rating"] == "PRESENT"
+
+
+def test_apply_feature_table_full_spec_roundtrip(core):
+    """A full spec dict (nested batch+stream sources, labels, max_age)
+    survives ApplyFeatureTable -> GetFeatureTable through the adapter's
+    to_dict/from_dict wire shapes byte-for-byte."""
+    from feast_java_old_spark.registry.model import KafkaSource
+
+    spec = FeatureTable(
+        name="rich",
+        entities=["driver"],
+        features=[Feature("r", ValueType.DOUBLE, labels={"a": "b"})],
+        max_age_secs=3600,
+        labels={"team": "x"},
+        batch_source=FileSource(
+            file_url="/tmp/x.parquet",
+            event_timestamp_column="ts",
+            field_mapping={"a": "b"},
+            date_partition_column="d",
+        ),
+        stream_source=KafkaSource(
+            bootstrap_servers="b:9092", topic="t", event_timestamp_column="ts"
+        ),
+    ).to_dict()
+    applied = core.ApplyFeatureTable({"spec": spec})["table"]
+    fetched = core.GetFeatureTable({"name": "rich"})["table"]
+    for key in ("entities", "features", "labels", "max_age_secs",
+                "batch_source", "stream_source"):
+        assert applied[key] == spec[key], key
+        assert fetched[key] == spec[key], key
