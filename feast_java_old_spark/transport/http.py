@@ -65,6 +65,7 @@ HTTP_REASON = {
     400: "Bad Request",
     404: "Not Found",
     405: "Method Not Allowed",
+    411: "Length Required",
     500: "Internal Server Error",
     503: "Service Unavailable",
 }
@@ -135,6 +136,16 @@ class _RestHandler(BaseHTTPRequestHandler):
             query.setdefault(k, []).append(v)
         body = None
         if method == "POST":
+            if "chunked" in (
+                self.headers.get("Transfer-Encoding") or ""
+            ).lower():
+                # chunked bodies aren't decoded by this transport —
+                # reject explicitly (411) rather than misparse an empty
+                # body into a misleading 400. Close the connection: the
+                # undecoded chunk bytes still in the socket must not be
+                # misread as a pipelined next request.
+                self.close_connection = True
+                return self._send(411, whitelabel(411, path))
             length = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(length) if length else b""
         try:

@@ -511,3 +511,21 @@ def test_app_run_servers_two_service_bootstrap(spark, tmp_path, tmp_store):
     finally:
         core.stop()
         serving.stop()
+
+
+def test_chunked_post_is_411_not_misparse(serving_srv):
+    import http.client
+
+    conn = http.client.HTTPConnection(serving_srv.host, serving_srv.port)
+    try:
+        conn.putrequest("POST", "/api/v1/features/online")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.putheader("Content-Type", "application/json")
+        conn.endheaders()
+        body = b'{"features": []}'
+        conn.send(b"%x\r\n%s\r\n0\r\n\r\n" % (len(body), body))
+        resp = conn.getresponse()
+        out = json.loads(resp.read())
+        assert (resp.status, out["error"]) == (411, "Length Required")
+    finally:
+        conn.close()
