@@ -4727,6 +4727,62 @@ FROM latest
 """
 
 
+def q_odfv_transform_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-process twin of ``odfv_transform``: the SAME score lands via
+    an external transformation service over a REAL localhost socket with
+    Arrow IPC payloads (``OnlineTransformationService.java:62-79`` client
+    channel, ``serializeValuesIntoArrowIPC:313-411`` request codec,
+    ``processTransformFeaturesResponse:185-310`` response codec) — and
+    hash-matches the SAME oracle, proving transport-independence the way
+    the a1/j1/asof twins do.
+
+    The in-process twin's string input becomes a JVM-side numeric column
+    first (``etype_len``), because the service wire contract only carries
+    INT32/INT64/FLOAT/DOUBLE (:325-343). Every ``mapInPandas`` Arrow
+    batch makes its own call from its Python worker process — the driver
+    never relays data, so the hop scales with the executor count."""
+    import pandas as pd
+
+    from feast_java_old_spark.transport.transform_service import (
+        TransformServer,
+        service_transform,
+    )
+
+    latest = q_a1_latest_per_key(spark, sf_dir).withColumn(
+        "etype_len", F.length("event_type").cast("int")
+    )
+    service_view = OnDemandFeatureView(
+        name="scored_user",
+        inputs=["value", "etype_len"],
+        output_schema=T.StructType([T.StructField("score", T.DoubleType())]),
+        transform=lambda pdf: pd.DataFrame(
+            {"score": pdf["value"] * 2 + pdf["etype_len"]}
+        ),
+    )
+    with TransformServer({"scored_user": service_view}) as srv:
+        client_view = OnDemandFeatureView(
+            name="scored_user",
+            inputs=service_view.inputs,
+            output_schema=service_view.output_schema,
+            transform=service_transform(
+                f"{srv.host}:{srv.port}", "scored_user", ["score"]
+            ),
+        )
+        out = apply_odfv(latest, client_view)
+        # materialize while the service socket is live (the one eager
+        # pull in this query; result is entity-count-sized, 150 rows at
+        # sf0.01 — the same bounded shape the serving layer collects).
+        rows = out.select("user_id", "score", "score__status").collect()
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("score__status", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution end-to-end (parity: content-hash schema registry,
     ``BigTableSchemaRegistry.java:33-107``; per-row-schema decode,
@@ -9757,114 +9813,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verifies within ~4 rounds (policy: docs/COVERAGE.md
     # "Evidence-freshness policy"). Do NOT append new queries at the
     # end, insert alphabetically, or let a formatter re-sort this
-    # literal. r12 window: rest_online_features (late-r11
-    # registration, never driver-gated — FRONT) + sliding_distinct_approx
-    # (the deferred r7 row; rows-only no_oracle twin by design — its
-    # hash-matched exact twin sliding_distinct passed r11 and its
-    # epsilon guarantee is pytest-enforced) + the first 48 of the 50
-    # r8-evidence rows. The two displaced r8 rows (stream_cusum,
-    # rejection_report) join the r13 window with the r9-evidence block.
+    # literal. r13 window: odfv_transform_service (the one budgeted r13
+    # registration — never gated, FRONT) + stream_cusum +
+    # rejection_report (the two r8 rows displaced from r12 — both
+    # judge-re-verified locally at r12) + the first 47 r9-evidence rows
+    # in CORRECTNESS_r09 order; the three displaced r9 rows
+    # (weighted_sample, skew_join, ewma_features) join the r14 window
+    # with the r10-evidence block.
     return {
-        "rest_online_features": q_rest_online_features,
-        "sliding_distinct_approx": q_sliding_distinct_approx,
-        "p5_type_conformance": q_p5_type_conformance,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_verified": q_dedup_verified,
-        "dedup_components": q_dedup_components,
-        "text_stats": q_text_stats,
-        "text_repetition": q_text_repetition,
-        "pii_scrub": q_pii_scrub,
-        "chunk_dedup": q_chunk_dedup,
-        "feature_drift": q_feature_drift,
-        "key_skew": q_key_skew,
-        "decontaminate": q_decontaminate,
-        "corpus_shuffle": q_corpus_shuffle,
-        "shard_manifest": q_shard_manifest,
-        "text_normalize": q_text_normalize,
-        "hard_negatives": q_hard_negatives,
-        "tpch_q18": q_tpch_q18,
-        "dedup_containment": q_dedup_containment,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_stats": q_dedup_stats,
-        "novelty_score": q_novelty_score,
-        "stream_incremental_dedup": q_stream_incremental_dedup,
-        "dsir_weights": q_dsir_weights,
-        "stream_dedup": q_stream_dedup,
-        "stream_enrich": q_stream_enrich,
-        "stream_stream_join": q_stream_stream_join,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q21_agg": q_tpch_q21_agg,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q11": q_tpch_q11,
-        "dedup_prefix_filter": q_dedup_prefix_filter,
-        "schema_time_travel": q_schema_time_travel,
-        "stream_drift": q_stream_drift,
-        "linreg_orders": q_linreg_orders,
-        "weighted_quantiles": q_weighted_quantiles,
-        "store_vacuum": q_store_vacuum,
-        "hilbert_key": q_hilbert_key,
-        "ks_drift": q_ks_drift,
-        "segment_overlap": q_segment_overlap,
-        "segment_overlap_kmv": q_segment_overlap_kmv,
-        "cusum_alerts": q_cusum_alerts,
-        "curve_skip_audit": q_curve_skip_audit,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "not_in_semantics": q_not_in_semantics,
-        "unigram_logprob": q_unigram_logprob,
-        "logreg_quality": q_logreg_quality,
-        "global_ranks": q_global_ranks,
-        "zone_map_prune": q_zone_map_prune,
-        "stream_zone_map": q_stream_zone_map,
-        "event_transitions": q_event_transitions,
-        "event_gaps": q_event_gaps,
-        "attribution": q_attribution,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q16": q_tpch_q16,
-        "lm_backoff": q_lm_backoff,
-        "bloom_prune_join": q_bloom_prune_join,
-        "schema_evolution": q_schema_evolution,
-        "stream_schema_evolution": q_stream_schema_evolution,
-        "substring_spans": q_substring_spans,
-        "substring_dedup": q_substring_dedup,
-        "stream_substring_dedup": q_stream_substring_dedup,
-        "compaction_plan": q_compaction_plan,
-        "source_formats": q_source_formats,
-        "expectations": q_expectations,
-        "corpus_rollup": q_corpus_rollup,
-        "domain_mix": q_domain_mix,
-        "domain_upsample": q_domain_upsample,
-        "interval_join": q_interval_join,
-        "sessionize": q_sessionize,
-        "stratified_sample": q_stratified_sample,
-        "s1_scan_projection": q_s1_scan_projection,
-        "a1_latest_per_key": q_a1_latest_per_key,
-        "a1_latest_window": q_a1_latest_window,
-        "j1_entity_lookup": q_j1_entity_lookup,
-        "j1_lookup_shuffle": q_j1_lookup_shuffle,
-        "j2_compound_key": q_j2_compound_key,
-        "j3_max_age": q_j3_max_age,
-        "historical_asof": q_historical_asof,
-        "historical_asof_range": q_historical_asof_range,
-        "historical_asof_bucketed": q_historical_asof_bucketed,
-        "historical_training_set": q_historical_training_set,
-        "a2_metrics_rollup": q_a2_metrics_rollup,
-        "a3_window_rollup": q_a3_window_rollup,
-        "a4_sliding_rollup": q_a4_sliding_rollup,
-        "sliding_distinct": q_sliding_distinct,
-        "a5_sessions": q_a5_sessions,
-        "a6_percentiles": q_a6_percentiles,
-        "a7_rollup_revenue": q_a7_rollup_revenue,
-        "a8_cube_revenue": q_a8_cube_revenue,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q14": q_tpch_q14,
+        "odfv_transform_service": q_odfv_transform_service,
         "stream_cusum": q_stream_cusum,
         "rejection_report": q_rejection_report,
         "audit_trail": q_audit_trail,
@@ -9967,6 +9924,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "domain_topk": q_domain_topk,
         "sequence_pack": q_sequence_pack,
+        "unigram_logprob": q_unigram_logprob,
+        "logreg_quality": q_logreg_quality,
+        "global_ranks": q_global_ranks,
+        "zone_map_prune": q_zone_map_prune,
+        "stream_zone_map": q_stream_zone_map,
+        "event_transitions": q_event_transitions,
+        "event_gaps": q_event_gaps,
+        "attribution": q_attribution,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q16": q_tpch_q16,
+        "lm_backoff": q_lm_backoff,
+        "bloom_prune_join": q_bloom_prune_join,
+        "schema_evolution": q_schema_evolution,
+        "stream_schema_evolution": q_stream_schema_evolution,
+        "substring_spans": q_substring_spans,
+        "substring_dedup": q_substring_dedup,
+        "stream_substring_dedup": q_stream_substring_dedup,
+        "compaction_plan": q_compaction_plan,
+        "source_formats": q_source_formats,
+        "expectations": q_expectations,
+        "corpus_rollup": q_corpus_rollup,
+        "domain_mix": q_domain_mix,
+        "domain_upsample": q_domain_upsample,
+        "interval_join": q_interval_join,
+        "sessionize": q_sessionize,
+        "stratified_sample": q_stratified_sample,
+        "s1_scan_projection": q_s1_scan_projection,
+        "a1_latest_per_key": q_a1_latest_per_key,
+        "a1_latest_window": q_a1_latest_window,
+        "j1_entity_lookup": q_j1_entity_lookup,
+        "j1_lookup_shuffle": q_j1_lookup_shuffle,
+        "j2_compound_key": q_j2_compound_key,
+        "j3_max_age": q_j3_max_age,
+        "historical_asof": q_historical_asof,
+        "historical_asof_range": q_historical_asof_range,
+        "historical_asof_bucketed": q_historical_asof_bucketed,
+        "historical_training_set": q_historical_training_set,
+        "a2_metrics_rollup": q_a2_metrics_rollup,
+        "a3_window_rollup": q_a3_window_rollup,
+        "a4_sliding_rollup": q_a4_sliding_rollup,
+        "sliding_distinct": q_sliding_distinct,
+        "a5_sessions": q_a5_sessions,
+        "a6_percentiles": q_a6_percentiles,
+        "a7_rollup_revenue": q_a7_rollup_revenue,
+        "a8_cube_revenue": q_a8_cube_revenue,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q14": q_tpch_q14,
+        "rest_online_features": q_rest_online_features,
+        "sliding_distinct_approx": q_sliding_distinct_approx,
+        "p5_type_conformance": q_p5_type_conformance,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_verified": q_dedup_verified,
+        "dedup_components": q_dedup_components,
+        "text_stats": q_text_stats,
+        "text_repetition": q_text_repetition,
+        "pii_scrub": q_pii_scrub,
+        "chunk_dedup": q_chunk_dedup,
+        "feature_drift": q_feature_drift,
+        "key_skew": q_key_skew,
+        "decontaminate": q_decontaminate,
+        "corpus_shuffle": q_corpus_shuffle,
+        "shard_manifest": q_shard_manifest,
+        "text_normalize": q_text_normalize,
+        "hard_negatives": q_hard_negatives,
+        "tpch_q18": q_tpch_q18,
+        "dedup_containment": q_dedup_containment,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_stats": q_dedup_stats,
+        "novelty_score": q_novelty_score,
+        "stream_incremental_dedup": q_stream_incremental_dedup,
+        "dsir_weights": q_dsir_weights,
+        "stream_dedup": q_stream_dedup,
+        "stream_enrich": q_stream_enrich,
+        "stream_stream_join": q_stream_stream_join,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q21_agg": q_tpch_q21_agg,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q11": q_tpch_q11,
+        "dedup_prefix_filter": q_dedup_prefix_filter,
+        "schema_time_travel": q_schema_time_travel,
+        "stream_drift": q_stream_drift,
+        "linreg_orders": q_linreg_orders,
+        "weighted_quantiles": q_weighted_quantiles,
+        "store_vacuum": q_store_vacuum,
+        "hilbert_key": q_hilbert_key,
+        "ks_drift": q_ks_drift,
+        "segment_overlap": q_segment_overlap,
+        "segment_overlap_kmv": q_segment_overlap_kmv,
+        "cusum_alerts": q_cusum_alerts,
+        "curve_skip_audit": q_curve_skip_audit,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "not_in_semantics": q_not_in_semantics,
     }
 
 
@@ -10109,6 +10166,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": SQL_MM_DECODE,
         "multimodal_frames": SQL_MM_FRAMES,
         "odfv_transform": SQL_ODFV,
+        "odfv_transform_service": SQL_ODFV,
         "stream_latest_merge": SQL_A1,
         "stream_window_rollup": SQL_STREAM_WIN,
         "stream_dedup": SQL_STREAM_DEDUP,

@@ -227,6 +227,11 @@ HEADLINE = [
     # baseline, so its first appearance has no prior to ratio against
     # and the headline total grows by its cost (noted in REGRESSION.md).
     "rest_online_features",
+    # r13: the cross-process ODFV transformation service (Arrow IPC over
+    # a real localhost socket from inside mapInPandas) — first
+    # appearance, no prior; its in-process twin odfv_transform stays the
+    # comparison floor.
+    "odfv_transform_service",
 ]
 
 # Deliberate-ceiling twins: benched every run and recorded in

@@ -44,11 +44,22 @@ def serve_online_features(
     project: str = "default",
     request_ts: Optional[dt.datetime] = None,
     online_frames: Optional[dict[str, DataFrame]] = None,
+    transform_endpoint: Optional[str] = None,
 ) -> DataFrame:
     """Serve a mixed batch of regular and on-demand feature references.
 
     ODFV refs use the same ``"name:output"`` form; ``odfvs`` maps view
     name → :class:`OnDemandFeatureView`.
+
+    ``transform_endpoint`` (``"host:port"``) routes pandas-transform
+    ODFVs through an external transformation service over a real
+    socket — the reference's deployment shape
+    (``OnlineTransformationService.java:62-79``; the endpoint string is
+    its ``transformationServiceEndpoint``). The local ``view.transform``
+    is then ignored (the service owns the code); views declared as pure
+    column expressions never leave the JVM either way. Every
+    ``mapInPandas`` Arrow batch makes its own call from its executor —
+    no driver round-trip, so the hop scales with the cluster.
     """
     odfvs = odfvs or {}
 
@@ -111,6 +122,22 @@ def serve_online_features(
     # 5./6. Run ODFVs; drop helpers that were not directly requested.
     for name, outputs in odfv_requests.items():
         view = odfvs[name]
+        if transform_endpoint is not None and not view.expressions:
+            from feast_java_old_spark.transport.transform_service import (
+                service_transform,
+            )
+
+            view = OnDemandFeatureView(
+                name=view.name,
+                inputs=view.inputs,
+                output_schema=view.output_schema,
+                transform=service_transform(
+                    transform_endpoint,
+                    view.name,
+                    view.output_names(),
+                    project=project,
+                ),
+            )
         aliases = {
             inp: (inp.replace(":", "__") if ":" in inp else inp)
             for inp in view.inputs

@@ -2,11 +2,18 @@
 
 ``transport.http`` binds the core and serving REST facades to real
 localhost sockets (stdlib ``http.server``); ``transport.grpc_adapter``
-is the import-guarded gRPC servicer seam (grpcio optional).
+is the import-guarded gRPC servicer seam (grpcio optional);
+``transport.transform_service`` is the external ODFV transformation
+service (Arrow IPC payloads over a real socket) and its serving-side
+client.
 """
 
 from .http import (  # noqa: F401
     CoreRestHttpServer,
     RestHttpServer,
     ServingRestHttpServer,
+)
+from .transform_service import (  # noqa: F401
+    HttpTransformationService,
+    TransformServer,
 )

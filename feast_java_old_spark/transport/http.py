@@ -66,9 +66,21 @@ HTTP_REASON = {
     404: "Not Found",
     405: "Method Not Allowed",
     411: "Length Required",
+    413: "Payload Too Large",
     500: "Internal Server Error",
     503: "Service Unavailable",
 }
+
+# Tomcat's default POST-body cap (maxPostSize, 2 MiB) is the analog; a
+# declared Content-Length above this is rejected with 413 BEFORE any
+# read, so a hostile "Content-Length: 10**12" never reaches rfile.read's
+# allocation. Override per server via RestHttpServer(max_body_bytes=...).
+DEFAULT_MAX_BODY_BYTES = 32 * 1024 * 1024
+
+# Idle-connection socket timeout (Tomcat connectionTimeout analog,
+# default 60 s there; BaseHTTPRequestHandler closes the connection on
+# socket.timeout). Override per server via request_timeout=.
+DEFAULT_REQUEST_TIMEOUT = 60.0
 
 
 def whitelabel(status: int, path: str) -> dict:
@@ -119,6 +131,14 @@ class _RestHandler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
     server_version = "FeastRest/1.0"
 
+    def setup(self):
+        # settimeout() on the connection BEFORE the first readline: an
+        # idle keep-alive connection is dropped after the server's
+        # request_timeout (handle_one_request catches socket.timeout
+        # and closes).
+        self.timeout = self.server.request_timeout
+        super().setup()
+
     def log_message(self, fmt, *args):  # silence default stderr chatter
         pass
 
@@ -147,6 +167,13 @@ class _RestHandler(BaseHTTPRequestHandler):
                 self.close_connection = True
                 return self._send(411, whitelabel(411, path))
             length = int(self.headers.get("Content-Length") or 0)
+            if length > self.server.max_body_bytes:
+                # reject BEFORE reading: the declared length must never
+                # drive an allocation. Close the connection — the
+                # unread body bytes must not be misread as a pipelined
+                # next request.
+                self.close_connection = True
+                return self._send(413, whitelabel(413, path))
             body = self.rfile.read(length) if length else b""
         try:
             status, payload = route.handler(query, body)
@@ -173,6 +200,11 @@ class _RestHandler(BaseHTTPRequestHandler):
         self.send_response(status)
         self.send_header("Content-Type", content_type)
         self.send_header("Content-Length", str(len(data)))
+        if self.close_connection:
+            # advertise the close we are about to do (411/413 paths set
+            # close_connection before responding) so a keep-alive client
+            # doesn't try to reuse the socket.
+            self.send_header("Connection", "close")
         self.end_headers()
         if not head_only:
             self.wfile.write(data)
@@ -204,10 +236,18 @@ class RestHttpServer:
     ``with CoreRestHttpServer(ctl) as srv: requests to srv.base_url``.
     """
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_body_bytes: int = DEFAULT_MAX_BODY_BYTES,
+        request_timeout: float = DEFAULT_REQUEST_TIMEOUT,
+    ) -> None:
         self._httpd = ThreadingHTTPServer((host, port), _RestHandler)
         self._httpd.daemon_threads = True
         self._httpd.routes = {}
+        self._httpd.max_body_bytes = max_body_bytes
+        self._httpd.request_timeout = request_timeout
         self._thread: Optional[threading.Thread] = None
 
     def route(self, method: str, path: str, handler, content_type: str = "application/json") -> None:
@@ -282,8 +322,9 @@ class CoreRestHttpServer(RestHttpServer):
         metrics_exposition: Optional[Callable[[], str]] = None,
         host: str = "127.0.0.1",
         port: int = 0,
+        **server_opts,
     ) -> None:
-        super().__init__(host=host, port=port)
+        super().__init__(host=host, port=port, **server_opts)
         self.controller = controller
         c = controller
 
@@ -347,8 +388,9 @@ class ServingRestHttpServer(RestHttpServer):
         metrics_exposition: Optional[Callable[[], str]] = None,
         host: str = "127.0.0.1",
         port: int = 0,
+        **server_opts,
     ) -> None:
-        super().__init__(host=host, port=port)
+        super().__init__(host=host, port=port, **server_opts)
         self.controller = controller
 
         self.route("GET", "/api/v1/info", lambda q, b: (200, controller.get_info()))

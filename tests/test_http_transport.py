@@ -529,3 +529,88 @@ def test_chunked_post_is_411_not_misparse(serving_srv):
         assert (resp.status, out["error"]) == (411, "Length Required")
     finally:
         conn.close()
+
+
+def test_oversized_content_length_is_413_without_allocation(serving_srv):
+    """A declared Content-Length over the cap is rejected BEFORE any
+    body read — a hostile `Content-Length: 10**12` must never drive an
+    rfile.read allocation (Tomcat maxPostSize analog). The connection
+    closes so the unread bytes can't be misread as a next request."""
+    import http.client
+
+    conn = http.client.HTTPConnection(serving_srv.host, serving_srv.port)
+    try:
+        conn.putrequest("POST", "/api/v1/features/online")
+        conn.putheader("Content-Type", "application/json")
+        # declared only — the body is never sent; the server must
+        # answer from the header alone.
+        conn.putheader("Content-Length", str(10**12))
+        conn.endheaders()
+        resp = conn.getresponse()
+        out = json.loads(resp.read())
+        assert (resp.status, out["error"]) == (413, "Payload Too Large")
+        assert resp.headers.get("Connection") == "close"
+    finally:
+        conn.close()
+
+
+def test_body_exactly_at_cap_still_accepted(spark):
+    """The cap is a strict greater-than: a body of exactly
+    max_body_bytes goes through to the route handler."""
+    from feast_java_old_spark.transport.http import RestHttpServer
+
+    srv = RestHttpServer(max_body_bytes=64)
+    srv.route("POST", "/echo", lambda q, b: (200, {"n": len(b)}))
+    with srv:
+        import http.client
+
+        conn = http.client.HTTPConnection(srv.host, srv.port)
+        try:
+            conn.request("POST", "/echo", body=b"x" * 64)
+            resp = conn.getresponse()
+            assert (resp.status, json.loads(resp.read())["n"]) == (200, 64)
+            conn.request("POST", "/echo", body=b"x" * 65)
+            resp = conn.getresponse()
+            assert resp.status == 413
+        finally:
+            conn.close()
+
+
+def test_idle_connection_times_out():
+    """An idle keep-alive socket is dropped after request_timeout (the
+    Tomcat connectionTimeout analog): recv sees EOF, no thread leaks."""
+    import socket
+    import time
+
+    from feast_java_old_spark.transport.http import RestHttpServer
+
+    srv = RestHttpServer(request_timeout=0.5)
+    srv.route("GET", "/ping", lambda q, b: (200, {"ok": True}))
+    with srv:
+        s = socket.create_connection((srv.host, srv.port), timeout=5)
+        try:
+            # send nothing; the server's settimeout fires on its
+            # readline and closes the connection.
+            s.settimeout(5)
+            t0 = time.monotonic()
+            data = s.recv(1024)
+            assert data == b""  # orderly close, not a hang
+            assert time.monotonic() - t0 < 4
+        finally:
+            s.close()
+
+
+def test_happy_path_unaffected_by_timeout_between_requests(serving_srv):
+    """Keep-alive reuse within the (default, 60 s) timeout still works
+    after the hardening — two sequential requests on one connection."""
+    import http.client
+
+    conn = http.client.HTTPConnection(serving_srv.host, serving_srv.port)
+    try:
+        for _ in range(2):
+            conn.request("GET", "/api/v1/info")
+            resp = conn.getresponse()
+            body = json.loads(resp.read())
+            assert resp.status == 200 and "version" in body
+    finally:
+        conn.close()

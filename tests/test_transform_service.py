@@ -1,0 +1,303 @@
+"""Cross-process ODFV transformation service tests: real localhost
+socket, Arrow IPC payloads both ways.
+
+Parity pins (``OnlineTransformationService.java``):
+- serializer type limit INT32/INT64/FLOAT/DOUBLE (:325-343) and
+  full-ref → bare-name stripping (:320-321),
+- response processing skips unrequested columns (:212-216), silently
+  ignores non-int/float response columns (no trailing ``else``,
+  :223-301), sets status PRESENT (:236-288),
+- the serving plan produces IDENTICAL output whether the ODFV runs
+  in-process (``mapInPandas`` transform) or through the service
+  (``transform_endpoint=`` — the reference's deployment shape).
+"""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+import feast_java_old_spark as fs
+from feast_java_old_spark.operators.materialize import materialize
+from feast_java_old_spark.operators.odfv import OnDemandFeatureView
+from feast_java_old_spark.plans import serve_online_features
+from feast_java_old_spark.registry.model import FileSource
+from feast_java_old_spark.transport.transform_service import (
+    HttpTransformationService,
+    TransformServer,
+    TransformTypeError,
+    arrow_ipc_from_pandas,
+    process_transform_features_response,
+    read_arrow_ipc,
+    serialize_values_into_arrow_ipc,
+)
+
+TS = dt.datetime(2024, 1, 15, 12, 0, 0)
+
+
+# ------------------------------------------------------------- serializer
+
+
+def test_serializer_round_trip_all_four_wire_types():
+    values = [
+        {
+            "rides:trip_cost": 10.0,
+            "f32": np.float32(1.5),
+            "i32": np.int32(7),
+            "count": 3,
+        },
+        {
+            "rides:trip_cost": 20.0,
+            "f32": np.float32(2.5),
+            "i32": np.int32(8),
+            "count": 4,
+        },
+    ]
+    table = read_arrow_ipc(serialize_values_into_arrow_ipc(values))
+    # full feature refs stripped to bare names (:320-321)
+    assert set(table.schema.names) == {"trip_cost", "f32", "i32", "count"}
+    assert table.schema.field("trip_cost").type == "double"
+    assert table.schema.field("f32").type == "float"
+    assert table.schema.field("i32").type == "int32"
+    assert table.schema.field("count").type == "int64"
+    assert table.column("trip_cost").to_pylist() == [10.0, 20.0]
+    assert table.column("count").to_pylist() == [3, 4]
+
+
+def test_serializer_rejects_unhandled_types_reference_message():
+    # Status.INTERNAL "type that is currently not handled" (:338-343)
+    with pytest.raises(TransformTypeError, match="currently not handled"):
+        serialize_values_into_arrow_ipc([{"name": "abc"}])
+    with pytest.raises(TransformTypeError, match="currently not handled"):
+        serialize_values_into_arrow_ipc([{"flag": True}])
+    with pytest.raises(TransformTypeError):
+        serialize_values_into_arrow_ipc([])
+
+
+def test_pandas_batch_serializer_same_limit():
+    pdf = pd.DataFrame({"a": [1, 2], "b": [1.0, 2.0]})
+    table = read_arrow_ipc(arrow_ipc_from_pandas(pdf))
+    assert table.column("a").to_pylist() == [1, 2]
+    with pytest.raises(TransformTypeError, match="currently not handled"):
+        arrow_ipc_from_pandas(pd.DataFrame({"s": ["x"]}))
+
+
+# ------------------------------------------------------ response processing
+
+
+def _response_bytes(pdf):
+    import pyarrow as pa
+
+    from feast_java_old_spark.transport.transform_service import (
+        arrow_ipc_from_table,
+    )
+
+    return arrow_ipc_from_table(pa.Table.from_pandas(pdf, preserve_index=False))
+
+
+def test_process_response_sets_present_and_skips_unrequested():
+    resp = _response_bytes(
+        pd.DataFrame({"score": [1.0, 2.0], "debug_extra": [9.0, 9.0]})
+    )
+    values = [{"e": 1}, {"e": 2}]
+    statuses = [{}, {}]
+    process_transform_features_response(
+        resp, "scored", {"scored:score"}, values, statuses
+    )
+    assert values[0]["scored:score"] == 1.0
+    assert statuses[1]["scored:score"] == "PRESENT"
+    # unrequested response column skipped (:212-216)
+    assert "scored:debug_extra" not in values[0]
+
+
+def test_process_response_silently_skips_non_numeric_columns():
+    # the reference's if/else-if chain has no trailing else (:223-301):
+    # a requested STRING output is simply never decoded.
+    resp = _response_bytes(
+        pd.DataFrame({"label": ["a", "b"], "score": [1.0, 2.0]})
+    )
+    values = [{}, {}]
+    statuses = [{}, {}]
+    process_transform_features_response(
+        resp, "v", {"v:label", "v:score"}, values, statuses
+    )
+    assert values[0] == {"v:score": 1.0}
+    assert "v:label" not in statuses[0]
+
+
+# ------------------------------------------------------------ server+client
+
+
+@pytest.fixture()
+def scored_view():
+    return OnDemandFeatureView(
+        name="scored",
+        inputs=["rides:trip_cost", "surge"],
+        output_schema=T.StructType([T.StructField("score", T.DoubleType())]),
+        transform=lambda pdf: pd.DataFrame(
+            {"score": pdf["trip_cost"] * pdf["surge"]}
+        ),
+    )
+
+
+def test_loopback_transform_rpc(scored_view):
+    with TransformServer({"scored": scored_view}) as srv:
+        client = HttpTransformationService(f"{srv.host}:{srv.port}")
+        arrow_in = serialize_values_into_arrow_ipc(
+            [
+                {"rides:trip_cost": 10.0, "surge": 2.0},
+                {"rides:trip_cost": 20.0, "surge": 1.5},
+            ]
+        )
+        out = read_arrow_ipc(client.transform_features("scored", arrow_in))
+        assert out.column("score").to_pylist() == [20.0, 30.0]
+
+
+def test_loopback_unknown_view_surfaces_internal_error(scored_view):
+    with TransformServer({"scored": scored_view}) as srv:
+        client = HttpTransformationService(f"{srv.host}:{srv.port}")
+        arrow_in = serialize_values_into_arrow_ipc([{"surge": 1.0}])
+        with pytest.raises(RuntimeError, match="no on-demand feature view"):
+            client.transform_features("nope", arrow_in)
+
+
+def test_loopback_undecodable_payload_is_internal_error(scored_view):
+    with TransformServer({"scored": scored_view}) as srv:
+        client = HttpTransformationService(f"{srv.host}:{srv.port}")
+        with pytest.raises(RuntimeError):
+            client.transform_features("scored", b"not arrow")
+
+
+def test_transform_rows_full_sequence(scored_view):
+    """serialize (:313-411) → RPC (:76-79) → process (:185-310)."""
+    with TransformServer({"scored": scored_view}) as srv:
+        client = HttpTransformationService(f"{srv.host}:{srv.port}")
+        values = [
+            {"rides:trip_cost": 10.0, "surge": 2.0},
+            {"rides:trip_cost": 20.0, "surge": 1.5},
+        ]
+        statuses = [{}, {}]
+        client.transform_rows("scored", {"scored:score"}, values, statuses)
+        assert values[0]["scored:score"] == 20.0
+        assert values[1]["scored:score"] == 30.0
+        assert statuses[0]["scored:score"] == "PRESENT"
+
+
+# --------------------------------------------- in-process ≡ cross-process
+
+
+@pytest.fixture()
+def env(spark, tmp_path, tmp_store):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (1, TS - dt.timedelta(seconds=100), 10.0, 3.0),
+            (2, TS - dt.timedelta(seconds=200), 20.0, 5.0),
+        ],
+        "driver_id long, ts timestamp, trip_cost double, trip_distance double",
+    ).write.parquet(src)
+    reg = fs.Registry()
+    reg.apply_entity(fs.Entity("driver_id", fs.ValueType.INT64))
+    reg.apply_feature_table(
+        fs.FeatureTable(
+            "rides",
+            ["driver_id"],
+            [
+                fs.Feature("trip_cost", fs.ValueType.DOUBLE),
+                fs.Feature("trip_distance", fs.ValueType.DOUBLE),
+            ],
+            max_age_secs=7200,
+            batch_source=FileSource(file_url=src, event_timestamp_column="ts"),
+        )
+    )
+    materialize(spark, reg, "rides", tmp_store)
+    # in-process transform sees DECLARED input names; the service-side
+    # transform sees BARE names (:320-321) — same math either way.
+    inproc = OnDemandFeatureView(
+        name="adjusted",
+        inputs=["rides:trip_cost", "surge"],
+        output_schema=T.StructType([T.StructField("adjusted_cost", T.DoubleType())]),
+        transform=lambda pdf: pd.DataFrame(
+            {"adjusted_cost": pdf["rides:trip_cost"] * pdf["surge"]}
+        ),
+    )
+    service_side = OnDemandFeatureView(
+        name="adjusted",
+        inputs=["rides:trip_cost", "surge"],
+        output_schema=inproc.output_schema,
+        transform=lambda pdf: pd.DataFrame(
+            {"adjusted_cost": pdf["trip_cost"] * pdf["surge"]}
+        ),
+    )
+    return reg, tmp_store, inproc, service_side
+
+
+def _collect(df):
+    return sorted((r.asDict() for r in df.collect()), key=lambda r: str(r))
+
+
+def test_serving_plan_in_process_equals_cross_process(spark, env):
+    """The one assertion that matters: routing the ODFV stage through a
+    REAL localhost socket changes nothing about the result — columns,
+    values, statuses, helper-drop, NOT_FOUND rows."""
+    reg, store, inproc, service_side = env
+    rows = [
+        {"driver_id": 1, "surge": 2.0},
+        {"driver_id": 2, "surge": 1.5},
+        {"driver_id": 9, "surge": 3.0},  # NOT_FOUND entity
+    ]
+    refs = ["rides:trip_distance", "adjusted:adjusted_cost"]
+    local = serve_online_features(
+        spark, reg, rows, refs,
+        store_path=store, odfvs={"adjusted": inproc}, request_ts=TS,
+    )
+    with TransformServer({"adjusted": service_side}) as srv:
+        remote = serve_online_features(
+            spark, reg, rows, refs,
+            store_path=store, odfvs={"adjusted": service_side}, request_ts=TS,
+            transform_endpoint=f"{srv.host}:{srv.port}",
+        )
+        remote_rows = _collect(remote)
+    assert local.columns == remote.columns
+    assert "rides__trip_cost" not in remote.columns  # helper dropped (J5)
+    local_rows = _collect(local)
+    assert local_rows == remote_rows
+    present = [r for r in remote_rows if r["driver_id"] == 1][0]
+    assert present["adjusted_cost"] == 20.0
+    assert present["adjusted_cost__status"] == "PRESENT"
+
+
+def test_cross_process_unrequested_output_skipped(spark, env):
+    """A view with two outputs, one requested: the cross-process path
+    must drop the unrequested one exactly like the in-process path
+    (processTransformFeaturesResponse:212-216 ∘ apply_odfv)."""
+    reg, store, _, _ = env
+    two_out = OnDemandFeatureView(
+        name="adjusted",
+        inputs=["rides:trip_cost", "surge"],
+        output_schema=T.StructType(
+            [
+                T.StructField("adjusted_cost", T.DoubleType()),
+                T.StructField("double_cost", T.DoubleType()),
+            ]
+        ),
+        transform=lambda pdf: pd.DataFrame(
+            {
+                "adjusted_cost": pdf["trip_cost"] * pdf["surge"],
+                "double_cost": pdf["trip_cost"] * 2.0,
+            }
+        ),
+    )
+    with TransformServer({"adjusted": two_out}) as srv:
+        out = serve_online_features(
+            spark, reg,
+            [{"driver_id": 1, "surge": 2.0}],
+            ["adjusted:adjusted_cost"],
+            store_path=store, odfvs={"adjusted": two_out}, request_ts=TS,
+            transform_endpoint=f"{srv.host}:{srv.port}",
+        )
+        rows = out.collect()
+    assert "double_cost" not in out.columns
+    assert rows[0].adjusted_cost == 20.0
