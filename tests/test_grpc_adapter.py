@@ -315,3 +315,90 @@ def test_apply_feature_table_full_spec_roundtrip(core):
                 "batch_source", "stream_source"):
         assert applied[key] == spec[key], key
         assert fetched[key] == spec[key], key
+
+
+# ---- r13: randomized gRPC-adapter ≡ native-serve equivalence (the
+# REST property of r12, mirrored onto the servicer surface — catches
+# JSON-codec drift the golden tests can't).
+
+
+def test_grpc_rows_equal_native_serve_pointwise(serving):
+    """Hypothesis sweep over randomized entity-row batches — mixed
+    present/missing/NULL keys × absent/Z/offset/stale timestamps ×
+    wrapper/native values — through ``ServingServiceServicer.
+    GetOnlineFeaturesV2`` dicts: the {fields, statuses} response
+    (ServingServiceGRpcController.java:81-95 structure) must agree
+    POINTWISE with ``serve_online_features`` fed the equivalent native
+    rows, on values AND statuses."""
+    import datetime as _dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from feast_java_old_spark.plans.online_plan import serve_online_features
+    from feast_java_old_spark.plans.serving_json import response_rows
+
+    REF = "driver_stats:rating"
+    FRESH = TS - _dt.timedelta(seconds=5)
+    STALE = TS - _dt.timedelta(seconds=7200)  # beyond max_age 3600
+
+    key_strategy = st.sampled_from([1, 9, None])
+    wrap_strategy = st.booleans()
+    ts_strategy = st.sampled_from(["absent", "z", "offset", "stale"])
+
+    def iso(ts, mode):
+        aware = ts.replace(tzinfo=_dt.timezone.utc)
+        if mode == "z":
+            return aware.isoformat().replace("+00:00", "Z")
+        off = _dt.timezone(_dt.timedelta(hours=5))
+        return aware.astimezone(off).isoformat()
+
+    @given(
+        st.lists(
+            st.tuples(key_strategy, wrap_strategy, ts_strategy),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(batch):
+        grpc_rows = []
+        native_rows = []
+        for key, wrap, ts_mode in batch:
+            value = {"int64Val": key} if wrap and key is not None else key
+            er = {"fields": {"driver": value}}
+            native = {"driver": key}
+            if ts_mode != "absent":
+                ts = STALE if ts_mode == "stale" else FRESH
+                er["timestamp"] = iso(ts, ts_mode)
+                native["event_timestamp"] = ts
+            grpc_rows.append(er)
+            native_rows.append(native)
+
+        out = serving.GetOnlineFeaturesV2(
+            {"features": [REF], "entityRows": grpc_rows}
+        )
+        ctl = serving.controller
+        oracle = response_rows(
+            serve_online_features(
+                ctl.spark,
+                ctl.registry,
+                native_rows,
+                [REF],
+                ctl.store_path,
+                request_ts=TS,
+            ),
+            [REF],
+        )
+        rows = out["fieldValues"]
+        assert len(rows) == len(oracle) == len(batch)
+        for grow, orow in zip(rows, oracle):
+            # gRPC keeps {fields, statuses} — compare both maps whole.
+            assert grow["fields"]["driver"] == orow["fields"]["driver"]
+            assert grow["fields"][REF] == orow["fields"][REF]
+            assert grow["statuses"][REF] == orow["statuses"][REF]
+            assert (grow["fields"][REF] is None) == (
+                grow["statuses"][REF] != "PRESENT"
+            )
+
+    check()
