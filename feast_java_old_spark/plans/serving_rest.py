@@ -182,6 +182,8 @@ class ServingServiceRestController:
         registry,
         store_path: Optional[str] = None,
         version: Optional[str] = None,
+        odfvs: Optional[dict] = None,
+        transform_endpoint: Optional[str] = None,
         **serve_kwargs,
     ) -> None:
         self.spark = spark
@@ -190,7 +192,51 @@ class ServingServiceRestController:
         if version is None:
             from feast_java_old_spark import __version__ as version
         self.version = version
+        # on-demand feature views served through this controller — the
+        # reference handles ODFV refs INSIDE GetOnlineFeaturesV2
+        # (OnlineServingServiceV2.java:89-98 splits refs, :116-123
+        # separates request data); transform_endpoint optionally routes
+        # their transforms through the external transformation service
+        # (OnlineTransformationService.java:62-79).
+        self.odfvs = odfvs or {}
+        self.transform_endpoint = transform_endpoint
         self.serve_kwargs = serve_kwargs
+
+    def retrieve(self, refs: list, rows: list, project: str):
+        """Parsed request → result DataFrame, dispatching between the
+        plain retrieval plan and the full serving plan when any
+        requested ref names an ODFV (the reference's P2 ref split runs
+        inside the serving service; this controller is that service's
+        transport-independent core, shared by REST and gRPC)."""
+        from feast_java_old_spark.operators.retrieval import (
+            get_online_features,
+        )
+
+        if any(r.partition(":")[0] in self.odfvs for r in refs):
+            from feast_java_old_spark.plans.online_plan import (
+                serve_online_features,
+            )
+
+            return serve_online_features(
+                self.spark,
+                self.registry,
+                rows,
+                refs,
+                store_path=self.store_path,
+                odfvs=self.odfvs,
+                project=project,
+                transform_endpoint=self.transform_endpoint,
+                **self.serve_kwargs,
+            )
+        return get_online_features(
+            self.spark,
+            self.registry,
+            rows,
+            refs,
+            self.store_path,
+            project=project,
+            **self.serve_kwargs,
+        )
 
     # GET /api/v1/info — ServingServiceRestController.java:48-53
     def get_info(self) -> dict:
@@ -200,21 +246,9 @@ class ServingServiceRestController:
 
     # POST /api/v1/features/online — ServingServiceRestController.java:55-66
     def get_online_features(self, request: dict) -> list[dict]:
-        from feast_java_old_spark.operators.retrieval import (
-            get_online_features,
-        )
-
         refs = _parse_feature_refs(request.get("features"))
         rows = _parse_entity_rows(
             request.get("entityRows", request.get("entity_rows"))
         )
-        df = get_online_features(
-            self.spark,
-            self.registry,
-            rows,
-            refs,
-            self.store_path,
-            project=request.get("project", "default"),
-            **self.serve_kwargs,
-        )
+        df = self.retrieve(refs, rows, request.get("project", "default"))
         return response_to_json(df, refs)

@@ -288,9 +288,6 @@ class ServingServiceServicer:
             _parse_entity_rows,
             _parse_feature_refs,
         )
-        from feast_java_old_spark.operators.retrieval import (
-            get_online_features,
-        )
 
         def run():
             c = self.controller
@@ -305,15 +302,10 @@ class ServingServiceServicer:
             rows = _parse_entity_rows(
                 request.get("entityRows", request.get("entity_rows"))
             )
-            df = get_online_features(
-                c.spark,
-                c.registry,
-                rows,
-                refs,
-                c.store_path,
-                project=request.get("project", "default"),
-                **c.serve_kwargs,
-            )
+            # controller.retrieve dispatches ODFV refs through the full
+            # serving plan (and the external transformation service
+            # when one is wired) — same core as the REST path.
+            df = c.retrieve(refs, rows, request.get("project", "default"))
             # the gRPC response keeps the {fields, statuses} structure
             # (GetOnlineFeaturesResponse.FieldValues) — REST flattens.
             return {"fieldValues": response_rows(df, refs)}

@@ -301,3 +301,110 @@ def test_cross_process_unrequested_output_skipped(spark, env):
         rows = out.collect()
     assert "double_cost" not in out.columns
     assert rows[0].adjusted_cost == 20.0
+
+
+# ----------------------- ODFV refs through the serving transports
+# (the reference topology: serving process + external transformation
+# service, two sockets — OnlineServingServiceV2.java:89-98 ref split,
+# ServingServiceRestController.java:55-66 route).
+
+
+def test_rest_transport_serves_odfv_through_transform_service(spark, env):
+    """Full deployment scenario over TWO real sockets: an HTTP client
+    POSTs an ODFV ref to the serving REST server, whose controller
+    retrieves the helper feature and runs the transform through the
+    transformation-service socket. The flat REST response carries the
+    transformed value."""
+    import json
+    import urllib.request
+
+    from feast_java_old_spark.plans.serving_rest import (
+        ServingServiceRestController,
+    )
+    from feast_java_old_spark.transport.http import ServingRestHttpServer
+
+    reg, store, _, service_side = env
+    with TransformServer({"adjusted": service_side}) as fts:
+        ctl = ServingServiceRestController(
+            spark,
+            reg,
+            store,
+            odfvs={"adjusted": service_side},
+            transform_endpoint=f"{fts.host}:{fts.port}",
+            request_ts=TS,
+        )
+        with ServingRestHttpServer(ctl) as srv:
+            body = json.dumps(
+                {
+                    "features": [
+                        "rides:trip_distance",
+                        "adjusted:adjusted_cost",
+                    ],
+                    "entityRows": [
+                        {"fields": {"driver_id": 1, "surge": 2.0}},
+                        {"fields": {"driver_id": 9, "surge": 3.0}},
+                    ],
+                }
+            ).encode()
+            req = urllib.request.Request(
+                f"{srv.base_url}/api/v1/features/online",
+                data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as resp:
+                assert resp.status == 200
+                rows = json.loads(resp.read())
+    assert rows[0]["adjusted:adjusted_cost"] == 20.0
+    assert rows[0]["rides:trip_distance"] == 3.0
+    # NOT_FOUND entity: helper feature is None; the transform still ran
+    assert rows[1]["rides:trip_distance"] is None
+
+
+def test_grpc_servicer_serves_odfv_through_transform_service(spark, env):
+    """Same dispatch through the gRPC adapter surface: the servicer's
+    {fields, statuses} response carries the ODFV output with status
+    PRESENT (processTransformFeaturesResponse:236-288)."""
+    from feast_java_old_spark.plans.serving_rest import (
+        ServingServiceRestController,
+    )
+    from feast_java_old_spark.transport.grpc_adapter import (
+        ServingServiceServicer,
+    )
+
+    reg, store, _, service_side = env
+    with TransformServer({"adjusted": service_side}) as fts:
+        ctl = ServingServiceRestController(
+            spark,
+            reg,
+            store,
+            odfvs={"adjusted": service_side},
+            transform_endpoint=f"{fts.host}:{fts.port}",
+            request_ts=TS,
+        )
+        out = ServingServiceServicer(ctl).GetOnlineFeaturesV2(
+            {
+                "features": ["adjusted:adjusted_cost"],
+                "entityRows": [{"fields": {"driver_id": 2, "surge": 1.5}}],
+            }
+        )
+    row = out["fieldValues"][0]
+    assert row["fields"]["adjusted:adjusted_cost"] == 30.0
+    assert row["statuses"]["adjusted:adjusted_cost"] == "PRESENT"
+
+
+def test_controller_without_odfvs_unchanged(spark, env):
+    """Regression guard: a controller constructed WITHOUT odfvs keeps
+    the plain retrieval path for ordinary refs."""
+    from feast_java_old_spark.plans.serving_rest import (
+        ServingServiceRestController,
+    )
+
+    reg, store, _, _ = env
+    ctl = ServingServiceRestController(spark, reg, store, request_ts=TS)
+    rows = ctl.get_online_features(
+        {
+            "features": ["rides:trip_cost"],
+            "entityRows": [{"fields": {"driver_id": 1}}],
+        }
+    )
+    assert rows[0]["rides:trip_cost"] == 10.0
