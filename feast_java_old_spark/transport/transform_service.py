@@ -213,6 +213,59 @@ def process_transform_features_response(
 # ------------------------------------------------------------------ server
 
 
+def transform_features_payload(views: dict, request: dict) -> dict:
+    """The transformation service's core RPC, transport-independent:
+    proto-JSON ``TransformFeaturesRequest`` dict in,
+    ``TransformFeaturesResponse`` dict out (bytes fields base64, per
+    canonical proto-JSON). Shared by the HTTP route and the gRPC
+    servicer adapter. Raises on unknown view / undecodable payload —
+    each transport maps that to its ``Status.INTERNAL`` analog."""
+    name = request["on_demand_feature_view_name"]
+    view = views.get(name)
+    if view is None or view.transform is None:
+        raise KeyError(
+            f"no on-demand feature view named {name!r} is registered "
+            "with this transformation service"
+        )
+    arrow_in = base64.b64decode(request["transformation_input"]["arrow_value"])
+    pdf = read_arrow_ipc(arrow_in).to_pandas()
+    out = view.transform(pdf)
+    # the response carries ALL of the view's output columns — the
+    # serving side does the requested-output filtering
+    # (processTransformFeaturesResponse:212-216).
+    payload = arrow_ipc_from_table(pa.Table.from_pandas(out, preserve_index=False))
+    return {
+        "transformation_output": {
+            "arrow_value": base64.b64encode(payload).decode()
+        }
+    }
+
+
+class TransformationServicer:
+    """gRPC seam twin of :class:`TransformServer` — the
+    ``TransformationServiceGrpc`` servicer adapter
+    (``TransformationServiceGrpc.TransformationServiceBlockingStub``,
+    ``OnlineTransformationService.java:57,76-79`` is its client). Same
+    dict-request shape as the other adapters in
+    ``transport/grpc_adapter.py``; ``build_server`` binds it to a real
+    ``grpc.server`` the moment grpcio exists. Failures surface as
+    ``GrpcCallError(INTERNAL)`` — the only status the reference's
+    transform paths emit."""
+
+    service_name = "feast.serving.TransformationService"
+
+    def __init__(self, views: dict) -> None:
+        self.views = views
+
+    def TransformFeatures(self, request: dict, metadata=None) -> dict:
+        from feast_java_old_spark.transport.grpc_adapter import GrpcCallError
+
+        try:
+            return transform_features_payload(self.views, request)
+        except Exception as exc:
+            raise GrpcCallError("INTERNAL", str(exc)) from exc
+
+
 class TransformServer(RestHttpServer):
     """The Python feature-transformation-server analog: owns the ODFV
     transform callables, answers ``POST /transform``.
@@ -245,29 +298,9 @@ class TransformServer(RestHttpServer):
     def _transform(self, query, body):
         try:
             request = json.loads(body or b"")
-            name = request["on_demand_feature_view_name"]
-            view = self.views.get(name)
-            if view is None or view.transform is None:
-                raise KeyError(
-                    f"no on-demand feature view named {name!r} is registered "
-                    "with this transformation service"
-                )
-            arrow_in = base64.b64decode(
-                request["transformation_input"]["arrow_value"]
-            )
-            pdf = read_arrow_ipc(arrow_in).to_pandas()
-            out = view.transform(pdf)
-            # the response carries ALL of the view's output columns —
-            # the serving side does the requested-output filtering
-            # (processTransformFeaturesResponse:212-216).
-            payload = arrow_ipc_from_table(pa.Table.from_pandas(out, preserve_index=False))
+            return 200, transform_features_payload(self.views, request)
         except Exception as exc:  # Status.INTERNAL analog
             return 500, {"error": str(exc)}
-        return 200, {
-            "transformation_output": {
-                "arrow_value": base64.b64encode(payload).decode()
-            }
-        }
 
 
 # ------------------------------------------------------------------ client

@@ -454,3 +454,54 @@ def test_codec_round_trip_property():
             )
 
     check()
+
+
+# ------------------------------------------ gRPC seam twin of the server
+
+
+def test_transformation_servicer_matches_http_server(scored_view):
+    """The gRPC servicer adapter (TransformationServiceGrpc seam) and
+    the HTTP server share one transport-independent core — identical
+    response payload for the same request, INTERNAL GrpcCallError where
+    HTTP returns 500."""
+    import base64
+    import json
+    import urllib.request
+
+    from feast_java_old_spark.transport.grpc_adapter import GrpcCallError
+    from feast_java_old_spark.transport.transform_service import (
+        TransformationServicer,
+    )
+
+    arrow_in = serialize_values_into_arrow_ipc(
+        [{"rides:trip_cost": 10.0, "surge": 2.0}]
+    )
+    request = {
+        "on_demand_feature_view_name": "scored",
+        "project": "default",
+        "transformation_input": {
+            "arrow_value": base64.b64encode(arrow_in).decode()
+        },
+    }
+    servicer = TransformationServicer({"scored": scored_view})
+    grpc_resp = servicer.TransformFeatures(dict(request))
+
+    with TransformServer({"scored": scored_view}) as srv:
+        req = urllib.request.Request(
+            f"{srv.base_url}/transform",
+            data=json.dumps(request).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            http_resp = json.loads(resp.read())
+    assert grpc_resp == http_resp
+    out = read_arrow_ipc(
+        base64.b64decode(grpc_resp["transformation_output"]["arrow_value"])
+    )
+    assert out.column("score").to_pylist() == [20.0]
+
+    with pytest.raises(GrpcCallError) as ei:
+        servicer.TransformFeatures(
+            {**request, "on_demand_feature_view_name": "nope"}
+        )
+    assert ei.value.code == "INTERNAL"
