@@ -32,9 +32,21 @@ def run_servers(
     core_port: int = 0,
     serving_port: int = 0,
     host: str = "127.0.0.1",
+    odfvs: Optional[dict] = None,
+    transform_port: Optional[int] = None,
 ):
-    """Start both HTTP servers over one registry; returns
-    ``(core_server, serving_server)`` — caller owns ``.stop()``.
+    """Start the HTTP servers over one registry; returns
+    ``(core_server, serving_server)`` or, when ``odfvs`` is given with
+    ``transform_port``, ``(core_server, serving_server,
+    transform_server)`` — caller owns ``.stop()`` on each.
+
+    ``odfvs`` + ``transform_port`` stand up the reference's THREE-process
+    topology: core, serving, and the external ODFV transformation
+    service (``OnlineTransformationService.java:62-66`` — the serving
+    process is constructed with the FTS endpoint string); the serving
+    controller routes on-demand transforms through the transform
+    server's socket. ``odfvs`` without ``transform_port`` keeps the
+    transforms in-process (the engine's default, strictly fewer hops).
 
     Metrics parity: the core server exposes the ``feast_core_*``
     resource gauges at ``/metrics`` (``MonitoringConfig.java``); the
@@ -58,13 +70,28 @@ def run_servers(
         host=host,
         port=core_port,
     ).start()
-    serving_ctl = ServingServiceRestController(spark, registry, store_path)
+    transform = None
+    transform_endpoint = None
+    if odfvs and transform_port is not None:
+        from .transform_service import TransformServer
+
+        transform = TransformServer(odfvs, host=host, port=transform_port).start()
+        transform_endpoint = f"{transform.host}:{transform.port}"
+    serving_ctl = ServingServiceRestController(
+        spark,
+        registry,
+        store_path,
+        odfvs=odfvs,
+        transform_endpoint=transform_endpoint,
+    )
     serving = ServingRestHttpServer(
         serving_ctl,
         metrics_exposition=ServingMetrics().exposition,
         host=host,
         port=serving_port,
     ).start()
+    if transform is not None:
+        return core, serving, transform
     return core, serving
 
 

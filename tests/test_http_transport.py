@@ -614,3 +614,111 @@ def test_happy_path_unaffected_by_timeout_between_requests(serving_srv):
             assert resp.status == 200 and "version" in body
     finally:
         conn.close()
+
+
+def test_app_run_servers_three_service_topology(spark, tmp_path, tmp_store):
+    """The reference's full deployment: core + serving + the external
+    ODFV transformation service, three sockets from one run_servers
+    call (OnlineTransformationService.java:62-66 — serving is
+    constructed with the FTS endpoint). Register + materialize through
+    the engine, then serve a mixed regular+ODFV request over the
+    serving socket whose transform runs through the transform socket."""
+    import pandas as pd
+
+    from feast_java_old_spark.operators.odfv import OnDemandFeatureView
+    from feast_java_old_spark.transport.app import run_servers
+
+    src = str(tmp_path / "src3")
+    spark.createDataFrame(
+        [(1, TS - dt.timedelta(seconds=10), 4.5)],
+        "driver long, ts timestamp, rating double",
+    ).write.parquet(src)
+    reg = Registry(path=str(tmp_path / "registry3.json"))
+    reg.apply_entity(Entity("driver", ValueType.INT64))
+    reg.apply_feature_table(
+        FeatureTable(
+            "driver_stats",
+            entities=["driver"],
+            features=[Feature("rating", ValueType.DOUBLE)],
+            max_age_secs=3600,
+            batch_source=FileSource(file_url=src, event_timestamp_column="ts"),
+        )
+    )
+    materialize(spark, reg, "driver_stats", tmp_store)
+    odfv = OnDemandFeatureView(
+        name="boosted",
+        inputs=["driver_stats:rating", "boost"],
+        output_schema=T.StructType(
+            [T.StructField("boosted_rating", T.DoubleType())]
+        ),
+        transform=lambda pdf: pd.DataFrame(
+            {"boosted_rating": pdf["rating"] + pdf["boost"]}
+        ),
+    )
+    servers = run_servers(
+        spark,
+        reg,
+        store_path=tmp_store,
+        odfvs={"boosted": odfv},
+        transform_port=0,
+    )
+    assert len(servers) == 3
+    core, serving, transform = servers
+    try:
+        # the serving controller was wired with the transform endpoint
+        assert serving.controller.transform_endpoint == (
+            f"{transform.host}:{transform.port}"
+        )
+        serving.controller.serve_kwargs["request_ts"] = TS
+        status, rows = http_post_json(
+            f"{serving.base_url}/api/v1/features/online",
+            {
+                "features": ["driver_stats:rating", "boosted:boosted_rating"],
+                "entityRows": [{"fields": {"driver": 1, "boost": 0.5}}],
+            },
+        )
+        rows = json.loads(rows) if isinstance(rows, bytes) else rows
+        assert status == 200
+        assert rows[0]["driver_stats:rating"] == 4.5
+        assert rows[0]["boosted:boosted_rating"] == 5.0
+    finally:
+        core.stop()
+        serving.stop()
+        transform.stop()
+
+
+def test_app_run_servers_odfv_in_process_without_transform_port(
+    spark, tmp_path, tmp_store
+):
+    """odfvs without transform_port keeps two servers and runs the
+    transform in-process — the engine default."""
+    import pandas as pd
+
+    from feast_java_old_spark.operators.odfv import OnDemandFeatureView
+    from feast_java_old_spark.transport.app import run_servers
+
+    reg = Registry(path=str(tmp_path / "registry2p.json"))
+    reg.apply_entity(Entity("driver", ValueType.INT64))
+    odfv = OnDemandFeatureView(
+        name="echoed",
+        inputs=["boost"],
+        output_schema=T.StructType([T.StructField("echo", T.DoubleType())]),
+        transform=lambda pdf: pd.DataFrame({"echo": pdf["boost"] * 1.0}),
+    )
+    servers = run_servers(spark, reg, odfvs={"echoed": odfv})
+    assert len(servers) == 2
+    core, serving = servers
+    try:
+        assert serving.controller.transform_endpoint is None
+        status, rows = http_post_json(
+            f"{serving.base_url}/api/v1/features/online",
+            {
+                "features": ["echoed:echo"],
+                "entityRows": [{"fields": {"driver": 7, "boost": 2.5}}],
+            },
+        )
+        rows = json.loads(rows) if isinstance(rows, bytes) else rows
+        assert status == 200 and rows[0]["echoed:echo"] == 2.5
+    finally:
+        core.stop()
+        serving.stop()
