@@ -217,6 +217,14 @@ class ServingServiceRestController:
                 serve_online_features,
             )
 
+            # the serving plan forces full_feature_names=True internally;
+            # a controller constructed with that kwarg (common on the
+            # plain-retrieval path) must not crash the ODFV dispatch.
+            kwargs = {
+                k: v
+                for k, v in self.serve_kwargs.items()
+                if k != "full_feature_names"
+            }
             return serve_online_features(
                 self.spark,
                 self.registry,
@@ -226,7 +234,7 @@ class ServingServiceRestController:
                 odfvs=self.odfvs,
                 project=project,
                 transform_endpoint=self.transform_endpoint,
-                **self.serve_kwargs,
+                **kwargs,
             )
         return get_online_features(
             self.spark,

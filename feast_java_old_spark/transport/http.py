@@ -166,7 +166,14 @@ class _RestHandler(BaseHTTPRequestHandler):
                 # misread as a pipelined next request.
                 self.close_connection = True
                 return self._send(411, whitelabel(411, path))
-            length = int(self.headers.get("Content-Length") or 0)
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                # malformed Content-Length: reject with 400 and close
+                # (Tomcat's invalid-header behavior) instead of dying
+                # uncaught with no response at all.
+                self.close_connection = True
+                return self._send(400, whitelabel(400, path))
             if length > self.server.max_body_bytes:
                 # reject BEFORE reading: the declared length must never
                 # drive an allocation. Close the connection — the

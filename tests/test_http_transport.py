@@ -722,3 +722,22 @@ def test_app_run_servers_odfv_in_process_without_transform_port(
     finally:
         core.stop()
         serving.stop()
+
+
+def test_malformed_content_length_is_400_not_dropped(serving_srv):
+    """A non-numeric Content-Length gets a 400 whitelabel and a clean
+    close — not an uncaught ValueError that drops the connection with
+    no response."""
+    import http.client
+
+    conn = http.client.HTTPConnection(serving_srv.host, serving_srv.port)
+    try:
+        conn.putrequest("POST", "/api/v1/features/online", skip_host=False)
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", "not-a-number")
+        conn.endheaders()
+        resp = conn.getresponse()
+        out = json.loads(resp.read())
+        assert (resp.status, out["error"]) == (400, "Bad Request")
+    finally:
+        conn.close()

@@ -505,3 +505,32 @@ def test_transformation_servicer_matches_http_server(scored_view):
             {**request, "on_demand_feature_view_name": "nope"}
         )
     assert ei.value.code == "INTERNAL"
+
+
+def test_controller_with_full_feature_names_kwarg_still_dispatches_odfv(
+    spark, env
+):
+    """Regression: a controller constructed with full_feature_names=True
+    (the plain-retrieval path's common kwarg) must not crash the ODFV
+    dispatch — the serving plan forces it True internally."""
+    from feast_java_old_spark.plans.serving_rest import (
+        ServingServiceRestController,
+    )
+
+    reg, store, inproc, _ = env
+    ctl = ServingServiceRestController(
+        spark,
+        reg,
+        store,
+        odfvs={"adjusted": inproc},
+        request_ts=TS,
+        full_feature_names=True,
+    )
+    rows = ctl.get_online_features(
+        {
+            "features": ["rides:trip_cost", "adjusted:adjusted_cost"],
+            "entityRows": [{"fields": {"driver_id": 1, "surge": 2.0}}],
+        }
+    )
+    assert rows[0]["adjusted:adjusted_cost"] == 20.0
+    assert rows[0]["rides:trip_cost"] == 10.0
