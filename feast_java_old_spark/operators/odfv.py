@@ -83,12 +83,35 @@ def apply_odfv(
     ``input_aliases`` maps declared input names (feature refs /
     request-data names) to actual columns of ``df`` (e.g.
     ``{"rides:trip_cost": "rides__trip_cost"}``).
+
+    The pandas ``transform`` ALWAYS sees BARE feature names: a declared
+    input ``"rides:trip_cost"`` arrives as column ``trip_cost``. That is
+    the only transform-visible contract the reference defines — its
+    serializer strips refs unconditionally before the wire ("The Python
+    FTS does not expect full feature names",
+    ``OnlineTransformationService.java:320-321``) — so the in-process
+    runner and the external transformation service
+    (``transport.transform_service``) present IDENTICAL frames to the
+    same transform code, and toggling ``transform_port`` on
+    ``transport.app.run_servers`` never changes what the transform sees.
+    Two feature-ref inputs that collapse to the same bare name would be
+    indistinguishable to the transform (the reference would emit a
+    duplicate-named Arrow field); that is rejected here at apply time.
     """
     aliases = input_aliases or {}
     cols = {inp: aliases.get(inp, inp.replace(":", "__")) for inp in view.inputs}
     missing = [c for c in cols.values() if c not in df.columns]
     if missing:
         raise ValueError(f"ODFV {view.name!r} missing input columns: {missing}")
+    bare = {inp: inp.rsplit(":", 1)[-1] for inp in view.inputs}
+    dupes = {b for b in bare.values() if list(bare.values()).count(b) > 1}
+    if dupes:
+        raise ValueError(
+            f"ODFV {view.name!r} inputs collide on bare feature names "
+            f"{sorted(dupes)} — the transform receives bare names "
+            "(OnlineTransformationService.java:320-321), so these would "
+            "be indistinguishable"
+        )
 
     outputs = view.output_names()
     requested = requested_outputs if requested_outputs is not None else outputs
@@ -107,10 +130,14 @@ def apply_odfv(
         )
         transform, rename = view.transform, cols
 
+        bare_names = [bare[inp] for inp in rename]
+
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 ins = pdf[list(rename.values())].copy()
-                ins.columns = list(rename.keys())
+                # bare names, exactly what the external transformation
+                # service's serializer would deliver (:320-321).
+                ins.columns = bare_names
                 res = transform(ins)
                 keep = pdf[[f.name for f in passthrough]].reset_index(drop=True)
                 yield pd.concat([keep, res.reset_index(drop=True)], axis=1)

@@ -47,6 +47,11 @@ def run_servers(
     controller routes on-demand transforms through the transform
     server's socket. ``odfvs`` without ``transform_port`` keeps the
     transforms in-process (the engine's default, strictly fewer hops).
+    The toggle is transparent: a view's transform sees BARE input
+    column names (``trip_cost``, never ``rides:trip_cost``) in BOTH
+    topologies — the reference's wire contract
+    (``OnlineTransformationService.java:320-321``), enforced by
+    ``apply_odfv`` in-process too.
 
     Metrics parity: the core server exposes the ``feast_core_*``
     resource gauges at ``/metrics`` (``MonitoringConfig.java``); the

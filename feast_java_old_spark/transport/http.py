@@ -174,6 +174,14 @@ class _RestHandler(BaseHTTPRequestHandler):
                 # uncaught with no response at all.
                 self.close_connection = True
                 return self._send(400, whitelabel(400, path))
+            if length < 0:
+                # a negative Content-Length is as malformed as a
+                # non-numeric one — without this check rfile.read(-N)
+                # reads until EOF, parking the handler thread for the
+                # full request_timeout and then dropping the connection
+                # with no response.
+                self.close_connection = True
+                return self._send(400, whitelabel(400, path))
             if length > self.server.max_body_bytes:
                 # reject BEFORE reading: the declared length must never
                 # drive an allocation. Close the connection — the

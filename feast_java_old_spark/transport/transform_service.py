@@ -192,9 +192,13 @@ def process_transform_features_response(
     payload (``processTransformFeaturesResponse:185-310``):
 
     - unrequested response columns are skipped (:212-216),
-    - only INT32/INT64/FLOAT/DOUBLE columns decode; any other Arrow
-      type is silently ignored — the reference's no-trailing-``else``
-      quirk (:223-301),
+    - only INT32/INT64/FLOAT/DOUBLE columns decode; an Arrow type that
+      is neither Int nor FloatingPoint is silently ignored — the
+      reference's no-trailing-``else`` quirk (:223-301). But an Int of
+      any OTHER bitwidth (int8/int16 — and unsigned widths, which the
+      reference's vector casts would blow up on) and a half-precision
+      float hit the inner switches' ``default: throw Status.INTERNAL``
+      arms (:253-262, :294-303) — those raise here too,
     - decoded features get status ``"PRESENT"`` (:236-288).
     """
     table = read_arrow_ipc(arrow_value)
@@ -203,7 +207,19 @@ def process_transform_features_response(
         if full_ref not in requested_refs:
             continue
         if field.type not in _DECODABLE:
-            continue  # reference parity: silently skipped (:223-301)
+            if pa.types.is_integer(field.type):
+                raise TransformTypeError(
+                    f"Column {field.name} is of type ArrowType.Int but "
+                    f"has bitWidth {field.type.bit_width} which cannot "
+                    "be handled."
+                )
+            if pa.types.is_floating(field.type):
+                raise TransformTypeError(
+                    f"Column {field.name} is of type "
+                    "ArrowType.FloatingPoint but has precision HALF "
+                    "which cannot be handled."
+                )
+            continue  # neither Int nor FloatingPoint: silently skipped
         col = table.column(field.name).to_pylist()
         for i, v in enumerate(col):
             values[i][full_ref] = v

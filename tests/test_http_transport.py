@@ -741,3 +741,29 @@ def test_malformed_content_length_is_400_not_dropped(serving_srv):
         assert (resp.status, out["error"]) == (400, "Bad Request")
     finally:
         conn.close()
+
+
+def test_negative_content_length_is_400_not_timeout(serving_srv):
+    """A NEGATIVE Content-Length parses as an int, so it slips past the
+    malformed-header guard; without its own check, rfile.read(-N) reads
+    until EOF — parking the handler thread for the full request_timeout
+    and dropping the connection with no response. It must get the same
+    400 whitelabel + close as the non-numeric case."""
+    import http.client
+    import time
+
+    conn = http.client.HTTPConnection(serving_srv.host, serving_srv.port)
+    try:
+        conn.putrequest("POST", "/api/v1/features/online", skip_host=False)
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", "-5")
+        conn.endheaders()
+        t0 = time.monotonic()
+        resp = conn.getresponse()
+        out = json.loads(resp.read())
+        assert (resp.status, out["error"]) == (400, "Bad Request")
+        # answered immediately, not after the 60 s idle timeout
+        assert time.monotonic() - t0 < 5
+        assert resp.headers.get("Connection") == "close"
+    finally:
+        conn.close()

@@ -49,7 +49,7 @@ def test_odfv_pandas_transform(spark):
         inputs=["rides:trip_cost", "surge"],
         output_schema=T.StructType([T.StructField("adjusted", T.DoubleType())]),
         transform=lambda pdf: pd.DataFrame(
-            {"adjusted": pdf["rides:trip_cost"] * pdf["surge"]}
+            {"adjusted": pdf["trip_cost"] * pdf["surge"]}
         ),
     )
     out = apply_odfv(df, view).orderBy("user_id").collect()

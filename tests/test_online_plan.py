@@ -40,7 +40,7 @@ def env(spark, tmp_path, tmp_store):
         inputs=["rides:trip_cost", "surge"],
         output_schema=T.StructType([T.StructField("adjusted_cost", T.DoubleType())]),
         transform=lambda pdf: pd.DataFrame(
-            {"adjusted_cost": pdf["rides:trip_cost"] * pdf["surge"]}
+            {"adjusted_cost": pdf["trip_cost"] * pdf["surge"]}
         ),
     )
     return reg, tmp_store, {"adjusted": odfv}

@@ -213,25 +213,20 @@ def env(spark, tmp_path, tmp_store):
         )
     )
     materialize(spark, reg, "rides", tmp_store)
-    # in-process transform sees DECLARED input names; the service-side
-    # transform sees BARE names (:320-321) — same math either way.
-    inproc = OnDemandFeatureView(
+    # ONE view serves both topologies: the transform sees BARE input
+    # names (:320-321) in-process AND through the service — toggling
+    # transform_port on run_servers never changes what it receives.
+    # (Both tuple slots carry the same object; the shape is kept so the
+    # many unpack sites stay untouched.)
+    view = OnDemandFeatureView(
         name="adjusted",
         inputs=["rides:trip_cost", "surge"],
         output_schema=T.StructType([T.StructField("adjusted_cost", T.DoubleType())]),
         transform=lambda pdf: pd.DataFrame(
-            {"adjusted_cost": pdf["rides:trip_cost"] * pdf["surge"]}
-        ),
-    )
-    service_side = OnDemandFeatureView(
-        name="adjusted",
-        inputs=["rides:trip_cost", "surge"],
-        output_schema=inproc.output_schema,
-        transform=lambda pdf: pd.DataFrame(
             {"adjusted_cost": pdf["trip_cost"] * pdf["surge"]}
         ),
     )
-    return reg, tmp_store, inproc, service_side
+    return reg, tmp_store, view, view
 
 
 def _collect(df):
@@ -534,3 +529,117 @@ def test_controller_with_full_feature_names_kwarg_still_dispatches_odfv(
     )
     assert rows[0]["adjusted:adjusted_cost"] == 20.0
     assert rows[0]["rides:trip_cost"] == 10.0
+
+
+def test_response_int8_int16_float16_raise_internal_analog():
+    """The response decoder's inner switches THROW on an Int of
+    non-32/64 bitwidth and on half-precision floats (the reference's
+    `default: throw Status.INTERNAL` arms, :253-262/:294-303) — only
+    non-Int/non-FloatingPoint Arrow types are silently skipped."""
+    import pyarrow as pa
+
+    def payload(arr, name="score"):
+        from feast_java_old_spark.transport.transform_service import (
+            arrow_ipc_from_table,
+        )
+
+        return arrow_ipc_from_table(pa.table({name: arr}))
+
+    values, statuses = [{}], [{}]
+    for arr, msg in [
+        (pa.array([1], type=pa.int8()), "bitWidth 8"),
+        (pa.array([1], type=pa.int16()), "bitWidth 16"),
+        (pa.array([np.float16(1.0)], type=pa.float16()), "precision HALF"),
+    ]:
+        with pytest.raises(TransformTypeError, match=msg):
+            process_transform_features_response(
+                payload(arr), "v", {"v:score"}, values, statuses
+            )
+    # a string column is neither Int nor FloatingPoint: silently skipped
+    process_transform_features_response(
+        payload(pa.array(["x"])), "v", {"v:score"}, values, statuses
+    )
+    assert values == [{}] and statuses == [{}]
+    # UNREQUESTED int8 columns are skipped BEFORE the type switch
+    # (:212-216 runs first) — no raise.
+    process_transform_features_response(
+        payload(pa.array([1], type=pa.int8())),
+        "v",
+        {"v:other"},
+        values,
+        statuses,
+    )
+    assert values == [{}]
+
+
+def test_one_view_serves_both_topologies_transparently(spark, env):
+    """The ADVICE scenario pinned: the SAME OnDemandFeatureView object —
+    its transform written against bare input names, the only contract —
+    produces identical rows in-process and through run_servers'
+    three-process topology (transform_port toggled on)."""
+    import json
+    import urllib.request
+
+    from feast_java_old_spark.transport.app import run_servers
+
+    reg, store, view, _ = env
+    rows_req = {
+        "features": ["adjusted:adjusted_cost"],
+        "entityRows": [{"fields": {"driver_id": 1, "surge": 2.0}}],
+    }
+
+    def post(base_url):
+        req = urllib.request.Request(
+            f"{base_url}/api/v1/features/online",
+            data=json.dumps(rows_req).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+
+    # in-process topology (no transform_port)
+    core, serving = run_servers(
+        spark, reg, store_path=store, odfvs={"adjusted": view}
+    )
+    try:
+        serving.controller.serve_kwargs["request_ts"] = TS
+        inproc_rows = post(serving.base_url)
+    finally:
+        core.stop()
+        serving.stop()
+    # three-process topology (transform_port=0 → ephemeral socket)
+    core, serving, fts = run_servers(
+        spark,
+        reg,
+        store_path=store,
+        odfvs={"adjusted": view},
+        transform_port=0,
+    )
+    try:
+        serving.controller.serve_kwargs["request_ts"] = TS
+        service_rows = post(serving.base_url)
+    finally:
+        core.stop()
+        serving.stop()
+        fts.stop()
+    assert inproc_rows == service_rows
+    assert inproc_rows[0]["adjusted:adjusted_cost"] == 20.0
+
+
+def test_colliding_bare_input_names_rejected(spark):
+    """Two feature-ref inputs collapsing to one bare name would be
+    indistinguishable to the transform (the reference would write a
+    duplicate-named Arrow field) — rejected at apply time."""
+    from feast_java_old_spark.operators.odfv import apply_odfv
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0)], "id long, a__x double, b__x double"
+    )
+    view = OnDemandFeatureView(
+        name="v",
+        inputs=["a:x", "b:x"],
+        output_schema=T.StructType([T.StructField("y", T.DoubleType())]),
+        transform=lambda pdf: pd.DataFrame({"y": pdf["x"]}),
+    )
+    with pytest.raises(ValueError, match="collide on bare feature names"):
+        apply_odfv(df, view)
