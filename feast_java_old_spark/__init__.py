@@ -38,3 +38,8 @@ from feast_java_old_spark.registry.model import (  # noqa: F401
 )
 from feast_java_old_spark.registry.registry import Registry  # noqa: F401
 from feast_java_old_spark.registry.cache import CachedSpecService  # noqa: F401
+from feast_java_old_spark.sdk import (  # noqa: F401
+    FeastClient,
+    Row,
+    SecurityConfig,
+)

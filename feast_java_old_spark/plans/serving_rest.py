@@ -258,5 +258,7 @@ class ServingServiceRestController:
         rows = _parse_entity_rows(
             request.get("entityRows", request.get("entity_rows"))
         )
-        df = self.retrieve(refs, rows, request.get("project", "default"))
+        # OnlineServingServiceV2.java:83-87: autofill the default
+        # project when the request's project is absent OR empty.
+        df = self.retrieve(refs, rows, request.get("project") or "default")
         return response_to_json(df, refs)

@@ -1,0 +1,520 @@
+"""Python client SDK — the ``sdk/java`` module (``com.gojek.feast``).
+
+Parity targets:
+
+- ``FeastClient`` (``sdk/java/src/main/java/com/gojek/feast/
+  FeastClient.java:45-211``): ``create`` / ``create_secure``
+  constructors, ``get_feast_serving_info``, ``get_online_features``
+  (refs + entity Rows + optional project → Rows with values AND
+  statuses, :152-189), per-call credential attachment (:191-204),
+  ``close`` (:206-210).
+- ``Row`` (``Row.java:33-161``): ``create()`` stamping the entity
+  timestamp "now" (:38-44), the two ``setEntityTimestamp`` overloads
+  (:46-58), the value type switch in ``set`` (:60-98), the six typed
+  getters with proto-default extraction (:104-126), ``get_fields`` /
+  ``get_statuses`` / ``get_status``, and ``__str__``'s ``NULL`` for
+  unset values (:136-148).
+- ``RequestUtil`` (``RequestUtil.java:24-80``): ``create_feature_refs``
+  with the reference's exact error messages — null list rejected
+  (:33-35), empty ref (:53-55), project-qualified ref (:56-62), no
+  ``:`` separator (:63-69) — and the quirk that a ref with EXTRA
+  ``:`` segments silently keeps only the first two (``split(":")``
+  then parts[0]/parts[1], :71-76).
+- ``SecurityConfig`` (``SecurityConfig.java:25-66``): optional call
+  credentials, TLS toggle, optional certificate path — defaults
+  credentials-absent / TLS-off / path-absent (:60-65).
+
+Transport: the reference client is a gRPC blocking stub over a
+``ManagedChannel``. grpcio is absent here, so the default channel is
+:class:`HttpJsonChannel` — the client half of
+:class:`~feast_java_old_spark.transport.grpc_http.GrpcHttpServer`,
+which serves the SAME servicer seam at the SAME method paths
+(``/feast.serving.ServingService/GetOnlineFeaturesV2``) with the
+seam's documented JSON codec. Credentials attach as the
+``Authorization: Bearer`` header — byte-identical to what the
+reference's ``CallCredentials`` put on the wire
+(``JwtCallCredentials.java:27-49`` via ``registry.credentials``).
+When grpcio exists, :func:`grpc_channel` yields the real-channel
+twin over ``build_server``'s JSON-codec handlers.
+
+Values ride proto-JSON ``Value`` wrappers (``{"int64Val": 7}``) in
+requests — the serving side unwraps them (``plans/serving_rest.py``
+``_unwrap_value``) — and come back as native JSON scalars, so a
+response Row's oneof arm is inferred from the JSON type (int →
+int64Val, float → doubleVal, str → stringVal): the documented
+JSON-instead-of-protobuf divergence of the whole transport layer.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import http.client
+import json
+import ssl
+from dataclasses import dataclass
+from typing import Optional, Sequence, Union
+
+from feast_java_old_spark.registry.credentials import CallCredentials
+from feast_java_old_spark.transport.grpc_adapter import (
+    HAVE_GRPC,
+    SERVING_SERVICE,
+    GrpcCallError,
+)
+from feast_java_old_spark.transport.grpc_http import HTTP_GRPC_STATUS
+
+# GetOnlineFeaturesResponse.FieldStatus names.
+PRESENT = "PRESENT"
+NULL_VALUE = "NULL_VALUE"
+NOT_FOUND = "NOT_FOUND"
+OUTSIDE_MAX_AGE = "OUTSIDE_MAX_AGE"
+
+_UNSUPPORTED_TYPE_MSG = (
+    "Type '{}' is unsupported in Feast. Please use one of these value "
+    "types: Integer, Long, Float, Double, String, byte[]."
+)
+
+# proto3 scalar defaults per oneof arm — what ``Value::get<Arm>Val``
+# returns when a DIFFERENT arm is set (only VAL_NOT_SET yields null).
+_PROTO_DEFAULT = {
+    "int32Val": 0,
+    "int64Val": 0,
+    "floatVal": 0.0,
+    "doubleVal": 0.0,
+    "stringVal": "",
+    "bytesVal": b"",
+}
+
+
+class Row:
+    """``Row.java:33-161`` — a mutable bag of named proto-JSON
+    ``Value`` wrappers plus per-field statuses, used both to SEND
+    entity keys and to RECEIVE retrieved features."""
+
+    def __init__(self) -> None:
+        self._entity_timestamp: Optional[dt.datetime] = None
+        self._fields: dict[str, dict] = {}
+        self._statuses: dict[str, str] = {}
+
+    @classmethod
+    def create(cls) -> "Row":
+        """``Row.create():38-44`` — entity timestamp defaults to now
+        (``Timestamps.fromMillis(System.currentTimeMillis())``)."""
+        row = cls()
+        row._entity_timestamp = dt.datetime.now(dt.timezone.utc).replace(
+            tzinfo=None
+        )
+        return row
+
+    # -- entity timestamp (:46-58) --------------------------------------
+    def set_entity_timestamp(self, timestamp: Union[dt.datetime, str]) -> "Row":
+        """Both Java overloads: an Instant (datetime) or an ISO-8601
+        string (``Instant.parse``)."""
+        if isinstance(timestamp, str):
+            timestamp = dt.datetime.fromisoformat(
+                timestamp.replace("Z", "+00:00")
+            )
+        if not isinstance(timestamp, dt.datetime):
+            raise TypeError(
+                "entity timestamp must be a datetime or ISO-8601 string"
+            )
+        if timestamp.tzinfo is not None:
+            timestamp = timestamp.astimezone(dt.timezone.utc).replace(
+                tzinfo=None
+            )
+        self._entity_timestamp = timestamp
+        return self
+
+    def get_entity_timestamp(self) -> Optional[dt.datetime]:
+        return self._entity_timestamp
+
+    # -- setters (:60-98) ------------------------------------------------
+    def set(self, field_name: str, value, status: str = PRESENT) -> "Row":
+        """The value type switch (:64-94). Python's numeric model maps
+        onto the Java cases as: ``int`` → Long/int64Val, ``float`` →
+        Double/doubleVal (Python has no 32-bit scalars; pass an
+        explicit wrapper dict like ``{"int32Val": 7}`` — the Java
+        ``Value`` passthrough case :86-87 — to pin a narrower arm).
+        ``None`` stores the UNSET ``Value`` (what the reference's
+        response mapper puts for NULL_VALUE fields,
+        ``FeastClientTest.java:184``). ``bool`` has no Java case and is
+        rejected before the int check (Python ``bool`` subclasses
+        ``int``)."""
+        if value is None:
+            self._fields[field_name] = {}
+        elif isinstance(value, bool):
+            raise ValueError(_UNSUPPORTED_TYPE_MSG.format("bool"))
+        elif isinstance(value, int):
+            self._fields[field_name] = {"int64Val": value}
+        elif isinstance(value, float):
+            self._fields[field_name] = {"doubleVal": value}
+        elif isinstance(value, str):
+            self._fields[field_name] = {"stringVal": value}
+        elif isinstance(value, (bytes, bytearray)):
+            self._fields[field_name] = {"bytesVal": bytes(value)}
+        elif isinstance(value, dict):
+            # the Value passthrough case (:86-87)
+            self._fields[field_name] = value
+        else:
+            raise ValueError(
+                _UNSUPPORTED_TYPE_MSG.format(type(value).__name__)
+            )
+        self._statuses[field_name] = status
+        return self
+
+    # -- getters (:100-134) ----------------------------------------------
+    def get_fields(self) -> dict[str, dict]:
+        return self._fields
+
+    def _value(self, field_name: str) -> Optional[dict]:
+        """``getValue:150-160``: missing field raises; an UNSET value
+        (no oneof arm) is None."""
+        if field_name not in self._fields:
+            raise ValueError(
+                f"Row does not contain field '{field_name}'"
+            )
+        wrapper = self._fields[field_name]
+        return wrapper if wrapper else None
+
+    def _get(self, field_name: str, arm: str):
+        """Typed getter semantics: None when unset; the arm's value
+        when that arm is set; the PROTO DEFAULT when a different arm
+        is set (``Value::getInt32Val`` on a string-valued proto returns
+        0, not null — the reference getters inherit that)."""
+        wrapper = self._value(field_name)
+        if wrapper is None:
+            return None
+        return wrapper.get(arm, _PROTO_DEFAULT[arm])
+
+    def get_int(self, field_name: str):
+        return self._get(field_name, "int32Val")
+
+    def get_long(self, field_name: str):
+        return self._get(field_name, "int64Val")
+
+    def get_float(self, field_name: str):
+        return self._get(field_name, "floatVal")
+
+    def get_double(self, field_name: str):
+        return self._get(field_name, "doubleVal")
+
+    def get_string(self, field_name: str):
+        return self._get(field_name, "stringVal")
+
+    def get_bytes(self, field_name: str):
+        """``getByte:124-126`` (sic — the reference's name for the
+        byte[] getter). JSON transports render bytes base64; decode
+        back to bytes here."""
+        import base64
+
+        v = self._get(field_name, "bytesVal")
+        if isinstance(v, str):
+            return base64.b64decode(v)
+        return v
+
+    def get_statuses(self) -> dict[str, str]:
+        return self._statuses
+
+    def get_status(self, field_name: str) -> Optional[str]:
+        return self._statuses.get(field_name)
+
+    def __str__(self) -> str:  # Row.toString():136-148
+        parts = []
+        for key, wrapper in self._fields.items():
+            parts.append(
+                f"{key}:" + ("NULL" if not wrapper else json.dumps(wrapper))
+            )
+        return ", ".join(parts)
+
+    __repr__ = __str__
+
+
+# ----------------------------------------------------------- RequestUtil
+
+
+def parse_feature_ref(feature_ref_string: str) -> dict:
+    """``RequestUtil.parseFeatureRef:51-79`` with the reference's exact
+    messages — returns the proto-JSON ``FeatureReferenceV2`` dict."""
+    feature_ref_string = feature_ref_string.strip()
+    if not feature_ref_string:
+        raise ValueError("Cannot parse a empty feature reference")
+    if "/" in feature_ref_string:
+        raise ValueError(
+            "Unsupported feature reference: Specifying project in string"
+            f" Feature References is not longer supported: {feature_ref_string}"
+        )
+    if ":" not in feature_ref_string:
+        raise ValueError(
+            f"Unsupported feature reference: {feature_ref_string} - "
+            "FeatureTable name and Feature name should be provided in "
+            "string Feature References, in <featureTableName>:<featureName>"
+            " format."
+        )
+    # Java `split(":")` + parts[0]/parts[1]: extra segments are silently
+    # dropped; a trailing-colon ref ("t:") leaves no parts[1] and fails.
+    parts = feature_ref_string.split(":")
+    if len(parts) < 2 or not parts[1]:
+        raise ValueError(
+            f"Unsupported feature reference: {feature_ref_string} - "
+            "FeatureTable name and Feature name should be provided in "
+            "string Feature References, in <featureTableName>:<featureName>"
+            " format."
+        )
+    return {"featureTable": parts[0], "name": parts[1]}
+
+
+def create_feature_refs(feature_ref_strings) -> list[dict]:
+    """``RequestUtil.createFeatureRefs:32-43``."""
+    if feature_ref_strings is None:
+        raise ValueError("FeatureReferences cannot be null")
+    return [parse_feature_ref(s) for s in feature_ref_strings]
+
+
+# -------------------------------------------------------- SecurityConfig
+
+
+@dataclass
+class SecurityConfig:
+    """``SecurityConfig.java:25-66``: builder defaults = no
+    credentials, TLS disabled, no certificate path (:60-65)."""
+
+    credentials: Optional[CallCredentials] = None
+    tls_enabled: bool = False
+    certificate_path: Optional[str] = None
+
+
+# ---------------------------------------------------------------- channels
+
+
+class HttpJsonChannel:
+    """The ``ManagedChannel`` analog over the gRPC-over-HTTP binding:
+    one persistent keep-alive connection (reconnected transparently if
+    the server closed it), unary calls at ``/<service>/<Method>``.
+
+    TLS wiring mirrors ``FeastClient.createSecure:75-103``: a custom
+    certificate path builds a trust context from that file — an
+    unloadable file raises ``Invalid Certificate provided at path``
+    (:89-92) — otherwise the system trust store; TLS off is plaintext
+    (:99)."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        tls_enabled: bool = False,
+        certificate_path: Optional[str] = None,
+        timeout: float = 30.0,
+    ) -> None:
+        self.host = host
+        self.port = port
+        self.timeout = timeout
+        self._context: Optional[ssl.SSLContext] = None
+        if tls_enabled:
+            if certificate_path is not None:
+                try:
+                    self._context = ssl.create_default_context(
+                        cafile=certificate_path
+                    )
+                except (OSError, ssl.SSLError) as ex:
+                    raise ValueError(
+                        "Invalid Certificate provided at path: "
+                        f"{certificate_path}"
+                    ) from ex
+            else:
+                self._context = ssl.create_default_context()
+        self._conn: Optional[http.client.HTTPConnection] = None
+
+    def _connect(self) -> http.client.HTTPConnection:
+        if self._context is not None:
+            return http.client.HTTPSConnection(
+                self.host,
+                self.port,
+                timeout=self.timeout,
+                context=self._context,
+            )
+        return http.client.HTTPConnection(
+            self.host, self.port, timeout=self.timeout
+        )
+
+    def unary(
+        self,
+        service: str,
+        method: str,
+        request: dict,
+        headers: Optional[dict[str, str]] = None,
+    ) -> dict:
+        """One RPC. Raises :class:`GrpcCallError` on a non-OK status,
+        reading the status name from the error body (falling back to
+        the canonical HTTP→gRPC row for bodyless failures)."""
+        body = json.dumps(request).encode()
+        hdrs = {"Content-Type": "application/json"}
+        if headers:
+            hdrs.update(headers)
+        path = f"/{service}/{method}"
+        for attempt in (0, 1):
+            if self._conn is None:
+                self._conn = self._connect()
+            try:
+                self._conn.request("POST", path, body=body, headers=hdrs)
+                resp = self._conn.getresponse()
+                payload = resp.read()
+                break
+            except (
+                http.client.HTTPException,
+                ConnectionError,
+                BrokenPipeError,
+            ):
+                # stale keep-alive socket: reconnect once, then give up
+                self.close()
+                if attempt:
+                    raise
+        if resp.getheader("Connection", "").lower() == "close":
+            self.close()
+        try:
+            decoded = json.loads(payload) if payload else {}
+        except json.JSONDecodeError:
+            decoded = {}
+        if resp.status != 200:
+            code = (
+                decoded.get("code")
+                if isinstance(decoded, dict) and decoded.get("code")
+                else HTTP_GRPC_STATUS.get(resp.status, "UNKNOWN")
+            )
+            details = (
+                decoded.get("details", "")
+                if isinstance(decoded, dict)
+                else ""
+            )
+            raise GrpcCallError(code, details or f"HTTP {resp.status}")
+        return decoded
+
+    def close(self) -> None:
+        if self._conn is not None:
+            try:
+                self._conn.close()
+            finally:
+                self._conn = None
+
+
+class GrpcChannel:
+    """Real-channel twin when grpcio exists: unary JSON calls over a
+    ``grpc.Channel`` against :func:`~feast_java_old_spark.transport.
+    grpc_adapter.build_server`'s generic handlers. Import-guarded the
+    same way the server half is."""
+
+    def __init__(self, target: str) -> None:
+        if not HAVE_GRPC:  # pragma: no cover - grpcio absent here
+            raise ImportError(
+                "grpcio is not installed — use HttpJsonChannel against "
+                "transport.grpc_http.GrpcHttpServer instead"
+            )
+        import grpc
+
+        self._channel = grpc.insecure_channel(target)
+
+    def unary(self, service, method, request, headers=None):  # pragma: no cover
+        metadata = tuple((k.lower(), v) for k, v in (headers or {}).items())
+        fn = self._channel.unary_unary(
+            f"/{service}/{method}",
+            request_serializer=lambda d: json.dumps(d).encode(),
+            response_deserializer=lambda b: json.loads(b or b"{}"),
+        )
+        return fn(request, metadata=metadata)
+
+    def close(self) -> None:  # pragma: no cover
+        self._channel.close()
+
+
+# -------------------------------------------------------------- the client
+
+
+class FeastClient:
+    """``FeastClient.java:45-211`` over a channel + optional call
+    credentials. Context manager (`AutoCloseable` analog)."""
+
+    def __init__(
+        self,
+        channel,
+        credentials: Optional[CallCredentials] = None,
+    ) -> None:
+        # FeastClient(ManagedChannel, Optional<CallCredentials>):191-204
+        self._channel = channel
+        self._credentials = credentials
+
+    @staticmethod
+    def create(host: str, port: int) -> "FeastClient":
+        """``create:60-63`` — no security config."""
+        return FeastClient.create_secure(host, port, SecurityConfig())
+
+    @staticmethod
+    def create_secure(
+        host: str, port: int, security_config: SecurityConfig
+    ) -> "FeastClient":
+        """``createSecure:75-103``: TLS / custom-cert / plaintext
+        channel plus the config's credentials."""
+        channel = HttpJsonChannel(
+            host,
+            port,
+            tls_enabled=security_config.tls_enabled,
+            certificate_path=security_config.certificate_path,
+        )
+        return FeastClient(channel, security_config.credentials)
+
+    def _call_headers(self) -> dict[str, str]:
+        if self._credentials is None:
+            return {}
+        return self._credentials.apply_request_metadata()
+
+    def get_feast_serving_info(self) -> dict:
+        """``getFeastServingInfo:110-112``."""
+        return self._channel.unary(
+            SERVING_SERVICE,
+            "GetFeastServingInfo",
+            {},
+            headers=self._call_headers(),
+        )
+
+    def get_online_features(
+        self,
+        feature_refs: Sequence[str],
+        rows: Sequence[Row],
+        project: str = "",
+    ) -> list[Row]:
+        """``getOnlineFeatures:152-189``: parse refs (RequestUtil),
+        build entity rows from the input Rows (fields + entity
+        timestamp), call GetOnlineFeaturesV2, map each response
+        FieldValues back into a Row carrying values AND statuses."""
+        features = create_feature_refs(feature_refs)
+        entity_rows = []
+        for row in rows:
+            er: dict = {"fields": row.get_fields()}
+            ts = row.get_entity_timestamp()
+            if ts is not None:
+                er["timestamp"] = ts.isoformat()
+            entity_rows.append(er)
+        response = self._channel.unary(
+            SERVING_SERVICE,
+            "GetOnlineFeaturesV2",
+            {
+                "features": features,
+                "entityRows": entity_rows,
+                "project": project,
+            },
+            headers=self._call_headers(),
+        )
+        out = []
+        for field_values in response.get("fieldValues", []):
+            row = Row()
+            statuses = field_values.get("statuses", {})
+            for name, value in field_values.get("fields", {}).items():
+                row.set(name, value, statuses.get(name))
+            out.append(row)
+        return out
+
+    def close(self) -> None:
+        self._channel.close()
+
+    def __enter__(self) -> "FeastClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -8,6 +8,7 @@ service (Arrow IPC payloads over a real socket) and its serving-side
 client.
 """
 
+from .grpc_http import GrpcHttpServer  # noqa: F401
 from .http import (  # noqa: F401
     CoreRestHttpServer,
     RestHttpServer,

@@ -305,7 +305,9 @@ class ServingServiceServicer:
             # controller.retrieve dispatches ODFV refs through the full
             # serving plan (and the external transformation service
             # when one is wired) — same core as the REST path.
-            df = c.retrieve(refs, rows, request.get("project", "default"))
+            # OnlineServingServiceV2.java:83-87: empty project autofills
+            # "default" — AFTER the explicit-project-only auth check.
+            df = c.retrieve(refs, rows, request.get("project") or "default")
             # the gRPC response keeps the {fields, statuses} structure
             # (GetOnlineFeaturesResponse.FieldValues) — REST flattens.
             return {"fieldValues": response_rows(df, refs)}

@@ -116,12 +116,24 @@ def encode_json(payload) -> bytes:
 
 
 class _Route:
-    __slots__ = ("method", "handler", "content_type")
+    __slots__ = ("method", "handler", "content_type", "wants_headers")
 
-    def __init__(self, method: str, handler, content_type: str = "application/json"):
+    def __init__(
+        self,
+        method: str,
+        handler,
+        content_type: str = "application/json",
+        wants_headers: bool = False,
+    ):
         self.method = method
         self.handler = handler
         self.content_type = content_type
+        # handlers registered with route(..., with_headers=True) are
+        # called as handler(query, body, headers) — the hook the
+        # gRPC-over-HTTP binding uses to read call metadata
+        # (Authorization bearer etc.) the way a gRPC server reads
+        # invocation metadata. Plain routes keep the 2-arg shape.
+        self.wants_headers = wants_headers
 
 
 class _RestHandler(BaseHTTPRequestHandler):
@@ -191,7 +203,10 @@ class _RestHandler(BaseHTTPRequestHandler):
                 return self._send(413, whitelabel(413, path))
             body = self.rfile.read(length) if length else b""
         try:
-            status, payload = route.handler(query, body)
+            if route.wants_headers:
+                status, payload = route.handler(query, body, self.headers)
+            else:
+                status, payload = route.handler(query, body)
             # serialize INSIDE the guard: a payload json.dumps cannot
             # encode (beyond the base64/ISO fallbacks) must still
             # produce a 500 body, not a dropped connection.
@@ -265,9 +280,16 @@ class RestHttpServer:
         self._httpd.request_timeout = request_timeout
         self._thread: Optional[threading.Thread] = None
 
-    def route(self, method: str, path: str, handler, content_type: str = "application/json") -> None:
+    def route(
+        self,
+        method: str,
+        path: str,
+        handler,
+        content_type: str = "application/json",
+        with_headers: bool = False,
+    ) -> None:
         self._httpd.routes.setdefault(path, []).append(
-            _Route(method, handler, content_type)
+            _Route(method, handler, content_type, wants_headers=with_headers)
         )
 
     @property

@@ -1,0 +1,429 @@
+"""Client SDK tests — the ``sdk/java`` test suite re-expressed over a
+REAL localhost socket.
+
+Mirrors ``FeastClientTest.java`` (mock serving service asserting the
+exact request; auth interceptor observing the Authorization header —
+:49-197) and ``RequestUtilTest.java`` (valid/invalid ref parse matrix),
+plus ``Row.java`` unit pins and a true end-to-end scenario against the
+engine's serving controller through the gRPC-over-HTTP binding.
+"""
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+import feast_java_old_spark as fs
+from feast_java_old_spark.operators.materialize import materialize
+from feast_java_old_spark.registry.credentials import JwtCallCredentials
+from feast_java_old_spark.registry.model import FileSource
+from feast_java_old_spark.sdk import (
+    NOT_FOUND,
+    NULL_VALUE,
+    PRESENT,
+    FeastClient,
+    HttpJsonChannel,
+    Row,
+    SecurityConfig,
+    create_feature_refs,
+    parse_feature_ref,
+)
+from feast_java_old_spark.transport.grpc_adapter import (
+    SERVING_SERVICE,
+    GrpcCallError,
+)
+from feast_java_old_spark.transport.grpc_http import GrpcHttpServer
+
+AUTH_TOKEN = "test token"
+TS = dt.datetime(2024, 1, 15, 12, 0, 0)
+
+
+# ------------------------------------------------- the mock serving service
+# (FeastClientTest.java:55-71 — a delegating mock that rejects any
+# request not equal to getFakeRequest and answers getFakeResponse)
+
+
+def fake_request():
+    # FeastClientTest.getFakeRequest:157-172, with the SDK's JSON value
+    # mapping (Python int → int64Val; the Java test pins int32Val).
+    return {
+        "features": [
+            {"featureTable": "driver", "name": "name"},
+            {"featureTable": "driver", "name": "rating"},
+            {"featureTable": "driver", "name": "null_value"},
+        ],
+        "entityRows": [
+            {
+                "fields": {"driver_id": {"int64Val": 1}},
+                "timestamp": "1970-01-01T00:01:40",
+            }
+        ],
+        "project": "driver_project",
+    }
+
+
+def fake_response():
+    # FeastClientTest.getFakeResponse:174-188 (native JSON values — the
+    # transport's documented codec divergence).
+    return {
+        "fieldValues": [
+            {
+                "fields": {
+                    "driver_id": 1,
+                    "driver:name": "david",
+                    "driver:rating": 3,
+                    "driver:null_value": None,
+                },
+                "statuses": {
+                    "driver_id": PRESENT,
+                    "driver:name": PRESENT,
+                    "driver:rating": PRESENT,
+                    "driver:null_value": NULL_VALUE,
+                },
+            }
+        ]
+    }
+
+
+class MockServingService:
+    service_name = SERVING_SERVICE
+
+    def GetOnlineFeaturesV2(self, request, metadata=None):
+        if request != fake_request():
+            raise GrpcCallError(
+                "FAILED_PRECONDITION",
+                f"unexpected request: {json.dumps(request, sort_keys=True)}",
+            )
+        return fake_response()
+
+
+@pytest.fixture()
+def mock_server():
+    observed = {"authenticated": False, "authorization": None}
+
+    def interceptor(method_path, metadata):
+        # FeastClientTest.mockAuthInterceptor:75-87 — flag calls that
+        # carry an Authorization key.
+        for k, v in metadata:
+            if k == "authorization":
+                observed["authenticated"] = True
+                observed["authorization"] = v
+        return None
+
+    with GrpcHttpServer(
+        [MockServingService()], interceptor=interceptor
+    ) as srv:
+        yield srv, observed
+
+
+def _request_rows():
+    return [
+        Row.create()
+        .set("driver_id", 1)
+        .set_entity_timestamp(dt.datetime(1970, 1, 1, 0, 1, 40))
+    ]
+
+
+def _assert_fake_rows(rows):
+    # FeastClientTest.shouldGetOnlineFeaturesWithClient:127-155
+    assert len(rows) == 1
+    assert rows[0].get_fields() == {
+        "driver_id": {"int64Val": 1},
+        "driver:name": {"stringVal": "david"},
+        "driver:rating": {"int64Val": 3},
+        "driver:null_value": {},
+    }
+    assert rows[0].get_statuses() == {
+        "driver_id": PRESENT,
+        "driver:name": PRESENT,
+        "driver:rating": PRESENT,
+        "driver:null_value": NULL_VALUE,
+    }
+    assert rows[0].get_string("driver:name") == "david"
+    assert rows[0].get_long("driver:rating") == 3
+    assert rows[0].get_long("driver:null_value") is None
+
+
+def test_should_get_online_features(mock_server):
+    srv, observed = mock_server
+    client = FeastClient.create(srv.host, srv.port)
+    rows = client.get_online_features(
+        ["driver:name", "driver:rating", "driver:null_value"],
+        _request_rows(),
+        "driver_project",
+    )
+    _assert_fake_rows(rows)
+    assert observed["authenticated"] is False
+    client.close()
+
+
+def test_should_authenticate_and_get_online_features(mock_server):
+    srv, observed = mock_server
+    client = FeastClient.create_secure(
+        srv.host,
+        srv.port,
+        SecurityConfig(credentials=JwtCallCredentials(AUTH_TOKEN)),
+    )
+    rows = client.get_online_features(
+        ["driver:name", "driver:rating", "driver:null_value"],
+        _request_rows(),
+        "driver_project",
+    )
+    _assert_fake_rows(rows)
+    # server-side observation, like the reference's interceptor flag
+    assert observed["authenticated"] is True
+    assert observed["authorization"] == f"Bearer {AUTH_TOKEN}"
+    client.close()
+
+
+def test_wrong_request_surfaces_failed_precondition(mock_server):
+    srv, _ = mock_server
+    with FeastClient.create(srv.host, srv.port) as client:
+        with pytest.raises(GrpcCallError) as ei:
+            client.get_online_features(
+                ["driver:name"],
+                [Row.create().set("driver_id", 2)],
+                "driver_project",
+            )
+    assert ei.value.code == "FAILED_PRECONDITION"
+
+
+def test_channel_keep_alive_reuses_one_connection(mock_server):
+    """Two calls share the ManagedChannel-analog's persistent socket."""
+    srv, _ = mock_server
+    client = FeastClient.create(srv.host, srv.port)
+    for _ in range(2):
+        rows = client.get_online_features(
+            ["driver:name", "driver:rating", "driver:null_value"],
+            _request_rows(),
+            "driver_project",
+        )
+        _assert_fake_rows(rows)
+    assert isinstance(client._channel, HttpJsonChannel)
+    assert client._channel._conn is not None  # still open, reused
+    client.close()
+    assert client._channel._conn is None
+
+
+# ------------------------------------------------------------ RequestUtil
+
+
+def test_create_feature_refs_valid():
+    # RequestUtilTest.provideValidFeatureRefs
+    assert create_feature_refs(["driver:driver_id"]) == [
+        {"featureTable": "driver", "name": "driver_id"}
+    ]
+
+
+@pytest.mark.parametrize(
+    "ref,msg",
+    [
+        ("project/feature", "not longer supported"),
+        ("feature", "should be provided in string Feature References"),
+        ("", "Cannot parse a empty feature reference"),
+        ("   ", "Cannot parse a empty feature reference"),
+        ("table:", "should be provided in string Feature References"),
+    ],
+)
+def test_create_feature_refs_invalid(ref, msg):
+    with pytest.raises(ValueError, match=msg):
+        create_feature_refs([ref])
+
+
+def test_create_feature_refs_null():
+    with pytest.raises(ValueError, match="FeatureReferences cannot be null"):
+        create_feature_refs(None)
+
+
+def test_parse_feature_ref_extra_segments_quirk():
+    """Java split(":") + parts[0]/parts[1]: extra segments silently
+    dropped (RequestUtil.java:71-76)."""
+    assert parse_feature_ref("t:f:extra") == {
+        "featureTable": "t",
+        "name": "f",
+    }
+
+
+# -------------------------------------------------------------------- Row
+
+
+def test_row_type_switch_and_getters():
+    row = Row.create()
+    row.set("i", 7).set("d", 2.5).set("s", "x").set("b", b"\x01\x02")
+    row.set("v32", {"int32Val": 9})  # Value passthrough (:86-87)
+    row.set("unset", None, NULL_VALUE)
+    assert row.get_fields()["i"] == {"int64Val": 7}
+    assert row.get_long("i") == 7
+    assert row.get_double("d") == 2.5
+    assert row.get_string("s") == "x"
+    assert row.get_bytes("b") == b"\x01\x02"
+    assert row.get_int("v32") == 9
+    # proto-default cross-arm extraction: getInt32Val on an int64-set
+    # Value returns 0, not null
+    assert row.get_int("i") == 0
+    assert row.get_string("i") == ""
+    # unset → None from every getter
+    assert row.get_long("unset") is None
+    assert row.get_status("unset") == NULL_VALUE
+    assert row.get_status("i") == PRESENT
+
+
+def test_row_unsupported_type_message():
+    with pytest.raises(ValueError, match="unsupported in Feast"):
+        Row.create().set("x", [1, 2])
+    with pytest.raises(ValueError, match="unsupported in Feast"):
+        Row.create().set("x", True)  # no Boolean case in Row.java:64-94
+
+
+def test_row_missing_field_raises():
+    with pytest.raises(ValueError, match="Row does not contain field 'nope'"):
+        Row.create().get_long("nope")
+
+
+def test_row_str_renders_null():
+    row = Row.create().set("a", 1).set("n", None, NULL_VALUE)
+    s = str(row)
+    assert "n:NULL" in s and "a:" in s
+
+
+def test_row_entity_timestamp_overloads():
+    row = Row.create()
+    assert row.get_entity_timestamp() is not None  # stamped "now" (:40)
+    row.set_entity_timestamp("2024-01-15T12:00:00Z")
+    assert row.get_entity_timestamp() == dt.datetime(2024, 1, 15, 12, 0, 0)
+    row.set_entity_timestamp(dt.datetime(2020, 5, 1))
+    assert row.get_entity_timestamp() == dt.datetime(2020, 5, 1)
+    with pytest.raises(TypeError):
+        row.set_entity_timestamp(12345)
+
+
+# ---------------------------------------------------------- SecurityConfig
+
+
+def test_security_config_defaults():
+    cfg = SecurityConfig()
+    assert cfg.credentials is None
+    assert cfg.tls_enabled is False
+    assert cfg.certificate_path is None
+
+
+def test_invalid_certificate_path_message():
+    # FeastClient.createSecure:89-92
+    with pytest.raises(ValueError, match="Invalid Certificate provided at path"):
+        FeastClient.create_secure(
+            "localhost",
+            1,
+            SecurityConfig(
+                tls_enabled=True, certificate_path="/nonexistent/cert.pem"
+            ),
+        )
+
+
+# ------------------------------------------- end-to-end against the engine
+
+
+@pytest.fixture()
+def engine_server(spark, tmp_path, tmp_store):
+    """The real topology the SDK targets: serving controller over a
+    materialized store, bound as the ServingService servicer on a
+    localhost socket."""
+    from feast_java_old_spark.plans.serving_rest import (
+        ServingServiceRestController,
+    )
+    from feast_java_old_spark.transport.grpc_adapter import (
+        ServingServiceServicer,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (1, TS - dt.timedelta(seconds=10), 4.5, "david"),
+            (2, TS - dt.timedelta(seconds=10), None, "ana"),
+        ],
+        T.StructType(
+            [
+                T.StructField("driver", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("rating", T.DoubleType()),
+                T.StructField("name", T.StringType()),
+            ]
+        ),
+    ).write.parquet(src)
+    reg = fs.Registry()
+    reg.apply_entity(fs.Entity("driver", fs.ValueType.INT64))
+    reg.apply_feature_table(
+        fs.FeatureTable(
+            name="driver_stats",
+            entities=["driver"],
+            features=[
+                fs.Feature("rating", fs.ValueType.DOUBLE),
+                fs.Feature("name", fs.ValueType.STRING),
+            ],
+            max_age_secs=3600,
+            batch_source=FileSource(file_url=src, event_timestamp_column="ts"),
+        )
+    )
+    materialize(spark, reg, "driver_stats", tmp_store)
+    ctl = ServingServiceRestController(
+        spark, reg, tmp_store, full_feature_names=True
+    )
+    with GrpcHttpServer([ServingServiceServicer(ctl)]) as srv:
+        yield srv
+
+
+def test_sdk_end_to_end_statuses(engine_server):
+    """connect → getOnlineFeatures → Rows with PRESENT / NULL_VALUE /
+    NOT_FOUND statuses, driven by per-row entity timestamps."""
+    with FeastClient.create(engine_server.host, engine_server.port) as client:
+        rows = client.get_online_features(
+            ["driver_stats:rating", "driver_stats:name"],
+            [
+                Row.create().set("driver", 1).set_entity_timestamp(TS),
+                Row.create().set("driver", 2).set_entity_timestamp(TS),
+                Row.create().set("driver", 99).set_entity_timestamp(TS),
+            ],
+        )
+    assert len(rows) == 3
+    r1, r2, r9 = rows
+    assert r1.get_double("driver_stats:rating") == 4.5
+    assert r1.get_string("driver_stats:name") == "david"
+    assert r1.get_status("driver_stats:rating") == PRESENT
+    assert r2.get_double("driver_stats:rating") is None
+    assert r2.get_status("driver_stats:rating") == NULL_VALUE
+    assert r2.get_string("driver_stats:name") == "ana"
+    assert r9.get_status("driver_stats:rating") == NOT_FOUND
+    assert r9.get_long("driver") == 99  # entity echoed, PRESENT
+    assert r9.get_status("driver") == PRESENT
+
+
+def test_sdk_serving_info(engine_server):
+    with FeastClient.create(engine_server.host, engine_server.port) as client:
+        info = client.get_feast_serving_info()
+    assert info["version"] == fs.__version__
+
+
+def test_sdk_outside_max_age(engine_server):
+    """A request timestamp a day after the store rows, with
+    max_age=3600: every feature is OUTSIDE_MAX_AGE and unset."""
+    with FeastClient.create(engine_server.host, engine_server.port) as client:
+        rows = client.get_online_features(
+            ["driver_stats:rating"],
+            [
+                Row.create()
+                .set("driver", 1)
+                .set_entity_timestamp(TS + dt.timedelta(days=1))
+            ],
+        )
+    assert rows[0].get_status("driver_stats:rating") == "OUTSIDE_MAX_AGE"
+    assert rows[0].get_double("driver_stats:rating") is None
+
+
+def test_sdk_invalid_ref_rejected_client_side(engine_server):
+    """RequestUtil validation happens in the client BEFORE any network
+    call — the reference's createFeatureRefs runs first (:153)."""
+    with FeastClient.create(engine_server.host, engine_server.port) as client:
+        with pytest.raises(ValueError, match="not longer supported"):
+            client.get_online_features(
+                ["proj/driver:rating"], [Row.create().set("driver", 1)]
+            )
