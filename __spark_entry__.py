@@ -9798,6 +9798,128 @@ FROM req r LEFT JOIN l1 ON l1.o_custkey = r.c_custkey
 """
 
 
+def q_sdk_online_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The client SDK end-to-end as a hash-gated scenario — the consumer
+    half of ``rest_online_features``: a ``FeastClient``
+    (``sdk/java/.../FeastClient.java:152-189``) with bearer credentials
+    (``SecurityConfig`` + ``JwtCallCredentials``) connects to the
+    serving servicer over the gRPC-over-HTTP socket
+    (``/feast.serving.ServingService/GetOnlineFeaturesV2``), builds
+    ``Row`` entity rows with per-row entity timestamps
+    (``Row.java:38-58`` — even custkeys request at the J3 timestamp,
+    odd at 2005-01-01), and reads values AND statuses back through the
+    typed getters (``Row.java:104-134``). Unlike the REST twin's flat
+    maps, the SDK surface carries the full status vocabulary, so the
+    result pins PRESENT / NOT_FOUND / OUTSIDE_MAX_AGE per feature
+    against the oracle's recomputation.
+
+    Scale shape: identical to ``rest_online_features`` — the J1
+    broadcast double-BHJ behind the socket; the client-side request set
+    is the bounded entity list the serving layer already collects."""
+    from feast_java_old_spark.plans.serving_rest import (
+        ServingServiceRestController,
+    )
+    from feast_java_old_spark.registry.credentials import JwtCallCredentials
+    from feast_java_old_spark.sdk import FeastClient, HttpJsonChannel, Row
+    from feast_java_old_spark.transport.grpc_adapter import (
+        ServingServiceServicer,
+    )
+    from feast_java_old_spark.transport.grpc_http import GrpcHttpServer
+
+    reg, online, entities = _customer_orders_env(
+        spark, sf_dir, max_age=MAX_AGE_1Y
+    )
+    ctl = ServingServiceRestController(
+        spark,
+        reg,
+        online_frames={"customer_orders": online},
+        full_feature_names=True,
+    )
+    keys = sorted(int(r.c_custkey) for r in entities.collect())
+    refs = ["customer_orders:total_price", "customer_orders:order_status"]
+    with GrpcHttpServer([ServingServiceServicer(ctl)]) as srv:
+        # protected-constructor analog (FeastClient.java:191-204) so the
+        # channel timeout covers a cold first Spark job; credentials
+        # attach exactly as create_secure would wire them.
+        client = FeastClient(
+            HttpJsonChannel(srv.host, srv.port, timeout=600.0),
+            credentials=JwtCallCredentials("sdk-gate-token"),
+        )
+        with client:
+            rows = client.get_online_features(
+                refs,
+                [
+                    Row.create()
+                    .set("c_custkey", k)
+                    .set_entity_timestamp(
+                        REQ_TS_J3
+                        if k % 2 == 0
+                        else dt.datetime(2005, 1, 1)
+                    )
+                    for k in keys
+                ],
+            )
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("total_price", T.DoubleType()),
+            T.StructField("total_price_status", T.StringType()),
+            T.StructField("order_status", T.StringType()),
+            T.StructField("order_status_status", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                r.get_long("c_custkey"),
+                r.get_double(refs[0]),
+                r.get_status(refs[0]),
+                r.get_string(refs[1]),
+                r.get_status(refs[1]),
+            )
+            for r in rows
+        ],
+        schema,
+    )
+
+
+SQL_SDK_ONLINE = f"""
+WITH latest AS (
+  SELECT o_custkey, o_totalprice AS total_price,
+         o_orderstatus AS order_status, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders),
+l1 AS (SELECT * FROM latest WHERE rn = 1),
+req AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 2 = 0 THEN TIMESTAMP '1998-10-01 00:00:00'
+              ELSE TIMESTAMP '2005-01-01 00:00:00' END AS ts
+  FROM customer WHERE c_custkey % 7 = 0),
+age AS (
+  SELECT r.c_custkey, r.ts, l1.o_custkey, l1.total_price, l1.order_status,
+         CAST(epoch(r.ts) AS BIGINT)
+           - CAST(epoch(l1.o_orderdate) AS BIGINT) AS age_s
+  FROM req r LEFT JOIN l1 ON l1.o_custkey = r.c_custkey)
+SELECT c_custkey,
+       CASE WHEN o_custkey IS NULL THEN NULL
+            WHEN age_s > {MAX_AGE_1Y} THEN NULL
+            ELSE total_price END AS total_price,
+       CASE WHEN o_custkey IS NULL THEN 'NOT_FOUND'
+            WHEN age_s > {MAX_AGE_1Y} THEN 'OUTSIDE_MAX_AGE'
+            WHEN total_price IS NULL THEN 'NULL_VALUE'
+            ELSE 'PRESENT' END AS total_price_status,
+       CASE WHEN o_custkey IS NULL THEN NULL
+            WHEN age_s > {MAX_AGE_1Y} THEN NULL
+            ELSE order_status END AS order_status,
+       CASE WHEN o_custkey IS NULL THEN 'NOT_FOUND'
+            WHEN age_s > {MAX_AGE_1Y} THEN 'OUTSIDE_MAX_AGE'
+            WHEN order_status IS NULL THEN 'NULL_VALUE'
+            ELSE 'PRESENT' END AS order_status_status
+FROM age
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the J1 entity-lookup —
     the reference's hot path — over the synthetic star schema."""
@@ -9813,64 +9935,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verifies within ~4 rounds (policy: docs/COVERAGE.md
     # "Evidence-freshness policy"). Do NOT append new queries at the
     # end, insert alphabetically, or let a formatter re-sort this
-    # literal. r13 window: odfv_transform_service (the one budgeted r13
-    # registration — never gated, FRONT) + stream_cusum +
-    # rejection_report (the two r8 rows displaced from r12 — both
-    # judge-re-verified locally at r12) + the first 47 r9-evidence rows
-    # in CORRECTNESS_r09 order; the three displaced r9 rows
-    # (weighted_sample, skew_join, ewma_features) join the r14 window
-    # with the r10-evidence block.
+    # literal. r14 window: sdk_online_features (the one budgeted r14
+    # registration — never gated, FRONT) + weighted_sample + skew_join
+    # + ewma_features (the three r9-evidence rows displaced from r13,
+    # 5 rounds stale) + the first 46 r10-evidence rows in
+    # CORRECTNESS_r10 order; the four displaced r10 rows
+    # (dedup_crossmodal, corpus_split, domain_topk, sequence_pack) sit
+    # at positions 51-54 to lead the r15 window.
     return {
-        "odfv_transform_service": q_odfv_transform_service,
-        "stream_cusum": q_stream_cusum,
-        "rejection_report": q_rejection_report,
-        "audit_trail": q_audit_trail,
-        "serving_metrics": q_serving_metrics,
-        "tpch_q20": q_tpch_q20,
-        "stream_cdc_merge": q_stream_cdc_merge,
-        "stream_sessions": q_stream_sessions,
-        "stream_clean_corpus": q_stream_clean_corpus,
-        "stream_topk": q_stream_topk,
-        "pq_encode": q_pq_encode,
-        "pq_adc": q_pq_adc,
-        "ann_ivf_pq": q_ann_ivf_pq,
-        "mmr_rerank": q_mmr_rerank,
-        "ann_eval": q_ann_eval,
-        "random_projection": q_random_projection,
-        "kmeans_refine_expr": q_kmeans_refine_expr,
-        "kmeans_train": q_kmeans_train,
-        "token_encode": q_token_encode,
-        "quantile_bin": q_quantile_bin,
-        "quantile_bin_approx": q_quantile_bin_approx,
-        "profile_columns": q_profile_columns,
-        "profile_columns_approx": q_profile_columns_approx,
-        "scd2_history": q_scd2_history,
-        "scd2_snapshot": q_scd2_snapshot,
-        "scd2_join": q_scd2_join,
-        "pagerank": q_pagerank,
-        "triangle_count": q_triangle_count,
-        "bm25_search": q_bm25_search,
-        "phrase_search": q_phrase_search,
-        "rrf_fusion": q_rrf_fusion,
-        "tfidf_terms": q_tfidf_terms,
-        "fuzzy_match": q_fuzzy_match,
-        "fuzzy_match_snm": q_fuzzy_match_snm,
-        "robust_outliers": q_robust_outliers,
-        "token_budget": q_token_budget,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "ccnet_buckets": q_ccnet_buckets,
-        "sketch_distinct": q_sketch_distinct,
-        "count_min": q_count_min,
-        "bloom_filter": q_bloom_filter,
-        "cms_join_size": q_cms_join_size,
-        "heavy_hitters": q_heavy_hitters,
-        "semdedup": q_semdedup,
-        "k_anonymity": q_k_anonymity,
-        "bigram_logprob": q_bigram_logprob,
-        "multi_window_features": q_multi_window_features,
-        "rolling_features": q_rolling_features,
-        "feature_pivot": q_feature_pivot,
-        "asof_nearest": q_asof_nearest,
+        "sdk_online_features": q_sdk_online_features,
         "weighted_sample": q_weighted_sample,
         "skew_join": q_skew_join,
         "ewma_features": q_ewma_features,
@@ -9924,6 +9997,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "domain_topk": q_domain_topk,
         "sequence_pack": q_sequence_pack,
+        "odfv_transform_service": q_odfv_transform_service,
+        "stream_cusum": q_stream_cusum,
+        "rejection_report": q_rejection_report,
+        "audit_trail": q_audit_trail,
+        "serving_metrics": q_serving_metrics,
+        "tpch_q20": q_tpch_q20,
+        "stream_cdc_merge": q_stream_cdc_merge,
+        "stream_sessions": q_stream_sessions,
+        "stream_clean_corpus": q_stream_clean_corpus,
+        "stream_topk": q_stream_topk,
+        "pq_encode": q_pq_encode,
+        "pq_adc": q_pq_adc,
+        "ann_ivf_pq": q_ann_ivf_pq,
+        "mmr_rerank": q_mmr_rerank,
+        "ann_eval": q_ann_eval,
+        "random_projection": q_random_projection,
+        "kmeans_refine_expr": q_kmeans_refine_expr,
+        "kmeans_train": q_kmeans_train,
+        "token_encode": q_token_encode,
+        "quantile_bin": q_quantile_bin,
+        "quantile_bin_approx": q_quantile_bin_approx,
+        "profile_columns": q_profile_columns,
+        "profile_columns_approx": q_profile_columns_approx,
+        "scd2_history": q_scd2_history,
+        "scd2_snapshot": q_scd2_snapshot,
+        "scd2_join": q_scd2_join,
+        "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        "bm25_search": q_bm25_search,
+        "phrase_search": q_phrase_search,
+        "rrf_fusion": q_rrf_fusion,
+        "tfidf_terms": q_tfidf_terms,
+        "fuzzy_match": q_fuzzy_match,
+        "fuzzy_match_snm": q_fuzzy_match_snm,
+        "robust_outliers": q_robust_outliers,
+        "token_budget": q_token_budget,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "ccnet_buckets": q_ccnet_buckets,
+        "sketch_distinct": q_sketch_distinct,
+        "count_min": q_count_min,
+        "bloom_filter": q_bloom_filter,
+        "cms_join_size": q_cms_join_size,
+        "heavy_hitters": q_heavy_hitters,
+        "semdedup": q_semdedup,
+        "k_anonymity": q_k_anonymity,
+        "bigram_logprob": q_bigram_logprob,
+        "multi_window_features": q_multi_window_features,
+        "rolling_features": q_rolling_features,
+        "feature_pivot": q_feature_pivot,
+        "asof_nearest": q_asof_nearest,
         "unigram_logprob": q_unigram_logprob,
         "logreg_quality": q_logreg_quality,
         "global_ranks": q_global_ranks,
@@ -10033,6 +10156,7 @@ def oracle_sql() -> dict[str, str]:
         "serving_metrics": SQL_SERVING_METRICS,
         "auth_audit": SQL_AUTH_AUDIT,
         "rest_online_features": SQL_REST_ONLINE,
+        "sdk_online_features": SQL_SDK_ONLINE,
         "tpch_q20": SQL_TPCH_Q20,
         "logreg_quality": SQL_LOGREG_QUALITY,
         "global_ranks": SQL_GLOBAL_RANKS,

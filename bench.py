@@ -232,6 +232,11 @@ HEADLINE = [
     # appearance, no prior; its in-process twin odfv_transform stays the
     # comparison floor.
     "odfv_transform_service",
+    # r14: the client-SDK serving scenario (FeastClient over the
+    # gRPC-over-HTTP socket, Rows with statuses) — first appearance, no
+    # prior; rest_online_features is its flat-map REST twin and the
+    # comparison floor.
+    "sdk_online_features",
 ]
 
 # Deliberate-ceiling twins: benched every run and recorded in
@@ -246,15 +251,62 @@ TRACKED_CEILINGS = [
 ]
 
 
-def freeze_baseline() -> None:
+def write_canonical_detail(detail: dict, repo: str | None = None) -> None:
+    """Write BENCH_DETAIL.json PLUS its content fingerprint
+    (BENCH_DETAIL.sha256). Only the canonical round-close writer
+    (scripts/gen_scaling.py's best-of-2 composite) calls this — a plain
+    `python bench.py` run overwrites only the JSON, so the fingerprint
+    goes stale and :func:`freeze_baseline` refuses. That mechanizes the
+    r13 freeze-ordering rule ("gen_scaling must be the LAST bench
+    writer before the freeze"), which used to be convention only and
+    cost one gen_scaling cycle when an out-of-order single shot
+    clobbered the composite."""
+    import hashlib
+
+    repo = repo or os.path.dirname(os.path.abspath(__file__))
+    data = json.dumps(detail, indent=1, sort_keys=True)
+    with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
+        f.write(data)
+    digest = hashlib.sha256(data.encode()).hexdigest()
+    with open(os.path.join(repo, "BENCH_DETAIL.sha256"), "w") as f:
+        f.write(digest + "\n")
+
+
+def freeze_baseline(repo: str | None = None) -> None:
     """Snapshot the current BENCH_DETAIL.json as the next round's
     adjudication baseline. Run EXACTLY ONCE per round, at round close,
     right after the final full bench run — mid-round regens must never
     touch BENCH_BASELINE.json (VERDICT r8 #1: a live-detail baseline
-    ratchets intra-round and lets real drift cross rounds unflagged)."""
-    repo = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo, "BENCH_DETAIL.json")) as f:
-        detail = json.load(f)
+    ratchets intra-round and lets real drift cross rounds unflagged).
+
+    Refuses (loudly) unless BENCH_DETAIL.json's bytes still match the
+    fingerprint the canonical writer recorded — if any other writer
+    touched the file since gen_scaling wrote the best-of-2 composite,
+    freezing would snapshot a single shot as the round's baseline."""
+    import hashlib
+
+    repo = repo or os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo, "BENCH_DETAIL.json")
+    fp_path = os.path.join(repo, "BENCH_DETAIL.sha256")
+    with open(detail_path) as f:
+        data = f.read()
+    if not os.path.exists(fp_path):
+        raise RuntimeError(
+            "refusing to freeze: no BENCH_DETAIL.sha256 fingerprint — "
+            "run scripts/gen_scaling.py first (it writes the canonical "
+            "best-of-2 BENCH_DETAIL plus its fingerprint)"
+        )
+    with open(fp_path) as f:
+        recorded = f.read().strip()
+    digest = hashlib.sha256(data.encode()).hexdigest()
+    if digest != recorded:
+        raise RuntimeError(
+            "refusing to freeze: BENCH_DETAIL.json changed since "
+            "gen_scaling wrote it (fingerprint mismatch) — another "
+            "bench.py run clobbered the best-of-2 composite; re-run "
+            "scripts/gen_scaling.py, then freeze"
+        )
+    detail = json.loads(data)
     with open(os.path.join(repo, "BENCH_BASELINE.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(

@@ -159,8 +159,14 @@ partition count.
     # canonical best-of-2 had to be carried by hand.
     canonical = dict(results["sf0.1"])
     canonical["best_of"] = 2
-    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
-        json.dump(canonical, f, indent=1, sort_keys=True)
+    sys.path.insert(0, REPO)
+    from bench import write_canonical_detail
+
+    # writes BENCH_DETAIL.json + its sha256 fingerprint; bench.py
+    # --freeze-baseline verifies the fingerprint and refuses if any
+    # later writer clobbered the composite (the r13 ordering incident,
+    # now mechanical instead of convention).
+    write_canonical_detail(canonical, REPO)
     print(f"BENCH_DETAIL.json <- sf0.1 best-of-2 ({canonical['value']}s)")
 
 
