@@ -643,3 +643,135 @@ def test_colliding_bare_input_names_rejected(spark):
     )
     with pytest.raises(ValueError, match="collide on bare feature names"):
         apply_odfv(df, view)
+
+
+def test_wide_arrow_batch_clears_transform_body_cap(spark):
+    """Body-cap sizing (r13 verdict #5): a 10k-row x 512-double-column
+    mapInPandas batch — ~41 MiB of Arrow, ~55 MiB base64-inflated,
+    OVER the generic transport's 32 MiB control-plane cap — must flow
+    through the transformation service without a 413, because
+    TransformServer's data-plane default is sized for real batch
+    geometry (rows * cols * 8 * 4/3). Result pinned pointwise equal to
+    the in-process twin."""
+    from pyspark.sql import functions as F
+
+    from feast_java_old_spark.operators.odfv import apply_odfv
+    from feast_java_old_spark.transport.transform_service import (
+        DEFAULT_TRANSFORM_MAX_BODY_BYTES,
+        service_transform,
+    )
+
+    n_rows, n_cols = 10_000, 512
+    assert n_rows * n_cols * 8 * 4 / 3 > 32 * 1024 * 1024  # over old cap
+    assert n_rows * n_cols * 8 * 4 / 3 < DEFAULT_TRANSFORM_MAX_BODY_BYTES
+
+    cols = [f"c{i}" for i in range(n_cols)]
+    df = spark.range(n_rows).select(
+        F.col("id").alias("user_id"),
+        *[(F.col("id") * 1.0 + i).alias(c) for i, c in enumerate(cols)],
+    )
+    view = OnDemandFeatureView(
+        name="wide",
+        inputs=cols,
+        output_schema=T.StructType([T.StructField("total", T.DoubleType())]),
+        transform=lambda pdf: pd.DataFrame({"total": pdf.sum(axis=1)}),
+    )
+    inproc = (
+        apply_odfv(df, view, drop_helper_inputs=True)
+        .select("user_id", "total")
+        .orderBy("user_id")
+        .collect()
+    )
+    with TransformServer({"wide": view}) as srv:
+        client_view = OnDemandFeatureView(
+            name="wide",
+            inputs=cols,
+            output_schema=view.output_schema,
+            transform=service_transform(
+                f"{srv.host}:{srv.port}", "wide", ["total"], timeout=300.0
+            ),
+        )
+        remote = (
+            apply_odfv(df, client_view, drop_helper_inputs=True)
+            .select("user_id", "total")
+            .orderBy("user_id")
+            .collect()
+        )
+    assert len(remote) == n_rows
+    assert inproc == remote
+
+
+def test_concurrent_executor_batches_one_transform_socket(spark):
+    """Concurrency stress (r13 verdict #6): 16 partitions of
+    mapInPandas batches hammer ONE TransformServer socket in parallel
+    (local[32] task slots, each Python worker holding a keep-alive
+    connection) — the ThreadingHTTPServer analog must not serialize or
+    cross-wire executor batches; results stay pointwise equal to the
+    in-process twin."""
+    from pyspark.sql import functions as F
+
+    from feast_java_old_spark.operators.odfv import apply_odfv
+    from feast_java_old_spark.transport.transform_service import (
+        service_transform,
+    )
+
+    df = (
+        spark.range(20_000)
+        .repartition(16)
+        .select(
+            F.col("id").alias("user_id"),
+            (F.col("id") % 97 * 1.5).alias("value"),
+        )
+    )
+    view = OnDemandFeatureView(
+        name="scored",
+        inputs=["value"],
+        output_schema=T.StructType([T.StructField("score", T.DoubleType())]),
+        transform=lambda pdf: pd.DataFrame({"score": pdf["value"] * 2.0 + 1.0}),
+    )
+    inproc = (
+        apply_odfv(df, view).select("user_id", "score").orderBy("user_id").collect()
+    )
+    with TransformServer({"scored": view}) as srv:
+        client_view = OnDemandFeatureView(
+            name="scored",
+            inputs=["value"],
+            output_schema=view.output_schema,
+            transform=service_transform(
+                f"{srv.host}:{srv.port}", "scored", ["score"], timeout=120.0
+            ),
+        )
+        remote = (
+            apply_odfv(df, client_view)
+            .select("user_id", "score")
+            .orderBy("user_id")
+            .collect()
+        )
+    assert len(remote) == 20_000
+    assert inproc == remote
+
+
+def test_transformation_client_connection_reuse():
+    """The serving-side client keeps ONE keep-alive socket across RPCs
+    (the blocking-stub shape) and reconnects transparently after the
+    server drops it."""
+    view = OnDemandFeatureView(
+        name="scored",
+        inputs=["trip_cost"],
+        output_schema=T.StructType([T.StructField("score", T.DoubleType())]),
+        transform=lambda pdf: pd.DataFrame({"score": pdf["trip_cost"] * 2.0}),
+    )
+    payload = serialize_values_into_arrow_ipc([{"rides:trip_cost": 5.0}])
+    with TransformServer({"scored": view}) as srv:
+        client = HttpTransformationService(f"{srv.host}:{srv.port}")
+        out1 = client.transform_features("scored", payload)
+        conn1 = client._conn
+        out2 = client.transform_features("scored", payload)
+        assert client._conn is conn1  # reused, not redialed
+        assert out1 == out2
+        # server-side drop: force a stale socket, the next call recovers
+        client._conn.close()
+        out3 = client.transform_features("scored", payload)
+        assert out3 == out1
+        client.close()
+        assert client._conn is None
