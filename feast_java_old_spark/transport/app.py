@@ -34,11 +34,25 @@ def run_servers(
     host: str = "127.0.0.1",
     odfvs: Optional[dict] = None,
     transform_port: Optional[int] = None,
+    core_grpc_port: Optional[int] = None,
+    serving_grpc_port: Optional[int] = None,
 ):
     """Start the HTTP servers over one registry; returns
     ``(core_server, serving_server)`` or, when ``odfvs`` is given with
     ``transform_port``, ``(core_server, serving_server,
     transform_server)`` — caller owns ``.stop()`` on each.
+
+    ``core_grpc_port`` / ``serving_grpc_port`` (0 = ephemeral) also
+    bind each module's gRPC RPC surface — the reference's PRIMARY ports
+    (core 6565 / serving 6566, each module a gRPC server first and a
+    REST facade second) — via the gRPC-over-HTTP binding
+    (``transport.grpc_http``): the core socket serves the 13
+    ``feast.core.CoreService`` RPCs, the serving socket serves
+    ``feast.serving.ServingService`` (info + GetOnlineFeaturesV2 with
+    statuses — what :class:`~feast_java_old_spark.sdk.FeastClient`
+    speaks) plus ``grpc.health.v1.Health`` (the reference registers the
+    health controller on the serving server). The bound servers are
+    APPENDED to the returned tuple in that order.
 
     ``odfvs`` + ``transform_port`` stand up the reference's THREE-process
     topology: core, serving, and the external ODFV transformation
@@ -95,9 +109,37 @@ def run_servers(
         host=host,
         port=serving_port,
     ).start()
+    out = [core, serving]
     if transform is not None:
-        return core, serving, transform
-    return core, serving
+        out.append(transform)
+    if core_grpc_port is not None or serving_grpc_port is not None:
+        from .grpc_adapter import (
+            CoreServiceServicer,
+            HealthServicer,
+            ServingServiceServicer,
+        )
+        from .grpc_http import GrpcHttpServer
+
+        if core_grpc_port is not None:
+            out.append(
+                GrpcHttpServer(
+                    [CoreServiceServicer(CoreService(registry))],
+                    host=host,
+                    port=core_grpc_port,
+                ).start()
+            )
+        if serving_grpc_port is not None:
+            out.append(
+                GrpcHttpServer(
+                    [
+                        ServingServiceServicer(serving_ctl),
+                        HealthServicer(registry),
+                    ],
+                    host=host,
+                    port=serving_grpc_port,
+                ).start()
+            )
+    return tuple(out)
 
 
 def main(argv: Optional[list[str]] = None) -> int:
@@ -109,6 +151,18 @@ def main(argv: Optional[list[str]] = None) -> int:
     parser.add_argument("--store", help="online store root path")
     parser.add_argument("--core-port", type=int, default=0)
     parser.add_argument("--serving-port", type=int, default=0)
+    parser.add_argument(
+        "--core-grpc-port",
+        type=int,
+        default=None,
+        help="also bind the core gRPC surface (0 = ephemeral)",
+    )
+    parser.add_argument(
+        "--serving-grpc-port",
+        type=int,
+        default=None,
+        help="also bind the serving gRPC surface + health (0 = ephemeral)",
+    )
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument(
         "--master", default="local[*]", help="Spark master URL"
@@ -120,16 +174,21 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     spark = session_builder("feast-serve", master=args.master).getOrCreate()
     registry = Registry(path=args.registry) if args.registry else Registry()
-    core, serving = run_servers(
+    servers = run_servers(
         spark,
         registry,
         store_path=args.store,
         core_port=args.core_port,
         serving_port=args.serving_port,
         host=args.host,
+        core_grpc_port=args.core_grpc_port,
+        serving_grpc_port=args.serving_grpc_port,
     )
+    core, serving = servers[0], servers[1]
     print(f"core REST listening on {core.base_url}", flush=True)
     print(f"serving REST listening on {serving.base_url}", flush=True)
+    for extra in servers[2:]:
+        print(f"gRPC surface listening on {extra.base_url}", flush=True)
     try:
         import threading
 
@@ -137,8 +196,8 @@ def main(argv: Optional[list[str]] = None) -> int:
     except KeyboardInterrupt:
         pass
     finally:
-        core.stop()
-        serving.stop()
+        for srv in servers:
+            srv.stop()
     return 0
 
 

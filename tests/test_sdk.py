@@ -427,3 +427,54 @@ def test_sdk_invalid_ref_rejected_client_side(engine_server):
             client.get_online_features(
                 ["proj/driver:rating"], [Row.create().set("driver", 1)]
             )
+
+
+def test_full_grpc_surface_topology(spark, tmp_path):
+    """run_servers with both gRPC ports: the reference's primary-port
+    deployment (core 6565 / serving 6566) — FeastClient speaks to the
+    serving gRPC socket, the raw channel drives core RPCs and the
+    health probe, all four sockets live at once."""
+    from feast_java_old_spark.registry.registry import Registry
+    from feast_java_old_spark.transport.app import run_servers
+    from feast_java_old_spark.transport.grpc_adapter import (
+        CORE_SERVICE,
+        HEALTH_SERVICE,
+    )
+
+    reg = Registry(path=str(tmp_path / "registry_g.json"))
+    reg.apply_entity(fs.Entity("driver", fs.ValueType.INT64))
+    servers = run_servers(
+        spark, reg, core_grpc_port=0, serving_grpc_port=0
+    )
+    assert len(servers) == 4
+    core_rest, serving_rest, core_grpc, serving_grpc = servers
+    try:
+        chan = HttpJsonChannel(core_grpc.host, core_grpc.port)
+        version = chan.unary(CORE_SERVICE, "GetFeastCoreVersion", {})
+        assert version["version"] == fs.__version__
+        entities = chan.unary(
+            CORE_SERVICE, "ListEntities", {"filter": {"project": "default"}}
+        )
+        assert [
+            e["name"] for e in entities.get("entities", [])
+        ] == ["driver"]
+        # unknown entity → NOT_FOUND over the socket, same code the
+        # audit trail records
+        with pytest.raises(GrpcCallError) as ei:
+            chan.unary(CORE_SERVICE, "GetEntity", {"name": "nope"})
+        assert ei.value.code == "NOT_FOUND"
+        chan.close()
+
+        schan = HttpJsonChannel(serving_grpc.host, serving_grpc.port)
+        health = schan.unary(HEALTH_SERVICE, "Check", {})
+        assert health["status"] == "SERVING"
+        schan.close()
+
+        with FeastClient.create(
+            serving_grpc.host, serving_grpc.port
+        ) as client:
+            info = client.get_feast_serving_info()
+            assert info["version"] == fs.__version__
+    finally:
+        for srv in servers:
+            srv.stop()
