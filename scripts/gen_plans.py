@@ -176,6 +176,33 @@ emit(
     ),
 )
 
+# sdk_online_features is the same eager-HTTP shape one hop further out
+# (FeastClient → gRPC-over-HTTP socket → the SAME controller): its
+# underlying Spark plan IS controller.retrieve's — the client adds zero
+# plan nodes. Audit it explicitly so the gate query has its own section.
+emit(
+    "sdk_online_features (client-SDK serving plan)",
+    "The FeastClient serve's underlying plan — identical to the REST "
+    "twin's J1 double-BHJ because the SDK is a pure consumer: refs are "
+    "validated client-side (RequestUtil), Rows become the same parsed "
+    "entity-row frame, and the servicer calls the same "
+    "controller.retrieve. Statuses ride as projections; nothing about "
+    "the client changes the distributed shape.",
+    _ctl.retrieve(
+        ["customer_orders:total_price", "customer_orders:order_status"],
+        _parse_entity_rows(
+            [
+                {"fields": {"c_custkey": int(r.c_custkey)},
+                 "timestamp": ("1998-10-01T00:00:00Z"
+                               if int(r.c_custkey) % 2 == 0
+                               else "2005-01-01T00:00:00Z")}
+                for r in _entities.collect()
+            ]
+        ),
+        "default",
+    ),
+)
+
 # odfv_transform_service is likewise an eager scenario (the transform
 # server must be live during execution) — the PLAN is server-independent,
 # so explain the lazy cross-process frame with a placeholder endpoint.
