@@ -218,10 +218,18 @@ class Row:
         return self._statuses.get(field_name)
 
     def __str__(self) -> str:  # Row.toString():136-148
+        from feast_java_old_spark.transport.http import _json_default
+
         parts = []
         for key, wrapper in self._fields.items():
             parts.append(
-                f"{key}:" + ("NULL" if not wrapper else json.dumps(wrapper))
+                f"{key}:"
+                + (
+                    "NULL"
+                    if not wrapper
+                    # base64 for bytesVal, like proto-JSON renders bytes
+                    else json.dumps(wrapper, default=_json_default)
+                )
             )
         return ", ".join(parts)
 
@@ -345,7 +353,12 @@ class HttpJsonChannel:
         """One RPC. Raises :class:`GrpcCallError` on a non-OK status,
         reading the status name from the error body (falling back to
         the canonical HTTP→gRPC row for bodyless failures)."""
-        body = json.dumps(request).encode()
+        from feast_java_old_spark.transport.http import encode_json
+
+        # encode_json carries the transport's Jackson-parity fallbacks:
+        # bytesVal payloads render base64 (canonical proto-JSON bytes),
+        # datetimes ISO-8601 — same codec the server side emits.
+        body = encode_json(request)
         hdrs = {"Content-Type": "application/json"}
         if headers:
             hdrs.update(headers)

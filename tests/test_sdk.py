@@ -478,3 +478,45 @@ def test_full_grpc_surface_topology(spark, tmp_path):
     finally:
         for srv in servers:
             srv.stop()
+
+
+def test_row_value_round_trip_property():
+    """Hypothesis: any supported scalar survives Row.set → typed getter
+    unchanged, the wrapper arm matches the Java type switch, and
+    str(row) never raises; unsupported types always raise the
+    reference's message."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalar = st.one_of(
+        st.integers(-(2**62), 2**62),
+        st.floats(allow_nan=False, allow_infinity=True),
+        st.text(max_size=40),
+        st.binary(max_size=40),
+        st.none(),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.dictionaries(st.text(min_size=1, max_size=20), scalar, max_size=6))
+    def check(fields):
+        row = Row.create()
+        for name, value in fields.items():
+            row.set(name, value)
+        for name, value in fields.items():
+            if value is None:
+                assert row.get_long(name) is None
+                assert row.get_fields()[name] == {}
+            elif isinstance(value, int):
+                assert row.get_fields()[name] == {"int64Val": value}
+                assert row.get_long(name) == value
+            elif isinstance(value, float):
+                assert row.get_fields()[name] == {"doubleVal": value}
+                assert row.get_double(name) == value
+            elif isinstance(value, str):
+                assert row.get_string(name) == value
+            else:
+                assert row.get_bytes(name) == value
+            assert row.get_status(name) == PRESENT
+        str(row)  # toString never raises
+
+    check()
