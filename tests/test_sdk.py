@@ -520,3 +520,76 @@ def test_row_value_round_trip_property():
         str(row)  # toString never raises
 
     check()
+
+
+def test_sdk_to_transform_service_full_reference_path(spark, tmp_path, tmp_store):
+    """The COMPLETE reference data path in one test: FeastClient →
+    serving gRPC socket → retrieval + ODFV split → external
+    transformation service socket (Arrow IPC per executor batch) →
+    Rows with transformed outputs, statuses intact. Five live server
+    sockets (core REST, serving REST, FTS, core gRPC, serving gRPC)
+    via run_servers — the reference's whole deployment."""
+    import pandas as pd
+
+    from feast_java_old_spark.operators.odfv import OnDemandFeatureView
+    from feast_java_old_spark.transport.app import run_servers
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, TS - dt.timedelta(seconds=10), 4.0), (2, TS - dt.timedelta(seconds=10), 3.0)],
+        "driver long, ts timestamp, rating double",
+    ).write.parquet(src)
+    reg = fs.Registry()
+    reg.apply_entity(fs.Entity("driver", fs.ValueType.INT64))
+    reg.apply_feature_table(
+        fs.FeatureTable(
+            name="driver_stats",
+            entities=["driver"],
+            features=[fs.Feature("rating", fs.ValueType.DOUBLE)],
+            max_age_secs=3600,
+            batch_source=FileSource(file_url=src, event_timestamp_column="ts"),
+        )
+    )
+    materialize(spark, reg, "driver_stats", tmp_store)
+    odfv = OnDemandFeatureView(
+        name="boosted",
+        inputs=["driver_stats:rating", "boost"],
+        output_schema=T.StructType(
+            [T.StructField("boosted_rating", T.DoubleType())]
+        ),
+        transform=lambda pdf: pd.DataFrame(
+            {"boosted_rating": pdf["rating"] + pdf["boost"]}
+        ),
+    )
+    servers = run_servers(
+        spark,
+        reg,
+        store_path=tmp_store,
+        odfvs={"boosted": odfv},
+        transform_port=0,
+        core_grpc_port=0,
+        serving_grpc_port=0,
+    )
+    assert len(servers) == 5
+    serving_grpc = servers[4]
+    try:
+        servers[1].controller.serve_kwargs["request_ts"] = TS
+        with FeastClient.create(
+            serving_grpc.host, serving_grpc.port
+        ) as client:
+            rows = client.get_online_features(
+                ["driver_stats:rating", "boosted:boosted_rating"],
+                [
+                    Row.create().set("driver", 1).set("boost", 0.5)
+                    .set_entity_timestamp(TS),
+                    Row.create().set("driver", 2).set("boost", 1.0)
+                    .set_entity_timestamp(TS),
+                ],
+            )
+    finally:
+        for srv in servers:
+            srv.stop()
+    assert rows[0].get_double("boosted:boosted_rating") == 4.5
+    assert rows[1].get_double("boosted:boosted_rating") == 4.0
+    assert rows[0].get_status("boosted:boosted_rating") == PRESENT
+    assert rows[0].get_double("driver_stats:rating") == 4.0
