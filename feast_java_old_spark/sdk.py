@@ -312,9 +312,16 @@ class HttpJsonChannel:
         certificate_path: Optional[str] = None,
         timeout: float = 30.0,
     ) -> None:
+        import threading
+
         self.host = host
         self.port = port
         self.timeout = timeout
+        # a gRPC ManagedChannel is thread-safe; http.client connections
+        # are not — serialize calls over the shared keep-alive socket so
+        # a FeastClient used from multiple threads (the reference
+        # supports it) cannot interleave request/response frames.
+        self._lock = threading.Lock()
         self._context: Optional[ssl.SSLContext] = None
         if tls_enabled:
             if certificate_path is not None:
@@ -363,25 +370,26 @@ class HttpJsonChannel:
         if headers:
             hdrs.update(headers)
         path = f"/{service}/{method}"
-        for attempt in (0, 1):
-            if self._conn is None:
-                self._conn = self._connect()
-            try:
-                self._conn.request("POST", path, body=body, headers=hdrs)
-                resp = self._conn.getresponse()
-                payload = resp.read()
-                break
-            except (
-                http.client.HTTPException,
-                ConnectionError,
-                BrokenPipeError,
-            ):
-                # stale keep-alive socket: reconnect once, then give up
+        with self._lock:
+            for attempt in (0, 1):
+                if self._conn is None:
+                    self._conn = self._connect()
+                try:
+                    self._conn.request("POST", path, body=body, headers=hdrs)
+                    resp = self._conn.getresponse()
+                    payload = resp.read()
+                    break
+                except (
+                    http.client.HTTPException,
+                    ConnectionError,
+                    BrokenPipeError,
+                ):
+                    # stale keep-alive socket: reconnect once, then give up
+                    self.close()
+                    if attempt:
+                        raise
+            if resp.getheader("Connection", "").lower() == "close":
                 self.close()
-                if attempt:
-                    raise
-        if resp.getheader("Connection", "").lower() == "close":
-            self.close()
         try:
             decoded = json.loads(payload) if payload else {}
         except json.JSONDecodeError:

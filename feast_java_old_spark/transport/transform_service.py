@@ -347,12 +347,17 @@ class HttpTransformationService:
     constructor string (:63-66)."""
 
     def __init__(self, endpoint: str, timeout: float = 30.0) -> None:
+        import threading
+
         self.endpoint = endpoint
         self.timeout = timeout
         # one persistent keep-alive connection per client, the
         # ManagedChannel shape — the blocking stub does NOT redial TCP
         # per RPC, and neither should the per-batch hop; reconnects
-        # transparently when the server dropped the idle socket.
+        # transparently when the server dropped the idle socket. The
+        # lock serializes calls over the shared socket (http.client
+        # connections are not thread-safe; gRPC stubs are).
+        self._lock = threading.Lock()
         self._conn: Optional[http.client.HTTPConnection] = None
 
     def close(self) -> None:
@@ -383,27 +388,30 @@ class HttpTransformationService:
         ).encode()
         host, _, port = self.endpoint.rpartition(":")
         headers = {"Content-Type": "application/json"}
-        for attempt in (0, 1):
-            if self._conn is None:
-                self._conn = http.client.HTTPConnection(
-                    host, int(port), timeout=self.timeout
-                )
-            try:
-                self._conn.request("POST", "/transform", body=body, headers=headers)
-                resp = self._conn.getresponse()
-                raw = resp.read()
-                break
-            except (
-                http.client.HTTPException,
-                ConnectionError,
-                BrokenPipeError,
-            ):
-                # stale keep-alive socket: reconnect once, then give up
+        with self._lock:
+            for attempt in (0, 1):
+                if self._conn is None:
+                    self._conn = http.client.HTTPConnection(
+                        host, int(port), timeout=self.timeout
+                    )
+                try:
+                    self._conn.request(
+                        "POST", "/transform", body=body, headers=headers
+                    )
+                    resp = self._conn.getresponse()
+                    raw = resp.read()
+                    break
+                except (
+                    http.client.HTTPException,
+                    ConnectionError,
+                    BrokenPipeError,
+                ):
+                    # stale keep-alive socket: reconnect once, give up
+                    self.close()
+                    if attempt:
+                        raise
+            if resp.getheader("Connection", "").lower() == "close":
                 self.close()
-                if attempt:
-                    raise
-        if resp.getheader("Connection", "").lower() == "close":
-            self.close()
         payload = json.loads(raw or b"{}")
         if resp.status != 200:
             raise RuntimeError(

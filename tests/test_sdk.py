@@ -593,3 +593,25 @@ def test_sdk_to_transform_service_full_reference_path(spark, tmp_path, tmp_store
     assert rows[1].get_double("boosted:boosted_rating") == 4.0
     assert rows[0].get_status("boosted:boosted_rating") == PRESENT
     assert rows[0].get_double("driver_stats:rating") == 4.0
+
+
+def test_client_thread_safety_shared_channel(engine_server):
+    """The reference's client is usable from multiple threads over one
+    channel; the keep-alive HttpJsonChannel serializes frames under a
+    lock — 16 threads x 5 calls each all get their own correct rows."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with FeastClient.create(engine_server.host, engine_server.port) as client:
+
+        def one(i):
+            driver = 1 if i % 2 == 0 else 2
+            rows = client.get_online_features(
+                ["driver_stats:name"],
+                [Row.create().set("driver", driver).set_entity_timestamp(TS)],
+            )
+            return rows[0].get_string("driver_stats:name"), driver
+
+        with ThreadPoolExecutor(16) as pool:
+            results = list(pool.map(one, range(80)))
+    for name, driver in results:
+        assert name == ("david" if driver == 1 else "ana")
