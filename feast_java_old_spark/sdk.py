@@ -372,7 +372,8 @@ class HttpJsonChannel:
         path = f"/{service}/{method}"
         with self._lock:
             for attempt in (0, 1):
-                if self._conn is None:
+                fresh = self._conn is None
+                if fresh:
                     self._conn = self._connect()
                 try:
                     self._conn.request("POST", path, body=body, headers=hdrs)
@@ -384,9 +385,14 @@ class HttpJsonChannel:
                     ConnectionError,
                     BrokenPipeError,
                 ):
-                    # stale keep-alive socket: reconnect once, then give up
+                    # Retry ONLY a stale keep-alive socket (the server
+                    # closed it between calls — the request never
+                    # reached a handler). A failure on a freshly-dialed
+                    # connection is NOT retried: the server may have
+                    # processed the request before dying, and a blind
+                    # re-send could double-apply a mutation RPC.
                     self.close()
-                    if attempt:
+                    if attempt or fresh:
                         raise
             if resp.getheader("Connection", "").lower() == "close":
                 self.close()

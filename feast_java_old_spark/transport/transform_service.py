@@ -390,7 +390,8 @@ class HttpTransformationService:
         headers = {"Content-Type": "application/json"}
         with self._lock:
             for attempt in (0, 1):
-                if self._conn is None:
+                fresh = self._conn is None
+                if fresh:
                     self._conn = http.client.HTTPConnection(
                         host, int(port), timeout=self.timeout
                     )
@@ -406,9 +407,12 @@ class HttpTransformationService:
                     ConnectionError,
                     BrokenPipeError,
                 ):
-                    # stale keep-alive socket: reconnect once, give up
+                    # retry ONLY a stale keep-alive socket (server
+                    # dropped it between batches); a fresh-connection
+                    # failure propagates — transforms are pure, but the
+                    # retry policy stays uniform with the SDK channel.
                     self.close()
-                    if attempt:
+                    if attempt or fresh:
                         raise
             if resp.getheader("Connection", "").lower() == "close":
                 self.close()
