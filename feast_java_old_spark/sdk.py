@@ -211,6 +211,34 @@ class Row:
             return base64.b64decode(v)
         return v
 
+    def get_bool(self, field_name: str):
+        """Engine extension beyond Row.java's six getters: the Value
+        proto carries a ``boolVal`` arm the reference's response mapper
+        CAN deliver (its all-14-types IT serves BOOL features,
+        ``ServingServiceBigTableIT.java:691-801``) even though the Java
+        Row never grew a getter for it."""
+        wrapper = self._value(field_name)
+        if wrapper is None:
+            return None
+        return wrapper.get("boolVal", False)
+
+    def get_list(self, field_name: str):
+        """Engine extension: the payload of whichever ``*ListVal`` arm
+        is set (``{"int64ListVal": {"val": [...]}}`` → ``[...]``), None
+        when the value is unset, the proto default ``[]`` when a
+        non-list arm is set — list-typed features are first-class in
+        the reference's serve (all-14-types IT), and the JSON codec
+        delivers them as arrays."""
+        wrapper = self._value(field_name)
+        if wrapper is None:
+            return None
+        for key, inner in wrapper.items():
+            if key.endswith("ListVal"):
+                if isinstance(inner, dict):
+                    return inner.get("val", [])
+                return inner
+        return []
+
     def get_statuses(self) -> dict[str, str]:
         return self._statuses
 
@@ -234,6 +262,51 @@ class Row:
         return ", ".join(parts)
 
     __repr__ = __str__
+
+
+def _wrap_response_value(v) -> dict:
+    """Native JSON response value → proto-JSON ``Value`` wrapper.
+
+    The reference's response mapper stores the wire's ``Value`` proto
+    into the Row VERBATIM (the ``set`` passthrough arm,
+    ``FeastClient.java:180-185`` → ``Row.java:86-87``) — it never runs
+    the scalar type switch, so list/bool-valued features flow through
+    untouched. Over the JSON codec the arm must be re-inferred from the
+    JSON type: bool → boolVal (checked before int — Python bool
+    subclasses int), int → int64Val, float → doubleVal, str →
+    stringVal, list → the element-inferred ``*ListVal`` arm (any float
+    element promotes to doubleListVal; an EMPTY list defaults to
+    stringListVal — proto-JSON without a schema cannot distinguish
+    empty list arms, documented divergence of the JSON transport)."""
+    if v is None:
+        return {}
+    if isinstance(v, dict):
+        return v  # already a wrapper (proto-JSON server)
+    if isinstance(v, bool):
+        return {"boolVal": v}
+    if isinstance(v, int):
+        return {"int64Val": v}
+    if isinstance(v, float):
+        return {"doubleVal": v}
+    if isinstance(v, str):
+        return {"stringVal": v}
+    if isinstance(v, (bytes, bytearray)):
+        return {"bytesVal": bytes(v)}
+    if isinstance(v, list):
+        if v and all(isinstance(x, bool) for x in v):
+            arm = "boolListVal"
+        elif v and all(isinstance(x, int) and not isinstance(x, bool) for x in v):
+            arm = "int64ListVal"
+        elif v and all(
+            isinstance(x, (int, float)) and not isinstance(x, bool) for x in v
+        ):
+            arm = "doubleListVal"
+        elif v and all(isinstance(x, str) for x in v):
+            arm = "stringListVal"
+        else:
+            arm = "stringListVal"  # empty/mixed: arm unknowable from JSON
+        return {arm: {"val": list(v)}}
+    raise ValueError(_UNSUPPORTED_TYPE_MSG.format(type(v).__name__))
 
 
 # ----------------------------------------------------------- RequestUtil
@@ -533,7 +606,11 @@ class FeastClient:
             row = Row()
             statuses = field_values.get("statuses", {})
             for name, value in field_values.get("fields", {}).items():
-                row.set(name, value, statuses.get(name))
+                # the reference stores the wire Value verbatim via the
+                # set() passthrough arm (:180-185) — never the scalar
+                # switch, so bool/list-valued features survive. Wrap
+                # the JSON value back into its Value arm first.
+                row.set(name, _wrap_response_value(value), statuses.get(name))
             out.append(row)
         return out
 

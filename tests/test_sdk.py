@@ -615,3 +615,72 @@ def test_client_thread_safety_shared_channel(engine_server):
             results = list(pool.map(one, range(80)))
     for name, driver in results:
         assert name == ("david" if driver == 1 else "ana")
+
+
+def test_sdk_all_value_types_through_client(spark, tmp_path, tmp_store):
+    """The reference IT's all-value-types serve (:691-801), driven
+    through the CLIENT: bool, scalar, bytes and list-typed features
+    arrive in Rows intact — the response mapping stores the wire Value
+    verbatim (the set() passthrough arm, FeastClient.java:180-185),
+    never the scalar switch that would reject bools and lists."""
+    from feast_java_old_spark.plans.serving_rest import (
+        ServingServiceRestController,
+    )
+    from feast_java_old_spark.transport.grpc_adapter import (
+        ServingServiceServicer,
+    )
+
+    src = str(tmp_path / "src_all")
+    schema = T.StructType(
+        [
+            T.StructField("entity", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("f_double", T.DoubleType()),
+            T.StructField("f_string", T.StringType()),
+            T.StructField("f_bool", T.BooleanType()),
+            T.StructField("f_int64_list", T.ArrayType(T.LongType())),
+            T.StructField("f_double_list", T.ArrayType(T.DoubleType())),
+            T.StructField("f_string_list", T.ArrayType(T.StringType())),
+        ]
+    )
+    spark.createDataFrame(
+        [("key", TS - dt.timedelta(seconds=10), 10.0, "test", True,
+          [10, 11], [1.5, 2.5], ["a", "b"])],
+        schema,
+    ).write.parquet(src)
+    reg = fs.Registry()
+    reg.apply_entity(fs.Entity("entity", fs.ValueType.STRING))
+    feats = [
+        fs.Feature(f.name, fs.ValueType.from_spark(f.dataType))
+        for f in schema.fields
+        if f.name.startswith("f_")
+    ]
+    reg.apply_feature_table(
+        fs.FeatureTable(
+            "all_types", ["entity"], feats, max_age_secs=7200,
+            batch_source=FileSource(file_url=src, event_timestamp_column="ts"),
+        )
+    )
+    materialize(spark, reg, "all_types", tmp_store)
+    ctl = ServingServiceRestController(
+        spark, reg, tmp_store, full_feature_names=True
+    )
+    with GrpcHttpServer([ServingServiceServicer(ctl)]) as srv:
+        with FeastClient.create(srv.host, srv.port) as client:
+            rows = client.get_online_features(
+                [f"all_types:{f.name}" for f in feats],
+                [Row.create().set("entity", "key").set_entity_timestamp(TS)],
+            )
+    r = rows[0]
+    for f in feats:
+        assert r.get_status(f"all_types:{f.name}") == PRESENT, f.name
+    assert r.get_double("all_types:f_double") == 10.0
+    assert r.get_string("all_types:f_string") == "test"
+    assert r.get_bool("all_types:f_bool") is True
+    assert r.get_list("all_types:f_int64_list") == [10, 11]
+    assert r.get_list("all_types:f_double_list") == [1.5, 2.5]
+    assert r.get_list("all_types:f_string_list") == ["a", "b"]
+    # arm inference: ints landed int64ListVal, floats doubleListVal
+    assert "int64ListVal" in r.get_fields()["all_types:f_int64_list"]
+    assert "doubleListVal" in r.get_fields()["all_types:f_double_list"]
+    assert r.get_fields()["all_types:f_bool"] == {"boolVal": True}
