@@ -104,14 +104,18 @@ def apply_odfv(
     if missing:
         raise ValueError(f"ODFV {view.name!r} missing input columns: {missing}")
     bare = {inp: inp.rsplit(":", 1)[-1] for inp in view.inputs}
-    dupes = {b for b in bare.values() if list(bare.values()).count(b) > 1}
-    if dupes:
-        raise ValueError(
-            f"ODFV {view.name!r} inputs collide on bare feature names "
-            f"{sorted(dupes)} — the transform receives bare names "
-            "(OnlineTransformationService.java:320-321), so these would "
-            "be indistinguishable"
-        )
+    # only the pandas-transform path sees bare names; expression views
+    # reference the aliased full columns directly and stay legal with
+    # colliding bare names.
+    if not view.expressions:
+        dupes = {b for b in bare.values() if list(bare.values()).count(b) > 1}
+        if dupes:
+            raise ValueError(
+                f"ODFV {view.name!r} inputs collide on bare feature names "
+                f"{sorted(dupes)} — the transform receives bare names "
+                "(OnlineTransformationService.java:320-321), so these would "
+                "be indistinguishable"
+            )
 
     outputs = view.output_names()
     requested = requested_outputs if requested_outputs is not None else outputs

@@ -79,6 +79,22 @@ def _unwrap_value(v):
     unwrap must reach through to the list; a wrapper that still yields
     a dict after unwrapping is malformed and rejected rather than
     silently forwarded into the request frame."""
+    def _b64(payload, k):
+        # canonical proto-JSON renders bytes fields as base64 strings;
+        # the decoder side MUST decode them or a bytes-typed entity key
+        # silently joins as the base64 TEXT and every lookup misses.
+        import base64
+        import binascii
+
+        if isinstance(payload, (bytes, bytearray)):
+            return bytes(payload)
+        try:
+            return base64.b64decode(payload, validate=True)
+        except (binascii.Error, ValueError, TypeError):
+            raise ValidationError(
+                f"Value wrapper {k!r} carries invalid base64 bytes"
+            ) from None
+
     if isinstance(v, dict) and len(v) == 1:
         (k, inner), = v.items()
         if k.endswith("ListVal") or k.endswith("_list_val"):
@@ -98,6 +114,8 @@ def _unwrap_value(v):
                     f"Malformed list Value wrapper {k!r}: expected "
                     '{"val": [...]} or a JSON array'
                 )
+            if k in ("bytesListVal", "bytes_list_val"):
+                return [_b64(x, k) for x in inner]
             return inner
         if k.endswith("Val") or k.endswith("_val"):
             if isinstance(inner, dict):
@@ -105,6 +123,8 @@ def _unwrap_value(v):
                     f"Malformed Value wrapper {k!r}: scalar oneof arms "
                     "carry a JSON scalar, not an object"
                 )
+            if k in ("bytesVal", "bytes_val"):
+                return _b64(inner, k)
             return inner
     return v
 

@@ -175,38 +175,62 @@ class Row:
         wrapper = self._fields[field_name]
         return wrapper if wrapper else None
 
-    def _get(self, field_name: str, arm: str):
-        """Typed getter semantics: None when unset; the arm's value
-        when that arm is set; the PROTO DEFAULT when a different arm
-        is set (``Value::getInt32Val`` on a string-valued proto returns
-        0, not null — the reference getters inherit that)."""
+    def _get(self, field_name: str, arm: str, *sibling_arms: str):
+        """Typed getter semantics: None when unset; the arm's value when
+        that arm is set; the PROTO DEFAULT when an unrelated arm is set
+        (``Value::getInt32Val`` on a string-valued proto returns 0, not
+        null — the reference getters inherit that). ``sibling_arms``
+        are same-family arms the JSON codec widens into (JSON has one
+        integer and one float type, so an INT32 feature arrives as
+        ``int64Val`` and a FLOAT as ``doubleVal``) — reading the
+        sibling returns the actual served value instead of silently
+        yielding the cross-arm proto default."""
         wrapper = self._value(field_name)
         if wrapper is None:
             return None
-        return wrapper.get(arm, _PROTO_DEFAULT[arm])
+        if arm in wrapper:
+            return wrapper[arm]
+        for sib in sibling_arms:
+            if sib in wrapper:
+                return wrapper[sib]
+        return _PROTO_DEFAULT[arm]
 
     def get_int(self, field_name: str):
-        return self._get(field_name, "int32Val")
+        return self._get(field_name, "int32Val", "int64Val")
 
     def get_long(self, field_name: str):
-        return self._get(field_name, "int64Val")
+        return self._get(field_name, "int64Val", "int32Val")
 
     def get_float(self, field_name: str):
-        return self._get(field_name, "floatVal")
+        return self._get(field_name, "floatVal", "doubleVal")
 
     def get_double(self, field_name: str):
-        return self._get(field_name, "doubleVal")
+        return self._get(field_name, "doubleVal", "floatVal")
 
     def get_string(self, field_name: str):
         return self._get(field_name, "stringVal")
 
     def get_bytes(self, field_name: str):
         """``getByte:124-126`` (sic — the reference's name for the
-        byte[] getter). JSON transports render bytes base64; decode
-        back to bytes here."""
+        byte[] getter). JSON transports render bytes base64 — and a
+        bytes-typed FEATURE arrives indistinguishable from a string
+        (the arm is re-inferred from the JSON type), so when only
+        ``stringVal`` is set this getter base64-decodes it; a payload
+        that is not valid base64 yields the proto default ``b""``
+        exactly as a cross-arm read would."""
         import base64
+        import binascii
 
         v = self._get(field_name, "bytesVal")
+        if v == b"":
+            wrapper = self._value(field_name)
+            if wrapper is not None and "stringVal" in wrapper:
+                try:
+                    return base64.b64decode(
+                        wrapper["stringVal"], validate=True
+                    )
+                except (binascii.Error, ValueError):
+                    return b""
         if isinstance(v, str):
             return base64.b64decode(v)
         return v
@@ -448,25 +472,33 @@ class HttpJsonChannel:
                 fresh = self._conn is None
                 if fresh:
                     self._conn = self._connect()
+                # Retry discipline (this transport carries MUTATION RPCs,
+                # so a blind re-send can double-apply): only failures
+                # proving the request was never processed are retried,
+                # and only on a REUSED keep-alive socket —
+                #  - send-phase errors (request(): the bytes never left),
+                #  - RemoteDisconnected from getresponse(): the server
+                #    closed the reused socket without writing a status
+                #    line — the canonical keep-alive race, where the
+                #    close happened before the request was read.
+                # Anything after the status line (IncompleteRead, reset
+                # mid-body) means a handler ran: NEVER retried.
                 try:
                     self._conn.request("POST", path, body=body, headers=hdrs)
-                    resp = self._conn.getresponse()
-                    payload = resp.read()
-                    break
-                except (
-                    http.client.HTTPException,
-                    ConnectionError,
-                    BrokenPipeError,
-                ):
-                    # Retry ONLY a stale keep-alive socket (the server
-                    # closed it between calls — the request never
-                    # reached a handler). A failure on a freshly-dialed
-                    # connection is NOT retried: the server may have
-                    # processed the request before dying, and a blind
-                    # re-send could double-apply a mutation RPC.
+                except (ConnectionError, BrokenPipeError, OSError):
                     self.close()
                     if attempt or fresh:
                         raise
+                    continue
+                try:
+                    resp = self._conn.getresponse()
+                except http.client.RemoteDisconnected:
+                    self.close()
+                    if attempt or fresh:
+                        raise
+                    continue
+                payload = resp.read()  # read failures propagate: no retry
+                break
             if resp.getheader("Connection", "").lower() == "close":
                 self.close()
         try:

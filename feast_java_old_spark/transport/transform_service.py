@@ -395,25 +395,30 @@ class HttpTransformationService:
                     self._conn = http.client.HTTPConnection(
                         host, int(port), timeout=self.timeout
                     )
+                # Same phase-split retry discipline as the SDK channel:
+                # send-phase errors and the keep-alive race
+                # (RemoteDisconnected before any status line) retry once
+                # on a REUSED socket; anything after the status line
+                # propagates (transforms are pure, but the policy stays
+                # uniform with the mutation-carrying channel).
                 try:
                     self._conn.request(
                         "POST", "/transform", body=body, headers=headers
                     )
-                    resp = self._conn.getresponse()
-                    raw = resp.read()
-                    break
-                except (
-                    http.client.HTTPException,
-                    ConnectionError,
-                    BrokenPipeError,
-                ):
-                    # retry ONLY a stale keep-alive socket (server
-                    # dropped it between batches); a fresh-connection
-                    # failure propagates — transforms are pure, but the
-                    # retry policy stays uniform with the SDK channel.
+                except (ConnectionError, BrokenPipeError, OSError):
                     self.close()
                     if attempt or fresh:
                         raise
+                    continue
+                try:
+                    resp = self._conn.getresponse()
+                except http.client.RemoteDisconnected:
+                    self.close()
+                    if attempt or fresh:
+                        raise
+                    continue
+                raw = resp.read()  # read failures propagate: no retry
+                break
             if resp.getheader("Connection", "").lower() == "close":
                 self.close()
         payload = json.loads(raw or b"{}")

@@ -2,9 +2,11 @@
 
 The SF-based scaling program (docs/SCALING.md) varies the DATA side;
 the serving plane's own scale axis is the request batch. This sweep
-holds the online table fixed (latest order per customer at sf0.1,
-~150k keys) and grows the request set 1k → 10k → 100k keys through
-`get_online_features`:
+holds the online table fixed (latest order per customer at sf0.1) and
+grows the request set 1k → 10k → 100k → 1M keys through
+`get_online_features` (beyond the 15k live customers the extra keys
+are misses — a real serve has those too; the join scale is what's
+measured):
 
 - the default BROADCAST strategy (request keys broadcast into the inner
   BHJ, matched rows broadcast back — the serve-path plan) up to the

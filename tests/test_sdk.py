@@ -259,10 +259,12 @@ def test_row_type_switch_and_getters():
     assert row.get_string("s") == "x"
     assert row.get_bytes("b") == b"\x01\x02"
     assert row.get_int("v32") == 9
-    # proto-default cross-arm extraction: getInt32Val on an int64-set
-    # Value returns 0, not null
-    assert row.get_int("i") == 0
+    # same-FAMILY arms widen (JSON has one integer type): get_int on an
+    # int64-set Value reads the sibling; cross-FAMILY reads keep the
+    # proto-default semantics (getStringVal on an int Value → "")
+    assert row.get_int("i") == 7
     assert row.get_string("i") == ""
+    assert row.get_long("v32") == 9  # int32 sibling read
     # unset → None from every getter
     assert row.get_long("unset") is None
     assert row.get_status("unset") == NULL_VALUE
@@ -684,3 +686,164 @@ def test_sdk_all_value_types_through_client(spark, tmp_path, tmp_store):
     assert "int64ListVal" in r.get_fields()["all_types:f_int64_list"]
     assert "doubleListVal" in r.get_fields()["all_types:f_double_list"]
     assert r.get_fields()["all_types:f_bool"] == {"boolVal": True}
+
+
+# ----------------------------------------------- review-finding pins (r14)
+
+
+def test_typed_getters_read_widened_json_arms():
+    """The JSON codec widens INT32→int64Val and FLOAT→doubleVal; the
+    typed getters read the same-family sibling arm instead of silently
+    returning the cross-arm proto default (0 / 0.0)."""
+    row = Row()
+    row.set("i", {"int64Val": 7})
+    row.set("f", {"doubleVal": 2.5})
+    assert row.get_int("i") == 7  # sibling read, not proto-default 0
+    assert row.get_long("i") == 7
+    assert row.get_float("f") == 2.5
+    assert row.get_double("f") == 2.5
+    # cross-FAMILY reads keep proto-default semantics
+    assert row.get_string("i") == ""
+    assert row.get_int("f") == 0
+
+
+def test_get_bytes_decodes_string_widened_payload():
+    """A bytes-typed FEATURE arrives as a base64 JSON string
+    (stringVal after arm inference) — get_bytes decodes it; an invalid
+    base64 string yields the proto default b'' like a cross-arm read."""
+    import base64
+
+    row = Row()
+    row.set("b", {"stringVal": base64.b64encode(b"\x01\x02").decode()})
+    assert row.get_bytes("b") == b"\x01\x02"
+    row.set("s", {"stringVal": "not base64 !!"})
+    assert row.get_bytes("s") == b""
+
+
+def test_read_phase_failure_never_retries(mock_server):
+    """A failure AFTER the status line (IncompleteRead mid-body) must
+    propagate, never re-send — the server already ran a handler. Only
+    the send phase and the keep-alive race (RemoteDisconnected before
+    any status line) retry, and only on a reused socket."""
+    import http.client as hc
+
+    srv, _ = mock_server
+    chan = HttpJsonChannel(srv.host, srv.port)
+    calls = {"n": 0}
+
+    class ExplodingConn:
+        def request(self, *a, **k):
+            calls["n"] += 1
+
+        def getresponse(self):
+            class R:
+                status = 200
+
+                def read(self):
+                    raise hc.IncompleteRead(b"partial")
+
+                def getheader(self, *a, **k):
+                    return ""
+
+            return R()
+
+        def close(self):
+            pass
+
+    chan._conn = ExplodingConn()  # a REUSED (non-fresh) connection
+    with pytest.raises(hc.IncompleteRead):
+        chan.unary(SERVING_SERVICE, "GetOnlineFeaturesV2", {})
+    assert calls["n"] == 1  # exactly one send — no blind re-send
+
+
+def test_keep_alive_race_retries_once_on_reused_socket(mock_server):
+    """RemoteDisconnected on getresponse over a REUSED socket is the
+    keep-alive race (no status line ⇒ the server never read the
+    request) — retried exactly once on a fresh dial."""
+    import http.client as hc
+
+    srv, _ = mock_server
+    chan = HttpJsonChannel(srv.host, srv.port)
+    sends = {"n": 0}
+
+    class StaleConn:
+        def request(self, *a, **k):
+            sends["n"] += 1
+
+        def getresponse(self):
+            raise hc.RemoteDisconnected("server dropped idle socket")
+
+        def close(self):
+            pass
+
+    chan._conn = StaleConn()
+    out = chan.unary(SERVING_SERVICE, "GetOnlineFeaturesV2", fake_request())
+    assert out == fake_response()  # second attempt hit the real server
+    assert sends["n"] == 1  # stale conn sent once, then a real redial
+    chan.close()
+
+
+def test_bytes_entity_key_round_trip(spark, tmp_path, tmp_store):
+    """A BYTES-typed entity key sent by the SDK ({'bytesVal': base64})
+    must be base64-DECODED server-side before the lookup join — without
+    the decode every bytes-keyed lookup silently misses."""
+    from feast_java_old_spark.plans.serving_rest import (
+        ServingServiceRestController,
+    )
+    from feast_java_old_spark.transport.grpc_adapter import (
+        ServingServiceServicer,
+    )
+
+    src = str(tmp_path / "src_bytes")
+    spark.createDataFrame(
+        [(bytearray(b"\x01\x02"), TS - dt.timedelta(seconds=10), 7.0)],
+        T.StructType(
+            [
+                T.StructField("bkey", T.BinaryType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        ),
+    ).write.parquet(src)
+    reg = fs.Registry()
+    reg.apply_entity(fs.Entity("bkey", fs.ValueType.BYTES))
+    reg.apply_feature_table(
+        fs.FeatureTable(
+            "by_bytes", ["bkey"], [fs.Feature("score", fs.ValueType.DOUBLE)],
+            max_age_secs=7200,
+            batch_source=FileSource(file_url=src, event_timestamp_column="ts"),
+        )
+    )
+    materialize(spark, reg, "by_bytes", tmp_store)
+    ctl = ServingServiceRestController(
+        spark, reg, tmp_store, full_feature_names=True
+    )
+    with GrpcHttpServer([ServingServiceServicer(ctl)]) as srv:
+        with FeastClient.create(srv.host, srv.port) as client:
+            rows = client.get_online_features(
+                ["by_bytes:score"],
+                [Row.create().set("bkey", b"\x01\x02").set_entity_timestamp(TS)],
+            )
+    assert rows[0].get_status("by_bytes:score") == PRESENT
+    assert rows[0].get_double("by_bytes:score") == 7.0
+    assert rows[0].get_bytes("bkey") == b"\x01\x02"  # entity echoed
+
+
+def test_expression_odfv_allows_colliding_bare_names(spark):
+    """Expression views reference aliased FULL columns — the bare-name
+    collision rejection applies only to pandas-transform views."""
+    from pyspark.sql import functions as F
+
+    from feast_java_old_spark.operators.odfv import (
+        OnDemandFeatureView,
+        apply_odfv,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0)], "id long, a__x double, b__x double"
+    )
+    view = OnDemandFeatureView.from_expressions(
+        "combo", ["a:x", "b:x"], {"y": F.col("a__x") + F.col("b__x")}
+    )
+    out = apply_odfv(df, view).collect()
+    assert out[0].y == 3.0
