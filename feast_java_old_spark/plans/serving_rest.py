@@ -88,12 +88,17 @@ def _unwrap_value(v):
 
         if isinstance(payload, (bytes, bytearray)):
             return bytes(payload)
-        try:
-            return base64.b64decode(payload, validate=True)
-        except (binascii.Error, ValueError, TypeError):
-            raise ValidationError(
-                f"Value wrapper {k!r} carries invalid base64 bytes"
-            ) from None
+        # canonical proto3 JSON accepts standard AND URL-safe base64
+        for altchars in (None, b"-_"):
+            try:
+                return base64.b64decode(
+                    payload, altchars=altchars, validate=True
+                )
+            except (binascii.Error, ValueError, TypeError):
+                continue
+        raise ValidationError(
+            f"Value wrapper {k!r} carries invalid base64 bytes"
+        )
 
     if isinstance(v, dict) and len(v) == 1:
         (k, inner), = v.items()
