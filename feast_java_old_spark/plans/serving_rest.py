@@ -37,6 +37,8 @@ gRPC path's project authorization should call
 
 from __future__ import annotations
 
+import base64
+import binascii
 import datetime as dt
 from typing import Optional, Sequence
 
@@ -70,6 +72,26 @@ def _parse_feature_refs(features: Sequence) -> list[str]:
     return refs
 
 
+def _b64(payload, k):
+    """Decode one ``bytesVal``/``bytesListVal`` element. Canonical
+    proto-JSON renders bytes fields as base64 strings; the decoder side
+    MUST decode them or a bytes-typed entity key silently joins as the
+    base64 TEXT and every lookup misses. Both the standard and URL-safe
+    alphabets are accepted (canonical proto3 JSON permits both).
+    Module-level (not a per-call closure): this runs once per entity
+    field per request row."""
+    if isinstance(payload, (bytes, bytearray)):
+        return bytes(payload)
+    for altchars in (None, b"-_"):
+        try:
+            return base64.b64decode(payload, altchars=altchars, validate=True)
+        except (binascii.Error, ValueError, TypeError):
+            continue
+    raise ValidationError(
+        f"Value wrapper {k!r} carries invalid base64 bytes"
+    )
+
+
 def _unwrap_value(v):
     """Unwrap a single-key proto-JSON ``Value`` oneof (``{"int64Val":
     7}``, ``{"stringVal": "x"}``) to its native scalar; native scalars
@@ -79,27 +101,6 @@ def _unwrap_value(v):
     unwrap must reach through to the list; a wrapper that still yields
     a dict after unwrapping is malformed and rejected rather than
     silently forwarded into the request frame."""
-    def _b64(payload, k):
-        # canonical proto-JSON renders bytes fields as base64 strings;
-        # the decoder side MUST decode them or a bytes-typed entity key
-        # silently joins as the base64 TEXT and every lookup misses.
-        import base64
-        import binascii
-
-        if isinstance(payload, (bytes, bytearray)):
-            return bytes(payload)
-        # canonical proto3 JSON accepts standard AND URL-safe base64
-        for altchars in (None, b"-_"):
-            try:
-                return base64.b64decode(
-                    payload, altchars=altchars, validate=True
-                )
-            except (binascii.Error, ValueError, TypeError):
-                continue
-        raise ValidationError(
-            f"Value wrapper {k!r} carries invalid base64 bytes"
-        )
-
     if isinstance(v, dict) and len(v) == 1:
         (k, inner), = v.items()
         if k.endswith("ListVal") or k.endswith("_list_val"):

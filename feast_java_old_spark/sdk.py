@@ -61,6 +61,7 @@ from feast_java_old_spark.transport.grpc_adapter import (
     GrpcCallError,
 )
 from feast_java_old_spark.transport.grpc_http import HTTP_GRPC_STATUS
+from feast_java_old_spark.transport.keepalive import KeepAliveHttpMixin
 
 # GetOnlineFeaturesResponse.FieldStatus names.
 PRESENT = "PRESENT"
@@ -354,10 +355,15 @@ def parse_feature_ref(feature_ref_string: str) -> dict:
             "string Feature References, in <featureTableName>:<featureName>"
             " format."
         )
-    # Java `split(":")` + parts[0]/parts[1]: extra segments are silently
-    # dropped; a trailing-colon ref ("t:") leaves no parts[1] and fails.
+    # Java `split(":")` + parts[0]/parts[1], quirks included: Java's
+    # split DROPS trailing empty segments, so "t:" → ["t"] → no
+    # parts[1] → fails, while "t::f" → ["t", "", "f"] → a reference
+    # with an EMPTY feature name is silently built and sent (the
+    # server's RequestHelper rejects it); extra segments are dropped.
     parts = feature_ref_string.split(":")
-    if len(parts) < 2 or not parts[1]:
+    while parts and parts[-1] == "":
+        parts.pop()  # Java split semantics: trailing empties removed
+    if len(parts) < 2:
         raise ValueError(
             f"Unsupported feature reference: {feature_ref_string} - "
             "FeatureTable name and Feature name should be provided in "
@@ -390,10 +396,13 @@ class SecurityConfig:
 # ---------------------------------------------------------------- channels
 
 
-class HttpJsonChannel:
+class HttpJsonChannel(KeepAliveHttpMixin):
     """The ``ManagedChannel`` analog over the gRPC-over-HTTP binding:
     one persistent keep-alive connection (reconnected transparently if
     the server closed it), unary calls at ``/<service>/<Method>``.
+    Dial/retry/thread-safety discipline lives in
+    :class:`~feast_java_old_spark.transport.keepalive.
+    KeepAliveHttpMixin` (shared with the transform-service client).
 
     TLS wiring mirrors ``FeastClient.createSecure:75-103``: a custom
     certificate path builds a trust context from that file — an
@@ -409,16 +418,10 @@ class HttpJsonChannel:
         certificate_path: Optional[str] = None,
         timeout: float = 30.0,
     ) -> None:
-        import threading
-
         self.host = host
         self.port = port
         self.timeout = timeout
-        # a gRPC ManagedChannel is thread-safe; http.client connections
-        # are not — serialize calls over the shared keep-alive socket so
-        # a FeastClient used from multiple threads (the reference
-        # supports it) cannot interleave request/response frames.
-        self._lock = threading.Lock()
+        self._init_keepalive()
         self._context: Optional[ssl.SSLContext] = None
         if tls_enabled:
             if certificate_path is not None:
@@ -433,9 +436,8 @@ class HttpJsonChannel:
                     ) from ex
             else:
                 self._context = ssl.create_default_context()
-        self._conn: Optional[http.client.HTTPConnection] = None
 
-    def _connect(self) -> http.client.HTTPConnection:
+    def _dial(self) -> http.client.HTTPConnection:
         if self._context is not None:
             return http.client.HTTPSConnection(
                 self.host,
@@ -466,41 +468,9 @@ class HttpJsonChannel:
         hdrs = {"Content-Type": "application/json"}
         if headers:
             hdrs.update(headers)
-        path = f"/{service}/{method}"
-        with self._lock:
-            for attempt in (0, 1):
-                fresh = self._conn is None
-                if fresh:
-                    self._conn = self._connect()
-                # Retry discipline (this transport carries MUTATION RPCs,
-                # so a blind re-send can double-apply): only failures
-                # proving the request was never processed are retried,
-                # and only on a REUSED keep-alive socket —
-                #  - send-phase errors (request(): the bytes never left),
-                #  - RemoteDisconnected from getresponse(): the server
-                #    closed the reused socket without writing a status
-                #    line — the canonical keep-alive race, where the
-                #    close happened before the request was read.
-                # Anything after the status line (IncompleteRead, reset
-                # mid-body) means a handler ran: NEVER retried.
-                try:
-                    self._conn.request("POST", path, body=body, headers=hdrs)
-                except (ConnectionError, BrokenPipeError, OSError):
-                    self.close()
-                    if attempt or fresh:
-                        raise
-                    continue
-                try:
-                    resp = self._conn.getresponse()
-                except http.client.RemoteDisconnected:
-                    self.close()
-                    if attempt or fresh:
-                        raise
-                    continue
-                payload = resp.read()  # read failures propagate: no retry
-                break
-            if resp.getheader("Connection", "").lower() == "close":
-                self.close()
+        # mutation-safe retry + poison-proof close discipline: see
+        # transport.keepalive.KeepAliveHttpMixin.
+        resp, payload = self._post(f"/{service}/{method}", body, hdrs)
         try:
             decoded = json.loads(payload) if payload else {}
         except json.JSONDecodeError:
@@ -519,12 +489,7 @@ class HttpJsonChannel:
             raise GrpcCallError(code, details or f"HTTP {resp.status}")
         return decoded
 
-    def close(self) -> None:
-        if self._conn is not None:
-            try:
-                self._conn.close()
-            finally:
-                self._conn = None
+    # close() comes from KeepAliveHttpMixin
 
 
 class GrpcChannel:
@@ -544,10 +509,15 @@ class GrpcChannel:
         self._channel = grpc.insecure_channel(target)
 
     def unary(self, service, method, request, headers=None):  # pragma: no cover
+        from feast_java_old_spark.transport.http import encode_json
+
         metadata = tuple((k.lower(), v) for k, v in (headers or {}).items())
         fn = self._channel.unary_unary(
             f"/{service}/{method}",
-            request_serializer=lambda d: json.dumps(d).encode(),
+            # encode_json, NOT plain json.dumps: bytes-bearing payloads
+            # (bytesVal entity keys) and datetimes must serialize the
+            # same way on both channel twins.
+            request_serializer=encode_json,
             response_deserializer=lambda b: json.loads(b or b"{}"),
         )
         return fn(request, metadata=metadata)

@@ -62,6 +62,7 @@ import pandas as pd
 import pyarrow as pa
 
 from feast_java_old_spark.transport.http import RestHttpServer
+from feast_java_old_spark.transport.keepalive import KeepAliveHttpMixin
 
 # The four wire types the reference's hand-rolled serializer handles
 # (OnlineTransformationService.java:325-343): INT32/INT64/FLOAT/DOUBLE.
@@ -340,32 +341,28 @@ class TransformServer(RestHttpServer):
 # ------------------------------------------------------------------ client
 
 
-class HttpTransformationService:
+class HttpTransformationService(KeepAliveHttpMixin):
     """Serving-side client — the blocking-stub analog
     (``OnlineTransformationService.java:57,62-79``). ``endpoint`` is
     ``"host:port"``, the reference's ``transformationServiceEndpoint``
-    constructor string (:63-66)."""
+    constructor string (:63-66). One persistent keep-alive connection
+    per client (the ManagedChannel shape — no TCP dial per batch);
+    dial/retry/poison-proofing discipline is the shared
+    :class:`~feast_java_old_spark.transport.keepalive.
+    KeepAliveHttpMixin` — critical here because instances are cached
+    per worker process (``_worker_client``), so a connection left in a
+    bad state would outlive the failure that caused it."""
 
     def __init__(self, endpoint: str, timeout: float = 30.0) -> None:
-        import threading
-
         self.endpoint = endpoint
         self.timeout = timeout
-        # one persistent keep-alive connection per client, the
-        # ManagedChannel shape — the blocking stub does NOT redial TCP
-        # per RPC, and neither should the per-batch hop; reconnects
-        # transparently when the server dropped the idle socket. The
-        # lock serializes calls over the shared socket (http.client
-        # connections are not thread-safe; gRPC stubs are).
-        self._lock = threading.Lock()
-        self._conn: Optional[http.client.HTTPConnection] = None
+        self._init_keepalive()
 
-    def close(self) -> None:
-        if self._conn is not None:
-            try:
-                self._conn.close()
-            finally:
-                self._conn = None
+    def _dial(self) -> http.client.HTTPConnection:
+        host, _, port = self.endpoint.rpartition(":")
+        return http.client.HTTPConnection(
+            host, int(port), timeout=self.timeout
+        )
 
     def transform_features(
         self,
@@ -386,41 +383,9 @@ class HttpTransformationService:
                 },
             }
         ).encode()
-        host, _, port = self.endpoint.rpartition(":")
-        headers = {"Content-Type": "application/json"}
-        with self._lock:
-            for attempt in (0, 1):
-                fresh = self._conn is None
-                if fresh:
-                    self._conn = http.client.HTTPConnection(
-                        host, int(port), timeout=self.timeout
-                    )
-                # Same phase-split retry discipline as the SDK channel:
-                # send-phase errors and the keep-alive race
-                # (RemoteDisconnected before any status line) retry once
-                # on a REUSED socket; anything after the status line
-                # propagates (transforms are pure, but the policy stays
-                # uniform with the mutation-carrying channel).
-                try:
-                    self._conn.request(
-                        "POST", "/transform", body=body, headers=headers
-                    )
-                except (ConnectionError, BrokenPipeError, OSError):
-                    self.close()
-                    if attempt or fresh:
-                        raise
-                    continue
-                try:
-                    resp = self._conn.getresponse()
-                except http.client.RemoteDisconnected:
-                    self.close()
-                    if attempt or fresh:
-                        raise
-                    continue
-                raw = resp.read()  # read failures propagate: no retry
-                break
-            if resp.getheader("Connection", "").lower() == "close":
-                self.close()
+        resp, raw = self._post(
+            "/transform", body, {"Content-Type": "application/json"}
+        )
         payload = json.loads(raw or b"{}")
         if resp.status != 200:
             raise RuntimeError(

@@ -238,11 +238,17 @@ def test_create_feature_refs_null():
 
 def test_parse_feature_ref_extra_segments_quirk():
     """Java split(":") + parts[0]/parts[1]: extra segments silently
-    dropped (RequestUtil.java:71-76)."""
+    dropped; an empty MIDDLE segment builds an empty feature name the
+    server rejects (Java split drops only TRAILING empties, so "t::f"
+    yields parts[1] == "") — both quirks mirrored
+    (RequestUtil.java:71-76)."""
     assert parse_feature_ref("t:f:extra") == {
         "featureTable": "t",
         "name": "f",
     }
+    assert parse_feature_ref("t::f") == {"featureTable": "t", "name": ""}
+    # trailing empties dropped like Java: "t:f:" parses clean
+    assert parse_feature_ref("t:f:") == {"featureTable": "t", "name": "f"}
 
 
 # -------------------------------------------------------------------- Row
@@ -754,6 +760,12 @@ def test_read_phase_failure_never_retries(mock_server):
     with pytest.raises(hc.IncompleteRead):
         chan.unary(SERVING_SERVICE, "GetOnlineFeaturesV2", {})
     assert calls["n"] == 1  # exactly one send — no blind re-send
+    # the failure must not POISON the channel: the bad socket was
+    # closed on the way out, so the next call re-dials and succeeds
+    assert chan._conn is None
+    out = chan.unary(SERVING_SERVICE, "GetOnlineFeaturesV2", fake_request())
+    assert out == fake_response()
+    chan.close()
 
 
 def test_keep_alive_race_retries_once_on_reused_socket(mock_server):
