@@ -74,6 +74,23 @@ _UNSUPPORTED_TYPE_MSG = (
     "types: Integer, Long, Float, Double, String, byte[]."
 )
 
+# Every Value oneof arm name the proto-JSON codec can carry — the
+# canonical lowerCamel names plus the snake_case twins the server's
+# ``_unwrap_value`` also accepts. Used to validate the ``Row.set``
+# dict-passthrough arm: Java's passthrough case is TYPED
+# (``ValueProto.Value``), so an arbitrary dict must at least LOOK like
+# a Value wrapper or the client rejects it before it ships.
+_VALUE_ARMS = frozenset(
+    arm
+    for base in ("bytes", "string", "int32", "int64", "double", "float", "bool")
+    for arm in (
+        f"{base}Val",
+        f"{base}_val",
+        f"{base}ListVal",
+        f"{base}_list_val",
+    )
+)
+
 # proto3 scalar defaults per oneof arm — what ``Value::get<Arm>Val``
 # returns when a DIFFERENT arm is set (only VAL_NOT_SET yields null).
 _PROTO_DEFAULT = {
@@ -153,7 +170,20 @@ class Row:
         elif isinstance(value, (bytes, bytearray)):
             self._fields[field_name] = {"bytesVal": bytes(value)}
         elif isinstance(value, dict):
-            # the Value passthrough case (:86-87)
+            # the Value passthrough case (:86-87). Java's passthrough is
+            # typed (``ValueProto.Value``); the JSON analog validates
+            # the dict IS a Value wrapper — empty (unset) or exactly one
+            # known oneof arm — so a typo'd arm ({"int64val": 7}) fails
+            # loudly client-side instead of being served as NOT_FOUND-
+            # shaped garbage.
+            if value and (
+                len(value) != 1 or next(iter(value)) not in _VALUE_ARMS
+            ):
+                raise ValueError(
+                    _UNSUPPORTED_TYPE_MSG.format(
+                        "Value{" + ", ".join(sorted(map(str, value))) + "}"
+                    )
+                )
             self._fields[field_name] = value
         else:
             raise ValueError(
@@ -233,7 +263,14 @@ class Row:
                 except (binascii.Error, ValueError):
                     return b""
         if isinstance(v, str):
-            return base64.b64decode(v)
+            # a client-built passthrough wrapper may carry bytesVal as a
+            # base64 STRING (that is how proto-JSON renders bytes);
+            # malformed payloads yield the proto default exactly like
+            # the stringVal-widened arm above, never binascii.Error.
+            try:
+                return base64.b64decode(v)
+            except (binascii.Error, ValueError):
+                return b""
         return v
 
     def get_bool(self, field_name: str):
@@ -509,6 +546,8 @@ class GrpcChannel:
         self._channel = grpc.insecure_channel(target)
 
     def unary(self, service, method, request, headers=None):  # pragma: no cover
+        import grpc
+
         from feast_java_old_spark.transport.http import encode_json
 
         metadata = tuple((k.lower(), v) for k, v in (headers or {}).items())
@@ -520,7 +559,17 @@ class GrpcChannel:
             request_serializer=encode_json,
             response_deserializer=lambda b: json.loads(b or b"{}"),
         )
-        return fn(request, metadata=metadata)
+        try:
+            return fn(request, metadata=metadata)
+        except grpc.RpcError as ex:
+            # channel-agnostic error surface: both twins raise
+            # GrpcCallError on a non-OK status (HttpJsonChannel maps the
+            # HTTP row; here the code name comes off the RpcError).
+            code = getattr(ex, "code", lambda: None)()
+            details = getattr(ex, "details", lambda: "")() or str(ex)
+            raise GrpcCallError(
+                code.name if code is not None else "UNKNOWN", details
+            ) from ex
 
     def close(self) -> None:  # pragma: no cover
         self._channel.close()
@@ -605,7 +654,11 @@ class FeastClient:
         )
         out = []
         for field_values in response.get("fieldValues", []):
-            row = Row()
+            # Row.create(), not Row(): the reference's response mapper
+            # builds each returned row via Row.create()
+            # (FeastClient.java:180), so get_entity_timestamp() on a
+            # response row reads a now-stamp, never null.
+            row = Row.create()
             statuses = field_values.get("statuses", {})
             for name, value in field_values.get("fields", {}).items():
                 # the reference stores the wire Value verbatim via the

@@ -19,22 +19,47 @@ The rules, in order of importance:
    even though the server is healthy (and the transform client is
    cached per worker process, so a poisoned socket would outlive the
    failure that caused it).
-2. **Retry only what provably never ran.** Send-phase errors (the
-   bytes never left) and ``RemoteDisconnected`` from ``getresponse``
-   (no status line — the canonical keep-alive race, the server closed
-   the idle socket before reading) retry ONCE, and only on a REUSED
-   socket; a fresh-dial failure propagates. Anything after the status
-   line means a handler ran: never re-sent (a blind retry could
-   double-apply a mutation).
+2. **Retry only what provably never ran.** Send-phase PEER-CLOSED
+   errors (``ECONNRESET``/``EPIPE``/``ECONNABORTED`` — the server shut
+   the idle socket before we wrote, so the request cannot have been
+   parsed) and ``RemoteDisconnected`` from ``getresponse`` (no status
+   line — the same keep-alive race, caught one step later) retry ONCE,
+   and only on a REUSED socket; a fresh-dial failure propagates. A
+   send-phase TIMEOUT is NOT retryable: a timed-out ``sendall`` does
+   not prove non-delivery — the bytes may be fully buffered in the
+   kernel and delivered after we give up, so a handler may still run.
+   Anything after the status line means a handler ran: never re-sent
+   (a blind retry could double-apply a mutation).
 3. **One request at a time.** gRPC channels are thread-safe;
    ``http.client`` is not — calls serialize on a lock.
 """
 
 from __future__ import annotations
 
+import errno
 import http.client
 import threading
 from typing import Optional
+
+# Send-phase errnos that prove the PEER closed the connection before
+# (or while) we wrote — the request cannot have been parsed, so a
+# one-shot retry on a reused socket is mutation-safe. socket.timeout
+# (TimeoutError) is deliberately NOT here: a timed-out send may have
+# delivered every byte.
+_PEER_CLOSED_ERRNOS = frozenset(
+    {errno.ECONNRESET, errno.EPIPE, errno.ECONNABORTED}
+)
+
+
+def _peer_closed_on_send(exc: OSError) -> bool:
+    if isinstance(exc, TimeoutError):  # socket.timeout subclasses this
+        return False
+    if isinstance(
+        exc,
+        (ConnectionResetError, BrokenPipeError, ConnectionAbortedError),
+    ):
+        return True
+    return getattr(exc, "errno", None) in _PEER_CLOSED_ERRNOS
 
 
 class KeepAliveHttpMixin:
@@ -44,18 +69,24 @@ class KeepAliveHttpMixin:
     ``(response, payload_bytes)``."""
 
     def _init_keepalive(self) -> None:
-        self._lock = threading.Lock()
+        # RLock: close() locks too, and _post calls close() while
+        # holding the lock (poison discipline) — a plain Lock would
+        # deadlock there; the RLock keeps an external close() (another
+        # thread shutting the client down) from racing an in-flight
+        # _post between its fresh-check and conn.request().
+        self._lock = threading.RLock()
         self._conn: Optional[http.client.HTTPConnection] = None
 
     def _dial(self) -> http.client.HTTPConnection:
         raise NotImplementedError
 
     def close(self) -> None:
-        if self._conn is not None:
-            try:
-                self._conn.close()
-            finally:
-                self._conn = None
+        with self._lock:
+            if self._conn is not None:
+                try:
+                    self._conn.close()
+                finally:
+                    self._conn = None
 
     def _post(self, path: str, body: bytes, headers: dict):
         with self._lock:
@@ -65,9 +96,9 @@ class KeepAliveHttpMixin:
                     self._conn = self._dial()
                 try:
                     self._conn.request("POST", path, body=body, headers=headers)
-                except (ConnectionError, BrokenPipeError, OSError):
+                except OSError as ex:
                     self.close()
-                    if attempt or fresh:
+                    if attempt or fresh or not _peer_closed_on_send(ex):
                         raise
                     continue
                 except BaseException:

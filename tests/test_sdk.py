@@ -859,3 +859,130 @@ def test_expression_odfv_allows_colliding_bare_names(spark):
     )
     out = apply_odfv(df, view).collect()
     assert out[0].y == 3.0
+
+
+# ----------------------------------------------------------- r15 hardening
+
+
+def test_row_set_passthrough_validates_value_wrapper():
+    """The Java passthrough arm is TYPED (``ValueProto.Value``,
+    Row.java:86-87); the JSON analog rejects a dict that is not a Value
+    wrapper — a typo'd arm name or a multi-arm dict fails client-side
+    with the unsupported-type message instead of shipping as garbage."""
+    row = Row()
+    # valid: a known narrow arm, a list arm, snake_case, and unset
+    row.set("narrow", {"int32Val": 7})
+    assert row.get_int("narrow") == 7
+    row.set("lst", {"int64ListVal": {"val": [1, 2]}})
+    assert row.get_list("lst") == [1, 2]
+    row.set("snake", {"int32_val": 7})
+    row.set("unset", {})
+    assert row.get_long("unset") is None
+    # invalid: typo'd arm casing, unknown key, two arms at once
+    for bad in (
+        {"int64val": 7},
+        {"notAnArm": 1},
+        {"int64Val": 7, "stringVal": "x"},
+    ):
+        with pytest.raises(ValueError, match="unsupported in Feast"):
+            row.set("bad", bad)
+
+
+def test_get_bytes_malformed_passthrough_base64_yields_default():
+    """A client-built {'bytesVal': '<str>'} wrapper whose payload is not
+    valid base64 yields the proto default b'' — same contract as the
+    stringVal-widened arm, never binascii.Error."""
+    row = Row()
+    row.set("b", {"bytesVal": "not base64 !!"})
+    assert row.get_bytes("b") == b""
+
+
+def test_response_rows_are_create_stamped(mock_server):
+    """The reference's response mapper builds rows via Row.create()
+    (FeastClient.java:180), so get_entity_timestamp() on a returned row
+    is a now-stamp, never None."""
+    srv, _ = mock_server
+    with FeastClient.create(srv.host, srv.port) as client:
+        rows = client.get_online_features(
+            ["driver:name", "driver:rating", "driver:null_value"],
+            _request_rows(),
+            "driver_project",
+        )
+    assert rows[0].get_entity_timestamp() is not None
+
+
+def test_send_timeout_never_retries(mock_server):
+    """A send-phase TIMEOUT does not prove non-delivery (the bytes may
+    be kernel-buffered and delivered after we give up) — it must
+    propagate without a re-send, even on a reused socket; only
+    peer-closed send errors (ECONNRESET/EPIPE) retry."""
+    import socket
+
+    srv, _ = mock_server
+    chan = HttpJsonChannel(srv.host, srv.port)
+    sends = {"n": 0}
+
+    class TimingOutConn:
+        def request(self, *a, **k):
+            sends["n"] += 1
+            raise socket.timeout("send timed out")
+
+        def close(self):
+            pass
+
+    chan._conn = TimingOutConn()  # a REUSED (non-fresh) connection
+    with pytest.raises(OSError):
+        chan.unary(SERVING_SERVICE, "GetOnlineFeaturesV2", fake_request())
+    assert sends["n"] == 1  # exactly one send — no blind re-send
+    assert chan._conn is None  # and the socket was not left poisoned
+    # peer-closed on send (the keep-alive race caught at write time)
+    # DOES retry once on a fresh dial:
+    class ResetConn:
+        def request(self, *a, **k):
+            sends["n"] += 1
+            raise ConnectionResetError("peer closed idle socket")
+
+        def close(self):
+            pass
+
+    chan._conn = ResetConn()
+    out = chan.unary(SERVING_SERVICE, "GetOnlineFeaturesV2", fake_request())
+    assert out == fake_response()
+    assert sends["n"] == 2  # stale conn sent once, then the real redial
+    chan.close()
+
+
+def test_close_is_lock_safe_against_inflight_calls(mock_server):
+    """close() takes the channel lock, so a close() racing an in-flight
+    call serializes behind it instead of nulling _conn mid-request;
+    and a call AFTER close re-dials cleanly."""
+    import threading
+
+    srv, _ = mock_server
+    chan = HttpJsonChannel(srv.host, srv.port)
+    assert chan.unary(
+        SERVING_SERVICE, "GetOnlineFeaturesV2", fake_request()
+    ) == fake_response()
+    stop = threading.Event()
+    errors = []
+
+    def closer():
+        while not stop.is_set():
+            chan.close()
+
+    t = threading.Thread(target=closer)
+    t.start()
+    try:
+        for _ in range(50):
+            try:
+                out = chan.unary(
+                    SERVING_SERVICE, "GetOnlineFeaturesV2", fake_request()
+                )
+                assert out == fake_response()
+            except Exception as ex:  # noqa: BLE001 - recording any race
+                errors.append(ex)
+    finally:
+        stop.set()
+        t.join()
+    chan.close()
+    assert not errors  # no AttributeError-on-None, no half-state failures
