@@ -289,8 +289,13 @@ WHERE c.c_custkey % 7 = 0
 # ------------------------------------------------------------ J2 compound key
 
 
-def q_j2_compound_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2: composite-entity-key lookup ((l_suppkey, l_partkey) pairs)."""
+def _supplier_part_env(spark: SparkSession, sf_dir: str):
+    """The J2 compound-key environment, shared by the direct-operator
+    gate (``q_j2_compound_key``) and the client-SDK twin
+    (``q_sdk_compound_entity``): registry with TWO entities, the
+    lineitem history keyed by (l_suppkey, l_partkey), the ~2% request
+    key set (+ one guaranteed-missing pair), and the request-restricted
+    latest-per-key online frame."""
     reg = Registry()
     reg.apply_entity(Entity("l_suppkey", ValueType.INT64))
     reg.apply_entity(Entity("l_partkey", ValueType.INT64))
@@ -338,6 +343,12 @@ def q_j2_compound_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     online = latest_per_key_for(
         li, entities, ["l_suppkey", "l_partkey"], "event_timestamp"
     )
+    return reg, online, entities
+
+
+def q_j2_compound_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: composite-entity-key lookup ((l_suppkey, l_partkey) pairs)."""
+    reg, online, entities = _supplier_part_env(spark, sf_dir)
     return get_online_features(
         spark,
         reg,
@@ -9920,6 +9931,112 @@ FROM age
 """
 
 
+def q_sdk_compound_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound-entity serve through the client SDK — the r15 budgeted
+    gate query, the engine twin of ``ServingServiceBigTableIT.
+    shouldRegisterCompoundEntityAndGetOnlineFeatures:533-596``: a
+    feature table registered on TWO entities, entity rows carrying BOTH
+    key fields (``DataGenerator.createCompoundEntityRow``), served
+    through ``FeastClient.get_online_features`` and read back with
+    values AND statuses (PRESENT rows plus a guaranteed-missing pair →
+    NOT_FOUND with the empty Value, exactly the IT's
+    ``createEmptyValue`` expectation).
+
+    One registration refreshes TWO surfaces: the J2 compound-key join
+    evidence (same env/oracle family as ``j2_compound_key``, the
+    two-round bench watch item) and the SDK path beyond its
+    single-entity r14 gate. Scale shape: identical to J2's — the
+    double-BHJ keyed on the composite key behind the gRPC-over-HTTP
+    socket; the client adds zero plan nodes."""
+    from feast_java_old_spark.plans.serving_rest import (
+        ServingServiceRestController,
+    )
+    from feast_java_old_spark.registry.credentials import JwtCallCredentials
+    from feast_java_old_spark.sdk import FeastClient, HttpJsonChannel, Row
+    from feast_java_old_spark.transport.grpc_adapter import (
+        ServingServiceServicer,
+    )
+    from feast_java_old_spark.transport.grpc_http import GrpcHttpServer
+
+    reg, online, entities = _supplier_part_env(spark, sf_dir)
+    ctl = ServingServiceRestController(
+        spark,
+        reg,
+        online_frames={"supplier_part": online},
+        full_feature_names=True,
+    )
+    pairs = sorted(
+        (int(r.l_suppkey), int(r.l_partkey)) for r in entities.collect()
+    )
+    refs = ["supplier_part:quantity", "supplier_part:extended_price"]
+    with GrpcHttpServer([ServingServiceServicer(ctl)]) as srv:
+        client = FeastClient(
+            HttpJsonChannel(srv.host, srv.port, timeout=600.0),
+            credentials=JwtCallCredentials("sdk-compound-token"),
+        )
+        with client:
+            rows = client.get_online_features(
+                refs,
+                [
+                    Row.create()
+                    .set("l_suppkey", sk)
+                    .set("l_partkey", pk)
+                    .set_entity_timestamp(dt.datetime(1998, 12, 1))
+                    for sk, pk in pairs
+                ],
+            )
+    schema = T.StructType(
+        [
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("quantity", T.DoubleType()),
+            T.StructField("quantity_status", T.StringType()),
+            T.StructField("extended_price", T.DoubleType()),
+            T.StructField("extended_price_status", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                r.get_long("l_suppkey"),
+                r.get_long("l_partkey"),
+                r.get_double(refs[0]),
+                r.get_status(refs[0]),
+                r.get_double(refs[1]),
+                r.get_status(refs[1]),
+            )
+            for r in rows
+        ],
+        schema,
+    )
+
+
+SQL_SDK_COMPOUND = """
+WITH latest AS (
+  SELECT l_suppkey, l_partkey, l_quantity AS quantity,
+         l_extendedprice AS extended_price,
+         row_number() OVER (PARTITION BY l_suppkey, l_partkey
+                            ORDER BY l_shipdate DESC, l_orderkey DESC,
+                                     l_linenumber DESC) AS rn
+  FROM lineitem),
+l1 AS (SELECT * FROM latest WHERE rn = 1),
+ent AS (
+  SELECT DISTINCT l_suppkey, l_partkey FROM lineitem WHERE l_partkey % 50 = 0
+  UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT))
+SELECT e.l_suppkey, e.l_partkey,
+       l1.quantity,
+       CASE WHEN l1.l_suppkey IS NULL THEN 'NOT_FOUND'
+            WHEN l1.quantity IS NULL THEN 'NULL_VALUE'
+            ELSE 'PRESENT' END AS quantity_status,
+       l1.extended_price,
+       CASE WHEN l1.l_suppkey IS NULL THEN 'NOT_FOUND'
+            WHEN l1.extended_price IS NULL THEN 'NULL_VALUE'
+            ELSE 'PRESENT' END AS extended_price_status
+FROM ent e LEFT JOIN l1
+  ON l1.l_suppkey = e.l_suppkey AND l1.l_partkey = e.l_partkey
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the J1 entity-lookup —
     the reference's hot path — over the synthetic star schema."""
@@ -9935,118 +10052,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verifies within ~4 rounds (policy: docs/COVERAGE.md
     # "Evidence-freshness policy"). Do NOT append new queries at the
     # end, insert alphabetically, or let a formatter re-sort this
-    # literal. r14 window: sdk_online_features (the one budgeted r14
-    # registration — never gated, FRONT) + weighted_sample + skew_join
-    # + ewma_features (the three r9-evidence rows displaced from r13,
-    # 5 rounds stale) + the first 46 r10-evidence rows in
-    # CORRECTNESS_r10 order; the four displaced r10 rows
-    # (dedup_crossmodal, corpus_split, domain_topk, sequence_pack) sit
-    # at positions 51-54 to lead the r15 window.
+    # literal. r15 window: sdk_compound_entity (the one budgeted r15
+    # registration — never gated, FRONT) + dedup_crossmodal +
+    # corpus_split + domain_topk + sequence_pack (the four r10-evidence
+    # rows displaced from r14) + the first 45 r11-evidence rows in
+    # CORRECTNESS_r11 order (j2_compound_key re-gates inside this
+    # block); the five displaced r11 rows (a8_cube_revenue, tpch_q5,
+    # tpch_q1, tpch_q6, tpch_q14) sit at positions 51-55 to lead the
+    # r16 window.
     return {
-        "sdk_online_features": q_sdk_online_features,
-        "weighted_sample": q_weighted_sample,
-        "skew_join": q_skew_join,
-        "ewma_features": q_ewma_features,
-        "auth_audit": q_auth_audit,
-        "target_encode": q_target_encode,
-        "winsorize": q_winsorize,
-        "chunk_documents": q_chunk_documents,
-        "resample_ffill": q_resample_ffill,
-        "bpe_pairs": q_bpe_pairs,
-        "line_filter": q_line_filter,
-        "cdc_apply": q_cdc_apply,
-        "normalize_features": q_normalize_features,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "zorder_key": q_zorder_key,
-        "rollup_merge": q_rollup_merge,
-        "boilerplate": q_boilerplate,
-        "top_orders": q_top_orders,
-        "snapshot_diff": q_snapshot_diff,
-        "user_sequences": q_user_sequences,
-        "length_batches": q_length_batches,
-        "negative_samples": q_negative_samples,
-        "session_cooccurrence": q_session_cooccurrence,
-        "calendar_features": q_calendar_features,
-        "pmi_collocations": q_pmi_collocations,
-        "stream_window_rollup": q_stream_window_rollup,
-        "stream_latest_merge": q_stream_latest_merge,
-        "kmeans_refine": q_kmeans_refine,
-        "dedup_verified_simhash": q_dedup_verified_simhash,
-        "embedding_near_dups": q_embedding_near_dups,
-        "stream_proto_decode": q_stream_proto_decode,
-        "odfv_transform": q_odfv_transform,
-        "doc_fingerprint": q_doc_fingerprint,
-        "embedding_centroids": q_embedding_centroids,
-        "lang_id": q_lang_id,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_frames": q_multimodal_frames,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "quality_classifier": q_quality_classifier,
-        "similarity_ann_ivf": q_similarity_ann_ivf,
-        "similarity_ann_lsh": q_similarity_ann_lsh,
-        "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
-        "similarity_topk": q_similarity_topk,
-        "token_count": q_token_count,
-        "training_corpus": q_training_corpus,
-        "vocab_topk": q_vocab_topk,
-        "embedding_outliers": q_embedding_outliers,
-        "corpus_dedup_apply": q_corpus_dedup_apply,
-        "dedup_keep_best": q_dedup_keep_best,
+        "sdk_compound_entity": q_sdk_compound_entity,
         "dedup_crossmodal": q_dedup_crossmodal,
         "corpus_split": q_corpus_split,
         "domain_topk": q_domain_topk,
         "sequence_pack": q_sequence_pack,
-        "odfv_transform_service": q_odfv_transform_service,
-        "stream_cusum": q_stream_cusum,
-        "rejection_report": q_rejection_report,
-        "audit_trail": q_audit_trail,
-        "serving_metrics": q_serving_metrics,
-        "tpch_q20": q_tpch_q20,
-        "stream_cdc_merge": q_stream_cdc_merge,
-        "stream_sessions": q_stream_sessions,
-        "stream_clean_corpus": q_stream_clean_corpus,
-        "stream_topk": q_stream_topk,
-        "pq_encode": q_pq_encode,
-        "pq_adc": q_pq_adc,
-        "ann_ivf_pq": q_ann_ivf_pq,
-        "mmr_rerank": q_mmr_rerank,
-        "ann_eval": q_ann_eval,
-        "random_projection": q_random_projection,
-        "kmeans_refine_expr": q_kmeans_refine_expr,
-        "kmeans_train": q_kmeans_train,
-        "token_encode": q_token_encode,
-        "quantile_bin": q_quantile_bin,
-        "quantile_bin_approx": q_quantile_bin_approx,
-        "profile_columns": q_profile_columns,
-        "profile_columns_approx": q_profile_columns_approx,
-        "scd2_history": q_scd2_history,
-        "scd2_snapshot": q_scd2_snapshot,
-        "scd2_join": q_scd2_join,
-        "pagerank": q_pagerank,
-        "triangle_count": q_triangle_count,
-        "bm25_search": q_bm25_search,
-        "phrase_search": q_phrase_search,
-        "rrf_fusion": q_rrf_fusion,
-        "tfidf_terms": q_tfidf_terms,
-        "fuzzy_match": q_fuzzy_match,
-        "fuzzy_match_snm": q_fuzzy_match_snm,
-        "robust_outliers": q_robust_outliers,
-        "token_budget": q_token_budget,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "ccnet_buckets": q_ccnet_buckets,
-        "sketch_distinct": q_sketch_distinct,
-        "count_min": q_count_min,
-        "bloom_filter": q_bloom_filter,
-        "cms_join_size": q_cms_join_size,
-        "heavy_hitters": q_heavy_hitters,
-        "semdedup": q_semdedup,
-        "k_anonymity": q_k_anonymity,
-        "bigram_logprob": q_bigram_logprob,
-        "multi_window_features": q_multi_window_features,
-        "rolling_features": q_rolling_features,
-        "feature_pivot": q_feature_pivot,
-        "asof_nearest": q_asof_nearest,
         "unigram_logprob": q_unigram_logprob,
         "logreg_quality": q_logreg_quality,
         "global_ranks": q_global_ranks,
@@ -10097,6 +10116,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
         "tpch_q14": q_tpch_q14,
+        "sdk_online_features": q_sdk_online_features,
+        "weighted_sample": q_weighted_sample,
+        "skew_join": q_skew_join,
+        "ewma_features": q_ewma_features,
+        "auth_audit": q_auth_audit,
+        "target_encode": q_target_encode,
+        "winsorize": q_winsorize,
+        "chunk_documents": q_chunk_documents,
+        "resample_ffill": q_resample_ffill,
+        "bpe_pairs": q_bpe_pairs,
+        "line_filter": q_line_filter,
+        "cdc_apply": q_cdc_apply,
+        "normalize_features": q_normalize_features,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "zorder_key": q_zorder_key,
+        "rollup_merge": q_rollup_merge,
+        "boilerplate": q_boilerplate,
+        "top_orders": q_top_orders,
+        "snapshot_diff": q_snapshot_diff,
+        "user_sequences": q_user_sequences,
+        "length_batches": q_length_batches,
+        "negative_samples": q_negative_samples,
+        "session_cooccurrence": q_session_cooccurrence,
+        "calendar_features": q_calendar_features,
+        "pmi_collocations": q_pmi_collocations,
+        "stream_window_rollup": q_stream_window_rollup,
+        "stream_latest_merge": q_stream_latest_merge,
+        "kmeans_refine": q_kmeans_refine,
+        "dedup_verified_simhash": q_dedup_verified_simhash,
+        "embedding_near_dups": q_embedding_near_dups,
+        "stream_proto_decode": q_stream_proto_decode,
+        "odfv_transform": q_odfv_transform,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_centroids": q_embedding_centroids,
+        "lang_id": q_lang_id,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "quality_classifier": q_quality_classifier,
+        "similarity_ann_ivf": q_similarity_ann_ivf,
+        "similarity_ann_lsh": q_similarity_ann_lsh,
+        "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
+        "similarity_topk": q_similarity_topk,
+        "token_count": q_token_count,
+        "training_corpus": q_training_corpus,
+        "vocab_topk": q_vocab_topk,
+        "embedding_outliers": q_embedding_outliers,
+        "corpus_dedup_apply": q_corpus_dedup_apply,
+        "dedup_keep_best": q_dedup_keep_best,
+        "odfv_transform_service": q_odfv_transform_service,
+        "stream_cusum": q_stream_cusum,
+        "rejection_report": q_rejection_report,
+        "audit_trail": q_audit_trail,
+        "serving_metrics": q_serving_metrics,
+        "tpch_q20": q_tpch_q20,
+        "stream_cdc_merge": q_stream_cdc_merge,
+        "stream_sessions": q_stream_sessions,
+        "stream_clean_corpus": q_stream_clean_corpus,
+        "stream_topk": q_stream_topk,
+        "pq_encode": q_pq_encode,
+        "pq_adc": q_pq_adc,
+        "ann_ivf_pq": q_ann_ivf_pq,
+        "mmr_rerank": q_mmr_rerank,
+        "ann_eval": q_ann_eval,
+        "random_projection": q_random_projection,
+        "kmeans_refine_expr": q_kmeans_refine_expr,
+        "kmeans_train": q_kmeans_train,
+        "token_encode": q_token_encode,
+        "quantile_bin": q_quantile_bin,
+        "quantile_bin_approx": q_quantile_bin_approx,
+        "profile_columns": q_profile_columns,
+        "profile_columns_approx": q_profile_columns_approx,
+        "scd2_history": q_scd2_history,
+        "scd2_snapshot": q_scd2_snapshot,
+        "scd2_join": q_scd2_join,
+        "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        "bm25_search": q_bm25_search,
+        "phrase_search": q_phrase_search,
+        "rrf_fusion": q_rrf_fusion,
+        "tfidf_terms": q_tfidf_terms,
+        "fuzzy_match": q_fuzzy_match,
+        "fuzzy_match_snm": q_fuzzy_match_snm,
+        "robust_outliers": q_robust_outliers,
+        "token_budget": q_token_budget,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "ccnet_buckets": q_ccnet_buckets,
+        "sketch_distinct": q_sketch_distinct,
+        "count_min": q_count_min,
+        "bloom_filter": q_bloom_filter,
+        "cms_join_size": q_cms_join_size,
+        "heavy_hitters": q_heavy_hitters,
+        "semdedup": q_semdedup,
+        "k_anonymity": q_k_anonymity,
+        "bigram_logprob": q_bigram_logprob,
+        "multi_window_features": q_multi_window_features,
+        "rolling_features": q_rolling_features,
+        "feature_pivot": q_feature_pivot,
+        "asof_nearest": q_asof_nearest,
         "rest_online_features": q_rest_online_features,
         "sliding_distinct_approx": q_sliding_distinct_approx,
         "p5_type_conformance": q_p5_type_conformance,
@@ -10157,6 +10276,7 @@ def oracle_sql() -> dict[str, str]:
         "auth_audit": SQL_AUTH_AUDIT,
         "rest_online_features": SQL_REST_ONLINE,
         "sdk_online_features": SQL_SDK_ONLINE,
+        "sdk_compound_entity": SQL_SDK_COMPOUND,
         "tpch_q20": SQL_TPCH_Q20,
         "logreg_quality": SQL_LOGREG_QUALITY,
         "global_ranks": SQL_GLOBAL_RANKS,

@@ -237,7 +237,25 @@ HEADLINE = [
     # prior; rest_online_features is its flat-map REST twin and the
     # comparison floor.
     "sdk_online_features",
+    # r15: compound-entity serve through the FeastClient
+    # (ServingServiceBigTableIT:533-596 twin over the J2 env) — first
+    # appearance, no prior; j2_compound_key is the direct-operator floor
+    # plus the client/socket hop and the ~12k-row request round trip.
+    "sdk_compound_entity",
 ]
+
+# Queries whose ISOLATED fresh-JVM variance band exceeds 1.5x — for
+# j2_compound_key three identical warm JVMs spanned 2.07–4.70 s (r14
+# adjudication), a GC-sensitivity artifact of its 3 broadcasts + 10
+# overlapping stages, not a plan property — so ONE in-suite shot cannot
+# adjudicate a 2x flag (it flagged two rounds running on noise). These
+# run N times in-suite; the headline carries the MEDIAN and all samples
+# are recorded in BENCH_DETAIL under "median_samples". Median, not min:
+# a best-of composite would mask a genuine regression whenever one
+# sample got lucky (same reasoning as the warm-rerun rule below).
+MEDIAN_OF = {
+    "j2_compound_key": 3,
+}
 
 # Deliberate-ceiling twins: benched every run and recorded in
 # BENCH_DETAIL under "tracked_ceilings", but EXCLUDED from the headline
@@ -423,8 +441,15 @@ def main() -> None:
 
     qs = e.queries()
     timings: dict[str, float] = {}
+    median_samples: dict[str, list[float]] = {}
     for name in HEADLINE:
-        timings[name] = run_once(qs[name], name)
+        n = MEDIAN_OF.get(name, 1)
+        if n == 1:
+            timings[name] = run_once(qs[name], name)
+        else:
+            samples = [run_once(qs[name], name) for _ in range(n)]
+            median_samples[name] = samples
+            timings[name] = sorted(samples)[n // 2]
 
     # Single-shot suite numbers swing ±20% (GC) and a cold plan can be
     # ~75% one-time codegen/plan cost (r6's historical_asof false flag:
@@ -438,6 +463,11 @@ def main() -> None:
     cold_total = round(sum(timings.values()), 3)
     reruns: dict[str, dict[str, float]] = {}
     for name, cold in list(timings.items()):
+        if name in MEDIAN_OF:
+            # already a median of N in-suite samples — a warm-rerun
+            # override would silently discard the median; the samples
+            # are in the detail for close-time adjudication.
+            continue
         p = prior.get(name)
         # Floor at 0.3 s (was 1.0 s): the old floor permanently exempted
         # sub-second queries from adjudication — two drifted past 1.5x
@@ -470,6 +500,7 @@ def main() -> None:
         "queries": timings,
         "cold_total": cold_total,
         "reruns": reruns,
+        "median_samples": median_samples,
         "tracked_ceilings": ceilings,
         "sf": sf,
         "cpus": int(cpus),

@@ -59,13 +59,33 @@ def test_freeze_refuses_without_fingerprint(tmp_path):
 
 
 def test_sdk_query_in_headline_and_gate_window_front():
-    """The r14 budgeted registration: sdk_online_features leads the
-    50-query gate window and joins the bench headline."""
+    """The r15 budgeted registration: sdk_compound_entity leads the
+    50-query gate window and joins the bench headline; the four r10
+    rows displaced from the r14 window follow it, per the pinned
+    rotation."""
     import __spark_entry__ as e
 
     names = list(e.queries().keys())
     window = names[:50]
-    assert window[0] == "sdk_online_features"
-    assert window[1:4] == ["weighted_sample", "skew_join", "ewma_features"]
-    assert "sdk_online_features" in bench.HEADLINE
-    assert "sdk_online_features" in e.oracle_sql()
+    assert window[0] == "sdk_compound_entity"
+    assert window[1:5] == [
+        "dedup_crossmodal",
+        "corpus_split",
+        "domain_topk",
+        "sequence_pack",
+    ]
+    assert "j2_compound_key" in window  # re-gates inside the r11 block
+    assert "sdk_compound_entity" in bench.HEADLINE
+    assert "sdk_compound_entity" in e.oracle_sql()
+
+
+def test_high_variance_queries_are_medianed():
+    """j2_compound_key's isolated fresh-JVM band spans 2.07–4.70 s warm
+    (r14 adjudication) — a single in-suite shot cannot adjudicate a 2x
+    flag, so the headline number must be a median of N>=3 samples."""
+    assert bench.MEDIAN_OF.get("j2_compound_key", 0) >= 3
+    # every medianed query must be a headline query (the mechanism is
+    # pointless otherwise) with an odd sample count (a true median)
+    for name, n in bench.MEDIAN_OF.items():
+        assert name in bench.HEADLINE
+        assert n % 2 == 1 and n >= 3

@@ -986,3 +986,73 @@ def test_close_is_lock_safe_against_inflight_calls(mock_server):
         t.join()
     chan.close()
     assert not errors  # no AttributeError-on-None, no half-state failures
+
+
+def test_sdk_compound_entity_serve(spark, tmp_path, tmp_store):
+    """``ServingServiceBigTableIT.
+    shouldRegisterCompoundEntityAndGetOnlineFeatures:533-596`` through
+    the FeastClient: a feature table on TWO entities, entity Rows
+    carrying BOTH key fields, a present feature returning its value and
+    a missing pair returning NOT_FOUND with the empty Value."""
+    from feast_java_old_spark.plans.serving_rest import (
+        ServingServiceRestController,
+    )
+    from feast_java_old_spark.transport.grpc_adapter import (
+        ServingServiceServicer,
+    )
+
+    src = str(tmp_path / "rides_src")
+    spark.createDataFrame(
+        [(1, 1234, TS - dt.timedelta(seconds=10), 5)],
+        T.StructType(
+            [
+                T.StructField("driver_id", T.LongType()),
+                T.StructField("merchant_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("trip_cost", T.LongType()),
+            ]
+        ),
+    ).write.parquet(src)
+    reg = fs.Registry()
+    reg.apply_entity(fs.Entity("driver_id", fs.ValueType.INT64))
+    reg.apply_entity(fs.Entity("merchant_id", fs.ValueType.INT64))
+    reg.apply_feature_table(
+        fs.FeatureTable(
+            name="rides",
+            entities=["driver_id", "merchant_id"],
+            features=[fs.Feature("trip_cost", fs.ValueType.INT64)],
+            batch_source=FileSource(file_url=src, event_timestamp_column="ts"),
+        )
+    )
+    materialize(spark, reg, "rides", tmp_store)
+    ctl = ServingServiceRestController(
+        spark, reg, tmp_store, full_feature_names=True
+    )
+    with GrpcHttpServer([ServingServiceServicer(ctl)]) as srv:
+        with FeastClient.create(srv.host, srv.port) as client:
+            rows = client.get_online_features(
+                ["rides:trip_cost"],
+                [
+                    # the IT's compound row (driver 1, merchant 1234)
+                    Row.create()
+                    .set("driver_id", 1)
+                    .set("merchant_id", 1234)
+                    .set_entity_timestamp(TS),
+                    # an unknown compound pair → NOT_FOUND + empty Value
+                    Row.create()
+                    .set("driver_id", 1)
+                    .set("merchant_id", 9999)
+                    .set_entity_timestamp(TS),
+                ],
+            )
+    assert len(rows) == 2
+    hit, miss = rows
+    assert hit.get_long("driver_id") == 1
+    assert hit.get_long("merchant_id") == 1234
+    assert hit.get_long("rides:trip_cost") == 5
+    assert hit.get_status("rides:trip_cost") == PRESENT
+    assert miss.get_long("rides:trip_cost") is None  # the empty Value
+    assert miss.get_status("rides:trip_cost") == NOT_FOUND
+    # entity fields echo back PRESENT, like the IT's expectedStatusMap
+    assert miss.get_status("driver_id") == PRESENT
+    assert miss.get_status("merchant_id") == PRESENT
