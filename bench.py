@@ -290,6 +290,59 @@ def write_canonical_detail(detail: dict, repo: str | None = None) -> None:
         f.write(digest + "\n")
 
 
+def check_plans_fresh(repo: str | None = None) -> None:
+    """Refuse (RuntimeError) if docs/PLANS.md's recorded generation sha
+    is missing, not an ancestor of HEAD, or if anything under
+    ``feast_java_old_spark/{operators,plans}`` differs from that sha
+    (committed OR uncommitted) — a post-regen operator commit must not
+    ship a stale plan audit silently (VERDICT r14 #2). The plan-audit
+    twin of the BENCH_DETAIL fingerprint guard; called by
+    :func:`freeze_baseline` whenever docs/PLANS.md exists."""
+    import re
+    import subprocess
+
+    repo = repo or os.path.dirname(os.path.abspath(__file__))
+    plans_path = os.path.join(repo, "docs", "PLANS.md")
+    with open(plans_path) as f:
+        header = f.read(2000)
+    m = re.search(r"Generated at commit `([0-9a-f]{7,40})`", header)
+    if not m:
+        raise RuntimeError(
+            "refusing: docs/PLANS.md records no generation sha — "
+            "regenerate with scripts/gen_plans.py (it stamps HEAD)"
+        )
+    sha = m.group(1)
+
+    def git(*args: str) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            ["git", "-C", repo, *args], capture_output=True, text=True
+        )
+
+    if git("merge-base", "--is-ancestor", sha, "HEAD").returncode != 0:
+        raise RuntimeError(
+            f"refusing: PLANS.md generation sha {sha[:12]} is not an "
+            "ancestor of HEAD — the plan audit was generated on another "
+            "line of history; re-run scripts/gen_plans.py"
+        )
+    plan_dirs = [
+        "feast_java_old_spark/operators",
+        "feast_java_old_spark/plans",
+    ]
+    diff = git("diff", "--name-only", sha, "--", *plan_dirs)
+    untracked = git(
+        "ls-files", "--others", "--exclude-standard", "--", *plan_dirs
+    )
+    changed = sorted(
+        set(diff.stdout.split()) | set(untracked.stdout.split())
+    )
+    if changed:
+        raise RuntimeError(
+            "refusing: operator/plan sources changed since docs/PLANS.md "
+            f"was generated at {sha[:12]} — re-run scripts/gen_plans.py "
+            f"before freezing. Changed: {', '.join(changed)}"
+        )
+
+
 def freeze_baseline(repo: str | None = None) -> None:
     """Snapshot the current BENCH_DETAIL.json as the next round's
     adjudication baseline. Run EXACTLY ONCE per round, at round close,
@@ -304,6 +357,10 @@ def freeze_baseline(repo: str | None = None) -> None:
     import hashlib
 
     repo = repo or os.path.dirname(os.path.abspath(__file__))
+    # the plan-audit staleness guard rides the same close gate (only
+    # where a plan audit exists — unit-test tmp repos have none)
+    if os.path.exists(os.path.join(repo, "docs", "PLANS.md")):
+        check_plans_fresh(repo)
     detail_path = os.path.join(repo, "BENCH_DETAIL.json")
     fp_path = os.path.join(repo, "BENCH_DETAIL.sha256")
     with open(detail_path) as f:

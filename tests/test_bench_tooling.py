@@ -89,3 +89,95 @@ def test_high_variance_queries_are_medianed():
     for name, n in bench.MEDIAN_OF.items():
         assert name in bench.HEADLINE
         assert n % 2 == 1 and n >= 3
+
+
+# --------------------------------------------- PLANS.md staleness guard
+
+
+def _git_repo_with_plans(tmp_path, stamp_sha=True):
+    """A minimal repo: one operator file + a docs/PLANS.md stamped with
+    the generating commit's sha (like scripts/gen_plans.py does)."""
+    import subprocess
+
+    repo = tmp_path / "repo"
+    ops = repo / "feast_java_old_spark" / "operators"
+    ops.mkdir(parents=True)
+    (repo / "docs").mkdir()
+    (ops / "x.py").write_text("A = 1\n")
+
+    def git(*args):
+        return subprocess.run(
+            ["git", "-C", str(repo), *args],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    git("add", "-A")
+    git("commit", "-qm", "init")
+    sha = git("rev-parse", "HEAD").stdout.strip()
+    header = (
+        f"# PLANS\n\nGenerated at commit `{sha}` from live explain.\n"
+        if stamp_sha
+        else "# PLANS\n\nGenerated from live explain.\n"
+    )
+    (repo / "docs" / "PLANS.md").write_text(header)
+    git("add", "-A")
+    git("commit", "-qm", "plans")
+    return repo, git
+
+
+def test_plans_guard_accepts_fresh_audit(tmp_path):
+    repo, _ = _git_repo_with_plans(tmp_path)
+    bench.check_plans_fresh(str(repo))  # no raise
+
+
+def test_plans_guard_refuses_post_regen_operator_commit(tmp_path):
+    """The r14 wart, replayed: operators change AFTER the plan regen —
+    the freeze must refuse until gen_plans re-runs."""
+    repo, git = _git_repo_with_plans(tmp_path)
+    (repo / "feast_java_old_spark" / "operators" / "x.py").write_text("A = 2\n")
+    git("add", "-A")
+    git("commit", "-qm", "operator change after regen")
+    with pytest.raises(RuntimeError, match="changed since docs/PLANS.md"):
+        bench.check_plans_fresh(str(repo))
+
+
+def test_plans_guard_refuses_uncommitted_operator_edit(tmp_path):
+    repo, _ = _git_repo_with_plans(tmp_path)
+    (repo / "feast_java_old_spark" / "operators" / "x.py").write_text("A = 3\n")
+    with pytest.raises(RuntimeError, match="changed since"):
+        bench.check_plans_fresh(str(repo))
+
+
+def test_plans_guard_refuses_unstamped_plans(tmp_path):
+    repo, _ = _git_repo_with_plans(tmp_path, stamp_sha=False)
+    with pytest.raises(RuntimeError, match="records no generation sha"):
+        bench.check_plans_fresh(str(repo))
+
+
+def test_plans_guard_ignores_plan_neutral_commits(tmp_path):
+    """Transport/driver-side commits after the regen must NOT trip the
+    guard — only operators/ and plans/ are plan-bearing."""
+    repo, git = _git_repo_with_plans(tmp_path)
+    (repo / "feast_java_old_spark" / "sdk.py").write_text("CLIENT = 1\n")
+    git("add", "-A")
+    git("commit", "-qm", "transport-side change")
+    bench.check_plans_fresh(str(repo))  # no raise
+
+
+def test_freeze_runs_plans_guard_when_audit_exists(tmp_path):
+    """freeze_baseline wires the guard in: a repo WITH a stale plan
+    audit refuses the freeze even when the bench fingerprint is clean."""
+    repo, git = _git_repo_with_plans(tmp_path)
+    bench.write_canonical_detail(_detail(), str(repo))
+    (repo / "feast_java_old_spark" / "operators" / "x.py").write_text("A = 9\n")
+    with pytest.raises(RuntimeError, match="changed since"):
+        bench.freeze_baseline(str(repo))
+    # fresh again → freeze proceeds through both guards
+    (repo / "feast_java_old_spark" / "operators" / "x.py").write_text("A = 1\n")
+    bench.freeze_baseline(str(repo))
+    assert (repo / "BENCH_BASELINE.json").exists()
