@@ -332,8 +332,18 @@ def check_plans_fresh(repo: str | None = None) -> None:
     untracked = git(
         "ls-files", "--others", "--exclude-standard", "--", *plan_dirs
     )
+    for step, proc in (("git diff", diff), ("git ls-files", untracked)):
+        # fail CLOSED: a failed git invocation (index.lock contention,
+        # corrupt object, …) must block the freeze, not silently report
+        # "nothing changed" — the guard exists to refuse on doubt.
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"refusing: {step} failed during the PLANS.md freshness "
+                f"check ({proc.stderr.strip() or 'no stderr'}) — cannot "
+                "prove the plan audit is fresh"
+            )
     changed = sorted(
-        set(diff.stdout.split()) | set(untracked.stdout.split())
+        set(diff.stdout.splitlines()) | set(untracked.stdout.splitlines())
     )
     if changed:
         raise RuntimeError(

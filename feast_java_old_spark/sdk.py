@@ -241,36 +241,40 @@ class Row:
     def get_string(self, field_name: str):
         return self._get(field_name, "stringVal")
 
-    def get_bytes(self, field_name: str):
-        """``getByte:124-126`` (sic — the reference's name for the
-        byte[] getter). JSON transports render bytes base64 — and a
-        bytes-typed FEATURE arrives indistinguishable from a string
-        (the arm is re-inferred from the JSON type), so when only
-        ``stringVal`` is set this getter base64-decodes it; a payload
-        that is not valid base64 yields the proto default ``b""``
-        exactly as a cross-arm read would."""
+    @staticmethod
+    def _b64_or_default(payload: str) -> bytes:
+        """STRICT base64 decode, both alphabets — the client half of
+        the server's ``_b64`` contract (canonical proto3 JSON permits
+        standard AND URL-safe): a lenient decode would silently discard
+        stray characters and return garbage bytes, and a standard-only
+        decode would disagree with the server on a URL-safe payload.
+        Malformed payloads yield the proto default ``b""`` exactly as a
+        cross-arm read would."""
         import base64
         import binascii
 
+        for altchars in (None, b"-_"):
+            try:
+                return base64.b64decode(payload, altchars=altchars, validate=True)
+            except (binascii.Error, ValueError):
+                continue
+        return b""
+
+    def get_bytes(self, field_name: str):
+        """``getByte:124-126`` (sic — the reference's name for the
+        byte[] getter). JSON transports render bytes base64 — a
+        bytes-typed FEATURE arrives indistinguishable from a string
+        (the arm is re-inferred from the JSON type), so when only
+        ``stringVal`` is set this getter base64-decodes it, and a
+        client-built passthrough wrapper may likewise carry bytesVal as
+        a base64 string; both paths share :meth:`_b64_or_default`."""
         v = self._get(field_name, "bytesVal")
         if v == b"":
             wrapper = self._value(field_name)
             if wrapper is not None and "stringVal" in wrapper:
-                try:
-                    return base64.b64decode(
-                        wrapper["stringVal"], validate=True
-                    )
-                except (binascii.Error, ValueError):
-                    return b""
+                return self._b64_or_default(wrapper["stringVal"])
         if isinstance(v, str):
-            # a client-built passthrough wrapper may carry bytesVal as a
-            # base64 STRING (that is how proto-JSON renders bytes);
-            # malformed payloads yield the proto default exactly like
-            # the stringVal-widened arm above, never binascii.Error.
-            try:
-                return base64.b64decode(v)
-            except (binascii.Error, ValueError):
-                return b""
+            return self._b64_or_default(v)
         return v
 
     def get_bool(self, field_name: str):

@@ -121,6 +121,22 @@ PICKS = [
     ("tpch_q20", "Q20's three-level nest (IN over a derived partsupp whose WHERE holds another IN + a correlated scalar agg), submitted AS correlated SQL: Catalyst decorrelates to one pre-window aggregate, one in-window aggregate, an equi-join on the correlation keys, a broadcast semi against the part family and a semi into supplier — every join keyed, the fact scanned twice, never per-row; the empty-window rows keep NULL sums (count-bug edge) and fall out at the filter."),
 ]
 
+# Refuse to stamp a dirty plan-bearing tree: the generated plans would
+# reflect the WORKING TREE while the stamp claims clean HEAD — if the
+# edit is then stashed/reverted instead of committed, check_plans_fresh
+# sees zero diff vs the stamped sha and the freeze passes on exactly
+# the silent-stale audit the guard exists to prevent.
+_dirty = subprocess.run(
+    ["git", "-C", "/root/repo", "status", "--porcelain", "--",
+     "feast_java_old_spark/operators", "feast_java_old_spark/plans"],
+    capture_output=True, text=True, check=True,
+).stdout.strip()
+if _dirty:
+    sys.exit(
+        "gen_plans: refusing — uncommitted changes under "
+        f"feast_java_old_spark/{{operators,plans}}:\n{_dirty}\n"
+        "Commit them first so the stamped sha describes the generated plans."
+    )
 HEAD = subprocess.run(
     ["git", "-C", "/root/repo", "rev-parse", "HEAD"],
     capture_output=True, text=True, check=True,

@@ -52,6 +52,13 @@ def run_bench(sf_dir: str) -> dict:
             )
         with open(detail) as f:
             runs.append(json.load(f))
+    return composite(runs)
+
+
+def composite(runs: list[dict]) -> dict:
+    """Merge N bench shots into the canonical best-of-N detail dict.
+    Factored out of :func:`run_bench` so the merge invariants are unit-
+    testable without running Spark (tests/test_bench_tooling.py)."""
     # The composite must be internally consistent (r10 self-review):
     # single-shot metadata copied verbatim from shot 1 ('reruns',
     # 'cold_total') would sit beside best-of-2 query numbers it does
@@ -74,6 +81,21 @@ def run_bench(sf_dir: str) -> dict:
         best["cold_total"] = min(colds)
     else:
         best.pop("cold_total", None)
+    # median_samples: per medianed query, carry the samples of the shot
+    # whose MEDIAN won the per-query min — copying shot 1's samples
+    # verbatim would freeze adjudication evidence that does not produce
+    # the composite's headline number whenever shot 2 wins.
+    if any("median_samples" in r for r in runs):
+        med = {}
+        for q in set().union(*(r.get("median_samples", {}) for r in runs)):
+            winner = min(
+                (r for r in runs if q in r.get("median_samples", {})),
+                key=lambda r: r["queries"].get(q, float("inf")),
+            )
+            med[q] = winner["median_samples"][q]
+        best["median_samples"] = med
+    else:
+        best.pop("median_samples", None)
     if any("tracked_ceilings" in r for r in runs):
         keys = set().union(*(r.get("tracked_ceilings", {}) for r in runs))
         best["tracked_ceilings"] = {

@@ -181,3 +181,66 @@ def test_freeze_runs_plans_guard_when_audit_exists(tmp_path):
     (repo / "feast_java_old_spark" / "operators" / "x.py").write_text("A = 1\n")
     bench.freeze_baseline(str(repo))
     assert (repo / "BENCH_BASELINE.json").exists()
+
+
+# ------------------------------------- review-pass pins (r15 findings)
+
+
+def _load_gen_scaling():
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(bench.__file__), "scripts", "gen_scaling.py")
+    spec = importlib.util.spec_from_file_location("gen_scaling_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_composite_median_samples_follow_the_winning_shot():
+    """The best-of-N composite must carry the samples of the shot whose
+    MEDIAN won each query's min — shot 1's samples copied verbatim
+    would freeze adjudication evidence that does not produce the
+    headline number whenever shot 2 wins."""
+    gs = _load_gen_scaling()
+    shot1 = {
+        "queries": {"j2": 3.5, "other": 1.0},
+        "median_samples": {"j2": [3.4, 3.5, 4.0]},
+        "sf": 0.1,
+    }
+    shot2 = {
+        "queries": {"j2": 1.5, "other": 1.2},
+        "median_samples": {"j2": [1.4, 1.5, 3.0]},
+        "sf": 0.1,
+    }
+    best = gs.composite([shot1, shot2])
+    assert best["queries"]["j2"] == 1.5  # shot 2 won
+    assert best["median_samples"]["j2"] == [1.4, 1.5, 3.0]  # its samples
+    assert best["queries"]["other"] == 1.0  # per-query min still holds
+    assert best["best_of"] == 2
+
+
+def test_composite_drops_median_samples_when_absent():
+    gs = _load_gen_scaling()
+    best = gs.composite([{"queries": {"q": 1.0}}, {"queries": {"q": 2.0}}])
+    assert "median_samples" not in best
+
+
+def test_plans_guard_fails_closed_on_git_failure(tmp_path, monkeypatch):
+    """A failed `git diff` (index.lock contention, corrupt object) must
+    BLOCK the freeze, not silently report 'nothing changed'."""
+    import subprocess as sp
+
+    repo, _ = _git_repo_with_plans(tmp_path)
+    real_run = sp.run
+
+    def breaking_run(cmd, **kw):
+        if isinstance(cmd, list) and "diff" in cmd:
+            p = real_run(["false"], capture_output=True, text=True)
+            p.stderr = "fatal: index.lock exists"
+            return p
+        return real_run(cmd, **kw)
+
+    monkeypatch.setattr(sp, "run", breaking_run)
+    with pytest.raises(RuntimeError, match="git diff failed"):
+        bench.check_plans_fresh(str(repo))

@@ -1056,3 +1056,25 @@ def test_sdk_compound_entity_serve(spark, tmp_path, tmp_store):
     # entity fields echo back PRESENT, like the IT's expectedStatusMap
     assert miss.get_status("driver_id") == PRESENT
     assert miss.get_status("merchant_id") == PRESENT
+
+
+def test_get_bytes_strict_dual_alphabet_decode():
+    """Client/server parity on bytes payloads: URL-safe base64 decodes
+    to the SAME bytes the server's _b64 would produce, and a payload
+    with stray characters yields the proto default b'' (a lenient
+    decode would silently discard the stray char and return garbage
+    residue bytes)."""
+    import base64
+
+    row = Row()
+    # URL-safe alphabet (canonical proto3 JSON permits both)
+    url_safe = base64.urlsafe_b64encode(b"\xff" * 6).decode()
+    assert "_" in url_safe  # proves the standard decoder alone fails
+    row.set("u", {"bytesVal": url_safe})
+    assert row.get_bytes("u") == b"\xff" * 6
+    # stray character: strict decode rejects, proto default comes back
+    row.set("g", {"bytesVal": "abc!d"})
+    assert row.get_bytes("g") == b""
+    # stringVal-widened arm takes the same dual-alphabet path
+    row.set("w", {"stringVal": url_safe})
+    assert row.get_bytes("w") == b"\xff" * 6
