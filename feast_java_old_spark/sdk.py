@@ -458,7 +458,16 @@ class HttpJsonChannel(KeepAliveHttpMixin):
         tls_enabled: bool = False,
         certificate_path: Optional[str] = None,
         timeout: float = 30.0,
+        codec: str = "json",
     ) -> None:
+        # codec="proto": methods with registered binary descriptors
+        # (the ServingService data plane — transport.protobin) ride
+        # canonical proto3 BINARY wire format end-to-end; methods
+        # without descriptors, and all error bodies, stay JSON. The
+        # default remains the seam's documented JSON codec.
+        if codec not in ("json", "proto"):
+            raise ValueError(f"unknown codec {codec!r}")
+        self.codec = codec
         self.host = host
         self.port = port
         self.timeout = timeout
@@ -500,18 +509,36 @@ class HttpJsonChannel(KeepAliveHttpMixin):
         """One RPC. Raises :class:`GrpcCallError` on a non-OK status,
         reading the status name from the error body (falling back to
         the canonical HTTP→gRPC row for bodyless failures)."""
+        from feast_java_old_spark.transport import protobin
         from feast_java_old_spark.transport.http import encode_json
 
-        # encode_json carries the transport's Jackson-parity fallbacks:
-        # bytesVal payloads render base64 (canonical proto-JSON bytes),
-        # datetimes ISO-8601 — same codec the server side emits.
-        body = encode_json(request)
-        hdrs = {"Content-Type": "application/json"}
+        binary = (
+            self.codec == "proto"
+            and protobin.descriptors_for(service, method) is not None
+        )
+        if binary:
+            body = protobin.encode_request(service, method, request)
+            hdrs = {"Content-Type": protobin.PROTO_CONTENT_TYPE}
+        else:
+            # encode_json carries the transport's Jackson-parity
+            # fallbacks: bytesVal payloads render base64 (canonical
+            # proto-JSON bytes), datetimes ISO-8601 — same codec the
+            # server side emits.
+            body = encode_json(request)
+            hdrs = {"Content-Type": "application/json"}
         if headers:
             hdrs.update(headers)
         # mutation-safe retry + poison-proof close discipline: see
         # transport.keepalive.KeepAliveHttpMixin.
         resp, payload = self._post(f"/{service}/{method}", body, hdrs)
+        resp_ctype = (resp.getheader("Content-Type", "") or "").split(";")[0]
+        if resp.status == 200 and resp_ctype == protobin.PROTO_CONTENT_TYPE:
+            try:
+                return protobin.decode_response(service, method, payload)
+            except (protobin.ProtoCodecError, ValueError) as ex:
+                raise GrpcCallError(
+                    "INTERNAL", f"Exception deserializing response: {ex}"
+                ) from ex
         try:
             decoded = json.loads(payload) if payload else {}
         except json.JSONDecodeError:

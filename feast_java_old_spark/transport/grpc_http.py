@@ -12,9 +12,13 @@ the day grpcio appears:
 - method path ``POST /<service_name>/<Method>`` — exactly the path
   ``build_server`` registers (``/feast.serving.ServingService/
   GetOnlineFeaturesV2``),
-- request/response = JSON bytes, the seam's documented codec divergence
-  (no protoc here; service names, method names, unary-unary shapes and
-  status codes are the reference's),
+- request/response = JSON bytes by default (the seam's documented
+  codec divergence; service names, method names, unary-unary shapes
+  and status codes are the reference's) — OR canonical proto3 BINARY
+  for methods with registered descriptors (the ServingService data
+  plane, :mod:`~feast_java_old_spark.transport.protobin`), negotiated
+  per request by ``Content-Type: application/x-protobuf``; both codecs
+  share one socket,
 - call metadata = HTTP headers, lower-cased — how the seam's
   ``auth_from_metadata`` reads the ``authorization`` bearer, and how
   gRPC itself transports ASCII metadata over HTTP/2,
@@ -121,12 +125,47 @@ class GrpcHttpServer(RestHttpServer):
 
     def _handler(self, servicer, method_name: str, path: str):
         method = getattr(servicer, method_name)
+        service_name = servicer.service_name
 
         def handle(query, body, headers):
+            from feast_java_old_spark.transport import protobin
+            from feast_java_old_spark.transport.http import RawBody
+
             metadata = metadata_from_headers(headers)
+            # Codec negotiation by request Content-Type: an
+            # ``application/x-protobuf`` request gets a binary response
+            # (for methods with registered descriptors — the serving
+            # data plane); everything else speaks the JSON codec. Error
+            # bodies stay JSON on BOTH codecs: gRPC puts status in
+            # trailers (no HTTP/1.1 analog), and a binary-undecodable
+            # error body would strand the client exactly when it needs
+            # the message — documented divergence.
+            ctype = (headers.get("Content-Type") or "").split(";")[0].strip()
+            binary = (
+                ctype == protobin.PROTO_CONTENT_TYPE
+                and protobin.descriptors_for(service_name, method_name)
+                is not None
+            )
             try:
                 if self.interceptor is not None:
                     self.interceptor(path, metadata)
+                if binary:
+                    try:
+                        request = protobin.decode_request(
+                            service_name, method_name, body or b""
+                        )
+                    except (protobin.ProtoCodecError, ValueError) as ex:
+                        raise GrpcCallError(
+                            "INTERNAL",
+                            f"Exception deserializing request: {ex}",
+                        ) from ex
+                    response = method(request, metadata=metadata)
+                    return 200, RawBody(
+                        protobin.encode_response(
+                            service_name, method_name, response
+                        ),
+                        protobin.PROTO_CONTENT_TYPE,
+                    )
                 try:
                     request = json.loads(body or b"{}")
                 except (json.JSONDecodeError, UnicodeDecodeError) as ex:

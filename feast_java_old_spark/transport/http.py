@@ -115,6 +115,19 @@ def encode_json(payload) -> bytes:
     return json.dumps(payload, default=_json_default).encode()
 
 
+class RawBody:
+    """A handler return payload that bypasses the JSON encoder: the
+    bytes go on the wire verbatim under the given content type. The
+    escape hatch the proto-binary codec uses (a binary response must
+    not be JSON-wrapped)."""
+
+    __slots__ = ("data", "content_type")
+
+    def __init__(self, data: bytes, content_type: str) -> None:
+        self.data = data
+        self.content_type = content_type
+
+
 class _Route:
     __slots__ = ("method", "handler", "content_type", "wants_headers")
 
@@ -210,12 +223,19 @@ class _RestHandler(BaseHTTPRequestHandler):
             # serialize INSIDE the guard: a payload json.dumps cannot
             # encode (beyond the base64/ISO fallbacks) must still
             # produce a 500 body, not a dropped connection.
-            data = encode_json(payload)
+            if isinstance(payload, RawBody):
+                data, content_type = payload.data, payload.content_type
+            else:
+                data, content_type = encode_json(payload), route.content_type
         except Exception:
             # the advice re-raised (no matching @ExceptionHandler) or
             # the serving module has no advice at all → Spring default.
-            status, data = 500, encode_json(whitelabel(500, path))
-        self._send_raw(status, data, route.content_type, head_only)
+            status, data, content_type = (
+                500,
+                encode_json(whitelabel(500, path)),
+                route.content_type,
+            )
+        self._send_raw(status, data, content_type, head_only)
 
     def _send(self, status: int, payload, content_type: str = "application/json") -> None:
         self._send_raw(status, encode_json(payload), content_type)
