@@ -561,12 +561,14 @@ class HttpJsonChannel(KeepAliveHttpMixin):
 
 
 class GrpcChannel:
-    """Real-channel twin when grpcio exists: unary JSON calls over a
+    """Real-channel twin when grpcio exists: unary calls over a
     ``grpc.Channel`` against :func:`~feast_java_old_spark.transport.
-    grpc_adapter.build_server`'s generic handlers. Import-guarded the
-    same way the server half is."""
+    grpc_adapter.build_server`'s generic handlers — JSON by default,
+    canonical proto3 BINARY with ``codec="proto"`` for methods carrying
+    binary descriptors (pair with a ``build_server(codec="proto")``).
+    Import-guarded the same way the server half is."""
 
-    def __init__(self, target: str) -> None:
+    def __init__(self, target: str, codec: str = "json") -> None:
         if not HAVE_GRPC:  # pragma: no cover - grpcio absent here
             raise ImportError(
                 "grpcio is not installed — use HttpJsonChannel against "
@@ -574,22 +576,38 @@ class GrpcChannel:
             )
         import grpc
 
+        if codec not in ("json", "proto"):
+            raise ValueError(f"unknown codec {codec!r}")
+        self.codec = codec
         self._channel = grpc.insecure_channel(target)
 
     def unary(self, service, method, request, headers=None):  # pragma: no cover
         import grpc
 
+        from feast_java_old_spark.transport import protobin
         from feast_java_old_spark.transport.http import encode_json
 
         metadata = tuple((k.lower(), v) for k, v in (headers or {}).items())
-        fn = self._channel.unary_unary(
-            f"/{service}/{method}",
-            # encode_json, NOT plain json.dumps: bytes-bearing payloads
-            # (bytesVal entity keys) and datetimes must serialize the
-            # same way on both channel twins.
-            request_serializer=encode_json,
-            response_deserializer=lambda b: json.loads(b or b"{}"),
-        )
+        pair = protobin.descriptors_for(service, method)
+        if self.codec == "proto" and pair is not None:
+            fn = self._channel.unary_unary(
+                f"/{service}/{method}",
+                request_serializer=lambda r: protobin.encode_request(
+                    service, method, r
+                ),
+                response_deserializer=lambda b: protobin.decode_response(
+                    service, method, b or b""
+                ),
+            )
+        else:
+            fn = self._channel.unary_unary(
+                f"/{service}/{method}",
+                # encode_json, NOT plain json.dumps: bytes-bearing
+                # payloads (bytesVal entity keys) and datetimes must
+                # serialize the same way on both channel twins.
+                request_serializer=encode_json,
+                response_deserializer=lambda b: json.loads(b or b"{}"),
+            )
         try:
             return fn(request, metadata=metadata)
         except grpc.RpcError as ex:

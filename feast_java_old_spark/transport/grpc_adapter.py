@@ -334,12 +334,19 @@ def build_server(
     host: str = "127.0.0.1",
     port: int = 0,
     max_workers: int = 8,
+    codec: str = "json",
 ):
     """Bind the adapters to a REAL ``grpc.server`` (grpcio required).
 
-    Generic handlers with a JSON codec: method path
-    ``/<service_name>/<Method>``, request/response = JSON bytes.
-    Returns ``(server, bound_port)``; caller owns ``server.stop()``.
+    Generic handlers at method path ``/<service_name>/<Method>``.
+    ``codec="json"`` (default): request/response = JSON bytes, matching
+    the HTTP binding's default. ``codec="proto"``: methods with
+    registered binary descriptors (the ServingService data plane —
+    :mod:`~feast_java_old_spark.transport.protobin`) speak canonical
+    proto3 BINARY — true wire parity with the reference's
+    ``ServingServiceGRpcController``; descriptor-less methods keep the
+    JSON serializers. Returns ``(server, bound_port)``; caller owns
+    ``server.stop()``.
     """
     if not HAVE_GRPC:
         raise ImportError(
@@ -348,6 +355,11 @@ def build_server(
         )
     import json
     from concurrent.futures import ThreadPoolExecutor
+
+    from feast_java_old_spark.transport import protobin
+
+    if codec not in ("json", "proto"):
+        raise ValueError(f"unknown codec {codec!r}")
 
     def make_handler(servicer, method_name):
         method = getattr(servicer, method_name)
@@ -364,6 +376,20 @@ def build_server(
 
         from feast_java_old_spark.transport.http import encode_json
 
+        pair = protobin.descriptors_for(
+            servicer.service_name, method_name
+        )
+        if codec == "proto" and pair is not None:
+            svc, mth = servicer.service_name, method_name
+            return grpc.unary_unary_rpc_method_handler(
+                unary,
+                request_deserializer=lambda b: protobin.decode_request(
+                    svc, mth, b or b""
+                ),
+                response_serializer=lambda r: protobin.encode_response(
+                    svc, mth, r
+                ),
+            )
         return grpc.unary_unary_rpc_method_handler(
             unary,
             request_deserializer=lambda b: json.loads(b or b"{}"),
