@@ -531,7 +531,11 @@ class HttpJsonChannel(KeepAliveHttpMixin):
         # mutation-safe retry + poison-proof close discipline: see
         # transport.keepalive.KeepAliveHttpMixin.
         resp, payload = self._post(f"/{service}/{method}", body, hdrs)
-        resp_ctype = (resp.getheader("Content-Type", "") or "").split(";")[0]
+        # same media-type parse as the server's negotiation (strip too:
+        # an intermediary may pad whitespace before the ; parameter)
+        resp_ctype = (
+            (resp.getheader("Content-Type", "") or "").split(";")[0].strip()
+        )
         if resp.status == 200 and resp_ctype == protobin.PROTO_CONTENT_TYPE:
             try:
                 return protobin.decode_response(service, method, payload)

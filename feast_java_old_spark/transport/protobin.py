@@ -131,7 +131,48 @@ def _ld(payload: bytes) -> bytes:
 
 
 def _desc(name: str, fields: dict) -> dict:
-    return {"_name": name, "fields": fields}
+    # precomputed indexes — encode/decode are per-row/per-Value hot
+    # paths (a 1k-row request walks encode_message for every EntityRow
+    # and every map-entry Value): json-name index for encode, per-enum
+    # reverse maps for decode, and the descriptor's oneof member set
+    # for last-wins semantics.
+    return {
+        "_name": name,
+        "fields": fields,
+        "_by_name": {
+            spec[0]: (num, spec) for num, spec in fields.items()
+        },
+        "_oneof_names": frozenset(
+            spec[0] for spec in fields.values() if spec[1] == "oneof"
+        ),
+    }
+
+
+def _enum_names(table: dict) -> dict:
+    """num → name reverse map, cached per enum table (tables are
+    module-level constants)."""
+    cached = _ENUM_REVERSE.get(id(table))
+    if cached is None:
+        cached = {n: s for s, n in table.items()}
+        _ENUM_REVERSE[id(table)] = cached
+    return cached
+
+
+_ENUM_REVERSE: dict[int, dict] = {}
+
+
+def _enum_num(table: dict, v, ctx: str) -> int:
+    """Enum name-or-number → number, rejecting unknown names with a
+    codec error (a KeyError would escape the ProtoCodecError/ValueError
+    contract both encode paths promise)."""
+    if isinstance(v, str):
+        try:
+            return table[v]
+        except KeyError:
+            raise ProtoCodecError(
+                f"{ctx}: unknown enum value {v!r}"
+            ) from None
+    return int(v)
 
 
 def _list_wrapper(name: str, kind: str) -> dict:
@@ -285,21 +326,26 @@ def _b64_to_bytes(v: Any) -> bytes:
     raise ProtoCodecError(f"invalid base64 bytes payload: {v!r}")
 
 
+_EPOCH = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+
+
 def _ts_to_parts(v: Any) -> tuple[int, int]:
-    """ISO-8601 string (or datetime) → (seconds, nanos)."""
+    """ISO-8601 string (or datetime) → (seconds, nanos). INTEGER
+    timedelta arithmetic, never float ``timestamp()`` — beyond ~2**33
+    seconds the float64 ULP exceeds 1µs, so a float-derived seconds
+    could disagree with the microsecond field by a whole second."""
     if isinstance(v, str):
-        v = dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+        try:
+            v = dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+        except ValueError as ex:
+            raise ProtoCodecError(f"invalid Timestamp payload: {v!r}") from ex
     if not isinstance(v, dt.datetime):
         raise ProtoCodecError(f"invalid Timestamp payload: {v!r}")
     if v.tzinfo is None:
         v = v.replace(tzinfo=dt.timezone.utc)
-    epoch = v.timestamp()
-    seconds = int(epoch // 1)
-    # microsecond precision is what datetime carries
-    nanos = v.microsecond * 1000
-    if epoch < 0 and nanos:
-        seconds = int(epoch) - (1 if epoch != int(epoch) else 0)
-    return seconds, nanos
+    delta = v - _EPOCH
+    seconds = delta.days * 86400 + delta.seconds
+    return seconds, delta.microseconds * 1000
 
 
 def _parts_to_ts(seconds: int, nanos: int) -> str:
@@ -314,14 +360,34 @@ def _parts_to_ts(seconds: int, nanos: int) -> str:
 # ---------------------------------------------------------------- encode
 
 
+_INT_RANGE = {
+    "int32": (-(1 << 31), (1 << 31) - 1),
+    "int64": (-(1 << 63), (1 << 63) - 1),
+}
+
+
+def _check_int(kind: str, v: Any) -> int:
+    """Python ints are unbounded; the wire is not. Out-of-range values
+    must REJECT, not silently wrap through the two's-complement varint
+    (2**63 would round-trip to -2**63 — a corrupted entity key that
+    makes every store lookup miss, where the JSON codec passes the
+    value through verbatim)."""
+    iv = int(v)
+    lo, hi = _INT_RANGE[kind]
+    if not lo <= iv <= hi:
+        raise ProtoCodecError(f"{kind} value {iv} out of range")
+    return iv
+
+
 def _encode_scalar(kind: str, extra, v: Any, num: int) -> bytes:
     if kind in ("int32", "int64"):
-        return _tag(num, _VARINT) + _write_varint(int(v))
+        return _tag(num, _VARINT) + _write_varint(_check_int(kind, v))
     if kind == "bool":
         return _tag(num, _VARINT) + _write_varint(1 if v else 0)
     if kind == "enum":
-        n = extra[v] if isinstance(v, str) else int(v)
-        return _tag(num, _VARINT) + _write_varint(n)
+        return _tag(num, _VARINT) + _write_varint(
+            _enum_num(extra, v, "enum field")
+        )
     if kind == "double":
         return _tag(num, _FIXED64) + struct.pack("<d", float(v))
     if kind == "float":
@@ -351,7 +417,7 @@ def _packed_payload(kind: str, values: list) -> bytes:
     out = bytearray()
     for v in values:
         if kind in ("int32", "int64"):
-            out += _write_varint(int(v))
+            out += _write_varint(_check_int(kind, v))
         elif kind == "bool":
             out += _write_varint(1 if v else 0)
         elif kind == "double":
@@ -374,9 +440,7 @@ def encode_message(obj: Optional[dict], desc: dict) -> bytes:
         raise ProtoCodecError(
             f"{desc['_name']}: expected a dict, got {type(obj).__name__}"
         )
-    by_name = {
-        spec[0]: (num, spec) for num, spec in desc["fields"].items()
-    }
+    by_name = desc["_by_name"]
     out = bytearray()
     for key, v in obj.items():
         if key not in by_name:
@@ -395,14 +459,14 @@ def encode_message(obj: Optional[dict], desc: dict) -> bytes:
                 if vkind == "message":
                     entry += _tag(2, _LEN) + _ld(encode_message(mv, vextra))
                 else:
-                    if not _scalar_default(vkind, mv) or vkind == "enum":
-                        # enum: encode unless numerically zero
-                        if vkind == "enum":
-                            n = vextra[mv] if isinstance(mv, str) else int(mv)
-                            if n:
-                                entry += _tag(2, _VARINT) + _write_varint(n)
-                        else:
-                            entry += _encode_scalar(vkind, vextra, mv, 2)
+                    if vkind == "enum":
+                        # encode unless numerically zero (proto3 map
+                        # entry values follow plain-field default rules)
+                        n = _enum_num(vextra, mv, f"{desc['_name']}.{name}")
+                        if n:
+                            entry += _tag(2, _VARINT) + _write_varint(n)
+                    elif not _scalar_default(vkind, mv):
+                        entry += _encode_scalar(vkind, vextra, mv, 2)
                 out += _tag(num, _LEN) + _ld(bytes(entry))
         elif label == "repeated":
             if not isinstance(v, (list, tuple)):
@@ -425,8 +489,7 @@ def encode_message(obj: Optional[dict], desc: dict) -> bytes:
             if label == "optional" and _scalar_default(kind, v):
                 continue  # proto3: defaults are omitted
             if kind == "enum" and label == "optional":
-                n = extra[v] if isinstance(v, str) else int(v)
-                if n == 0:
+                if _enum_num(extra, v, f"{desc['_name']}.{name}") == 0:
                     continue
             out += _encode_scalar(kind, extra, v, num)
     return bytes(out)
@@ -440,13 +503,30 @@ def _skip(buf: bytes, pos: int, wt: int) -> int:
         _, pos = _read_varint(buf, pos)
         return pos
     if wt == _FIXED64:
-        return pos + 8
-    if wt == _FIXED32:
-        return pos + 4
-    if wt == _LEN:
+        pos += 8
+    elif wt == _FIXED32:
+        pos += 4
+    elif wt == _LEN:
         ln, pos = _read_varint(buf, pos)
-        return pos + ln
-    raise ProtoCodecError(f"unsupported wire type {wt}")
+        pos += ln
+    else:
+        raise ProtoCodecError(f"unsupported wire type {wt}")
+    if pos > len(buf):
+        # a truncated UNKNOWN trailing field must raise like every
+        # known-field truncation — silently "skipping" past the end
+        # would mask corruption on exactly the forward-compat path.
+        raise ProtoCodecError("truncated unknown field")
+    return pos
+
+
+def _fixed(buf: bytes, pos: int, width: int, fmt: str):
+    chunk = buf[pos : pos + width]
+    if len(chunk) != width:
+        # struct.error is not a ValueError — an explicit length check
+        # keeps every truncation inside the ProtoCodecError contract
+        # the deserializer handlers catch.
+        raise ProtoCodecError(f"truncated fixed{width * 8} field")
+    return struct.unpack(fmt, chunk)[0], pos + width
 
 
 def _decode_scalar(kind: str, extra, buf: bytes, pos: int, wt: int):
@@ -455,13 +535,12 @@ def _decode_scalar(kind: str, extra, buf: bytes, pos: int, wt: int):
         if kind == "bool":
             return bool(raw), pos
         if kind == "enum":
-            names = {n: s for s, n in extra.items()}
-            return names.get(raw, raw), pos
+            return _enum_names(extra).get(raw, raw), pos
         return _signed(raw), pos
     if wt == _FIXED64:
-        return struct.unpack("<d", buf[pos : pos + 8])[0], pos + 8
+        return _fixed(buf, pos, 8, "<d")
     if wt == _FIXED32:
-        return struct.unpack("<f", buf[pos : pos + 4])[0], pos + 4
+        return _fixed(buf, pos, 4, "<f")
     if wt == _LEN:
         ln, pos = _read_varint(buf, pos)
         payload = buf[pos : pos + ln]
@@ -486,11 +565,11 @@ def _decode_packed(kind: str, payload: bytes) -> list:
             raw, pos = _read_varint(payload, pos)
             out.append(bool(raw))
         elif kind == "double":
-            out.append(struct.unpack("<d", payload[pos : pos + 8])[0])
-            pos += 8
+            v, pos = _fixed(payload, pos, 8, "<d")
+            out.append(v)
         elif kind == "float":
-            out.append(struct.unpack("<f", payload[pos : pos + 4])[0])
-            pos += 4
+            v, pos = _fixed(payload, pos, 4, "<f")
+            out.append(v)
         else:  # pragma: no cover - guarded by descriptors
             raise ProtoCodecError(f"kind {kind!r} cannot unpack")
     return out
@@ -538,8 +617,7 @@ def decode_message(buf: bytes, desc: dict) -> dict:
                 if vkind == "message":
                     mv = {}
                 elif vkind == "enum":
-                    names = {n: s for s, n in vextra.items()}
-                    mv = names.get(0, 0)
+                    mv = _enum_names(vextra).get(0, 0)
                 else:
                     mv = {"string": "", "bytes": "", "bool": False}.get(
                         vkind, 0
@@ -572,6 +650,11 @@ def decode_message(buf: bytes, desc: dict) -> dict:
             if len(payload) != ln:
                 raise ProtoCodecError("truncated embedded message")
             pos += ln
+            if label == "oneof":
+                # proto3 oneof last-wins: a new arm clears any arm a
+                # non-canonical encoder emitted earlier in the message
+                for prev in desc["_oneof_names"]:
+                    obj.pop(prev, None)
             if extra is TIMESTAMP:
                 inner = decode_message(payload, TIMESTAMP)
                 obj[name] = _parts_to_ts(
@@ -581,6 +664,9 @@ def decode_message(buf: bytes, desc: dict) -> dict:
                 obj[name] = decode_message(payload, extra)
         else:
             v, pos = _decode_scalar(kind, extra, buf, pos, wt)
+            if label == "oneof":
+                for prev in desc["_oneof_names"]:
+                    obj.pop(prev, None)
             obj[name] = v
     # post-pass: the engine renders Timestamp fields as ISO strings and
     # EntityRow timestamps arrive through the message arm above; nothing
@@ -651,27 +737,57 @@ def _normalize_response(response: dict, desc: dict) -> dict:
 
 
 def _normalize_request(request: dict, desc: dict) -> dict:
-    """The engine's request dicts allow conveniences the descriptor
-    should accept: snake_case aliases (``entity_rows``) and NATIVE
-    scalar entity-field values (the JSON transport's relaxed arm —
-    ``{"c_custkey": 7}``). Binary has no untyped arm, so native scalars
-    are wrapped into their inferred Value arm exactly like the
-    response-mapping inference in ``sdk._wrap_response_value``."""
+    """The engine's JSON transport accepts relaxed request arms the
+    binary descriptor cannot express; encode-side they normalize into
+    the canonical shapes so a ``codec="proto"`` channel accepts exactly
+    what the JSON channel does (mirroring ``serving_rest.
+    _parse_feature_refs`` / ``_parse_entity_rows``):
+
+    - string feature refs (``"table:feature"``) and snake_case
+      ``feature_table`` keys → ``{"featureTable", "name"}`` dicts,
+    - ``entity_rows`` alias → ``entityRows``,
+    - a BARE field map (no ``"fields"`` key) → ``{"fields": row}`` —
+      and like the JSON parser, a bare map's ``timestamp`` key stays an
+      entity field (the proto EntityRow shape is where that field
+      exists),
+    - NATIVE scalar entity-field values (``{"c_custkey": 7}``) wrap
+      into their inferred Value arm exactly like the response-mapping
+      inference in ``sdk._wrap_response_value``."""
     if desc is not GET_ONLINE_FEATURES_REQUEST_V2:
         return request
     from feast_java_old_spark.sdk import _wrap_response_value
 
     out = dict(request)
+    feats = []
+    for f in out.get("features", []) or []:
+        if isinstance(f, str):
+            table, _, name = f.partition(":")
+            feats.append({"featureTable": table, "name": name})
+        elif isinstance(f, dict) and "feature_table" in f:
+            feats.append(
+                {"featureTable": f["feature_table"], "name": f.get("name", "")}
+            )
+        else:
+            feats.append(f)
+    if feats or "features" in out:
+        out["features"] = feats
     if "entity_rows" in out and "entityRows" not in out:
         out["entityRows"] = out.pop("entity_rows")
     rows = []
     for row in out.get("entityRows", []) or []:
-        row = dict(row)
-        fields = {
+        if not isinstance(row, dict):
+            raise ProtoCodecError(
+                f"EntityRow must be a JSON object, got {type(row).__name__}"
+            )
+        if "fields" in row:
+            row = dict(row)
+            fields = row.get("fields") or {}
+        else:
+            fields, row = dict(row), {}
+        row["fields"] = {
             k: v if isinstance(v, dict) else _wrap_response_value(v)
-            for k, v in (row.get("fields") or {}).items()
+            for k, v in fields.items()
         }
-        row["fields"] = fields
         rows.append(row)
     if rows or "entityRows" in out:
         out["entityRows"] = rows

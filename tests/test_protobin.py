@@ -411,3 +411,119 @@ def test_binary_response_content_type_negotiated(echo_server):
     )
     decoded = pb.decode_response(SVC, "GetFeastServingInfo", payload)
     assert decoded["version"] == "x"
+
+
+# ------------------------------------------- review-pass pins (r15)
+
+
+def test_truncated_fixed_fields_raise_codec_error_not_struct_error():
+    """Truncation mid-double must stay inside the ProtoCodecError
+    contract (struct.error is not a ValueError and would escape every
+    deserializer handler)."""
+    wire = pb.encode_message({"doubleVal": 2.5}, pb.VALUE)
+    with pytest.raises(pb.ProtoCodecError, match="truncated fixed64"):
+        pb.decode_message(wire[:-3], pb.VALUE)
+    packed = pb.encode_message({"doubleListVal": {"val": [1.5, 2.5]}}, pb.VALUE)
+    with pytest.raises(pb.ProtoCodecError, match="truncated"):
+        pb.decode_message(packed[:-2], pb.VALUE)
+
+
+def test_truncated_unknown_trailing_field_raises():
+    """_skip must not run past the buffer: a truncated unknown field is
+    corruption, not forward compatibility."""
+    known = pb.encode_message({"stringVal": "x"}, pb.VALUE)
+    bad = known + pb._write_varint((99 << 3) | 1) + b"\x00\x00"  # fixed64 cut
+    with pytest.raises(pb.ProtoCodecError, match="truncated unknown"):
+        pb.decode_message(bad, pb.VALUE)
+
+
+def test_out_of_range_ints_reject_instead_of_wrapping():
+    """2**63 silently round-tripping to -2**63 would corrupt an entity
+    key (every lookup misses); the codec must reject what the wire
+    cannot carry."""
+    for bad in (2**63, -(2**63) - 1, 2**64 + 5):
+        with pytest.raises(pb.ProtoCodecError, match="out of range"):
+            pb.encode_message({"int64Val": bad}, pb.VALUE)
+    with pytest.raises(pb.ProtoCodecError, match="out of range"):
+        pb.encode_message({"int32Val": 2**31}, pb.VALUE)
+    with pytest.raises(pb.ProtoCodecError, match="out of range"):
+        pb.encode_message({"int64ListVal": {"val": [1, 2**63]}}, pb.VALUE)
+    # boundary values pass
+    ok = pb.encode_message({"int64Val": 2**63 - 1}, pb.VALUE)
+    assert pb.decode_message(ok, pb.VALUE) == {"int64Val": 2**63 - 1}
+
+
+def test_unknown_enum_name_is_codec_error_not_keyerror():
+    with pytest.raises(pb.ProtoCodecError, match="unknown enum value"):
+        pb.encode_response(
+            SVC,
+            M,
+            {"fieldValues": [{"fields": {}, "statuses": {"x": "BOGUS"}}]},
+        )
+    with pytest.raises(pb.ProtoCodecError, match="unknown enum value"):
+        pb.encode_response(
+            SVC, "GetFeastServingInfo", {"version": "1", "type": "NOPE"}
+        )
+
+
+def test_oneof_last_wins_on_decode():
+    """A non-canonical encoder emitting two arms in one Value: canonical
+    protobuf parsers keep only the LAST arm — so must the decoder, or
+    both typed getters would answer."""
+    two_arms = pb.encode_message({"bytesVal": "AAE="}, pb.VALUE) + pb.encode_message(
+        {"stringVal": "late"}, pb.VALUE
+    )
+    assert pb.decode_message(two_arms, pb.VALUE) == {"stringVal": "late"}
+    # and message-kind arms participate too (scalar then list arm)
+    scalar_then_list = pb.encode_message(
+        {"int64Val": 7}, pb.VALUE
+    ) + pb.encode_message({"int64ListVal": {"val": [1]}}, pb.VALUE)
+    assert pb.decode_message(scalar_then_list, pb.VALUE) == {
+        "int64ListVal": {"val": [1]}
+    }
+
+
+def test_relaxed_request_arms_match_json_transport():
+    """String refs, snake_case feature_table, and BARE entity-row field
+    maps — everything the JSON servicer accepts — must encode, so the
+    two codecs accept the same requests."""
+    req = {
+        "features": [
+            "driver:name",
+            {"feature_table": "driver", "name": "rating"},
+        ],
+        "entityRows": [{"driver_id": 1, "timestamp": 5}],  # bare map
+        "project": "p",
+    }
+    back = pb.decode_request(SVC, M, pb.encode_request(SVC, M, req))
+    assert back["features"] == [
+        {"featureTable": "driver", "name": "name"},
+        {"featureTable": "driver", "name": "rating"},
+    ]
+    # bare-map semantics: 'timestamp' stays an ENTITY FIELD (int64Val),
+    # exactly like _parse_entity_rows' bare-map rule
+    assert back["entityRows"][0]["fields"] == {
+        "driver_id": {"int64Val": 1},
+        "timestamp": {"int64Val": 5},
+    }
+    assert "timestamp" not in {
+        k for k in back["entityRows"][0] if k != "fields"
+    }
+
+
+def test_timestamp_integer_arithmetic_round_trip():
+    """Integer timedelta math: exact at any epoch (float64 ULP exceeds
+    1us beyond ~2**33 seconds)."""
+    for iso, want_s, want_ns in (
+        ("1970-01-01T00:01:40", 100, 0),
+        ("2242-03-16T12:56:31.999999", 8589934591, 999999000),
+        ("1969-12-31T23:59:59.500000", -1, 500000000),  # floored seconds
+    ):
+        s, ns = pb._ts_to_parts(iso)
+        assert (s, ns) == (want_s, want_ns), iso
+    wire = pb.encode_message(
+        {"timestamp": "2242-03-16T12:56:31.999999", "fields": {}},
+        pb.ENTITY_ROW,
+    )
+    back = pb.decode_message(wire, pb.ENTITY_ROW)
+    assert back["timestamp"] == "2242-03-16T12:56:31.999999Z"
