@@ -281,9 +281,30 @@ GET_FEAST_SERVING_INFO_RESPONSE = _desc(
     },
 )
 
+# grpc.health.v1 (the OTHER service on the reference's serving gRPC
+# socket — HealthServiceController registers there): the public
+# health/v1/health.proto shapes.
+HEALTH_CHECK_REQUEST = _desc(
+    "grpc.health.v1.HealthCheckRequest",
+    {1: ("service", "optional", "string", None)},
+)
+
+SERVING_STATUS = {
+    "UNKNOWN": 0,
+    "SERVING": 1,
+    "NOT_SERVING": 2,
+    "SERVICE_UNKNOWN": 3,
+}
+
+HEALTH_CHECK_RESPONSE = _desc(
+    "grpc.health.v1.HealthCheckResponse",
+    {1: ("status", "optional", "enum", SERVING_STATUS)},
+)
+
 # (request_descriptor, response_descriptor) per unary method — what the
 # HTTP binding and the channel twins consult to decide whether a method
-# can ride the binary codec.
+# can ride the binary codec. Covers BOTH services the reference binds
+# on its serving gRPC socket.
 METHOD_DESCRIPTORS: dict[str, dict[str, tuple[dict, dict]]] = {
     "feast.serving.ServingService": {
         "GetOnlineFeaturesV2": (
@@ -294,6 +315,9 @@ METHOD_DESCRIPTORS: dict[str, dict[str, tuple[dict, dict]]] = {
             GET_FEAST_SERVING_INFO_REQUEST,
             GET_FEAST_SERVING_INFO_RESPONSE,
         ),
+    },
+    "grpc.health.v1.Health": {
+        "Check": (HEALTH_CHECK_REQUEST, HEALTH_CHECK_RESPONSE),
     },
 }
 

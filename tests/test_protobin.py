@@ -527,3 +527,40 @@ def test_timestamp_integer_arithmetic_round_trip():
     )
     back = pb.decode_message(wire, pb.ENTITY_ROW)
     assert back["timestamp"] == "2242-03-16T12:56:31.999999Z"
+
+
+def test_health_check_binary_round_trip_and_socket():
+    """grpc.health.v1.Health — the other service the reference binds on
+    its serving gRPC socket — rides the binary codec too."""
+    req = {"service": "feast.serving.ServingService"}
+    wire = pb.encode_request("grpc.health.v1.Health", "Check", req)
+    assert pb.decode_request("grpc.health.v1.Health", "Check", wire) == req
+    resp = {"status": "SERVING"}
+    w = pb.encode_response("grpc.health.v1.Health", "Check", resp)
+    # ServingStatus.SERVING = 1 → field 1 varint 1
+    assert w == bytes([0x08, 0x01])
+    assert pb.decode_response("grpc.health.v1.Health", "Check", w) == resp
+
+    class Health:
+        service_name = "grpc.health.v1.Health"
+
+        def Check(self, request, metadata=None):
+            return {"status": "SERVING" if request.get("service") else "NOT_SERVING"}
+
+    import http.client as hc
+
+    with GrpcHttpServer([Health()]) as srv:
+        conn = hc.HTTPConnection(srv.host, srv.port, timeout=30)
+        conn.request(
+            "POST",
+            "/grpc.health.v1.Health/Check",
+            body=wire,
+            headers={"Content-Type": pb.PROTO_CONTENT_TYPE},
+        )
+        resp_http = conn.getresponse()
+        payload = resp_http.read()
+        conn.close()
+    assert resp_http.status == 200
+    assert pb.decode_response("grpc.health.v1.Health", "Check", payload) == {
+        "status": "SERVING"
+    }
