@@ -373,7 +373,17 @@ def _ts_to_parts(v: Any) -> tuple[int, int]:
 
 
 def _parts_to_ts(seconds: int, nanos: int) -> str:
-    base = dt.datetime.fromtimestamp(seconds, tz=dt.timezone.utc)
+    try:
+        base = dt.datetime.fromtimestamp(seconds, tz=dt.timezone.utc)
+    except (OverflowError, OSError, ValueError) as ex:
+        # fromtimestamp raises OSError (errno 75) or OverflowError for
+        # out-of-range seconds — neither is a ValueError, so without
+        # this they escape the ProtoCodecError contract the channel
+        # decode handlers rely on (only ProtoCodecError/ValueError map
+        # to GrpcCallError('INTERNAL')).
+        raise ProtoCodecError(
+            f"Timestamp out of range: seconds={seconds}"
+        ) from ex
     base = base.replace(microsecond=nanos // 1000)
     iso = base.strftime("%Y-%m-%dT%H:%M:%S")
     if base.microsecond:
@@ -628,7 +638,14 @@ def decode_message(buf: bytes, desc: dict) -> dict:
                 elif enum_ == 2:
                     if vkind == "message":
                         eln, epos = _read_varint(entry, epos)
-                        mv = decode_message(entry[epos : epos + eln], vextra)
+                        epayload = entry[epos : epos + eln]
+                        if len(epayload) != eln:
+                            # same silent-corruption class as the
+                            # repeated/embedded paths: an overstated
+                            # length would decode the short slice and
+                            # jump past the entry end, dropping fields.
+                            raise ProtoCodecError("truncated map entry value")
+                        mv = decode_message(epayload, vextra)
                         epos += eln
                     else:
                         mv, epos = _decode_scalar(
@@ -760,6 +777,42 @@ def _normalize_response(response: dict, desc: dict) -> dict:
     return out
 
 
+# snake_case Value-arm aliases the JSON servicer's ``_unwrap_value``
+# accepts (and ``sdk.Row.set``'s whitelist admits) → their canonical
+# lowerCamel descriptor names. The binary descriptor only knows the
+# canonical names, so the proto channel must canonicalize on encode or
+# a Row the SDK validated as legal fails only when ``codec="proto"``.
+_SNAKE_ARMS = {
+    arm: camel
+    for base in ("bytes", "string", "int32", "int64", "double", "float", "bool")
+    for arm, camel in (
+        (f"{base}_val", f"{base}Val"),
+        (f"{base}_list_val", f"{base}ListVal"),
+    )
+}
+_LIST_ARMS = frozenset(
+    f"{b}ListVal"
+    for b in ("bytes", "string", "int32", "int64", "double", "float", "bool")
+)
+
+
+def _canon_value_arm(v: dict) -> dict:
+    """Canonicalize a dict Value wrapper the relaxed JSON surface
+    accepts: map snake_case arm keys to their lowerCamel twins and wrap
+    bare-list arm payloads (``{"int64ListVal": [1, 2]}``) into the
+    descriptor's ``{"val": [...]}`` shape. Anything that doesn't look
+    like a single-arm Value wrapper passes through verbatim (it is
+    either already canonical or will fail in encode_message with the
+    same error the strict path always raised)."""
+    if len(v) != 1:
+        return v
+    (arm, payload), = v.items()
+    arm = _SNAKE_ARMS.get(arm, arm)
+    if arm in _LIST_ARMS and isinstance(payload, (list, tuple)):
+        payload = {"val": list(payload)}
+    return {arm: payload}
+
+
 def _normalize_request(request: dict, desc: dict) -> dict:
     """The engine's JSON transport accepts relaxed request arms the
     binary descriptor cannot express; encode-side they normalize into
@@ -809,7 +862,9 @@ def _normalize_request(request: dict, desc: dict) -> dict:
         else:
             fields, row = dict(row), {}
         row["fields"] = {
-            k: v if isinstance(v, dict) else _wrap_response_value(v)
+            k: _canon_value_arm(v)
+            if isinstance(v, dict)
+            else _wrap_response_value(v)
             for k, v in fields.items()
         }
         rows.append(row)

@@ -564,3 +564,61 @@ def test_health_check_binary_round_trip_and_socket():
     assert pb.decode_response("grpc.health.v1.Health", "Check", payload) == {
         "status": "SERVING"
     }
+
+
+def test_snake_case_and_bare_list_value_arms_encode():
+    """ADVICE r16 (medium): dict Value wrappers on the relaxed surface —
+    snake_case arm names ({"int64_val": 7}) and bare-array list arms
+    ({"int64ListVal": [1, 2]}) — are accepted by the JSON servicer's
+    _unwrap_value AND whitelisted by sdk.Row.set, so the proto channel
+    must canonicalize them instead of raising ProtoCodecError (a Row
+    the SDK validated as legal must not fail only when codec="proto")."""
+    req = {
+        "features": [{"featureTable": "t", "name": "f"}],
+        "entityRows": [
+            {
+                "fields": {
+                    "a": {"int64_val": 7},
+                    "b": {"int64ListVal": [1, 2]},
+                    "c": {"string_list_val": ["x", "y"]},
+                    "d": {"double_val": 1.5},
+                }
+            }
+        ],
+        "project": "p",
+    }
+    back = pb.decode_request(SVC, M, pb.encode_request(SVC, M, req))
+    assert back["entityRows"][0]["fields"] == {
+        "a": {"int64Val": 7},
+        "b": {"int64ListVal": {"val": [1, 2]}},
+        "c": {"stringListVal": {"val": ["x", "y"]}},
+        "d": {"doubleVal": 1.5},
+    }
+
+
+def test_truncated_map_entry_value_raises():
+    """ADVICE r16 (low): a map-entry embedded-message value whose
+    declared length overruns the entry must raise, not silently decode
+    the short slice and drop the remaining entry fields."""
+    # EntityRow.fields map entry: key "a" + Value message with declared
+    # length 10 but only 2 payload bytes (int64Val=1)
+    entry = b"\x0a\x01a" + b"\x12\x0a" + b"\x20\x01"
+    wire = b"\x12" + bytes([len(entry)]) + entry
+    with pytest.raises(pb.ProtoCodecError, match="truncated map entry value"):
+        pb.decode_message(wire, pb.ENTITY_ROW)
+
+
+def test_timestamp_out_of_range_is_codec_error():
+    """ADVICE r16 (low): fromtimestamp raises OSError/OverflowError for
+    out-of-range seconds — those must surface as ProtoCodecError so the
+    channel decode handlers map them to GrpcCallError('INTERNAL')
+    instead of leaking a raw OSError to the application."""
+    for seconds in (2**60, -(2**60)):
+        with pytest.raises(pb.ProtoCodecError, match="Timestamp out of range"):
+            pb._parts_to_ts(seconds, 0)
+    # end-to-end: a wire Timestamp with absurd seconds decodes to the
+    # same contracted error (field 1 varint inside EntityRow.timestamp)
+    ts_payload = b"\x08" + b"\x80" * 9 + b"\x10"  # 10-byte varint, huge
+    wire = b"\x0a" + bytes([len(ts_payload)]) + ts_payload
+    with pytest.raises(pb.ProtoCodecError):
+        pb.decode_message(wire, pb.ENTITY_ROW)
