@@ -10011,6 +10011,115 @@ def q_sdk_compound_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sdk_proto_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound-entity serve through the client SDK over the
+    PROTO-BINARY wire codec — the r16 budgeted gate query. The
+    reference's serving socket speaks proto3 binary, not JSON
+    (``ServingServiceGRpcController.java:81-95`` returns
+    ``GetOnlineFeaturesResponse`` messages over gRPC), so this puts the
+    actual wire format under the DuckDB oracle end-to-end: typed Rows →
+    ``protobin.encode_request`` → negotiated ``application/x-protobuf``
+    socket → ``protobin.decode_response`` → typed getters. Same J2
+    compound-key oracle family as ``q_sdk_compound_entity`` (the
+    ``ServingServiceBigTableIT:533-596`` scenario); the ONLY deltas are
+    ``HttpJsonChannel(codec="proto")`` and one entity key set through
+    the snake_case dict-passthrough arm (``{"int64_val": sk}`` —
+    ``Row.set``'s whitelist admits it, and the codec canonicalizes it
+    on encode), so a value-hash match proves the binary codec carries
+    byte-faithful Values both directions.
+
+    The channel falls back to JSON decode if a server ever responded
+    JSON (identical Rows either way), which would silently weaken this
+    gate — so the query first probes the socket raw and REFUSES to
+    serve unless the response Content-Type is the negotiated proto
+    type. Scale shape: identical to J2's double-BHJ; the codec is
+    per-request CPU on a bounded serving payload, zero plan nodes."""
+    import http.client as hc
+
+    from feast_java_old_spark.plans.serving_rest import (
+        ServingServiceRestController,
+    )
+    from feast_java_old_spark.registry.credentials import JwtCallCredentials
+    from feast_java_old_spark.sdk import FeastClient, HttpJsonChannel, Row
+    from feast_java_old_spark.transport import protobin
+    from feast_java_old_spark.transport.grpc_adapter import (
+        SERVING_SERVICE,
+        ServingServiceServicer,
+    )
+    from feast_java_old_spark.transport.grpc_http import GrpcHttpServer
+
+    reg, online, entities = _supplier_part_env(spark, sf_dir)
+    ctl = ServingServiceRestController(
+        spark,
+        reg,
+        online_frames={"supplier_part": online},
+        full_feature_names=True,
+    )
+    pairs = sorted(
+        (int(r.l_suppkey), int(r.l_partkey)) for r in entities.collect()
+    )
+    refs = ["supplier_part:quantity", "supplier_part:extended_price"]
+    with GrpcHttpServer([ServingServiceServicer(ctl)]) as srv:
+        # Negotiation pin: a binary GetFeastServingInfo must come back
+        # with the proto Content-Type, or the binary path is not live.
+        conn = hc.HTTPConnection(srv.host, srv.port, timeout=60)
+        conn.request(
+            "POST",
+            f"/{SERVING_SERVICE}/GetFeastServingInfo",
+            body=protobin.encode_request(
+                SERVING_SERVICE, "GetFeastServingInfo", {}
+            ),
+            headers={"Content-Type": protobin.PROTO_CONTENT_TYPE},
+        )
+        probe = conn.getresponse()
+        probe.read()
+        ctype = (probe.getheader("Content-Type", "") or "").split(";")[0]
+        conn.close()
+        if probe.status != 200 or ctype.strip() != protobin.PROTO_CONTENT_TYPE:
+            raise RuntimeError(
+                f"proto codec not negotiated: {probe.status} {ctype!r}"
+            )
+        client = FeastClient(
+            HttpJsonChannel(srv.host, srv.port, timeout=600.0, codec="proto"),
+            credentials=JwtCallCredentials("sdk-proto-token"),
+        )
+        with client:
+            rows = client.get_online_features(
+                refs,
+                [
+                    Row.create()
+                    .set("l_suppkey", {"int64_val": sk})
+                    .set("l_partkey", pk)
+                    .set_entity_timestamp(dt.datetime(1998, 12, 1))
+                    for sk, pk in pairs
+                ],
+            )
+    schema = T.StructType(
+        [
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("quantity", T.DoubleType()),
+            T.StructField("quantity_status", T.StringType()),
+            T.StructField("extended_price", T.DoubleType()),
+            T.StructField("extended_price_status", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                r.get_long("l_suppkey"),
+                r.get_long("l_partkey"),
+                r.get_double(refs[0]),
+                r.get_status(refs[0]),
+                r.get_double(refs[1]),
+                r.get_status(refs[1]),
+            )
+            for r in rows
+        ],
+        schema,
+    )
+
+
 SQL_SDK_COMPOUND = """
 WITH latest AS (
   SELECT l_suppkey, l_partkey, l_quantity AS quantity,
@@ -10052,170 +10161,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verifies within ~4 rounds (policy: docs/COVERAGE.md
     # "Evidence-freshness policy"). Do NOT append new queries at the
     # end, insert alphabetically, or let a formatter re-sort this
-    # literal. r15 window: sdk_compound_entity (the one budgeted r15
-    # registration — never gated, FRONT) + dedup_crossmodal +
-    # corpus_split + domain_topk + sequence_pack (the four r10-evidence
-    # rows displaced from r14) + the first 45 r11-evidence rows in
-    # CORRECTNESS_r11 order (j2_compound_key re-gates inside this
-    # block); the five displaced r11 rows (a8_cube_revenue, tpch_q5,
-    # tpch_q1, tpch_q6, tpch_q14) sit at positions 51-55 to lead the
-    # r16 window.
+    # literal. r16 window: sdk_proto_entity (the one budgeted r16
+    # registration — never gated, FRONT) + the five r11-evidence rows
+    # displaced from r15 (a8_cube_revenue, tpch_q5, tpch_q1, tpch_q6,
+    # tpch_q14) + the first 44 r12-evidence rows in CORRECTNESS_r12
+    # order (through ks_drift); the six remaining r12 rows
+    # (segment_overlap, segment_overlap_kmv, cusum_alerts,
+    # curve_skip_audit, grouping_sets_revenue, not_in_semantics) sit at
+    # positions 51-56 to lead the r17 window, followed by the r13, r14,
+    # r15 evidence blocks in their CORRECTNESS order.
     return {
-        "sdk_compound_entity": q_sdk_compound_entity,
-        "dedup_crossmodal": q_dedup_crossmodal,
-        "corpus_split": q_corpus_split,
-        "domain_topk": q_domain_topk,
-        "sequence_pack": q_sequence_pack,
-        "unigram_logprob": q_unigram_logprob,
-        "logreg_quality": q_logreg_quality,
-        "global_ranks": q_global_ranks,
-        "zone_map_prune": q_zone_map_prune,
-        "stream_zone_map": q_stream_zone_map,
-        "event_transitions": q_event_transitions,
-        "event_gaps": q_event_gaps,
-        "attribution": q_attribution,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q16": q_tpch_q16,
-        "lm_backoff": q_lm_backoff,
-        "bloom_prune_join": q_bloom_prune_join,
-        "schema_evolution": q_schema_evolution,
-        "stream_schema_evolution": q_stream_schema_evolution,
-        "substring_spans": q_substring_spans,
-        "substring_dedup": q_substring_dedup,
-        "stream_substring_dedup": q_stream_substring_dedup,
-        "compaction_plan": q_compaction_plan,
-        "source_formats": q_source_formats,
-        "expectations": q_expectations,
-        "corpus_rollup": q_corpus_rollup,
-        "domain_mix": q_domain_mix,
-        "domain_upsample": q_domain_upsample,
-        "interval_join": q_interval_join,
-        "sessionize": q_sessionize,
-        "stratified_sample": q_stratified_sample,
-        "s1_scan_projection": q_s1_scan_projection,
-        "a1_latest_per_key": q_a1_latest_per_key,
-        "a1_latest_window": q_a1_latest_window,
-        "j1_entity_lookup": q_j1_entity_lookup,
-        "j1_lookup_shuffle": q_j1_lookup_shuffle,
-        "j2_compound_key": q_j2_compound_key,
-        "j3_max_age": q_j3_max_age,
-        "historical_asof": q_historical_asof,
-        "historical_asof_range": q_historical_asof_range,
-        "historical_asof_bucketed": q_historical_asof_bucketed,
-        "historical_training_set": q_historical_training_set,
-        "a2_metrics_rollup": q_a2_metrics_rollup,
-        "a3_window_rollup": q_a3_window_rollup,
-        "a4_sliding_rollup": q_a4_sliding_rollup,
-        "sliding_distinct": q_sliding_distinct,
-        "a5_sessions": q_a5_sessions,
-        "a6_percentiles": q_a6_percentiles,
-        "a7_rollup_revenue": q_a7_rollup_revenue,
+        "sdk_proto_entity": q_sdk_proto_entity,
         "a8_cube_revenue": q_a8_cube_revenue,
         "tpch_q5": q_tpch_q5,
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
         "tpch_q14": q_tpch_q14,
-        "sdk_online_features": q_sdk_online_features,
-        "weighted_sample": q_weighted_sample,
-        "skew_join": q_skew_join,
-        "ewma_features": q_ewma_features,
-        "auth_audit": q_auth_audit,
-        "target_encode": q_target_encode,
-        "winsorize": q_winsorize,
-        "chunk_documents": q_chunk_documents,
-        "resample_ffill": q_resample_ffill,
-        "bpe_pairs": q_bpe_pairs,
-        "line_filter": q_line_filter,
-        "cdc_apply": q_cdc_apply,
-        "normalize_features": q_normalize_features,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "zorder_key": q_zorder_key,
-        "rollup_merge": q_rollup_merge,
-        "boilerplate": q_boilerplate,
-        "top_orders": q_top_orders,
-        "snapshot_diff": q_snapshot_diff,
-        "user_sequences": q_user_sequences,
-        "length_batches": q_length_batches,
-        "negative_samples": q_negative_samples,
-        "session_cooccurrence": q_session_cooccurrence,
-        "calendar_features": q_calendar_features,
-        "pmi_collocations": q_pmi_collocations,
-        "stream_window_rollup": q_stream_window_rollup,
-        "stream_latest_merge": q_stream_latest_merge,
-        "kmeans_refine": q_kmeans_refine,
-        "dedup_verified_simhash": q_dedup_verified_simhash,
-        "embedding_near_dups": q_embedding_near_dups,
-        "stream_proto_decode": q_stream_proto_decode,
-        "odfv_transform": q_odfv_transform,
-        "doc_fingerprint": q_doc_fingerprint,
-        "embedding_centroids": q_embedding_centroids,
-        "lang_id": q_lang_id,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_frames": q_multimodal_frames,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "quality_classifier": q_quality_classifier,
-        "similarity_ann_ivf": q_similarity_ann_ivf,
-        "similarity_ann_lsh": q_similarity_ann_lsh,
-        "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
-        "similarity_topk": q_similarity_topk,
-        "token_count": q_token_count,
-        "training_corpus": q_training_corpus,
-        "vocab_topk": q_vocab_topk,
-        "embedding_outliers": q_embedding_outliers,
-        "corpus_dedup_apply": q_corpus_dedup_apply,
-        "dedup_keep_best": q_dedup_keep_best,
-        "odfv_transform_service": q_odfv_transform_service,
-        "stream_cusum": q_stream_cusum,
-        "rejection_report": q_rejection_report,
-        "audit_trail": q_audit_trail,
-        "serving_metrics": q_serving_metrics,
-        "tpch_q20": q_tpch_q20,
-        "stream_cdc_merge": q_stream_cdc_merge,
-        "stream_sessions": q_stream_sessions,
-        "stream_clean_corpus": q_stream_clean_corpus,
-        "stream_topk": q_stream_topk,
-        "pq_encode": q_pq_encode,
-        "pq_adc": q_pq_adc,
-        "ann_ivf_pq": q_ann_ivf_pq,
-        "mmr_rerank": q_mmr_rerank,
-        "ann_eval": q_ann_eval,
-        "random_projection": q_random_projection,
-        "kmeans_refine_expr": q_kmeans_refine_expr,
-        "kmeans_train": q_kmeans_train,
-        "token_encode": q_token_encode,
-        "quantile_bin": q_quantile_bin,
-        "quantile_bin_approx": q_quantile_bin_approx,
-        "profile_columns": q_profile_columns,
-        "profile_columns_approx": q_profile_columns_approx,
-        "scd2_history": q_scd2_history,
-        "scd2_snapshot": q_scd2_snapshot,
-        "scd2_join": q_scd2_join,
-        "pagerank": q_pagerank,
-        "triangle_count": q_triangle_count,
-        "bm25_search": q_bm25_search,
-        "phrase_search": q_phrase_search,
-        "rrf_fusion": q_rrf_fusion,
-        "tfidf_terms": q_tfidf_terms,
-        "fuzzy_match": q_fuzzy_match,
-        "fuzzy_match_snm": q_fuzzy_match_snm,
-        "robust_outliers": q_robust_outliers,
-        "token_budget": q_token_budget,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "ccnet_buckets": q_ccnet_buckets,
-        "sketch_distinct": q_sketch_distinct,
-        "count_min": q_count_min,
-        "bloom_filter": q_bloom_filter,
-        "cms_join_size": q_cms_join_size,
-        "heavy_hitters": q_heavy_hitters,
-        "semdedup": q_semdedup,
-        "k_anonymity": q_k_anonymity,
-        "bigram_logprob": q_bigram_logprob,
-        "multi_window_features": q_multi_window_features,
-        "rolling_features": q_rolling_features,
-        "feature_pivot": q_feature_pivot,
-        "asof_nearest": q_asof_nearest,
         "rest_online_features": q_rest_online_features,
         "sliding_distinct_approx": q_sliding_distinct_approx,
         "p5_type_conformance": q_p5_type_conformance,
@@ -10266,6 +10227,156 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curve_skip_audit": q_curve_skip_audit,
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "not_in_semantics": q_not_in_semantics,
+        "odfv_transform_service": q_odfv_transform_service,
+        "stream_cusum": q_stream_cusum,
+        "rejection_report": q_rejection_report,
+        "audit_trail": q_audit_trail,
+        "serving_metrics": q_serving_metrics,
+        "tpch_q20": q_tpch_q20,
+        "stream_cdc_merge": q_stream_cdc_merge,
+        "stream_sessions": q_stream_sessions,
+        "stream_clean_corpus": q_stream_clean_corpus,
+        "stream_topk": q_stream_topk,
+        "pq_encode": q_pq_encode,
+        "pq_adc": q_pq_adc,
+        "ann_ivf_pq": q_ann_ivf_pq,
+        "mmr_rerank": q_mmr_rerank,
+        "ann_eval": q_ann_eval,
+        "random_projection": q_random_projection,
+        "kmeans_refine_expr": q_kmeans_refine_expr,
+        "kmeans_train": q_kmeans_train,
+        "token_encode": q_token_encode,
+        "quantile_bin": q_quantile_bin,
+        "quantile_bin_approx": q_quantile_bin_approx,
+        "profile_columns": q_profile_columns,
+        "profile_columns_approx": q_profile_columns_approx,
+        "scd2_history": q_scd2_history,
+        "scd2_snapshot": q_scd2_snapshot,
+        "scd2_join": q_scd2_join,
+        "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        "bm25_search": q_bm25_search,
+        "phrase_search": q_phrase_search,
+        "rrf_fusion": q_rrf_fusion,
+        "tfidf_terms": q_tfidf_terms,
+        "fuzzy_match": q_fuzzy_match,
+        "fuzzy_match_snm": q_fuzzy_match_snm,
+        "robust_outliers": q_robust_outliers,
+        "token_budget": q_token_budget,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "ccnet_buckets": q_ccnet_buckets,
+        "sketch_distinct": q_sketch_distinct,
+        "count_min": q_count_min,
+        "bloom_filter": q_bloom_filter,
+        "cms_join_size": q_cms_join_size,
+        "heavy_hitters": q_heavy_hitters,
+        "semdedup": q_semdedup,
+        "k_anonymity": q_k_anonymity,
+        "bigram_logprob": q_bigram_logprob,
+        "multi_window_features": q_multi_window_features,
+        "rolling_features": q_rolling_features,
+        "feature_pivot": q_feature_pivot,
+        "asof_nearest": q_asof_nearest,
+        "sdk_online_features": q_sdk_online_features,
+        "weighted_sample": q_weighted_sample,
+        "skew_join": q_skew_join,
+        "ewma_features": q_ewma_features,
+        "auth_audit": q_auth_audit,
+        "target_encode": q_target_encode,
+        "winsorize": q_winsorize,
+        "chunk_documents": q_chunk_documents,
+        "resample_ffill": q_resample_ffill,
+        "bpe_pairs": q_bpe_pairs,
+        "line_filter": q_line_filter,
+        "cdc_apply": q_cdc_apply,
+        "normalize_features": q_normalize_features,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "zorder_key": q_zorder_key,
+        "rollup_merge": q_rollup_merge,
+        "boilerplate": q_boilerplate,
+        "top_orders": q_top_orders,
+        "snapshot_diff": q_snapshot_diff,
+        "user_sequences": q_user_sequences,
+        "length_batches": q_length_batches,
+        "negative_samples": q_negative_samples,
+        "session_cooccurrence": q_session_cooccurrence,
+        "calendar_features": q_calendar_features,
+        "pmi_collocations": q_pmi_collocations,
+        "stream_window_rollup": q_stream_window_rollup,
+        "stream_latest_merge": q_stream_latest_merge,
+        "kmeans_refine": q_kmeans_refine,
+        "dedup_verified_simhash": q_dedup_verified_simhash,
+        "embedding_near_dups": q_embedding_near_dups,
+        "stream_proto_decode": q_stream_proto_decode,
+        "odfv_transform": q_odfv_transform,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_centroids": q_embedding_centroids,
+        "lang_id": q_lang_id,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "quality_classifier": q_quality_classifier,
+        "similarity_ann_ivf": q_similarity_ann_ivf,
+        "similarity_ann_lsh": q_similarity_ann_lsh,
+        "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
+        "similarity_topk": q_similarity_topk,
+        "token_count": q_token_count,
+        "training_corpus": q_training_corpus,
+        "vocab_topk": q_vocab_topk,
+        "embedding_outliers": q_embedding_outliers,
+        "corpus_dedup_apply": q_corpus_dedup_apply,
+        "dedup_keep_best": q_dedup_keep_best,
+        "sdk_compound_entity": q_sdk_compound_entity,
+        "dedup_crossmodal": q_dedup_crossmodal,
+        "corpus_split": q_corpus_split,
+        "domain_topk": q_domain_topk,
+        "sequence_pack": q_sequence_pack,
+        "unigram_logprob": q_unigram_logprob,
+        "logreg_quality": q_logreg_quality,
+        "global_ranks": q_global_ranks,
+        "zone_map_prune": q_zone_map_prune,
+        "stream_zone_map": q_stream_zone_map,
+        "event_transitions": q_event_transitions,
+        "event_gaps": q_event_gaps,
+        "attribution": q_attribution,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q16": q_tpch_q16,
+        "lm_backoff": q_lm_backoff,
+        "bloom_prune_join": q_bloom_prune_join,
+        "schema_evolution": q_schema_evolution,
+        "stream_schema_evolution": q_stream_schema_evolution,
+        "substring_spans": q_substring_spans,
+        "substring_dedup": q_substring_dedup,
+        "stream_substring_dedup": q_stream_substring_dedup,
+        "compaction_plan": q_compaction_plan,
+        "source_formats": q_source_formats,
+        "expectations": q_expectations,
+        "corpus_rollup": q_corpus_rollup,
+        "domain_mix": q_domain_mix,
+        "domain_upsample": q_domain_upsample,
+        "interval_join": q_interval_join,
+        "sessionize": q_sessionize,
+        "stratified_sample": q_stratified_sample,
+        "s1_scan_projection": q_s1_scan_projection,
+        "a1_latest_per_key": q_a1_latest_per_key,
+        "a1_latest_window": q_a1_latest_window,
+        "j1_entity_lookup": q_j1_entity_lookup,
+        "j1_lookup_shuffle": q_j1_lookup_shuffle,
+        "j2_compound_key": q_j2_compound_key,
+        "j3_max_age": q_j3_max_age,
+        "historical_asof": q_historical_asof,
+        "historical_asof_range": q_historical_asof_range,
+        "historical_asof_bucketed": q_historical_asof_bucketed,
+        "historical_training_set": q_historical_training_set,
+        "a2_metrics_rollup": q_a2_metrics_rollup,
+        "a3_window_rollup": q_a3_window_rollup,
+        "a4_sliding_rollup": q_a4_sliding_rollup,
+        "sliding_distinct": q_sliding_distinct,
+        "a5_sessions": q_a5_sessions,
+        "a6_percentiles": q_a6_percentiles,
+        "a7_rollup_revenue": q_a7_rollup_revenue,
     }
 
 
@@ -10277,6 +10388,10 @@ def oracle_sql() -> dict[str, str]:
         "rest_online_features": SQL_REST_ONLINE,
         "sdk_online_features": SQL_SDK_ONLINE,
         "sdk_compound_entity": SQL_SDK_COMPOUND,
+        # codec="proto" twin: identical serve semantics, so the same
+        # oracle — the hash match proves the BINARY wire carries the
+        # same Values the JSON codec does, end-to-end under DuckDB.
+        "sdk_proto_entity": SQL_SDK_COMPOUND,
         "tpch_q20": SQL_TPCH_Q20,
         "logreg_quality": SQL_LOGREG_QUALITY,
         "global_ranks": SQL_GLOBAL_RANKS,
