@@ -201,10 +201,19 @@ class CoreServiceServicer:
         from feast_java_old_spark.registry.model import FeatureTable
 
         auth = auth_from_metadata(metadata)
+        # the engine's documented JSON key is "spec"; the canonical
+        # proto json name is "tableSpec" (ApplyFeatureTableRequest.
+        # table_spec = 2) — accept both so canonical proto-JSON clients
+        # and the binary bridge's decode agree. The missing-key KeyError
+        # stays INSIDE _rpc (same INVALID_ARGUMENT mapping as before).
         return _rpc(
             lambda: {
                 "table": self.service.apply_feature_table(
-                    FeatureTable.from_dict(request["spec"]),
+                    FeatureTable.from_dict(
+                        request["spec"]
+                        if "spec" in request
+                        else request["tableSpec"]
+                    ),
                     request.get("project", "default"),
                     authentication=auth,
                 ).to_dict()

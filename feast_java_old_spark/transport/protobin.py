@@ -724,32 +724,51 @@ def descriptors_for(service: str, method: str):
     return METHOD_DESCRIPTORS.get(service, {}).get(method)
 
 
+# Message-level bridges keyed by descriptor ``_name``: (to_proto,
+# from_proto) dict↔dict converters applied pre-encode / post-decode.
+# The serving plane needs none (its servicer dicts ARE near-proto-JSON;
+# the two _normalize_* hooks below cover its relaxed arms); the CORE
+# control plane registers bridges here because the registry model's
+# engine-native dicts (flat snake_case + ``kind`` discriminators,
+# ``registry.model.*.to_dict``) differ structurally from the canonical
+# proto shapes (nested spec/meta, type enums + options oneofs) — see
+# :mod:`~feast_java_old_spark.transport.protobin_core`.
+MESSAGE_BRIDGES: dict = {}
+
+
+def _bridge(desc: dict, obj: dict, direction: int) -> dict:
+    pair = MESSAGE_BRIDGES.get(desc["_name"])
+    return pair[direction](obj) if pair else obj
+
+
 def encode_request(service: str, method: str, request: dict) -> bytes:
     pair = descriptors_for(service, method)
     if pair is None:
         raise ProtoCodecError(f"no binary descriptors for {service}/{method}")
-    return encode_message(_normalize_request(request, pair[0]), pair[0])
+    req = _bridge(pair[0], _normalize_request(request, pair[0]), 0)
+    return encode_message(req, pair[0])
 
 
 def decode_request(service: str, method: str, payload: bytes) -> dict:
     pair = descriptors_for(service, method)
     if pair is None:
         raise ProtoCodecError(f"no binary descriptors for {service}/{method}")
-    return decode_message(payload, pair[0])
+    return _bridge(pair[0], decode_message(payload, pair[0]), 1)
 
 
 def encode_response(service: str, method: str, response: dict) -> bytes:
     pair = descriptors_for(service, method)
     if pair is None:
         raise ProtoCodecError(f"no binary descriptors for {service}/{method}")
-    return encode_message(_normalize_response(response, pair[1]), pair[1])
+    resp = _bridge(pair[1], _normalize_response(response, pair[1]), 0)
+    return encode_message(resp, pair[1])
 
 
 def decode_response(service: str, method: str, payload: bytes) -> dict:
     pair = descriptors_for(service, method)
     if pair is None:
         raise ProtoCodecError(f"no binary descriptors for {service}/{method}")
-    return decode_message(payload, pair[1])
+    return _bridge(pair[1], decode_message(payload, pair[1]), 1)
 
 
 def _normalize_response(response: dict, desc: dict) -> dict:
@@ -871,3 +890,11 @@ def _normalize_request(request: dict, desc: dict) -> dict:
     if rows or "entityRows" in out:
         out["entityRows"] = rows
     return out
+
+
+# Control-plane descriptors + engine↔proto bridges self-register on
+# import (METHOD_DESCRIPTORS / MESSAGE_BRIDGES), so every consumer of
+# this module — the HTTP binding, both channel twins, build_server —
+# gains the CoreService binary codec with zero wiring. Import LAST:
+# protobin_core needs everything defined above.
+from feast_java_old_spark.transport import protobin_core as _protobin_core  # noqa: E402,F401

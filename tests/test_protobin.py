@@ -236,9 +236,16 @@ def test_serving_info_round_trip():
 
 
 def test_descriptorless_method_has_no_binary_path():
-    assert pb.descriptors_for("feast.core.CoreService", "ApplyEntity") is None
+    # (r16 closed the CoreService gap, so ApplyEntity now HAS
+    # descriptors — the fallback contract is pinned on a method that
+    # will never carry any)
+    assert pb.descriptors_for(SVC, "NoSuchMethod") is None
+    assert (
+        pb.descriptors_for("feast.transformation.TransformationService", "X")
+        is None
+    )
     with pytest.raises(pb.ProtoCodecError, match="no binary descriptors"):
-        pb.encode_request("feast.core.CoreService", "ApplyEntity", {})
+        pb.encode_request(SVC, "NoSuchMethod", {})
 
 
 # ------------------------------------------------------ socket behavior
