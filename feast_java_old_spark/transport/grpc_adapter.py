@@ -187,10 +187,25 @@ class CoreServiceServicer:
         from feast_java_old_spark.registry.model import Entity
 
         auth = auth_from_metadata(metadata)
+
+        def spec_dict() -> dict:
+            # ApplyEntityRequest's canonical json name IS "spec", so
+            # dialect is detected by body shape: a canonical proto-JSON
+            # EntitySpecV2 carries "valueType" (never "value_type") —
+            # bridge it through the binary codec's converter.
+            spec = request["spec"]
+            if "valueType" in spec and "value_type" not in spec:
+                from feast_java_old_spark.transport.protobin_core import (
+                    _entity_spec_from_proto,
+                )
+
+                return _entity_spec_from_proto(spec)
+            return spec
+
         return _rpc(
             lambda: {
                 "entity": self.service.apply_entity(
-                    Entity.from_dict(request["spec"]),
+                    Entity.from_dict(spec_dict()),
                     request.get("project", "default"),
                     authentication=auth,
                 ).to_dict()
@@ -201,19 +216,30 @@ class CoreServiceServicer:
         from feast_java_old_spark.registry.model import FeatureTable
 
         auth = auth_from_metadata(metadata)
-        # the engine's documented JSON key is "spec"; the canonical
-        # proto json name is "tableSpec" (ApplyFeatureTableRequest.
-        # table_spec = 2) — accept both so canonical proto-JSON clients
-        # and the binary bridge's decode agree. The missing-key KeyError
-        # stays INSIDE _rpc (same INVALID_ARGUMENT mapping as before).
+
+        def spec_dict() -> dict:
+            # the engine's documented JSON key is "spec" (engine-shape
+            # body); the canonical proto json name is "tableSpec"
+            # (ApplyFeatureTableRequest.table_spec = 2), whose body is
+            # the canonical camelCase FeatureTableSpec — bridged through
+            # the binary codec's converter so a real proto-JSON client
+            # works over plain JSON too. A missing key raises
+            # KeyError("spec") INSIDE _rpc exactly as before (mapped to
+            # NOT_FOUND by the canonical KeyError row).
+            if "spec" in request:
+                return request["spec"]
+            if "tableSpec" in request:
+                from feast_java_old_spark.transport.protobin_core import (
+                    _table_spec_from_proto,
+                )
+
+                return _table_spec_from_proto(request["tableSpec"])
+            return request["spec"]
+
         return _rpc(
             lambda: {
                 "table": self.service.apply_feature_table(
-                    FeatureTable.from_dict(
-                        request["spec"]
-                        if "spec" in request
-                        else request["tableSpec"]
-                    ),
+                    FeatureTable.from_dict(spec_dict()),
                     request.get("project", "default"),
                     authentication=auth,
                 ).to_dict()

@@ -406,11 +406,25 @@ def _check_int(kind: str, v: Any) -> int:
     (2**63 would round-trip to -2**63 — a corrupted entity key that
     makes every store lookup miss, where the JSON codec passes the
     value through verbatim)."""
-    iv = int(v)
+    try:
+        iv = int(v)
+    except (TypeError, ValueError) as ex:
+        # a non-numeric payload (e.g. a list inside a scalar arm, which
+        # Row.set's name-only whitelist admits) must surface as the
+        # contracted codec error, not a bare TypeError the channel
+        # handlers don't catch
+        raise ProtoCodecError(f"{kind}: non-numeric value {v!r}") from ex
     lo, hi = _INT_RANGE[kind]
     if not lo <= iv <= hi:
         raise ProtoCodecError(f"{kind} value {iv} out of range")
     return iv
+
+
+def _check_float(v: Any) -> float:
+    try:
+        return float(v)
+    except (TypeError, ValueError) as ex:
+        raise ProtoCodecError(f"non-numeric float value {v!r}") from ex
 
 
 def _encode_scalar(kind: str, extra, v: Any, num: int) -> bytes:
@@ -423,9 +437,9 @@ def _encode_scalar(kind: str, extra, v: Any, num: int) -> bytes:
             _enum_num(extra, v, "enum field")
         )
     if kind == "double":
-        return _tag(num, _FIXED64) + struct.pack("<d", float(v))
+        return _tag(num, _FIXED64) + struct.pack("<d", _check_float(v))
     if kind == "float":
-        return _tag(num, _FIXED32) + struct.pack("<f", float(v))
+        return _tag(num, _FIXED32) + struct.pack("<f", _check_float(v))
     if kind == "string":
         return _tag(num, _LEN) + _ld(str(v).encode("utf-8"))
     if kind == "bytes":
@@ -435,11 +449,11 @@ def _encode_scalar(kind: str, extra, v: Any, num: int) -> bytes:
 
 def _scalar_default(kind: str, v: Any) -> bool:
     if kind in ("int32", "int64"):
-        return int(v) == 0
+        return _check_int(kind, v) == 0
     if kind == "bool":
         return not v
     if kind in ("double", "float"):
-        return float(v) == 0.0
+        return _check_float(v) == 0.0
     if kind == "string":
         return v == ""
     if kind == "bytes":
@@ -455,9 +469,9 @@ def _packed_payload(kind: str, values: list) -> bytes:
         elif kind == "bool":
             out += _write_varint(1 if v else 0)
         elif kind == "double":
-            out += struct.pack("<d", float(v))
+            out += struct.pack("<d", _check_float(v))
         elif kind == "float":
-            out += struct.pack("<f", float(v))
+            out += struct.pack("<f", _check_float(v))
         else:  # pragma: no cover - guarded by callers
             raise ProtoCodecError(f"kind {kind!r} cannot pack")
     return bytes(out)

@@ -684,6 +684,21 @@ def _table_spec_to_proto(d: dict) -> dict:
     return out
 
 
+def _duration_secs(v) -> int:
+    """Duration out of this codec's dict form ({"seconds": n}) or
+    canonical proto-JSON's "300s" string (the shape a real proto-JSON
+    client writes — accepted so the servicer's canonical-body path can
+    reuse this converter)."""
+    if isinstance(v, str):
+        if not v.endswith("s"):
+            raise ProtoCodecError(f"invalid Duration {v!r}")
+        try:
+            return int(float(v[:-1]))
+        except ValueError as ex:
+            raise ProtoCodecError(f"invalid Duration {v!r}") from ex
+    return int((v or {}).get("seconds", 0))
+
+
 def _table_spec_from_proto(p: dict) -> dict:
     return {
         "name": p.get("name", ""),
@@ -691,7 +706,7 @@ def _table_spec_from_proto(p: dict) -> dict:
         "features": [
             _feature_spec_from_proto(f) for f in p.get("features", [])
         ],
-        "max_age_secs": int(p.get("maxAge", {}).get("seconds", 0)),
+        "max_age_secs": _duration_secs(p.get("maxAge")),
         "labels": dict(p.get("labels", {})),
         "batch_source": _source_from_proto(p.get("batchSource")),
         "stream_source": _source_from_proto(p.get("streamSource")),
@@ -798,9 +813,17 @@ def _store_from_proto(p: dict) -> dict:
         if "redisConfig" in p
         else ("redisClusterConfig", _REDIS_CLUSTER_KEYS)
     )
-    for snake, (cam, conv) in table.items():
-        if cam in p.get(arm, {}):
-            v = p[arm][cam]
+    if arm in p:
+        # Java parity: Store.toProto parses the stored config bytes and
+        # the reader walks EVERY getter, which fills proto defaults for
+        # fields absent from the wire (proto3 elides default-valued
+        # scalars — "port": "0" genuinely isn't on the wire). So the
+        # decode side repopulates the arm's FULL key set; wire-present
+        # keys only would silently shrink the config map across a
+        # binary round-trip.
+        for snake, (cam, conv) in table.items():
+            v = p[arm].get(cam, False if conv is _to_bool else
+                           0 if conv is int else "")
             cfg[snake] = (
                 ("true" if v else "false") if conv is _to_bool else str(v)
             )
@@ -852,13 +875,18 @@ def _wrap_list(field: str, to_item, from_item):
 
 def _apply_table_req_to_proto(r: dict) -> dict:
     # the engine JSON servicer reads request["spec"]; canonical clients
-    # say table_spec — accept both on encode, emit canonical
-    out = {}
-    spec = r.get("spec") if r.get("spec") is not None else r.get("tableSpec")
+    # say table_spec — accept both on encode, emit canonical. Unknown
+    # keys are PRESERVED so encode_message raises its unknown-field
+    # error exactly like every other CoreService message (a typo'd
+    # "Project" must not silently apply to the default project).
+    out = dict(r)
+    spec = out.pop("spec", None)
+    if spec is None:
+        spec = out.pop("tableSpec", None)
+    else:
+        out.pop("tableSpec", None)
     if spec is not None:
         out["tableSpec"] = _table_spec_to_proto(spec)
-    if r.get("project") is not None:
-        out["project"] = r["project"]
     return out
 
 
@@ -868,6 +896,29 @@ def _apply_table_req_from_proto(p: dict) -> dict:
         out["spec"] = _table_spec_from_proto(p["tableSpec"])
     if "project" in p:
         out["project"] = p["project"]
+    return out
+
+
+def _list_stores_to_proto(r: dict) -> dict:
+    # The ONE deliberate encode-side filter in this module: a registry
+    # legitimately holds engine-local sink layouts (store_type
+    # "parquet" is the engine default), which the reference wire cannot
+    # carry — its own ListStores throws from Store.toProto, but only
+    # because its ApplyStore path can never ADMIT such a store. Failing
+    # the whole read response would make binary ListStores unusable on
+    # every default-configured registry, so non-representable stores
+    # are omitted from the BINARY listing (the JSON codec on the same
+    # socket remains the full-fidelity surface). Mutations still reject
+    # loudly (_store_to_proto below).
+    out = dict(r)
+    kept = []
+    for s in out.get("store") or []:
+        try:
+            kept.append(_store_to_proto(s))
+        except ProtoCodecError:
+            continue
+    if "store" in out or kept:
+        out["store"] = kept
     return out
 
 
@@ -954,8 +1005,9 @@ protobin.MESSAGE_BRIDGES.update(
             _features_map_to_proto,
             _features_map_from_proto,
         ),
-        "feast.core.ListStoresResponse": _wrap_list(
-            "store", _store_to_proto, _store_from_proto
+        "feast.core.ListStoresResponse": (
+            _list_stores_to_proto,
+            _wrap_list("store", _store_to_proto, _store_from_proto)[1],
         ),
         "feast.core.UpdateStoreRequest": _wrap(
             "store", _store_to_proto, _store_from_proto

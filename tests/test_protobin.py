@@ -629,3 +629,17 @@ def test_timestamp_out_of_range_is_codec_error():
     wire = b"\x0a" + bytes([len(ts_payload)]) + ts_payload
     with pytest.raises(pb.ProtoCodecError):
         pb.decode_message(wire, pb.ENTITY_ROW)
+
+
+def test_non_numeric_scalar_payloads_raise_codec_error():
+    """r16 review: int()/float() on a non-numeric oneof payload (a list
+    inside a scalar arm passes Row.set's name-only whitelist) must
+    raise the contracted ProtoCodecError, not a bare TypeError the
+    channel handlers don't catch."""
+    for bad in ({"int64Val": [1, 2]}, {"int32Val": {"x": 1}}):
+        with pytest.raises(pb.ProtoCodecError, match="non-numeric"):
+            pb.encode_message(bad, pb.VALUE)
+    with pytest.raises(pb.ProtoCodecError, match="non-numeric"):
+        pb.encode_message({"doubleVal": "xyz"}, pb.VALUE)
+    with pytest.raises(pb.ProtoCodecError, match="non-numeric"):
+        pb.encode_message({"doubleListVal": {"val": [1.5, None]}}, pb.VALUE)

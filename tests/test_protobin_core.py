@@ -182,8 +182,59 @@ def test_store_round_trip_preserves_string_config():
                        Subscription("p", "secret", exclude=True)],
     ).to_dict()
     w = pb.encode_response(C, "ListStores", {"store": [store]})
-    back = pb.decode_response(C, "ListStores", w)
-    assert back == {"store": [store]}
+    back = pb.decode_response(C, "ListStores", w)["store"][0]
+    # Java getter parity: the decode side walks EVERY config getter, so
+    # the full RedisConfig key set comes back — wire-present values
+    # verbatim, wire-absent ones as proto defaults (proto3 elides
+    # default-valued scalars like port=0, so "present on the wire"
+    # cannot be the fidelity contract)
+    assert back["name"] == store["name"]
+    assert back["subscriptions"] == store["subscriptions"]
+    assert back["store_type"] == "REDIS"
+    assert back["config"] == {
+        "host": "r.example", "port": "6379", "ssl": "true",
+        "max_retries": "3", "initial_backoff_ms": "0",
+        "flush_frequency_seconds": "0",
+    }
+
+
+def test_store_default_valued_config_survives_round_trip():
+    """A config entry AT its proto default ({"port": "0"}) cannot ride
+    the wire (proto3 elision) — the getter-parity decode restores it,
+    so the two codecs agree that the key exists."""
+    store = Store("s", store_type="REDIS",
+                  config={"host": "h", "port": "0", "ssl": "false"}).to_dict()
+    w = pb.encode_response(C, "UpdateStore", {"store": store})
+    cfg = pb.decode_response(C, "UpdateStore", w)["store"]["config"]
+    assert cfg["port"] == "0" and cfg["ssl"] == "false"
+    assert cfg["host"] == "h"
+
+
+def test_list_stores_skips_engine_local_store_types():
+    """ListStores over binary OMITS non-representable engine-local
+    stores (the default "parquet" sink layout) instead of failing the
+    whole read — the JSON codec remains the full-fidelity listing;
+    mutations (UpdateStore) still reject loudly."""
+    parquet = Store("local_sink").to_dict()
+    redis = Store("online", store_type="REDIS",
+                  config={"host": "h"}).to_dict()
+    w = pb.encode_response(C, "ListStores", {"store": [parquet, redis]})
+    names = [s["name"] for s in pb.decode_response(C, "ListStores", w)["store"]]
+    assert names == ["online"]
+    with pytest.raises(pb.ProtoCodecError, match="Invalid store"):
+        pb.encode_request(C, "UpdateStore", {"store": parquet})
+
+
+def test_apply_table_unknown_request_key_raises():
+    """_apply_table_req_to_proto preserves unknown keys so the codec's
+    unknown-field error fires — a typo'd "Project" must not silently
+    apply the table to the default project."""
+    spec = {k: v for k, v in _table_dict().items()
+            if k not in ("revision", "is_deleted")}
+    with pytest.raises(pb.ProtoCodecError, match="unknown field"):
+        pb.encode_request(
+            C, "ApplyFeatureTable", {"spec": spec, "Project": "prod"}
+        )
 
 
 def test_apply_table_request_accepts_engine_and_canonical_keys():
@@ -347,12 +398,12 @@ def test_delete_feature_table_binary(core_servicer):
             pc.close()
 
 
-def test_apply_feature_table_json_accepts_canonical_table_spec(
-    core_servicer,
-):
-    """The JSON servicer accepts the canonical proto json name
-    (tableSpec) alongside the engine's documented 'spec' key."""
-    spec = FeatureTable(
+def test_apply_feature_table_key_selects_dialect(core_servicer):
+    """The request key selects the body dialect: 'spec' carries the
+    engine shape (documented JSON surface), 'tableSpec' carries the
+    CANONICAL proto-JSON FeatureTableSpec (its proto json name) —
+    bridged through the codec's converter."""
+    engine = FeatureTable(
         "t2",
         entities=["driver"],
         features=[Feature("x", ValueType.INT64)],
@@ -361,9 +412,13 @@ def test_apply_feature_table_json_accepts_canonical_table_spec(
         ),
     ).to_dict()
     for k in ("revision", "is_deleted"):
-        spec.pop(k)
-    out = core_servicer.ApplyFeatureTable({"tableSpec": spec})
+        engine.pop(k)
+    out = core_servicer.ApplyFeatureTable({"spec": engine})
     assert out["table"]["name"] == "t2"
+    canonical = pbc._table_spec_to_proto(engine)
+    out = core_servicer.ApplyFeatureTable({"tableSpec": canonical})
+    assert out["table"]["name"] == "t2"
+    assert out["table"]["batch_source"]["file_url"] == "/tmp/y.parquet"
 
 
 # -------------------------------------------------------- property layer
@@ -422,3 +477,38 @@ def test_feature_table_wire_property(
     }
     w = pb.encode_response(C, "ApplyFeatureTable", {"table": tbl})
     assert pb.decode_response(C, "ApplyFeatureTable", w) == {"table": tbl}
+
+
+def test_json_servicer_accepts_canonical_proto_json_bodies(core_servicer):
+    """A real proto-JSON client's camelCase bodies work over plain
+    JSON: canonical EntitySpecV2 (valueType) on ApplyEntity and
+    canonical FeatureTableSpec (tableSpec + maxAge "300s" string +
+    batchSource) on ApplyFeatureTable."""
+    out = core_servicer.ApplyEntity(
+        {"spec": {"name": "region", "valueType": "STRING",
+                  "description": "geo"}}
+    )
+    assert out["entity"]["value_type"] == "STRING"
+
+    out = core_servicer.ApplyFeatureTable(
+        {
+            "tableSpec": {
+                "name": "canon_t",
+                "entities": ["driver"],
+                "features": [{"name": "f", "valueType": "INT64"}],
+                "maxAge": "300s",
+                "batchSource": {
+                    "type": "BATCH_FILE",
+                    "eventTimestampColumn": "ts",
+                    "fileOptions": {
+                        "fileFormat": {"parquetFormat": {}},
+                        "fileUrl": "/tmp/c.parquet",
+                    },
+                },
+            }
+        }
+    )
+    t = out["table"]
+    assert t["max_age_secs"] == 300
+    assert t["features"][0]["value_type"] == "INT64"
+    assert t["batch_source"]["file_url"] == "/tmp/c.parquet"
