@@ -242,6 +242,11 @@ HEADLINE = [
     # appearance, no prior; j2_compound_key is the direct-operator floor
     # plus the client/socket hop and the ~12k-row request round trip.
     "sdk_compound_entity",
+    # r16: compound-entity serve through the proto-binary wire codec
+    # (HttpJsonChannel codec='proto' + raw-socket negotiation probe) —
+    # first appearance, no prior; sdk_compound_entity is its JSON-codec
+    # twin and the comparison floor.
+    "sdk_proto_entity",
 ]
 
 # Queries whose ISOLATED fresh-JVM variance band exceeds 1.5x — for

@@ -59,24 +59,24 @@ def test_freeze_refuses_without_fingerprint(tmp_path):
 
 
 def test_sdk_query_in_headline_and_gate_window_front():
-    """The r15 budgeted registration: sdk_compound_entity leads the
-    50-query gate window and joins the bench headline; the four r10
-    rows displaced from the r14 window follow it, per the pinned
+    """The r16 budgeted registration: sdk_proto_entity leads the
+    50-query gate window and joins the bench headline; the five r11
+    rows displaced from the r15 window follow it, per the pinned
     rotation."""
     import __spark_entry__ as e
 
     names = list(e.queries().keys())
     window = names[:50]
-    assert window[0] == "sdk_compound_entity"
-    assert window[1:5] == [
-        "dedup_crossmodal",
-        "corpus_split",
-        "domain_topk",
-        "sequence_pack",
+    assert window[0] == "sdk_proto_entity"
+    assert window[1:6] == [
+        "a8_cube_revenue",
+        "tpch_q5",
+        "tpch_q1",
+        "tpch_q6",
+        "tpch_q14",
     ]
-    assert "j2_compound_key" in window  # re-gates inside the r11 block
-    assert "sdk_compound_entity" in bench.HEADLINE
-    assert "sdk_compound_entity" in e.oracle_sql()
+    assert "sdk_proto_entity" in bench.HEADLINE
+    assert "sdk_proto_entity" in e.oracle_sql()
 
 
 def test_high_variance_queries_are_medianed():
