@@ -3075,16 +3075,21 @@ def q_a6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats). ``F.percentile`` (exact, linear interpolation) == DuckDB
     ``quantile_cont``; one grouped aggregate."""
     events = load_table(spark, sf_dir, "events")
+    # r16: one array-argument percentile instead of two scalar ones —
+    # each scalar Percentile buffers the group's full value multiset
+    # independently; the array form computes both from one buffer with
+    # identical interpolation (guide §1.2 per-task work).
     pcts = events.groupBy("event_type").agg(
-        F.percentile(F.col("value"), F.lit(0.5)).alias("__p50"),
-        F.percentile(F.col("value"), F.lit(0.95)).alias("__p95"),
+        F.percentile(
+            F.col("value"), F.array(F.lit(0.5), F.lit(0.95))
+        ).alias("__p"),
         F.min("value").alias("__vmin"),
         F.max("value").alias("__vmax"),
     )
     return pcts.select(
         "event_type",
-        F.round(F.col("__p50"), 6).alias("p50"),
-        F.round(F.col("__p95"), 6).alias("p95"),
+        F.round(F.element_at("__p", 1), 6).alias("p50"),
+        F.round(F.element_at("__p", 2), 6).alias("p95"),
         F.round(F.col("__vmin"), 6).alias("vmin"),
         F.round(F.col("__vmax"), 6).alias("vmax"),
     )

@@ -442,6 +442,26 @@ def _build_session():
             "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
             "spark.ui.enabled": "false",
             "spark.sql.autoBroadcastJoinThreshold": "64MB",
+            # r16 (guide §5, "the driver should do almost no data work"):
+            # one JVM runs ~190 multi-stage queries back to back, and the
+            # driver accumulates ContextCleaner backlog (broadcast /
+            # localCheckpoint blocks waiting on reference-queue GC) plus
+            # retained SQL-execution state (plan graphs + metrics for
+            # EVERY completed query; the SQL status store retains 1000
+            # executions by default even with the UI off). Old-gen fill
+            # from both caused transient suite-wide stalls (measured:
+            # 10-20x single-query spikes; back-half A/B 376.6 s stock vs
+            # 251.8 s with these three confs). Not a local[32]-only
+            # tune: any long-lived driver running many short queries
+            # (a serving driver, a notebook, a query service) has the
+            # same retention/cleaner dynamics at any cluster size; the
+            # interval is env-overridable for production sessions.
+            "spark.cleaner.periodicGC.interval": os.environ.get(
+                "SPARK_GRAFT_PERIODIC_GC", "15s"
+            ),
+            "spark.sql.ui.retainedExecutions": "50",
+            "spark.ui.retainedJobs": "300",
+            "spark.ui.retainedStages": "500",
         },
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

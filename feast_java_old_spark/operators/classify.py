@@ -169,10 +169,18 @@ def logreg_train(
     (map-side combined).  The collected gradient is dims+1 INT64s
     (bounded driver scalars, the kmeans centroid precedent).
     """
+    # Persist PRE-PARTITIONED on doc_id (r16), same as featb below: every
+    # step's residual plan joins labels with the doc-keyed score
+    # aggregate (whose partitioning comes from featb), so a co-partitioned
+    # cache makes each step's (labels ⋈ per_doc) and (featb ⋈ resid)
+    # joins exchange-free — the per-step shuffle is ONLY the dims+2-row
+    # gradient aggregate. Unpartitioned labels re-shuffled the n-row
+    # label/residual frame twice per step (guide §2.4: two operations
+    # keyed the same way share one exchange).
     labels = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(label_col).cast("int").alias("y"),
-    ).persist()
+    ).repartition(F.col("doc_id")).persist()
     featb = (
         hashed_token_features(df, text_col, id_col, dims)
         .unionByName(

@@ -870,6 +870,14 @@ def dedup_components(
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
         .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
         .distinct()
+        # r16: pin the materialized layout to hash(dst) — the
+        # distribution every round's (edges ⋈ labels on dst = node)
+        # join needs. Checkpoint preserves the physical partitioning,
+        # so the EDGE-sized side is never re-exchanged inside the loop;
+        # each round moves only the node-sized label frame and the
+        # neighbor-min aggregate (guide §2.4). The distinct's
+        # (src, dst) layout satisfied nothing downstream.
+        .repartition("dst")
     )
     # Materialize the edge list ONCE before iterating: every round joins
     # it twice, and without the cut each round re-executes the candidate
@@ -891,6 +899,12 @@ def dedup_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("src", "node")
         )
+        # r16: carry the change flag IN the label frame (a label only
+        # changes when a strictly smaller neighbor label arrived) so
+        # convergence detection is a scan of the just-checkpointed
+        # blocks — the old form re-joined new labels against old labels
+        # every round, a node-sized shuffle join whose answer the
+        # update expression already knew.
         new_labels = (
             labels.join(neighbor_min, on="node", how="left")
             .select(
@@ -898,6 +912,9 @@ def dedup_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                F.coalesce(
+                    F.col("nbr_label") < F.col("label"), F.lit(False)
+                ).alias("__changed"),
             )
         )
         # cut lineage each round (else the plan doubles per iteration)
@@ -905,14 +922,8 @@ def dedup_components(
             new_labels = new_labels.checkpoint(eager=True)
         else:
             new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("__changed").limit(1).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             converged = True
             break

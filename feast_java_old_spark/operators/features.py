@@ -293,9 +293,24 @@ def winsorize(
     shape, bounded state) — exact group percentiles are a sort per
     group.
     """
-    bounds = df.groupBy(*keys).agg(
-        F.percentile(F.col(col), F.lit(lo)).alias("__lo_v"),
-        F.percentile(F.col(col), F.lit(hi)).alias("__hi_v"),
+    # ONE array-argument percentile, not two scalar ones: each Percentile
+    # aggregate buffers the group's full value multiset independently, so
+    # two scalar calls build (and merge, and sort) that per-group state
+    # twice for one answer pair. The array form computes both bounds from
+    # a single buffer — identical interpolation, half the aggregation
+    # state and sort work (r16, guide §1.2 per-task work).
+    bounds = (
+        df.groupBy(*keys)
+        .agg(
+            F.percentile(
+                F.col(col), F.array(F.lit(lo), F.lit(hi))
+            ).alias("__b")
+        )
+        .select(
+            *keys,
+            F.element_at("__b", 1).alias("__lo_v"),
+            F.element_at("__b", 2).alias("__hi_v"),
+        )
     )
     clipped = F.least(F.greatest(F.col(col), F.col("__lo_v")), F.col("__hi_v"))
     return (
@@ -402,12 +417,21 @@ def quantile_bin(
             ).alias("__edges")
         )
     elif strategy == "exact":
+        # ONE array-argument percentile, not k-1 scalar ones: every
+        # scalar Percentile aggregate buffers the FULL value multiset
+        # (an OpenHashMap of value→count per task, merged per edge), so
+        # the k-1-call form built that state k-1 times over — ~9x the
+        # aggregation memory, merge traffic and per-edge sort for one
+        # edge vector. The array form derives all edges from a single
+        # buffer with identical percentile_cont interpolation, so edge
+        # values (and the oracle hash) are unchanged (r16, guide §1.2).
         edges = df.agg(
-            F.array(
-                *[
-                    F.round(F.percentile(F.col(col), F.lit(i / k)), 6)
-                    for i in range(1, k)
-                ]
+            F.transform(
+                F.percentile(
+                    F.col(col),
+                    F.array(*[F.lit(i / k) for i in range(1, k)]),
+                ),
+                lambda e: F.round(e, 6),
             ).alias("__edges")
         )
     else:

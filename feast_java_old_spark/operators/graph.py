@@ -135,15 +135,33 @@ def pagerank(
     # distinct + degree aggregate upstream (the dedup_components
     # edge-list lesson). Everything downstream derives from this one
     # checkpointed frame.
-    ew = e.join(outdeg, "src")
+    # r16: pin the materialized edge frame's layout to hash(src) — the
+    # distribution every iteration's (ew ⋈ rank) join needs. Checkpoint
+    # preserves the physical partitioning, so the EDGE-sized side is
+    # never re-exchanged: each iteration shuffles only the node-sized
+    # rank frame into place plus the contribution aggregate keyed by
+    # dst (guide §2.4 — two operations keyed the same way share one
+    # exchange). Without the explicit repartition the layout depended
+    # on how the outdeg join was planned (a broadcast leaves it
+    # partitioned by (src, dst) from the distinct), and every iteration
+    # re-shuffled the whole edge table by src.
+    ew = e.join(outdeg, "src").repartition("src")
     ew = checkpoint(ew) if checkpoint is not None else ew.localCheckpoint(
         eager=True
     )
     outdeg = ew.groupBy("src").agg(F.max("outdeg").alias("outdeg"))
+    # r16: the node universe feeds the rank init AND every iteration's
+    # dangling-node left join — materialize the node-sized frame once
+    # instead of re-running the union+distinct shuffle per consumer.
     nodes = (
         ew.select(F.col("src").alias("node"))
         .unionByName(ew.select(F.col("dst").alias("node")))
         .distinct()
+    )
+    nodes = (
+        checkpoint(nodes)
+        if checkpoint is not None
+        else nodes.localCheckpoint(eager=True)
     )
     pr = nodes.withColumn("pagerank", F.lit(1.0))
     for i in range(iterations):

@@ -476,10 +476,19 @@ def embedding_outliers(
             ).alias("center_cos"),
         )
     )
+    # r16: the two norm percentiles come from ONE array-argument
+    # Percentile (one value-multiset buffer instead of two; identical
+    # interpolation — guide §1.2 per-task work). center_cos is a
+    # different input column, so it keeps its own aggregate.
     bounds = scored.agg(
-        F.percentile(F.col("norm"), F.lit(norm_lo)).alias("__nlo"),
-        F.percentile(F.col("norm"), F.lit(norm_hi)).alias("__nhi"),
+        F.percentile(
+            F.col("norm"), F.array(F.lit(norm_lo), F.lit(norm_hi))
+        ).alias("__nb"),
         F.percentile(F.col("center_cos"), F.lit(center_frac)).alias("__clo"),
+    ).select(
+        F.element_at("__nb", 1).alias("__nlo"),
+        F.element_at("__nb", 2).alias("__nhi"),
+        "__clo",
     )
     return scored.crossJoin(F.broadcast(bounds)).select(
         id_col,
