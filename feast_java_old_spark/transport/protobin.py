@@ -76,8 +76,21 @@ _VARINT, _FIXED64, _LEN, _FIXED32 = 0, 1, 2, 5
 _U64 = 1 << 64
 _S63 = 1 << 63
 
+_STRUCT_D = struct.Struct("<d")
+_STRUCT_F = struct.Struct("<f")
+
+
+# Single-byte varints (field tags, small lengths, small ints) dominate
+# real payloads — a 12k-row serving response walks these helpers
+# ~10^6 times, so the common case is a table lookup, not a loop
+# (r16 hot-path work; wire bytes unchanged, pinned by the golden
+# vectors in tests/test_protobin.py).
+_VARINT1 = [bytes([i]) for i in range(128)]
+
 
 def _write_varint(value: int) -> bytes:
+    if 0 <= value < 0x80:
+        return _VARINT1[value]
     if value < 0:
         value += _U64  # two's complement 64-bit (negative int32/int64)
     out = bytearray()
@@ -92,9 +105,18 @@ def _write_varint(value: int) -> bytes:
 
 
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
-    result = shift = 0
+    try:
+        b = buf[pos]
+    except IndexError:
+        raise ValueError("truncated varint") from None
+    if b < 0x80:  # one-byte fast path
+        return b, pos + 1
+    result = b & 0x7F
+    shift = 7
+    pos += 1
+    n = len(buf)
     while True:
-        if pos >= len(buf):
+        if pos >= n:
             raise ValueError("truncated varint")
         b = buf[pos]
         pos += 1
@@ -110,8 +132,15 @@ def _signed(raw: int) -> int:
     return raw - _U64 if raw >= _S63 else raw
 
 
+_TAG_CACHE: dict[int, bytes] = {}
+
+
 def _tag(num: int, wt: int) -> bytes:
-    return _write_varint((num << 3) | wt)
+    key = (num << 3) | wt
+    t = _TAG_CACHE.get(key)
+    if t is None:
+        t = _TAG_CACHE[key] = _write_varint(key)
+    return t
 
 
 def _ld(payload: bytes) -> bytes:
@@ -437,9 +466,9 @@ def _encode_scalar(kind: str, extra, v: Any, num: int) -> bytes:
             _enum_num(extra, v, "enum field")
         )
     if kind == "double":
-        return _tag(num, _FIXED64) + struct.pack("<d", _check_float(v))
+        return _tag(num, _FIXED64) + _STRUCT_D.pack(_check_float(v))
     if kind == "float":
-        return _tag(num, _FIXED32) + struct.pack("<f", _check_float(v))
+        return _tag(num, _FIXED32) + _STRUCT_F.pack(_check_float(v))
     if kind == "string":
         return _tag(num, _LEN) + _ld(str(v).encode("utf-8"))
     if kind == "bytes":
@@ -469,9 +498,9 @@ def _packed_payload(kind: str, values: list) -> bytes:
         elif kind == "bool":
             out += _write_varint(1 if v else 0)
         elif kind == "double":
-            out += struct.pack("<d", _check_float(v))
+            out += _STRUCT_D.pack(_check_float(v))
         elif kind == "float":
-            out += struct.pack("<f", _check_float(v))
+            out += _STRUCT_F.pack(_check_float(v))
         else:  # pragma: no cover - guarded by callers
             raise ProtoCodecError(f"kind {kind!r} cannot pack")
     return bytes(out)
@@ -567,14 +596,18 @@ def _skip(buf: bytes, pos: int, wt: int) -> int:
     return pos
 
 
+# precompiled Structs + unpack_from: no per-call format parse, no
+# intermediate slice copy (r16 hot-path work)
+_STRUCTS = {"<d": struct.Struct("<d"), "<f": struct.Struct("<f")}
+
+
 def _fixed(buf: bytes, pos: int, width: int, fmt: str):
-    chunk = buf[pos : pos + width]
-    if len(chunk) != width:
+    if pos + width > len(buf):
         # struct.error is not a ValueError — an explicit length check
         # keeps every truncation inside the ProtoCodecError contract
         # the deserializer handlers catch.
         raise ProtoCodecError(f"truncated fixed{width * 8} field")
-    return struct.unpack(fmt, chunk)[0], pos + width
+    return _STRUCTS[fmt].unpack_from(buf, pos)[0], pos + width
 
 
 def _decode_scalar(kind: str, extra, buf: bytes, pos: int, wt: int):
@@ -627,10 +660,12 @@ def decode_message(buf: bytes, desc: dict) -> dict:
     """Canonical proto3 binary bytes → the engine's proto-JSON dict."""
     obj: dict = {}
     pos = 0
-    while pos < len(buf):
+    fields = desc["fields"]  # hoisted: per-field dict hop (r16)
+    n_buf = len(buf)
+    while pos < n_buf:
         key, pos = _read_varint(buf, pos)
         num, wt = key >> 3, key & 7
-        spec = desc["fields"].get(num)
+        spec = fields.get(num)
         if spec is None:
             pos = _skip(buf, pos, wt)  # unknown field: forward compat
             continue

@@ -426,3 +426,82 @@ def test_null_component_of_compound_key_is_not_found(
         "PRESENT",
     ]
     assert out[2]["m_sales__sales"] == 7
+
+
+# ---------------------------------------------------------------- r16 opt:
+# Arrow request-frame fast path (guide §4/§6 — one Arrow batch instead of a
+# pickled-Python RDD). The fast path must be invisible except in speed:
+# identical schema, column order, and rows vs the legacy inference path.
+
+
+class TestArrowRequestFrame:
+    @staticmethod
+    def _both_paths(spark, monkeypatch, rows, hints=None):
+        from feast_java_old_spark.operators import retrieval as R
+
+        fast = R._entity_rows_df(spark, rows, hints)
+        with monkeypatch.context() as m:
+            m.setattr(R, "_arrow_request_frame", lambda *a, **k: None)
+            legacy = R._entity_rows_df(spark, rows, hints)
+        return fast, legacy
+
+    def test_scalar_rows_match_legacy_exactly(self, spark, monkeypatch):
+        rows = [
+            {"user_id": 1, "score": 2.5, "name": "a", "flag": True,
+             "blob": b"\x00\x01", "when": dt.datetime(2024, 1, 15, 12)},
+            {"user_id": None, "score": None, "name": None, "flag": False,
+             "blob": None, "when": None},
+        ]
+        fast, legacy = self._both_paths(spark, monkeypatch, rows)
+        assert [(f.name, f.dataType) for f in fast.schema.fields] == [
+            (f.name, f.dataType) for f in legacy.schema.fields
+        ]
+        assert fast.collect() == legacy.collect()
+
+    def test_fast_path_actually_used_for_scalars(self, spark):
+        from feast_java_old_spark.operators import retrieval as R
+
+        rows = [{"k": 1, "__row_idx": 0}]
+        assert R._arrow_request_frame(spark, rows, ["k", "__row_idx"], {}) is not None
+
+    @pytest.mark.parametrize(
+        "rows",
+        [
+            [{"k": 1}, {"k": "mixed"}],                      # mixed types
+            [{"k": [1, 2]}],                                 # list payload
+            [{"k": dt.datetime(2024, 1, 1,
+                               tzinfo=dt.timezone.utc)}],    # tz-aware
+            [{"k": None}],                                   # all-NULL, no hint
+            [{"k": 1 << 70}],                                # int64 overflow
+        ],
+    )
+    def test_fallback_cases_return_none(self, spark, rows):
+        from feast_java_old_spark.operators import retrieval as R
+
+        cols = list(dict.fromkeys(k for r in rows for k in r))
+        assert R._arrow_request_frame(spark, rows, cols, {}) is None
+
+    def test_all_null_with_hint_matches_legacy(self, spark, monkeypatch):
+        # all-NULL hinted column: legacy branch re-selects ORIGINAL column
+        # order (not sorted) — the fast path must reproduce that too.
+        rows = [
+            {"user_id": None, "zz_extra": 1, "__row_idx": 0},
+            {"user_id": None, "zz_extra": 2, "__row_idx": 1},
+        ]
+        hints = {"user_id": T.LongType()}
+        fast, legacy = self._both_paths(spark, monkeypatch, rows, hints)
+        assert fast.columns == legacy.columns
+        assert [(f.name, f.dataType) for f in fast.schema.fields] == [
+            (f.name, f.dataType) for f in legacy.schema.fields
+        ]
+        assert fast.collect() == legacy.collect()
+
+    def test_bool_not_widened_to_long(self, spark):
+        from feast_java_old_spark.operators import retrieval as R
+
+        df = R._arrow_request_frame(
+            spark, [{"b": True, "i": 3}], ["b", "i"], {}
+        )
+        types = dict((f.name, f.dataType) for f in df.schema.fields)
+        assert types["b"] == T.BooleanType()
+        assert types["i"] == T.LongType()
