@@ -1621,7 +1621,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of doc_id < the stratum's mixing rate — reproducible on any
     cluster, maximal overlap under rate changes, zero shuffles beyond
     lang_id's own plan."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     scored = docs.select("doc_id", "text", *[
         c.alias(n) for n, c in text.lang_score_cols("text").items()
     ])
@@ -4228,7 +4228,7 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-stage cosine join + a corpus-keyed max-struct aggregate — the
     semantic companion screen to the lexical n-gram decontaminate
     (paraphrases share no n-grams but sit at cosine ≈ 1)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     bench = emb.where(F.col("vec_id") % SDC_MOD == 0).select(
         F.col("vec_id").alias("bench_id"), "embedding"
     )
@@ -4271,7 +4271,7 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined aggregate, so the projection is exact integer
     math and only (vec, j, partial-sum) scalars shuffle — the standard
     pre-reduction feeding LSH/clustering at corpus scale."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     return similarity.random_projection(
         emb, dim=KM_DIM, out_dim=RP_OUT_DIM
     )
@@ -6980,7 +6980,7 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate also verifies the CMS overcount invariant (est ≥ exact).
     The md5-prefix hash family is engine-reproducible, so the oracle
     rebuilds the identical sketch cell-for-cell."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
     cells = sketches.count_min_cells(
         li, "l_partkey", depth=CMS_DEPTH, width=CMS_WIDTH
     )

@@ -97,6 +97,26 @@ def _barrier(df: DataFrame, checkpoint: str | None) -> DataFrame:
     return df
 
 
+def _cpu_wide(df: DataFrame, *cols: str) -> DataFrame:
+    """Explicit-width repartition for a CPU-dense join/verify input whose
+    BYTES are small: AQE's byte-based partition coalescing would pack it
+    into 1-3 tasks and serialize quadratic per-row work on one core
+    (measured r16: the simhash verify stage at 7.7 s task CPU over 3
+    tasks, the ngram self-join at 3.2 s over 3). An explicit partition
+    count is exempt from coalescing; keyed callers co-partition both
+    join sides so the join itself adds NO extra exchange — only the
+    width changes. Width = the session's configured shuffle width,
+    which production sessions size to the cluster (scale-adaptive: at
+    real scale these frames are large and AQE would never coalesce
+    below it anyway)."""
+    width = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    if cols:
+        return df.repartition(width, *[F.col(c) for c in cols])
+    return df.repartition(width)
+
+
 def exploded_shingles(
     df: DataFrame,
     text_col: str = "text",
@@ -392,8 +412,8 @@ def ngram_jaccard_pairs(
         sh_join = sh.join(rare, "shingle")
     else:
         sh_join = sh
-    a = sh_join.alias("a")
-    b = sh_join.alias("b")
+    a = _cpu_wide(sh_join, "shingle").alias("a")
+    b = _cpu_wide(sh_join, "shingle").alias("b")
     inter = (
         a.join(
             b,
@@ -489,11 +509,11 @@ def prefix_filter_candidates(
         ),
         checkpoint,
     )
-    a = ranked.select(
+    a = _cpu_wide(ranked, "shingle").select(
         F.col("doc_id").alias("doc_a"), "shingle",
         F.col("__size").alias("size_a"),
     )
-    b = ranked.select(
+    b = _cpu_wide(ranked, "shingle").select(
         F.col("doc_id").alias("doc_b"), "shingle",
         F.col("__size").alias("size_b"),
     )
@@ -585,8 +605,12 @@ def containment_pairs(
             .select("shingle")
         )
         joinable = sh.join(hot, "shingle", "left_anti")
-    a = joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = joinable.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = _cpu_wide(joinable, "shingle").select(
+        F.col("doc_id").alias("doc_a"), "shingle"
+    )
+    b = _cpu_wide(joinable, "shingle").select(
+        F.col("doc_id").alias("doc_b"), "shingle"
+    )
     inter = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -650,6 +674,10 @@ def verify_candidate_pairs(
     """
     sh = exploded_shingles(df, text_col, id_col, n, distinct=True)
     p = pairs.select("doc_a", "doc_b")
+    # The verify work is CPU-dense per candidate ROW (array_intersect /
+    # per-pair counting) while the candidate list's BYTES are tiny —
+    # spread it across the full shuffle width (see _cpu_wide).
+    p = _cpu_wide(p)
     if strategy == "sets":
         # The per-doc set frame joins the pair list TWICE (doc_a and
         # doc_b sides); the join-strategy shingle frame feeds three

@@ -1138,13 +1138,25 @@ def semdedup(
     ranked = scored.withColumn("__rk", F.row_number().over(w)).localCheckpoint(
         eager=True
     )
-    a = ranked.select(
+    # The pair join's cost is quadratic CPU within each cluster while its
+    # BYTES are tiny (one vector row per member), so AQE's byte-based
+    # partition coalescing packs the whole join into 1-3 tasks and
+    # serializes the Σ|cluster|² cosine work (measured: a 3.1 s
+    # single-task stage at sf0.1 with 31 cores idle; guide §2.5 — AQE
+    # cannot see CPU density). An EXPLICIT partition count on both sides
+    # is exempt from coalescing and the join reuses the co-partitioning,
+    # so the exchange count is unchanged — only its width. Width = the
+    # session's configured shuffle width (scale-adaptive: production
+    # sessions size spark.sql.shuffle.partitions to the cluster).
+    spark = df.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    a = ranked.repartition(width, F.col(cluster_col)).select(
         F.col(cluster_col).alias("__cl"),
         F.col(id_col).alias("__ida"),
         F.col("__v").alias("__va"),
         F.col("__rk").alias("__rka"),
     )
-    b = ranked.select(
+    b = ranked.repartition(width, F.col(cluster_col)).select(
         F.col(cluster_col).alias("__cl"),
         F.col(id_col).alias("__idb"),
         F.col("__v").alias("__vb"),
