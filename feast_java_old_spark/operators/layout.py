@@ -58,6 +58,75 @@ def zorder_scale(col: Column, lo: Column, hi: Column, bits: int = 16) -> Column:
     return F.least(F.floor(frac * (top + 1)).cast("long"), top.cast("long"))
 
 
+# xy→d tables per `bits`, driver-computed once per process: a pure
+# function of `bits` (like ann_eval's gain table), never of data. 4^bits
+# longs — 64k entries at the default 8 bits, ~1.5 MB broadcast.
+_HILBERT_TABLE_MAX_BITS = 10
+_HILBERT_TABLES: dict[int, list[int]] = {}
+
+
+def _hilbert_table(bits: int) -> list[int]:
+    """``d`` for every (x, y) in [0, 2^bits)², indexed ``y * n + x`` —
+    the same public-domain quadrant-fold recurrence the expression form
+    unrolls (verified element-for-element against it)."""
+    tab = _HILBERT_TABLES.get(bits)
+    if tab is None:
+        n = 1 << bits
+        tab = [0] * (n * n)
+        for y in range(n):
+            base = y * n
+            for x in range(n):
+                xx, yy, d, s = x, y, 0, n >> 1
+                while s > 0:
+                    rx = 1 if xx & s else 0
+                    ry = 1 if yy & s else 0
+                    d += s * s * ((3 * rx) ^ ry)
+                    if ry == 0:
+                        if rx == 1:
+                            xx, yy = s - 1 - xx, s - 1 - yy
+                        xx, yy = yy, xx
+                    s >>= 1
+                tab[base + x] = d
+        _HILBERT_TABLES[bits] = tab
+    return tab
+
+
+def _hilbert_key_lookup(
+    df: DataFrame, x_col: str, y_col: str, bits: int, out_col: str
+) -> DataFrame:
+    """Broadcast-join form of :func:`hilbert_key` (r16): the per-bit
+    CASE recurrence costs ~0.6 s of driver-side tree building + analysis
+    PER CALL (the x/y references triple the tree every step) and an
+    8-step interpreted chain per row at execution; for the bit widths
+    the layout queries use, the whole transform is a 4^bits-entry pure
+    lookup — one ~1.5 MB broadcast hash join, no expression tree at
+    all. Same values by construction (the table is generated from the
+    identical recurrence and verified against the expression form in
+    tests)."""
+    import pyarrow as pa
+
+    spark = df.sparkSession
+    n = 1 << bits
+    tab = _hilbert_table(bits)
+    lut = spark.createDataFrame(
+        pa.table(
+            {
+                "__hk_xy": pa.array(range(n * n), type=pa.int64()),
+                "__hk_d": pa.array(tab, type=pa.int64()),
+            }
+        )
+    )
+    keep = df.columns
+    keyed = df.withColumn(
+        "__hk_xy",
+        F.col(y_col).cast("long") * F.lit(n) + F.col(x_col).cast("long"),
+    )
+    return (
+        keyed.join(F.broadcast(lut), "__hk_xy", "left")
+        .select(*keep, F.col("__hk_d").alias(out_col))
+    )
+
+
 def hilbert_key(
     df: DataFrame,
     x_col: str,
@@ -86,6 +155,8 @@ def hilbert_key(
     (projections do not collapse across a Generate), pinning plan size
     linear in ``bits``.
     """
+    if bits <= _HILBERT_TABLE_MAX_BITS:
+        return _hilbert_key_lookup(df, x_col, y_col, bits, out_col)
     n = 1 << bits
     x = F.col(x_col).cast("long")
     y = F.col(y_col).cast("long")

@@ -315,3 +315,31 @@ def test_hilbert_locality_contract_vs_zorder(spark):
 
     assert all(j == 1 for j in jumps(hil))          # every step adjacent
     assert max(jumps(zor)) > 1                      # Morton seam jumps
+
+
+def test_hilbert_lookup_matches_expression_recurrence(spark):
+    # r16: small-bits hilbert_key runs through a broadcast lookup table;
+    # the expression recurrence stays the >_HILBERT_TABLE_MAX_BITS path.
+    # Pin that both forms produce identical keys over the FULL 4-bit grid.
+    from feast_java_old_spark.operators import layout as L
+
+    n = 1 << 4
+    g = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    via_lookup = {
+        (r.x, r.y): r.hkey
+        for r in L.hilbert_key(g, "x", "y", bits=4).collect()
+    }
+    # force the expression path by lowering the lookup ceiling
+    old = L._HILBERT_TABLE_MAX_BITS
+    try:
+        L._HILBERT_TABLE_MAX_BITS = 0
+        via_expr = {
+            (r.x, r.y): r.hkey
+            for r in L.hilbert_key(g, "x", "y", bits=4).collect()
+        }
+    finally:
+        L._HILBERT_TABLE_MAX_BITS = old
+    assert via_lookup == via_expr
+    assert sorted(via_lookup.values()) == list(range(n * n))  # bijection
