@@ -115,14 +115,28 @@ def _scores(
     the centered bias via the left join + coalesce.  The weight vector
     rides as a dims-term CASE chain of literals — codegen'd, no join,
     the kmeans literal-embedding pattern (64–256 terms, nowhere near
-    the janino method-size cliff)."""
-    contrib = F.lit(0).cast("long")
-    for j in sorted(w_micro):
-        w = int(w_micro[j])
-        if w:
-            contrib = contrib + F.when(
-                F.col("j") == j, F.lit(w) * F.col("x")
-            ).otherwise(F.lit(0).cast("long"))
+    the janino method-size cliff).
+
+    r16: the weight vector rides as ONE constant-folded array literal
+    indexed by ``j`` (``get`` → NULL→0 for any out-of-range j, the
+    same 0-contribution the old when-chain gave), not a dims-term CASE
+    chain — per feature row that is one O(1) indexed load + multiply
+    instead of O(dims) compare-and-adds, and the expression tree the
+    driver re-analyzes per training step shrinks from 3·dims nodes to
+    one (guide §1.2 per-task work; same exact INT64 sum either way)."""
+    if any(int(v) for v in w_micro.values()):
+        warr = F.array(
+            *[
+                F.lit(int(w_micro.get(j, 0))).cast("long")
+                for j in range(max(w_micro) + 1)
+            ]
+        )
+        contrib = (
+            F.coalesce(F.get(warr, F.col("j")), F.lit(0).cast("long"))
+            * F.col("x")
+        )
+    else:
+        contrib = F.lit(0).cast("long")
     center = sum(
         int(w_micro[j]) * int(m_mille.get(j, 0)) for j in w_micro
     )
@@ -168,6 +182,18 @@ def logreg_train(
     step is exactly ONE corpus pass shuffling dims+2 partial rows
     (map-side combined).  The collected gradient is dims+1 INT64s
     (bounded driver scalars, the kmeans centroid precedent).
+
+    r16 step shape: after the (unchanged, bit-identical) sparse init,
+    the step loop runs over a cached DENSE per-doc feature vector
+    ``(doc_id, y, xs[dims])`` — margin, residual and ALL dims gradient
+    sums evaluate in ONE grouping-free codegen'd aggregate per step
+    (dims+1 INT64 accumulators, map-side combined, one collected row),
+    instead of a per-doc score aggregate + residual join + (doc×dims)
+    gradient aggregate (guide §1.1 "how many passes are fundamentally
+    required" — one; §2.3 aggregate before you shuffle).  Every sum is
+    the same order-independent exact INT64 (``xs[j] = 0`` for absent
+    features contributes exactly the 0 the sparse join contributed by
+    absence), so the trained model is bit-identical.
     """
     # Persist PRE-PARTITIONED on doc_id (r16), same as featb below: every
     # step's residual plan joins labels with the doc-keyed score
@@ -198,7 +224,33 @@ def logreg_train(
         .repartition(F.col("doc_id"))
         .persist()
     )
-    feat = featb.where(F.col("j") >= 0)
+    # Dense per-doc feature vector for the step loop, built FROM the
+    # cached sparse frame (one cheap cached scan + per-doc map build):
+    # xs[j] = X_dj, 0 where the sparse frame had no row — contributing
+    # exactly the 0 that absence contributed through the old join.
+    dense = (
+        featb.where(F.col("j") >= 0)
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("j", "x"))
+            ).alias("__fm")
+        )
+        .join(labels, "doc_id", "right")
+        .select(
+            "doc_id",
+            "y",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dims - 1)),
+                lambda i: F.coalesce(
+                    # try_: ANSI element_at throws on a missing map key
+                    F.try_element_at("__fm", i.cast("int")),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("xs"),
+        )
+        .persist()
+    )
     try:
         # One pass for doc count AND feature means: the bias row has
         # x = 1000 on every doc, so Σx over j = -1 is exactly 1000·n.
@@ -212,26 +264,61 @@ def logreg_train(
         m_mille = {j: _half_away(sx / n) for j, sx in sums.items()}
         w_micro: dict[int, int] = {j: 0 for j in range(dims)}
         b_micro = 0
+        xs = [F.element_at("xs", j + 1) for j in range(dims)]
         for _ in range(steps):
-            resid = _scores(feat, labels, w_micro, b_micro, m_mille).select(
-                "doc_id",
-                F.round((F.col("p") - F.col("y")) * MICRO, 0)
-                .cast("long")
-                .alias("r"),
+            if not any(w_micro.values()) and b_micro == 0:
+                # Closed-form first step (r16): with w = 0 and b = 0,
+                # z = (0 - 0 + 0)/1e9 = 0 EXACTLY for every doc (with
+                # or without feature rows), so p = 0.5 and the residual
+                # is round((0.5 - y)·1e6) — a pure function of the
+                # label column. The SQL oracle uses the same closed
+                # form for its step 1.
+                r_col = (
+                    F.round((F.lit(0.5) - F.col("y")) * MICRO, 0)
+                    .cast("long")
+                    .alias("r")
+                )
+            else:
+                # z = (Σ_j W_j·X_j - Σ_j W_j·M_j + B·1000)/1e9, the
+                # weight vector unrolled as literal·element_at terms
+                # (all-codegen; zero-weight terms dropped — they
+                # contribute exactly 0 either way).
+                zw = F.lit(0).cast("long")
+                for j in range(dims):
+                    w = int(w_micro.get(j, 0))
+                    if w:
+                        zw = zw + F.lit(w) * xs[j]
+                center = sum(
+                    int(w_micro[j]) * int(m_mille.get(j, 0))
+                    for j in w_micro
+                )
+                z = (
+                    zw + F.lit(int(b_micro) * MILLE - center)
+                ) / F.lit(1.0e9)
+                p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+                r_col = (
+                    F.round((p - F.col("y")) * MICRO, 0)
+                    .cast("long")
+                    .alias("r")
+                )
+            g_row = (
+                dense.select(r_col, "xs")
+                .agg(
+                    F.sum("r").alias("rt"),
+                    *[
+                        F.sum(xs[j] * F.col("r")).alias(f"g{j}")
+                        for j in range(dims)
+                    ],
+                )
+                .collect()[0]
             )
-            grads = {
-                row.j: int(row.g)
-                for row in featb.join(resid, "doc_id")
-                .groupBy("j")
-                .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
-                .collect()
-            }
-            r_total = grads.get(-1, 0) // MILLE  # bias x is exactly 1000
+            r_total = int(g_row["rt"] or 0)
             for j in range(dims):
-                g = grads.get(j, 0) - m_mille.get(j, 0) * r_total
+                g = int(g_row[f"g{j}"] or 0) - m_mille.get(j, 0) * r_total
                 w_micro[j] -= _half_away(lr * g / (n * MILLE))
             b_micro -= _half_away(lr * r_total / n)
     finally:
+        dense.unpersist()
         featb.unpersist()
         labels.unpersist()
     return w_micro, b_micro, m_mille
