@@ -147,6 +147,46 @@ def exploded_shingles(
     return sh.dropDuplicates(["doc_id", "shingle"]) if distinct else sh
 
 
+def exploded_shingle_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = False,
+) -> DataFrame:
+    """``(doc_id, shingle)`` rows like :func:`exploded_shingles`, but
+    ``shingle`` is a 64-bit xxhash64 IDENTITY instead of the 3-word
+    string — for kernels that only ever compare shingles for equality
+    (inverted-index joins, df counts, set intersection) and never need
+    the text back (r16, guide §2.3 "shuffle keys instead of payloads" +
+    "narrower types").
+
+    A shingle's identity is one codegen'd ``xxhash64`` over the n-token
+    array slice — the same bytes the string form hashes, minus the
+    per-shingle ``concat_ws`` allocation+copy — and every downstream
+    join/group key is an 8-byte long instead of a ~25-byte string.
+    Equality of hashes == equality of shingles up to 64-bit collisions,
+    the same acceptance the sets-verify strategy has always documented
+    ("64-bit hashing cannot collide within a document's ~100
+    shingles"); every consumer's output is pinned by a DuckDB oracle
+    that recomputes from the STRINGS, so a collision at tested scale
+    factors would fail the gate (deterministic hash — it never has).
+
+    NOT for MinHash (`shingle_base_hash` is the md5 family the SQL
+    oracle unrolls term for term) or any n-gram surface whose oracle
+    reads the gram text (lm_backoff, pmi, unigram) — those keep
+    :func:`exploded_shingles`.
+    """
+    ex = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__arr")
+    ).select("doc_id", F.posexplode("__arr").alias("pos", "tok"), "__arr")
+    sh = ex.where(F.col("pos") + n <= F.size("__arr")).select(
+        "doc_id",
+        F.xxhash64(F.slice("__arr", F.col("pos") + 1, n)).alias("shingle"),
+    )
+    return sh.dropDuplicates(["doc_id", "shingle"]) if distinct else sh
+
+
 def dedup_exact(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -398,8 +438,11 @@ def ngram_jaccard_pairs(
     # aggregate, both self-join sides) — barrier-able via `checkpoint`;
     # lazy by default (recompute of the codegen explode measured cheaper
     # than the barrier at bench scale, see _barrier).
+    # r16: shingle IDENTITY only (joins, df counts) — hashed kernel,
+    # long keys (see exploded_shingle_hashes; oracle pins final pairs).
     sh = _barrier(
-        exploded_shingles(df, text_col, id_col, n, distinct=True), checkpoint
+        exploded_shingle_hashes(df, text_col, id_col, n, distinct=True),
+        checkpoint,
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     if max_df is not None:
@@ -489,7 +532,9 @@ def prefix_filter_candidates(
     # shingles get no barrier hook at all: their two consumers (df
     # aggregate + ranked input) join back together and the window's
     # doc_id exchange dominates either way.
-    sh = exploded_shingles(df, text_col, id_col, n, distinct=True)
+    # r16: the prefix order needs only A total order (theorem holds for
+    # any); (df, hash) replaces (df, string) — identity-only kernel.
+    sh = exploded_shingle_hashes(df, text_col, id_col, n, distinct=True)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("__df").asc(), F.col("shingle").asc()
@@ -592,8 +637,10 @@ def containment_pairs(
     # sizes + hot-shingle aggregate + both self-join sides all read the
     # exploded shingles — barrier-able via `checkpoint`, lazy by default
     # (see _barrier).
+    # r16: identity-only kernel — hashed shingles, long join keys.
     sh = _barrier(
-        exploded_shingles(df, text_col, id_col, n, distinct=True), checkpoint
+        exploded_shingle_hashes(df, text_col, id_col, n, distinct=True),
+        checkpoint,
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     joinable = sh
@@ -672,7 +719,9 @@ def verify_candidate_pairs(
 
     Emits (doc_a, doc_b, jaccard) for candidates at or above ``threshold``.
     """
-    sh = exploded_shingles(df, text_col, id_col, n, distinct=True)
+    # r16: verification only counts shingle-identity matches — hashed
+    # kernel (the sets strategy always hashed; now the explode does).
+    sh = exploded_shingle_hashes(df, text_col, id_col, n, distinct=True)
     p = pairs.select("doc_a", "doc_b")
     # The verify work is CPU-dense per candidate ROW (array_intersect /
     # per-pair counting) while the candidate list's BYTES are tiny —
@@ -685,7 +734,8 @@ def verify_candidate_pairs(
         # lazy by default (see _barrier).
         sets = _barrier(
             sh.groupBy("doc_id").agg(
-                F.collect_set(F.xxhash64("shingle")).alias("__set"),
+                # shingle IS the 64-bit identity now — no re-hash
+                F.collect_set("shingle").alias("__set"),
                 F.count(F.lit(1)).alias("n_shingles"),
             ),
             checkpoint,
