@@ -66,6 +66,7 @@ from __future__ import annotations
 import base64
 import binascii
 import datetime as dt
+import functools
 import struct
 from typing import Any, Optional
 
@@ -386,12 +387,25 @@ def _ts_to_parts(v: Any) -> tuple[int, int]:
     """ISO-8601 string (or datetime) → (seconds, nanos). INTEGER
     timedelta arithmetic, never float ``timestamp()`` — beyond ~2**33
     seconds the float64 ULP exceeds 1µs, so a float-derived seconds
-    could disagree with the microsecond field by a whole second."""
+    could disagree with the microsecond field by a whole second.
+
+    String inputs memoize (pure function; a 12k-row request usually
+    carries ONE distinct timestamp but parsed it 12k times)."""
     if isinstance(v, str):
-        try:
-            v = dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
-        except ValueError as ex:
-            raise ProtoCodecError(f"invalid Timestamp payload: {v!r}") from ex
+        return _ts_str_to_parts(v)
+    return _ts_dt_to_parts(v)
+
+
+@functools.lru_cache(maxsize=4096)
+def _ts_str_to_parts(v: str) -> tuple[int, int]:
+    try:
+        parsed = dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+    except ValueError as ex:
+        raise ProtoCodecError(f"invalid Timestamp payload: {v!r}") from ex
+    return _ts_dt_to_parts(parsed)
+
+
+def _ts_dt_to_parts(v: Any) -> tuple[int, int]:
     if not isinstance(v, dt.datetime):
         raise ProtoCodecError(f"invalid Timestamp payload: {v!r}")
     if v.tzinfo is None:
@@ -401,6 +415,7 @@ def _ts_to_parts(v: Any) -> tuple[int, int]:
     return seconds, delta.microseconds * 1000
 
 
+@functools.lru_cache(maxsize=4096)
 def _parts_to_ts(seconds: int, nanos: int) -> str:
     try:
         base = dt.datetime.fromtimestamp(seconds, tz=dt.timezone.utc)
@@ -507,69 +522,282 @@ def _packed_payload(kind: str, values: list) -> bytes:
 
 
 def encode_message(obj: Optional[dict], desc: dict) -> bytes:
-    """Engine proto-JSON dict → canonical proto3 binary bytes."""
-    if obj is None:
-        obj = {}
-    if desc is TIMESTAMP and not isinstance(obj, dict):
-        seconds, nanos = _ts_to_parts(obj)
-        obj = {"seconds": seconds, "nanos": nanos}
-    if not isinstance(obj, dict):
-        raise ProtoCodecError(
-            f"{desc['_name']}: expected a dict, got {type(obj).__name__}"
-        )
-    by_name = desc["_by_name"]
-    out = bytearray()
-    for key, v in obj.items():
-        if key not in by_name:
-            raise ProtoCodecError(
-                f"{desc['_name']}: unknown field {key!r}"
-            )
-        num, (name, label, kind, extra) = by_name[key]
-        if v is None:
-            continue
-        if label == "map":
-            if not isinstance(v, dict):
-                raise ProtoCodecError(f"{desc['_name']}.{name}: not a map")
-            vkind, vextra = extra
-            for mk, mv in v.items():
-                entry = _encode_scalar("string", None, mk, 1) if mk != "" else b""
-                if vkind == "message":
-                    entry += _tag(2, _LEN) + _ld(encode_message(mv, vextra))
-                else:
-                    if vkind == "enum":
-                        # encode unless numerically zero (proto3 map
-                        # entry values follow plain-field default rules)
-                        n = _enum_num(vextra, mv, f"{desc['_name']}.{name}")
-                        if n:
-                            entry += _tag(2, _VARINT) + _write_varint(n)
-                    elif not _scalar_default(vkind, mv):
-                        entry += _encode_scalar(vkind, vextra, mv, 2)
-                out += _tag(num, _LEN) + _ld(bytes(entry))
-        elif label == "repeated":
-            if not isinstance(v, (list, tuple)):
-                raise ProtoCodecError(
-                    f"{desc['_name']}.{name}: not a list"
-                )
-            if kind == "message":
-                for item in v:
-                    out += _tag(num, _LEN) + _ld(encode_message(item, extra))
-            elif kind in ("string", "bytes"):
-                for item in v:
-                    out += _encode_scalar(kind, extra, item, num)
+    """Engine proto-JSON dict → canonical proto3 binary bytes.
+
+    Dispatches to a per-descriptor COMPILED encoder (r16 hot-path work):
+    every field gets a closure with its tag bytes and kind logic bound
+    as constants, built lazily on first use and cached for the life of
+    the process (descriptors are module-level singletons). Wire bytes
+    are identical to the original descriptor-walking encoder — pinned
+    by the golden vectors and the hypothesis round-trip suite."""
+    enc = _ENC_CACHE.get(id(desc))
+    if enc is None:
+        enc = _build_encoder(desc)
+    return enc(obj)
+
+
+_ENC_CACHE: dict[int, Any] = {}
+
+
+def _build_encoder(desc: dict) -> Any:
+    mname = desc["_name"]
+    is_ts = desc is TIMESTAMP
+    table: dict = {}
+
+    def enc(obj, _table=table, _get=table.get, _mname=mname, _is_ts=is_ts):
+        if obj is None:
+            obj = {}
+        elif not isinstance(obj, dict):
+            if _is_ts:
+                seconds, nanos = _ts_to_parts(obj)
+                obj = {"seconds": seconds, "nanos": nanos}
             else:
-                if v:  # packed scalars — empty list is absent
-                    out += _tag(num, _LEN) + _ld(_packed_payload(kind, list(v)))
-        elif kind == "message":
-            payload = encode_message(v, extra)
-            out += _tag(num, _LEN) + _ld(payload)
+                raise ProtoCodecError(
+                    f"{_mname}: expected a dict, got {type(obj).__name__}"
+                )
+        out = bytearray()
+        for key, v in obj.items():
+            f = _get(key)
+            if f is None:
+                raise ProtoCodecError(f"{_mname}: unknown field {key!r}")
+            if v is None:
+                continue
+            f(v, out)
+        return bytes(out)
+
+    # register BEFORE building field encoders so recursive/self-
+    # referential message fields resolve to this closure (the table is
+    # filled in place before any call can happen)
+    _ENC_CACHE[id(desc)] = enc
+    for num, (name, label, kind, extra) in desc["fields"].items():
+        table[name] = _build_field_encoder(mname, num, name, label, kind, extra)
+    return enc
+
+
+def _child_encoder(desc: dict) -> Any:
+    enc = _ENC_CACHE.get(id(desc))
+    return enc if enc is not None else _build_encoder(desc)
+
+
+def _build_field_encoder(mname, num, name, label, kind, extra):
+    """One closure per field: tag bytes, default-elision rule and kind
+    logic are compile-time constants. Semantics match the original
+    walker exactly, including validation side effects (range/type
+    checks run even when the value then elides as a proto3 default) and
+    error-message contexts."""
+    wv = _write_varint
+    qual = f"{mname}.{name}"
+    if label == "map":
+        tagb = _tag(num, _LEN)
+        vkind, vextra = extra
+        if vkind == "message":
+            venc = _child_encoder(vextra)
+
+            def f(v, out, _tagb=tagb, _venc=venc, _wv=wv, _qual=qual):
+                if not isinstance(v, dict):
+                    raise ProtoCodecError(f"{_qual}: not a map")
+                for mk, mv in v.items():
+                    if mk != "":
+                        kb = str(mk).encode("utf-8")
+                        entry = b"\x0a" + _wv(len(kb)) + kb
+                    else:
+                        entry = b""
+                    p = _venc(mv)
+                    entry += b"\x12" + _wv(len(p)) + p
+                    out += _tagb
+                    out += _wv(len(entry))
+                    out += entry
+
+        elif vkind == "enum":
+
+            def f(v, out, _tagb=tagb, _vex=vextra, _wv=wv, _qual=qual):
+                if not isinstance(v, dict):
+                    raise ProtoCodecError(f"{_qual}: not a map")
+                for mk, mv in v.items():
+                    if mk != "":
+                        kb = str(mk).encode("utf-8")
+                        entry = b"\x0a" + _wv(len(kb)) + kb
+                    else:
+                        entry = b""
+                    # encode unless numerically zero (proto3 map entry
+                    # values follow plain-field default rules)
+                    n = _enum_num(_vex, mv, _qual)
+                    if n:
+                        entry += b"\x10" + _wv(n)
+                    out += _tagb
+                    out += _wv(len(entry))
+                    out += entry
+
         else:
-            if label == "optional" and _scalar_default(kind, v):
-                continue  # proto3: defaults are omitted
-            if kind == "enum" and label == "optional":
-                if _enum_num(extra, v, f"{desc['_name']}.{name}") == 0:
-                    continue
-            out += _encode_scalar(kind, extra, v, num)
-    return bytes(out)
+
+            def f(v, out, _tagb=tagb, _vk=vkind, _vex=vextra, _wv=wv,
+                  _qual=qual):
+                if not isinstance(v, dict):
+                    raise ProtoCodecError(f"{_qual}: not a map")
+                for mk, mv in v.items():
+                    if mk != "":
+                        kb = str(mk).encode("utf-8")
+                        entry = b"\x0a" + _wv(len(kb)) + kb
+                    else:
+                        entry = b""
+                    if not _scalar_default(_vk, mv):
+                        entry += _encode_scalar(_vk, _vex, mv, 2)
+                    out += _tagb
+                    out += _wv(len(entry))
+                    out += entry
+
+        return f
+    if label == "repeated":
+        tagb = _tag(num, _LEN)
+        if kind == "message":
+            cenc = _child_encoder(extra)
+
+            def f(v, out, _tagb=tagb, _cenc=cenc, _wv=wv, _qual=qual):
+                if not isinstance(v, (list, tuple)):
+                    raise ProtoCodecError(f"{_qual}: not a list")
+                for item in v:
+                    p = _cenc(item)
+                    out += _tagb
+                    out += _wv(len(p))
+                    out += p
+
+        elif kind == "string":
+
+            def f(v, out, _tagb=tagb, _wv=wv, _qual=qual):
+                if not isinstance(v, (list, tuple)):
+                    raise ProtoCodecError(f"{_qual}: not a list")
+                for item in v:
+                    b = str(item).encode("utf-8")
+                    out += _tagb
+                    out += _wv(len(b))
+                    out += b
+
+        elif kind == "bytes":
+
+            def f(v, out, _tagb=tagb, _wv=wv, _qual=qual):
+                if not isinstance(v, (list, tuple)):
+                    raise ProtoCodecError(f"{_qual}: not a list")
+                for item in v:
+                    b = _b64_to_bytes(item)
+                    out += _tagb
+                    out += _wv(len(b))
+                    out += b
+
+        elif kind in ("int32", "int64"):
+
+            def f(v, out, _tagb=tagb, _k=kind, _wv=wv, _qual=qual,
+                  _v1=_VARINT1):
+                if not isinstance(v, (list, tuple)):
+                    raise ProtoCodecError(f"{_qual}: not a list")
+                if v:  # packed scalars — empty list is absent
+                    payload = bytearray()
+                    for item in v:
+                        iv = _check_int(_k, item)
+                        payload += (
+                            _v1[iv] if 0 <= iv < 0x80 else _wv(iv)
+                        )
+                    out += _tagb
+                    out += _wv(len(payload))
+                    out += payload
+
+        else:
+
+            def f(v, out, _tagb=tagb, _k=kind, _wv=wv, _qual=qual):
+                if not isinstance(v, (list, tuple)):
+                    raise ProtoCodecError(f"{_qual}: not a list")
+                if v:  # packed scalars — empty list is absent
+                    payload = _packed_payload(_k, list(v))
+                    out += _tagb
+                    out += _wv(len(payload))
+                    out += payload
+
+        return f
+    if kind == "message":
+        tagb = _tag(num, _LEN)
+        cenc = _child_encoder(extra)
+
+        def f(v, out, _tagb=tagb, _cenc=cenc, _wv=wv):
+            p = _cenc(v)
+            out += _tagb
+            out += _wv(len(p))
+            out += p
+
+        return f
+    # scalars: proto3 default elision applies to "optional" only —
+    # oneof arms encode whenever the dict carries the key
+    elide = label == "optional"
+    if kind in ("int32", "int64"):
+        tagb = _tag(num, _VARINT)
+
+        def f(v, out, _tagb=tagb, _k=kind, _el=elide, _wv=wv, _v1=_VARINT1):
+            iv = _check_int(_k, v)
+            if iv or not _el:
+                out += _tagb
+                out += _v1[iv] if 0 <= iv < 0x80 else _wv(iv)
+
+    elif kind == "bool":
+        tag_true = _tag(num, _VARINT) + b"\x01"
+        tag_false = _tag(num, _VARINT) + b"\x00"
+
+        def f(v, out, _t1=tag_true, _t0=tag_false, _el=elide):
+            if v:
+                out += _t1
+            elif not _el:
+                out += _t0
+
+    elif kind == "enum":
+        tagb = _tag(num, _VARINT)
+
+        def f(v, out, _tagb=tagb, _ex=extra, _el=elide, _wv=wv, _qual=qual,
+              _v1=_VARINT1):
+            n = _enum_num(_ex, v, _qual if _el else "enum field")
+            if n or not _el:
+                out += _tagb
+                out += _v1[n] if 0 <= n < 0x80 else _wv(n)
+
+    elif kind == "double":
+        tagb = _tag(num, _FIXED64)
+
+        def f(v, out, _tagb=tagb, _el=elide, _pack=_STRUCT_D.pack):
+            fv = _check_float(v)
+            if fv != 0.0 or not _el:
+                out += _tagb
+                out += _pack(fv)
+
+    elif kind == "float":
+        tagb = _tag(num, _FIXED32)
+
+        def f(v, out, _tagb=tagb, _el=elide, _pack=_STRUCT_F.pack):
+            fv = _check_float(v)
+            if fv != 0.0 or not _el:
+                out += _tagb
+                out += _pack(fv)
+
+    elif kind == "string":
+        tagb = _tag(num, _LEN)
+
+        def f(v, out, _tagb=tagb, _el=elide, _wv=wv):
+            if _el and v == "":
+                return
+            b = str(v).encode("utf-8")
+            out += _tagb
+            out += _wv(len(b))
+            out += b
+
+    elif kind == "bytes":
+        tagb = _tag(num, _LEN)
+
+        def f(v, out, _tagb=tagb, _el=elide, _wv=wv):
+            if _el and v in (b"", ""):
+                return
+            b = _b64_to_bytes(v)
+            out += _tagb
+            out += _wv(len(b))
+            out += b
+
+    else:  # pragma: no cover - guarded by descriptors
+        raise ProtoCodecError(f"unknown scalar kind {kind!r}")
+    return f
 
 
 # ---------------------------------------------------------------- decode
@@ -657,111 +885,492 @@ def _decode_packed(kind: str, payload: bytes) -> list:
 
 
 def decode_message(buf: bytes, desc: dict) -> dict:
-    """Canonical proto3 binary bytes → the engine's proto-JSON dict."""
-    obj: dict = {}
-    pos = 0
-    fields = desc["fields"]  # hoisted: per-field dict hop (r16)
-    n_buf = len(buf)
-    while pos < n_buf:
-        key, pos = _read_varint(buf, pos)
-        num, wt = key >> 3, key & 7
-        spec = fields.get(num)
-        if spec is None:
-            pos = _skip(buf, pos, wt)  # unknown field: forward compat
-            continue
-        name, label, kind, extra = spec
-        if label == "map":
+    """Canonical proto3 binary bytes → the engine's proto-JSON dict.
+
+    Dispatches to a per-descriptor COMPILED decoder (r16 hot-path
+    work): the canonical wire form of every field — the tag byte a
+    conforming encoder emits — hits a specialized closure through ONE
+    dict lookup on the full (num<<3|wt) key; anything else (unknown
+    fields, non-canonical wire types such as unpacked repeated scalars
+    from an old encoder) falls back to the original descriptor-walking
+    field decoder, so accepted inputs and error contracts are
+    unchanged."""
+    dec = _DEC_CACHE.get(id(desc))
+    if dec is None:
+        dec = _build_decoder(desc)
+    return dec(buf)
+
+
+_DEC_CACHE: dict[int, Any] = {}
+
+
+def _decode_map_entry(entry: bytes, vkind: str, vextra) -> tuple:
+    """Generic map-entry parse (the original walker body) — the
+    fallback for non-canonical entry encodings; also applies the
+    absent-value default-fill rules."""
+    mk, mv = "", None
+    epos = 0
+    while epos < len(entry):
+        ekey, epos = _read_varint(entry, epos)
+        enum_, ewt = ekey >> 3, ekey & 7
+        if enum_ == 1:
+            mk, epos = _decode_scalar("string", None, entry, epos, ewt)
+        elif enum_ == 2:
+            if vkind == "message":
+                eln, epos = _read_varint(entry, epos)
+                epayload = entry[epos : epos + eln]
+                if len(epayload) != eln:
+                    # same silent-corruption class as the
+                    # repeated/embedded paths: an overstated
+                    # length would decode the short slice and
+                    # jump past the entry end, dropping fields.
+                    raise ProtoCodecError("truncated map entry value")
+                mv = decode_message(epayload, vextra)
+                epos += eln
+            else:
+                mv, epos = _decode_scalar(vkind, vextra, entry, epos, ewt)
+        else:
+            epos = _skip(entry, epos, ewt)
+    if mv is None:
+        # absent entry value = the value type's default
+        if vkind == "message":
+            mv = {}
+        elif vkind == "enum":
+            mv = _enum_names(vextra).get(0, 0)
+        else:
+            mv = {"string": "", "bytes": "", "bool": False}.get(vkind, 0)
+    return mk, mv
+
+
+def _decode_field(buf: bytes, pos: int, wt: int, obj: dict, desc: dict,
+                  spec: tuple) -> int:
+    """Original per-field decode dispatch — the compiled decoder's
+    fallback for non-canonical wire types."""
+    name, label, kind, extra = spec
+    if label == "map":
+        ln, pos = _read_varint(buf, pos)
+        entry = buf[pos : pos + ln]
+        if len(entry) != ln:
+            raise ProtoCodecError("truncated map entry")
+        pos += ln
+        vkind, vextra = extra
+        mk, mv = _decode_map_entry(entry, vkind, vextra)
+        obj.setdefault(name, {})[mk] = mv
+    elif label == "repeated":
+        if kind == "message":
             ln, pos = _read_varint(buf, pos)
-            entry = buf[pos : pos + ln]
-            if len(entry) != ln:
-                raise ProtoCodecError("truncated map entry")
+            payload = buf[pos : pos + ln]
+            if len(payload) != ln:
+                raise ProtoCodecError("truncated repeated message")
             pos += ln
-            mk, mv = "", None
-            epos = 0
-            vkind, vextra = extra
-            while epos < len(entry):
-                ekey, epos = _read_varint(entry, epos)
-                enum_, ewt = ekey >> 3, ekey & 7
-                if enum_ == 1:
-                    mk, epos = _decode_scalar("string", None, entry, epos, ewt)
-                elif enum_ == 2:
-                    if vkind == "message":
-                        eln, epos = _read_varint(entry, epos)
-                        epayload = entry[epos : epos + eln]
-                        if len(epayload) != eln:
-                            # same silent-corruption class as the
-                            # repeated/embedded paths: an overstated
-                            # length would decode the short slice and
-                            # jump past the entry end, dropping fields.
+            obj.setdefault(name, []).append(decode_message(payload, extra))
+        elif kind in ("string", "bytes"):
+            v, pos = _decode_scalar(kind, extra, buf, pos, wt)
+            obj.setdefault(name, []).append(v)
+        elif wt == _LEN:  # packed
+            ln, pos = _read_varint(buf, pos)
+            payload = buf[pos : pos + ln]
+            if len(payload) != ln:
+                raise ProtoCodecError("truncated packed field")
+            pos += ln
+            obj.setdefault(name, []).extend(_decode_packed(kind, payload))
+        else:  # unpacked scalar from an old encoder
+            v, pos = _decode_scalar(kind, extra, buf, pos, wt)
+            obj.setdefault(name, []).append(v)
+    elif kind == "message":
+        ln, pos = _read_varint(buf, pos)
+        payload = buf[pos : pos + ln]
+        if len(payload) != ln:
+            raise ProtoCodecError("truncated embedded message")
+        pos += ln
+        if label == "oneof":
+            # proto3 oneof last-wins: a new arm clears any arm a
+            # non-canonical encoder emitted earlier in the message
+            for prev in desc["_oneof_names"]:
+                obj.pop(prev, None)
+        if extra is TIMESTAMP:
+            inner = decode_message(payload, TIMESTAMP)
+            obj[name] = _parts_to_ts(
+                inner.get("seconds", 0), inner.get("nanos", 0)
+            )
+        else:
+            obj[name] = decode_message(payload, extra)
+    else:
+        v, pos = _decode_scalar(kind, extra, buf, pos, wt)
+        if label == "oneof":
+            for prev in desc["_oneof_names"]:
+                obj.pop(prev, None)
+        obj[name] = v
+    return pos
+
+
+def _build_decoder(desc: dict) -> Any:
+    fields = desc["fields"]
+    handlers: dict = {}
+    # A decoded dict only ever holds field names this decoder inserted,
+    # and every oneof insert clears the previously-set arm first — so
+    # at most ONE oneof arm is present at any time. When EVERY field of
+    # the message is a oneof arm (feast.types.Value), clearing the
+    # whole (≤1-entry) dict is exactly the original pop-every-arm loop
+    # without walking the 14-name set per field.
+    all_oneof = bool(fields) and all(
+        spec[1] == "oneof" for spec in fields.values()
+    )
+
+    def dec(buf, _handlers=handlers, _hget=handlers.get, _fields=fields,
+            _rv=_read_varint, _desc=desc):
+        obj: dict = {}
+        pos = 0
+        n_buf = len(buf)
+        while pos < n_buf:
+            key, pos = _rv(buf, pos)
+            h = _hget(key)
+            if h is not None:
+                pos = h(buf, pos, obj)
+            else:
+                num, wt = key >> 3, key & 7
+                spec = _fields.get(num)
+                if spec is None:
+                    pos = _skip(buf, pos, wt)  # unknown: forward compat
+                else:
+                    pos = _decode_field(buf, pos, wt, obj, _desc, spec)
+        return obj
+
+    _DEC_CACHE[id(desc)] = dec
+    for num, spec in fields.items():
+        key, h = _build_field_decoder(desc, num, spec, all_oneof)
+        handlers[key] = h
+    return dec
+
+
+def _child_decoder(desc: dict) -> Any:
+    dec = _DEC_CACHE.get(id(desc))
+    return dec if dec is not None else _build_decoder(desc)
+
+
+def _oneof_clear(desc: dict, name: str, all_oneof: bool):
+    """(pre-insert cleanup fn or None) implementing oneof last-wins for
+    a compiled handler."""
+    if all_oneof:
+        return "clear"
+    others = tuple(n for n in desc["_oneof_names"] if n != name)
+    return others
+
+
+def _build_field_decoder(desc, num, spec, all_oneof):
+    """(canonical wire key, handler) for one field. The handler decodes
+    exactly the wire form a conforming proto3 encoder emits for this
+    field; everything else routes through the generic fallback."""
+    name, label, kind, extra = spec
+    rv = _read_varint
+    if label == "map":
+        key = (num << 3) | _LEN
+        vkind, vextra = extra
+        if vkind == "message":
+            vdec = _child_decoder(vextra)
+
+            def h(buf, pos, obj, _rv=rv, _name=name, _vdec=vdec,
+                  _vk=vkind, _vex=vextra):
+                ln, pos = _rv(buf, pos)
+                end = pos + ln
+                if end > len(buf):
+                    raise ProtoCodecError("truncated map entry")
+                mk, mv = "", None
+                epos = pos
+                while epos < end:
+                    b = buf[epos]
+                    if b == 0x0A:  # key: field 1, length-delimited
+                        kln, epos = _rv(buf, epos + 1)
+                        kend = epos + kln
+                        if kend > end:
+                            raise ProtoCodecError(
+                                "truncated length-delimited field"
+                            )
+                        mk = buf[epos:kend].decode("utf-8")
+                        epos = kend
+                    elif b == 0x12:  # value: field 2, embedded message
+                        vln, epos = _rv(buf, epos + 1)
+                        vend = epos + vln
+                        if vend > end:
                             raise ProtoCodecError("truncated map entry value")
-                        mv = decode_message(epayload, vextra)
-                        epos += eln
-                    else:
-                        mv, epos = _decode_scalar(
-                            vkind, vextra, entry, epos, ewt
-                        )
-                else:
-                    epos = _skip(entry, epos, ewt)
-            if mv is None:
-                # absent entry value = the value type's default
-                if vkind == "message":
+                        mv = _vdec(buf[epos:vend])
+                        epos = vend
+                    else:  # non-canonical entry: generic reparse
+                        mk, mv = _decode_map_entry(buf[pos:end], _vk, _vex)
+                        break
+                if mv is None:
                     mv = {}
-                elif vkind == "enum":
-                    mv = _enum_names(vextra).get(0, 0)
-                else:
-                    mv = {"string": "", "bytes": "", "bool": False}.get(
-                        vkind, 0
-                    )
-            obj.setdefault(name, {})[mk] = mv
-        elif label == "repeated":
-            if kind == "message":
-                ln, pos = _read_varint(buf, pos)
-                payload = buf[pos : pos + ln]
-                if len(payload) != ln:
+                tgt = obj.get(_name)
+                if tgt is None:
+                    tgt = obj[_name] = {}
+                tgt[mk] = mv
+                return end
+
+        elif vkind == "enum":
+            rev = _enum_names(vextra)
+
+            def h(buf, pos, obj, _rv=rv, _name=name, _rev=rev,
+                  _vk=vkind, _vex=vextra):
+                ln, pos = _rv(buf, pos)
+                end = pos + ln
+                if end > len(buf):
+                    raise ProtoCodecError("truncated map entry")
+                mk, mv = "", None
+                epos = pos
+                while epos < end:
+                    b = buf[epos]
+                    if b == 0x0A:
+                        kln, epos = _rv(buf, epos + 1)
+                        kend = epos + kln
+                        if kend > end:
+                            raise ProtoCodecError(
+                                "truncated length-delimited field"
+                            )
+                        mk = buf[epos:kend].decode("utf-8")
+                        epos = kend
+                    elif b == 0x10:  # value: field 2, varint enum
+                        raw, epos = _rv(buf, epos + 1)
+                        mv = _rev.get(raw, raw)
+                    else:
+                        mk, mv = _decode_map_entry(buf[pos:end], _vk, _vex)
+                        break
+                if mv is None:
+                    mv = _rev.get(0, 0)
+                tgt = obj.get(_name)
+                if tgt is None:
+                    tgt = obj[_name] = {}
+                tgt[mk] = mv
+                return end
+
+        else:
+
+            def h(buf, pos, obj, _rv=rv, _name=name, _vk=vkind, _vex=vextra):
+                ln, pos = _rv(buf, pos)
+                end = pos + ln
+                if end > len(buf):
+                    raise ProtoCodecError("truncated map entry")
+                mk, mv = _decode_map_entry(buf[pos:end], _vk, _vex)
+                tgt = obj.get(_name)
+                if tgt is None:
+                    tgt = obj[_name] = {}
+                tgt[mk] = mv
+                return end
+
+        return key, h
+    if label == "repeated":
+        key = (num << 3) | _LEN
+        if kind == "message":
+            cdec = _child_decoder(extra)
+
+            def h(buf, pos, obj, _rv=rv, _name=name, _cdec=cdec):
+                ln, pos = _rv(buf, pos)
+                end = pos + ln
+                if end > len(buf):
                     raise ProtoCodecError("truncated repeated message")
-                pos += ln
-                obj.setdefault(name, []).append(decode_message(payload, extra))
-            elif kind in ("string", "bytes"):
-                v, pos = _decode_scalar(kind, extra, buf, pos, wt)
-                obj.setdefault(name, []).append(v)
-            elif wt == _LEN:  # packed
-                ln, pos = _read_varint(buf, pos)
+                lst = obj.get(_name)
+                if lst is None:
+                    lst = obj[_name] = []
+                lst.append(_cdec(buf[pos:end]))
+                return end
+
+        elif kind == "string":
+
+            def h(buf, pos, obj, _rv=rv, _name=name):
+                ln, pos = _rv(buf, pos)
+                end = pos + ln
+                if end > len(buf):
+                    raise ProtoCodecError("truncated length-delimited field")
+                lst = obj.get(_name)
+                if lst is None:
+                    lst = obj[_name] = []
+                lst.append(buf[pos:end].decode("utf-8"))
+                return end
+
+        elif kind == "bytes":
+
+            def h(buf, pos, obj, _rv=rv, _name=name):
+                ln, pos = _rv(buf, pos)
+                end = pos + ln
+                if end > len(buf):
+                    raise ProtoCodecError("truncated length-delimited field")
+                lst = obj.get(_name)
+                if lst is None:
+                    lst = obj[_name] = []
+                lst.append(base64.b64encode(buf[pos:end]).decode("ascii"))
+                return end
+
+        elif kind in ("int32", "int64"):
+
+            def h(buf, pos, obj, _rv=rv, _name=name, _u=_U64, _s=_S63):
+                ln, pos = _rv(buf, pos)
+                end = pos + ln
+                if end > len(buf):
+                    raise ProtoCodecError("truncated packed field")
+                lst = obj.get(_name)
+                if lst is None:
+                    lst = obj[_name] = []
+                while pos < end:
+                    raw, pos = _rv(buf, pos)
+                    lst.append(raw - _u if raw >= _s else raw)
+                return end
+
+        else:  # packed bool/double/float
+
+            def h(buf, pos, obj, _rv=rv, _name=name, _k=kind):
+                ln, pos = _rv(buf, pos)
                 payload = buf[pos : pos + ln]
                 if len(payload) != ln:
                     raise ProtoCodecError("truncated packed field")
                 pos += ln
-                obj.setdefault(name, []).extend(_decode_packed(kind, payload))
-            else:  # unpacked scalar from an old encoder
-                v, pos = _decode_scalar(kind, extra, buf, pos, wt)
-                obj.setdefault(name, []).append(v)
-        elif kind == "message":
-            ln, pos = _read_varint(buf, pos)
-            payload = buf[pos : pos + ln]
-            if len(payload) != ln:
+                lst = obj.get(_name)
+                if lst is None:
+                    lst = obj[_name] = []
+                lst.extend(_decode_packed(_k, payload))
+                return pos
+
+        return key, h
+    clear = _oneof_clear(desc, name, all_oneof) if label == "oneof" else None
+    if kind == "message":
+        key = (num << 3) | _LEN
+        is_ts = extra is TIMESTAMP
+        cdec = _child_decoder(extra)
+
+        def h(buf, pos, obj, _rv=rv, _name=name, _cdec=cdec, _ts=is_ts,
+              _clear=clear):
+            ln, pos = _rv(buf, pos)
+            end = pos + ln
+            if end > len(buf):
                 raise ProtoCodecError("truncated embedded message")
-            pos += ln
-            if label == "oneof":
-                # proto3 oneof last-wins: a new arm clears any arm a
-                # non-canonical encoder emitted earlier in the message
-                for prev in desc["_oneof_names"]:
-                    obj.pop(prev, None)
-            if extra is TIMESTAMP:
-                inner = decode_message(payload, TIMESTAMP)
-                obj[name] = _parts_to_ts(
+            if _clear is not None:
+                if _clear == "clear":
+                    obj.clear()
+                else:
+                    for prev in _clear:
+                        obj.pop(prev, None)
+            inner = _cdec(buf[pos:end])
+            if _ts:
+                obj[_name] = _parts_to_ts(
                     inner.get("seconds", 0), inner.get("nanos", 0)
                 )
             else:
-                obj[name] = decode_message(payload, extra)
-        else:
-            v, pos = _decode_scalar(kind, extra, buf, pos, wt)
-            if label == "oneof":
-                for prev in desc["_oneof_names"]:
-                    obj.pop(prev, None)
-            obj[name] = v
-    # post-pass: the engine renders Timestamp fields as ISO strings and
-    # EntityRow timestamps arrive through the message arm above; nothing
-    # else to normalize.
-    return obj
+                obj[_name] = inner
+            return end
+
+        return key, h
+    # scalar kinds — canonical wire type per kind
+    if kind in ("int32", "int64"):
+        key = (num << 3) | _VARINT
+
+        def h(buf, pos, obj, _rv=rv, _name=name, _clear=clear, _u=_U64,
+              _s=_S63):
+            raw, pos = _rv(buf, pos)
+            if _clear is not None:
+                if _clear == "clear":
+                    obj.clear()
+                else:
+                    for prev in _clear:
+                        obj.pop(prev, None)
+            obj[_name] = raw - _u if raw >= _s else raw
+            return pos
+
+    elif kind == "bool":
+        key = (num << 3) | _VARINT
+
+        def h(buf, pos, obj, _rv=rv, _name=name, _clear=clear):
+            raw, pos = _rv(buf, pos)
+            if _clear is not None:
+                if _clear == "clear":
+                    obj.clear()
+                else:
+                    for prev in _clear:
+                        obj.pop(prev, None)
+            obj[_name] = bool(raw)
+            return pos
+
+    elif kind == "enum":
+        key = (num << 3) | _VARINT
+        rev = _enum_names(extra)
+
+        def h(buf, pos, obj, _rv=rv, _name=name, _clear=clear, _rev=rev):
+            raw, pos = _rv(buf, pos)
+            if _clear is not None:
+                if _clear == "clear":
+                    obj.clear()
+                else:
+                    for prev in _clear:
+                        obj.pop(prev, None)
+            obj[_name] = _rev.get(raw, raw)
+            return pos
+
+    elif kind == "double":
+        key = (num << 3) | _FIXED64
+
+        def h(buf, pos, obj, _name=name, _clear=clear,
+              _unpack=_STRUCT_D.unpack_from):
+            if pos + 8 > len(buf):
+                raise ProtoCodecError("truncated fixed64 field")
+            if _clear is not None:
+                if _clear == "clear":
+                    obj.clear()
+                else:
+                    for prev in _clear:
+                        obj.pop(prev, None)
+            obj[_name] = _unpack(buf, pos)[0]
+            return pos + 8
+
+    elif kind == "float":
+        key = (num << 3) | _FIXED32
+
+        def h(buf, pos, obj, _name=name, _clear=clear,
+              _unpack=_STRUCT_F.unpack_from):
+            if pos + 4 > len(buf):
+                raise ProtoCodecError("truncated fixed32 field")
+            if _clear is not None:
+                if _clear == "clear":
+                    obj.clear()
+                else:
+                    for prev in _clear:
+                        obj.pop(prev, None)
+            obj[_name] = _unpack(buf, pos)[0]
+            return pos + 4
+
+    elif kind == "string":
+        key = (num << 3) | _LEN
+
+        def h(buf, pos, obj, _rv=rv, _name=name, _clear=clear):
+            ln, pos = _rv(buf, pos)
+            end = pos + ln
+            if end > len(buf):
+                raise ProtoCodecError("truncated length-delimited field")
+            if _clear is not None:
+                if _clear == "clear":
+                    obj.clear()
+                else:
+                    for prev in _clear:
+                        obj.pop(prev, None)
+            obj[_name] = buf[pos:end].decode("utf-8")
+            return end
+
+    elif kind == "bytes":
+        key = (num << 3) | _LEN
+
+        def h(buf, pos, obj, _rv=rv, _name=name, _clear=clear):
+            ln, pos = _rv(buf, pos)
+            end = pos + ln
+            if end > len(buf):
+                raise ProtoCodecError("truncated length-delimited field")
+            if _clear is not None:
+                if _clear == "clear":
+                    obj.clear()
+                else:
+                    for prev in _clear:
+                        obj.pop(prev, None)
+            obj[_name] = base64.b64encode(buf[pos:end]).decode("ascii")
+            return end
+
+    else:  # pragma: no cover - guarded by descriptors
+        raise ProtoCodecError(f"unknown scalar kind {kind!r}")
+    return key, h
 
 
 # ------------------------------------------------- request/response entry

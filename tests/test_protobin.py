@@ -643,3 +643,64 @@ def test_non_numeric_scalar_payloads_raise_codec_error():
         pb.encode_message({"doubleVal": "xyz"}, pb.VALUE)
     with pytest.raises(pb.ProtoCodecError, match="non-numeric"):
         pb.encode_message({"doubleListVal": {"val": [1.5, None]}}, pb.VALUE)
+
+
+# ------------------------------------------- compiled-codec pins (r16)
+# The encode/decode entry points dispatch to per-descriptor compiled
+# closures with a generic fallback for non-canonical wire forms. These
+# pin the wire shapes that must route through (or around) the fallback.
+
+
+def test_unpacked_repeated_scalars_decode_via_fallback():
+    """An old encoder may emit repeated scalars UNPACKED (one varint
+    tag per element). That wire type bypasses the compiled packed
+    handler and must decode identically through the generic fallback —
+    including a mixed packed + unpacked run appending in order."""
+    unpacked = bytes([0x08, 0x07, 0x08, 0x96, 0x01])  # val=7, val=150
+    assert pb.decode_message(unpacked, pb._INT64_LIST) == {"val": [7, 150]}
+    packed = pb.encode_message({"val": [1, 2]}, pb._INT64_LIST)
+    assert pb.decode_message(
+        packed + bytes([0x08, 0x03]), pb._INT64_LIST
+    ) == {"val": [1, 2, 3]}
+
+
+def test_map_entry_noncanonical_order_and_unknown_fields():
+    """The spec does not require key(1)-then-value(2) order inside a
+    map entry, and unknown entry fields must skip — both shapes decode
+    to the same entry (the latter through the generic entry reparse)."""
+    key_part = bytes([0x0A, 0x02]) + b"id"
+    val_part = bytes([0x12, 0x02, 0x20, 0x01])  # Value{int64Val: 1}
+    unknown_part = bytes([0x18, 0x05])  # entry field 3 varint — skipped
+    for entry in (val_part + key_part, key_part + unknown_part + val_part):
+        wire = bytes([0x12, len(entry)]) + entry
+        assert pb.decode_message(wire, pb.ENTITY_ROW) == {
+            "fields": {"id": {"int64Val": 1}}
+        }
+
+
+def test_scalar_map_default_value_round_trips():
+    """map<string, string> with a default-valued entry: the value
+    elides on encode (plain-field default rules) and the decoder's
+    absent-value fill restores it."""
+    from feast_java_old_spark.transport import protobin_core as pbc
+
+    obj = {"fieldMapping": {"a": "x", "b": ""}}
+    wire = pb.encode_message(obj, pbc.DATA_SOURCE)
+    assert pb.decode_message(wire, pbc.DATA_SOURCE) == obj
+
+
+def test_mixed_oneof_message_last_wins_keeps_plain_fields():
+    """A message with both plain fields and a oneof group: last-wins
+    clears only the OTHER arms, never the plain fields (only an
+    all-oneof message like Value may clear the whole dict)."""
+    from feast_java_old_spark.transport import protobin_core as pbc
+
+    first = pb.encode_message(
+        {"type": "BATCH_FILE", "fileOptions": {"fileUrl": "file:///x"}},
+        pbc.DATA_SOURCE,
+    )
+    second = pb.encode_message(
+        {"kafkaOptions": {"topic": "t"}}, pbc.DATA_SOURCE
+    )
+    decoded = pb.decode_message(first + second, pbc.DATA_SOURCE)
+    assert decoded == {"type": "BATCH_FILE", "kafkaOptions": {"topic": "t"}}
