@@ -459,6 +459,19 @@ def _build_session():
             "spark.cleaner.periodicGC.interval": os.environ.get(
                 "SPARK_GRAFT_PERIODIC_GC", "15s"
             ),
+            # r16 (guide §1.2 driver-side cost): PySpark 4's per-API-call
+            # call-site capture (spark.python.sql.dataFrameDebugging,
+            # static conf, default true) walks the Python stack on EVERY
+            # Column/DataFrame op — pure debugging metadata. Plan-heavy
+            # queries build thousands of expression nodes per run
+            # (interleaved in-JVM A/B, capture off vs on: logreg_quality
+            # 5.70 vs 6.65 s, audit_trail 2.51 vs 2.85 s, dedup_incremental
+            # 1.53 vs 1.90 s, curve_skip_audit 1.66 vs 1.87 s medians).
+            # Driver-side Python cost is scale-independent — disabling a
+            # debug feature is the production default, not a local tune.
+            "spark.python.sql.dataFrameDebugging.enabled": os.environ.get(
+                "SPARK_GRAFT_DF_DEBUGGING", "false"
+            ),
             "spark.sql.ui.retainedExecutions": "50",
             "spark.ui.retainedJobs": "300",
             "spark.ui.retainedStages": "500",

@@ -265,6 +265,16 @@ def logreg_train(
         w_micro: dict[int, int] = {j: 0 for j in range(dims)}
         b_micro = 0
         xs = [F.element_at("xs", j + 1) for j in range(dims)]
+        # Hoisted out of the step loop (r16): the dims+1 gradient sum
+        # Columns are identical every step (they reference the "r"/"xs"
+        # columns of the per-step select by name), and building them
+        # costs ~0.5 s of driver time per step — Column construction
+        # walks the py4j bridge plus PySpark's per-op call-site capture
+        # once per expression node (guide §1.2: measure where the time
+        # goes — this was plan CONSTRUCTION, not execution).
+        grad_aggs = [F.sum("r").alias("rt")] + [
+            F.sum(xs[j] * F.col("r")).alias(f"g{j}") for j in range(dims)
+        ]
         for _ in range(steps):
             if not any(w_micro.values()) and b_micro == 0:
                 # Closed-form first step (r16): with w = 0 and b = 0,
@@ -301,17 +311,7 @@ def logreg_train(
                     .cast("long")
                     .alias("r")
                 )
-            g_row = (
-                dense.select(r_col, "xs")
-                .agg(
-                    F.sum("r").alias("rt"),
-                    *[
-                        F.sum(xs[j] * F.col("r")).alias(f"g{j}")
-                        for j in range(dims)
-                    ],
-                )
-                .collect()[0]
-            )
+            g_row = dense.select(r_col, "xs").agg(*grad_aggs).collect()[0]
             r_total = int(g_row["rt"] or 0)
             for j in range(dims):
                 g = int(g_row[f"g{j}"] or 0) - m_mille.get(j, 0) * r_total
