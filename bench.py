@@ -459,6 +459,19 @@ def _build_session():
             "spark.cleaner.periodicGC.interval": os.environ.get(
                 "SPARK_GRAFT_PERIODIC_GC", "15s"
             ),
+            # r16: the periodic GC above is a driver System.gc() — by
+            # default a stop-the-world FULL collection, which taxed every
+            # short query ~0.3-0.5 s on this host (isolated A/B: tpch_q6
+            # warm 1.09 s with STW full GCs vs 0.53 s without). G1's
+            # ExplicitGCInvokesConcurrent turns System.gc() into a
+            # concurrent cycle: reference processing still runs (the
+            # ContextCleaner backlog still drains — the point of the
+            # periodic GC), but the pause disappears. Env-overridable
+            # like the interval.
+            "spark.driver.extraJavaOptions": os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:+ExplicitGCInvokesConcurrent",
+            ),
             # r16 (guide §1.2 driver-side cost): PySpark 4's per-API-call
             # call-site capture (spark.python.sql.dataFrameDebugging,
             # static conf, default true) walks the Python stack on EVERY
