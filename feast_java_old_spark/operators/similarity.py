@@ -32,6 +32,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from feast_java_old_spark.sources.tables import arrow_local_frame
+
 
 def _half_away(np, x):
     """Round to the nearest integer, ties AWAY from zero — matches Spark
@@ -1011,7 +1013,7 @@ def random_projection(
         for j in range(out_dim)
         for d in range(dim)
     ]
-    sign_df = spark.createDataFrame(signs, "j long, d long, sign long")
+    sign_df = arrow_local_frame(spark, signs, "j long, d long, sign long")
     coords = df.select(
         F.col(id_col),
         F.posexplode(_as_double(F.col(vec_col))).alias("d", "__x"),
@@ -1388,8 +1390,10 @@ def pq_adc_topk(
                 lut_rows.append(
                     (int(qid), s, ci, int(math.floor(d2 * 1_000_000 + 0.5)))
                 )
-    lut = codes_df.sparkSession.createDataFrame(
-        lut_rows, "query_id long, subspace long, code long, d2_micro long"
+    lut = arrow_local_frame(
+        codes_df.sparkSession,
+        lut_rows,
+        "query_id long, subspace long, code long, d2_micro long",
     )
     scored = (
         codes_df.join(F.broadcast(lut), ["subspace", "code"])
@@ -1627,7 +1631,8 @@ def ann_ivf_pq(
                             int(math.floor(float(x) * 1_000_000 + 0.5)),
                         )
                     )
-    lut = spark.createDataFrame(
+    lut = arrow_local_frame(
+        spark,
         lut_rows,
         "query_id long, list_id long, subspace long, code long, d2_micro long",
     )
@@ -1656,9 +1661,10 @@ def ann_ivf_pq(
     # and scored with exact cosine. ADC quantization noise caps
     # recall@5 around ~0.5 here; reranking restores the coarse-probe
     # ceiling (measured 0.72 at nprobe=8/20).
-    qdf = spark.createDataFrame(
+    qdf = arrow_local_frame(
+        spark,
         [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
-        f"query_id long, __qv array<double>",
+        "query_id long, __qv array<double>",
     )
     cand = out.select("query_id", "neighbor_id")
     fetched = corpus.select(

@@ -188,7 +188,10 @@ def core_resource_rows(registry) -> list[tuple]:
 def core_resource_dataframe(spark, registry):
     """Gauge rows as a DataFrame (same schema as the deterministic
     :meth:`ServingMetrics.as_dataframe` export, union-compatible)."""
-    return spark.createDataFrame(
+    from feast_java_old_spark.sources.tables import arrow_local_frame
+
+    return arrow_local_frame(
+        spark,
         core_resource_rows(registry),
         "metric string, labels string, value long",
     )
@@ -404,7 +407,10 @@ def jvm_resource_dataframe(spark, runtime_source):
     """Deterministic JVM gauge rows as a DataFrame — same
     ``(metric, labels, value long)`` schema as the other metric
     exports, so all three collector surfaces union into one relation."""
-    return spark.createDataFrame(
+    from feast_java_old_spark.sources.tables import arrow_local_frame
+
+    return arrow_local_frame(
+        spark,
         jvm_resource_rows(runtime_source),
         "metric string, labels string, value long",
     )
@@ -590,10 +596,13 @@ class ServingMetrics:
         fractional ``_sum``, so it widens to DOUBLE — and every value
         is coerced to float for that schema (DoubleType rejects raw
         Python ints at createDataFrame)."""
+        from feast_java_old_spark.sources.tables import arrow_local_frame
+
         rows = self.as_rows(include_latency=include_latency)
         if include_latency:
             rows = [(m, lb, float(v)) for m, lb, v in rows]
-        return spark.createDataFrame(
+        return arrow_local_frame(
+            spark,
             rows,
             "metric string, labels string, value "
             + ("double" if include_latency else "long"),

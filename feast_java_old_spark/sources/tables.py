@@ -26,6 +26,79 @@ TABLES = (
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
+def arrow_local_frame(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Driver-local tuple rows + explicit DDL schema → DataFrame through
+    ONE Arrow table (r16, guide §4/§6 "Arrow for driver transfers").
+
+    ``createDataFrame(list, ddl)`` parallelizes the pickled rows into
+    defaultParallelism slices and every scan of the frame round-trips
+    each slice through a Python worker — measured ~265 ms per task ×
+    32 slices for a tens-of-rows metrics frame. An Arrow table crosses
+    the boundary once at build time and plans as a JVM-only
+    ``LocalTableScan``.
+
+    Fast path only for scalar columns (+ arrays of them) with non-NULL
+    declared semantics preserved: any conversion surprise falls back to
+    the stock ``createDataFrame(rows, schema)``, so behavior only ever
+    changes in speed. Values must already conform to the declared types
+    the way the pickle path would coerce them (the callers in this
+    package all pass pre-coerced ints/floats/strings).
+    """
+    try:
+        import pyarrow as pa
+
+        struct = T.StructType.fromDDL(schema)
+        _pa_of = {
+            T.BooleanType(): pa.bool_(),
+            T.IntegerType(): pa.int32(),
+            T.LongType(): pa.int64(),
+            T.DoubleType(): pa.float64(),
+            T.StringType(): pa.string(),
+            T.BinaryType(): pa.binary(),
+        }
+
+        def _arrow_type(dt):
+            if isinstance(dt, T.ArrayType):
+                inner = _arrow_type(dt.elementType)
+                return pa.list_(inner) if inner is not None else None
+            return _pa_of.get(dt)
+
+        # Strict Python-type gate: Arrow would happily truncate 1.5 into
+        # an int64 column where ``createDataFrame`` raises — any value
+        # that stock verification would reject must take the stock path
+        # so the caller sees the canonical error, not silent coercion.
+        _py_of = {
+            T.BooleanType(): bool,
+            T.IntegerType(): int,
+            T.LongType(): int,
+            T.DoubleType(): float,
+            T.StringType(): str,
+            T.BinaryType(): (bytes, bytearray),
+        }
+
+        def _conforms(v, dt):
+            if v is None:
+                return True
+            if isinstance(dt, T.ArrayType):
+                return isinstance(v, (list, tuple)) and all(
+                    _conforms(x, dt.elementType) for x in v
+                )
+            py = _py_of[dt]
+            if py is int and type(v) is bool:
+                return False  # bool is an int subclass; stock rejects it
+            return type(v) is py if not isinstance(py, tuple) else isinstance(v, py)
+
+        cols = {}
+        for i, f in enumerate(struct.fields):
+            at = _arrow_type(f.dataType)
+            if at is None or not all(_conforms(r[i], f.dataType) for r in rows):
+                return spark.createDataFrame(rows, schema)
+            cols[f.name] = pa.array([r[i] for r in rows], type=at)
+        return spark.createDataFrame(pa.table(cols), schema=struct)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def session_builder(app: str, master: str | None = None, **conf):
     """SparkSession builder with the engine's standard configuration."""
     b = (

@@ -505,3 +505,49 @@ class TestArrowRequestFrame:
         types = dict((f.name, f.dataType) for f in df.schema.fields)
         assert types["b"] == T.BooleanType()
         assert types["i"] == T.LongType()
+
+
+class TestArrowLocalFrame:
+    """The shared tuple-rows twin of _arrow_request_frame
+    (sources/tables.py:arrow_local_frame, r16) — metrics exports and
+    similarity LUTs build driver-local frames through one Arrow table
+    instead of a pickled multi-slice RDD."""
+
+    def _parity(self, spark, rows, ddl):
+        from feast_java_old_spark.sources.tables import arrow_local_frame
+
+        fast = arrow_local_frame(spark, rows, ddl)
+        stock = spark.createDataFrame(rows, ddl)
+        assert fast.schema == stock.schema
+        assert fast.collect() == stock.collect()
+        return fast
+
+    def test_scalar_parity_and_local_table_scan(self, spark):
+        rows = [("a", "x", 1), ("b", None, 2)]
+        fast = self._parity(spark, rows, "metric string, labels string, value long")
+        assert "LocalTableScan" in fast._jdf.queryExecution().executedPlan().toString()
+
+    def test_double_and_array_columns(self, spark):
+        self._parity(spark, [("m", "", 1.5)], "metric string, labels string, value double")
+        self._parity(spark, [(1, [0.5, 1.0]), (2, None)], "query_id long, __qv array<double>")
+
+    def test_empty_rows(self, spark):
+        self._parity(spark, [], "id long, v array<double>")
+
+    def test_unsupported_ddl_type_falls_back_to_stock(self, spark):
+        # map<> is outside the Arrow fast-path type set: the helper must
+        # still return the stock-built frame, not raise.
+        rows = [(1, {"k": "v"})]
+        self._parity(spark, rows, "id long, m map<string,string>")
+
+    def test_nonconforming_value_raises_like_stock(self, spark):
+        import pytest as _pytest
+
+        from feast_java_old_spark.sources.tables import arrow_local_frame
+
+        # a float in a declared-long column is an error on BOTH paths —
+        # the fallback must not silently coerce what stock rejects.
+        with _pytest.raises(Exception):
+            spark.createDataFrame([("a", "b", 1.5)], "m string, l string, v long").collect()
+        with _pytest.raises(Exception):
+            arrow_local_frame(spark, [("a", "b", 1.5)], "m string, l string, v long").collect()
