@@ -6250,8 +6250,16 @@ PROFILE_COLS = ("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass column profile of the orders table: nulls, exact
     distincts, min/max, means in long format
-    (operators/profile.py:profile_columns)."""
-    orders = load_table(spark, sf_dir, "orders")
+    (operators/profile.py:profile_columns).
+
+    r16: fan_out — the multi-distinct aggregate plans an Expand (each
+    input row fans out once per profiled column), and the whole
+    rows×(cols+1) partial-aggregate pass pipelines into the
+    unsplittable single-file scan (one 2 s task, 31 cores idle —
+    per-stage profile). At production scale the scan splits wide and
+    the guard makes this a no-op. Interleaved A/B: 2.58 → 2.36 s
+    median."""
+    orders = load_table(spark, sf_dir, "orders", fan_out=True)
     return profile_columns(orders, list(PROFILE_COLS))
 
 
