@@ -468,9 +468,23 @@ def _build_session():
             # ContextCleaner backlog still drains — the point of the
             # periodic GC), but the pause disappears. Env-overridable
             # like the interval.
+            #
+            # r17: ReservedCodeCacheSize=1g. ~190 distinct codegen'd
+            # queries push thousands of hot generated methods through the
+            # default 240 MB JIT code cache; once the sweeper starts
+            # flushing (observed mid-suite: profiled-nmethods heap 80/118
+            # MB, sweeper thread 11 s CPU), newly generated classes queue
+            # behind it and CPU-dense stages run INTERPRETED — measured
+            # as random 2-5x spikes concentrated on the shingle/array
+            # dedup family and on end-of-suite reruns (whose recompiled
+            # classes are new to the JIT). Full-suite A/B on one host
+            # window: 265-340 s (4 runs, default) vs 214.6 s (1g). Not a
+            # local[32] tune: any long-lived driver/executor JVM serving
+            # many distinct queries has the same code-cache dynamics.
             "spark.driver.extraJavaOptions": os.environ.get(
                 "SPARK_GRAFT_DRIVER_JAVA_OPTS",
-                "-XX:+ExplicitGCInvokesConcurrent",
+                "-XX:+ExplicitGCInvokesConcurrent"
+                " -XX:ReservedCodeCacheSize=1g",
             ),
             # r16 (guide §1.2 driver-side cost): PySpark 4's per-API-call
             # call-site capture (spark.python.sql.dataFrameDebugging,
@@ -572,12 +586,21 @@ def main() -> None:
     # Single-shot suite numbers swing ±20% (GC) and a cold plan can be
     # ~75% one-time codegen/plan cost (r6's historical_asof false flag:
     # 2.93 s in-suite vs 0.78 s isolated). Adjudicate in-process: any
-    # query >1.5x its prior-round number is rerun once warm, BOTH
-    # numbers are recorded, and the headline carries the WARM (second)
-    # run — a number one real run actually produced, so round-over-round
-    # totals compare steady-state plans. (Not min(cold, warm): a
+    # query >1.5x its prior-round number is rerun, BOTH/ALL numbers are
+    # recorded, and the headline carries the MEDIAN of {cold, warm1,
+    # warm2} — a number one real run actually produced. (Not min(): a
     # best-of composite would mask a genuine regression whenever one of
-    # the two runs happened to be fast — ADVICE r7 bench.py:286.)
+    # the runs happened to be fast — ADVICE r7 bench.py:286. Not
+    # "warm replaces cold" either, the r9–r16 form: this round's stall
+    # diagnosis showed a single warm rerun can itself absorb a
+    # multi-second host/JIT stall and REPLACE a healthy cold number —
+    # driver r16 c8 run: dedup_simhash cold 3.09 s overwritten by a
+    # 14.55 s rerun; entry r17 run: triangle_count cold 4.46 s
+    # overwritten by an 18.58 s rerun. The median of three keeps the
+    # steady-state-plan intent while a single stalled sample, in either
+    # position, can no longer decide the number. Old numbers stay: the
+    # reruns dict records every sample, and cold_total still sums the
+    # first shots.)
     cold_total = round(sum(timings.values()), 3)
     reruns: dict[str, dict[str, float]] = {}
     for name, cold in list(timings.items()):
@@ -594,8 +617,14 @@ def main() -> None:
         # no flag can now escape the rerun.
         if p and cold > 1.5 * p and cold > 0.3:
             warm = run_once(qs[name], name)
-            reruns[name] = {"cold": cold, "warm": warm, "prior_round": p}
-            timings[name] = warm
+            warm2 = run_once(qs[name], name)
+            reruns[name] = {
+                "cold": cold,
+                "warm": warm,
+                "warm2": warm2,
+                "prior_round": p,
+            }
+            timings[name] = sorted((cold, warm, warm2))[1]
 
     # Ceiling twins: timed after the headline pass (so they never tax
     # headline GC), recorded separately, excluded from the total.
