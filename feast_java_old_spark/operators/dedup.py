@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from feast_java_old_spark.operators.text import tokens
@@ -970,7 +970,7 @@ def dedup_components(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     )
     converged = False
-    for _ in range(max_iterations):
+    for _round in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -995,12 +995,25 @@ def dedup_components(
                 ).alias("__changed"),
             )
         )
+        # r17: fold the convergence count INTO the checkpoint job via
+        # an Observation — CollectMetrics is a pass-through node whose
+        # aggregate resolves when the checkpoint action's job completes,
+        # so each round runs ONE driver job instead of two (this loop's
+        # wall is dominated by per-job driver latency, not task time —
+        # the r16 "Not yet optimized" lead; AQE-off measured worse).
+        obs = Observation(f"cc_changed_{_round}")
+        observed = new_labels.observe(
+            obs,
+            F.coalesce(
+                F.sum(F.col("__changed").cast("long")), F.lit(0)
+            ).alias("n"),
+        )
         # cut lineage each round (else the plan doubles per iteration)
         if checkpoint == "reliable":
-            new_labels = new_labels.checkpoint(eager=True)
+            new_labels = observed.checkpoint(eager=True)
         else:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.where("__changed").limit(1).count()
+            new_labels = observed.localCheckpoint(eager=True)
+        changed = int(obs.get["n"])
         labels = new_labels.drop("__changed")
         if changed == 0:
             converged = True
